@@ -1,0 +1,122 @@
+package graft.etl
+
+import org.slf4j.LoggerFactory
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.current_timestamp
+import org.apache.spark.storage.StorageLevel
+
+import graft.config.{CountryParam, EtlConfig}
+
+/** Per-country orchestration: the reference's driver loop
+  * (`/root/reference/notebooks/ETL_Entregas_Base.ipynb:708-723`).
+  *
+  * For each `params` block with `proccess == NO`: Bronze slice → write; Silver
+  * rename+enrich → clean/quarantine split → three writes; mark the country
+  * processed in the YAML (run state lives in the config file, reference O2).
+  *
+  * Divergences from the reference, both deliberate (SURVEY §7.6):
+  *   - the enriched frame is persisted before the 3-way fan-out (the reference
+  *     recomputes the plan per action; results identical, 3× the work);
+  *   - a failed country is NOT marked processed (the reference swallows the
+  *     exception and marks YES anyway — bug, fixed here).
+  */
+object Pipeline {
+  private val log = LoggerFactory.getLogger(getClass)
+
+  final case class Paths(
+      bronze: String,
+      silverClean: String,
+      silverQuarantine: String,
+      processedDir: String
+  )
+  object Paths {
+    def under(root: String): Paths = Paths(
+      bronze = s"$root/rdv/data_ventas",
+      silverClean = s"$root/udv/data_ventas_depurado",
+      silverQuarantine = s"$root/udv/data_ventas_obs",
+      processedDir = s"$root/data/processed"
+    )
+  }
+
+  /** Run every unprocessed country; returns countries successfully processed. */
+  def run(
+      spark: SparkSession,
+      configPath: String,
+      auditTs: Column = current_timestamp()
+  ): List[String] = {
+    EtlConfig.load(configPath) match {
+      case Left(errs) =>
+        errs.foreach(e => log.error(s"config invalid: $e"))
+        throw new IllegalArgumentException(
+          s"config validation failed: ${errs.mkString("; ")}"
+        )
+      case Right(cfg0) =>
+        var cfg = cfg0
+        val done = scala.collection.mutable.ListBuffer.empty[String]
+        cfg0.params.foreach { p =>
+          if (p.process) log.info(s"skip ${p.country}: already processed")
+          else {
+            try {
+              runCountry(spark, cfg, p, auditTs)
+              cfg = EtlConfig.markProcessed(configPath, cfg, p.country)
+              done += p.country
+              log.info(s"country ${p.country} done [${p.startDate}..${p.endDate}]")
+            } catch {
+              case e: Exception =>
+                // stage error isolation: log and continue with the next country
+                // (reference O3) — but do NOT mark processed.
+                log.error(s"country ${p.country} failed: ${e.getMessage}", e)
+            }
+          }
+        }
+        done.toList
+    }
+  }
+
+  /** One country end-to-end: EP1 (Bronze) then EP2 (Silver split). */
+  def runCountry(
+      spark: SparkSession,
+      cfg: EtlConfig,
+      p: CountryParam,
+      auditTs: Column = current_timestamp()
+  ): Unit = {
+    val paths = Paths.under(cfg.outputRoot)
+
+    // EP1 — Bronze: CSV → typed → slice → partitioned replaceWhere write.
+    val bronze = Bronze(spark, cfg.rawCsv, p.country, p.startDate, p.endDate)
+    Writer.replaceCountryRange(
+      spark, bronze, paths.bronze,
+      partitionCol = "fecha_proceso", countryCol = "pais",
+      country = p.country, startDate = p.startDate, endDate = p.endDate
+    )
+
+    // EP2 — Silver: re-read Bronze (partition-pruned scan), rename, enrich.
+    val bronzeBack = Bronze.slice(
+      spark.read.parquet(paths.bronze), p.country, p.startDate, p.endDate)
+    val enriched = Silver
+      .enriched(Silver.renamed(bronzeBack), cfg, cfg.rawCsv, auditTs)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val clean = Silver.clean(enriched)
+      Writer.replaceCountryRange(
+        spark, clean, paths.silverClean,
+        partitionCol = "fec_proceso", countryCol = "cod_pais",
+        country = p.country, startDate = p.startDate, endDate = p.endDate
+      )
+      // plain Delta-directory copy of depurado (`:647-652`) → parquet dir.
+      Writer.replaceCountryRange(
+        spark, clean, paths.processedDir,
+        partitionCol = "fec_proceso", countryCol = "cod_pais",
+        country = p.country, startDate = p.startDate, endDate = p.endDate
+      )
+      val quarantine = Silver.quarantine(enriched)
+      Writer.replaceCountryRange(
+        spark, quarantine, paths.silverQuarantine,
+        partitionCol = "fec_proceso", countryCol = "cod_pais",
+        country = p.country, startDate = p.startDate, endDate = p.endDate,
+        dateAsString = true
+      )
+    } finally enriched.unpersist()
+  }
+}

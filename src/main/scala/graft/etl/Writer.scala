@@ -1,0 +1,118 @@
+package graft.etl
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Predicate-scoped idempotent overwrite ("replaceWhere" emulation).
+  *
+  * The reference writes all three sinks with Delta's
+  * `mode("overwrite").option("replaceWhere", country ∧ date∈[s,e])`
+  * (`/root/reference/notebooks/ETL_Entregas_Base.ipynb:502-507,639-644,672-677`):
+  * atomically replace exactly the rows matching the predicate, preserving
+  * everything else. Delta is not on this classpath, so this is the one piece of
+  * genuinely custom machinery (SURVEY §7.3). It lives entirely in the writer —
+  * no Catalyst surgery.
+  *
+  * Two paths:
+  *   - '''partition-aligned fast path''' ([[overwritePartitions]]): when the
+  *     predicate exactly covers whole partitions of the partition column,
+  *     dynamic partition overwrite rewrites only the partitions present in the
+  *     incoming data — no read of existing data, no shuffle. This is the path a
+  *     100 TB table needs: cost ∝ new slice, not table size.
+  *   - '''general path''' ([[replaceWhere]]): read-keep-union-rewrite — keep
+  *     `existing.filter(!predicate)`, union the new slice, write to a temp dir,
+  *     atomic directory swap. Cost ∝ table size; only correct fallback for
+  *     predicates that cut inside partitions. Single-writer rename-swap is safe
+  *     on local/HDFS-like stores; real Delta would give transactional
+  *     atomicity — documented divergence.
+  */
+object Writer {
+
+  /** Fast path: dynamic partition overwrite. Requires
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` (set in
+    * [[Schemas.session]]); only partitions present in `df` are replaced.
+    */
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+
+  /** General path: replace exactly the rows matching `predicate`, keep the rest.
+    *
+    * The kept set is read with the *existing* table's schema; the caller must
+    * ensure `df` is union-compatible (the pipeline always is — fixed DDL).
+    */
+  def replaceWhere(
+      spark: SparkSession,
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      predicate: Column
+  ): Unit = {
+    val target = Paths.get(path)
+    if (!Files.exists(target)) {
+      overwritePartitions(df, path, partitionCols)
+      return
+    }
+    val existing = spark.read.parquet(path)
+    // NULL-safe keep: rows where the predicate is NULL are kept too (Delta
+    // replaceWhere deletes only rows where the predicate evaluates to true).
+    val kept = existing.filter(!coalesce(predicate, lit(false)))
+    val merged = kept.unionByName(df.select(existing.columns.map(col).toIndexedSeq: _*))
+
+    val tmp = path + ".inprogress"
+    deleteRecursively(Paths.get(tmp))
+    merged.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(tmp)
+    // swap: move old out, new in, drop old — last-moment non-atomicity is the
+    // price of no transaction log; single-writer assumption documented above.
+    val old = Paths.get(path + ".old")
+    deleteRecursively(old)
+    Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+  }
+
+  /** The pipeline's standard sink: country+date-range predicate, partitioned by
+    * the process-date column. The predicate never cuts inside a date partition,
+    * but it DOES cut inside on country (two countries share a date) — so the
+    * fast path applies only when the caller guarantees one country per run
+    * shares no partition with another. The reference's semantics replace
+    * (country ∧ range), so we use the general path whenever the target exists
+    * and may hold other countries' rows for the same dates.
+    */
+  def replaceCountryRange(
+      spark: SparkSession,
+      df: DataFrame,
+      path: String,
+      partitionCol: String,
+      countryCol: String,
+      country: String,
+      startDate: String,
+      endDate: String,
+      dateAsString: Boolean = false
+  ): Unit = {
+    // Quarantine stores fec_proceso as STRING; its replaceWhere compares
+    // lexicographically — correct only because ISO yyyy-MM-dd sorts like dates
+    // (`ETL_Entregas_Base.ipynb:675`; SURVEY EP2.4). Preserve carefully.
+    val rangePred =
+      if (dateAsString)
+        col(partitionCol) >= lit(startDate) && col(partitionCol) <= lit(endDate)
+      else
+        col(partitionCol).between(to_date(lit(startDate)), to_date(lit(endDate)))
+    replaceWhere(
+      spark,
+      df,
+      path,
+      Seq(partitionCol),
+      col(countryCol) === country && rangePred
+    )
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+}

@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+
+import graft.config.EtlConfig
+import graft.etl.Pipeline
+
+/** Golden-output parity test of the full entregas pipeline on the FIXTURES.md §A
+  * synthetic CSV: clean-vs-quarantine split, exact motivo_obs strings (pipe-join
+  * order), guarded derived columns, 3-valued indicators, date-parse drops, and
+  * replaceWhere idempotence.
+  */
+class PipelineSpec extends SparkTestBase {
+
+  private def fixture(): (Path, String) = {
+    val dir = Files.createTempDirectory("graft-pipe")
+    val csv = dir.resolve("entregas.csv")
+    // header + rows per FIXTURES.md §A (see comments for expectations)
+    Files.writeString(
+      csv,
+      """pais,fecha_proceso,transporte,ruta,tipo_entrega,material,precio,cantidad,unidad
+        |EC,20250110,T1,R1,ZPRE,M1,100.0,2.0,CS
+        |EC,20250111,T1,R1,Z04,M2,50.5,1.0,ST
+        |EC,20250112,T1,R2, zpre ,M3,10.0,1.0,cs
+        |EC,20250113,T2,R1,ZVE1,,20.0,1.0,ST
+        |EC,20250114,T2,R1,ZPRE,M4,,1.0,ST
+        |EC,20250115,T2,R1,ZPRE,M5,-5.0,1.0,ST
+        |EC,20250116,T2,R1,ZPRE,M6,5.0,,ST
+        |EC,20250117,T2,R1,ZPRE,M7,5.0,0.0,ST
+        |EC,20250118,T2,R1,ZPRE,M8,5.0,1.0,XX
+        |EC,20250119,T2,R1,ZZZ,M9,5.0,1.0,ST
+        |EC,20250120,T2,R1,ZZZ,,0.0,-1.0,XX
+        |EC,2025 0121,T1,R1,ZPRE,M10,1.0,1.0,ST
+        |EC,garbage,T1,R1,ZPRE,M11,1.0,1.0,ST
+        |EC,20240101,T1,R1,ZPRE,M12,1.0,1.0,ST
+        |PE,20250110,T1,R1,ZPRE,M13,30.0,3.0,CS
+        |BR,20250110,T1,R1,ZPRE,M14,1.0,1.0,ST
+        |""".stripMargin
+    )
+    val cfgPath = dir.resolve("config.yaml")
+    Files.writeString(
+      cfgPath,
+      s"""paths:
+         |  raw_csv: $csv
+         |  output_root: $dir/out
+         |params:
+         |- country: EC
+         |  start_date: '2025-01-01'
+         |  end_date: '2025-06-30'
+         |  proccess: 'NO'
+         |- country: PE
+         |  start_date: '2025-01-01'
+         |  end_date: '2025-06-30'
+         |  proccess: 'NO'
+         |delivery_types:
+         |  routine:
+         |  - ZPRE
+         |  - ZVE1
+         |  bonus:
+         |  - Z04
+         |  - Z05
+         |unit_factors:
+         |  CS: 20
+         |  ST: 1
+         |""".stripMargin
+    )
+    (dir, cfgPath.toString)
+  }
+
+  test("full pipeline: split, rules, derived columns, idempotence") {
+    val (dir, cfgPath) = fixture()
+    val fixedTs = to_timestamp(lit("2026-01-01 00:00:00"))
+
+    val done = Pipeline.run(spark, cfgPath, auditTs = fixedTs)
+    assert(done == List("EC", "PE"))
+
+    val paths = Pipeline.Paths.under(s"$dir/out")
+    val clean = spark.read.parquet(paths.silverClean)
+    val obs = spark.read.parquet(paths.silverQuarantine)
+
+    // EC: 5 clean (M1,M2,M3,M4-null-precio,M10-ws-date), 7 quarantined;
+    // PE: 1 clean. garbage/out-of-range dates and BR never appear.
+    assert(clean.filter(col("cod_pais") === "EC").count() == 5)
+    assert(clean.filter(col("cod_pais") === "PE").count() == 1)
+    assert(obs.count() == 7)
+    assert(clean.filter(col("cod_material").isin("M11", "M12", "M14")).count() == 0)
+
+    // derived columns on the flagship row M1: factor 20.
+    val m1 = clean.filter(col("cod_material") === "M1").collect().head
+    assert(m1.getAs[java.math.BigDecimal]("cant_unidades").doubleValue() == 40.0)
+    assert(m1.getAs[java.math.BigDecimal]("precio_unitario_unidades").doubleValue() == 2.5)
+    assert(m1.getAs[Boolean]("ind_rutina") && !m1.getAs[Boolean]("ind_bonificacion"))
+
+    // case/whitespace normalization row M3: ' zpre ' + 'cs'.
+    val m3 = clean.filter(col("cod_material") === "M3").collect().head
+    assert(m3.getAs[java.math.BigDecimal]("cant_unidades").doubleValue() == 20.0)
+    assert(m3.getAs[java.math.BigDecimal]("precio_unitario_unidades").doubleValue() == 0.5)
+
+    // NULL precio is allowed: clean, with NULL unit price (M4).
+    val m4 = clean.filter(col("cod_material") === "M4").collect().head
+    assert(m4.isNullAt(m4.fieldIndex("precio_unitario_unidades")))
+    assert(m4.getAs[java.math.BigDecimal]("cant_unidades").doubleValue() == 1.0)
+
+    // single-rule rows carry exactly their code.
+    def motivo(mat: String): String =
+      obs.filter(col("cod_material") === mat).collect().head.getAs[String]("motivo_obs")
+    assert(motivo("M5") == "ERR_VENTA_NO_POSITIVA")
+    assert(motivo("M7") == "ERR_CANT_NO_POSITIVA")
+    assert(motivo("M8") == "ERR_UNIDAD_DESCONOCIDA")
+    assert(motivo("M9") == "ERR_TIPO_ENTREGA_NO_CONSIDERADA")
+    // material-NULL row (ZVE1): only missing-material fires.
+    val m6row = obs.filter(col("motivo_obs") === "ERR_CANT_NULL").collect()
+    assert(m6row.length == 1 && m6row.head.getAs[String]("cod_material") == "M6")
+
+    // multi-rule row: declaration order, pipe-joined (`:566-576`).
+    val multi = obs
+      .filter(col("cod_tipo_entrega") === "ZZZ" && col("cod_material").isNull)
+      .collect().head
+    assert(
+      multi.getAs[String]("motivo_obs") ==
+        "ERR_CANT_NO_POSITIVA|ERR_SIN_MATERIAL_CONOCIDO|ERR_UNIDAD_DESCONOCIDA|" +
+        "ERR_VENTA_NO_POSITIVA|ERR_TIPO_ENTREGA_NO_CONSIDERADA"
+    )
+
+    // quarantined rows keep NULL indicator flags (3-valued, all-string table).
+    assert(multi.isNullAt(multi.fieldIndex("ind_rutina")))
+
+    // run state written back: both countries marked YES.
+    val after = EtlConfig.load(cfgPath).toOption.get
+    assert(after.params.forall(_.process))
+
+    // idempotence: reset run state, rerun → replaceWhere replaces, not appends.
+    EtlConfig.load(cfgPath).foreach { c =>
+      Files.writeString(
+        java.nio.file.Paths.get(cfgPath),
+        EtlConfig.render(c.copy(params = c.params.map(_.copy(process = false)))))
+    }
+    Pipeline.run(spark, cfgPath, auditTs = fixedTs)
+    assert(spark.read.parquet(paths.silverClean).count() == 6)
+    assert(spark.read.parquet(paths.silverQuarantine).count() == 7)
+    assert(spark.read.parquet(paths.bronze).count() == 13)
+  }
+}
