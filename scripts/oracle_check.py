@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate.
+
+Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir> [query ...]
+
+Loads each Spark result parquet from <verifyOutDir>/<query>/, runs the
+matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB with the
+<sfDir> tables registered as views, sorts columns by name and rows by all
+columns, and compares values cell by cell (exact; floats compared exactly
+since both sides should be bit-deterministic by construction).
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(v):
+    # canonical comparable form per cell
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    # Decimal, datetime, str, int compare naturally; normalize Decimal trailing zeros?
+    # Driver compares hashes of values; we keep exact repr but compare Decimal == Decimal
+    return v
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            ).fetchdf()
+            want = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: load/run error: {e}")
+            n_fail += 1
+            continue
+        gcols, wcols = sorted(got.columns), sorted(want.columns)
+        if gcols != wcols:
+            print(f"FAIL {name}: columns differ spark={gcols} oracle={wcols}")
+            n_fail += 1
+            continue
+        got = got[gcols]
+        want = want[wcols]
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows spark={len(got)} oracle={len(want)}")
+            n_fail += 1
+            continue
+        grows = sorted(
+            [tuple(canon(v) for v in r) for r in got.itertuples(index=False)],
+            key=lambda r: tuple((x is None, str(x)) for x in r),
+        )
+        wrows = sorted(
+            [tuple(canon(v) for v in r) for r in want.itertuples(index=False)],
+            key=lambda r: tuple((x is None, str(x)) for x in r),
+        )
+        bad = None
+        for i, (g, w) in enumerate(zip(grows, wrows)):
+            if len(g) != len(w) or any(
+                not (a == b or (a is None and b is None) or _numeq(a, b))
+                for a, b in zip(g, w)
+            ):
+                bad = (i, g, w)
+                break
+        if bad:
+            print(f"FAIL {name}: first diff at sorted row {bad[0]}:")
+            print(f"  spark : {bad[1]}")
+            print(f"  oracle: {bad[2]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+def _numeq(a, b):
+    # ints/Decimals/floats of equal value compare equal across container types
+    try:
+        if a is None or b is None:
+            return False
+        import numbers
+
+        if isinstance(a, numbers.Number) and isinstance(b, numbers.Number):
+            return float(a) == float(b) or a == b
+    except Exception:
+        pass
+    return False
+
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,427 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{Relational, RuleEngine}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query is registered here with (where SQL-expressible) a DuckDB oracle
+  * in [[oracleSql]]. Conventions that keep the hash-compare stable:
+  *   - every aggregate/computed column is aliased identically on both sides;
+  *   - float columns are cast to DECIMAL '''before''' aggregation on both
+  *     sides (decimal addition is exact and order-independent — double sums
+  *     are not, and Spark/DuckDB would disagree in the last ulp);
+  *   - final aggregates get an explicit matching CAST so Spark and DuckDB
+  *     report identical decimal scales;
+  *   - window/top-k queries always carry a unique tie-breaker column in the
+  *     ordering so results are total-ordered and engine-independent.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val d2 = DecimalType(18, 2)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The entregas-style
+    * DQ rule engine recast over lineitem: annotate every row, return the
+    * quarantined ones with their pipe-joined reasons.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    dqSplit(spark, "/root/testdata/sf0.001")
+
+  // ---- q15: the reference's rule engine generalized over lineitem ----
+  private def lineitemRules: Seq[RuleEngine.Rule] = Seq(
+    RuleEngine.Rule("ERR_CANT_NULL", col("l_quantity").isNull),
+    RuleEngine.Rule("ERR_CANT_NO_POSITIVA", col("l_quantity").isNotNull && col("l_quantity") <= 0),
+    RuleEngine.Rule("ERR_CANT_EXCESIVA", col("l_quantity") > 45),
+    RuleEngine.Rule("ERR_DESC_EXCESIVO", col("l_discount") > 0.08),
+    RuleEngine.Rule("ERR_FLAG_DESCONOCIDO", !upper(trim(col("l_returnflag"))).isin("A", "N", "R")),
+    RuleEngine.Rule("ERR_VENTA_NO_POSITIVA", col("l_extendedprice").isNotNull && col("l_extendedprice") <= 0)
+  )
+
+  private def dqSplit(s: SparkSession, dir: String): DataFrame = {
+    val (_, obs) = RuleEngine.split(t(s, dir, "lineitem"), lineitemRules)
+    obs
+      .select(col("l_orderkey"), col("l_linenumber"), col("motivo_obs"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregation: TPC-H Q1-style pricing summary (hash agg, map-side
+    // partials; one shuffle on the two grouping keys) ----
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(d2)).cast(DecimalType(38, 2)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(d2)).cast(DecimalType(38, 2)).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(d2) * (lit(1).cast(d2) - col("l_discount").cast(d2)))
+            .cast(DecimalType(38, 4)).as("sum_disc_price"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- broadcast equi-join: fact ⋈ small dim; dim broadcast, no fact
+    // shuffle before the aggregation ----
+    "q02_brand_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          sum(col("l_extendedprice").cast(d2) * (lit(1).cast(d2) - col("l_discount").cast(d2)))
+            .cast(DecimalType(38, 4)).as("revenue"),
+          count(lit(1)).as("n_items")
+        )
+        .orderBy(col("p_brand"))
+    }),
+
+    // ---- multi-way join through the dimension chain, aggregated per nation ----
+    "q03_nation_revenue" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("o_totalprice").cast(d2)).cast(DecimalType(38, 2)).as("revenue"),
+          count(lit(1)).as("n_orders")
+        )
+        .orderBy(col("n_name"))
+    }),
+
+    // ---- left-semi join (EXISTS) ----
+    "q04_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---- left-anti join (NOT EXISTS) ----
+    "q05_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // ---- selective scan: predicate pushed to parquet, 2-column read ----
+    "q06_revenue_slice" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") < 24 && col("l_discount").between(0.02, 0.06))
+        .agg(
+          sum(col("l_extendedprice").cast(d2) * col("l_discount").cast(d2))
+            .cast(DecimalType(38, 4)).as("revenue"),
+          count(lit(1)).as("n_rows")
+        )
+    }),
+
+    // ---- window ranking: top-3 orders per customer (unique tie-break) ----
+    "q07_top_orders_per_cust" -> ((s, dir) => {
+      Relational
+        .topKPerGroup(
+          t(s, dir, "orders"),
+          partitionCols = Seq(col("o_custkey")),
+          orderBy = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+          k = 3
+        )
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // ---- running-total window (frame: unbounded preceding → current) ----
+    "q08_running_qty" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, dir, "lineitem")
+        .withColumn("run_qty", sum(col("l_quantity").cast(d2)).over(w).cast(DecimalType(38, 2)))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("run_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- grouping sets / rollup ----
+    "q09_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(d2)).cast(DecimalType(38, 2)).as("sum_qty"),
+          count(lit(1)).as("n_rows")
+        )
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---- exact distinct counting (two distinct aggs → Expand, one shuffle) ----
+    "q10_distinct_counts" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows")
+        )
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- set operation: EXCEPT (customers with open but no finished orders) ----
+    "q11_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // ---- global sort + limit (TakeOrderedAndProject — no full sort at scale) ----
+    "q12_top_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // ---- broadcast range (bin) join ----
+    "q13_price_bins" -> ((s, dir) => {
+      Relational
+        .binJoin(
+          t(s, dir, "part"),
+          col("p_retailprice"),
+          Seq(
+            ("b1_900_925", 900.0, 925.0),
+            ("b2_925_950", 925.0, 950.0),
+            ("b3_950_975", 950.0, 975.0),
+            ("b4_975_1000", 975.0, 1000.0)
+          )
+        )
+        .groupBy(col("bin_name"))
+        .agg(
+          count(lit(1)).as("n_parts"),
+          sum(col("p_retailprice").cast(d2)).cast(DecimalType(38, 2)).as("sum_price")
+        )
+        .orderBy(col("bin_name"))
+    }),
+
+    // ---- as-of join (backward): latest order per user at event time ----
+    "q14_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      // unique (custkey, orderdate) on the right: deterministic argmax by
+      // orderkey so the as-of pick is total-ordered on both engines.
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(
+          max(col("o_orderkey")).as("o_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice")
+        )
+        .withColumnRenamed("o_custkey", "user_id")
+      Relational
+        .asofJoinBackward(
+          ev, o,
+          keyCol = "user_id", leftTsCol = "ts", rightTsCol = "o_orderdate",
+          rightValCols = Seq("o_orderkey", "o_totalprice")
+        )
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- the reference's DQ rule engine over lineitem (quarantine rows) ----
+    "q15_dq_quarantine" -> ((s, dir) => dqSplit(s, dir)),
+
+    // ---- config-compiled literal-map unit conversion (reference Silver core) ----
+    "q16_unit_conversion" -> ((s, dir) => {
+      val factorMap = typedLit(Map("A" -> 20.0, "N" -> 1.0, "R" -> 5.0))
+      val factor = element_at(factorMap, upper(trim(col("l_returnflag"))))
+      val qtyD = col("l_quantity").cast(d2)
+      // cant_unidades: exact decimal product, HALF_UP round — matches DuckDB's
+      // decimal ROUND. precio_unitario: plain IEEE double division with NO
+      // rounding — DuckDB executes decimal division in double, so a rounded
+      // decimal result would diverge in the last ulp; raw doubles are
+      // bit-identical on both engines.
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          when(factor.isNotNull && qtyD.isNotNull && qtyD > 0, round(qtyD * factor.cast(d2), 2))
+            .otherwise(lit(null)).cast(DecimalType(21, 2)).as("cant_unidades"),
+          when(factor.isNotNull && col("l_quantity") > 0 && col("l_extendedprice").isNotNull,
+            col("l_extendedprice") / (col("l_quantity") * factor))
+            .otherwise(lit(null)).as("precio_unitario")
+        )
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- gap-based sessionization (lag → flag → cumulative sum) ----
+    "q17_sessions" -> ((s, dir) => {
+      Relational
+        .sessionize(t(s, dir, "events"), col("user_id"), col("ts"), gapSeconds = 1800)
+        .groupBy(col("user_id"))
+        .agg(
+          (max(col("session_id")) + 1).as("n_sessions"),
+          count(lit(1)).as("n_events")
+        )
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- tumbling time-window aggregation ----
+    "q18_hourly_events" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(d2)).cast(DecimalType(38, 2)).as("sum_value")
+        )
+        .select(col("w.start").as("hour_start"), col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+    })
+  )
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Omit for non-SQL-expressible ops → driver records a
+    * weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_brand_revenue" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q03_nation_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q04_semi_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q06_revenue_slice" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_quantity < 24 AND l_discount BETWEEN 0.02 AND 0.06""".stripMargin,
+    "q07_top_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) x
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q08_running_qty" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS run_qty
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q09_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q10_distinct_counts" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q11_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+    "q12_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q13_price_bins" ->
+      """SELECT bin_name, COUNT(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |FROM part JOIN (VALUES
+        |  ('b1_900_925', 900.0, 925.0), ('b2_925_950', 925.0, 950.0),
+        |  ('b3_950_975', 950.0, 975.0), ('b4_975_1000', 975.0, 1000.0)
+        |) AS bins(bin_name, bin_lo, bin_hi)
+        |  ON p_retailprice >= bin_lo AND p_retailprice < bin_hi
+        |GROUP BY bin_name ORDER BY bin_name""".stripMargin,
+    "q14_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate,
+        |    MAX(o_orderkey) AS o_orderkey,
+        |    MAX_BY(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "q15_dq_quarantine" ->
+      """SELECT l_orderkey, l_linenumber, motivo_obs FROM (
+        |  SELECT l_orderkey, l_linenumber, NULLIF(CONCAT_WS('|',
+        |    CASE WHEN l_quantity IS NULL THEN 'ERR_CANT_NULL' END,
+        |    CASE WHEN l_quantity IS NOT NULL AND l_quantity <= 0 THEN 'ERR_CANT_NO_POSITIVA' END,
+        |    CASE WHEN l_quantity > 45 THEN 'ERR_CANT_EXCESIVA' END,
+        |    CASE WHEN l_discount > 0.08 THEN 'ERR_DESC_EXCESIVO' END,
+        |    CASE WHEN UPPER(TRIM(l_returnflag)) NOT IN ('A','N','R') THEN 'ERR_FLAG_DESCONOCIDO' END,
+        |    CASE WHEN l_extendedprice IS NOT NULL AND l_extendedprice <= 0 THEN 'ERR_VENTA_NO_POSITIVA' END
+        |  ), '') AS motivo_obs FROM lineitem) x
+        |WHERE motivo_obs IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q16_unit_conversion" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CASE WHEN f IS NOT NULL AND q IS NOT NULL AND q > 0
+        |    THEN ROUND(q * CAST(f AS DECIMAL(18,2)), 2) END AS DECIMAL(21,2)) AS cant_unidades,
+        |  CASE WHEN f IS NOT NULL AND l_quantity > 0 AND l_extendedprice IS NOT NULL
+        |    THEN l_extendedprice / (l_quantity * f) END AS precio_unitario
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS q,
+        |    CASE UPPER(TRIM(l_returnflag))
+        |      WHEN 'A' THEN 20.0 WHEN 'N' THEN 1.0 WHEN 'R' THEN 5.0 END AS f
+        |  FROM lineitem) x
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q17_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q18_hourly_events" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
 }

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable relational operators beyond the reference's own surface
+  * (SURVEY §2.3-2.5 notes the reference has zero joins/aggs/windows; §7.5 adds
+  * them as extension operators). Everything is declarative DataFrame API so
+  * Catalyst owns pushdown/pruning/reorder; scale notes on each op.
+  */
+object Relational {
+
+  /** Top-k rows per group. One shuffle on `partitionCols`; `row_number` (not
+    * rank) with a total order — callers MUST include a unique tie-breaker in
+    * `orderBy` for deterministic output. At scale, skewed groups are bounded
+    * by k after the window filter; AQE handles partition skew.
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      partitionCols: Seq[Column],
+      orderBy: Seq[Column],
+      k: Int,
+      rankCol: String = "rn"
+  ): DataFrame = {
+    val w = Window.partitionBy(partitionCols: _*).orderBy(orderBy: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** Gap-based sessionization: a new session starts when the time since the
+    * previous event of the same key exceeds `gap`. Two windows over ONE
+    * shuffle (same partitioning/ordering → single sort), classic
+    * lag→flag→cumulative-sum. Output: input plus `session_id` (0-based per
+    * key). Streaming twin: `ops.streaming.Sessionize` (session_window).
+    */
+  def sessionize(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      gapSeconds: Long,
+      sessionCol: String = "session_id"
+  ): DataFrame = {
+    val byKeyTime = Window.partitionBy(keyCol).orderBy(tsCol)
+    val prevTs = lag(tsCol, 1).over(byKeyTime)
+    // exact integer microsecond comparison — a double epoch-seconds diff would
+    // disagree with the oracle at the gap boundary on sub-second timestamps.
+    val isNew = when(
+      prevTs.isNull || unix_micros(tsCol) - unix_micros(prevTs) > gapSeconds * 1000000L,
+      lit(1)
+    ).otherwise(lit(0))
+    df.withColumn("_new_sess", isNew)
+      .withColumn(
+        sessionCol,
+        sum(col("_new_sess")).over(
+          byKeyTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ) - 1
+      )
+      .drop("_new_sess")
+  }
+
+  /** Bin (range) join against a small in-memory range dimension: value ∈
+    * [lo, hi). Broadcast non-equi join — each probe row tests B bins, fine for
+    * config-sized B at any fact scale (no shuffle of the fact side).
+    */
+  def binJoin(
+      facts: DataFrame,
+      valueCol: Column,
+      bins: Seq[(String, Double, Double)]
+  ): DataFrame = {
+    val spark = facts.sparkSession
+    import spark.implicits._
+    val binDf = bins.toDF("bin_name", "bin_lo", "bin_hi")
+    facts.join(
+      broadcast(binDf),
+      valueCol >= col("bin_lo") && valueCol < col("bin_hi"),
+      "inner"
+    )
+  }
+
+  /** As-of join: for each left row, the single most recent right row of the
+    * same key with `rightTs <= leftTs` (backward direction, the common case).
+    *
+    * Implementation: union-and-window, the scalable sort-merge form — tag both
+    * sides, union, ONE shuffle on the key, one ordered pass carrying the last
+    * seen right row forward (`last(..., ignoreNulls)` over an unbounded-
+    * preceding window), then keep left rows. No per-key collect, no broadcast
+    * of the big side, no O(L×R) non-equi join — this survives 100× data.
+    *
+    * Ordering within equal timestamps puts the right row first (side tag 0)
+    * so a right row at exactly leftTs matches.
+    *
+    * @param leftValCols  columns of `left` to carry through (all output)
+    * @param rightValCols columns of `right` to attach (nullable when no match)
+    */
+  def asofJoinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightValCols: Seq[String]
+  ): DataFrame = {
+    val leftCols = left.columns
+    // carry the right row as ONE struct so its fields stay consistent even
+    // when individual right columns are NULL.
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightValCols.map(c => right.schema(c)))
+
+    val lShaped = left.select(
+      (leftCols.map(col) ++ Seq(
+        lit(null).cast(rStructType).as("_rrow"),
+        lit(1).as("_side"),
+        col(leftTsCol).as("_ts"),
+        col(keyCol).as("_key"))): _*
+    )
+    val rShaped = right.select(
+      (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
+        struct(rightValCols.map(col): _*).as("_rrow"),
+        lit(0).as("_side"),
+        col(rightTsCol).as("_ts"),
+        col(keyCol).as("_key"))): _*
+    )
+
+    val unioned = lShaped.unionByName(rShaped)
+    // one partitioning, one sort: right rows sort before left at equal ts.
+    val w = Window
+      .partitionBy(col("_key"))
+      .orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_asof", last(col("_rrow"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(
+        (leftCols.map(col) ++
+          rightValCols.map(c => col(s"_asof.$c").as(c))): _*
+      )
+  }
+}
