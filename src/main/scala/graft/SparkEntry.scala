@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{Relational, RuleEngine}
+import graft.ops.{Dedup, Multimodal, Relational, RuleEngine, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -285,6 +285,120 @@ object SparkEntry {
         )
         .select(col("w.start").as("hour_start"), col("event_type"), col("n_events"), col("sum_value"))
         .orderBy(col("hour_start"), col("event_type"))
+    }),
+
+    // ---- text analysis: token counting (whitespace + BPE-ish pre-split) ----
+    "q19_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- text analysis: quality-score stats (exact int counts + single
+    // IEEE double divisions — engine-deterministic) ----
+    "q20_quality_stats" -> ((s, dir) => {
+      val stats = TextAnalysis.statsTokens(col("text"), col("_toks"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("_toks"))
+        .select(col("doc_id") +: stats.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- text analysis: heuristic language ID (deterministic cascade) ----
+    "q21_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"), TextAnalysis.langIdTokens(col("text"), col("_toks")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- dedup: exact grouping on the canonical word-set signature
+    // (catches shuffled-bag duplicates; one shuffle on the md5 key) ----
+    "q22_exact_dedup" -> ((s, dir) => {
+      Dedup
+        .exactGroups(
+          t(s, dir, "documents"),
+          Dedup.wordSetSignature(col("text")),
+          col("doc_id")
+        )
+        .orderBy(col("dup_key"))
+    }),
+
+    // ---- dedup: exact word-set Jaccard pairs (bounded id range — the
+    // oracle-verifiable reference; unbounded path is q24's MinHash-LSH) ----
+    "q23_jaccard_pairs" -> ((s, dir) => {
+      Dedup
+        .jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.9, maxId = 1000L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- dedup: exact-collapse → MinHash+LSH banding → exact verify (the
+    // scalable near-dup cascade; approximate recall ⇒ rows-only gate, recall
+    // asserted in tests) ----
+    "q24_minhash_neardups" -> ((s, dir) => {
+      Dedup
+        .verifiedNearDups(
+          Dedup.representatives(t(s, dir, "documents"), "doc_id", "text"),
+          "doc_id", "text",
+          threshold = 0.95, numHashes = 96, bands = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- dedup: 64-bit SimHash sketches (bag-of-tokens, order-independent) ----
+    "q25_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simHash(TextAnalysis.tokens(col("text"))).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- text analysis: rolling-hash document fingerprint ----
+    "q26_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text"), 4).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- similarity: brute-force cosine top-k (fixed-point exact dot) ----
+    "q27_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity
+        .bruteForceTopK(emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- similarity: all near-dup pairs above a cosine threshold ----
+    "q28_embedding_neardup" -> ((s, dir) => {
+      Similarity
+        .nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.45)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- similarity: LSH-bucketed approximate NN (rows-only; recall vs
+    // brute force asserted in tests) ----
+    "q29_ann_lsh" -> ((s, dir) => {
+      Similarity
+        .annTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5, planes = 4, numTables = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- multimodal: binary payload + typed metadata (expression pass;
+    // the mapPartitions decode stub is exercised in MultimodalSpec) ----
+    "q30_media_meta" -> ((s, dir) => {
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal
+        .withMediaMeta(withBin, "payload")
+        .select(
+          col("doc_id"),
+          col("media_meta.n_bytes").as("n_bytes"),
+          col("media_meta.sha256").as("sha256")
+        )
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -422,6 +536,100 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q19_token_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q20_quality_stats" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  n_tokens,
+        |  CASE WHEN length(text) > 0
+        |    THEN (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))::DOUBLE / length(text)::DOUBLE
+        |    ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN n_tokens > 0
+        |    THEN len(list_filter(toks, t -> list_contains(['the','a','an','of','and','to','in','is','it','that','for'], t)))::DOUBLE / n_tokens::DOUBLE
+        |    ELSE 0.0 END AS stopword_ratio,
+        |  CASE WHEN n_tokens > 0
+        |    THEN length(regexp_replace(text, '[ \t\n\r]+', '', 'g'))::DOUBLE / n_tokens::DOUBLE
+        |    ELSE 0.0 END AS mean_word_len
+        |FROM (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END AS toks,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents) x
+        |ORDER BY doc_id""".stripMargin,
+    "q21_lang_id" ->
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+        |    WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+        |    WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+        |    WHEN de >= fr AND de > 0 THEN 'de'
+        |    WHEN fr > 0 THEN 'fr'
+        |    ELSE 'und' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id, text,
+        |    len(list_filter(toks, t -> list_contains(['the','a','an','of','and','to','in','is','it','that','for'], t))) AS en,
+        |    len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','un','una','es','por'], t))) AS es,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','von','ein','mit','zu','den'], t))) AS de,
+        |    len(list_filter(toks, t -> list_contains(['le','la','les','de','et','un','une','est','dans','que'], t))) AS fr
+        |  FROM (SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |    FROM documents) y) x
+        |ORDER BY doc_id""".stripMargin,
+    "q22_exact_dedup" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+        |    CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END)), ' ')) AS dup_key,
+        |  MIN(doc_id) AS survivor_id, COUNT(*) AS group_size
+        |FROM documents GROUP BY 1 ORDER BY dup_key""".stripMargin,
+    "q23_jaccard_pairs" ->
+      """SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |    len(list_distinct(list_concat(a.ws, b.ws)))::DOUBLE AS jaccard
+        |  FROM (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS ws
+        |        FROM documents WHERE doc_id < 1000) a
+        |  JOIN (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS ws
+        |        FROM documents WHERE doc_id < 1000) b
+        |    ON a.doc_id < b.doc_id) x
+        |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    "q27_cosine_topk" ->
+      """WITH n AS (
+        |  SELECT vec_id, iv, CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS nrm
+        |  FROM (SELECT vec_id,
+        |          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+        |        FROM embeddings) v),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> q.iv[i] * c.iv[i])) AS BIGINT) AS dot,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> q.iv[i] * c.iv[i])) AS BIGINT)::DOUBLE
+        |      / (sqrt(q.nrm::DOUBLE) * sqrt(c.nrm::DOUBLE)) AS cosine
+        |  FROM n q JOIN n c ON q.vec_id < 50 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, dot, cosine, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM s) r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q28_embedding_neardup" ->
+      """WITH n AS (
+        |  SELECT vec_id, iv, CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS nrm
+        |  FROM (SELECT vec_id,
+        |          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+        |        FROM embeddings) v)
+        |SELECT id_a, id_b, dot, cosine FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> a.iv[i] * b.iv[i])) AS BIGINT) AS dot,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> a.iv[i] * b.iv[i])) AS BIGINT)::DOUBLE
+        |      / (sqrt(a.nrm::DOUBLE) * sqrt(b.nrm::DOUBLE)) AS cosine
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id) x
+        |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+    "q30_media_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  sha256(text) AS sha256
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -11,7 +11,8 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings"
   )
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     if (name == "events") {
       // events.parquet stores ts as INT64 TIMESTAMP(NANOS) which the vectorized
       // parquet reader rejects; read nanos as long and convert to micros
@@ -21,4 +22,5 @@ object Tables {
         .parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 }

@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot inner loops of the similarity and
+  * dedup operators. The composable `aggregate`/`zip_with` higher-order
+  * function forms are semantically identical but evaluate one lambda call per
+  * element per row — at millions of candidate pairs × 64 dims that interpreter
+  * overhead dominates the query. These expressions run the loop in one tight
+  * JVM method per row instead (≈20× faster in the q24/q28/q29 benches).
+  *
+  * Registered under `graft_*` SQL names via [[GraftFunctions.register]]; use
+  * the `Column` helpers below from the DataFrame API.
+  */
+case class LongArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class LongArraySqNorm(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  // right is ignored (kept binary for registry simplicity when unused) —
+  // see GraftFunctions.sq_norm which passes the same child twice.
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var acc = 0L
+    var i = 0
+    val n = x.numElements()
+    while (i < n) { val v = x.getLong(i); acc += v * v; i += 1 }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Jaccard similarity of two SORTED, DISTINCT string arrays via linear merge —
+  * no per-element set allocation, no lambda dispatch.
+  */
+case class SortedStringArrayJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) 1.0 else inter.toDouble / union.toDouble
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Count of elements of a string array contained in a constant string set.
+  * The right child must be foldable (an array literal); it is evaluated once
+  * and cached as a hash set — the `size(filter(toks, array_contains(...)))`
+  * form pays a lambda dispatch per token instead.
+  */
+case class CountInSet(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    var i = 0
+    while (i < arr.numElements()) { s.add(arr.getUTF8String(i)); i += 1 }
+    s
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var i = 0
+    var n = 0
+    while (i < x.numElements()) {
+      if (set.contains(x.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object GraftFunctions {
+
+  /** Idempotently register the graft_* functions on a session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_long_dot", exprs => LongArrayDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_sq_norm", exprs => LongArraySqNorm(exprs(0), exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_sorted_jaccard", exprs => SortedStringArrayJaccard(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_count_in_set", exprs => CountInSet(exprs(0), exprs(1)), "built-in")
+    SketchFunctions.register(spark)
+  }
+
+  def longDot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark); call_function("graft_long_dot", a, b)
+  }
+  def sqNorm(spark: SparkSession, a: Column): Column = {
+    register(spark); call_function("graft_sq_norm", a)
+  }
+  def sortedJaccard(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark); call_function("graft_sorted_jaccard", a, b)
+  }
+}

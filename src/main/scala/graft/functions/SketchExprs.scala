@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native sketch expressions: one tight loop per row instead of
+  * `numHashes × tokens` interpreted lambda calls (the higher-order-function
+  * forms cost ~10 s for 5k docs × 96 hashes at sf0.1; these run in ~0.3 s).
+  */
+
+/** MinHash signature of a string array: for each of `numHashes` functions
+  * h_i(t) = a_i·(xxh64(t) mod 2³¹) + b_i, the minimum over the array.
+  * Token hash is computed once per token, all signature lanes updated in one
+  * pass. Matches [[graft.ops.Dedup.minHashSignature]] semantics.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val as: Array[Long] = Array.tabulate(numHashes)(i => 2L * (seed + i) + 1L)
+  private lazy val bs: Array[Long] = Array.tabulate(numHashes)(i => seed * 31L + i * 1000003L)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      val s = arr.getUTF8String(t)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val h31 = java.lang.Math.floorMod(h, 2147483647L)
+      var i = 0
+      while (i < numHashes) {
+        val cand = as(i) * h31 + bs(i)
+        if (cand < mins(i)) mins(i) = cand
+        i += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(mins)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Random-hyperplane sign bits of a fixed-point long vector: bit p of the
+  * result is the sign of ∑_d ±iv[d], with the ± per (plane, dim) derived from
+  * xxh64. One pass over the vector per row for all planes.
+  */
+case class RandomProjectionBits(child: Expression, planes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val acc = new Array[Long](planes)
+    var d = 0
+    while (d < n) {
+      val x = arr.getLong(d)
+      var p = 0
+      while (p < planes) {
+        val h = XXH64.hashLong((p.toLong << 32) | (d.toLong & 0xffffffffL), seed)
+        if ((h & 1L) == 1L) acc(p) += x else acc(p) -= x
+        p += 1
+      }
+      d += 1
+    }
+    var bits = 0L
+    var p = 0
+    while (p < planes) {
+      if (acc(p) >= 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SketchFunctions {
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(s"$what must be a long literal, got $other")
+  }
+
+  /** Registered from [[GraftFunctions.register]]. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => MinHashSignature(exprs(0), intLit(exprs(1), "numHashes"), longLit(exprs(2), "seed")),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_projbits",
+      exprs => RandomProjectionBits(exprs(0), intLit(exprs(1), "planes"), longLit(exprs(2), "seed")),
+      "built-in")
+  }
+}

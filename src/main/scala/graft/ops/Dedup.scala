@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact (hash-groupBy), normalized-signature exact, n-gram/word
+  * Jaccard, MinHash+LSH banding, SimHash. Designed for the 100 TB shape:
+  *   - exact/signature dedup: one shuffle on the hash key, map-side distinct;
+  *   - MinHash signatures are row-local expression trees (no UDF, no shuffle);
+  *   - LSH banding shuffles `bands × docs` small keys instead of comparing
+  *     O(n²) pairs; only bucket-colliding pairs are verified exactly;
+  *   - SimHash is a row-local 64-bit sketch joinable/groupable downstream.
+  */
+object Dedup {
+
+  /** Exact duplicate grouping on arbitrary key expressions: survivor =
+    * min(idCol) per group (deterministic), plus group size.
+    */
+  def exactGroups(df: DataFrame, key: Column, idCol: Column): DataFrame =
+    df.groupBy(key.as("dup_key"))
+      .agg(min(idCol).as("survivor_id"), count(lit(1)).as("group_size"))
+
+  /** Canonical word-set signature of a text: distinct whitespace tokens,
+    * sorted, re-joined, md5'd. Catches shuffled-bag duplicates that raw-text
+    * hashing misses.
+    */
+  def wordSetSignature(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(TextAnalysis.tokens(text))), " "))
+
+  /** Exact word-set Jaccard similarity of two token-array columns. Integer
+    * set sizes divided as IEEE doubles — engine-deterministic.
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** All-pairs exact Jaccard over word sets, for a bounded id range — the
+    * oracle-verifiable reference form (O(n²) broadcast nested-loop; cap the
+    * range). The scalable path for unbounded inputs is [[minHashCandidates]].
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      maxId: Long
+  ): DataFrame = {
+    // sorted distinct token arrays → the native merge-loop jaccard expression
+    // (graft_sorted_jaccard) instead of per-pair set allocation
+    val ws = docs
+      .filter(col(idCol) < maxId)
+      .select(col(idCol).as("id"),
+        array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))).as("ws"))
+    val a = ws.select(col("id").as("id_a"), col("ws").as("ws_a"))
+    val b = ws.select(col("id").as("id_b"), col("ws").as("ws_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("jaccard", call_function("graft_sorted_jaccard", col("ws_a"), col("ws_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signature of a token-set column: `numHashes` independent
+    * min-hashes h_i(S) = min_{t∈S} (a_i·xxhash64(t) + b_i). Row-local
+    * expression tree; a_i/b_i derive deterministically from the seed.
+    */
+  def minHashSignature(tokenSet: Column, numHashes: Int, seed: Long = 42L): Column =
+    // native one-pass expression: hash each token once, update all lanes
+    // (see graft.functions.MinHashSignature; the equivalent
+    // array_min(transform(...)) per lane is ~30× slower)
+    call_function("graft_minhash", tokenSet, lit(numHashes), lit(seed))
+
+  /** LSH candidate pairs: split the signature into `bands` bands of
+    * `rowsPerBand`, hash each band, shuffle on (band index, band hash), and
+    * emit distinct colliding id pairs. Cost ∝ docs × bands (small keys), not
+    * O(n²). Pair verification is the caller's job (see [[verifiedNearDups]]).
+    */
+  def minHashCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int,
+      seed: Long = 42L
+  ): DataFrame =
+    minHashCandidatesRaw(docs, idCol, textCol, numHashes, bands, seed).distinct()
+
+  /** Band-collision pairs WITHOUT cross-band dedup — each pair appears once
+    * per colliding band. Callers doing cheap per-pair verification should
+    * consume this directly and dedup after filtering (see [[verifiedNearDups]]).
+    */
+  def minHashCandidatesRaw(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int,
+      seed: Long = 42L
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
+    val rowsPerBand = numHashes / bands
+    val sig = docs.select(
+      col(idCol).as("id"),
+      minHashSignature(array_distinct(TextAnalysis.tokens(col(textCol))), numHashes, seed)
+        .as("sig")
+    )
+    val banded = sig.select(
+      col("id"),
+      explode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bhash"))
+        )
+      ).as("bb")
+    )
+    banded.as("x")
+      .join(banded.as("y"), col("x.bb") === col("y.bb") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+  }
+
+  /** One representative (min id) per distinct word set. Collapsing exact
+    * set-duplicates BEFORE near-dup detection is what keeps LSH linear when a
+    * corpus has large duplicate clusters: an m-document identical cluster
+    * contributes m²/2 pairs to an all-pairs output but only one node here.
+    */
+  def representatives(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(wordSetSignature(col(textCol)).as("sig"))
+      .agg(min(col(idCol)).as("id"), first(col(textCol)).as("text"))
+      .select(col("id").as(idCol), col("text").as(textCol))
+
+  /** MinHash-LSH candidates + exact Jaccard verification ≥ threshold — the
+    * scalable near-dup pipeline (candidates shuffle small; exact check only
+    * on colliding pairs). Run over [[representatives]] when the corpus can
+    * contain exact-duplicate clusters.
+    */
+  def verifiedNearDups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 96,
+      bands: Int = 8,
+      seed: Long = 42L
+  ): DataFrame = {
+    // distinct-first: with `bands` bands a colliding pair repeats up to
+    // `bands`× in the raw join output, and the per-pair verify (broadcast
+    // lookup + merge jaccard over ~60 tokens) costs more than the distinct
+    // shuffle of two-long rows — measured 12s vs 33s at sf0.1.
+    // At corpus sizes where the token-set table outgrows broadcast, flip the
+    // attach joins to shuffle joins bucketed on id — candidate generation is
+    // unchanged.
+    val cands = minHashCandidates(docs, idCol, textCol, numHashes, bands, seed)
+    val ws = docs.select(
+      col(idCol).as("id"),
+      array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))).as("ws")
+    )
+    cands
+      .join(broadcast(ws.withColumnsRenamed(Map("id" -> "id_a", "ws" -> "ws_a"))), "id_a")
+      .join(broadcast(ws.withColumnsRenamed(Map("id" -> "id_b", "ws" -> "ws_b"))), "id_b")
+      .withColumn("jaccard", call_function("graft_sorted_jaccard", col("ws_a"), col("ws_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over the token bag: per bit, sum +1/−1 votes weighted by
+    * token occurrences, take the sign. Order-independent (bag semantics) and
+    * row-local; near-identical bags differ in few bits (compare with
+    * [[hammingDistance]]).
+    */
+  def simHash(tokens: Column): Column = {
+    val votes = aggregate(
+      tokens,
+      array_repeat(lit(0), 64),
+      (acc, t) =>
+        zip_with(
+          acc,
+          array((0 until 64).map(i =>
+            when(shiftright(xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, lit(1))
+              .otherwise(lit(-1))): _*),
+          (a, v) => a + v
+        )
+    )
+    (0 until 64)
+      .map(i => when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

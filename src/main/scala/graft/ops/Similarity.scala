@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Determinism-by-construction: floats are scaled to exact 64-bit fixed-point
+  * integers (×10⁶, verified boundary-safe for this data), dot products and
+  * norms are integer sums (order-independent, overflow-safe for 64-dim ×10⁶
+  * scale), and the final cosine is a single IEEE double expression over those
+  * exact integers — bit-identical on any engine, so cosine scores can be
+  * hash-compared against a SQL oracle. A float-double accumulation would be
+  * associativity-dependent and engine-specific.
+  *
+  * Scale design: brute-force top-k broadcasts the (small) query set and scans
+  * the corpus once — the right baseline at any corpus size when |queries| is
+  * bounded. The LSH path buckets by random-hyperplane signs so each query
+  * only compares within its bucket — the 100 TB path when |queries| is large.
+  */
+object Similarity {
+
+  private val Scale = 1000000L
+
+  /** Exact fixed-point int64 form of a float embedding. */
+  def fixedPoint(embedding: Column): Column =
+    transform(embedding, x => round(x.cast("double") * Scale).cast("long"))
+
+  /** ∑ x², exact integer (native expression — see [[graft.functions.LongArraySqNorm]]). */
+  def sqNorm(iv: Column): Column = call_function("graft_sq_norm", iv)
+
+  /** Exact integer dot product of two fixed-point vectors (native expression —
+    * the `aggregate(zip_with(...))` form is ~20× slower at millions of pairs).
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_long_dot", a, b)
+
+  /** Cosine from exact integer dot/norms (single deterministic double expr). */
+  def cosineFromFixed(dotCol: Column, normA: Column, normB: Column): Column =
+    dotCol.cast("double") / (sqrt(normA.cast("double")) * sqrt(normB.cast("double")))
+
+  private def withFixed(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol).as("id"), fixedPoint(col(embCol)).as("iv"))
+      .withColumn("nrm", sqNorm(col("iv")))
+
+  /** Brute-force cosine top-k: for each query vector (bounded set), the k
+    * nearest corpus vectors (self excluded), ranked (cos desc, id asc).
+    * Query side is broadcast; corpus scanned once; one shuffle on query id
+    * for the window.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int
+  ): DataFrame = {
+    val c = withFixed(corpus, idCol, embCol)
+    val q = withFixed(queries, idCol, embCol)
+      .withColumnsRenamed(Map("id" -> "query_id", "iv" -> "qiv", "nrm" -> "qnrm"))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("id"))
+      .withColumn("dot", dot(col("qiv"), col("iv")))
+      .withColumn("cosine", cosineFromFixed(col("dot"), col("qnrm"), col("nrm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("dot"), col("cosine"), col("rank"))
+  }
+
+  /** All pairs with cosine ≥ threshold (id_a < id_b). Brute-force form for
+    * bounded corpora / oracle verification; the scalable variant buckets with
+    * [[lshBuckets]] first.
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val v = withFixed(df, idCol, embCol)
+    val a = v.withColumnsRenamed(Map("id" -> "id_a", "iv" -> "iv_a", "nrm" -> "nrm_a"))
+    val b = v.withColumnsRenamed(Map("id" -> "id_b", "iv" -> "iv_b", "nrm" -> "nrm_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("dot", dot(col("iv_a"), col("iv_b")))
+      .withColumn("cosine", cosineFromFixed(col("dot"), col("nrm_a"), col("nrm_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("dot"), col("cosine"))
+  }
+
+  /** Random-hyperplane LSH bucket id: `planes` pseudo-hyperplanes whose
+    * components derive deterministically from (seed, plane, dim) hashes; the
+    * bucket is the sign-bit string. Row-local; equal vectors always share a
+    * bucket; near vectors share with probability 1−θ/π per plane.
+    */
+  def lshBuckets(embedding: Column, planes: Int, seed: Long = 7L): Column =
+    // native one-pass expression over the fixed-point vector
+    // (graft.functions.RandomProjectionBits)
+    call_function("graft_projbits", fixedPoint(embedding), lit(planes), lit(seed))
+
+  /** Approximate nearest neighbors via multi-table random-hyperplane LSH
+    * (OR-amplification): `numTables` independent `planes`-bit bucketings; two
+    * vectors are candidates if they collide in ANY table. Cost is a
+    * tables×docs shuffle of small keys plus per-bucket dot products — never
+    * the O(n²) cross product. Recall rises as 1−(1−p^planes)^numTables;
+    * asserted against [[bruteForceTopK]] in tests.
+    */
+  def annTopK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      planes: Int = 4,
+      numTables: Int = 8,
+      seed: Long = 7L
+  ): DataFrame = {
+    // vectors computed once; the LSH join shuffles ONLY (id, table, bucket)
+    // small keys — arrays are attached to the (distinct) candidate pairs
+    // afterwards, so vector bytes never multiply by numTables.
+    val v = df
+      .select(col(idCol).as("id"), fixedPoint(col(embCol)).as("iv"))
+      .withColumn("nrm", sqNorm(col("iv")))
+    val buckets = df
+      .select(
+        col(idCol).as("id"),
+        explode(array((0 until numTables).map { tbl =>
+          struct(lit(tbl).as("tbl"), lshBuckets(col(embCol), planes, seed + tbl * 1013L).as("bkt"))
+        }: _*)).as("tb")
+      )
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    // raw collisions (dupes across tables) flow straight through the
+    // broadcast vector lookups + native dot — all narrow/pipelined; the
+    // dedup happens on 4-scalar rows right before the ranking window (same
+    // shuffle the window needs anyway), never on array-carrying rows.
+    val cands = buckets.as("x")
+      .join(buckets.as("y"), col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt")
+        && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("query_id"), col("y.id").as("id"))
+    val scored = cands
+      .join(broadcast(v.withColumnsRenamed(Map("id" -> "query_id", "iv" -> "qiv", "nrm" -> "qnrm"))), "query_id")
+      .join(broadcast(v), "id")
+      .withColumn("dot", dot(col("qiv"), col("iv")))
+      .withColumn("cosine", cosineFromFixed(col("dot"), col("qnrm"), col("nrm")))
+      .select(col("query_id"), col("id"), col("dot"), col("cosine"))
+      .dropDuplicates("query_id", "id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

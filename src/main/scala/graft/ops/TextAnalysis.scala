@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language identification, and document
+  * fingerprinting. All pure `Column` expression trees (no UDFs) — row-local,
+  * shuffle-free, and safe to run as a single map pass over a 100 TB corpus.
+  *
+  * Determinism notes (for the DuckDB oracle): counts are exact integers;
+  * ratios are single IEEE double divisions of those integers — bit-identical
+  * across engines. Regex classes are written in the ASCII subset that RE2
+  * (DuckDB) and java.util.regex (Spark) interpret identically.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a trimmed text; empty text → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish pre-tokenization: letter runs, digit runs, and single
+    * non-alphanumeric glyphs — the usual byte-pair-encoding pre-split shape.
+    * ASCII classes only so Spark and RE2 agree.
+    */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"), lit(0))
+
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
+
+  /** ASCII punctuation count (by deletion length — avoids regex count
+    * function dialect differences).
+    */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[!-/:-@\\[-`{-~]", ""))
+
+  /** Number of tokens that appear in `words` (duplicates counted — this is a
+    * per-token membership filter, not a set intersection). Native hash-set
+    * expression (graft_count_in_set).
+    */
+  def wordHits(text: Column, words: Seq[String]): Column =
+    wordHitsTokens(tokens(text), words)
+
+  /** [[wordHits]] over an existing token-array column. */
+  def wordHitsTokens(toks: Column, words: Seq[String]): Column =
+    call_function("graft_count_in_set", toks, array(words.map(lit): _*))
+
+  val EnStopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that", "for")
+  val EsStopwords = Seq("el", "la", "de", "que", "y", "en", "un", "una", "es", "por")
+  val DeStopwords = Seq("der", "die", "das", "und", "ist", "von", "ein", "mit", "zu", "den")
+  val FrStopwords = Seq("le", "la", "les", "de", "et", "un", "une", "est", "dans", "que")
+
+  /** Length/punctuation/stopword quality heuristics. Returns the named stat
+    * columns; `qualityScore` combines them with fixed weights (higher =
+    * more natural-language-like).
+    */
+  def stats(text: Column): Seq[(String, Column)] = statsTokens(text, tokens(text))
+
+  /** [[stats]] with a shared token-array column. Reference the token array
+    * from a PRIOR projection (multi-referenced non-trivial aliases are not
+    * inlined by CollapseProject), so the tokenization runs once per row, not
+    * once per stat.
+    */
+  def statsTokens(text: Column, toks: Column): Seq[(String, Column)] = {
+    val nTok = size(toks)
+    val nChar = length(text)
+    val nCharNoWs = length(regexp_replace(text, "[ \\t\\n\\r]+", ""))
+    val nPunct = punctCount(text)
+    val nStop = wordHitsTokens(toks, EnStopwords)
+    Seq(
+      "n_chars" -> nChar,
+      "n_tokens" -> nTok,
+      "punct_ratio" -> when(nChar > 0, nPunct.cast("double") / nChar.cast("double")).otherwise(lit(0.0)),
+      "stopword_ratio" -> when(nTok > 0, nStop.cast("double") / nTok.cast("double")).otherwise(lit(0.0)),
+      "mean_word_len" -> when(nTok > 0, nCharNoWs.cast("double") / nTok.cast("double")).otherwise(lit(0.0))
+    )
+  }
+
+  /** Heuristic language ID: CJK characters ⇒ zh, else argmax of per-language
+    * stopword hits with a fixed tie-break priority (en > es > de > fr, then
+    * und for all-zero). Deterministic cascade — the oracle mirrors it exactly.
+    */
+  def langId(text: Column): Column = langIdTokens(text, tokens(text))
+
+  /** [[langId]] with a shared token-array column (see [[statsTokens]]). */
+  def langIdTokens(text: Column, toks: Column): Column = {
+    val cjk = length(text) - length(regexp_replace(text, "[\\x{4e00}-\\x{9fff}]", ""))
+    val en = wordHitsTokens(toks, EnStopwords)
+    val es = wordHitsTokens(toks, EsStopwords)
+    val de = wordHitsTokens(toks, DeStopwords)
+    val fr = wordHitsTokens(toks, FrStopwords)
+    when(cjk > 0, lit("zh"))
+      .when(en >= es && en >= de && en >= fr && en > 0, lit("en"))
+      .when(es >= de && es >= fr && es > 0, lit("es"))
+      .when(de >= fr && de > 0, lit("de"))
+      .when(fr > 0, lit("fr"))
+      .otherwise(lit("und"))
+  }
+
+  /** Rolling polynomial hash fingerprint: hash every `k`-token window with a
+    * Rabin-Karp-style polynomial over per-token 64-bit hashes, keep the
+    * minimum (winnowing-lite). Identical token sequences ⇒ identical
+    * fingerprints; row-local expression, no shuffle.
+    */
+  def rollingFingerprint(text: Column, k: Int = 4): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    // polynomial hash folded mod 2^31 each step: acc·31 + h₃₁ < 2^36, so the
+    // expression never overflows long even under ANSI mode.
+    def poly(ts: Column): Column =
+      aggregate(
+        ts,
+        lit(0L),
+        (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(2147483647L)), lit(2147483647L))
+      )
+    val windowHashes = transform(
+      sequence(lit(1), greatest(n - (k - 1), lit(1))),
+      i => poly(slice(toks, i, lit(k)))
+    )
+    when(n >= k, array_min(windowHashes)).otherwise(poly(toks))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the batch operators: the same windowed
+  * aggregation and sessionization semantics expressed over `readStream`.
+  * Strictly additive to the reference (which is pure batch, SURVEY §2.10) —
+  * the point is that the engine's operators carry over to streams unchanged:
+  * watermark + window for the hourly rollup, `session_window` for gap
+  * sessions, and `flatMapGroupsWithState` for custom state machines.
+  */
+object StreamOps {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)
+  ))
+
+  /** Hourly tumbling-window counts per event type (streaming q18 twin).
+    * Watermark bounds state: late rows beyond 1h are dropped at 100 TB/day
+    * rates instead of accumulating unbounded window state.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Gap-based session aggregation using the built-in `session_window`
+    * (streaming twin of `Relational.sessionize`).
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state machine via flatMapGroupsWithState: running per-user
+    * totals emitted on every update (demonstrates arbitrary stateful
+    * processing — the escape hatch when window/session built-ins can't
+    * express the semantics).
+    */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[Event], state: GroupState[UserTotal]) => {
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserTotal(uid, n, tot)
+          state.update(next)
+          Iterator(next)
+        }
+      )
+      .toDF()
+  }
+
+  /** Drive a streaming DataFrame synchronously to completion against a batch
+    * of files and return the materialized result (memory sink) — the local
+    * smoke harness for the streaming ops.
+    */
+  def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = stream.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+
+/** Property-style checks for the operators whose semantics aren't covered by
+  * the DuckDB oracle (approximate/hash-based ops), plus plumbing the oracle
+  * can't see (multimodal decode batching, as-of join edge cases).
+  */
+class OpsSpec extends SparkTestBase {
+  import org.apache.spark.sql.DataFrame
+
+  private lazy val docs: DataFrame = Tables(spark, sf(), "documents").cache()
+
+  test("simhash is bag-invariant: shuffled word order ⇒ identical sketch") {
+    val base = docs.select(
+      col("doc_id"),
+      Dedup.simHash(TextAnalysis.tokens(col("text"))).as("sh_orig"),
+      // reverse the token array — different order, same bag
+      Dedup.simHash(reverse(TextAnalysis.tokens(col("text")))).as("sh_rev")
+    )
+    assert(base.filter(col("sh_orig") =!= col("sh_rev")).count() == 0)
+  }
+
+  test("simhash of near-identical bags differs in few bits") {
+    // word-SET-identical docs (jaccard 1.0 via q23 logic) may differ as bags
+    // (multiplicities), so allow a small hamming distance.
+    val ws = docs.select(col("doc_id"), Dedup.wordSetSignature(col("text")).as("sig"),
+      Dedup.simHash(TextAnalysis.tokens(col("text"))).as("sh"))
+    val pairs = ws.as("a").join(ws.as("b"),
+      col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
+      .select(Dedup.hammingDistance(col("a.sh"), col("b.sh")).as("hd"))
+    val stats = pairs.agg(count(lit(1)).as("n"), avg(col("hd")).as("mean_hd")).collect().head
+    assert(stats.getAs[Long]("n") > 0, "expected set-identical pairs in the corpus")
+    assert(stats.getAs[Double]("mean_hd") < 16.0,
+      s"set-identical docs should be simhash-close, mean hd=${stats.getAs[Double]("mean_hd")}")
+  }
+
+  test("minhash-LSH near-dups: high recall vs exact jaccard, zero false positives") {
+    // same cascade as q24: collapse exact set-dups, then LSH on representatives
+    val reps = Dedup.representatives(docs, "doc_id", "text").cache()
+    val exact = Dedup
+      .jaccardPairs(reps, "doc_id", "text", threshold = 0.95, maxId = Long.MaxValue)
+      .select(col("id_a"), col("id_b")).cache()
+    val lsh = Dedup
+      .verifiedNearDups(reps, "doc_id", "text", threshold = 0.95, numHashes = 96, bands = 4)
+      .select(col("id_a"), col("id_b")).cache()
+    val nExact = exact.count()
+    val nLsh = lsh.count()
+    val falsePos = lsh.join(exact, Seq("id_a", "id_b"), "left_anti").count()
+    assert(falsePos == 0, "verified LSH pairs must all satisfy the exact threshold")
+    assert(nExact > 0)
+    assert(nLsh >= (nExact * 0.9).toLong, s"LSH recall too low: $nLsh/$nExact")
+  }
+
+  test("rolling fingerprint: equal token sequences ⇒ equal fingerprints, stable across runs") {
+    val fp1 = docs.select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+    val fp2 = docs.select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+    assert(fp1.join(fp2, Seq("doc_id")).filter(fp1("fp") =!= fp2("fp")).count() == 0)
+    // a shared 4-token window between two docs bounds the min-fingerprint:
+    // identical full texts always agree
+    val self = docs.limit(5).select(
+      TextAnalysis.rollingFingerprint(col("text")).as("a"),
+      TextAnalysis.rollingFingerprint(concat(col("text"), lit(""))).as("b"))
+    assert(self.filter(col("a") =!= col("b")).count() == 0)
+  }
+
+  test("ann LSH top-k: equal vectors share buckets; recall vs brute force is reasonable") {
+    val emb = Tables(spark, sf(), "embeddings")
+    val brute = Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = Similarity
+      .annTopK(emb, "vec_id", "embedding", k = 5, planes = 4, numTables = 8)
+      .filter(col("query_id") < 50)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = ann.join(brute, Seq("query_id", "neighbor_id")).count()
+    val total = brute.count()
+    // random hyperplanes on near-orthogonal random vectors: recall is modest
+    // by design; assert sanity (same-bucket comparisons found real neighbors)
+    assert(total == 250)
+    assert(hit.toDouble / total > 0.2, s"ANN recall collapsed: $hit/$total")
+  }
+
+  test("multimodal decode stub: schema, determinism, per-partition batching") {
+    val withBin = docs.limit(50)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .repartition(4)
+    val decoded = Multimodal.decodeStub(Multimodal.withMediaMeta(withBin, "payload"), "payload")
+    assert(decoded.schema("decoded").dataType == Multimodal.featureSchema)
+    val rows = decoded.select(col("doc_id"), col("decoded.width"),
+      col("decoded.feature")(0).as("f0"), col("media_meta.n_bytes")).collect()
+    assert(rows.length == 50)
+    // deterministic: second run identical
+    val again = Multimodal.decodeStub(Multimodal.withMediaMeta(withBin, "payload"), "payload")
+      .select(col("doc_id"), col("decoded.feature")(0).as("f0"))
+    val j = decoded.select(col("doc_id"), col("decoded.feature")(0).as("f0"))
+      .join(again.withColumnRenamed("f0", "f0b"), "doc_id")
+    assert(j.filter(col("f0") =!= col("f0b")).count() == 0)
+  }
+
+  test("as-of join: exact-timestamp match and no-earlier-row NULL") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "2024-01-01 10:00:00"), (2L, 100L, "2024-01-01 09:00:00"))
+      .toDF("eid", "uid", "ts_s")
+      .select(col("eid"), col("uid"), to_timestamp(col("ts_s")).as("ts"))
+    val right = Seq((100L, "2024-01-01 10:00:00", 77L), (100L, "2024-01-01 09:30:00", 55L))
+      .toDF("uid", "ts_s", "oid")
+      .select(col("uid"), to_timestamp(col("ts_s")).as("ots"), col("oid"))
+    val out = Relational
+      .asofJoinBackward(left, right, "uid", "ts", "ots", Seq("oid"))
+      .orderBy(col("eid"))
+      .collect()
+    assert(out(0).getAs[Long]("oid") == 77L, "right row at exactly leftTs must match")
+    assert(out(1).isNullAt(out(1).fieldIndex("oid")), "no earlier right row ⇒ NULL")
+  }
+}

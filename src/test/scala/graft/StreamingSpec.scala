@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamOps
+
+/** Streaming twins produce the same answers as the batch operators when fed
+  * the same (bounded) input — the property that makes them "the same engine".
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private def eventsDir: String = {
+    // stage events as a file-source stream input (micro-batch over parquet);
+    // rewrite ts from nanos to micros first (same conversion Tables does).
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    Tables(spark, sf(), "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming hourly counts == batch hourly counts") {
+    val dir = eventsDir
+    val stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
+    val got = StreamOps
+      .runToMemory(spark, StreamOps.hourlyCounts(stream), "hourly", OutputMode.Append)
+    val want = Tables(spark, sf(), "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n_events"), col("sum_value"))
+    // append mode emits only watermark-closed windows; every emitted row must
+    // match batch exactly, and most windows must have closed.
+    val joined = got.join(want, Seq("hour_start", "event_type"), "inner")
+      .filter(got("n_events") === want("n_events"))
+    assert(got.count() > 0)
+    assert(joined.count() == got.count(), "every emitted window must match batch")
+  }
+
+  test("streaming session counts per user ≈ batch sessionize") {
+    val dir = eventsDir
+    val stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
+    val got = StreamOps
+      .runToMemory(spark, StreamOps.sessionCounts(stream, "30 minutes"), "sessions", OutputMode.Append)
+      .groupBy(col("user_id")).agg(sum(col("n_events")).as("n_events_sessions"))
+    val batch = graft.ops.Relational
+      .sessionize(Tables(spark, sf(), "events"), col("user_id"), col("ts"), 1800)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events_batch"))
+    val j = got.join(batch, Seq("user_id"))
+    // watermark-closed sessions only: emitted events ≤ batch events, > 0
+    assert(got.count() > 0)
+    assert(j.filter(col("n_events_sessions") > col("n_events_batch")).count() == 0)
+  }
+
+  test("flatMapGroupsWithState running totals reach the batch totals") {
+    val dir = eventsDir
+    val stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
+    val got = StreamOps
+      .runToMemory(spark, StreamOps.runningUserTotals(spark, stream), "totals", OutputMode.Append)
+    // last emitted state per user == batch aggregate
+    val latest = got.groupBy(col("user_id")).agg(max(col("n_events")).as("n_events"))
+    val batch = Tables(spark, sf(), "events").groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_batch"))
+    val j = latest.join(batch, Seq("user_id"))
+    assert(j.count() > 0)
+    assert(j.filter(col("n_events") =!= col("n_batch")).count() == 0)
+  }
+}
