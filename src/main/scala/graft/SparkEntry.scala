@@ -399,6 +399,105 @@ object SparkEntry {
           col("media_meta.sha256").as("sha256")
         )
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- typed Aggregator (UDAF): weighted mean with exact decimal sums;
+    // runs as a Tungsten hash aggregate with map-side partial merge ----
+    "q31_weighted_avg" -> ((s, dir) => {
+      import s.implicits._
+      val agg = graft.ops.Aggregators.WeightedSums.toColumn
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+        .as[(String, Double, Double)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(agg.name("sums"))
+        .map { case (flag, (spq, sq)) =>
+          (flag, spq.bigDecimal.doubleValue() / sq.bigDecimal.doubleValue())
+        }
+        .toDF("l_returnflag", "wavg_price")
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- approximate distinct counting (HLL++; deterministic inside Spark
+    // but engine-specific ⇒ rows-only gate; exact twin is q10) ----
+    "q32_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+          count(lit(1)).as("n_rows")
+        )
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- the reference's date-parse expressions (E1/E2): yyyyMMdd strings
+    // with embedded whitespace → regexp strip → to_date (NULL on failure) ----
+    "q33_date_parse" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          // build a compact string form, then parse it back the way Bronze does
+          regexp_replace(date_format(col("o_orderdate"), "yyyyMMdd"), "\\s+", "").as("raw")
+        )
+        .select(
+          col("o_orderkey"),
+          to_date(col("raw"), "yyyyMMdd").as("parsed")
+        )
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- set operation: UNION ALL + re-aggregation ----
+    "q34_union_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .unionAll(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_open_or_finished"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // ---- set operation: INTERSECT (distinct semantics) ----
+    "q35_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // ---- window lag/lead: per-user inter-event gap in microseconds ----
+    "q36_event_deltas" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(
+          col("event_id"), col("user_id"),
+          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"),
+          (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts"))).as("next_gap_us")
+        )
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- grouping sets: full CUBE ----
+    "q37_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(d2)).cast(DecimalType(38, 2)).as("sum_price")
+        )
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // ---- exact median / quantiles (interpolated, IEEE-deterministic) ----
+    "q38_median" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty")
+        )
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -630,6 +729,42 @@ object SparkEntry {
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,
         |  sha256(text) AS sha256
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q31_weighted_avg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q33_date_parse" ->
+      """SELECT o_orderkey,
+        |  CAST(strptime(regexp_replace(strftime(o_orderdate, '%Y%m%d'), '\s+', '', 'g'), '%Y%m%d') AS DATE) AS parsed
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q34_union_all" ->
+      """SELECT o_custkey, COUNT(*) AS n_open_or_finished FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') x
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q35_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+    "q36_event_deltas" ->
+      """SELECT event_id, user_id,
+        |  epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us,
+        |  epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS next_gap_us
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q37_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q38_median" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS median_price,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
