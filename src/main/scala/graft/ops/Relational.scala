@@ -77,6 +77,34 @@ object Relational {
     )
   }
 
+  /** Skew-safe equi-join: salt the skewed (left) side into `saltFactor`
+    * sub-keys and replicate the right side once per salt, so a hot key's rows
+    * spread over `saltFactor` reducers instead of one straggler task.
+    *
+    * This is the manual form for when AQE's skew-join split (enabled in the
+    * session factory) can't kick in — e.g. a skewed aggregation feeding a
+    * join, or a non-AQE environment. Right side grows ×saltFactor: use for
+    * moderate-size right tables (or broadcast tiny ones and skip salting
+    * entirely — broadcast joins can't skew).
+    */
+  def saltedEquiJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      saltFactor: Int,
+      joinType: String = "inner"
+  ): DataFrame = {
+    val salted = left.withColumn(
+      "_salt",
+      pmod(hash(col(keyCol), monotonically_increasing_id()), lit(saltFactor))
+    )
+    val replicated = right
+      .withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted
+      .join(replicated, Seq(keyCol, "_salt"), joinType)
+      .drop("_salt")
+  }
+
   /** As-of join: for each left row, the single most recent right row of the
     * same key with `rightTs <= leftTs` (backward direction, the common case).
     *

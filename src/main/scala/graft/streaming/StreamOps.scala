@@ -70,6 +70,38 @@ object StreamOps {
       .toDF()
   }
 
+  /** Streaming twin of the Bronze→Silver entregas ingest (SURVEY §2.10):
+    * `readStream.csv` with the fixed schema → the SAME typed/enrich/quality
+    * expressions as the batch pipeline → `foreachBatch` splitting each
+    * micro-batch into clean/quarantine partitioned sinks. Demonstrates that
+    * the config-compiled rule engine is execution-model agnostic.
+    */
+  def entregasIngest(
+      spark: SparkSession,
+      cfg: graft.config.EtlConfig,
+      csvDir: String,
+      outRoot: String
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream
+      .schema(graft.etl.Schemas.csvSchema)
+      .option("header", "true")
+      .csv(csvDir)
+    val enriched = graft.etl.Silver.enriched(
+      graft.etl.Silver.renamed(graft.etl.Bronze.typed(raw)), cfg, csvDir)
+    enriched.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          graft.etl.Silver.clean(b).write.mode("append")
+            .partitionBy("fec_proceso").parquet(s"$outRoot/depurado")
+          graft.etl.Silver.quarantine(b).write.mode("append")
+            .partitionBy("fec_proceso").parquet(s"$outRoot/obs")
+        } finally { b.unpersist(); () }
+      }
+      .start()
+  }
+
   /** Drive a streaming DataFrame synchronously to completion against a batch
     * of files and return the materialized result (memory sink) — the local
     * smoke harness for the streaming ops.

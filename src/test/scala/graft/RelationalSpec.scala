@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+
+class RelationalSpec extends SparkTestBase {
+
+  test("salted equi-join matches plain join exactly") {
+    val li = Tables(spark, sf(), "lineitem")
+    val o = Tables(spark, sf(), "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(o, Seq("l_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    val salted = Relational.saltedEquiJoin(li, o, "l_orderkey", saltFactor = 7)
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    val diff = plain.join(salted.withColumnRenamed("n", "n2"), Seq("o_orderstatus"))
+      .filter(col("n") =!= col("n2"))
+    assert(plain.count() == salted.count())
+    assert(diff.count() == 0)
+  }
+
+  test("salted join spreads a hot key over multiple partitions") {
+    import spark.implicits._
+    // one pathological key with 10k rows
+    val left = (1 to 10000).map(i => (1L, i)).toDF("k", "v")
+    val right = Seq((1L, "hot"), (2L, "cold")).toDF("k", "name")
+    val joined = Relational.saltedEquiJoin(left, right, "k", saltFactor = 8)
+    assert(joined.count() == 10000)
+    // the salt column spread rows across sub-keys before the join
+    val salts = left.withColumn(
+      "_salt", pmod(hash(col("k"), monotonically_increasing_id()), lit(8)))
+      .groupBy("_salt").count().count()
+    assert(salts == 8, "expected the hot key to split into all 8 salt buckets")
+  }
+
+  test("bin join drops values outside all bins") {
+    import spark.implicits._
+    val facts = Seq(0.5, 1.5, 99.0).toDF("v")
+    val out = Relational.binJoin(facts, col("v"), Seq(("lo", 0.0, 1.0), ("hi", 1.0, 2.0)))
+    assert(out.count() == 2)
+    assert(out.filter(col("bin_name") === "lo").count() == 1)
+  }
+}

@@ -52,6 +52,34 @@ class StreamingSpec extends SparkTestBase {
     assert(j.filter(col("n_events_sessions") > col("n_events_batch")).count() == 0)
   }
 
+  test("streaming entregas ingest: same clean/quarantine split as the batch pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sing")
+    val csv = dir.resolve("in")
+    java.nio.file.Files.createDirectories(csv)
+    java.nio.file.Files.writeString(
+      csv.resolve("part1.csv"),
+      """pais,fecha_proceso,transporte,ruta,tipo_entrega,material,precio,cantidad,unidad
+        |EC,20250110,T1,R1,ZPRE,M1,100.0,2.0,CS
+        |EC,20250111,T1,R1,ZZZ,M2,50.0,1.0,ST
+        |EC,20250112,T1,R1,ZPRE,,10.0,1.0,ST
+        |""".stripMargin)
+    val cfg = graft.config.EtlConfig(
+      rawCsv = csv.toString, outputRoot = s"$dir/out",
+      params = List(graft.config.CountryParam("EC", "2025-01-01", "2025-06-30", process = false)),
+      routineTypes = List("ZPRE", "ZVE1"), bonusTypes = List("Z04", "Z05"),
+      unitFactors = Map("CS" -> 20.0, "ST" -> 1.0))
+    val q = StreamOps.entregasIngest(spark, cfg, csv.toString, s"$dir/out")
+    try q.processAllAvailable()
+    finally q.stop()
+    val clean = spark.read.parquet(s"$dir/out/depurado")
+    val obs = spark.read.parquet(s"$dir/out/obs")
+    assert(clean.count() == 1 && clean.collect().head.getAs[String]("cod_material") == "M1")
+    assert(obs.count() == 2)
+    val reasons = obs.select("motivo_obs").collect().map(_.getString(0)).sorted
+    assert(reasons.sameElements(Array(
+      "ERR_SIN_MATERIAL_CONOCIDO", "ERR_TIPO_ENTREGA_NO_CONSIDERADA")))
+  }
+
   test("flatMapGroupsWithState running totals reach the batch totals") {
     val dir = eventsDir
     val stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
