@@ -76,6 +76,34 @@ case class SortedStringArrayJaccard(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Jaccard similarity of two SORTED, DISTINCT long arrays via linear merge.
+  * Used with per-token 64-bit hashes: jaccard over token hashes equals
+  * jaccard over tokens unless xxh64 collides (negligible), and the long merge
+  * is ~10× cheaper than UTF8 comparisons at millions of candidate pairs.
+  */
+case class SortedLongArrayJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) 1.0 else inter.toDouble / union.toDouble
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Count of elements of a string array contained in a constant string set.
   * The right child must be foldable (an array literal); it is evaluated once
   * and cached as a hash set — the `size(filter(toks, array_contains(...)))`
@@ -120,6 +148,8 @@ object GraftFunctions {
       "graft_sorted_jaccard", exprs => SortedStringArrayJaccard(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_count_in_set", exprs => CountInSet(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_sorted_long_jaccard", exprs => SortedLongArrayJaccard(exprs(0), exprs(1)), "built-in")
     SketchFunctions.register(spark)
   }
 

