@@ -498,6 +498,43 @@ object SparkEntry {
           expr("percentile(l_quantity, 0.9)").as("p90_qty")
         )
         .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- pivot (columns from values; = conditional aggregation) ----
+    "q39_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast(d2)).cast(DecimalType(38, 2)))
+        .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- SQL surface: temp views + pure spark.sql text (correlated
+    // scalar subquery + IN-subquery through the same Catalyst path) ----
+    "q40_sql_surface" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      s.sql(
+        """SELECT c_mktsegment,
+          |       COUNT(*) AS n_above_avg
+          |FROM v_customer
+          |WHERE c_custkey IN (SELECT o_custkey FROM v_orders)
+          |  AND c_acctbal > (SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2))) FROM v_customer)
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin)
+    }),
+
+    // ---- JSON column extraction (events.props carries JSON strings) ----
+    "q41_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("k")).as("sum_k"),
+          count(col("k")).as("n_k")
+        )
+        .orderBy(col("event_type"))
     })
   )
 
@@ -765,6 +802,22 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.5) AS median_price,
         |  quantile_cont(l_quantity, 0.9) AS p90_qty
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q39_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS DECIMAL(38,2)) AS qty_f,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS DECIMAL(38,2)) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q40_sql_surface" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_above_avg
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |  AND c_acctbal > (SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q41_json_extract" ->
+      """SELECT event_type,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
