@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Session-extension registration for the graft engine: the installable form
+  * of [[GraftFunctions.register]] plus a small optimizer rule, so a cluster
+  * can enable everything with
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * (no driver-side code required). The runtime `register` path stays for
+  * programmatic sessions; both routes produce identical functions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_long_dot"),
+      info("graft_long_dot", "exact int64 dot product of two long arrays"),
+      (exprs: Seq[Expression]) => LongArrayDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_sq_norm"),
+      info("graft_sq_norm", "exact int64 squared norm of a long array"),
+      (exprs: Seq[Expression]) => LongArraySqNorm(exprs(0), exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("graft_sorted_jaccard"),
+      info("graft_sorted_jaccard", "jaccard of two sorted distinct string arrays"),
+      (exprs: Seq[Expression]) => SortedStringArrayJaccard(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_sorted_long_jaccard"),
+      info("graft_sorted_long_jaccard", "jaccard of two sorted distinct long arrays"),
+      (exprs: Seq[Expression]) => SortedLongArrayJaccard(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_count_in_set"),
+      info("graft_count_in_set", "count of array elements in a constant set"),
+      (exprs: Seq[Expression]) => CountInSet(exprs(0), exprs(1))))
+    e.injectOptimizerRule(_ => SimplifySelfSimilarity)
+  }
+}
+
+/** Optimizer rule: similarity of an expression with itself is statically
+  * known — `graft_long_dot(x, x)` ⇒ `graft_sq_norm(x)` (half the loads) and
+  * `graft_*_jaccard(x, x)` ⇒ 1.0 for non-null inputs. A tiny demonstration of
+  * `Rule[LogicalPlan]` injection; semantics-preserving because the
+  * expressions are deterministic and null-intolerant (binary null-safe eval:
+  * both rewrites preserve NULL-in → NULL-out via the surviving child).
+  */
+object SimplifySelfSimilarity extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case LongArrayDot(a, b) if a.deterministic && a.semanticEquals(b) =>
+        LongArraySqNorm(a, a)
+      case SortedStringArrayJaccard(a, b) if a.deterministic && a.semanticEquals(b) =>
+        jaccardOne(a)
+      case SortedLongArrayJaccard(a, b) if a.deterministic && a.semanticEquals(b) =>
+        jaccardOne(a)
+    }
+
+  /** 1.0 unless the input is NULL (preserve null-in → null-out). */
+  private def jaccardOne(a: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.If(
+      org.apache.spark.sql.catalyst.expressions.IsNull(a),
+      Literal.create(null, org.apache.spark.sql.types.DoubleType),
+      Literal(1.0))
+}

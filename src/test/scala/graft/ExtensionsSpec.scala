@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions route must expose the same functions as the
+  * runtime registry route, and the injected optimizer rule must fire.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // isolated session with the extensions installed via config, as a
+    // cluster would: spark.sql.extensions=graft.functions.GraftExtensions
+    val shared = SparkTestBase.spark // ensure the shared context exists first
+    // getOrCreate returns the existing default session (ignoring extensions);
+    // clear it so a NEW session is built over the same context with the
+    // extensions installed, then restore the shared default for other suites.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // withExtensions: the programmatic route (the `spark.sql.extensions`
+    // config route needs the class name in the SparkContext conf, i.e. a
+    // fresh JVM — exercised via spark-submit in the verify drive).
+    val ext = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    SparkSession.setDefaultSession(shared)
+    SparkSession.setActiveSession(shared)
+    ext
+  }
+
+  test("functions resolve through spark.sql.extensions injection") {
+    import spark.implicits._
+    val df = Seq((Array(1L, 2L, 3L), Array(4L, 5L, 6L))).toDF("a", "b")
+    df.createOrReplaceTempView("v_ext")
+    val out = spark.sql("SELECT graft_long_dot(a, b) AS d, graft_sq_norm(a) AS n FROM v_ext")
+      .collect().head
+    assert(out.getAs[Long]("d") == 4 + 10 + 18)
+    assert(out.getAs[Long]("n") == 1 + 4 + 9)
+  }
+
+  test("SimplifySelfSimilarity rewrites self-dot to sq-norm and self-jaccard to 1.0") {
+    // file-backed source so the optimizer can't collapse the plan into a
+    // pre-evaluated LocalRelation before the rewrite is observable
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("transform(embedding, x -> CAST(x * 100 AS BIGINT)) AS a")
+      .createOrReplaceTempView("v_self")
+    val dq = spark.sql("SELECT graft_long_dot(a, a) AS d FROM v_self")
+    val plan = dq.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(plan.contains("sqnorm"), s"expected self-dot rewritten to sq-norm, got:\n$plan")
+    val jq = spark.sql("SELECT graft_sorted_long_jaccard(a, a) AS j FROM v_self")
+    val jplan = jq.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!jplan.contains("jaccard"), s"self-jaccard should fold away:\n$jplan")
+    assert(jq.limit(5).collect().forall(_.getDouble(0) == 1.0))
+  }
+}
