@@ -83,11 +83,14 @@ object Pipeline {
   ): Unit = {
     val paths = Paths.under(cfg.outputRoot)
 
-    // EP1 — Bronze: CSV → typed → slice → partitioned replaceWhere write.
+    // EP1 — Bronze: CSV → typed → slice → partition-aligned replaceWhere.
+    // Tables are partitioned by (process date, country) so the per-run
+    // predicate covers whole partitions: the write rewrites only the new
+    // slice (cost ∝ slice, not table size — the 100 TB path).
     val bronze = Bronze(spark, cfg.rawCsv, p.country, p.startDate, p.endDate)
-    Writer.replaceCountryRange(
-      spark, bronze, paths.bronze,
-      partitionCol = "fecha_proceso", countryCol = "pais",
+    Writer.replaceCountryRangePartitioned(
+      bronze, paths.bronze,
+      dateCol = "fecha_proceso", countryCol = "pais",
       country = p.country, startDate = p.startDate, endDate = p.endDate
     )
 
@@ -99,17 +102,22 @@ object Pipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val clean = Silver.clean(enriched)
-      Writer.replaceCountryRange(
-        spark, clean, paths.silverClean,
-        partitionCol = "fec_proceso", countryCol = "cod_pais",
+      Writer.replaceCountryRangePartitioned(
+        clean, paths.silverClean,
+        dateCol = "fec_proceso", countryCol = "cod_pais",
         country = p.country, startDate = p.startDate, endDate = p.endDate
       )
       // plain Delta-directory copy of depurado (`:647-652`) → parquet dir.
-      Writer.replaceCountryRange(
-        spark, clean, paths.processedDir,
-        partitionCol = "fec_proceso", countryCol = "cod_pais",
+      Writer.replaceCountryRangePartitioned(
+        clean, paths.processedDir,
+        dateCol = "fec_proceso", countryCol = "cod_pais",
         country = p.country, startDate = p.startDate, endDate = p.endDate
       )
+      // Quarantine keeps the general read-keep-union-rewrite path: its
+      // contract is ALL columns STRING, and date-partitioned directories
+      // would come back DATE-typed via partition-column inference for any
+      // external reader. The reject stream is tiny relative to the clean
+      // table, so cost ∝ its size is acceptable.
       val quarantine = Silver.quarantine(enriched)
       Writer.replaceCountryRange(
         spark, quarantine, paths.silverQuarantine,

@@ -112,6 +112,59 @@ object Writer {
     )
   }
 
+  /** Partition-aligned replaceWhere — the 100 TB path. The table is
+    * partitioned by (dateCol, countryCol), so the predicate
+    * `country ∧ date∈[s,e]` exactly covers whole partitions:
+    *
+    *  1. dynamic partition overwrite rewrites only the (date, country)
+    *     partitions present in `df` — cost ∝ the new slice;
+    *  2. partitions matching the predicate that received NO new rows are
+    *     stale under replace semantics (their source rows disappeared) and
+    *     are deleted by directory listing — cost ∝ partition count, not data.
+    *
+    * Compared with [[replaceWhere]]'s read-keep-union-rewrite (cost ∝ table
+    * size), this touches only the affected slice. Requires
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` (set in
+    * [[Schemas.session]]).
+    */
+  def replaceCountryRangePartitioned(
+      df: DataFrame,
+      path: String,
+      dateCol: String,
+      countryCol: String,
+      country: String,
+      startDate: String,
+      endDate: String
+  ): Unit = {
+    // distinct partition values in the incoming slice (bounded by the range
+    // length × 1 country — tiny)
+    val newDates: Set[String] =
+      df.select(col(dateCol).cast("string")).distinct().collect().map(_.getString(0)).toSet
+
+    df.write.partitionBy(dateCol, countryCol).mode("overwrite").parquet(path)
+
+    // drop stale partitions: predicate-matching dirs that got no new data.
+    // ISO yyyy-MM-dd compares lexicographically, which is what makes the
+    // string range test below correct for both DATE and STRING date columns.
+    val root = Paths.get(path)
+    if (Files.exists(root)) {
+      val dateDirs = Files.list(root).iterator()
+      while (dateDirs.hasNext) {
+        val dd = dateDirs.next()
+        val name = dd.getFileName.toString
+        if (name.startsWith(s"$dateCol=")) {
+          val dateVal = name.substring(dateCol.length + 1)
+          if (dateVal >= startDate && dateVal <= endDate && !newDates.contains(dateVal)) {
+            val countryDir = dd.resolve(s"$countryCol=$country")
+            deleteRecursively(countryDir)
+            // remove the date dir too if now empty
+            if (Files.exists(dd) && !Files.list(dd).iterator().hasNext) Files.delete(dd)
+          }
+        }
+      }
+    }
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
