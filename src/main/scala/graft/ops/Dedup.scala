@@ -106,6 +106,7 @@ object Dedup {
     )
     val banded = sig.select(
       col("id"),
+      xxhash64(col("sig")).as("fsig"),
       explode(
         transform(
           sequence(lit(0), lit(bands - 1)),
@@ -113,8 +114,14 @@ object Dedup {
         )
       ).as("bb")
     )
+    // pairs with IDENTICAL full signatures collide in every band; emitting
+    // them from band 0 only removes a bands× blowup for duplicate cliques
+    // (recall unchanged — band-0 collision is guaranteed for equal sigs).
     banded.as("x")
-      .join(banded.as("y"), col("x.bb") === col("y.bb") && col("x.id") < col("y.id"))
+      .join(
+        banded.as("y"),
+        col("x.bb") === col("y.bb") && col("x.id") < col("y.id") &&
+          (col("x.fsig") =!= col("y.fsig") || col("x.bb.band") === 0))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
   }
 

@@ -129,21 +129,21 @@ object Similarity {
         }: _*)).as("tb")
       )
       .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-    // raw collisions (dupes across tables) flow straight through the
-    // broadcast vector lookups + native dot — all narrow/pipelined; the
-    // dedup happens on 4-scalar rows right before the ranking window (same
-    // shuffle the window needs anyway), never on array-carrying rows.
+    // candidate pairs are two-long scalar rows: dedupe them BEFORE attaching
+    // vectors so each unique pair is scored exactly once (cross-table
+    // collisions would otherwise multiply the dot-product work); the arrays
+    // then attach map-side via broadcast.
     val cands = buckets.as("x")
       .join(buckets.as("y"), col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt")
         && col("x.id") =!= col("y.id"))
       .select(col("x.id").as("query_id"), col("y.id").as("id"))
+      .distinct()
     val scored = cands
       .join(broadcast(v.withColumnsRenamed(Map("id" -> "query_id", "iv" -> "qiv", "nrm" -> "qnrm"))), "query_id")
       .join(broadcast(v), "id")
       .withColumn("dot", dot(col("qiv"), col("iv")))
       .withColumn("cosine", cosineFromFixed(col("dot"), col("qnrm"), col("nrm")))
       .select(col("query_id"), col("id"), col("dot"), col("cosine"))
-      .dropDuplicates("query_id", "id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id").asc)
     scored
       .withColumn("rank", row_number().over(w))
