@@ -535,6 +535,29 @@ object SparkEntry {
           count(col("k")).as("n_k")
         )
         .orderBy(col("event_type"))
+    }),
+
+    // ---- non-equi left-semi join: orders with any pre-order-date shipment ----
+    "q42_nonequi_semi" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey") && li("l_shipdate") < o("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ---- argmin join-back: cheapest lineitem per part (min_by pattern) ----
+    "q43_argmin_per_part" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(
+          min(col("l_extendedprice")).as("min_price"),
+          min_by(col("l_orderkey"), struct(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
+            .as("cheapest_orderkey")
+        )
+        .orderBy(col("l_partkey"))
     })
   )
 
@@ -818,6 +841,21 @@ object SparkEntry {
       """SELECT event_type,
         |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
         |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q42_nonequi_semi" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate < o_orderdate)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q43_argmin_per_part" ->
+      """SELECT l_partkey, min_price, cheapest_orderkey FROM (
+        |  SELECT l_partkey,
+        |    MIN(l_extendedprice) OVER (PARTITION BY l_partkey) AS min_price,
+        |    l_orderkey AS cheapest_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY l_partkey
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) x
+        |WHERE rn = 1 ORDER BY l_partkey""".stripMargin
   )
 }
