@@ -19,16 +19,18 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(v):
-    # canonical comparable form per cell
+    """Strict canonical form: full double repr, scale-sensitive Decimal, ISO
+    datetimes — mirrors the harshest plausible driver hashing."""
+    import decimal, datetime
     if v is None:
-        return None
+        return "NULL"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    # Decimal, datetime, str, int compare naturally; normalize Decimal trailing zeros?
-    # Driver compares hashes of values; we keep exact repr but compare Decimal == Decimal
-    return v
+        return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return str(v)
 
 
 def main():
@@ -74,10 +76,7 @@ def main():
         )
         bad = None
         for i, (g, w) in enumerate(zip(grows, wrows)):
-            if len(g) != len(w) or any(
-                not (a == b or (a is None and b is None) or _numeq(a, b))
-                for a, b in zip(g, w)
-            ):
+            if g != w:
                 bad = (i, g, w)
                 break
         if bad:

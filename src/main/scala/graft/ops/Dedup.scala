@@ -133,7 +133,9 @@ object Dedup {
   def representatives(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .groupBy(wordSetSignature(col(textCol)).as("sig"))
-      .agg(min(col(idCol)).as("id"), first(col(textCol)).as("text"))
+      // min_by keeps the survivor's OWN text (first() would pick an arbitrary
+      // group member's — same word set, but nondeterministic bytes)
+      .agg(min(col(idCol)).as("id"), min_by(col(textCol), col(idCol)).as("text"))
       .select(col("id").as(idCol), col("text").as(textCol))
 
   /** MinHash-LSH candidates + exact Jaccard verification ≥ threshold — the
