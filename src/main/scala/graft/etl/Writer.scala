@@ -141,7 +141,12 @@ object Writer {
     val newDates: Set[String] =
       df.select(col(dateCol).cast("string")).distinct().collect().map(_.getString(0)).toSet
 
-    df.write.partitionBy(dateCol, countryCol).mode("overwrite").parquet(path)
+    // cluster by the partition columns before writing: without this every
+    // task writes a sliver into every partition directory (tasks × dates
+    // small files — the classic small-file explosion); with it each
+    // partition gets one well-sized file. AQE rebalances if a date is huge.
+    df.repartition(col(dateCol), col(countryCol))
+      .write.partitionBy(dateCol, countryCol).mode("overwrite").parquet(path)
 
     // drop stale partitions: predicate-matching dirs that got no new data.
     // ISO yyyy-MM-dd compares lexicographically, which is what makes the
