@@ -102,6 +102,28 @@ object StreamOps {
       .start()
   }
 
+  /** Stream-static enrichment join: each micro-batch of events joins the
+    * (broadcastable) static dimension — no state, no watermark needed; the
+    * static side is re-read per batch by Spark when it's a file source.
+    */
+  def enrichWithStatic(
+      events: DataFrame,
+      static: DataFrame,
+      eventKey: String,
+      staticKey: String
+  ): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(static),
+      events(eventKey) === static(staticKey),
+      "left")
+
+  /** Streaming exact dedup: drop re-deliveries of the same id within the
+    * watermark horizon (state is bounded by the watermark — the streaming
+    * twin of `Dedup.exactGroups`).
+    */
+  def dedupEvents(events: DataFrame, idCol: String, horizon: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", horizon).dropDuplicates(idCol, "ts")
+
   /** Drive a streaming DataFrame synchronously to completion against a batch
     * of files and return the materialized result (memory sink) — the local
     * smoke harness for the streaming ops.

@@ -80,6 +80,27 @@ class StreamingSpec extends SparkTestBase {
       "ERR_SIN_MATERIAL_CONOCIDO", "ERR_TIPO_ENTREGA_NO_CONSIDERADA")))
   }
 
+  test("stream-static join and streaming dedup") {
+    val dir = eventsDir
+    val stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
+    val users = Tables(spark, sf(), "customer")
+      .select(col("c_custkey").as("user_key"), col("c_mktsegment"))
+    val enriched = StreamOps.enrichWithStatic(stream, users, "user_id", "user_key")
+    val got = StreamOps.runToMemory(spark, enriched, "enriched")
+    assert(got.count() == Tables(spark, sf(), "events").count())
+    assert(got.filter(col("c_mktsegment").isNotNull).count() > 0)
+
+    // duplicate the input dir contents → streaming dedup must collapse them
+    val dupDir = java.nio.file.Files.createTempDirectory("graft-dup").toString
+    val ev = Tables(spark, sf(), "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    ev.unionAll(ev).write.mode("overwrite").parquet(dupDir)
+    val dedup = StreamOps.dedupEvents(
+      spark.readStream.schema(StreamOps.eventSchema).parquet(dupDir), "event_id")
+    val got2 = StreamOps.runToMemory(spark, dedup, "deduped")
+    assert(got2.count() == ev.count(), s"expected ${ev.count()} got ${got2.count()}")
+  }
+
   test("flatMapGroupsWithState running totals reach the batch totals") {
     val dir = eventsDir
     val stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
