@@ -103,8 +103,14 @@ object StreamOps {
   }
 
   /** Stream-static enrichment join: each micro-batch of events joins the
-    * (broadcastable) static dimension — no state, no watermark needed; the
-    * static side is re-read per batch by Spark when it's a file source.
+    * (broadcastable) static dimension — no state, no watermark needed. The
+    * static side's file LISTING is snapshotted when the DataFrame is created:
+    * contents of those files are re-scanned per batch, but files added to the
+    * directory later are NOT picked up — re-create the dimension frame (or
+    * use a Delta-like source) for slowly-changing dims.
+    *
+    * The static key column is dropped from the output so callers may pass
+    * identically-named keys without creating an ambiguous duplicate column.
     */
   def enrichWithStatic(
       events: DataFrame,
@@ -112,17 +118,23 @@ object StreamOps {
       eventKey: String,
       staticKey: String
   ): DataFrame =
-    events.join(
-      org.apache.spark.sql.functions.broadcast(static),
-      events(eventKey) === static(staticKey),
-      "left")
+    events
+      .join(broadcast(static), events(eventKey) === static(staticKey), "left")
+      .drop(static(staticKey))
 
-  /** Streaming exact dedup: drop re-deliveries of the same id within the
-    * watermark horizon (state is bounded by the watermark — the streaming
-    * twin of `Dedup.exactGroups`).
+  /** Streaming exact dedup: drop re-deliveries of the same `idCol` within the
+    * watermark horizon — state is bounded by the watermark (the streaming
+    * twin of `Dedup.exactGroups`). Uses `dropDuplicatesWithinWatermark`, so a
+    * re-delivery with a re-stamped/jittered timestamp is still dropped as
+    * long as it arrives inside the horizon.
     */
-  def dedupEvents(events: DataFrame, idCol: String, horizon: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", horizon).dropDuplicates(idCol, "ts")
+  def dedupEvents(
+      events: DataFrame,
+      idCol: String,
+      tsCol: String = "ts",
+      horizon: String = "1 hour"
+  ): DataFrame =
+    events.withWatermark(tsCol, horizon).dropDuplicatesWithinWatermark(idCol)
 
   /** Drive a streaming DataFrame synchronously to completion against a batch
     * of files and return the materialized result (memory sink) — the local

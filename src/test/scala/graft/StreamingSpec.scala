@@ -90,11 +90,13 @@ class StreamingSpec extends SparkTestBase {
     assert(got.count() == Tables(spark, sf(), "events").count())
     assert(got.filter(col("c_mktsegment").isNotNull).count() > 0)
 
-    // duplicate the input dir contents → streaming dedup must collapse them
+    // duplicate the input with JITTERED timestamps (the at-least-once
+    // re-delivery case) → streaming dedup must still collapse on event_id
     val dupDir = java.nio.file.Files.createTempDirectory("graft-dup").toString
     val ev = Tables(spark, sf(), "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-    ev.unionAll(ev).write.mode("overwrite").parquet(dupDir)
+    val jittered = ev.withColumn("ts", col("ts") + expr("INTERVAL 5 SECONDS"))
+    ev.unionAll(jittered).write.mode("overwrite").parquet(dupDir)
     val dedup = StreamOps.dedupEvents(
       spark.readStream.schema(StreamOps.eventSchema).parquet(dupDir), "event_id")
     val got2 = StreamOps.runToMemory(spark, dedup, "deduped")
