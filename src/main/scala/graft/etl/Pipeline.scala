@@ -113,11 +113,11 @@ object Pipeline {
         dateCol = "fec_proceso", countryCol = "cod_pais",
         country = p.country, startDate = p.startDate, endDate = p.endDate
       )
-      // Quarantine keeps the general read-keep-union-rewrite path: its
-      // contract is ALL columns STRING, and date-partitioned directories
-      // would come back DATE-typed via partition-column inference for any
-      // external reader. The reject stream is tiny relative to the clean
-      // table, so cost ∝ its size is acceptable.
+      // Quarantine keeps the general read-keep-union-rewrite path and is
+      // stored UNPARTITIONED: its contract is ALL columns STRING, and a
+      // date-partition directory would come back DATE-typed via
+      // partition-column inference for any reader. The reject stream is tiny
+      // relative to the clean table, so cost ∝ its size is acceptable.
       val quarantine = Silver.quarantine(enriched)
       Writer.replaceCountryRange(
         spark, quarantine, paths.silverQuarantine,

@@ -38,16 +38,44 @@ object Quality {
   val ErrVentaNoPositiva = "ERR_VENTA_NO_POSITIVA"
   val ErrTipoEntrega = "ERR_TIPO_ENTREGA_NO_CONSIDERADA"
 
-  /** The six rules over the renamed (silver-shaped) columns. Each is
-    * `when(cond, code)` (NULL otherwise); `concat_ws("|")` skips NULLs, so the
-    * result is the pipe-joined list of fired codes in declaration order
-    * (`:566-576`), and an empty string when no rule fires.
+  /** The six rules over the renamed (silver-shaped) columns, expressed on the
+    * generalized [[graft.ops.RuleEngine]] (one fold implementation, not two):
+    * each is `when(cond, code)`, NULL-skipped by `concat_ws("|")`, pipe-joined
+    * in declaration order (`:566-576`), NULL when no rule fires (`:632`).
     *
     * Semantics pinned by the reference:
     *   - NULL `mto_venta` is NOT an error — only `<= 0` is (`:573-574`).
     *   - `cant <= 0` fires only when cant IS NOT NULL (`:569-570`).
     *   - type membership is on `upper(trim(...))` (`:575`).
+    *
+    * Deliberate divergence: a NULL delivery type fires
+    * ERR_TIPO_ENTREGA_NO_CONSIDERADA. In the reference `~isin(...)` is NULL
+    * for NULL input, so such rows slip into the CLEAN table with NULL
+    * indicator flags — contradicting its own invariant that clean rows always
+    * have non-null flags. We quarantine them instead.
     */
+  def rules(
+      cantUniMedida: Column,
+      codMaterial: Column,
+      codUnidadMedida: Column,
+      mtoVenta: Column,
+      codTipoEntrega: Column,
+      cfgFactors: Map[String, Double],
+      knownTypes: Seq[String]
+  ): Seq[graft.ops.RuleEngine.Rule] = {
+    import graft.ops.RuleEngine.Rule
+    val factor = factorExpr(codUnidadMedida, cfgFactors)
+    val tipoNorm = upper(trim(codTipoEntrega))
+    Seq(
+      Rule(ErrCantNull, cantUniMedida.isNull),
+      Rule(ErrCantNoPositiva, cantUniMedida.isNotNull && cantUniMedida <= 0),
+      Rule(ErrSinMaterial, codMaterial.isNull),
+      Rule(ErrUnidadDesconocida, factor.isNull),
+      Rule(ErrVentaNoPositiva, mtoVenta.isNotNull && mtoVenta <= 0),
+      Rule(ErrTipoEntrega, tipoNorm.isNull || !tipoNorm.isin(knownTypes: _*))
+    )
+  }
+
   def motivoObs(
       cantUniMedida: Column,
       codMaterial: Column,
@@ -56,20 +84,10 @@ object Quality {
       codTipoEntrega: Column,
       cfgFactors: Map[String, Double],
       knownTypes: Seq[String]
-  ): Column = {
-    val factor = factorExpr(codUnidadMedida, cfgFactors)
-    val reasons = concat_ws(
-      "|",
-      when(cantUniMedida.isNull, lit(ErrCantNull)),
-      when(cantUniMedida.isNotNull && cantUniMedida <= 0, lit(ErrCantNoPositiva)),
-      when(codMaterial.isNull, lit(ErrSinMaterial)),
-      when(factor.isNull, lit(ErrUnidadDesconocida)),
-      when(mtoVenta.isNotNull && mtoVenta <= 0, lit(ErrVentaNoPositiva)),
-      when(!upper(trim(codTipoEntrega)).isin(knownTypes: _*), lit(ErrTipoEntrega))
-    )
-    // empty reason string → NULL motivo_obs (`:632`), i.e. the row is clean.
-    when(length(reasons) === 0, lit(null)).otherwise(reasons)
-  }
+  ): Column =
+    graft.ops.RuleEngine.reasons(
+      rules(cantUniMedida, codMaterial, codUnidadMedida, mtoVenta, codTipoEntrega,
+        cfgFactors, knownTypes))
 
   /** Convenience: build motivo_obs from an [[EtlConfig]]. */
   def motivoObs(cfg: EtlConfig): Column =

@@ -31,12 +31,14 @@ import org.apache.spark.sql.functions._
   */
 object Writer {
 
-  /** Fast path: dynamic partition overwrite. Requires
-    * `spark.sql.sources.partitionOverwriteMode=dynamic` (set in
-    * [[Schemas.session]]); only partitions present in `df` are replaced.
+  /** Fast path: dynamic partition overwrite — only partitions present in
+    * `df` are replaced. The mode is pinned per-write (writer option) rather
+    * than relying on the session conf: under the default STATIC mode an
+    * `overwrite` would silently wipe every other partition of the table.
     */
   def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .mode("overwrite")
       .parquet(path)
@@ -98,6 +100,10 @@ object Writer {
     // Quarantine stores fec_proceso as STRING; its replaceWhere compares
     // lexicographically — correct only because ISO yyyy-MM-dd sorts like dates
     // (`ETL_Entregas_Base.ipynb:675`; SURVEY EP2.4). Preserve carefully.
+    // A string date column must NOT become a partition directory either:
+    // partition-column type inference would hand every reader a DATE-typed
+    // column, breaking the all-STRING quarantine contract — so dateAsString
+    // tables are stored unpartitioned (they hold only the reject stream).
     val rangePred =
       if (dateAsString)
         col(partitionCol) >= lit(startDate) && col(partitionCol) <= lit(endDate)
@@ -107,7 +113,7 @@ object Writer {
       spark,
       df,
       path,
-      Seq(partitionCol),
+      if (dateAsString) Seq.empty else Seq(partitionCol),
       col(countryCol) === country && rangePred
     )
   }
@@ -136,26 +142,45 @@ object Writer {
       startDate: String,
       endDate: String
   ): Unit = {
-    // distinct partition values in the incoming slice (bounded by the range
-    // length × 1 country — tiny)
-    val newDates: Set[String] =
-      df.select(col(dateCol).cast("string")).distinct().collect().map(_.getString(0)).toSet
+    // two actions read `df` (distinct dates + the write): persist so the
+    // upstream (e.g. the raw CSV parse) is computed once, not twice.
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // distinct partition values in the incoming slice (bounded by the range
+      // length × 1 country — tiny)
+      val newDates: Set[String] =
+        df.select(col(dateCol).cast("string")).distinct().collect().map(_.getString(0)).toSet
 
-    // cluster by the partition columns before writing: without this every
-    // task writes a sliver into every partition directory (tasks × dates
-    // small files — the classic small-file explosion); with it each
-    // partition gets one well-sized file. AQE rebalances if a date is huge.
-    df.repartition(col(dateCol), col(countryCol))
-      .write.partitionBy(dateCol, countryCol).mode("overwrite").parquet(path)
+      // cluster by the partition columns before writing: without this every
+      // task writes a sliver into every partition directory (tasks × dates
+      // small files — the classic small-file explosion); with it each
+      // partition gets one well-sized file. AQE rebalances if a date is huge.
+      // partitionOverwriteMode pinned per-write: STATIC would wipe the table.
+      df.repartition(col(dateCol), col(countryCol))
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(dateCol, countryCol).mode("overwrite").parquet(path)
+      cleanupStale(path, dateCol, countryCol, country, startDate, endDate, newDates)
+    } finally { df.unpersist(); () }
+  }
+
+  private def cleanupStale(
+      path: String,
+      dateCol: String,
+      countryCol: String,
+      country: String,
+      startDate: String,
+      endDate: String,
+      newDates: Set[String]
+  ): Unit = {
 
     // drop stale partitions: predicate-matching dirs that got no new data.
     // ISO yyyy-MM-dd compares lexicographically, which is what makes the
     // string range test below correct for both DATE and STRING date columns.
     val root = Paths.get(path)
     if (Files.exists(root)) {
-      val dateDirs = Files.list(root).iterator()
-      while (dateDirs.hasNext) {
-        val dd = dateDirs.next()
+      val dateDirs = listDir(root)
+      dateDirs.foreach { dd =>
         val name = dd.getFileName.toString
         if (name.startsWith(s"$dateCol=")) {
           val dateVal = name.substring(dateCol.length + 1)
@@ -163,14 +188,29 @@ object Writer {
             val countryDir = dd.resolve(s"$countryCol=$country")
             deleteRecursively(countryDir)
             // remove the date dir too if now empty
-            if (Files.exists(dd) && !Files.list(dd).iterator().hasNext) Files.delete(dd)
+            if (Files.exists(dd) && listDir(dd).isEmpty) Files.delete(dd)
           }
         }
       }
     }
   }
 
+  /** Directory listing with the stream closed (Files.list leaks an fd if the
+    * returned stream is abandoned).
+    */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try {
+      val out = scala.collection.mutable.ListBuffer.empty[Path]
+      s.forEach(x => { out += x; () })
+      out.toList
+    } finally s.close()
+  }
+
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally s.close()
+    }
 }

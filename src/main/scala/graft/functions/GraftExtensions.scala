@@ -39,6 +39,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_count_in_set"),
       info("graft_count_in_set", "count of array elements in a constant set"),
       (exprs: Seq[Expression]) => CountInSet(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "one-pass minhash signature of a string array"),
+      SketchFunctions.minHashBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_projbits"),
+      info("graft_projbits", "random-hyperplane sign bits of a long vector"),
+      SketchFunctions.projBitsBuilder))
     e.injectOptimizerRule(_ => SimplifySelfSimilarity)
   }
 }

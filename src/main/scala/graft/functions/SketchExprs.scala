@@ -81,6 +81,15 @@ case class RandomProjectionBits(child: Expression, planes: Int, seed: Long)
 }
 
 object SketchFunctions {
+
+  /** Expression builders shared by the runtime-registry and
+    * SparkSessionExtensions registration routes.
+    */
+  val minHashBuilder: Seq[Expression] => Expression =
+    exprs => MinHashSignature(exprs(0), intLit(exprs(1), "numHashes"), longLit(exprs(2), "seed"))
+  val projBitsBuilder: Seq[Expression] => Expression =
+    exprs => RandomProjectionBits(exprs(0), intLit(exprs(1), "planes"), longLit(exprs(2), "seed"))
+
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
@@ -94,13 +103,7 @@ object SketchFunctions {
   /** Registered from [[GraftFunctions.register]]. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "graft_minhash",
-      exprs => MinHashSignature(exprs(0), intLit(exprs(1), "numHashes"), longLit(exprs(2), "seed")),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_projbits",
-      exprs => RandomProjectionBits(exprs(0), intLit(exprs(1), "planes"), longLit(exprs(2), "seed")),
-      "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash", minHashBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_projbits", projBitsBuilder, "built-in")
   }
 }

@@ -29,11 +29,15 @@ object Dedup {
     md5(array_join(array_sort(array_distinct(TextAnalysis.tokens(text))), " "))
 
   /** Exact word-set Jaccard similarity of two token-array columns. Integer
-    * set sizes divided as IEEE doubles — engine-deterministic.
+    * set sizes divided as IEEE doubles — engine-deterministic. NULL-safe:
+    * NULL arrays yield NULL (without the guard, ANSI-off `size(NULL)` = -1
+    * would make any NULL-array pair score (-1)/(-1) = 1.0).
     */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+    when(a.isNull || b.isNull, lit(null).cast("double"))
+      .otherwise(
+        size(array_intersect(a, b)).cast("double") /
+          size(array_union(a, b)).cast("double"))
 
   /** All-pairs exact Jaccard over word sets, for a bounded id range — the
     * oracle-verifiable reference form (O(n²) broadcast nested-loop; cap the

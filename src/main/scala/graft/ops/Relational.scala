@@ -94,6 +94,12 @@ object Relational {
       saltFactor: Int,
       joinType: String = "inner"
   ): DataFrame = {
+    // right/full outer would emit each unmatched right row saltFactor times
+    // (the right side is replicated per salt) — reject rather than corrupt.
+    require(
+      Set("inner", "left", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti")
+        .contains(joinType.toLowerCase),
+      s"saltedEquiJoin supports inner/left/semi/anti joins, not $joinType")
     val salted = left.withColumn(
       "_salt",
       pmod(hash(col(keyCol), monotonically_increasing_id()), lit(saltFactor))
@@ -141,7 +147,10 @@ object Relational {
         col(leftTsCol).as("_ts"),
         col(keyCol).as("_key"))): _*
     )
-    val rShaped = right.select(
+    // a NULL right timestamp would sort nulls-first and masquerade as the
+    // "most recent" row for every early left row — drop such rows up front
+    val rightClean = right.filter(col(rightTsCol).isNotNull)
+    val rShaped = rightClean.select(
       (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
         struct(rightValCols.map(col): _*).as("_rrow"),
         lit(0).as("_side"),

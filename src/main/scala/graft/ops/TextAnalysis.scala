@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens of a trimmed text; empty text → empty array. */
+  /** Whitespace tokens of a trimmed text; empty OR NULL text → empty array
+    * (never NULL — under the pinned ANSI-off sessions `size(NULL)` is -1,
+    * which would poison every downstream count/ratio/jaccard).
+    */
   def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
+    when(text.isNull || length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
   /** Whitespace token count. */
@@ -54,8 +57,9 @@ object TextAnalysis {
   val DeStopwords = Seq("der", "die", "das", "und", "ist", "von", "ein", "mit", "zu", "den")
   val FrStopwords = Seq("le", "la", "les", "de", "et", "un", "une", "est", "dans", "que")
 
-  /** Length/punctuation/stopword quality heuristics. Returns the named stat
-    * columns; `qualityScore` combines them with fixed weights (higher =
+  /** Length/punctuation/stopword quality heuristics, as (name, column)
+    * pairs: char/token counts plus punctuation ratio, stopword ratio, and
+    * mean word length (higher stopword ratio + moderate word length =
     * more natural-language-like).
     */
   def stats(text: Column): Seq[(String, Column)] = statsTokens(text, tokens(text))

@@ -33,6 +33,7 @@ class PipelineSpec extends SparkTestBase {
         |EC,20250119,T2,R1,ZZZ,M9,5.0,1.0,ST
         |EC,20250120,T2,R1,ZZZ,,0.0,-1.0,XX
         |EC,2025 0121,T1,R1,ZPRE,M10,1.0,1.0,ST
+        |EC,20250122,T1,R1,,M15,5.0,1.0,ST
         |EC,garbage,T1,R1,ZPRE,M11,1.0,1.0,ST
         |EC,20240101,T1,R1,ZPRE,M12,1.0,1.0,ST
         |PE,20250110,T1,R1,ZPRE,M13,30.0,3.0,CS
@@ -80,11 +81,16 @@ class PipelineSpec extends SparkTestBase {
     val clean = spark.read.parquet(paths.silverClean)
     val obs = spark.read.parquet(paths.silverQuarantine)
 
-    // EC: 5 clean (M1,M2,M3,M4-null-precio,M10-ws-date), 7 quarantined;
-    // PE: 1 clean. garbage/out-of-range dates and BR never appear.
+    // EC: 5 clean (M1,M2,M3,M4-null-precio,M10-ws-date), 8 quarantined
+    // (incl. M15's NULL delivery type — documented divergence: the reference
+    // would let it into clean with NULL flags); PE: 1 clean.
+    // garbage/out-of-range dates and BR never appear.
     assert(clean.filter(col("cod_pais") === "EC").count() == 5)
     assert(clean.filter(col("cod_pais") === "PE").count() == 1)
-    assert(obs.count() == 7)
+    assert(obs.count() == 8)
+    assert(
+      obs.filter(col("cod_material") === "M15").collect().head
+        .getAs[String]("motivo_obs") == "ERR_TIPO_ENTREGA_NO_CONSIDERADA")
     assert(clean.filter(col("cod_material").isin("M11", "M12", "M14")).count() == 0)
 
     // derived columns on the flagship row M1: factor 20.
@@ -139,7 +145,11 @@ class PipelineSpec extends SparkTestBase {
     }
     Pipeline.run(spark, cfgPath, auditTs = fixedTs)
     assert(spark.read.parquet(paths.silverClean).count() == 6)
-    assert(spark.read.parquet(paths.silverQuarantine).count() == 7)
-    assert(spark.read.parquet(paths.bronze).count() == 13)
+    assert(spark.read.parquet(paths.silverQuarantine).count() == 8)
+    assert(spark.read.parquet(paths.bronze).count() == 14)
+    // quarantine contract: every column STRING for any reader (unpartitioned
+    // storage — no DATE-inferred partition column)
+    assert(spark.read.parquet(paths.silverQuarantine).schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.StringType))
   }
 }
