@@ -686,7 +686,7 @@ object SparkEntry {
       """WITH flagged AS (
         |  SELECT user_id,
         |    CASE WHEN LAG(ts) OVER w IS NULL
-        |      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+        |      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800 * 1000000
         |      THEN 1 ELSE 0 END AS new_sess
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events

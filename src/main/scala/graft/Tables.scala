@@ -12,15 +12,27 @@ object Tables {
   )
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
+    // idempotent, but skip the 7 registry writes on the hot path
+    if (!spark.sessionState.functionRegistry
+          .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_long_dot")))
+      graft.functions.GraftFunctions.register(spark)
     if (name == "events") {
       // events.parquet stores ts as INT64 TIMESTAMP(NANOS) which the vectorized
       // parquet reader rejects; read nanos as long and convert to micros
       // (lossless here — the generator emits microsecond-grained values).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read
+      // The legacy conf is restored afterwards so other readers of genuine
+      // nano-timestamp files in the same session keep their semantics (the
+      // scan resolves its schema eagerly here, so the window is safe).
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try spark.read
         .parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 }

@@ -164,27 +164,38 @@ object EtlConfig {
     updated
   }
 
-  /** Render back to the reference's YAML layout. */
+  /** Render back to the reference's YAML layout. Empty collections render as
+    * flow-style `[]` so render → parse is the identity even for degenerate
+    * configs (a bare `key:` would read back as an empty scalar, not a list).
+    */
   def render(cfg: EtlConfig): String = {
     val sb = new StringBuilder
     sb ++= "paths:\n"
     sb ++= s"  raw_csv: ${cfg.rawCsv}\n"
     sb ++= s"  output_root: ${cfg.outputRoot}\n"
-    sb ++= "params:\n"
-    cfg.params.foreach { p =>
-      sb ++= s"- country: ${p.country}\n"
-      sb ++= s"  start_date: '${p.startDate}'\n"
-      sb ++= s"  end_date: '${p.endDate}'\n"
-      sb ++= s"  proccess: '${if (p.process) "YES" else "NO"}'\n"
+    if (cfg.params.isEmpty) sb ++= "params: []\n"
+    else {
+      sb ++= "params:\n"
+      cfg.params.foreach { p =>
+        sb ++= s"- country: ${p.country}\n"
+        sb ++= s"  start_date: '${p.startDate}'\n"
+        sb ++= s"  end_date: '${p.endDate}'\n"
+        sb ++= s"  proccess: '${if (p.process) "YES" else "NO"}'\n"
+      }
     }
-    sb ++= "delivery_types:\n  routine:\n"
-    cfg.routineTypes.foreach(t => sb ++= s"  - $t\n")
-    sb ++= "  bonus:\n"
-    cfg.bonusTypes.foreach(t => sb ++= s"  - $t\n")
-    sb ++= "unit_factors:\n"
-    cfg.unitFactors.foreach { case (k, v) =>
-      val vs = if (v == v.floor && v.abs < 1e15) v.toLong.toString else v.toString
-      sb ++= s"  $k: $vs\n"
+    sb ++= "delivery_types:\n"
+    def lst(key: String, xs: List[String]): Unit =
+      if (xs.isEmpty) sb ++= s"  $key: []\n"
+      else { sb ++= s"  $key:\n"; xs.foreach(t => sb ++= s"  - $t\n") }
+    lst("routine", cfg.routineTypes)
+    lst("bonus", cfg.bonusTypes)
+    if (cfg.unitFactors.isEmpty) sb ++= "unit_factors: {}\n"
+    else {
+      sb ++= "unit_factors:\n"
+      cfg.unitFactors.foreach { case (k, v) =>
+        val vs = if (v == v.floor && v.abs < 1e15) v.toLong.toString else v.toString
+        sb ++= s"  $k: $vs\n"
+      }
     }
     sb.result()
   }
@@ -227,17 +238,19 @@ object MiniYaml {
   }
 
   private def stripComment(s: String): String = {
-    // naive: drop from first '#' not inside quotes
+    // YAML comments start only at line start or after whitespace — a '#'
+    // embedded in a value (`/data/x#2024.csv`) is NOT a comment.
     var inS = false; var inD = false
     val b = new StringBuilder
     var i = 0
     var done = false
     while (i < s.length && !done) {
       val c = s.charAt(i)
+      val afterWs = i == 0 || s.charAt(i - 1) == ' ' || s.charAt(i - 1) == '\t'
       c match {
         case '\'' if !inD => inS = !inS; b += c
         case '"' if !inS  => inD = !inD; b += c
-        case '#' if !inS && !inD => done = true
+        case '#' if !inS && !inD && afterWs => done = true
         case _ => b += c
       }
       i += 1
@@ -295,7 +308,9 @@ object MiniYaml {
         val key = unquote(head.content.substring(0, ci))
         val value = head.content.substring(ci + 1).trim
         rest = rest.tail
-        if (value.nonEmpty) entries(key) = Scalar(unquote(value))
+        if (value == "[]") entries(key) = ListNode(Nil)
+        else if (value == "{}") entries(key) = MapNode(Map.empty)
+        else if (value.nonEmpty) entries(key) = Scalar(unquote(value))
         else {
           // nested block: next lines with greater indent (or list items at same/greater indent)
           if (

@@ -52,7 +52,8 @@ case class LongArraySqNorm(left: Expression, right: Expression)
 }
 
 /** Jaccard similarity of two SORTED, DISTINCT string arrays via linear merge —
-  * no per-element set allocation, no lambda dispatch.
+  * no per-element set allocation, no lambda dispatch. NULL elements (which
+  * `array_sort` places last) are ignored on both sides.
   */
 case class SortedStringArrayJaccard(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -60,8 +61,11 @@ case class SortedStringArrayJaccard(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val nx = x.numElements()
-    val ny = y.numElements()
+    var nx = x.numElements()
+    var ny = y.numElements()
+    // null elements sort to the end under array_sort — trim them off
+    while (nx > 0 && x.isNullAt(nx - 1)) nx -= 1
+    while (ny > 0 && y.isNullAt(ny - 1)) ny -= 1
     var i = 0; var j = 0; var inter = 0
     while (i < nx && j < ny) {
       val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
@@ -87,8 +91,11 @@ case class SortedLongArrayJaccard(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val nx = x.numElements()
-    val ny = y.numElements()
+    var nx = x.numElements()
+    var ny = y.numElements()
+    // null elements sort to the end under array_sort — trim them off
+    while (nx > 0 && x.isNullAt(nx - 1)) nx -= 1
+    while (ny > 0 && y.isNullAt(ny - 1)) ny -= 1
     var i = 0; var j = 0; var inter = 0
     while (i < nx && j < ny) {
       val xv = x.getLong(i)
@@ -112,6 +119,13 @@ case class SortedLongArrayJaccard(left: Expression, right: Expression)
 case class CountInSet(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "the second argument of graft_count_in_set must be a constant array " +
+          "(it is evaluated once and cached as a hash set)")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
 
   @transient private lazy val set: java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String]()

@@ -13,16 +13,24 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 
 /** MinHash signature of a string array: for each of `numHashes` functions
-  * h_i(t) = a_i·(xxh64(t) mod 2³¹) + b_i, the minimum over the array.
-  * Token hash is computed once per token, all signature lanes updated in one
-  * pass. Matches [[graft.ops.Dedup.minHashSignature]] semantics.
+  * h_i(t) = (a_i·(xxh64(t) mod p) + b_i) mod p with p = 2³¹−1, the minimum
+  * over the array. The mod-p reduction is load-bearing: WITHOUT it every
+  * lane is a monotone function of the same token hash, all lanes share one
+  * argmin token, and the "independent" signature degenerates to a single
+  * min-hash (collision probability J instead of the banding S-curve).
+  * Token hash is computed once per token, all lanes updated in one pass.
+  * NULL array elements are skipped. Matches
+  * [[graft.ops.Dedup.minHashSignature]] semantics.
   */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  private lazy val as: Array[Long] = Array.tabulate(numHashes)(i => 2L * (seed + i) + 1L)
-  private lazy val bs: Array[Long] = Array.tabulate(numHashes)(i => seed * 31L + i * 1000003L)
+  private val P = 2147483647L // 2^31 - 1, prime
+  private lazy val as: Array[Long] =
+    Array.tabulate(numHashes)(i => java.lang.Math.floorMod(2L * (seed + i) + 1L, P))
+  private lazy val bs: Array[Long] =
+    Array.tabulate(numHashes)(i => java.lang.Math.floorMod(seed * 31L + i * 1000003L, P))
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
@@ -30,14 +38,16 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var t = 0
     while (t < n) {
-      val s = arr.getUTF8String(t)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-      val h31 = java.lang.Math.floorMod(h, 2147483647L)
-      var i = 0
-      while (i < numHashes) {
-        val cand = as(i) * h31 + bs(i)
-        if (cand < mins(i)) mins(i) = cand
-        i += 1
+      if (!arr.isNullAt(t)) {
+        val s = arr.getUTF8String(t)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h31 = java.lang.Math.floorMod(h, P)
+        var i = 0
+        while (i < numHashes) {
+          val cand = java.lang.Math.floorMod(as(i) * h31 + bs(i), P)
+          if (cand < mins(i)) mins(i) = cand
+          i += 1
+        }
       }
       t += 1
     }
@@ -54,17 +64,32 @@ case class RandomProjectionBits(child: Expression, planes: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
 
+  // the ±1 sign matrix depends only on (planes, seed, dim) — cache it per
+  // executor instead of recomputing planes×dims hashes on every row
+  @transient private var signs: Array[Array[Boolean]] = _
+
+  private def signMatrix(dims: Int): Array[Array[Boolean]] = {
+    if (signs == null || signs(0).length < dims) {
+      signs = Array.tabulate(planes) { p =>
+        Array.tabulate(dims) { d =>
+          (XXH64.hashLong((p.toLong << 32) | (d.toLong & 0xffffffffL), seed) & 1L) == 1L
+        }
+      }
+    }
+    signs
+  }
+
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    val m = signMatrix(n)
     val acc = new Array[Long](planes)
     var d = 0
     while (d < n) {
       val x = arr.getLong(d)
       var p = 0
       while (p < planes) {
-        val h = XXH64.hashLong((p.toLong << 32) | (d.toLong & 0xffffffffL), seed)
-        if ((h & 1L) == 1L) acc(p) += x else acc(p) -= x
+        if (m(p)(d)) acc(p) += x else acc(p) -= x
         p += 1
       }
       d += 1

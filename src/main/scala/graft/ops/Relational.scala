@@ -44,8 +44,11 @@ object Relational {
     val prevTs = lag(tsCol, 1).over(byKeyTime)
     // exact integer microsecond comparison — a double epoch-seconds diff would
     // disagree with the oracle at the gap boundary on sub-second timestamps.
+    // `>=` matches Structured Streaming's session_window semantics (an event
+    // at exactly prev+gap starts a NEW session), keeping the batch and
+    // streaming operators boundary-identical.
     val isNew = when(
-      prevTs.isNull || unix_micros(tsCol) - unix_micros(prevTs) > gapSeconds * 1000000L,
+      prevTs.isNull || unix_micros(tsCol) - unix_micros(prevTs) >= gapSeconds * 1000000L,
       lit(1)
     ).otherwise(lit(0))
     df.withColumn("_new_sess", isNew)

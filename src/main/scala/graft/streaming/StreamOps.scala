@@ -80,7 +80,8 @@ object StreamOps {
       spark: SparkSession,
       cfg: graft.config.EtlConfig,
       csvDir: String,
-      outRoot: String
+      outRoot: String,
+      checkpoint: Option[String] = None
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     val raw = spark.readStream
       .schema(graft.etl.Schemas.csvSchema)
@@ -88,15 +89,21 @@ object StreamOps {
       .csv(csvDir)
     val enriched = graft.etl.Silver.enriched(
       graft.etl.Silver.renamed(graft.etl.Bronze.typed(raw)), cfg, csvDir)
-    enriched.writeStream
+    // without a durable checkpoint a restart re-ingests every file and
+    // appends duplicates — default it next to the output so restarts resume.
+    val writer = enriched.writeStream
+      .option("checkpointLocation", checkpoint.getOrElse(s"$outRoot/_checkpoint"))
       .outputMode("append")
+    writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.persist()
         try {
           graft.etl.Silver.clean(b).write.mode("append")
             .partitionBy("fec_proceso").parquet(s"$outRoot/depurado")
+          // unpartitioned like the batch quarantine: a date partition dir
+          // would come back DATE-typed via inference, breaking all-STRING
           graft.etl.Silver.quarantine(b).write.mode("append")
-            .partitionBy("fec_proceso").parquet(s"$outRoot/obs")
+            .parquet(s"$outRoot/obs")
         } finally { b.unpersist(); () }
       }
       .start()
