@@ -345,7 +345,7 @@ object SparkEntry {
         .verifiedNearDups(
           Dedup.representatives(t(s, dir, "documents"), "doc_id", "text"),
           "doc_id", "text",
-          threshold = 0.95, numHashes = 96, bands = 4)
+          threshold = 0.95, numHashes = 96, bands = 8)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

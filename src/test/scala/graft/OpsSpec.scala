@@ -44,7 +44,7 @@ class OpsSpec extends SparkTestBase {
       .jaccardPairs(reps, "doc_id", "text", threshold = 0.95, maxId = Long.MaxValue)
       .select(col("id_a"), col("id_b")).cache()
     val lsh = Dedup
-      .verifiedNearDups(reps, "doc_id", "text", threshold = 0.95, numHashes = 96, bands = 4)
+      .verifiedNearDups(reps, "doc_id", "text", threshold = 0.95, numHashes = 96, bands = 8)
       .select(col("id_a"), col("id_b")).cache()
     val nExact = exact.count()
     val nLsh = lsh.count()
