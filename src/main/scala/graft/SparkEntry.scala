@@ -558,6 +558,54 @@ object SparkEntry {
             .as("cheapest_orderkey")
         )
         .orderBy(col("l_partkey"))
+    }),
+
+    // ---- deterministic hash-based train/valid/test split (the sharding a
+    // training pipeline needs: stable across runs, engines, partitionings —
+    // md5-bucket, never rand()) ----
+    "q44_train_test_split" -> ((s, dir) => {
+      val bucket =
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 100)
+          .as("bucket")
+      t(s, dir, "documents")
+        .select(col("doc_id"), bucket)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "valid")
+            .otherwise("test"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- deterministic per-group sampling: k docs per language, ranked by
+    // a content-independent hash (reproducible "random" sample) ----
+    "q45_group_sample" -> ((s, dir) => {
+      Relational
+        .topKPerGroup(
+          t(s, dir, "documents"),
+          partitionCols = Seq(col("lang")),
+          orderBy = Seq(md5(col("doc_id").cast("string")).asc, col("doc_id").asc),
+          k = 10,
+          rankCol = "rank"
+        )
+        .select(col("lang"), col("doc_id"), col("rank"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
+    // ---- context-window packing: assign documents to fixed-token bins by
+    // exclusive prefix sum (sequential packing for LLM training batches).
+    // The unpartitioned window forces a single-reducer sort — fine for the
+    // oracle contract; at corpus scale, partition by shard (e.g. the q44
+    // split bucket) and pack within shards: Window.partitionBy(shard) keeps
+    // the same code shape with full parallelism. ----
+    "q46_context_packing" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("bin",
+          floor(coalesce(sum(col("n_tokens")).over(w), lit(0)) / 2048).cast("long"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -856,6 +904,32 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY l_partkey
         |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
         |  FROM lineitem) x
-        |WHERE rn = 1 ORDER BY l_partkey""".stripMargin
+        |WHERE rn = 1 ORDER BY l_partkey""".stripMargin,
+    "q44_train_test_split" ->
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        |  FROM documents) x
+        |ORDER BY doc_id""".stripMargin,
+    "q45_group_sample" ->
+      """SELECT lang, doc_id, rank FROM (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rank
+        |  FROM documents) x
+        |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
+    "q46_context_packing" ->
+      """SELECT doc_id, n_tokens,
+        |  CAST(floor(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS bin
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents) x
+        |ORDER BY doc_id""".stripMargin
   )
 }
