@@ -164,6 +164,17 @@ object GraftFunctions {
       "graft_count_in_set", exprs => CountInSet(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_sorted_long_jaccard", exprs => SortedLongArrayJaccard(exprs(0), exprs(1)), "built-in")
+    // Spark's internal Bloom-filter expressions (runtime-filter machinery),
+    // exposed for sketch-based semi-join pruning (ops.Sketches)
+    reg.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2), 0, 0).toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1)),
+      "built-in")
     SketchFunctions.register(spark)
   }
 

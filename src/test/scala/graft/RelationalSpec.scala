@@ -33,6 +33,29 @@ class RelationalSpec extends SparkTestBase {
     assert(salts == 8, "expected the hot key to split into all 8 salt buckets")
   }
 
+  test("bloom semi join matches exact semi join") {
+    val li = Tables(spark, sf(), "lineitem")
+    val dim = Tables(spark, sf(), "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    val exact = li.join(dim.withColumnRenamed("o_orderkey", "l_orderkey"),
+      Seq("l_orderkey"), "left_semi")
+    val bloom = graft.ops.Sketches.bloomSemiJoin(li, "l_orderkey", dim, "o_orderkey")
+    assert(bloom.count() == exact.count())
+    assert(bloom.select("l_orderkey").except(exact.select("l_orderkey")).count() == 0)
+  }
+
+  test("bloom prefilter never drops true matches and prunes most non-matches") {
+    val li = Tables(spark, sf(), "lineitem")
+    // tiny dim: 10 order keys
+    val dim = Tables(spark, sf(), "orders").limit(10).select(col("o_orderkey"))
+    val pruned = graft.ops.Sketches.bloomPrefilter(li, col("l_orderkey"), dim, col("o_orderkey"))
+    val trueMatches = li.join(dim.withColumnRenamed("o_orderkey", "l_orderkey"),
+      Seq("l_orderkey"), "left_semi").count()
+    val prunedCount = pruned.count()
+    assert(prunedCount >= trueMatches, "bloom must have no false negatives")
+    assert(prunedCount < li.count() / 10, s"bloom should prune most rows, kept $prunedCount")
+  }
+
   test("bin join drops values outside all bins") {
     import spark.implicits._
     val facts = Seq(0.5, 1.5, 99.0).toDF("v")
