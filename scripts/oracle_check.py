@@ -68,11 +68,11 @@ def main():
             continue
         grows = sorted(
             [tuple(canon(v) for v in r) for r in got.itertuples(index=False)],
-            key=lambda r: tuple((x is None, str(x)) for x in r),
+            key=lambda r: tuple(str(x) for x in r),
         )
         wrows = sorted(
             [tuple(canon(v) for v in r) for r in want.itertuples(index=False)],
-            key=lambda r: tuple((x is None, str(x)) for x in r),
+            key=lambda r: tuple(str(x) for x in r),
         )
         bad = None
         for i, (g, w) in enumerate(zip(grows, wrows)):
@@ -89,20 +89,6 @@ def main():
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
-
-
-def _numeq(a, b):
-    # ints/Decimals/floats of equal value compare equal across container types
-    try:
-        if a is None or b is None:
-            return False
-        import numbers
-
-        if isinstance(a, numbers.Number) and isinstance(b, numbers.Number):
-            return float(a) == float(b) or a == b
-    except Exception:
-        pass
-    return False
 
 
 if __name__ == "__main__":

@@ -113,7 +113,7 @@ object SparkEntry {
     // ---- left-anti join (NOT EXISTS) ----
     "q05_anti_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_customers"))
@@ -520,7 +520,7 @@ object SparkEntry {
           |       COUNT(*) AS n_above_avg
           |FROM v_customer
           |WHERE c_custkey IN (SELECT o_custkey FROM v_orders)
-          |  AND c_acctbal > (SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2))) FROM v_customer)
+          |  AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM v_customer)
           |GROUP BY c_mktsegment
           |ORDER BY c_mktsegment""".stripMargin)
     }),
@@ -646,7 +646,7 @@ object SparkEntry {
     "q05_anti_join" ->
       """SELECT c_nationkey, COUNT(*) AS n_customers
         |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q06_revenue_slice" ->
       """SELECT
@@ -746,9 +746,10 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q19_token_stats" ->
       """SELECT doc_id,
-        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |  CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
         |    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) AS n_bpeish
+        |  CASE WHEN text IS NULL THEN 0
+        |    ELSE len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) END AS n_bpeish
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q20_quality_stats" ->
       """SELECT doc_id,
@@ -765,8 +766,8 @@ object SparkEntry {
         |    ELSE 0.0 END AS mean_word_len
         |FROM (
         |  SELECT doc_id, text,
-        |    CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END AS toks,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END AS toks,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
         |  FROM documents) x
         |ORDER BY doc_id""".stripMargin,
     "q21_lang_id" ->
@@ -785,22 +786,25 @@ object SparkEntry {
         |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','von','ein','mit','zu','den'], t))) AS de,
         |    len(list_filter(toks, t -> list_contains(['le','la','les','de','et','un','une','est','dans','que'], t))) AS fr
         |  FROM (SELECT doc_id, text,
-        |    CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END AS toks
         |    FROM documents) y) x
         |ORDER BY doc_id""".stripMargin,
     "q22_exact_dedup" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(
-        |    CASE WHEN length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END)), ' ')) AS dup_key,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END)), ' ')) AS dup_key,
         |  MIN(doc_id) AS survivor_id, COUNT(*) AS group_size
         |FROM documents GROUP BY 1 ORDER BY dup_key""".stripMargin,
     "q23_jaccard_pairs" ->
       """SELECT id_a, id_b, jaccard FROM (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    len(list_intersect(a.ws, b.ws))::DOUBLE /
-        |    len(list_distinct(list_concat(a.ws, b.ws)))::DOUBLE AS jaccard
-        |  FROM (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS ws
+        |    CASE WHEN len(list_distinct(list_concat(a.ws, b.ws))) = 0 THEN 1.0
+        |      ELSE len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |        len(list_distinct(list_concat(a.ws, b.ws)))::DOUBLE END AS jaccard
+        |  FROM (SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |          ELSE list_distinct(string_split_regex(trim(text), '\s+')) END AS ws
         |        FROM documents WHERE doc_id < 1000) a
-        |  JOIN (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS ws
+        |  JOIN (SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |          ELSE list_distinct(string_split_regex(trim(text), '\s+')) END AS ws
         |        FROM documents WHERE doc_id < 1000) b
         |    ON a.doc_id < b.doc_id) x
         |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
@@ -883,7 +887,7 @@ object SparkEntry {
       """SELECT c_mktsegment, COUNT(*) AS n_above_avg
         |FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders)
-        |  AND c_acctbal > (SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer)
+        |  AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q41_json_extract" ->
       """SELECT event_type,
@@ -927,7 +931,7 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS bin
         |FROM (
         |  SELECT doc_id,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
         |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
         |  FROM documents) x
         |ORDER BY doc_id""".stripMargin

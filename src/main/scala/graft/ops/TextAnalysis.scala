@@ -31,7 +31,8 @@ object TextAnalysis {
     * ASCII classes only so Spark and RE2 agree.
     */
   def bpeishTokens(text: Column): Column =
-    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"), lit(0))
+    when(text.isNull, array().cast("array<string>"))
+      .otherwise(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"), lit(0)))
 
   def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
 

@@ -32,7 +32,8 @@ class StreamingSpec extends SparkTestBase {
     // append mode emits only watermark-closed windows; every emitted row must
     // match batch exactly, and most windows must have closed.
     val joined = got.join(want, Seq("hour_start", "event_type"), "inner")
-      .filter(got("n_events") === want("n_events"))
+      .filter(got("n_events") === want("n_events") &&
+        abs(got("sum_value") - want("sum_value")) < 1e-6)
     assert(got.count() > 0)
     assert(joined.count() == got.count(), "every emitted window must match batch")
   }
