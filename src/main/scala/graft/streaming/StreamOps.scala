@@ -129,6 +129,31 @@ object StreamOps {
       .join(broadcast(static), events(eventKey) === static(staticKey), "left")
       .drop(static(staticKey))
 
+  /** Stream-stream inner join: match events from two streams on a key within
+    * a bounded event-time skew. Both sides are watermarked so the join state
+    * is bounded — without the time-range condition the state would grow
+    * forever. The classic use: joining impressions to clicks.
+    */
+  def streamStreamJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String = "ts",
+      rightTs: String = "ts",
+      skew: String = "10 minutes",
+      watermark: String = "1 hour"
+  ): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(
+      r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs").between(
+          col(s"l.$leftTs"),
+          col(s"l.$leftTs") + expr(s"INTERVAL $skew")),
+      "inner")
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same `idCol` within the
     * watermark horizon — state is bounded by the watermark (the streaming
     * twin of `Dedup.exactGroups`). Uses `dropDuplicatesWithinWatermark`, so a

@@ -41,6 +41,27 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().head
     assert(out.getAs[Long]("d") == 4 + 10 + 18)
     assert(out.getAs[Long]("n") == 1 + 4 + 9)
+    // the FULL function set must resolve via the extensions route — a
+    // registry/extensions drift here strands config-only clusters
+    val all = spark.sql(
+      """SELECT
+        |  graft_sorted_jaccard(array('a','b'), array('a')) AS sj,
+        |  graft_sorted_long_jaccard(array(1L, 2L), array(1L)) AS slj,
+        |  graft_count_in_set(array('x','y'), array('x')) AS cis,
+        |  graft_minhash(array('a','b'), 4, 42) AS mh,
+        |  graft_projbits(array(10L, -20L), 3, 7) AS pb""".stripMargin).collect().head
+    assert(all.getAs[Double]("sj") == 0.5 && all.getAs[Double]("slj") == 0.5)
+    assert(all.getAs[Int]("cis") == 1)
+    assert(all.getSeq[Long](all.fieldIndex("mh")).length == 4)
+  }
+
+  test("graft_count_in_set rejects a non-constant set at analysis time") {
+    import spark.implicits._
+    Seq((Array("a"), Array("b"))).toDF("x", "y").createOrReplaceTempView("v_cis")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_count_in_set(x, y) FROM v_cis").collect()
+    }
+    assert(e.getMessage.contains("constant array"))
   }
 
   test("SimplifySelfSimilarity rewrites self-dot to sq-norm and self-jaccard to 1.0") {

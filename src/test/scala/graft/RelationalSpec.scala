@@ -56,6 +56,16 @@ class RelationalSpec extends SparkTestBase {
     assert(prunedCount < li.count() / 10, s"bloom should prune most rows, kept $prunedCount")
   }
 
+  test("salted join rejects right/full outer join types") {
+    import spark.implicits._
+    val l = Seq((1L, "a")).toDF("k", "v")
+    val r = Seq((1L, "b")).toDF("k", "w")
+    val e = intercept[IllegalArgumentException] {
+      Relational.saltedEquiJoin(l, r, "k", 4, joinType = "right")
+    }
+    assert(e.getMessage.contains("saltedEquiJoin supports"))
+  }
+
   test("bin join drops values outside all bins") {
     import spark.implicits._
     val facts = Seq(0.5, 1.5, 99.0).toDF("v")

@@ -104,6 +104,32 @@ class StreamingSpec extends SparkTestBase {
     assert(got2.count() == ev.count(), s"expected ${ev.count()} got ${got2.count()}")
   }
 
+  test("stream-stream join: views matched to purchases within the skew window") {
+    val dir = eventsDir
+    def stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
+    val views = stream.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id").as("purchase_id"))
+    val joined = StreamOps.streamStreamJoin(
+      views, purchases, key = "user_id", leftTs = "ts", rightTs = "pts",
+      skew = "30 minutes")
+      .select(col("view_id"), col("purchase_id"))
+    val got = StreamOps.runToMemory(spark, joined, "vp")
+    // batch equivalent on the same input
+    val ev = Tables(spark, sf(), "events")
+    val bviews = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    val bpurch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("ts").as("pts"), col("event_id").as("purchase_id"))
+    val want = bviews.join(bpurch,
+      col("user_id") === col("u2") &&
+        col("pts").between(col("ts"), col("ts") + expr("INTERVAL 30 MINUTES")))
+      .select(col("view_id"), col("purchase_id"))
+    assert(got.count() == want.count(), s"stream ${got.count()} vs batch ${want.count()}")
+    assert(got.except(want).count() == 0)
+  }
+
   test("flatMapGroupsWithState running totals reach the batch totals") {
     val dir = eventsDir
     val stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
