@@ -1,7 +1,6 @@
 package graft.etl
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.Comparator
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -25,9 +24,14 @@ import org.apache.spark.sql.functions._
   *   - '''general path''' ([[replaceWhere]]): read-keep-union-rewrite — keep
   *     `existing.filter(!predicate)`, union the new slice, write to a temp dir,
   *     atomic directory swap. Cost ∝ table size; only correct fallback for
-  *     predicates that cut inside partitions. Single-writer rename-swap is safe
-  *     on local/HDFS-like stores; real Delta would give transactional
-  *     atomicity — documented divergence.
+  *     predicates that cut inside partitions. Single-writer rename-swap is
+  *     safe on rename-atomic stores (local/HDFS); on object stores rename is
+  *     copy+delete — real Delta would give transactional atomicity there.
+  *     Documented divergence.
+  *
+  * All filesystem metadata operations go through the Hadoop FileSystem
+  * resolved from the path (NOT java.nio), so the same code works on
+  * local/HDFS/object-store URIs.
   */
 object Writer {
 
@@ -55,8 +59,14 @@ object Writer {
       partitionCols: Seq[String],
       predicate: Column
   ): Unit = {
-    val target = Paths.get(path)
-    if (!Files.exists(target)) {
+    val target = new HPath(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new HPath(path + ".old")
+    // crash recovery: a previous run that died between the two renames left
+    // the whole table at .old and nothing at the target — restore it rather
+    // than silently rebuilding the table from this run's slice alone.
+    if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target)
+    if (!fs.exists(target)) {
       overwritePartitions(df, path, partitionCols)
       return
     }
@@ -66,16 +76,17 @@ object Writer {
     val kept = existing.filter(!coalesce(predicate, lit(false)))
     val merged = kept.unionByName(df.select(existing.columns.map(col).toIndexedSeq: _*))
 
-    val tmp = path + ".inprogress"
-    deleteRecursively(Paths.get(tmp))
-    merged.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(tmp)
+    val tmp = new HPath(path + ".inprogress")
+    fs.delete(tmp, true)
+    merged.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(tmp.toString)
     // swap: move old out, new in, drop old — last-moment non-atomicity is the
-    // price of no transaction log; single-writer assumption documented above.
-    val old = Paths.get(path + ".old")
-    deleteRecursively(old)
-    Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(old)
+    // price of no transaction log (recovered on the next run, see above);
+    // single-writer assumption documented above.
+    fs.delete(old, true)
+    fs.rename(target, old)
+    fs.rename(tmp, target)
+    fs.delete(old, true)
+    ()
   }
 
   /** The pipeline's standard sink: country+date-range predicate, partitioned by
@@ -142,29 +153,37 @@ object Writer {
       startDate: String,
       endDate: String
   ): Unit = {
-    // two actions read `df` (distinct dates + the write): persist so the
+    // enforce the declared contract: rows outside (country ∧ range) must not
+    // ride along — dynamic overwrite would replace THEIR partitions too, and
+    // the stale-partition cleanup could not account for them.
+    val bounded = df.filter(
+      col(countryCol) === country &&
+        col(dateCol).cast("string") >= startDate && col(dateCol).cast("string") <= endDate)
+    // two actions read the frame (distinct dates + the write): persist so the
     // upstream (e.g. the raw CSV parse) is computed once, not twice.
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bounded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // distinct partition values in the incoming slice (bounded by the range
       // length × 1 country — tiny)
       val newDates: Set[String] =
-        df.select(col(dateCol).cast("string")).distinct().collect().map(_.getString(0)).toSet
+        bounded.select(col(dateCol).cast("string")).distinct().collect().map(_.getString(0)).toSet
 
       // cluster by the partition columns before writing: without this every
       // task writes a sliver into every partition directory (tasks × dates
       // small files — the classic small-file explosion); with it each
       // partition gets one well-sized file. AQE rebalances if a date is huge.
       // partitionOverwriteMode pinned per-write: STATIC would wipe the table.
-      df.repartition(col(dateCol), col(countryCol))
+      bounded.repartition(col(dateCol), col(countryCol))
         .write
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(dateCol, countryCol).mode("overwrite").parquet(path)
-      cleanupStale(path, dateCol, countryCol, country, startDate, endDate, newDates)
-    } finally { df.unpersist(); () }
+      cleanupStale(bounded.sparkSession, path, dateCol, countryCol, country,
+        startDate, endDate, newDates)
+    } finally { bounded.unpersist(); () }
   }
 
   private def cleanupStale(
+      spark: SparkSession,
       path: String,
       dateCol: String,
       countryCol: String,
@@ -173,44 +192,27 @@ object Writer {
       endDate: String,
       newDates: Set[String]
   ): Unit = {
-
     // drop stale partitions: predicate-matching dirs that got no new data.
     // ISO yyyy-MM-dd compares lexicographically, which is what makes the
     // string range test below correct for both DATE and STRING date columns.
-    val root = Paths.get(path)
-    if (Files.exists(root)) {
-      val dateDirs = listDir(root)
-      dateDirs.foreach { dd =>
-        val name = dd.getFileName.toString
-        if (name.startsWith(s"$dateCol=")) {
+    // Hadoop FS listing/deletion so the same code runs on any store; cost ∝
+    // number of date partitions, not data size.
+    val root = new HPath(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      fs.listStatus(root).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.startsWith(s"$dateCol=")) {
           val dateVal = name.substring(dateCol.length + 1)
           if (dateVal >= startDate && dateVal <= endDate && !newDates.contains(dateVal)) {
-            val countryDir = dd.resolve(s"$countryCol=$country")
-            deleteRecursively(countryDir)
+            fs.delete(new HPath(st.getPath, s"$countryCol=$country"), true)
             // remove the date dir too if now empty
-            if (Files.exists(dd) && listDir(dd).isEmpty) Files.delete(dd)
+            if (fs.exists(st.getPath) && fs.listStatus(st.getPath).isEmpty)
+              fs.delete(st.getPath, true)
+            ()
           }
         }
       }
     }
   }
-
-  /** Directory listing with the stream closed (Files.list leaks an fd if the
-    * returned stream is abandoned).
-    */
-  private def listDir(p: Path): Seq[Path] = {
-    val s = Files.list(p)
-    try {
-      val out = scala.collection.mutable.ListBuffer.empty[Path]
-      s.forEach(x => { out += x; () })
-      out.toList
-    } finally s.close()
-  }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
-      finally s.close()
-    }
 }

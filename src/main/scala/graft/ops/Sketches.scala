@@ -25,15 +25,23 @@ object Sketches {
       factKey: Column,
       dim: DataFrame,
       dimKey: Column,
-      expectedItems: Long = 1000000L,
-      numBits: Long = 8388608L
+      expectedItems: Long = -1L,
+      numBits: Long = -1L
   ): DataFrame = {
+    graft.functions.GraftFunctions.register(facts.sparkSession)
+    // size the filter to the dimension (a saturated bloom prunes nothing but
+    // still costs a probe per fact row): ~10 bits/item ≈ 1% false positives.
+    val items =
+      if (expectedItems > 0) expectedItems else math.max(dim.count(), 1L)
+    val bits =
+      if (numBits > 0) numBits
+      else math.min(math.max(items * 10L, 1L << 16), 1L << 27)
     // `might_contain` requires a CONSTANT bloom binary: aggregate the dim
     // keys into one blob (a single-row action, ~numBits/8 bytes) and inject
     // it as a literal — the same materialize-then-inject shape Spark's own
     // runtime filters use.
     val bloomBytes: Array[Byte] = dim
-      .agg(call_function("graft_bloom_agg", xxhash64(dimKey), lit(expectedItems), lit(numBits))
+      .agg(call_function("graft_bloom_agg", xxhash64(dimKey), lit(items), lit(bits))
         .as("bf"))
       .collect()(0).getAs[Array[Byte]]("bf")
     facts.filter(call_function("graft_might_contain", lit(bloomBytes), xxhash64(factKey)))
@@ -47,12 +55,18 @@ object Sketches {
       facts: DataFrame,
       factKeyName: String,
       dim: DataFrame,
-      dimKeyName: String
+      dimKeyName: String,
+      expectedItems: Long = -1L,
+      numBits: Long = -1L
   ): DataFrame = {
-    val pruned = bloomPrefilter(facts, col(factKeyName), dim, col(dimKeyName))
-    pruned.join(
-      dim.select(col(dimKeyName).as(factKeyName)).distinct(),
-      Seq(factKeyName),
-      "left_semi")
+    val d = dim.persist()
+    val pruned =
+      bloomPrefilter(facts, col(factKeyName), d, col(dimKeyName), expectedItems, numBits)
+    try
+      pruned.join(
+        d.select(col(dimKeyName).as(factKeyName)).distinct(),
+        Seq(factKeyName),
+        "left_semi")
+    finally { d.unpersist(); () }
   }
 }

@@ -51,6 +51,12 @@ object StreamOps {
     * totals emitted on every update (demonstrates arbitrary stateful
     * processing — the escape hatch when window/session built-ins can't
     * express the semantics).
+    *
+    * STATE CAVEAT: running totals are inherently forever-state — one entry
+    * per distinct key, never evicted (NoTimeout). For unbounded key spaces
+    * choose an eviction policy (GroupStateTimeout + state.remove on timeout,
+    * accepting total resets) the way hourlyCounts/dedupEvents bound state by
+    * watermark.
     */
   def runningUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
@@ -95,15 +101,24 @@ object StreamOps {
       .option("checkpointLocation", checkpoint.getOrElse(s"$outRoot/_checkpoint"))
       .outputMode("append")
     writer
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // foreachBatch is at-least-once: a replayed batch must OVERWRITE its
+        // own previous (possibly partial) output, not append a duplicate —
+        // partition by the batch id and dynamic-overwrite exactly it.
         val b = batch.persist()
         try {
-          graft.etl.Silver.clean(b).write.mode("append")
-            .partitionBy("fec_proceso").parquet(s"$outRoot/depurado")
-          // unpartitioned like the batch quarantine: a date partition dir
-          // would come back DATE-typed via inference, breaking all-STRING
-          graft.etl.Silver.quarantine(b).write.mode("append")
-            .parquet(s"$outRoot/obs")
+          graft.etl.Silver.clean(b)
+            .withColumn("_batch_id", org.apache.spark.sql.functions.lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id", "fec_proceso").parquet(s"$outRoot/depurado")
+          // quarantine: batch-id partition only (a date partition dir would
+          // come back DATE-typed via inference, breaking all-STRING)
+          graft.etl.Silver.quarantine(b)
+            .withColumn("_batch_id", org.apache.spark.sql.functions.lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id").parquet(s"$outRoot/obs")
         } finally { b.unpersist(); () }
       }
       .start()
@@ -143,15 +158,21 @@ object StreamOps {
       skew: String = "10 minutes",
       watermark: String = "1 hour"
   ): DataFrame = {
-    val l = left.withWatermark(leftTs, watermark).alias("l")
-    val r = right.withWatermark(rightTs, watermark).alias("r")
+    // de-collide right-side column names that the left also has (key and,
+    // with default args, ts) — duplicate names would make the output
+    // unselectable and unwritable
+    val rTs = if (rightTs == leftTs) rightTs + "_r" else rightTs
+    val rSafe0 = if (rightTs == leftTs) right.withColumnRenamed(rightTs, rTs) else right
+    val rKey = key + "_r"
+    val rSafe = rSafe0.withColumnRenamed(key, rKey)
+    val l = left.withWatermark(leftTs, watermark)
+    val r = rSafe.withWatermark(rTs, watermark)
     l.join(
-      r,
-      col(s"l.$key") === col(s"r.$key") &&
-        col(s"r.$rightTs").between(
-          col(s"l.$leftTs"),
-          col(s"l.$leftTs") + expr(s"INTERVAL $skew")),
-      "inner")
+        r,
+        col(key) === col(rKey) &&
+          col(rTs).between(col(leftTs), col(leftTs) + expr(s"INTERVAL $skew")),
+        "inner")
+      .drop(rKey)
   }
 
   /** Streaming exact dedup: drop re-deliveries of the same `idCol` within the
