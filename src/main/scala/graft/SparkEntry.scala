@@ -606,6 +606,14 @@ object SparkEntry {
         .withColumn("bin",
           floor(coalesce(sum(col("n_tokens")).over(w), lit(0)) / 2048).cast("long"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- text quality: within-document bigram repetition ratio (flags
+    // repetitive boilerplate; exact int counts → deterministic double) ----
+    "q47_bigram_repetition" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.ngramRepetition(col("text"), 2).as("bigram_rep"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -934,6 +942,21 @@ object SparkEntry {
         |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
         |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
         |  FROM documents) x
+        |ORDER BY doc_id""".stripMargin,
+    "q47_bigram_repetition" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(grams) > 0
+        |    THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)::DOUBLE
+        |    ELSE 0.0 END AS bigram_rep
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN toks IS NULL OR len(toks) < 2 THEN []
+        |      ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END AS grams
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |        ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |    FROM documents) y) x
         |ORDER BY doc_id""".stripMargin
   )
 }

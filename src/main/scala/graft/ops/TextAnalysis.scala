@@ -106,6 +106,35 @@ object TextAnalysis {
       .otherwise(lit("und"))
   }
 
+  /** Within-document n-gram repetition: 1 − distinct(n-grams)/total(n-grams).
+    * High values flag the repetitive boilerplate/spam that training pipelines
+    * filter out. Row-local; exact int counts → deterministic double ratio.
+    */
+  def ngramRepetition(text: Column, n: Int = 2): Column = {
+    val toks = tokens(text)
+    // guard size < n explicitly: Spark's sequence(1, 0) counts DOWN and
+    // would fabricate bogus gram indices
+    val grams = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")
+        ))
+    when(size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** PII redaction: mask email addresses, bare URLs, and long digit runs
+    * (phone/account numbers) with type tags. ASCII regexes that RE2 and Java
+    * interpret identically; chained `regexp_replace` — one codegen'd pass.
+    */
+  def redactPII(text: Column): Column = {
+    val email = regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^ \\t\\n\\r]+", "<URL>")
+    regexp_replace(url, "[0-9][0-9 ()+.-]{6,}[0-9]", "<NUMBER>")
+  }
+
   /** Rolling polynomial hash fingerprint: hash every `k`-token window with a
     * Rabin-Karp-style polynomial over per-token 64-bit hashes, keep the
     * minimum (winnowing-lite). Identical token sequences ⇒ identical

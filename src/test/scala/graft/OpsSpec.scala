@@ -100,6 +100,28 @@ class OpsSpec extends SparkTestBase {
     assert(j.filter(col("f0") =!= col("f0b")).count() == 0)
   }
 
+  test("PII redaction masks emails, urls, and digit runs; repetition flags repeats") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact me at alice.smith+x@example.co.uk today"),
+      (2L, "see https://spark.apache.org/docs for info"),
+      (3L, "call +1 (555) 123-4567 now"),
+      (4L, "clean text without secrets"),
+      (5L, "spam spam spam spam spam"),
+      (6L, "one")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextAnalysis.redactPII(col("text")).as("red"),
+      TextAnalysis.ngramRepetition(col("text"), 2).as("rep"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(out(1)._1 == "contact me at <EMAIL> today")
+    assert(out(2)._1 == "see <URL> for info")
+    assert(out(3)._1 == "call +<NUMBER> now")
+    assert(out(4)._1 == "clean text without secrets")
+    assert(out(5)._2 == 0.75, s"4 identical bigrams of 4 -> 0.75, got ${out(5)._2}")
+    assert(out(6)._2 == 0.0, "single token has no bigrams")
+  }
+
   test("as-of join: exact-timestamp match and no-earlier-row NULL") {
     import spark.implicits._
     val left = Seq((1L, 100L, "2024-01-01 10:00:00"), (2L, 100L, "2024-01-01 09:00:00"))
