@@ -27,8 +27,9 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   private val P = 2147483647L // 2^31 - 1, prime
+  // a_i ∈ [1, P-1]: a zero multiplier would make that lane a constant
   private lazy val as: Array[Long] =
-    Array.tabulate(numHashes)(i => java.lang.Math.floorMod(2L * (seed + i) + 1L, P))
+    Array.tabulate(numHashes)(i => java.lang.Math.floorMod(2L * (seed + i) + 1L, P - 1) + 1L)
   private lazy val bs: Array[Long] =
     Array.tabulate(numHashes)(i => java.lang.Math.floorMod(seed * 31L + i * 1000003L, P))
 
@@ -62,11 +63,15 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   */
 case class RandomProjectionBits(child: Expression, planes: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
+  require(planes >= 1 && planes <= 64, s"planes must be in [1, 64], got $planes")
+
   override def dataType: DataType = LongType
 
   // the ±1 sign matrix depends only on (planes, seed, dim) — cache it per
-  // executor instead of recomputing planes×dims hashes on every row
-  @transient private var signs: Array[Array[Boolean]] = _
+  // executor instead of recomputing planes×dims hashes on every row.
+  // @volatile: the reference write publishes the filled arrays to any other
+  // thread evaluating this (deserialized) instance concurrently.
+  @transient @volatile private var signs: Array[Array[Boolean]] = _
 
   private def signMatrix(dims: Int): Array[Array[Boolean]] = {
     if (signs == null || signs(0).length < dims) {

@@ -65,8 +65,10 @@ object Dedup {
   }
 
   /** MinHash signature of a token-set column: `numHashes` independent
-    * min-hashes h_i(S) = min_{t∈S} (a_i·xxhash64(t) + b_i). Row-local
-    * expression tree; a_i/b_i derive deterministically from the seed.
+    * min-hashes h_i(S) = min_{t∈S} ((a_i·(xxh64(t) mod p) + b_i) mod p),
+    * p = 2³¹−1 — the mod-p reduction is what makes the lanes independent
+    * (see graft.functions.MinHashSignature). Row-local native expression;
+    * a_i/b_i derive deterministically from the seed.
     */
   def minHashSignature(tokenSet: Column, numHashes: Int, seed: Long = 42L): Column =
     // native one-pass expression: hash each token once, update all lanes
@@ -89,9 +91,11 @@ object Dedup {
   ): DataFrame =
     minHashCandidatesRaw(docs, idCol, textCol, numHashes, bands, seed).distinct()
 
-  /** Band-collision pairs WITHOUT cross-band dedup — each pair appears once
-    * per colliding band. Callers doing cheap per-pair verification should
-    * consume this directly and dedup after filtering (see [[verifiedNearDups]]).
+  /** Band-collision pairs WITHOUT cross-band dedup — a pair appears once per
+    * colliding band, EXCEPT identical-full-signature pairs which are emitted
+    * from band 0 only (they would collide in every band; see the join
+    * condition). Callers doing cheap per-pair verification consume this
+    * directly and dedup after filtering (see [[verifiedNearDups]]).
     */
   def minHashCandidatesRaw(
       docs: DataFrame,
@@ -156,18 +160,16 @@ object Dedup {
       bands: Int = 8,
       seed: Long = 42L
   ): DataFrame = {
-    // distinct-first: with `bands` bands a colliding pair repeats up to
-    // `bands`× in the raw join output, and the per-pair verify (broadcast
-    // lookup + merge jaccard over ~60 tokens) costs more than the distinct
-    // shuffle of two-long rows — measured 12s vs 33s at sf0.1.
+    // raw band collisions stream straight through the verify: with the
+    // long-merge jaccard at ~0.1µs/pair, piping duplicates through the
+    // pipelined verify is cheaper than a distinct shuffle of the raw pairs,
+    // and the dedup runs on the small verified output instead. (With the
+    // slower UTF8-merge verify the tradeoff pointed the other way — both
+    // were measured: 12s distinct-first vs 33s raw with UTF8 merges, then
+    // 9.8s raw vs 10.9s distinct-first with long merges.)
     // At corpus sizes where the token-set table outgrows broadcast, flip the
     // attach joins to shuffle joins bucketed on id — candidate generation is
     // unchanged.
-    // raw band collisions (a pair repeats once per colliding band): with the
-    // long-merge verify at ~0.1µs/pair, streaming duplicates through the
-    // pipelined verify is cheaper than a distinct shuffle of the raw pairs;
-    // the dedup runs on the small verified output instead. (With the slower
-    // UTF8-merge verify the tradeoff pointed the other way — measured both.)
     val cands = minHashCandidatesRaw(docs, idCol, textCol, numHashes, bands, seed)
     // verify on sorted per-token 64-bit hashes (equal to string jaccard up to
     // negligible xxh64 collisions): long merges are ~10× cheaper than UTF8
