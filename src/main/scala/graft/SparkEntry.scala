@@ -15,7 +15,10 @@ import graft.ops.{Dedup, Multimodal, Relational, RuleEngine, Similarity, TextAna
   *     sides (decimal addition is exact and order-independent — double sums
   *     are not, and Spark/DuckDB would disagree in the last ulp);
   *   - final aggregates get an explicit matching CAST so Spark and DuckDB
-  *     report identical decimal scales;
+  *     report identical decimal scales; final decimal precision stays ≤ 18 so
+  *     BOTH engines write INT64-backed parquet decimals (precision > 18 makes
+  *     Spark emit FIXED_LEN_BYTE_ARRAY(16) vs DuckDB INT128, and the driver's
+  *     hash is sensitive to that physical encoding — r1 lesson);
   *   - window/top-k queries always carry a unique tie-breaker column in the
   *     ordering so results are total-ordered and engine-independent.
   */
@@ -58,10 +61,10 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(d2)).cast(DecimalType(38, 2)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(d2)).cast(DecimalType(38, 2)).as("sum_base_price"),
+          sum(col("l_quantity").cast(d2)).cast(DecimalType(18, 2)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(d2)).cast(DecimalType(18, 2)).as("sum_base_price"),
           sum(col("l_extendedprice").cast(d2) * (lit(1).cast(d2) - col("l_discount").cast(d2)))
-            .cast(DecimalType(38, 4)).as("sum_disc_price"),
+            .cast(DecimalType(18, 4)).as("sum_disc_price"),
           count(lit(1)).as("count_order")
         )
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -76,7 +79,7 @@ object SparkEntry {
         .groupBy(col("p_brand"))
         .agg(
           sum(col("l_extendedprice").cast(d2) * (lit(1).cast(d2) - col("l_discount").cast(d2)))
-            .cast(DecimalType(38, 4)).as("revenue"),
+            .cast(DecimalType(18, 4)).as("revenue"),
           count(lit(1)).as("n_items")
         )
         .orderBy(col("p_brand"))
@@ -94,7 +97,7 @@ object SparkEntry {
         .filter(col("r_name") === "ASIA")
         .groupBy(col("n_name"))
         .agg(
-          sum(col("o_totalprice").cast(d2)).cast(DecimalType(38, 2)).as("revenue"),
+          sum(col("o_totalprice").cast(d2)).cast(DecimalType(18, 2)).as("revenue"),
           count(lit(1)).as("n_orders")
         )
         .orderBy(col("n_name"))
@@ -126,7 +129,7 @@ object SparkEntry {
         .filter(col("l_quantity") < 24 && col("l_discount").between(0.02, 0.06))
         .agg(
           sum(col("l_extendedprice").cast(d2) * col("l_discount").cast(d2))
-            .cast(DecimalType(38, 4)).as("revenue"),
+            .cast(DecimalType(18, 4)).as("revenue"),
           count(lit(1)).as("n_rows")
         )
     }),
@@ -151,7 +154,7 @@ object SparkEntry {
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       t(s, dir, "lineitem")
-        .withColumn("run_qty", sum(col("l_quantity").cast(d2)).over(w).cast(DecimalType(38, 2)))
+        .withColumn("run_qty", sum(col("l_quantity").cast(d2)).over(w).cast(DecimalType(18, 2)))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("run_qty"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
@@ -161,7 +164,7 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(d2)).cast(DecimalType(38, 2)).as("sum_qty"),
+          sum(col("l_quantity").cast(d2)).cast(DecimalType(18, 2)).as("sum_qty"),
           count(lit(1)).as("n_rows")
         )
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
@@ -211,7 +214,7 @@ object SparkEntry {
         .groupBy(col("bin_name"))
         .agg(
           count(lit(1)).as("n_parts"),
-          sum(col("p_retailprice").cast(d2)).cast(DecimalType(38, 2)).as("sum_price")
+          sum(col("p_retailprice").cast(d2)).cast(DecimalType(18, 2)).as("sum_price")
         )
         .orderBy(col("bin_name"))
     }),
@@ -255,7 +258,7 @@ object SparkEntry {
           col("l_orderkey"),
           col("l_linenumber"),
           when(factor.isNotNull && qtyD.isNotNull && qtyD > 0, round(qtyD * factor.cast(d2), 2))
-            .otherwise(lit(null)).cast(DecimalType(21, 2)).as("cant_unidades"),
+            .otherwise(lit(null)).cast(DecimalType(18, 2)).as("cant_unidades"),
           when(factor.isNotNull && col("l_quantity") > 0 && col("l_extendedprice").isNotNull,
             col("l_extendedprice") / (col("l_quantity") * factor))
             .otherwise(lit(null)).as("precio_unitario")
@@ -281,7 +284,7 @@ object SparkEntry {
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
-          sum(col("value").cast(d2)).cast(DecimalType(38, 2)).as("sum_value")
+          sum(col("value").cast(d2)).cast(DecimalType(18, 2)).as("sum_value")
         )
         .select(col("w.start").as("hour_start"), col("event_type"), col("n_events"), col("sum_value"))
         .orderBy(col("hour_start"), col("event_type"))
@@ -484,7 +487,7 @@ object SparkEntry {
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(d2)).cast(DecimalType(38, 2)).as("sum_price")
+          sum(col("o_totalprice").cast(d2)).cast(DecimalType(18, 2)).as("sum_price")
         )
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
@@ -505,7 +508,7 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .pivot("l_linestatus", Seq("F", "O"))
-        .agg(sum(col("l_quantity").cast(d2)).cast(DecimalType(38, 2)))
+        .agg(sum(col("l_quantity").cast(d2)).cast(DecimalType(18, 2)))
         .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
         .orderBy(col("l_returnflag"))
     }),
@@ -624,21 +627,21 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_brand_revenue" ->
       """SELECT p_brand,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q03_nation_revenue" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
         |  COUNT(*) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
@@ -658,7 +661,7 @@ object SparkEntry {
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q06_revenue_slice" ->
       """SELECT
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue,
         |  COUNT(*) AS n_rows
         |FROM lineitem
         |WHERE l_quantity < 24 AND l_discount BETWEEN 0.02 AND 0.06""".stripMargin,
@@ -672,11 +675,11 @@ object SparkEntry {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
         |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS run_qty
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_qty
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "q09_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
@@ -696,7 +699,7 @@ object SparkEntry {
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     "q13_price_bins" ->
       """SELECT bin_name, COUNT(*) AS n_parts,
-        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
         |FROM part JOIN (VALUES
         |  ('b1_900_925', 900.0, 925.0), ('b2_925_950', 925.0, 950.0),
         |  ('b3_950_975', 950.0, 975.0), ('b4_975_1000', 975.0, 1000.0)
@@ -728,7 +731,7 @@ object SparkEntry {
     "q16_unit_conversion" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(CASE WHEN f IS NOT NULL AND q IS NOT NULL AND q > 0
-        |    THEN ROUND(q * CAST(f AS DECIMAL(18,2)), 2) END AS DECIMAL(21,2)) AS cant_unidades,
+        |    THEN ROUND(q * CAST(f AS DECIMAL(18,2)), 2) END AS DECIMAL(18,2)) AS cant_unidades,
         |  CASE WHEN f IS NOT NULL AND l_quantity > 0 AND l_extendedprice IS NOT NULL
         |    THEN l_extendedprice / (l_quantity * f) END AS precio_unitario
         |FROM (
@@ -750,7 +753,7 @@ object SparkEntry {
     "q18_hourly_events" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q19_token_stats" ->
       """SELECT doc_id,
@@ -878,7 +881,7 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "q37_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q38_median" ->
@@ -888,8 +891,8 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q39_pivot" ->
       """SELECT l_returnflag,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS DECIMAL(38,2)) AS qty_f,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS DECIMAL(38,2)) AS qty_o
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS DECIMAL(18,2)) AS qty_f,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS DECIMAL(18,2)) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q40_sql_surface" ->
       """SELECT c_mktsegment, COUNT(*) AS n_above_avg

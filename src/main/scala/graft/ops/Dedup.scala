@@ -125,6 +125,11 @@ object Dedup {
     // pairs with IDENTICAL full signatures collide in every band; emitting
     // them from band 0 only removes a bands× blowup for duplicate cliques
     // (recall unchanged — band-0 collision is guaranteed for equal sigs).
+    // Caveat: equality is tested on fsig = xxhash64(sig), so two DIFFERENT
+    // signatures colliding in fsig (~2^-64 per pair) would be suppressed
+    // outside band 0; comparing sig directly would shuffle the full
+    // signature arrays — not worth it for a 2^-64 candidate-recall risk in
+    // an approximate stage that feeds an exact verify anyway.
     banded.as("x")
       .join(
         banded.as("y"),

@@ -59,14 +59,14 @@ object Sketches {
       expectedItems: Long = -1L,
       numBits: Long = -1L
   ): DataFrame = {
-    val d = dim.persist()
+    // dim is scanned twice (bloom-build collect + the semi join) — each scan
+    // reads it exactly once, so no persist here; callers who pass an expensive
+    // dim plan should persist it around the returned frame's action themselves.
     val pruned =
-      bloomPrefilter(facts, col(factKeyName), d, col(dimKeyName), expectedItems, numBits)
-    try
-      pruned.join(
-        d.select(col(dimKeyName).as(factKeyName)).distinct(),
-        Seq(factKeyName),
-        "left_semi")
-    finally { d.unpersist(); () }
+      bloomPrefilter(facts, col(factKeyName), dim, col(dimKeyName), expectedItems, numBits)
+    pruned.join(
+      dim.select(col(dimKeyName).as(factKeyName)).distinct(),
+      Seq(factKeyName),
+      "left_semi")
   }
 }
