@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_projbits"),
       info("graft_projbits", "random-hyperplane sign bits of a long vector"),
       SketchFunctions.projBitsBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "one-pass 64-bit simhash of a string array"),
+      SketchFunctions.simHashBuilder))
     e.injectOptimizerRule(_ => SimplifySelfSimilarity)
   }
 }

@@ -110,6 +110,48 @@ case class RandomProjectionBits(child: Expression, planes: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** 64-bit SimHash of a string-array token bag in one pass: per token
+  * occurrence, bit i votes +1/−1 by bit i of xxh64(token, seed=42); output
+  * bit i is set iff its vote sum is strictly positive. Exactly matches the
+  * `aggregate`/`zip_with` HOF form it replaces (xxhash64 SQL seed, bag
+  * semantics, NULL token → the seed's own bit pattern votes) at ~64 tokens ×
+  * 64 bits fewer interpreted lambda dispatches per row.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < n) {
+      // Spark's xxhash64(NULL) leaves the accumulator at the seed — a NULL
+      // token therefore votes with the seed's own bit pattern, replicated here
+      val h =
+        if (arr.isNullAt(t)) 42L
+        else {
+          val s = arr.getUTF8String(t)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        }
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object SketchFunctions {
 
   /** Expression builders shared by the runtime-registry and
@@ -119,6 +161,8 @@ object SketchFunctions {
     exprs => MinHashSignature(exprs(0), intLit(exprs(1), "numHashes"), longLit(exprs(2), "seed"))
   val projBitsBuilder: Seq[Expression] => Expression =
     exprs => RandomProjectionBits(exprs(0), intLit(exprs(1), "planes"), longLit(exprs(2), "seed"))
+  val simHashBuilder: Seq[Expression] => Expression =
+    exprs => SimHash64(exprs(0))
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
@@ -135,5 +179,6 @@ object SketchFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_minhash", minHashBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_projbits", projBitsBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash", simHashBuilder, "built-in")
   }
 }

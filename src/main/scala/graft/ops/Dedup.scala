@@ -56,7 +56,9 @@ object Dedup {
       .filter(col(idCol) < maxId)
       .select(col(idCol).as("id"),
         array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))).as("ws"))
-    val a = ws.select(col("id").as("id_a"), col("ws").as("ws_a"))
+    // stream side spread across the cluster: the testdata parquet is a single
+    // split, and the O(n²) merge-loop work below must not run on one core
+    val a = ws.repartition(col("id")).select(col("id").as("id_a"), col("ws").as("ws_a"))
     val b = ws.select(col("id").as("id_b"), col("ws").as("ws_b"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("jaccard", call_function("graft_sorted_jaccard", col("ws_a"), col("ws_b")))
@@ -107,7 +109,10 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val rowsPerBand = numHashes / bands
-    val sig = docs.select(
+    // spread BEFORE the signature projection: minhashing is tokens×lanes work
+    // per row and the testdata parquet arrives as a single split — without
+    // the repartition the whole signature pass runs on one core
+    val sig = docs.repartition(col(idCol)).select(
       col(idCol).as("id"),
       minHashSignature(array_distinct(TextAnalysis.tokens(col(textCol))), numHashes, seed)
         .as("sig")
@@ -198,23 +203,11 @@ object Dedup {
     * row-local; near-identical bags differ in few bits (compare with
     * [[hammingDistance]]).
     */
-  def simHash(tokens: Column): Column = {
-    val votes = aggregate(
-      tokens,
-      array_repeat(lit(0), 64),
-      (acc, t) =>
-        zip_with(
-          acc,
-          array((0 until 64).map(i =>
-            when(shiftright(xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, lit(1))
-              .otherwise(lit(-1))): _*),
-          (a, v) => a + v
-        )
-    )
-    (0 until 64)
-      .map(i => when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simHash(tokens: Column): Column =
+    // native one-pass expression (graft.functions.SimHash64) — the
+    // equivalent aggregate/zip_with HOF form dispatches tokens×64 interpreted
+    // lambdas per row and measured ~20× slower at sf0.1
+    call_function("graft_simhash", tokens)
 
   /** Hamming distance between two 64-bit sketches. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
