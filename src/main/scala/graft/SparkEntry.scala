@@ -620,6 +620,105 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.ngramRepetition(col("text"), 2).as("bigram_rep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- full outer join: daily order starts vs daily shipments (both
+    // sides pre-aggregated, so the outer join is tiny-on-tiny) ----
+    "q48_outer_join" -> ((s, dir) => {
+      val od = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n_orders"))
+      val ld = t(s, dir, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(count(lit(1)).as("n_ships"))
+      od.join(ld, Seq("d"), "full_outer")
+        .select(col("d"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_ships"), lit(0L)).as("n_ships"))
+        .orderBy(col("d"))
+    }),
+
+    // ---- corpus vocabulary: explode tokens → global term + document
+    // frequencies (the base table every TF-IDF / filtering pass needs;
+    // one shuffle on the token key, count-distinct via partial aggs) ----
+    "q49_vocabulary" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("token"))
+    }),
+
+    // ---- edit-distance near-dup pairs on 64-char prefixes (bounded id
+    // range; the built-in codegen'd levenshtein on both engines) ----
+    "q50_edit_distance" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), substring(col("text"), 1, 64).as("prefix"))
+      val a = d.repartition(col("doc_id"))
+        .select(col("doc_id").as("id_a"), col("prefix").as("prefix_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("prefix").as("prefix_b"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("prefix_a"), col("prefix_b")).as("edit_dist"))
+        .filter(col("edit_dist") <= 20)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- TF-IDF-ordered top terms per document: rank by (tf desc, df asc,
+    // term asc) — idf is monotone-decreasing in df, so the ordering equals
+    // the tf·idf ordering while staying in exact integers (engine-safe;
+    // a float log() would be libm-dependent) ----
+    "q51_tfidf_topterms" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+      tf.join(df, "token")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // ---- sliding (hopping) time windows: 1-hour windows every 30 minutes —
+    // each event lands in exactly 2 windows (Expand, then one shuffle) ----
+    "q52_sliding_windows" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("win_start"), col("event_type"), col("n_events"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // ---- grouped array aggregation: per language, the sorted distinct
+    // source list (bounded dictionary ⇒ safe collect_set at any scale) ----
+    "q53_collect_sources" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          sort_array(collect_set(col("source"))).as("sources"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- explicit GROUPING SETS (neither rollup nor cube) + grouping()
+    // through the SQL surface ----
+    "q54_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("v_orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+          |  COUNT(*) AS n_orders
+          |FROM v_orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |                        (o_orderstatus), (o_orderpriority))
+          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+          |         g_status, g_prio""".stripMargin)
     })
   )
 
@@ -949,6 +1048,67 @@ object SparkEntry {
         |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
         |  FROM documents) x
         |ORDER BY doc_id""".stripMargin,
+    "q48_outer_join" ->
+      """SELECT COALESCE(o.d, l.d) AS d,
+        |  COALESCE(o.n_orders, 0) AS n_orders,
+        |  COALESCE(l.n_ships, 0) AS n_ships
+        |FROM (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+        |      FROM orders GROUP BY 1) o
+        |FULL JOIN (SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS n_ships
+        |           FROM lineitem GROUP BY 1) l ON o.d = l.d
+        |ORDER BY d""".stripMargin,
+    "q49_vocabulary" ->
+      """SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS token
+        |  FROM documents) x
+        |GROUP BY token ORDER BY token""".stripMargin,
+    "q50_edit_distance" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) AS edit_dist
+        |FROM (SELECT doc_id, text FROM documents WHERE doc_id < 300) a
+        |JOIN (SELECT doc_id, text FROM documents WHERE doc_id < 300) b
+        |  ON a.doc_id < b.doc_id
+        |WHERE levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) <= 20
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q51_tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE string_split_regex(trim(text), '\s+') END) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+        |SELECT doc_id, token, tf, df, rank FROM (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rank
+        |  FROM tf JOIN df ON tf.token = df.token) x
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    "q52_sliding_windows" ->
+      """SELECT win_start, event_type, COUNT(*) AS n_events FROM (
+        |  SELECT unnest([
+        |      time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+        |      time_bucket(INTERVAL '30 minutes', ts)]) AS win_start,
+        |    event_type
+        |  FROM events) x
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q53_collect_sources" ->
+      """SELECT lang,
+        |  list_sort(list_distinct(array_agg(source))) AS sources,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q54_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+        |         g_status, g_prio""".stripMargin,
     "q47_bigram_repetition" ->
       """SELECT doc_id,
         |  CASE WHEN len(grams) > 0
