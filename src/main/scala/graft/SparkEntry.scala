@@ -622,6 +622,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- similarity: IVF approximate NN — deterministic integer k-means
+    // coarse quantizer, probe the 8 nearest of 32 cells (rows-only; recall
+    // vs brute force asserted in tests; the clustered-data scale path
+    // complementing q29's data-independent LSH) ----
+    "q55_ann_ivf" -> ((s, dir) => {
+      Similarity
+        .ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
+          nlist = 32, nprobe = 8, iters = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- full outer join: daily order starts vs daily shipments (both
     // sides pre-aggregated, so the outer join is tiny-on-tiny) ----
     "q48_outer_join" -> ((s, dir) => {

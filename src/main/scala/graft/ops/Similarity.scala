@@ -192,4 +192,113 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  /** IVF (inverted-file) approximate nearest neighbors — the scale path for
+    * CLUSTERED embedding spaces, complementing the data-independent LSH of
+    * [[annTopK]]: a spherical k-means coarse quantizer partitions the corpus
+    * into `nlist` cells; each query scores only the members of its `nprobe`
+    * closest cells, so scored pairs ≈ n²·nprobe/nlist instead of n².
+    *
+    * Determinism by construction (same rules as the rest of this module):
+    * centroid seeds are the `nlist` vectors with the smallest xxhash64(id);
+    * Lloyd updates use exact integer component sums (order-independent,
+    * unlike float accumulation) with floor division; assignments break
+    * cosine ties by cell id. Identical inputs give identical centroids on
+    * any partitioning or cluster size.
+    *
+    * The per-iteration centroid collect is nlist×dims longs — index-build
+    * metadata, same shape Spark's own runtime filters materialize. At corpus
+    * scale, fit the quantizer on a deterministic sample (hash-order limit)
+    * and assign the full corpus once.
+    */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nlist: Int = 32,
+      nprobe: Int = 8,
+      iters: Int = 2,
+      probeFilter: Column = lit(true)
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = spread(withFixed(df, idCol, embCol), col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // deterministic seeds: smallest nlist by (xxhash64(id), id)
+      var cents: Array[(Int, Array[Long])] = v
+        .select(col("id"), col("iv"))
+        .orderBy(xxhash64(col("id")), col("id"))
+        .limit(nlist)
+        .collect()
+        .zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Long](1).toArray) }
+
+      def centDf(cs: Array[(Int, Array[Long])]): DataFrame =
+        cs.map { case (c, arr) => (c, arr) }.toSeq.toDF("cell", "civ")
+          .withColumn("cnrm", sqNorm(col("civ")))
+
+      def assign(cs: Array[(Int, Array[Long])]): DataFrame = {
+        val scoredCells = v
+          .crossJoin(broadcast(centDf(cs)))
+          .withColumn("ccos", cosineFromFixed(dot(col("iv"), col("civ")), col("nrm"), col("cnrm")))
+        val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cell").asc)
+        scoredCells
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("id"), col("cell"), col("iv"), col("nrm"))
+      }
+
+      var it = 0
+      while (it < iters) {
+        val sums = assign(cents)
+          .select(col("cell"), posexplode(col("iv")).as(Seq("pos", "x")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+          .collect()
+        val byCell = sums.groupBy(_.getInt(0))
+        cents = cents.map { case (c, old) =>
+          byCell.get(c) match {
+            case Some(rows) =>
+              val arr = old.clone()
+              rows.foreach { r =>
+                arr(r.getInt(1)) = java.lang.Math.floorDiv(r.getLong(2), r.getLong(3))
+              }
+              (c, arr)
+            case None => (c, old) // empty cell keeps its centroid
+          }
+        }
+        it += 1
+      }
+
+      val members = assign(cents)
+      // each vector as query: rank cells, probe the top nprobe
+      val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell").asc)
+      val probes = v
+        .select(col("id").as("qid"), col("iv").as("qiv"), col("nrm").as("qnrm"))
+        .filter(probeFilter)
+        .crossJoin(broadcast(centDf(cents)))
+        .withColumn("ccos", cosineFromFixed(dot(col("qiv"), col("civ")), col("qnrm"), col("cnrm")))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= nprobe)
+        .select(col("qid"), col("cell"), col("qiv"), col("qnrm"))
+      val scored = probes
+        .join(members, "cell")
+        .filter(col("qid") =!= col("id"))
+        .withColumn("dot", dot(col("qiv"), col("iv")))
+        .withColumn("cosine", cosineFromFixed(col("dot"), col("qnrm"), col("nrm")))
+      val wk = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
+      scored
+        .withColumn("rank", row_number().over(wk))
+        .filter(col("rank") <= k)
+        .select(col("qid").as("query_id"), col("id").as("neighbor_id"), col("cosine"), col("rank"))
+    } finally {
+      // the cache served the 2·iters+1 eager collect/assign passes above;
+      // the RETURNED plan recomputes v from source once (a cheap projection)
+      // rather than holding cached blocks past this call
+      v.unpersist()
+      ()
+    }
+  }
 }

@@ -84,6 +84,29 @@ class OpsSpec extends SparkTestBase {
     assert(hit.toDouble / total > 0.5, s"ANN recall collapsed: $hit/$total")
   }
 
+  test("ann IVF top-k: deterministic centroids; recall vs brute force is reasonable") {
+    val emb = Tables(spark, sf(), "embeddings")
+    val brute = Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = Similarity
+      .ivfTopK(emb, "vec_id", "embedding", k = 5, nlist = 32, nprobe = 8, iters = 2)
+    // every vector produces a full top-k (no query starved by cell pruning)
+    assert(ivf.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
+    val hit = ivf.filter(col("query_id") < 50).select(col("query_id"), col("neighbor_id"))
+      .join(brute, Seq("query_id", "neighbor_id")).count()
+    val total = brute.count()
+    // integer-arithmetic centroids are run-deterministic; on these
+    // near-random vectors nprobe/nlist = 1/4 of cells still finds ≈2/3 of
+    // true neighbors (measured 0.67 at sf0.01)
+    assert(total == 250)
+    assert(hit.toDouble / total > 0.4, s"IVF recall collapsed: $hit/$total")
+    // determinism across runs: identical output
+    val again = Similarity
+      .ivfTopK(emb, "vec_id", "embedding", k = 5, nlist = 32, nprobe = 8, iters = 2)
+    assert(ivf.exceptAll(again).count() == 0 && again.exceptAll(ivf).count() == 0)
+  }
+
   test("multimodal decode stub: schema, determinism, per-partition batching") {
     val withBin = docs.limit(50)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
