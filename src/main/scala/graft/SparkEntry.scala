@@ -716,6 +716,50 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- cross-document boilerplate mining: 3-gram shingles appearing in
+    // ≥5 distinct documents (the "remove repeated template text" pass of a
+    // corpus pipeline; explode → one shuffle on the gram key) ----
+    "q56_boilerplate_ngrams" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.ngrams(col("text"), 3)).as("gram"))
+        .groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+        .filter(col("df") >= 5)
+        .orderBy(col("gram"))
+    }),
+
+    // ---- benchmark-contamination check: training docs sharing any 3-gram
+    // with the held-out set (deterministic doc_id%50 split); per-doc count
+    // of distinct shared shingles. The dedup-before-join keeps the shuffle
+    // at distinct (doc, gram) pairs. ----
+    "q57_contamination" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.ngrams(col("text"), 3)).as("gram"))
+      val bench = grams.filter(col("doc_id") % 50 === 0)
+        .select(col("gram")).distinct()
+      grams.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), col("gram")).distinct()
+        .join(bench, "gram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared_grams"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- duplicate-cluster labeling: connected components (iterative
+    // min-label propagation) over the exact-Jaccard near-dup pairs — the
+    // transitive-closure step that turns pairs into dedup groups. Oracle:
+    // DuckDB recursive CTE. ----
+    "q58_dup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nodes = docs.filter(col("doc_id") < 1000).select(col("doc_id"))
+      val edges = Dedup
+        .jaccardPairs(docs, "doc_id", "text", threshold = 0.9, maxId = 1000L)
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(nodes, edges)
+        .select(col("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- explicit GROUPING SETS (neither rollup nor cube) + grouping()
     // through the SQL surface ----
     "q54_grouping_sets" -> ((s, dir) => {
@@ -1110,6 +1154,53 @@ object SparkEntry {
         |  list_sort(list_distinct(array_agg(source))) AS sources,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q56_boilerplate_ngrams" ->
+      """SELECT gram, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf FROM (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN []
+        |    ELSE list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS gram
+        |  FROM (SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |    FROM documents) y) x
+        |GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 5
+        |ORDER BY gram""".stripMargin,
+    "q57_contamination" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN []
+        |    ELSE list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS gram
+        |  FROM (SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |    FROM documents) y)
+        |SELECT doc_id, COUNT(*) AS n_shared_grams FROM (
+        |  SELECT DISTINCT t.doc_id, t.gram
+        |  FROM g t JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0) b
+        |    ON t.gram = b.gram
+        |  WHERE t.doc_id % 50 <> 0) x
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q58_dup_clusters" ->
+      """WITH RECURSIVE
+        |ws AS (
+        |  SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |    ELSE list_distinct(string_split_regex(trim(text), '\s+')) END AS ws
+        |  FROM documents WHERE doc_id < 1000),
+        |edges AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+        |  WHERE (CASE WHEN len(list_distinct(list_concat(a.ws, b.ws))) = 0 THEN 1.0
+        |    ELSE len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |      len(list_distinct(list_concat(a.ws, b.ws)))::DOUBLE END) >= 0.9),
+        |sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM edges
+        |  UNION ALL SELECT id_b, id_a FROM edges),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM ws
+        |  UNION
+        |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src)
+        |SELECT a AS doc_id, MIN(b) AS component FROM reach
+        |GROUP BY a ORDER BY doc_id""".stripMargin,
     "q54_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,

@@ -211,4 +211,59 @@ object Dedup {
 
   /** Hamming distance between two 64-bit sketches. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Connected components by iterative min-label propagation: every node
+    * starts labeled with its own id; each round a node takes the minimum of
+    * its label and its neighbors' labels, until a fixpoint. The component
+    * label is therefore the component's minimum node id — deterministic on
+    * any engine, partitioning, or iteration schedule (min is idempotent,
+    * commutative, associative).
+    *
+    * This is the step after near-dup PAIR detection in a dedup pipeline:
+    * pairs only say "a≈b"; choosing one survivor per duplicate GROUP needs
+    * the transitive closure. Each round is one shuffle (join on dst + groupBy
+    * id); rounds needed = component diameter, which for near-dup cliques is
+    * 1–2. The per-round convergence check is a driver-side count action —
+    * index-build-style control flow, same as [[graft.ops.Similarity.ivfTopK]].
+    * (At web scale swap in large-star/small-star [Kiveris et al.] for
+    * path-shaped graphs; the API stays the same.)
+    *
+    * @param nodes single-column frame of node ids (isolated nodes keep their
+    *              own id as component)
+    * @param edges two-column frame (id_a, id_b), undirected
+    * @return the fixpoint labeling (id, component) — returned STILL
+    *         PERSISTED (recomputing it lazily would replay every iteration);
+    *         callers owning the lifecycle should `.unpersist()` when done
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val idName = nodes.columns.head
+    val Seq(aName, bName) = edges.columns.take(2).toSeq
+    val sym = edges
+      .select(col(aName).as("src"), col(bName).as("dst"))
+      .unionAll(edges.select(col(bName).as("src"), col(aName).as("dst")))
+    var labels = nodes.select(col(idName).as("id"), col(idName).as("component"))
+      .repartition(col("id")).persist()
+    labels.count()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbr = sym
+        .join(labels, sym("dst") === labels("id"))
+        .select(col("src").as("id"), col("component"))
+      val next = labels.select(col("id"), col("component"))
+        .unionAll(nbr)
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"))
+        .persist()
+      val changed = next.as("n")
+        .join(labels.as("o"), "id")
+        .filter(col("n.component") =!= col("o.component"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels.select(col("id").as(idName), col("component"))
+  }
 }

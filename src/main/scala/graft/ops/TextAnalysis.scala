@@ -110,16 +110,24 @@ object TextAnalysis {
     * High values flag the repetitive boilerplate/spam that training pipelines
     * filter out. Row-local; exact int counts → deterministic double ratio.
     */
-  def ngramRepetition(text: Column, n: Int = 2): Column = {
+  /** Space-joined token n-grams of a text column (empty array when the text
+    * has fewer than n tokens). The shared shingle primitive for repetition
+    * scoring, cross-document boilerplate mining, and contamination checks.
+    */
+  def ngrams(text: Column, n: Int): Column = {
     val toks = tokens(text)
     // guard size < n explicitly: Spark's sequence(1, 0) counts DOWN and
     // would fabricate bogus gram indices
-    val grams = when(size(toks) < n, array().cast("array<string>"))
+    when(size(toks) < n, array().cast("array<string>"))
       .otherwise(
         transform(
           sequence(lit(1), size(toks) - (n - 1)),
           i => array_join(slice(toks, i, lit(n)), " ")
         ))
+  }
+
+  def ngramRepetition(text: Column, n: Int = 2): Column = {
+    val grams = ngrams(text, n)
     when(size(grams) > 0,
       lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
       .otherwise(lit(0.0))

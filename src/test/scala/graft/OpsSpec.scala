@@ -107,6 +107,19 @@ class OpsSpec extends SparkTestBase {
     assert(ivf.exceptAll(again).count() == 0 && again.exceptAll(ivf).count() == 0)
   }
 
+  test("connected components: path, clique, and isolated nodes label by min id") {
+    import spark.implicits._
+    val nodes = (1L to 8L).toDF("id")
+    // path 1-2-3-4 (diameter 3 forces multiple propagation rounds),
+    // clique {5,6,7}, isolated 8
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L), (5L, 7L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L))
+  }
+
   test("multimodal decode stub: schema, determinism, per-partition batching") {
     val withBin = docs.limit(50)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
