@@ -721,6 +721,7 @@ object SparkEntry {
     // corpus pipeline; explode → one shuffle on the gram key) ----
     "q56_boilerplate_ngrams" -> ((s, dir) => {
       t(s, dir, "documents")
+        .repartition(col("doc_id")) // spread the single-split scan before the per-row gram transform
         .select(col("doc_id"), explode(TextAnalysis.ngrams(col("text"), 3)).as("gram"))
         .groupBy(col("gram"))
         .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
@@ -734,6 +735,7 @@ object SparkEntry {
     // at distinct (doc, gram) pairs. ----
     "q57_contamination" -> ((s, dir) => {
       val grams = t(s, dir, "documents")
+        .repartition(col("doc_id")) // spread the single-split scan; gram stream is consumed twice
         .select(col("doc_id"), explode(TextAnalysis.ngrams(col("text"), 3)).as("gram"))
       val bench = grams.filter(col("doc_id") % 50 === 0)
         .select(col("gram")).distinct()
@@ -747,15 +749,29 @@ object SparkEntry {
 
     // ---- duplicate-cluster labeling: connected components (iterative
     // min-label propagation) over the exact-Jaccard near-dup pairs — the
-    // transitive-closure step that turns pairs into dedup groups. Oracle:
-    // DuckDB recursive CTE. ----
+    // transitive-closure step that turns pairs into dedup groups. Exact
+    // word-set duplicates collapse to one representative FIRST (a jaccard-1.0
+    // clique of m docs is 1 node instead of m²/2 edges, and the all-pairs
+    // scan shrinks quadratically); members then inherit their rep's label.
+    // Identical output (rep = group min id, so component minima agree) at a
+    // fraction of the edge volume. Oracle: DuckDB recursive CTE over the raw
+    // pair graph. ----
     "q58_dup_clusters" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val nodes = docs.filter(col("doc_id") < 1000).select(col("doc_id"))
+      val base = t(s, dir, "documents")
+        .filter(col("doc_id") < 1000)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), Dedup.wordSetSignature(col("text")).as("sig"), col("text"))
+      val reps = base
+        .groupBy(col("sig"))
+        .agg(min(col("doc_id")).as("rep"), min_by(col("text"), col("doc_id")).as("text"))
       val edges = Dedup
-        .jaccardPairs(docs, "doc_id", "text", threshold = 0.9, maxId = 1000L)
+        .jaccardPairs(reps.select(col("rep").as("doc_id"), col("text")),
+          "doc_id", "text", threshold = 0.9, maxId = 1000L)
         .select(col("id_a"), col("id_b"))
-      Dedup.connectedComponents(nodes, edges)
+      val cc = Dedup.connectedComponents(reps.select(col("rep")), edges)
+      base.select(col("doc_id"), col("sig"))
+        .join(reps.select(col("sig"), col("rep")), "sig")
+        .join(cc, "rep")
         .select(col("doc_id"), col("component"))
         .orderBy(col("doc_id"))
     }),

@@ -231,39 +231,52 @@ object Dedup {
     * @param nodes single-column frame of node ids (isolated nodes keep their
     *              own id as component)
     * @param edges two-column frame (id_a, id_b), undirected
-    * @return the fixpoint labeling (id, component) — returned STILL
-    *         PERSISTED (recomputing it lazily would replay every iteration);
-    *         callers owning the lifecycle should `.unpersist()` when done
+    * @return the fixpoint labeling (id, component), backed by the final
+    *         round's local checkpoint (materialized — reading it does not
+    *         replay the iterations; blocks are freed with the RDD by the
+    *         context cleaner)
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIters: Int = 20): DataFrame = {
     val idName = nodes.columns.head
     val Seq(aName, bName) = edges.columns.take(2).toSeq
+    // materialize the edge list once: it is re-joined EVERY round, and the
+    // caller's edge plan is typically expensive (e.g. an O(n²) similarity
+    // scan) — without the persist each iteration would replay it from source
     val sym = edges
       .select(col(aName).as("src"), col(bName).as("dst"))
       .unionAll(edges.select(col(bName).as("src"), col(aName).as("dst")))
+      .repartition(col("dst"))
+      .persist()
+    sym.count()
+    // localCheckpoint each round: the recurrence references `labels` TWICE
+    // (self ∪ neighbor-propagated), so without lineage truncation the logical
+    // plan doubles per round — exponential driver-side analysis cost and an
+    // eventual OOM. Checkpointing pins each round's result as a LogicalRDD:
+    // constant plan size, constant round cost.
     var labels = nodes.select(col(idName).as("id"), col(idName).as("component"))
-      .repartition(col("id")).persist()
-    labels.count()
-    var converged = false
-    var it = 0
-    while (!converged && it < maxIters) {
-      val nbr = sym
-        .join(labels, sym("dst") === labels("id"))
-        .select(col("src").as("id"), col("component"))
-      val next = labels.select(col("id"), col("component"))
-        .unionAll(nbr)
-        .groupBy(col("id"))
-        .agg(min(col("component")).as("component"))
-        .persist()
-      val changed = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.component") =!= col("o.component"))
-        .count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      it += 1
-    }
-    labels.select(col("id").as(idName), col("component"))
+      .repartition(col("id"))
+      .localCheckpoint(true)
+    try {
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIters) {
+        val nbr = sym
+          .join(labels, sym("dst") === labels("id"))
+          .select(col("src").as("id"), col("component"))
+        val next = labels.select(col("id"), col("component"))
+          .unionAll(nbr)
+          .groupBy(col("id"))
+          .agg(min(col("component")).as("component"))
+          .localCheckpoint(true)
+        val changed = next.as("n")
+          .join(labels.as("o"), "id")
+          .filter(col("n.component") =!= col("o.component"))
+          .count()
+        labels = next
+        converged = changed == 0
+        it += 1
+      }
+      labels.select(col("id").as(idName), col("component"))
+    } finally { sym.unpersist(); () }
   }
 }
