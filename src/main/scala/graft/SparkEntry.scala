@@ -776,6 +776,92 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- window-function surface: ntile / percent_rank / cume_dist over a
+    // unique total order (tie-broken by key, so ratios are engine-stable) ----
+    "q59_window_stats" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- date/time arithmetic surface: month truncation, day offsets,
+    // epoch diffs, end-of-month ----
+    "q60_date_math" -> ((s, dir) => {
+      val d = to_date(col("o_orderdate"))
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          date_trunc("month", d).cast("date").as("order_month"),
+          date_add(d, 30).as("plus_30d"),
+          datediff(d, lit("1970-01-01").cast("date")).cast("long").as("epoch_days"),
+          last_day(d).as("month_end"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- correlated LATERAL subquery with per-row ORDER BY + LIMIT (the
+    // SQL form of top-k-per-group, exercising Catalyst's lateral-join
+    // decorrelation) ----
+    "q61_lateral_topk" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("v_orders_lat")
+      t(s, dir, "customer").createOrReplaceTempView("v_customer_lat")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM v_customer_lat c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM v_orders_lat o
+          |  WHERE o.o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+    }),
+
+    // ---- variance / correlation from EXACT decimal sums: the naive
+    // one-pass float formulas are accumulation-order-dependent, so instead
+    // sum decimals (exact, order-independent) and form the statistic in one
+    // final IEEE double expression — engine- and partitioning-stable, unlike
+    // built-in var_samp/corr which accumulate in double ----
+    "q62_exact_variance" -> ((s, dir) => {
+      val q = col("l_quantity").cast(DecimalType(18, 2))
+      val p = col("l_extendedprice").cast(DecimalType(18, 2))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(q).as("sq"), sum(p).as("sp"),
+          sum(q * q).as("sqq"), sum(p * p).as("spp"), sum(q * p).as("sqp"))
+        .select(
+          col("l_returnflag"), col("n"),
+          ((col("n") * col("sqq").cast("double") - col("sq").cast("double") * col("sq").cast("double"))
+            / (col("n") * (col("n") - 1))).as("var_qty"),
+          ((col("n") * col("sqp").cast("double") - col("sq").cast("double") * col("sp").cast("double"))
+            / (sqrt(col("n") * col("sqq").cast("double") - col("sq").cast("double") * col("sq").cast("double"))
+              * sqrt(col("n") * col("spp").cast("double") - col("sp").cast("double") * col("sp").cast("double"))))
+            .as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- multimodal chunking: split binary payloads into fixed 100-byte
+    // chunks (the batch shape a media decode/feature pass consumes);
+    // explode over a computed offset sequence, byte-exact slices ----
+    "q63_binary_chunks" -> ((s, dir) => {
+      val payload = col("text").cast("binary")
+      t(s, dir, "documents")
+        .select(col("doc_id"), payload.as("payload"), length(payload).as("n_bytes"))
+        .filter(col("n_bytes") > 0)
+        .select(col("doc_id"), col("payload"), col("n_bytes"),
+          explode(sequence(lit(0), ((col("n_bytes") - 1) / 100).cast("int"))).as("chunk_idx"))
+        .select(
+          col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          length(substring(col("payload"), col("chunk_idx") * 100 + 1, lit(100))).as("chunk_bytes"),
+          hex(substring(col("payload"), col("chunk_idx") * 100 + 1, lit(8))).as("head_hex"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // ---- explicit GROUPING SETS (neither rollup nor cube) + grouping()
     // through the SQL surface ----
     "q54_grouping_sets" -> ((s, dir) => {
@@ -1170,6 +1256,59 @@ object SparkEntry {
         |  list_sort(list_distinct(array_agg(source))) AS sources,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q59_window_stats" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  NTILE(4) OVER w AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q60_date_math" ->
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS epoch_days,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q61_lateral_topk" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
+    "q62_exact_variance" ->
+      """SELECT l_returnflag, n,
+        |  (n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+        |    / (n * (n - 1)) AS var_qty,
+        |  (n * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+        |    / (sqrt(n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+        |       * sqrt(n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+        |    AS corr_qty_price
+        |FROM (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(q) AS sq, SUM(p) AS sp,
+        |    SUM(q * q) AS sqq, SUM(p * p) AS spp, SUM(q * p) AS sqp
+        |  FROM (SELECT l_returnflag,
+        |          CAST(l_quantity AS DECIMAL(18,2)) AS q,
+        |          CAST(l_extendedprice AS DECIMAL(18,2)) AS p
+        |        FROM lineitem) y
+        |  GROUP BY l_returnflag) x
+        |ORDER BY l_returnflag""".stripMargin,
+    "q63_binary_chunks" ->
+      """SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  octet_length(encode(substring(text, CAST(chunk_idx AS INT) * 100 + 1, 100))) AS chunk_bytes,
+        |  hex(encode(substring(text, CAST(chunk_idx AS INT) * 100 + 1, 8))) AS head_hex
+        |FROM (
+        |  -- DuckDB cannot slice BLOBs; the corpus is ASCII, so char slices of
+        |  -- the VARCHAR re-encoded to bytes are byte-identical to Spark's
+        |  -- binary substring
+        |  SELECT doc_id, text,
+        |    unnest(range(0, ((octet_length(encode(text)) - 1) // 100) + 1)) AS chunk_idx
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND octet_length(encode(text)) > 0) x
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q56_boilerplate_ngrams" ->
       """SELECT gram, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf FROM (
         |  SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN []
