@@ -666,7 +666,7 @@ object SparkEntry {
       val d = t(s, dir, "documents")
         .filter(col("doc_id") < 300)
         .select(col("doc_id"), substring(col("text"), 1, 64).as("prefix"))
-      val a = d.repartition(col("doc_id"))
+      val a = graft.ops.Par.spread(d, col("doc_id"))
         .select(col("doc_id").as("id_a"), col("prefix").as("prefix_a"))
       val b = d.select(col("doc_id").as("id_b"), col("prefix").as("prefix_b"))
       a.join(broadcast(b), col("id_a") < col("id_b"))
@@ -721,7 +721,7 @@ object SparkEntry {
     // corpus pipeline; explode → one shuffle on the gram key) ----
     "q56_boilerplate_ngrams" -> ((s, dir) => {
       t(s, dir, "documents")
-        .repartition(col("doc_id")) // spread the single-split scan before the per-row gram transform
+        .transform(graft.ops.Par.spread(_, col("doc_id"))) // spread the single-split scan before the per-row gram transform
         .select(col("doc_id"), explode(TextAnalysis.ngrams(col("text"), 3)).as("gram"))
         .groupBy(col("gram"))
         .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
@@ -735,7 +735,7 @@ object SparkEntry {
     // at distinct (doc, gram) pairs. ----
     "q57_contamination" -> ((s, dir) => {
       val grams = t(s, dir, "documents")
-        .repartition(col("doc_id")) // spread the single-split scan; gram stream is consumed twice
+        .transform(graft.ops.Par.spread(_, col("doc_id"))) // spread the single-split scan; gram stream is consumed twice
         .select(col("doc_id"), explode(TextAnalysis.ngrams(col("text"), 3)).as("gram"))
       val bench = grams.filter(col("doc_id") % 50 === 0)
         .select(col("gram")).distinct()
@@ -759,7 +759,7 @@ object SparkEntry {
     "q58_dup_clusters" -> ((s, dir) => {
       val base = t(s, dir, "documents")
         .filter(col("doc_id") < 1000)
-        .repartition(col("doc_id"))
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
         .select(col("doc_id"), Dedup.wordSetSignature(col("text")).as("sig"), col("text"))
       val reps = base
         .groupBy(col("sig"))

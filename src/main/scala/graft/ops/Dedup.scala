@@ -58,7 +58,7 @@ object Dedup {
         array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))).as("ws"))
     // stream side spread across the cluster: the testdata parquet is a single
     // split, and the O(n²) merge-loop work below must not run on one core
-    val a = ws.repartition(col("id")).select(col("id").as("id_a"), col("ws").as("ws_a"))
+    val a = Par.spread(ws, col("id")).select(col("id").as("id_a"), col("ws").as("ws_a"))
     val b = ws.select(col("id").as("id_b"), col("ws").as("ws_b"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("jaccard", call_function("graft_sorted_jaccard", col("ws_a"), col("ws_b")))
@@ -112,7 +112,7 @@ object Dedup {
     // spread BEFORE the signature projection: minhashing is tokens×lanes work
     // per row and the testdata parquet arrives as a single split — without
     // the repartition the whole signature pass runs on one core
-    val sig = docs.repartition(col(idCol)).select(
+    val sig = Par.spread(docs, col(idCol)).select(
       col(idCol).as("id"),
       minHashSignature(array_distinct(TextAnalysis.tokens(col(textCol))), numHashes, seed)
         .as("sig")
@@ -245,7 +245,7 @@ object Dedup {
     val sym = edges
       .select(col(aName).as("src"), col(bName).as("dst"))
       .unionAll(edges.select(col(bName).as("src"), col(aName).as("dst")))
-      .repartition(col("dst"))
+      .transform(Par.spread(_, col("dst")))
       .persist()
     sym.count()
     // localCheckpoint each round: the recurrence references `labels` TWICE
@@ -253,8 +253,8 @@ object Dedup {
     // plan doubles per round — exponential driver-side analysis cost and an
     // eventual OOM. Checkpointing pins each round's result as a LogicalRDD:
     // constant plan size, constant round cost.
-    var labels = nodes.select(col(idName).as("id"), col(idName).as("component"))
-      .repartition(col("id"))
+    var labels = Par.spread(
+      nodes.select(col(idName).as("id"), col(idName).as("component")), col("id"))
       .localCheckpoint(true)
     try {
       var converged = false

@@ -30,7 +30,7 @@ object Similarity {
     * on a real cluster the scalar shuffle is negligible next to the O(pairs)
     * work it parallelizes — and it doubles as a skew spreader.
     */
-  private def spread(df: DataFrame, c: Column): DataFrame = df.repartition(c)
+  private def spread(df: DataFrame, c: Column): DataFrame = Par.spread(df, c)
 
   /** Exact fixed-point int64 form of a float embedding. */
   def fixedPoint(embedding: Column): Column =
