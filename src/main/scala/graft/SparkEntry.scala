@@ -862,6 +862,37 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // ---- skew-safe salted equi-join: left rows salt-scattered, right rows
+    // replicated ×salt — result provably identical to the plain join (the
+    // oracle IS the plain join), so the skew machinery itself is gate-checked ----
+    "q64_salted_join" -> ((s, dir) => {
+      Relational
+        .saltedEquiJoin(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+          t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+          keyCol = "l_orderkey", saltFactor = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(d2)).cast(DecimalType(18, 2)).as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ---- Bloom-filter pre-filtered semi join: fact rows drop map-side
+    // before the shuffle; exactness guaranteed by the verifying semi join
+    // (oracle = plain EXISTS — the pruning layer is gate-checked) ----
+    "q65_bloom_semijoin" -> ((s, dir) => {
+      graft.ops.Sketches
+        .bloomSemiJoin(
+          t(s, dir, "lineitem"),
+          "l_orderkey",
+          t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- explicit GROUPING SETS (neither rollup nor cube) + grouping()
     // through the SQL surface ----
     "q54_grouping_sets" -> ((s, dir) => {
@@ -1256,6 +1287,17 @@ object SparkEntry {
         |  list_sort(list_distinct(array_agg(source))) AS sources,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q64_salted_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q65_bloom_semijoin" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q59_window_stats" ->
       """SELECT o_orderkey, o_orderpriority,
         |  NTILE(4) OVER w AS quartile,
