@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+
+/** Physical-plan assertions: the gate queries must not only return the right
+  * rows, they must run the plan a 1000-executor cluster needs. Each check
+  * pins a scale property that a future refactor could silently regress
+  * (pushdown lost to an opaque expression, a broadcast falling back to
+  * shuffle, partial aggregation disabled, a sort where TakeOrdered suffices).
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(df: DataFrame): String = {
+    val qe: QueryExecution = df.queryExecution
+    qe.executedPlan.toString()
+  }
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf())
+
+  test("q06 selective scan: predicates reach the parquet reader, projection is pruned") {
+    val p = plan(q("q06_revenue_slice"))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("LessThan(l_quantity"), p)
+    // only the 2 referenced columns are read, not lineitem's 11
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double>"), p)
+  }
+
+  test("q02 dim join is broadcast, not shuffled") {
+    val p = plan(q("q02_brand_revenue"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q01 aggregation is partial+final (map-side combine before the shuffle)") {
+    val p = plan(q("q01_pricing_summary"))
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q12 global top-k plans TakeOrderedAndProject, never a full sort") {
+    val p = plan(q("q12_top_orders"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q04 semi join stays a semi join through optimization") {
+    val p = plan(q("q04_semi_join"))
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("whole-stage codegen wraps the scan-project-filter pipeline of q16") {
+    // AQE finalizes the physical plan lazily — collect() THIS frame (count()
+    // would plan a different aggregate query) so the adaptive plan is final
+    // and codegen stages are visible in its string form
+    val df = q("q16_unit_conversion")
+    df.collect()
+    val p = plan(df)
+    // codegen stages render as "*(n) Operator" in the plan string
+    assert(p.contains("*(1)") || p.contains("*(2)"), p)
+  }
+
+  test("q64 salted join scatters: join keys include the salt column") {
+    val p = plan(q("q64_salted_join"))
+    assert(p.contains("_salt"), p)
+  }
+}
