@@ -893,6 +893,36 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- SCD-2 effective-dating: per customer, each order becomes a
+    // [valid_from, valid_to) version row via lead(); open version ends NULL.
+    // The standard change-history shape for dimension tables. ----
+    "q66_scd2_ranges" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("valid_from"),
+          to_date(lead(col("o_orderdate"), 1).over(w)).as("valid_to"),
+          (lead(col("o_orderkey"), 1).over(w).isNull).as("is_current"))
+        .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
+    }),
+
+    // ---- array higher-order-function surface: transform / filter /
+    // aggregate over the token array (token-length stats without exploding) ----
+    "q67_array_ops" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val lens = transform(toks, t => length(t))
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          coalesce(array_max(lens), lit(0)).cast("long").as("max_token_len"),
+          size(filter(toks, t => length(t) >= 6)).cast("long").as("n_long_tokens"),
+          aggregate(lens, lit(0L), (acc, x) => acc + x).as("total_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- explicit GROUPING SETS (neither rollup nor cube) + grouping()
     // through the SQL surface ----
     "q54_grouping_sets" -> ((s, dir) => {
@@ -1287,6 +1317,26 @@ object SparkEntry {
         |  list_sort(list_distinct(array_agg(source))) AS sources,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q66_scd2_ranges" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS valid_from,
+        |  CAST(LEAD(o_orderdate, 1) OVER w AS DATE) AS valid_to,
+        |  LEAD(o_orderkey, 1) OVER w IS NULL AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+    "q67_array_ops" ->
+      """SELECT doc_id,
+        |  CAST(COALESCE(list_max(lens), 0) AS BIGINT) AS max_token_len,
+        |  CAST(len(list_filter(toks, t -> length(t) >= 6)) AS BIGINT) AS n_long_tokens,
+        |  CAST(COALESCE(list_sum(lens), 0) AS BIGINT) AS total_chars
+        |FROM (
+        |  SELECT doc_id, toks, list_transform(toks, t -> length(t)) AS lens
+        |  FROM (SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |    FROM documents) y) x
+        |ORDER BY doc_id""".stripMargin,
     "q64_salted_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty

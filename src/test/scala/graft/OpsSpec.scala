@@ -120,6 +120,31 @@ class OpsSpec extends SparkTestBase {
       5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L))
   }
 
+  test("connected components match a local union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(12345)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 20
+      val edges = Seq.fill(n / 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // local union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = Dedup.connectedComponents(
+        (0L until n.toLong).toDF("id"),
+        edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find with min-root merging yields the same min-id labels only
+      // after path compression to the true root — `find` above does that
+      assert(got == want, s"trial $trial: CC disagreed with union-find")
+    }
+  }
+
   test("multimodal decode stub: schema, determinism, per-partition batching") {
     val withBin = docs.limit(50)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
