@@ -257,22 +257,24 @@ object Dedup {
       nodes.select(col(idName).as("id"), col(idName).as("component")), col("id"))
       .localCheckpoint(true)
     try {
+      val compType = labels.schema("component").dataType
       var converged = false
       var it = 0
       while (!converged && it < maxIters) {
+        // carry the previous label through the aggregation (max over one
+        // non-null + nulls) so convergence is a cheap scan of the
+        // checkpointed round instead of an extra join+shuffle per round
         val nbr = sym
           .join(labels, sym("dst") === labels("id"))
-          .select(col("src").as("id"), col("component"))
-        val next = labels.select(col("id"), col("component"))
+          .select(col("src").as("id"), col("component"),
+            lit(null).cast(compType).as("prev"))
+        val next = labels.select(col("id"), col("component"), col("component").as("prev"))
           .unionAll(nbr)
           .groupBy(col("id"))
-          .agg(min(col("component")).as("component"))
+          .agg(min(col("component")).as("component"), max(col("prev")).as("prev"))
           .localCheckpoint(true)
-        val changed = next.as("n")
-          .join(labels.as("o"), "id")
-          .filter(col("n.component") =!= col("o.component"))
-          .count()
-        labels = next
+        val changed = next.filter(col("component") =!= col("prev")).count()
+        labels = next.select(col("id"), col("component"))
         converged = changed == 0
         it += 1
       }

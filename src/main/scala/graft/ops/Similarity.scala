@@ -243,10 +243,15 @@ object Similarity {
         val scoredCells = v
           .crossJoin(broadcast(centDf(cs)))
           .withColumn("ccos", cosineFromFixed(dot(col("iv"), col("civ")), col("nrm"), col("cnrm")))
-        val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cell").asc)
+        // argmax via max_by on (ccos, -cell): partial-aggregates map-side
+        // instead of a sort+row_number window; -cell breaks cosine ties
+        // toward the SMALLEST cell id (same deterministic pick as before)
         scoredCells
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
+          .groupBy(col("id"))
+          .agg(
+            max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"),
+            first(col("iv")).as("iv"),
+            first(col("nrm")).as("nrm"))
           .select(col("id"), col("cell"), col("iv"), col("nrm"))
       }
 
