@@ -684,7 +684,9 @@ object SparkEntry {
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
       val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val df = toks.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+      // df FROM tf (one row per (doc, token) already) — the corpus is
+      // tokenized and exploded once, not once per statistic
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("token").asc)
@@ -735,13 +737,19 @@ object SparkEntry {
     // at distinct (doc, gram) pairs. ----
     "q57_contamination" -> ((s, dir) => {
       val grams = t(s, dir, "documents")
-        .transform(graft.ops.Par.spread(_, col("doc_id"))) // spread the single-split scan; gram stream is consumed twice
+        .transform(graft.ops.Par.spread(_, col("doc_id"))) // spread the single-split scan
         .select(col("doc_id"), explode(TextAnalysis.ngrams(col("text"), 3)).as("gram"))
-      val bench = grams.filter(col("doc_id") % 50 === 0)
-        .select(col("gram")).distinct()
-      grams.filter(col("doc_id") % 50 =!= 0)
-        .select(col("doc_id"), col("gram")).distinct()
-        .join(bench, "gram")
+      // ONE pass over the gram stream: per gram, a bench flag + the distinct
+      // train docs containing it (collect_set skips the NULLed bench ids);
+      // contaminated grams explode back to (doc, gram-hit) pairs. The gram
+      // dictionary is vocabulary-bounded, so the sets stay small.
+      grams
+        .groupBy(col("gram"))
+        .agg(
+          max(when(col("doc_id") % 50 === 0, 1).otherwise(0)).as("has_bench"),
+          collect_set(when(col("doc_id") % 50 =!= 0, col("doc_id"))).as("train_docs"))
+        .filter(col("has_bench") === 1)
+        .select(explode(col("train_docs")).as("doc_id"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared_grams"))
         .orderBy(col("doc_id"))
