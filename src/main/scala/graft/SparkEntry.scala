@@ -931,6 +931,50 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- flagship corpus-cleaning composition: quality gate (length +
+    // stopword-density) → exact-dedup survivorship → deterministic split
+    // assignment — the full "raw crawl to training shard" path as ONE
+    // declarative plan (filter, window-free aggregation, hash bucketing) ----
+    "q68_corpus_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = TextAnalysis.tokens(col("text"))
+      val nTokens = TextAnalysis.tokenCount(col("text"))
+      val quality = docs
+        .select(col("doc_id"), col("lang"), col("text"), nTokens.as("n_tokens"),
+          TextAnalysis.wordHitsTokens(toks, TextAnalysis.EnStopwords).as("n_stop"))
+        // length gate + stopword-density cap, both in exact integers
+        .filter(col("n_tokens") >= 20 && col("n_stop") * 2 <= col("n_tokens"))
+      val survivors = quality
+        .groupBy(Dedup.wordSetSignature(col("text")).as("sig"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("lang"), col("doc_id")).as("lang"),
+          min_by(col("n_tokens"), col("doc_id")).as("n_tokens"))
+      val bucket =
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 100)
+      survivors
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          when(bucket < 90, "train").otherwise("heldout").as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- bigram language-model counts: P(w2 | w1) from exact integer
+    // counts, emitted for bigrams seen ≥ 20 times (the n-gram-LM / tokenizer
+    // statistics pass; one explode + two aggregations) ----
+    "q69_bigram_lm" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(explode(TextAnalysis.ngrams(col("text"), 2)).as("gram"))
+        .select(split_part(col("gram"), lit(" "), lit(1)).as("w1"),
+          split_part(col("gram"), lit(" "), lit(2)).as("w2"))
+      val big = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      val uni = big.groupBy(col("w1")).agg(sum(col("n_pair")).as("n_w1"))
+      big.join(uni, "w1")
+        .filter(col("n_pair") >= 20)
+        .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"),
+          (col("n_pair").cast("double") / col("n_w1").cast("double")).as("p_cond"))
+        .orderBy(col("w1"), col("w2"))
+    }),
+
     // ---- explicit GROUPING SETS (neither rollup nor cube) + grouping()
     // through the SQL surface ----
     "q54_grouping_sets" -> ((s, dir) => {
@@ -1325,6 +1369,49 @@ object SparkEntry {
         |  list_sort(list_distinct(array_agg(source))) AS sources,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q68_corpus_clean" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, text, n_tokens FROM (
+        |    SELECT doc_id, lang, text,
+        |      CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |      len(list_filter(
+        |        CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |          ELSE string_split_regex(trim(text), '\s+') END,
+        |        t -> list_contains(['the','a','an','of','and','to','in','is','it','that','for'], t)))
+        |        AS n_stop
+        |    FROM documents) y
+        |  WHERE n_tokens >= 20 AND n_stop * 2 <= n_tokens),
+        |s AS (
+        |  SELECT MIN(doc_id) AS doc_id,
+        |    MIN_BY(lang, doc_id) AS lang,
+        |    MIN_BY(n_tokens, doc_id) AS n_tokens
+        |  FROM q
+        |  GROUP BY md5(array_to_string(list_sort(list_distinct(
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE string_split_regex(trim(text), '\s+') END)), ' ')))
+        |SELECT doc_id, lang, n_tokens,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+        |    THEN 'train' ELSE 'heldout' END AS split
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q69_bigram_lm" ->
+      """WITH big AS (
+        |  SELECT split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2,
+        |    COUNT(*) AS n_pair
+        |  FROM (
+        |    SELECT unnest(CASE WHEN len(toks) < 2 THEN []
+        |      ELSE list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1]) END) AS gram
+        |    FROM (SELECT CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |      FROM documents) y) x
+        |  GROUP BY 1, 2),
+        |uni AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_w1 FROM big GROUP BY w1)
+        |SELECT big.w1, w2, n_pair, n_w1,
+        |  CAST(n_pair AS DOUBLE) / CAST(n_w1 AS DOUBLE) AS p_cond
+        |FROM big JOIN uni ON big.w1 = uni.w1
+        |WHERE n_pair >= 20
+        |ORDER BY big.w1, w2""".stripMargin,
     "q66_scd2_ranges" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(o_orderdate AS DATE) AS valid_from,
