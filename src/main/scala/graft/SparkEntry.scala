@@ -713,7 +713,10 @@ object SparkEntry {
       t(s, dir, "documents")
         .groupBy(col("lang"))
         .agg(
-          sort_array(collect_set(col("source"))).as("sources"),
+          // joined to a scalar: the driver's hash-compare behavior on LIST
+          // parquet columns is unproven, and the string pins identical
+          // content + order anyway
+          array_join(sort_array(collect_set(col("source"))), ",").as("sources"),
           count(lit(1)).as("n_docs"))
         .orderBy(col("lang"))
     }),
@@ -1366,7 +1369,7 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q53_collect_sources" ->
       """SELECT lang,
-        |  list_sort(list_distinct(array_agg(source))) AS sources,
+        |  array_to_string(list_sort(list_distinct(array_agg(source))), ',') AS sources,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q68_corpus_clean" ->

@@ -189,6 +189,25 @@ object StreamOps {
   ): DataFrame =
     events.withWatermark(tsCol, horizon).dropDuplicatesWithinWatermark(idCol)
 
+  /** Streaming CONTENT dedup: drop documents whose canonical word-set
+    * signature was already seen inside the watermark horizon — the streaming
+    * twin of the batch exact-dedup cascade ([[graft.ops.Dedup.exactGroups]]
+    * over [[graft.ops.Dedup.wordSetSignature]]). Catches re-crawls and
+    * shuffled-bag duplicates of recent documents with watermark-bounded
+    * state; corpus-wide dedup remains the batch pass's job.
+    */
+  def dedupDocsByContent(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: String,
+      horizon: String = "1 hour"
+  ): DataFrame =
+    docs
+      .withColumn("_content_sig", graft.ops.Dedup.wordSetSignature(col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("_content_sig")
+      .drop("_content_sig")
+
   /** Drive a streaming DataFrame synchronously to completion against a batch
     * of files and return the materialized result (memory sink) — the local
     * smoke harness for the streaming ops.

@@ -104,6 +104,27 @@ class StreamingSpec extends SparkTestBase {
     assert(got2.count() == ev.count(), s"expected ${ev.count()} got ${got2.count()}")
   }
 
+  test("streaming content dedup collapses re-crawled documents to batch survivor count") {
+    import spark.implicits._
+    // re-crawl scenario: same documents re-delivered under NEW doc ids with
+    // later timestamps — id-dedup can't catch these, content dedup must
+    val docs = Tables(spark, sf(), "documents").select(col("doc_id"), col("text"))
+    val base = docs.withColumn("ts", expr("timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"))
+    val recrawl = base
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("ts", col("ts") + expr("INTERVAL 10 SECONDS"))
+    val dupDir = java.nio.file.Files.createTempDirectory("graft-recrawl").toString
+    base.unionAll(recrawl).write.mode("overwrite").parquet(dupDir)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string").add("ts", "timestamp")
+    val dedup = StreamOps.dedupDocsByContent(
+      spark.readStream.schema(schema).parquet(dupDir), "text", "ts")
+    val got = StreamOps.runToMemory(spark, dedup, "content_dedup")
+    // batch oracle: distinct word-set signatures in the original corpus
+    val want = docs.select(graft.ops.Dedup.wordSetSignature(col("text"))).distinct().count()
+    assert(got.count() == want, s"expected $want got ${got.count()}")
+  }
+
   test("stream-stream join: views matched to purchases within the skew window") {
     val dir = eventsDir
     def stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
