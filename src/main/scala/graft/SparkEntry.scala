@@ -384,7 +384,7 @@ object SparkEntry {
     // ---- similarity: multi-probe LSH approximate NN — 6 planes × 8 tables,
     // probing all Hamming-1 buckets (rows-only; recall vs brute force
     // asserted in tests: 0.90 at sf0.1 vs 0.73 for the probe-less 4-plane
-    // config at equal table count, with ~¼ the candidate volume) ----
+    // config at equal table count, with ~6× fewer candidate pairs) ----
     "q29_ann_lsh" -> ((s, dir) => {
       Similarity
         .annTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
@@ -654,6 +654,7 @@ object SparkEntry {
     // one shuffle on the token key, count-distinct via partial aggs) ----
     "q49_vocabulary" -> ((s, dir) => {
       t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id"))) // spread the single-split scan before tokenize+explode
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
@@ -682,6 +683,7 @@ object SparkEntry {
     // a float log() would be libm-dependent) ----
     "q51_tfidf_topterms" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id"))) // spread the single-split scan before tokenize+explode
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
       val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
       // df FROM tf (one row per (doc, token) already) — the corpus is

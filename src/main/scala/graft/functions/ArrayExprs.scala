@@ -21,6 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
 case class LongArrayDot(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
+  // can return NULL on mismatched dims even for non-null inputs — without
+  // this override NullPropagation would constant-fold IsNull checks away
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

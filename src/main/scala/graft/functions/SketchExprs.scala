@@ -119,6 +119,14 @@ case class RandomProjectionBits(child: Expression, planes: Int, seed: Long)
   */
 case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
+  // a NULL token array sketches to 0L (all votes zero), matching the HOF
+  // form this replaces — when(element_at(NULL,…)>0,…).otherwise(0) OR-folded
+  // to 0, never NULL
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else nullSafeEval(v)
+  }
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]

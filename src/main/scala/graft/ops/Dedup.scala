@@ -273,11 +273,21 @@ object Dedup {
           .groupBy(col("id"))
           .agg(min(col("component")).as("component"), max(col("prev")).as("prev"))
           .localCheckpoint(true)
-        val changed = next.filter(col("component") =!= col("prev")).count()
+        // null-safe inequality: an edge endpoint absent from `nodes` enters
+        // via propagation with NULL prev — it must count as changed (plain
+        // =!= is NULL there and would let the loop stop before its label
+        // transits through), and it stays in the labeling (the graph adopts
+        // edge endpoints as nodes).
+        val changed = next.filter(!(col("component") <=> col("prev"))).count()
         labels = next.select(col("id"), col("component"))
         converged = changed == 0
         it += 1
       }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters rounds — the " +
+            "graph has a component with diameter > maxIters; raise maxIters " +
+            "(or use a doubling scheme) rather than consuming a mid-chain labeling")
       labels.select(col("id").as(idName), col("component"))
     } finally { sym.unpersist(); () }
   }

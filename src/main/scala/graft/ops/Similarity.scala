@@ -121,8 +121,9 @@ object Similarity {
     * buckets (candidate volume ∝ n²·tables/2^planes), while probing flipped
     * buckets recovers the recall that narrow buckets lose — per-table
     * collision rises from p^planes to p^planes + Σ flips·p^(planes−1)(1−p).
-    * At 8 planes / probe 1, candidates shrink ~6× vs 4 planes / probe 0 at
-    * equal-or-better recall (measured on the sf0.1 embeddings).
+    * Measured on the sf0.1 embeddings: 6 planes / 8 tables / probe 1 gives
+    * 1.2M candidates at 0.90 recall vs 7.6M at 0.73 recall for 4 planes /
+    * 8 tables / probe 0 — ~6× fewer candidates AND better recall.
     */
   def annTopK(
       df: DataFrame,

@@ -59,14 +59,18 @@ object Sketches {
       expectedItems: Long = -1L,
       numBits: Long = -1L
   ): DataFrame = {
-    // dim is scanned twice (bloom-build collect + the semi join) — each scan
-    // reads it exactly once, so no persist here; callers who pass an expensive
-    // dim plan should persist it around the returned frame's action themselves.
-    val pruned =
-      bloomPrefilter(facts, col(factKeyName), dim, col(dimKeyName), expectedItems, numBits)
-    pruned.join(
-      dim.select(col(dimKeyName).as(factKeyName)).distinct(),
-      Seq(factKeyName),
-      "left_semi")
+    // dim is consumed three times in the default path: the sizing count()
+    // and the bloom-build collect() (both EAGER, here), then the semi join
+    // at the caller's action. Persist across the two eager actions and
+    // release before returning — the join then reads dim from source once.
+    val d = dim.persist()
+    try {
+      val pruned =
+        bloomPrefilter(facts, col(factKeyName), d, col(dimKeyName), expectedItems, numBits)
+      pruned.join(
+        dim.select(col(dimKeyName).as(factKeyName)).distinct(),
+        Seq(factKeyName),
+        "left_semi")
+    } finally { d.unpersist(); () }
   }
 }

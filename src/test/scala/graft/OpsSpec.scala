@@ -118,6 +118,15 @@ class OpsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L))
+
+    // edge endpoint absent from nodes: the graph adopts it and the label
+    // must still transit THROUGH it (regression: NULL prev once made its
+    // change invisible to the convergence check, stranding node 2 at 2)
+    val got2 = Dedup.connectedComponents(
+      Seq(1L, 2L).toDF("id"),
+      Seq((1L, 3L), (3L, 2L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
   test("connected components match a local union-find on random graphs") {
