@@ -980,6 +980,27 @@ object SparkEntry {
         .orderBy(col("w1"), col("w2"))
     }),
 
+    // ---- RANGE-framed window: trailing 30-day order total per customer
+    // (value-based frame over epoch days — the time-decayed feature shape;
+    // rangeBetween, not rowsBetween) plus share-of-customer-total ----
+    "q70_trailing_window" -> ((s, dir) => {
+      val days = datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+      val wRange = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("d"))
+        .rangeBetween(-29, 0)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), days.as("d"),
+          col("o_totalprice").cast(d2).as("price"))
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(col("price")).over(wRange).cast(DecimalType(18, 2)).as("trailing_30d"),
+          (col("price").cast("double") /
+            sum(col("price")).over(wAll).cast("double")).as("share_of_cust"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // ---- explicit GROUPING SETS (neither rollup nor cube) + grouping()
     // through the SQL surface ----
     "q54_grouping_sets" -> ((s, dir) => {
@@ -1374,6 +1395,18 @@ object SparkEntry {
         |  array_to_string(list_sort(list_distinct(array_agg(source))), ',') AS sources,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q70_trailing_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(price) OVER (PARTITION BY o_custkey ORDER BY d
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS trailing_30d,
+        |  CAST(price AS DOUBLE) /
+        |    CAST(SUM(price) OVER (PARTITION BY o_custkey) AS DOUBLE) AS share_of_cust
+        |FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders) x
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q68_corpus_clean" ->
       """WITH q AS (
         |  SELECT doc_id, lang, text, n_tokens FROM (
