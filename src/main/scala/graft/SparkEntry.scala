@@ -980,6 +980,19 @@ object SparkEntry {
         .orderBy(col("w1"), col("w2"))
     }),
 
+    // ---- multimodal frame sampling: every 5th 100-byte chunk with a
+    // content signature — the decode-cost-bounding pass of a media pipeline ----
+    "q71_frame_sample" -> ((s, dir) => {
+      Multimodal
+        .sampleChunks(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("text").cast("binary").as("payload")),
+          "payload")
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("frame_sig"), col("frame_bytes"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // ---- RANGE-framed window: trailing 30-day order total per customer
     // (value-based frame over epoch days — the time-decayed feature shape;
     // rangeBetween, not rowsBetween) plus share-of-customer-total ----
@@ -1395,6 +1408,18 @@ object SparkEntry {
         |  array_to_string(list_sort(list_distinct(array_agg(source))), ',') AS sources,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q71_frame_sample" ->
+      """SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  md5(substring(text, CAST(chunk_idx AS INT) * 100 + 1, 100)) AS frame_sig,
+        |  octet_length(encode(substring(text, CAST(chunk_idx AS INT) * 100 + 1, 100))) AS frame_bytes
+        |FROM (
+        |  -- ASCII corpus: char slices == byte slices (same caveat as q63)
+        |  SELECT doc_id, text,
+        |    unnest(range(0, ((octet_length(encode(text)) - 1) // 100) + 1)) AS chunk_idx
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND octet_length(encode(text)) > 0) x
+        |WHERE chunk_idx % 5 = 0
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q70_trailing_window" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(SUM(price) OVER (PARTITION BY o_custkey ORDER BY d

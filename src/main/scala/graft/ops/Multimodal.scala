@@ -59,4 +59,30 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Deterministic frame sampling over chunked payloads: split the binary
+    * into fixed-size chunks, keep every `stride`-th chunk ("frame"), and
+    * attach a content signature per sampled frame — the shape a video/audio
+    * pipeline uses to bound decode cost (sample frames, THEN run the heavy
+    * decoder on the sample). Pure expressions: explode over a computed
+    * offset sequence, byte-exact slices, md5 signature.
+    */
+  def sampleChunks(
+      df: DataFrame,
+      binCol: String,
+      chunkBytes: Int = 100,
+      stride: Int = 5
+  ): DataFrame = {
+    val nBytes = length(col(binCol))
+    df
+      .filter(nBytes > 0)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0), ((nBytes - 1) / chunkBytes).cast("int"))))
+      .filter(col("chunk_idx") % stride === 0)
+      .withColumn("frame",
+        substring(col(binCol), col("chunk_idx") * chunkBytes + 1, lit(chunkBytes)))
+      .withColumn("frame_sig", md5(col("frame")))
+      .withColumn("frame_bytes", length(col("frame")))
+      .drop("frame")
+  }
 }
