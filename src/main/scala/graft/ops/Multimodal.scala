@@ -73,12 +73,16 @@ object Multimodal {
       chunkBytes: Int = 100,
       stride: Int = 5
   ): DataFrame = {
+    require(chunkBytes > 0, s"chunkBytes must be positive, got $chunkBytes")
+    require(stride > 0, s"stride must be positive, got $stride")
     val nBytes = length(col(binCol))
     df
       .filter(nBytes > 0)
+      // stepped sequence: generate ONLY the sampled indices — exploding every
+      // chunk and filtering (stride-1)/stride of them away would materialize
+      // stride× the rows in the pass whose whole point is bounding decode cost
       .withColumn("chunk_idx",
-        explode(sequence(lit(0), ((nBytes - 1) / chunkBytes).cast("int"))))
-      .filter(col("chunk_idx") % stride === 0)
+        explode(sequence(lit(0), ((nBytes - 1) / chunkBytes).cast("int"), lit(stride))))
       .withColumn("frame",
         substring(col(binCol), col("chunk_idx") * chunkBytes + 1, lit(chunkBytes)))
       .withColumn("frame_sig", md5(col("frame")))
