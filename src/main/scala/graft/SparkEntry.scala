@@ -993,6 +993,43 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // ---- incremental shard dedup: an incoming shard (deterministic ~20%
+    // slice) deduped within itself AND against the existing corpus's
+    // signature set — the "new crawl arrives" ingestion pattern; the
+    // existing side ships only distinct signatures (anti join), never text ----
+    "q72_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sig = Dedup.wordSetSignature(col("text"))
+      val existingSigs = docs.filter(col("doc_id") % 10 < 8)
+        .select(sig.as("sig")).distinct()
+      docs.filter(col("doc_id") % 10 >= 8)
+        .select(col("doc_id"), sig.as("sig"))
+        .groupBy(col("sig")).agg(min(col("doc_id")).as("doc_id"))
+        .join(existingSigs, Seq("sig"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- domain-mixture reweighting: per (lang, source) cell, the sampling
+    // weight that flattens the mixture to uniform over cells — exact integer
+    // counts, one final double division (the data-mixture math of a training
+    // run, engine-deterministic) ----
+    "q73_mixture_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cells = docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val totals = cells.agg(
+        sum(col("n_docs")).as("n_total"),
+        count(lit(1)).as("n_cells"))
+      cells.crossJoin(totals)
+        .select(
+          col("lang"), col("source"), col("n_docs"),
+          (col("n_total").cast("double") /
+            (col("n_cells").cast("double") * col("n_docs").cast("double")))
+            .as("weight"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // ---- RANGE-framed window: trailing 30-day order total per customer
     // (value-based frame over epoch days — the time-decayed feature shape;
     // rangeBetween, not rowsBetween) plus share-of-customer-total ----
@@ -1408,6 +1445,28 @@ object SparkEntry {
         |  array_to_string(list_sort(list_distinct(array_agg(source))), ',') AS sources,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q72_incremental_dedup" ->
+      """WITH sigs AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |        ELSE string_split_regex(trim(text), '\s+') END)), ' ')) AS sig
+        |  FROM documents)
+        |SELECT doc_id FROM (
+        |  SELECT sig, MIN(doc_id) AS doc_id FROM sigs WHERE doc_id % 10 >= 8
+        |  GROUP BY sig) nw
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM sigs o WHERE o.doc_id % 10 < 8 AND o.sig = nw.sig)
+        |ORDER BY doc_id""".stripMargin,
+    "q73_mixture_weights" ->
+      """WITH cells AS (
+        |  SELECT lang, source, COUNT(*) AS n_docs
+        |  FROM documents GROUP BY lang, source),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total, COUNT(*) AS n_cells FROM cells)
+        |SELECT lang, source, n_docs,
+        |  CAST(n_total AS DOUBLE) / (CAST(n_cells AS DOUBLE) * CAST(n_docs AS DOUBLE)) AS weight
+        |FROM cells, t
+        |ORDER BY lang, source""".stripMargin,
     "q71_frame_sample" ->
       """SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
         |  md5(substring(text, CAST(chunk_idx AS INT) * 100 + 1, 100)) AS frame_sig,
