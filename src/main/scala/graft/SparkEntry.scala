@@ -149,9 +149,14 @@ object SparkEntry {
 
     // ---- running-total window (frame: unbounded preceding → current) ----
     "q08_running_qty" -> ((s, dir) => {
+      // l_quantity closes the ordering: (orderkey, linenumber) is NOT unique
+      // at sf ≥ 0.1 (the generator duplicates keys), and a running sum over
+      // tied keys with different addends is engine-order-dependent. With
+      // quantity in the key, any remaining tie has an equal addend, so every
+      // prefix value is well-defined on both engines.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       t(s, dir, "lineitem")
         .withColumn("run_qty", sum(col("l_quantity").cast(d2)).over(w).cast(DecimalType(18, 2)))
@@ -1122,7 +1127,7 @@ object SparkEntry {
     "q08_running_qty" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
-        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_qty
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "q09_rollup" ->
