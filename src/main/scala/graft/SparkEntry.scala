@@ -842,24 +842,28 @@ object SparkEntry {
     // one-pass float formulas are accumulation-order-dependent, so instead
     // sum decimals (exact, order-independent) and form the statistic in one
     // final IEEE double expression — engine- and partitioning-stable, unlike
-    // built-in var_samp/corr which accumulate in double ----
+    // built-in var_samp/corr which accumulate in double. Columns chosen so
+    // EVERY intermediate product stays below 2^53 (quantity ≤ 50, discount
+    // ≤ 0.1, safe to ~2M rows/group): above 2^53 the two engines' multiply
+    // paths round differently and the last ulp diverges (measured with
+    // extendedprice — its n·Σp² reaches 1.4e16). ----
     "q62_exact_variance" -> ((s, dir) => {
       val q = col("l_quantity").cast(DecimalType(18, 2))
-      val p = col("l_extendedprice").cast(DecimalType(18, 2))
+      val d = col("l_discount").cast(DecimalType(18, 2))
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
-          sum(q).as("sq"), sum(p).as("sp"),
-          sum(q * q).as("sqq"), sum(p * p).as("spp"), sum(q * p).as("sqp"))
+          sum(q).as("sq"), sum(d).as("sd"),
+          sum(q * q).as("sqq"), sum(d * d).as("sdd"), sum(q * d).as("sqd"))
         .select(
           col("l_returnflag"), col("n"),
           ((col("n") * col("sqq").cast("double") - col("sq").cast("double") * col("sq").cast("double"))
             / (col("n") * (col("n") - 1))).as("var_qty"),
-          ((col("n") * col("sqp").cast("double") - col("sq").cast("double") * col("sp").cast("double"))
+          ((col("n") * col("sqd").cast("double") - col("sq").cast("double") * col("sd").cast("double"))
             / (sqrt(col("n") * col("sqq").cast("double") - col("sq").cast("double") * col("sq").cast("double"))
-              * sqrt(col("n") * col("spp").cast("double") - col("sp").cast("double") * col("sp").cast("double"))))
-            .as("corr_qty_price"))
+              * sqrt(col("n") * col("sdd").cast("double") - col("sd").cast("double") * col("sd").cast("double"))))
+            .as("corr_qty_disc"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -1607,17 +1611,17 @@ object SparkEntry {
       """SELECT l_returnflag, n,
         |  (n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
         |    / (n * (n - 1)) AS var_qty,
-        |  (n * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+        |  (n * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
         |    / (sqrt(n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
-        |       * sqrt(n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
-        |    AS corr_qty_price
+        |       * sqrt(n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+        |    AS corr_qty_disc
         |FROM (
         |  SELECT l_returnflag, COUNT(*) AS n,
-        |    SUM(q) AS sq, SUM(p) AS sp,
-        |    SUM(q * q) AS sqq, SUM(p * p) AS spp, SUM(q * p) AS sqp
+        |    SUM(q) AS sq, SUM(d) AS sd,
+        |    SUM(q * q) AS sqq, SUM(d * d) AS sdd, SUM(q * d) AS sqd
         |  FROM (SELECT l_returnflag,
         |          CAST(l_quantity AS DECIMAL(18,2)) AS q,
-        |          CAST(l_extendedprice AS DECIMAL(18,2)) AS p
+        |          CAST(l_discount AS DECIMAL(18,2)) AS d
         |        FROM lineitem) y
         |  GROUP BY l_returnflag) x
         |ORDER BY l_returnflag""".stripMargin,
