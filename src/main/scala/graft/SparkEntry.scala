@@ -634,7 +634,7 @@ object SparkEntry {
     "q55_ann_ivf" -> ((s, dir) => {
       Similarity
         .ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
-          nlist = 32, nprobe = 8, iters = 2)
+          nlist = 32, nprobe = 8, iters = 1)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -892,7 +892,7 @@ object SparkEntry {
         .saltedEquiJoin(
           t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
           t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
-          keyCol = "l_orderkey", saltFactor = 8)
+          keyCol = "l_orderkey", saltFactor = 4)
         .groupBy(col("o_orderstatus"))
         .agg(
           count(lit(1)).as("n_rows"),
