@@ -24,14 +24,20 @@ object Bench {
     }
     // two timed passes, min per query: single-run numbers on a shared
     // machine carry ±20% scheduler/page-cache noise; the min is the
-    // steady-state cost the plan actually has.
-    def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // steady-state cost the plan actually has. A query that THREW in either
+    // pass reports -1, never its time-to-fail (a fast failure must not read
+    // as a good score).
+    def timedPass(): Map[String, (Double, Boolean)] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        name -> ((System.nanoTime() - t0) / 1e9, ok)
+      }
     val (p1, p2) = (timedPass(), timedPass())
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val results = p1.map { case (k, (v1, ok1)) =>
+      val (v2, ok2) = p2(k)
+      k -> (if (ok1 && ok2) math.min(v1, v2) else -1.0)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

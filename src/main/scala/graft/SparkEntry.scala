@@ -161,7 +161,7 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .withColumn("run_qty", sum(col("l_quantity").cast(d2)).over(w).cast(DecimalType(18, 2)))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("run_qty"))
-        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("run_qty"))
     }),
 
     // ---- grouping sets / rollup ----
@@ -844,7 +844,7 @@ object SparkEntry {
     // final IEEE double expression — engine- and partitioning-stable, unlike
     // built-in var_samp/corr which accumulate in double. Columns chosen so
     // EVERY intermediate product stays below 2^53 (quantity ≤ 50, discount
-    // ≤ 0.1, safe to ~2M rows/group): above 2^53 the two engines' multiply
+    // ≤ 0.1, safe to ~1.9M rows/group worst-case on the quantity term): above 2^53 the two engines' multiply
     // paths round differently and the last ulp diverges (measured with
     // extendedprice — its n·Σp² reaches 1.4e16). ----
     "q62_exact_variance" -> ((s, dir) => {
@@ -1038,14 +1038,19 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val cells = docs.groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"))
-      val totals = cells.agg(
-        sum(col("n_docs")).as("n_total"),
-        count(lit(1)).as("n_cells"))
-      cells.crossJoin(totals)
+      // totals via unpartitioned window aggregates over the CELL table (a
+      // dictionary-sized frame): one documents scan + one aggregation,
+      // where a crossJoin against a separate totals agg would execute the
+      // whole cells subtree twice
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy()
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      cells
         .select(
           col("lang"), col("source"), col("n_docs"),
-          (col("n_total").cast("double") /
-            (col("n_cells").cast("double") * col("n_docs").cast("double")))
+          (sum(col("n_docs")).over(wAll).cast("double") /
+            (count(lit(1)).over(wAll).cast("double") * col("n_docs").cast("double")))
             .as("weight"))
         .orderBy(col("lang"), col("source"))
     }),
@@ -1144,7 +1149,7 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
         |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_qty
-        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, run_qty""".stripMargin,
     "q09_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
@@ -1226,7 +1231,7 @@ object SparkEntry {
     "q19_token_stats" ->
       """SELECT doc_id,
         |  CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
-        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |    ELSE len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END AS n_tokens,
         |  CASE WHEN text IS NULL THEN 0
         |    ELSE len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]')) END AS n_bpeish
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -1245,8 +1250,8 @@ object SparkEntry {
         |    ELSE 0.0 END AS mean_word_len
         |FROM (
         |  SELECT doc_id, text,
-    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END AS toks,
-        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN [] ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS toks,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0 ELSE len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END AS n_tokens
         |  FROM documents) x
         |ORDER BY doc_id""".stripMargin,
     "q21_lang_id" ->
@@ -1265,12 +1270,12 @@ object SparkEntry {
         |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','von','ein','mit','zu','den'], t))) AS de,
         |    len(list_filter(toks, t -> list_contains(['le','la','les','de','et','un','une','est','dans','que'], t))) AS fr
         |  FROM (SELECT doc_id, text,
-        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN [] ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS toks
         |    FROM documents) y) x
         |ORDER BY doc_id""".stripMargin,
     "q22_exact_dedup" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(
-        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN [] ELSE string_split_regex(trim(text), '\s+') END)), ' ')) AS dup_key,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN [] ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END)), ' ')) AS dup_key,
         |  MIN(doc_id) AS survivor_id, COUNT(*) AS group_size
         |FROM documents GROUP BY 1 ORDER BY dup_key""".stripMargin,
     "q23_jaccard_pairs" ->
@@ -1280,10 +1285,10 @@ object SparkEntry {
         |      ELSE len(list_intersect(a.ws, b.ws))::DOUBLE /
         |        len(list_distinct(list_concat(a.ws, b.ws)))::DOUBLE END AS jaccard
         |  FROM (SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
-        |          ELSE list_distinct(string_split_regex(trim(text), '\s+')) END AS ws
+        |          ELSE list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END AS ws
         |        FROM documents WHERE doc_id < 1000) a
         |  JOIN (SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
-        |          ELSE list_distinct(string_split_regex(trim(text), '\s+')) END AS ws
+        |          ELSE list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END AS ws
         |        FROM documents WHERE doc_id < 1000) b
         |    ON a.doc_id < b.doc_id) x
         |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
@@ -1411,7 +1416,7 @@ object SparkEntry {
         |FROM (
         |  SELECT doc_id,
         |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
-        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |      ELSE len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END AS n_tokens
         |  FROM documents) x
         |ORDER BY doc_id""".stripMargin,
     "q48_outer_join" ->
@@ -1427,7 +1432,7 @@ object SparkEntry {
       """SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM (
         |  SELECT doc_id, unnest(
         |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
-        |      ELSE string_split_regex(trim(text), '\s+') END) AS token
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END) AS token
         |  FROM documents) x
         |GROUP BY token ORDER BY token""".stripMargin,
     "q50_edit_distance" ->
@@ -1442,7 +1447,7 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id, unnest(
         |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
-        |      ELSE string_split_regex(trim(text), '\s+') END) AS token
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END) AS token
         |  FROM documents),
         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
         |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
@@ -1470,7 +1475,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |    md5(array_to_string(list_sort(list_distinct(
         |      CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
-        |        ELSE string_split_regex(trim(text), '\s+') END)), ' ')) AS sig
+        |        ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END)), ' ')) AS sig
         |  FROM documents)
         |SELECT doc_id FROM (
         |  SELECT sig, MIN(doc_id) AS doc_id FROM sigs WHERE doc_id % 10 >= 8
@@ -1516,10 +1521,10 @@ object SparkEntry {
         |  SELECT doc_id, lang, text, n_tokens FROM (
         |    SELECT doc_id, lang, text,
         |      CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
-        |        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |        ELSE len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END AS n_tokens,
         |      len(list_filter(
         |        CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
-        |          ELSE string_split_regex(trim(text), '\s+') END,
+        |          ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END,
         |        t -> list_contains(['the','a','an','of','and','to','in','is','it','that','for'], t)))
         |        AS n_stop
         |    FROM documents) y
@@ -1531,7 +1536,7 @@ object SparkEntry {
         |  FROM q
         |  GROUP BY md5(array_to_string(list_sort(list_distinct(
         |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
-        |      ELSE string_split_regex(trim(text), '\s+') END)), ' ')))
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END)), ' ')))
         |SELECT doc_id, lang, n_tokens,
         |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
         |    THEN 'train' ELSE 'heldout' END AS split
@@ -1545,7 +1550,7 @@ object SparkEntry {
         |      ELSE list_transform(range(1, len(toks)),
         |        i -> toks[i] || ' ' || toks[i+1]) END) AS gram
         |    FROM (SELECT CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
-        |      ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS toks
         |      FROM documents) y) x
         |  GROUP BY 1, 2),
         |uni AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_w1 FROM big GROUP BY w1)
@@ -1571,7 +1576,7 @@ object SparkEntry {
         |  SELECT doc_id, toks, list_transform(toks, t -> length(t)) AS lens
         |  FROM (SELECT doc_id,
         |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
-        |      ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS toks
         |    FROM documents) y) x
         |ORDER BY doc_id""".stripMargin,
     "q64_salted_join" ->
@@ -1645,7 +1650,7 @@ object SparkEntry {
         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS gram
         |  FROM (SELECT doc_id,
         |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
-        |      ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS toks
         |    FROM documents) y) x
         |GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 5
         |ORDER BY gram""".stripMargin,
@@ -1656,7 +1661,7 @@ object SparkEntry {
         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS gram
         |  FROM (SELECT doc_id,
         |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
-        |      ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS toks
         |    FROM documents) y)
         |SELECT doc_id, COUNT(*) AS n_shared_grams FROM (
         |  SELECT DISTINCT t.doc_id, t.gram
@@ -1668,7 +1673,7 @@ object SparkEntry {
       """WITH RECURSIVE
         |ws AS (
         |  SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
-        |    ELSE list_distinct(string_split_regex(trim(text), '\s+')) END AS ws
+        |    ELSE list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END AS ws
         |  FROM documents WHERE doc_id < 1000),
         |edges AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1707,7 +1712,7 @@ object SparkEntry {
         |  FROM (
         |    SELECT doc_id,
         |      CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
-        |        ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |        ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS toks
         |    FROM documents) y) x
         |ORDER BY doc_id""".stripMargin
   )

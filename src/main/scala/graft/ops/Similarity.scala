@@ -314,6 +314,10 @@ object Similarity {
   ): DataFrame = {
     val encoded = pqEncode(df, idCol, embCol, subspaces, codebookSize)
       .withColumn("rnrm", sqNorm(col("recon")))
+      // an all-zero reconstruction (possible when every subspace floors to a
+      // zero centroid) carries no signal AND would make the cosine 0/0 = NaN,
+      // which Spark sorts ABOVE every real score — drop it, don't rank it
+      .filter(col("rnrm") > 0)
     val q = withFixed(df.filter(col(idCol) < queryMaxId), idCol, embCol)
       .withColumnsRenamed(Map("id" -> "query_id", "iv" -> "qiv", "nrm" -> "qnrm"))
     val scored = encoded

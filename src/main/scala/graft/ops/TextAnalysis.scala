@@ -17,11 +17,17 @@ object TextAnalysis {
 
   /** Whitespace tokens of a trimmed text; empty OR NULL text → empty array
     * (never NULL — under the pinned ANSI-off sessions `size(NULL)` is -1,
-    * which would poison every downstream count/ratio/jaccard).
+    * which would poison every downstream count/ratio/jaccard). Empty-string
+    * tokens are filtered out: trim strips only 0x20, so text bracketed by
+    * other whitespace (e.g. a trailing "\t") would otherwise yield boundary
+    * empties — and Java's split drops TRAILING empties while DuckDB's
+    * string_split_regex keeps them, so without the filter (mirrored as
+    * list_filter in every oracle) the signatures of such texts diverge
+    * between engines.
     */
   def tokens(text: Column): Column =
     when(text.isNull || length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+      .otherwise(filter(split(trim(text), "\\s+"), t => t =!= ""))
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))

@@ -89,8 +89,10 @@ class OpsSpec extends SparkTestBase {
     val brute = Similarity
       .bruteForceTopK(emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding", k = 5)
       .select(col("query_id"), col("neighbor_id"))
+    // SAME configuration q55 ships (iters = 1) so the spec actually covers
+    // the gate query, not a sibling config
     val ivf = Similarity
-      .ivfTopK(emb, "vec_id", "embedding", k = 5, nlist = 32, nprobe = 8, iters = 2)
+      .ivfTopK(emb, "vec_id", "embedding", k = 5, nlist = 32, nprobe = 8, iters = 1)
     // every vector produces a full top-k (no query starved by cell pruning)
     assert(ivf.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
     val hit = ivf.filter(col("query_id") < 50).select(col("query_id"), col("neighbor_id"))
@@ -98,12 +100,12 @@ class OpsSpec extends SparkTestBase {
     val total = brute.count()
     // integer-arithmetic centroids are run-deterministic; on these
     // near-random vectors nprobe/nlist = 1/4 of cells still finds ≈2/3 of
-    // true neighbors (measured 0.67 at sf0.01)
+    // true neighbors (measured 0.66 at sf0.01 with one Lloyd round)
     assert(total == 250)
     assert(hit.toDouble / total > 0.4, s"IVF recall collapsed: $hit/$total")
     // determinism across runs: identical output
     val again = Similarity
-      .ivfTopK(emb, "vec_id", "embedding", k = 5, nlist = 32, nprobe = 8, iters = 2)
+      .ivfTopK(emb, "vec_id", "embedding", k = 5, nlist = 32, nprobe = 8, iters = 1)
     assert(ivf.exceptAll(again).count() == 0 && again.exceptAll(ivf).count() == 0)
   }
 
