@@ -109,6 +109,18 @@ class OpsSpec extends SparkTestBase {
     assert(ivf.exceptAll(again).count() == 0 && again.exceptAll(ivf).count() == 0)
   }
 
+  test("tokens: boundary whitespace never yields empty tokens; null/blank → empty array") {
+    import spark.implicits._
+    val got = Seq("a\tb", "a\t", "\ta", "  a  b  ", " ", "", null.asInstanceOf[String], "a\nb\r\nc")
+      .toDF("text")
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+      .collect()
+      .map(_.getSeq[String](0).toList)
+    assert(got.toList == List(
+      List("a", "b"), List("a"), List("a"), List("a", "b"),
+      Nil, Nil, Nil, List("a", "b", "c")))
+  }
+
   test("PQ encoding: codes in range, deterministic, asymmetric top-k recall reasonable") {
     val emb = Tables(spark, sf(), "embeddings")
     val enc = Similarity.pqEncode(emb, "vec_id", "embedding", subspaces = 16, codebookSize = 256)
