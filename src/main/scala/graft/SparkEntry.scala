@@ -1013,6 +1013,33 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- heavy hitters: Misra–Gries bounded-memory candidates (k=32
+    // counters per partial aggregate, mergeable) verified against exact
+    // counts — the sketch guarantees every token with freq > n/(k+1)
+    // survives, so candidates ∩ exact-heavy = exactly the true heavy set
+    // (deterministic even though the sketch state is partitioning-dependent;
+    // oracle = plain exact-frequency filter) ----
+    "q75_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val hhK = 32
+      val toks = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val cands = toks.as[String]
+        .select(new graft.ops.Aggregators.MisraGries(hhK).toColumn.name("mg"))
+        .select(explode(map_keys(col("mg"))).as("token"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy()
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .withColumn("n_total", sum(col("freq")).over(wAll))
+        .join(cands, "token")
+        .filter(col("freq") * (hhK + 1) > col("n_total"))
+        .select(col("token"), col("freq"))
+        .orderBy(col("token"))
+    }),
+
     // ---- incremental shard dedup: an incoming shard (deterministic ~20%
     // slice) deduped within itself AND against the existing corpus's
     // signature set — the "new crawl arrives" ingestion pattern; the
@@ -1470,6 +1497,14 @@ object SparkEntry {
         |  array_to_string(list_sort(list_distinct(array_agg(source))), ',') AS sources,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q75_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS token
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |e AS (SELECT token, COUNT(*) AS freq FROM t GROUP BY token)
+        |SELECT token, freq FROM e, (SELECT CAST(SUM(freq) AS BIGINT) AS n_total FROM e) n
+        |WHERE freq * 33 > n_total
+        |ORDER BY token""".stripMargin,
     "q72_incremental_dedup" ->
       """WITH sigs AS (
         |  SELECT doc_id,

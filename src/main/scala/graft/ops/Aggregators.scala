@@ -32,4 +32,51 @@ object Aggregators {
     override def outputEncoder: Encoder[(BigDecimal, BigDecimal)] =
       Encoders.product[(BigDecimal, BigDecimal)]
   }
+
+  /** Misra–Gries heavy-hitter summary: at most `k` counters of bounded state
+    * per partial aggregate, mergeable (the summary of a union is the merge of
+    * summaries), with the classic guarantee: every item with true frequency
+    * > n/(k+1) survives in the output, and a surviving counter undercounts
+    * its item by at most n/(k+1). Run it as the bounded-memory CANDIDATE
+    * stage and verify candidates against exact counts — same
+    * sketch-then-verify cascade as the MinHash and Bloom paths.
+    */
+  final case class MGBuf(counts: Map[String, Long])
+
+  final class MisraGries(k: Int)
+      extends Aggregator[String, MGBuf, Map[String, Long]] {
+    require(k > 0, s"k must be positive, got $k")
+
+    override def zero: MGBuf = MGBuf(Map.empty)
+
+    override def reduce(b: MGBuf, t: String): MGBuf = {
+      val m = b.counts
+      if (m.contains(t)) MGBuf(m.updated(t, m(t) + 1L))
+      else if (m.size < k) MGBuf(m.updated(t, 1L))
+      else {
+        // decrement-all step: drop one from every counter (the incoming item
+        // cancels against k others), removing exhausted counters
+        MGBuf(m.flatMap { case (key, c) => if (c > 1L) Some(key -> (c - 1L)) else None })
+      }
+    }
+
+    override def merge(a: MGBuf, b: MGBuf): MGBuf = {
+      val sum = (a.counts.keySet ++ b.counts.keySet).iterator
+        .map(key => key -> (a.counts.getOrElse(key, 0L) + b.counts.getOrElse(key, 0L)))
+        .toMap
+      if (sum.size <= k) MGBuf(sum)
+      else {
+        // standard mergeable-summaries reduction (Agarwal et al.): subtract
+        // the (k+1)-th largest count from every counter, keep positives —
+        // at most k survive and the guarantee is preserved
+        val d = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        MGBuf(sum.flatMap { case (key, c) => if (c > d) Some(key -> (c - d)) else None })
+      }
+    }
+
+    override def finish(b: MGBuf): Map[String, Long] = b.counts
+    override def bufferEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
 }

@@ -109,6 +109,23 @@ class OpsSpec extends SparkTestBase {
     assert(ivf.exceptAll(again).count() == 0 && again.exceptAll(ivf).count() == 0)
   }
 
+  test("Misra-Gries: heavy items survive eviction pressure on any partitioning") {
+    import spark.implicits._
+    // vocab (1 + 400) ≫ k = 8: the sketch MUST evict; the guarantee says any
+    // item with freq > n/(k+1) still survives. hot: 1000 of n = 1400 ≫ 1400/9.
+    val data = Seq.fill(1000)("hot") ++ (1 to 400).map(i => s"rare$i")
+    for (parts <- Seq(1, 7)) {
+      val ds = spark.createDataset(scala.util.Random.shuffle(data)).repartition(parts)
+      // select on a typed Dataset with a TypedColumn yields Dataset[Map[...]]
+      val mg = ds.select(new graft.ops.Aggregators.MisraGries(8).toColumn.name("mg"))
+        .collect()(0)
+      assert(mg.size <= 8, s"summary exceeded k: ${mg.size}")
+      assert(mg.contains("hot"), s"heavy item evicted (parts=$parts): $mg")
+      // undercount bounded by n/(k+1)
+      assert(mg("hot") >= 1000 - (1400 / 9 + 1), s"undercount too large: ${mg("hot")}")
+    }
+  }
+
   test("tokens: boundary whitespace never yields empty tokens; null/blank → empty array") {
     import spark.implicits._
     val got = Seq("a\tb", "a\t", "\ta", "  a  b  ", " ", "", null.asInstanceOf[String], "a\nb\r\nc")
