@@ -38,10 +38,18 @@ object Bench {
       val (v2, ok2) = p2(k)
       k -> (if (ok1 && ok2) math.min(v1, v2) else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "queries" first, scalar total LAST: the driver captures the TAIL of
+    // stdout, and with 75+ queries a front-loaded total fell off the capture
+    // (r2's total line was truncated). Also mirror the line to a file so the
+    // full JSON survives any stdout truncation.
+    val line =
+      s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}"""
+    println(line)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -14,11 +14,14 @@ import graft.ops.{Dedup, Multimodal, Relational, RuleEngine, Similarity, TextAna
   *   - float columns are cast to DECIMAL '''before''' aggregation on both
   *     sides (decimal addition is exact and order-independent — double sums
   *     are not, and Spark/DuckDB would disagree in the last ulp);
-  *   - final aggregates get an explicit matching CAST so Spark and DuckDB
-  *     report identical decimal scales; final decimal precision stays ≤ 18 so
-  *     BOTH engines write INT64-backed parquet decimals (precision > 18 makes
-  *     Spark emit FIXED_LEN_BYTE_ARRAY(16) vs DuckDB INT128, and the driver's
-  *     hash is sensitive to that physical encoding — r1 lesson);
+  *   - final projections NEVER surface DecimalType: exact decimal sums stay
+  *     internal and the written column is `CAST(... AS DOUBLE)` on BOTH
+  *     engines. The driver's hash canonicalizes oracle-side decimals and
+  *     Spark-parquet-side decimals differently (r1's precision ≤ 18 fix moved
+  *     nothing; r2 proved every decimal-out query hash-red and every
+  *     double-out twin hash-green), while the double of an exact decimal is
+  *     bit-identical on both engines as long as the unscaled value stays
+  *     below 2^53 — true for every registered aggregate at gate scale;
   *   - window/top-k queries always carry a unique tie-breaker column in the
   *     ordering so results are total-ordered and engine-independent.
   */
@@ -61,10 +64,10 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(d2)).cast(DecimalType(18, 2)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(d2)).cast(DecimalType(18, 2)).as("sum_base_price"),
+          sum(col("l_quantity").cast(d2)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(d2)).cast("double").as("sum_base_price"),
           sum(col("l_extendedprice").cast(d2) * (lit(1).cast(d2) - col("l_discount").cast(d2)))
-            .cast(DecimalType(18, 4)).as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order")
         )
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -79,7 +82,7 @@ object SparkEntry {
         .groupBy(col("p_brand"))
         .agg(
           sum(col("l_extendedprice").cast(d2) * (lit(1).cast(d2) - col("l_discount").cast(d2)))
-            .cast(DecimalType(18, 4)).as("revenue"),
+            .cast("double").as("revenue"),
           count(lit(1)).as("n_items")
         )
         .orderBy(col("p_brand"))
@@ -97,7 +100,7 @@ object SparkEntry {
         .filter(col("r_name") === "ASIA")
         .groupBy(col("n_name"))
         .agg(
-          sum(col("o_totalprice").cast(d2)).cast(DecimalType(18, 2)).as("revenue"),
+          sum(col("o_totalprice").cast(d2)).cast("double").as("revenue"),
           count(lit(1)).as("n_orders")
         )
         .orderBy(col("n_name"))
@@ -129,7 +132,7 @@ object SparkEntry {
         .filter(col("l_quantity") < 24 && col("l_discount").between(0.02, 0.06))
         .agg(
           sum(col("l_extendedprice").cast(d2) * col("l_discount").cast(d2))
-            .cast(DecimalType(18, 4)).as("revenue"),
+            .cast("double").as("revenue"),
           count(lit(1)).as("n_rows")
         )
     }),
@@ -159,7 +162,7 @@ object SparkEntry {
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       t(s, dir, "lineitem")
-        .withColumn("run_qty", sum(col("l_quantity").cast(d2)).over(w).cast(DecimalType(18, 2)))
+        .withColumn("run_qty", sum(col("l_quantity").cast(d2)).over(w).cast("double"))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("run_qty"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("run_qty"))
     }),
@@ -169,7 +172,7 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(d2)).cast(DecimalType(18, 2)).as("sum_qty"),
+          sum(col("l_quantity").cast(d2)).cast("double").as("sum_qty"),
           count(lit(1)).as("n_rows")
         )
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
@@ -219,7 +222,7 @@ object SparkEntry {
         .groupBy(col("bin_name"))
         .agg(
           count(lit(1)).as("n_parts"),
-          sum(col("p_retailprice").cast(d2)).cast(DecimalType(18, 2)).as("sum_price")
+          sum(col("p_retailprice").cast(d2)).cast("double").as("sum_price")
         )
         .orderBy(col("bin_name"))
     }),
@@ -263,7 +266,7 @@ object SparkEntry {
           col("l_orderkey"),
           col("l_linenumber"),
           when(factor.isNotNull && qtyD.isNotNull && qtyD > 0, round(qtyD * factor.cast(d2), 2))
-            .otherwise(lit(null)).cast(DecimalType(18, 2)).as("cant_unidades"),
+            .otherwise(lit(null)).cast("double").as("cant_unidades"),
           when(factor.isNotNull && col("l_quantity") > 0 && col("l_extendedprice").isNotNull,
             col("l_extendedprice") / (col("l_quantity") * factor))
             .otherwise(lit(null)).as("precio_unitario")
@@ -289,7 +292,7 @@ object SparkEntry {
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
-          sum(col("value").cast(d2)).cast(DecimalType(18, 2)).as("sum_value")
+          sum(col("value").cast(d2)).cast("double").as("sum_value")
         )
         .select(col("w.start").as("hour_start"), col("event_type"), col("n_events"), col("sum_value"))
         .orderBy(col("hour_start"), col("event_type"))
@@ -495,7 +498,7 @@ object SparkEntry {
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(d2)).cast(DecimalType(18, 2)).as("sum_price")
+          sum(col("o_totalprice").cast(d2)).cast("double").as("sum_price")
         )
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
@@ -516,7 +519,7 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .pivot("l_linestatus", Seq("F", "O"))
-        .agg(sum(col("l_quantity").cast(d2)).cast(DecimalType(18, 2)))
+        .agg(sum(col("l_quantity").cast(d2)).cast("double"))
         .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
         .orderBy(col("l_returnflag"))
     }),
@@ -603,17 +606,22 @@ object SparkEntry {
     }),
 
     // ---- context-window packing: assign documents to fixed-token bins by
-    // exclusive prefix sum (sequential packing for LLM training batches).
-    // The unpartitioned window forces a single-reducer sort — fine for the
-    // oracle contract; at corpus scale, partition by shard (e.g. the q44
-    // split bucket) and pack within shards: Window.partitionBy(shard) keeps
-    // the same code shape with full parallelism. ----
+    // exclusive prefix sum (sequential packing for LLM training batches),
+    // SHARDED: the md5 hash bucket partitions the window, so each of the 16
+    // prefix sums runs on its own reducer — an unpartitioned ORDER BY window
+    // would serialize the whole corpus through one task. (shard, bin) is the
+    // pack key; the deterministic hash shard keeps assignment reproducible
+    // across runs/partitionings, same as the q44 split. ----
     "q46_context_packing" -> ((s, dir) => {
+      val shard =
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 16)
+          .as("shard")
       val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard"))
         .orderBy(col("doc_id"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
       t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"), shard)
         .withColumn("bin",
           floor(coalesce(sum(col("n_tokens")).over(w), lit(0)) / 2048).cast("long"))
         .orderBy(col("doc_id"))
@@ -743,25 +751,21 @@ object SparkEntry {
 
     // ---- benchmark-contamination check: training docs sharing any 3-gram
     // with the held-out set (deterministic doc_id%50 split); per-doc count
-    // of distinct shared shingles. The dedup-before-join keeps the shuffle
-    // at distinct (doc, gram) pairs. ----
+    // of distinct shared shingles. Semi-join form: the bench gram set is
+    // deduped first, train (doc, gram) pairs semi-join against it, and the
+    // distinct-count runs as Spark's two-phase aggregate — every buffer is
+    // bounded. (A per-gram collect_set of train doc_ids would grow with
+    // document frequency: one boilerplate gram could collect millions of
+    // ids into a single aggregation buffer at corpus scale.) ----
     "q57_contamination" -> ((s, dir) => {
       val grams = t(s, dir, "documents")
         .transform(graft.ops.Par.spread(_, col("doc_id"))) // spread the single-split scan
         .select(col("doc_id"), explode(TextAnalysis.ngrams(col("text"), 3)).as("gram"))
-      // ONE pass over the gram stream: per gram, a bench flag + the distinct
-      // train docs containing it (collect_set skips the NULLed bench ids);
-      // contaminated grams explode back to (doc, gram-hit) pairs. The gram
-      // dictionary is vocabulary-bounded, so the sets stay small.
-      grams
-        .groupBy(col("gram"))
-        .agg(
-          max(when(col("doc_id") % 50 === 0, 1).otherwise(0)).as("has_bench"),
-          collect_set(when(col("doc_id") % 50 =!= 0, col("doc_id"))).as("train_docs"))
-        .filter(col("has_bench") === 1)
-        .select(explode(col("train_docs")).as("doc_id"))
+      val benchGrams = grams.filter(col("doc_id") % 50 === 0).select(col("gram")).distinct()
+      grams.filter(col("doc_id") % 50 =!= 0)
+        .join(benchGrams, Seq("gram"), "left_semi")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shared_grams"))
+        .agg(countDistinct(col("gram")).as("n_shared_grams"))
         .orderBy(col("doc_id"))
     }),
 
@@ -896,7 +900,7 @@ object SparkEntry {
         .groupBy(col("o_orderstatus"))
         .agg(
           count(lit(1)).as("n_rows"),
-          sum(col("l_quantity").cast(d2)).cast(DecimalType(18, 2)).as("sum_qty"))
+          sum(col("l_quantity").cast(d2)).cast("double").as("sum_qty"))
         .orderBy(col("o_orderstatus"))
     }),
 
@@ -1097,10 +1101,19 @@ object SparkEntry {
           col("o_totalprice").cast(d2).as("price"))
         .select(
           col("o_custkey"), col("o_orderkey"),
-          sum(col("price")).over(wRange).cast(DecimalType(18, 2)).as("trailing_30d"),
+          sum(col("price")).over(wRange).cast("double").as("trailing_30d"),
           (col("price").cast("double") /
             sum(col("price")).over(wAll).cast("double")).as("share_of_cust"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ---- PII redaction: emails, bare URLs, and long digit runs masked with
+    // type tags — chained codegen'd regexp_replace, one row-local map pass
+    // (the pre-training scrub every corpus pipeline runs) ----
+    "q76_pii_redaction" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.redactPII(col("text")).as("redacted"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- explicit GROUPING SETS (neither rollup nor cube) + grouping()
@@ -1127,21 +1140,21 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_brand_revenue" ->
       """SELECT p_brand,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q03_nation_revenue" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
@@ -1161,7 +1174,7 @@ object SparkEntry {
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q06_revenue_slice" ->
       """SELECT
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_rows
         |FROM lineitem
         |WHERE l_quantity < 24 AND l_discount BETWEEN 0.02 AND 0.06""".stripMargin,
@@ -1175,11 +1188,11 @@ object SparkEntry {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
         |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_qty
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, run_qty""".stripMargin,
     "q09_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
@@ -1199,7 +1212,7 @@ object SparkEntry {
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     "q13_price_bins" ->
       """SELECT bin_name, COUNT(*) AS n_parts,
-        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM part JOIN (VALUES
         |  ('b1_900_925', 900.0, 925.0), ('b2_925_950', 925.0, 950.0),
         |  ('b3_950_975', 950.0, 975.0), ('b4_975_1000', 975.0, 1000.0)
@@ -1231,7 +1244,7 @@ object SparkEntry {
     "q16_unit_conversion" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(CASE WHEN f IS NOT NULL AND q IS NOT NULL AND q > 0
-        |    THEN ROUND(q * CAST(f AS DECIMAL(18,2)), 2) END AS DECIMAL(18,2)) AS cant_unidades,
+        |    THEN ROUND(q * CAST(f AS DECIMAL(18,2)), 2) END AS DOUBLE) AS cant_unidades,
         |  CASE WHEN f IS NOT NULL AND l_quantity > 0 AND l_extendedprice IS NOT NULL
         |    THEN l_extendedprice / (l_quantity * f) END AS precio_unitario
         |FROM (
@@ -1253,7 +1266,7 @@ object SparkEntry {
     "q18_hourly_events" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q19_token_stats" ->
       """SELECT doc_id,
@@ -1381,7 +1394,7 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "q37_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q38_median" ->
@@ -1391,8 +1404,8 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q39_pivot" ->
       """SELECT l_returnflag,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS DECIMAL(18,2)) AS qty_f,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS DECIMAL(18,2)) AS qty_o
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS DOUBLE) AS qty_f,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q40_sql_surface" ->
       """SELECT c_mktsegment, COUNT(*) AS n_above_avg
@@ -1437,13 +1450,14 @@ object SparkEntry {
         |  FROM documents) x
         |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
     "q46_context_packing" ->
-      """SELECT doc_id, n_tokens,
-        |  CAST(floor(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      """SELECT doc_id, n_tokens, shard,
+        |  CAST(floor(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS bin
         |FROM (
         |  SELECT doc_id,
         |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
-        |      ELSE len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END AS n_tokens
+        |      ELSE len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END AS n_tokens,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS shard
         |  FROM documents) x
         |ORDER BY doc_id""".stripMargin,
     "q48_outer_join" ->
@@ -1497,6 +1511,15 @@ object SparkEntry {
         |  array_to_string(list_sort(list_distinct(array_agg(source))), ',') AS sources,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q76_pii_redaction" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^ \t\n\r]+', '<URL>', 'g'),
+        |    '[0-9][0-9 ()+.-]{6,}[0-9]', '<NUMBER>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q75_heavy_hitters" ->
       """WITH t AS (
         |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS token
@@ -1542,7 +1565,7 @@ object SparkEntry {
     "q70_trailing_window" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(SUM(price) OVER (PARTITION BY o_custkey ORDER BY d
-        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS trailing_30d,
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d,
         |  CAST(price AS DOUBLE) /
         |    CAST(SUM(price) OVER (PARTITION BY o_custkey) AS DOUBLE) AS share_of_cust
         |FROM (
@@ -1616,7 +1639,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "q64_salted_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n_rows,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q65_bloom_semijoin" ->

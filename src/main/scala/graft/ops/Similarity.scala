@@ -79,20 +79,26 @@ object Similarity {
   }
 
   /** All pairs with cosine ≥ threshold (id_a < id_b). Brute-force form for
-    * bounded corpora / oracle verification; the scalable variant buckets with
-    * [[lshBuckets]] first.
+    * BOUNDED corpora / oracle verification ONLY: the non-equi condition forces
+    * a nested-loop join, and `forceBroadcast` (default) ships the whole right
+    * side to every task — an executor-memory hazard on an unbounded corpus.
+    * Pass `forceBroadcast = false` above broadcast scale (the join then runs
+    * as a partitioned nested loop); the SCALABLE near-dup path is
+    * [[verifiedNearDups]]/[[annTopK]], which bucket with [[lshBuckets]] first
+    * and never go all-pairs.
     */
   def nearDupPairs(
       df: DataFrame,
       idCol: String,
       embCol: String,
-      threshold: Double
+      threshold: Double,
+      forceBroadcast: Boolean = true
   ): DataFrame = {
     val v = withFixed(df, idCol, embCol)
     val a = spread(v, col("id"))
       .withColumnsRenamed(Map("id" -> "id_a", "iv" -> "iv_a", "nrm" -> "nrm_a"))
     val b = v.withColumnsRenamed(Map("id" -> "id_b", "iv" -> "iv_b", "nrm" -> "nrm_b"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+    a.join(if (forceBroadcast) broadcast(b) else b, col("id_a") < col("id_b"))
       .withColumn("dot", dot(col("iv_a"), col("iv_b")))
       .withColumn("cosine", cosineFromFixed(col("dot"), col("nrm_a"), col("nrm_b")))
       .filter(col("cosine") >= threshold)

@@ -17,8 +17,25 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** Default sizing when the caller has no cardinality estimate: 1M items at
+    * ~10 bits/item (≈1% FPP, 1.25 MB blob). A smaller dim just gets a lower
+    * FPP; a larger one triggers the one-time saturation rebuild below.
+    */
+  private val DefaultExpectedItems = 1L << 20
+
+  private def sizeBits(items: Long): Long =
+    math.min(math.max(items * 10L, 1L << 16), 1L << 27)
+
   /** Rows of `facts` whose `factKey` is possibly in `dimKeys` (Bloom
     * membership; false positives allowed, false negatives impossible).
+    *
+    * Sizing without a separate `count()` action: the exact dim count rides
+    * along in the SAME single-row collect that builds the bloom (~10 bits/
+    * item ≈ 1% false positives — a saturated bloom prunes nothing but still
+    * costs a probe per fact row). Only if the caller gave no estimate AND the
+    * actual count blew past the default sizing is the bloom rebuilt once at
+    * the true cardinality — the rare path; the common path is ONE pass over
+    * dim before the join.
     */
   def bloomPrefilter(
       facts: DataFrame,
@@ -29,22 +46,25 @@ object Sketches {
       numBits: Long = -1L
   ): DataFrame = {
     graft.functions.GraftFunctions.register(facts.sparkSession)
-    // size the filter to the dimension (a saturated bloom prunes nothing but
-    // still costs a probe per fact row): ~10 bits/item ≈ 1% false positives.
-    val items =
-      if (expectedItems > 0) expectedItems else math.max(dim.count(), 1L)
-    val bits =
-      if (numBits > 0) numBits
-      else math.min(math.max(items * 10L, 1L << 16), 1L << 27)
     // `might_contain` requires a CONSTANT bloom binary: aggregate the dim
     // keys into one blob (a single-row action, ~numBits/8 bytes) and inject
     // it as a literal — the same materialize-then-inject shape Spark's own
     // runtime filters use.
-    val bloomBytes: Array[Byte] = dim
-      .agg(call_function("graft_bloom_agg", xxhash64(dimKey), lit(items), lit(bits))
-        .as("bf"))
-      .collect()(0).getAs[Array[Byte]]("bf")
-    facts.filter(call_function("graft_might_contain", lit(bloomBytes), xxhash64(factKey)))
+    def build(items: Long, bits: Long): (Array[Byte], Long) = {
+      val row = dim
+        .agg(
+          call_function("graft_bloom_agg", xxhash64(dimKey), lit(items), lit(bits)).as("bf"),
+          count(lit(1)).as("n"))
+        .collect()(0)
+      (row.getAs[Array[Byte]]("bf"), row.getAs[Long]("n"))
+    }
+    val items0 = if (expectedItems > 0) expectedItems else DefaultExpectedItems
+    val bits0 = if (numBits > 0) numBits else sizeBits(items0)
+    val (bf0, n) = build(items0, bits0)
+    val bf =
+      if (expectedItems <= 0 && numBits <= 0 && n > items0) build(n, sizeBits(n))._1
+      else bf0
+    facts.filter(call_function("graft_might_contain", lit(bf), xxhash64(factKey)))
   }
 
   /** Exact semi join accelerated by a Bloom pre-filter: same result as
@@ -59,18 +79,16 @@ object Sketches {
       expectedItems: Long = -1L,
       numBits: Long = -1L
   ): DataFrame = {
-    // dim is consumed three times in the default path: the sizing count()
-    // and the bloom-build collect() (both EAGER, here), then the semi join
-    // at the caller's action. Persist across the two eager actions and
-    // release before returning — the join then reads dim from source once.
-    val d = dim.persist()
-    try {
-      val pruned =
-        bloomPrefilter(facts, col(factKeyName), d, col(dimKeyName), expectedItems, numBits)
-      pruned.join(
-        dim.select(col(dimKeyName).as(factKeyName)).distinct(),
-        Seq(factKeyName),
-        "left_semi")
-    } finally { d.unpersist(); () }
+    // dim is consumed twice — the bloom-build collect (EAGER, inside
+    // bloomPrefilter) and the semi join at the caller's action — but the two
+    // never overlap in time, so a persist would only add a cache write: the
+    // common path is exactly one eager pass over dim, then the join re-reads
+    // it from source (filter-pushed) at action time.
+    val pruned =
+      bloomPrefilter(facts, col(factKeyName), dim, col(dimKeyName), expectedItems, numBits)
+    pruned.join(
+      dim.select(col(dimKeyName).as(factKeyName)).distinct(),
+      Seq(factKeyName),
+      "left_semi")
   }
 }

@@ -19,11 +19,12 @@ object TextAnalysis {
     * (never NULL — under the pinned ANSI-off sessions `size(NULL)` is -1,
     * which would poison every downstream count/ratio/jaccard). Empty-string
     * tokens are filtered out: trim strips only 0x20, so text bracketed by
-    * other whitespace (e.g. a trailing "\t") would otherwise yield boundary
-    * empties — and Java's split drops TRAILING empties while DuckDB's
-    * string_split_regex keeps them, so without the filter (mirrored as
-    * list_filter in every oracle) the signatures of such texts diverge
-    * between engines.
+    * other whitespace (e.g. a trailing "\t") yields boundary empties — Spark's
+    * `split` uses limit -1, which KEEPS trailing empties (it is Java's
+    * default-limit split that drops them), and DuckDB's string_split_regex
+    * keeps them too, so the filter (mirrored as list_filter in every oracle)
+    * pins identical treatment of leading AND trailing empties on both
+    * engines.
     */
   def tokens(text: Column): Column =
     when(text.isNull || length(trim(text)) === 0, array().cast("array<string>"))

@@ -23,7 +23,7 @@ class PlanSpec extends SparkTestBase {
     val p = plan(q("q06_revenue_slice"))
     assert(p.contains("PushedFilters: ["), p)
     assert(p.contains("LessThan(l_quantity"), p)
-    // only the 2 referenced columns are read, not lineitem's 11
+    // only the 3 referenced columns are read, not lineitem's 11
     assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double>"), p)
   }
 
@@ -63,5 +63,21 @@ class PlanSpec extends SparkTestBase {
   test("q64 salted join scatters: join keys include the salt column") {
     val p = plan(q("q64_salted_join"))
     assert(p.contains("_salt"), p)
+  }
+
+  test("q46 packing window is shard-partitioned, not a global single-reducer sort") {
+    val p = plan(q("q46_context_packing"))
+    // windowspecdefinition(shard, doc_id ASC ...) — the partition expression
+    // present means each prefix sum runs on its own reducer
+    assert(p.contains("windowspecdefinition(shard"), p)
+  }
+
+  test("q57 contamination has no unbounded aggregation buffer") {
+    val p = plan(q("q57_contamination"))
+    // the semi-join form: no per-gram collect_set of doc ids (whose buffer
+    // grows with document frequency), no object-hash aggregate at all
+    assert(!p.contains("collect_set"), p)
+    assert(!p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("LeftSemi"), p)
   }
 }
