@@ -1107,6 +1107,38 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // ---- Structured Streaming batch equivalence: the q18 hourly rollup run
+    // THROUGH readStream + watermark + window + memory sink must equal the
+    // batch result exactly (decimal-accumulated sum ⇒ arrival-order
+    // independent) — the gate proof that the engine's operators carry over
+    // to streams unchanged. Oracle = q18's oracle. ----
+    "q77_stream_hourly" -> ((s, dir) => {
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prior = s.conf.getOption(key)
+      s.conf.set(key, "true") // events.parquet stores TIMESTAMP(NANOS)
+      try {
+        val sch = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", LongType), // nanos-as-long under the legacy conf
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType),
+          StructField("props", StringType)))
+        // the file source's basePath must be a DIRECTORY — stream the sf dir
+        // with a glob filter selecting just the events table
+        val raw = s.readStream.schema(sch)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val ev = raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        graft.streaming.StreamOps
+          .runToMemory(s, graft.streaming.StreamOps.hourlyCounts(ev),
+            "q77_mem", org.apache.spark.sql.streaming.OutputMode.Complete())
+          .orderBy(col("hour_start"), col("event_type"))
+      } finally prior match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -1520,6 +1552,11 @@ object SparkEntry {
         |      'https?://[^ \t\n\r]+', '<URL>', 'g'),
         |    '[0-9][0-9 ()+.-]{6,}[0-9]', '<NUMBER>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q77_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q75_heavy_hitters" ->
       """WITH t AS (
         |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS token

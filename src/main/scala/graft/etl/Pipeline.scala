@@ -39,11 +39,20 @@ object Pipeline {
     )
   }
 
-  /** Run every unprocessed country; returns countries successfully processed. */
+  /** Run every unprocessed country; returns countries successfully processed.
+    *
+    * Run-level events go to a per-run timestamped log file ([[RunLog]],
+    * reference S7) under `logDir` — default `<output_root>/log` — as well as
+    * the console. Config-validation failures happen before the output root is
+    * known, so they are console-only (the reference logs them to its
+    * pre-created volume path instead; same information, different home).
+    */
   def run(
       spark: SparkSession,
       configPath: String,
-      auditTs: Column = current_timestamp()
+      auditTs: Column = current_timestamp(),
+      logDir: Option[String] = None,
+      logClock: () => java.time.LocalDateTime = () => java.time.LocalDateTime.now()
   ): List[String] = {
     EtlConfig.load(configPath) match {
       case Left(errs) =>
@@ -52,25 +61,30 @@ object Pipeline {
           s"config validation failed: ${errs.mkString("; ")}"
         )
       case Right(cfg0) =>
-        var cfg = cfg0
-        val done = scala.collection.mutable.ListBuffer.empty[String]
-        cfg0.params.foreach { p =>
-          if (p.process) log.info(s"skip ${p.country}: already processed")
-          else {
-            try {
-              runCountry(spark, cfg, p, auditTs)
-              cfg = EtlConfig.markProcessed(configPath, cfg, p.country)
-              done += p.country
-              log.info(s"country ${p.country} done [${p.startDate}..${p.endDate}]")
-            } catch {
-              case e: Exception =>
-                // stage error isolation: log and continue with the next country
-                // (reference O3) — but do NOT mark processed.
-                log.error(s"country ${p.country} failed: ${e.getMessage}", e)
+        val rl = RunLog(logDir.getOrElse(s"${cfg0.outputRoot}/log"), logClock)
+        try {
+          rl.info(s"config $configPath loaded: ${cfg0.params.size} country blocks")
+          var cfg = cfg0
+          val done = scala.collection.mutable.ListBuffer.empty[String]
+          cfg0.params.foreach { p =>
+            if (p.process) rl.info(s"skip ${p.country}: already processed")
+            else {
+              try {
+                runCountry(spark, cfg, p, auditTs)
+                cfg = EtlConfig.markProcessed(configPath, cfg, p.country)
+                done += p.country
+                rl.info(s"country ${p.country} done [${p.startDate}..${p.endDate}]")
+              } catch {
+                case e: Exception =>
+                  // stage error isolation: log and continue with the next
+                  // country (reference O3) — but do NOT mark processed.
+                  rl.error(s"country ${p.country} failed: ${e.getMessage}", e)
+              }
             }
           }
-        }
-        done.toList
+          rl.info(s"run complete: processed=${done.mkString(",")}")
+          done.toList
+        } finally rl.close()
     }
   }
 

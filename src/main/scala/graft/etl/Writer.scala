@@ -182,6 +182,101 @@ object Writer {
     } finally { bounded.unpersist(); () }
   }
 
+  // ---------------------------------------------------------------------
+  // Versioned commit protocol — the object-store-safe replaceWhere variant.
+  // ---------------------------------------------------------------------
+
+  /** Name of the atomic pointer object holding the current version. */
+  private val CurrentPointer = "_current"
+
+  private def versionDir(path: String, v: Long) = new HPath(path, s"v-$v")
+
+  private def readPointer(fs: FileSystem, root: HPath): Option[Long] = {
+    val p = new HPath(root, CurrentPointer)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val s = scala.io.Source.fromInputStream(in).mkString.trim
+        if (s.isEmpty) None else Some(s.toLong)
+      } finally in.close()
+    }
+  }
+
+  private def writePointer(fs: FileSystem, root: HPath, v: Long): Unit = {
+    // ONE small-object write: atomic PUT on object stores, atomic
+    // create-overwrite on HDFS/local — this is the commit point.
+    val out = fs.create(new HPath(root, CurrentPointer), true)
+    try out.write(v.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read the current committed version of a [[replaceWhereVersioned]] table
+    * (empty-schema error if the table has never committed).
+    */
+  def readCurrent(spark: SparkSession, path: String): DataFrame = {
+    val root = new HPath(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = readPointer(fs, root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    spark.read.parquet(versionDir(path, v).toString)
+  }
+
+  /** Object-store-safe replaceWhere: versioned-directory commit protocol
+    * closing [[replaceWhere]]'s rename-swap atomicity gap (real Delta closes
+    * it with a transaction log; this is the minimal manifest form of the same
+    * idea).
+    *
+    * Layout: `path/v-<n>/…parquet` plus `path/_current`, a one-line pointer
+    * object naming the committed version. A write: resolve `_current`,
+    * compute kept ∪ new, write the FULL next version to `v-<n+1>` (a fresh
+    * directory — no file of the committed version is ever touched), then
+    * atomically overwrite the pointer. Readers ([[readCurrent]]) always see a
+    * complete version: a crash anywhere before the pointer write leaves them
+    * on `v-<n>` intact, and the next writer simply overwrites the orphaned
+    * `v-<n+1>` attempt. The one previous version is kept for in-flight
+    * readers; older ones are GC'd.
+    *
+    * Tradeoff vs [[replaceWhere]]: the table is read through [[readCurrent]]
+    * (the root dir is not itself a valid parquet table), and single-writer is
+    * still assumed (two concurrent writers would race the same next version —
+    * Delta arbitrates that with its log; out of scope here).
+    */
+  def replaceWhereVersioned(
+      spark: SparkSession,
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      predicate: Column
+  ): Unit = {
+    val root = new HPath(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val cur = readPointer(fs, root)
+    val next = cur.getOrElse(-1L) + 1L
+    val merged = cur match {
+      case None => df
+      case Some(v) =>
+        val existing = spark.read.parquet(versionDir(path, v).toString)
+        existing.filter(!coalesce(predicate, lit(false)))
+          .unionByName(df.select(existing.columns.map(col).toIndexedSeq: _*))
+    }
+    val target = versionDir(path, next)
+    fs.delete(target, true) // clear any orphaned attempt at this version
+    val w = merged.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(target.toString)
+    writePointer(fs, root, next) // ← the commit
+    // GC: keep current + previous, drop anything older (best effort)
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("v-")) {
+        val v = name.stripPrefix("v-").toLongOption
+        if (v.exists(_ < next - 1)) { fs.delete(st.getPath, true); () }
+      }
+    }
+  }
+
   private def cleanupStale(
       spark: SparkSession,
       path: String,

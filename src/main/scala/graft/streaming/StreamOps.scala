@@ -24,13 +24,19 @@ object StreamOps {
 
   /** Hourly tumbling-window counts per event type (streaming q18 twin).
     * Watermark bounds state: late rows beyond 1h are dropped at 100 TB/day
-    * rates instead of accumulating unbounded window state.
+    * rates instead of accumulating unbounded window state. The value sum
+    * accumulates in exact decimal and surfaces as double — identical results
+    * on any micro-batch arrival order (a raw double sum is order-dependent),
+    * which is what lets the batch-equivalence gate (q77) hash-compare this
+    * against the batch q18.
     */
   def hourlyCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n_events"), col("sum_value"))
 
   /** Gap-based session aggregation using the built-in `session_window`

@@ -74,8 +74,17 @@ class PipelineSpec extends SparkTestBase {
     val (dir, cfgPath) = fixture()
     val fixedTs = to_timestamp(lit("2026-01-01 00:00:00"))
 
-    val done = Pipeline.run(spark, cfgPath, auditTs = fixedTs)
+    val fixedClock = () => java.time.LocalDateTime.of(2026, 1, 2, 3, 4, 5)
+    val done = Pipeline.run(spark, cfgPath, auditTs = fixedTs, logClock = fixedClock)
     assert(done == List("EC", "PE"))
+
+    // S7: per-run timestamped log-file sink — file named from the (injected)
+    // run clock, lines in `timestamp [LEVEL] message` format.
+    val logFile = java.nio.file.Paths.get(s"$dir/out/log/etl_run_20260102_030405.log")
+    assert(Files.exists(logFile), s"expected run log at $logFile")
+    val logText = Files.readString(logFile)
+    assert(logText.contains("2026-01-02 03:04:05 [INFO] country EC done [2025-01-01..2025-06-30]"), logText)
+    assert(logText.contains("[INFO] run complete: processed=EC,PE"), logText)
 
     val paths = Pipeline.Paths.under(s"$dir/out")
     val clean = spark.read.parquet(paths.silverClean)

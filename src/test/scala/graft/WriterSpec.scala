@@ -42,4 +42,38 @@ class WriterSpec extends SparkTestBase {
       dir, "fecha_proceso", "pais", "EC", "2025-02-01", "2025-02-28")
     assert(spark.read.parquet(dir).count() == 3)
   }
+
+  test("versioned replaceWhere: commit pointer, replace semantics, crash safety, GC") {
+    val dir = Files.createTempDirectory("graft-wv").toString + "/t"
+    def pred(c: String) = col("pais") === c
+
+    // v-0: first commit
+    Writer.replaceWhereVersioned(spark, mk(Seq(("EC", "2025-01-01", 1.0),
+      ("PE", "2025-01-01", 9.0))), dir, Seq.empty, pred("EC"))
+    assert(Writer.readCurrent(spark, dir).count() == 2)
+
+    // v-1: replace EC only — PE kept, EC swapped
+    Writer.replaceWhereVersioned(spark, mk(Seq(("EC", "2025-01-02", 5.0))),
+      dir, Seq.empty, pred("EC"))
+    val cur = Writer.readCurrent(spark, dir)
+    assert(cur.count() == 2)
+    assert(cur.filter(col("pais") === "EC").collect().head.getAs[Double]("v") == 5.0)
+    assert(cur.filter(col("pais") === "PE").collect().head.getAs[Double]("v") == 9.0)
+
+    // crash simulation: an orphaned next-version directory (data written,
+    // pointer never updated) must be invisible to readers and silently
+    // overwritten by the next successful write.
+    val orphan = new java.io.File(s"$dir/v-2"); orphan.mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/v-2/garbage"), "not parquet")
+    assert(Writer.readCurrent(spark, dir).count() == 2) // still v-1
+    Writer.replaceWhereVersioned(spark, mk(Seq(("PE", "2025-01-03", 4.0))),
+      dir, Seq.empty, pred("PE"))
+    val cur2 = Writer.readCurrent(spark, dir)
+    assert(cur2.count() == 2)
+    assert(cur2.filter(col("pais") === "PE").collect().head.getAs[Double]("v") == 4.0)
+
+    // GC: after v-2 commits, only current and previous versions remain
+    val vs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("v-")).sorted
+    assert(vs.toSeq == Seq("v-1", "v-2"), vs.mkString(","))
+  }
 }
