@@ -783,9 +783,14 @@ object SparkEntry {
         .filter(col("doc_id") < 1000)
         .transform(graft.ops.Par.spread(_, col("doc_id")))
         .select(col("doc_id"), Dedup.wordSetSignature(col("text")).as("sig"), col("text"))
+      // materialize reps once: the subtree (scan → tokenize → sig → groupBy)
+      // is otherwise replayed by BOTH sides of the O(n²) edge join, the CC
+      // node seed, and the final label join-back — 4 recomputes of the most
+      // expensive leaf. Bounded (≤ maxId rows), so the checkpoint is tiny.
       val reps = base
         .groupBy(col("sig"))
         .agg(min(col("doc_id")).as("rep"), min_by(col("text"), col("doc_id")).as("text"))
+        .localCheckpoint(true)
       val edges = Dedup
         .jaccardPairs(reps.select(col("rep").as("doc_id"), col("text")),
           "doc_id", "text", threshold = 0.9, maxId = 1000L)
