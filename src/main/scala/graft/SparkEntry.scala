@@ -348,6 +348,25 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- dedup: 3-gram SHINGLE-set Jaccard pairs (order-sensitive twin of
+    // q23's word-set form: shuffled-bag near-dups score low here, true
+    // copy-edits score high — the n-gram Jaccard of the dedup family).
+    // Bounded id range, native sorted-merge jaccard expression. ----
+    "q78_shingle_jaccard" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .filter(col("doc_id") < 1000)
+        .select(col("doc_id"),
+          array_sort(array_distinct(TextAnalysis.ngrams(col("text"), 3))).as("sh"))
+      val a = graft.ops.Par.spread(sh, col("doc_id"))
+        .select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("jaccard", call_function("graft_sorted_jaccard", col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= 0.9)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- dedup: exact-collapse → MinHash+LSH banding → exact verify (the
     // scalable near-dup cascade; approximate recall ⇒ rows-only gate, recall
     // asserted in tests) ----
@@ -1368,6 +1387,22 @@ object SparkEntry {
         |          ELSE list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END AS ws
         |        FROM documents WHERE doc_id < 1000) b
         |    ON a.doc_id < b.doc_id) x
+        |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    "q78_shingle_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |    ELSE list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |  FROM (SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS toks
+        |    FROM documents WHERE doc_id < 1000) y)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 1.0
+        |      ELSE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE END AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) x
         |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     "q27_cosine_topk" ->
       """WITH n AS (
