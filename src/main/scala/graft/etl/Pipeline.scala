@@ -61,30 +61,42 @@ object Pipeline {
           s"config validation failed: ${errs.mkString("; ")}"
         )
       case Right(cfg0) =>
-        val rl = RunLog(logDir.getOrElse(s"${cfg0.outputRoot}/log"), logClock)
+        // the file sink is OBSERVABILITY, not pipeline state: if the log dir
+        // is not a local filesystem path (RunLog writes through java.io — an
+        // hdfs:// or s3:// output_root cannot host it), degrade to
+        // console-only rather than failing the run.
+        val rl: Option[RunLog] =
+          try Some(RunLog(logDir.getOrElse(s"${cfg0.outputRoot}/log"), logClock))
+          catch {
+            case e: Exception =>
+              log.warn(s"run-log file sink unavailable (${e.getMessage}); console only")
+              None
+          }
+        def rinfo(m: String): Unit = rl.fold(log.info(m))(_.info(m))
+        def rerror(m: String, e: Throwable): Unit = rl.fold(log.error(m, e))(_.error(m, e))
         try {
-          rl.info(s"config $configPath loaded: ${cfg0.params.size} country blocks")
+          rinfo(s"config $configPath loaded: ${cfg0.params.size} country blocks")
           var cfg = cfg0
           val done = scala.collection.mutable.ListBuffer.empty[String]
           cfg0.params.foreach { p =>
-            if (p.process) rl.info(s"skip ${p.country}: already processed")
+            if (p.process) rinfo(s"skip ${p.country}: already processed")
             else {
               try {
                 runCountry(spark, cfg, p, auditTs)
                 cfg = EtlConfig.markProcessed(configPath, cfg, p.country)
                 done += p.country
-                rl.info(s"country ${p.country} done [${p.startDate}..${p.endDate}]")
+                rinfo(s"country ${p.country} done [${p.startDate}..${p.endDate}]")
               } catch {
                 case e: Exception =>
                   // stage error isolation: log and continue with the next
                   // country (reference O3) — but do NOT mark processed.
-                  rl.error(s"country ${p.country} failed: ${e.getMessage}", e)
+                  rerror(s"country ${p.country} failed: ${e.getMessage}", e)
               }
             }
           }
-          rl.info(s"run complete: processed=${done.mkString(",")}")
+          rinfo(s"run complete: processed=${done.mkString(",")}")
           done.toList
-        } finally rl.close()
+        } finally rl.foreach(_.close())
     }
   }
 
