@@ -167,6 +167,22 @@ object SparkEntry {
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("run_qty"))
     }),
 
+    // ---- native grouped top-k: the custom LogicalPlan → Rule → Strategy →
+    // SparkPlan path (bounded per-group heap, NO partition sort) — result
+    // provably identical to the q07 window form (same oracle), so the whole
+    // custom-operator stack is gate-checked ----
+    "q79_native_topk" -> ((s, dir) => {
+      Relational
+        .topKPerGroupNative(
+          t(s, dir, "orders"),
+          partitionCols = Seq(col("o_custkey")),
+          orderBy = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+          k = 3
+        )
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
     // ---- grouping sets / rollup ----
     "q09_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1235,6 +1251,12 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_quantity < 24 AND l_discount BETWEEN 0.02 AND 0.06""".stripMargin,
     "q07_top_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) x
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q79_native_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn

@@ -52,6 +52,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_simhash", "one-pass 64-bit simhash of a string array"),
       SketchFunctions.simHashBuilder))
     e.injectOptimizerRule(_ => SimplifySelfSimilarity)
+    e.injectOptimizerRule(_ => graft.plans.RewriteMarkedTopK)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
 

@@ -27,6 +27,30 @@ object Relational {
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
+  /** [[topKPerGroup]] through the NATIVE physical operator
+    * ([[graft.plans.TopKPerGroupExec]]): a bounded per-group heap in one
+    * un-sorted pass instead of sorting every partition row for the window.
+    * Identical results given the same total-order contract (include a unique
+    * tie-breaker in `orderBy`); the rewrite is keyed to this method's marker
+    * alias, so ordinary window queries elsewhere are untouched. Prefer this
+    * form when groups are large and k is small — the window form remains the
+    * spill-safe fallback when (groups-per-partition × k) itself is huge.
+    */
+  def topKPerGroupNative(
+      df: DataFrame,
+      partitionCols: Seq[Column],
+      orderBy: Seq[Column],
+      k: Int,
+      rankCol: String = "rn"
+  ): DataFrame = {
+    graft.plans.GraftPlans.install(df.sparkSession)
+    val marker = graft.plans.GraftPlans.RankMarker
+    val w = Window.partitionBy(partitionCols: _*).orderBy(orderBy: _*)
+    df.withColumn(marker, row_number().over(w))
+      .filter(col(marker) <= k)
+      .withColumnRenamed(marker, rankCol)
+  }
+
   /** Gap-based sessionization: a new session starts when the time since the
     * previous event of the same key exceeds `gap`. Two windows over ONE
     * shuffle (same partitioning/ordering → single sort), classic
