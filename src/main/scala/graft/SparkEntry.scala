@@ -626,10 +626,11 @@ object SparkEntry {
     }),
 
     // ---- deterministic per-group sampling: k docs per language, ranked by
-    // a content-independent hash (reproducible "random" sample) ----
+    // a content-independent hash (reproducible "random" sample) — through
+    // the native heap top-k (no per-language sort) ----
     "q45_group_sample" -> ((s, dir) => {
       Relational
-        .topKPerGroup(
+        .topKPerGroupNative(
           t(s, dir, "documents"),
           partitionCols = Seq(col("lang")),
           orderBy = Seq(md5(col("doc_id").cast("string")).asc, col("doc_id").asc),
@@ -737,12 +738,15 @@ object SparkEntry {
       // df FROM tf (one row per (doc, token) already) — the corpus is
       // tokenized and exploded once, not once per statistic
       val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id"))
-        .orderBy(col("tf").desc, col("df").asc, col("token").asc)
-      tf.join(df, "token")
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
+      // native heap top-k: per-doc top-5 without sorting every (doc, token)
+      // row of the partition (token closes the ordering — total per doc)
+      Relational
+        .topKPerGroupNative(
+          tf.join(df, "token"),
+          partitionCols = Seq(col("doc_id")),
+          orderBy = Seq(col("tf").desc, col("df").asc, col("token").asc),
+          k = 5,
+          rankCol = "rank")
         .select(col("doc_id"), col("token"), col("tf"), col("df"), col("rank"))
         .orderBy(col("doc_id"), col("rank"))
     }),

@@ -64,6 +64,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("constant array"))
   }
 
+  test("the extensions route also installs the native top-k rule + strategy") {
+    // a MARKED rank filter must plan the heap operator in the extensions
+    // session WITHOUT any runtime GraftPlans.install call
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val marked = orders
+      .withColumn(graft.plans.GraftPlans.RankMarker, row_number().over(w))
+      .filter(col(graft.plans.GraftPlans.RankMarker) <= 3)
+    val plan = marked.queryExecution.executedPlan.toString()
+    assert(plan.contains("TopKPerGroup"), plan)
+    assert(marked.count() > 0)
+  }
+
   test("SimplifySelfSimilarity rewrites self-dot to sq-norm and self-jaccard to 1.0") {
     // file-backed source so the optimizer can't collapse the plan into a
     // pre-evaluated LocalRelation before the rewrite is observable
