@@ -369,14 +369,23 @@ object SparkEntry {
     // copy-edits score high — the n-gram Jaccard of the dedup family).
     // Bounded id range, native sorted-merge jaccard expression. ----
     "q78_shingle_jaccard" -> ((s, dir) => {
+      // materialize the shingle table once: it feeds BOTH sides of the
+      // self-join, and without the checkpoint the ngram+distinct+sort
+      // lineage replays twice (bounded: maxId rows)
       val sh = t(s, dir, "documents")
         .filter(col("doc_id") < 1000)
         .select(col("doc_id"),
           array_sort(array_distinct(TextAnalysis.ngrams(col("text"), 3))).as("sh"))
+        .localCheckpoint()
       val a = graft.ops.Par.spread(sh, col("doc_id"))
         .select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       a.join(broadcast(b), col("id_a") < col("id_b"))
+        // size-ratio prefilter: jaccard >= 0.9 forces |small| >= 0.9*|large|
+        // (intersection <= min, union >= max) — an O(1) integer compare that
+        // prunes almost every pair before the O(n) sorted-merge runs
+        .filter(least(size(col("sh_a")), size(col("sh_b"))) * 10
+          >= greatest(size(col("sh_a")), size(col("sh_b"))) * 9)
         .withColumn("jaccard", call_function("graft_sorted_jaccard", col("sh_a"), col("sh_b")))
         .filter(col("jaccard") >= 0.9)
         .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -1029,8 +1038,12 @@ object SparkEntry {
         .select(split_part(col("gram"), lit(" "), lit(1)).as("w1"),
           split_part(col("gram"), lit(" "), lit(2)).as("w2"))
       val big = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
-      val uni = big.groupBy(col("w1")).agg(sum(col("n_pair")).as("n_w1"))
-      big.join(uni, "w1")
+      // unigram totals as a window sum over the ALREADY-AGGREGATED bigram
+      // table: deriving n_w1 via a second groupBy + join would replay the
+      // whole explode+aggregate lineage for both join sides; the window
+      // shuffles only vocab-squared aggregated rows, once
+      val byW1 = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+      big.withColumn("n_w1", sum(col("n_pair")).over(byW1))
         .filter(col("n_pair") >= 20)
         .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"),
           (col("n_pair").cast("double") / col("n_w1").cast("double")).as("p_cond"))
