@@ -52,15 +52,25 @@ object Dedup {
   ): DataFrame = {
     // sorted distinct token arrays → the native merge-loop jaccard expression
     // (graft_sorted_jaccard) instead of per-pair set allocation
+    // materialized once (bounded: maxId rows): the tokenize+sort lineage
+    // otherwise replays on both sides of the self-join
     val ws = docs
       .filter(col(idCol) < maxId)
       .select(col(idCol).as("id"),
         array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))).as("ws"))
+      .localCheckpoint()
     // stream side spread across the cluster: the testdata parquet is a single
     // split, and the O(n²) merge-loop work below must not run on one core
     val a = Par.spread(ws, col("id")).select(col("id").as("id_a"), col("ws").as("ws_a"))
     val b = ws.select(col("id").as("id_b"), col("ws").as("ws_b"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
+      // size-ratio prefilter: jaccard = |∩|/|∪| ≤ min/max, so any pair with
+      // min/max < threshold cannot qualify — an O(1) compare that skips the
+      // O(n) merge loop for almost every non-duplicate pair. Same ÷-then-
+      // compare shape as the jaccard itself: double rounding is monotone, so
+      // round(min/max) ≥ round(|∩|/|∪|) and no boundary pair is lost
+      .filter(least(size(col("ws_a")), size(col("ws_b"))).cast("double")
+        / greatest(size(col("ws_a")), size(col("ws_b"))).cast("double") >= threshold)
       .withColumn("jaccard", call_function("graft_sorted_jaccard", col("ws_a"), col("ws_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -184,14 +194,22 @@ object Dedup {
     // verify on sorted per-token 64-bit hashes (equal to string jaccard up to
     // negligible xxh64 collisions): long merges are ~10× cheaper than UTF8
     // merges at millions of candidate pairs, and the broadcast is smaller.
+    // materialized once: both attach-broadcasts below would otherwise replay
+    // the scan + tokenize + hash + sort lineage (and, for collapsed inputs,
+    // the representative groupBy upstream of it) independently
     val ws = docs.select(
       col(idCol).as("id"),
       array_sort(transform(array_distinct(TextAnalysis.tokens(col(textCol))), t => xxhash64(t)))
         .as("ws")
-    )
+    ).localCheckpoint()
     cands
       .join(broadcast(ws.withColumnsRenamed(Map("id" -> "id_a", "ws" -> "ws_a"))), "id_a")
       .join(broadcast(ws.withColumnsRenamed(Map("id" -> "id_b", "ws" -> "ws_b"))), "id_b")
+      // size-ratio prefilter (division form — rounding is monotone, so no
+      // boundary pair is lost): skips the merge loop for collided pairs
+      // whose set sizes already rule out the threshold
+      .filter(least(size(col("ws_a")), size(col("ws_b"))).cast("double")
+        / greatest(size(col("ws_a")), size(col("ws_b"))).cast("double") >= threshold)
       .withColumn("jaccard", call_function("graft_sorted_long_jaccard", col("ws_a"), col("ws_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

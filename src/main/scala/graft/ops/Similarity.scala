@@ -145,9 +145,13 @@ object Similarity {
     // vectors computed once; the LSH join shuffles ONLY (id, table, bucket)
     // small keys — arrays are attached to the (distinct) candidate pairs
     // afterwards, so vector bytes never multiply by numTables.
+    // materialized once: BOTH candidate-pair broadcasts below would
+    // otherwise re-run the scan + fixed-point conversion independently
+    // (bounded: one row per vector — this is the scoring side of the index)
     val v = df
       .select(col(idCol).as("id"), fixedPoint(col(embCol)).as("iv"))
       .withColumn("nrm", sqNorm(col("iv")))
+      .localCheckpoint()
     // fixed-point ONCE per row (the HOF transform is interpreted — repeating
     // it per table would cost tables×dims lambda calls/row), then the native
     // one-pass projbits per table over the long array.
@@ -160,6 +164,11 @@ object Similarity {
         }: _*)).as("tb")
       )
       .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+      // the bucket table IS the LSH index — materialize it once (tables×docs
+      // scalar rows): it feeds both the probe stream and the index side of
+      // the candidate join, and its lineage (scan + interpreted fixed-point
+      // + projbits×tables) is the expensive part of the whole operator
+      .localCheckpoint()
     // probe side: the exact bucket + (optionally) all 1-bit flips of it.
     // Asymmetric probing (index once, probe many) keeps the index shuffle at
     // tables×docs rows; only the probe stream multiplies by planes+1.
@@ -193,10 +202,11 @@ object Similarity {
       .select(col("id_a").as("query_id"), col("id_b").as("id"), col("dot"), col("cosine"))
       .unionAll(pairScores
         .select(col("id_b").as("query_id"), col("id_a").as("id"), col("dot"), col("cosine")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // native heap top-k: per-query k smallest without sorting every scored
+    // candidate of a shuffle partition (id closes the ordering — total)
+    Relational
+      .topKPerGroupNative(scored, Seq(col("query_id")),
+        Seq(col("cosine").desc, col("id").asc), k, rankCol = "rank")
       .select(col("query_id"), col("id").as("neighbor_id"), col("cosine"), col("rank"))
   }
 
