@@ -234,7 +234,9 @@ object Similarity {
       iters: Int = 5,
       sampleSize: Int = 4096
   ): DataFrame = {
-    val v = spread(withFixed(df, idCol, embCol), col("id"))
+    // materialized once: the codebook sample collect below and the encode
+    // pass of the returned plan otherwise each replay scan + fixed-point
+    val v = spread(withFixed(df, idCol, embCol), col("id")).localCheckpoint()
     val sample: Array[Array[Long]] = v
       .select(col("id"), col("iv"))
       .orderBy(xxhash64(col("id")), col("id"))
@@ -340,10 +342,10 @@ object Similarity {
       .join(broadcast(q), col("query_id") =!= col("id"))
       .withColumn("adot", dot(col("qiv"), col("recon")))
       .withColumn("acos", cosineFromFixed(col("adot"), col("qnrm"), col("rnrm")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("acos").desc, col("id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // native heap top-k: per-query k best without sorting every scored row
+    Relational
+      .topKPerGroupNative(scored, Seq(col("query_id")),
+        Seq(col("acos").desc, col("id").asc), k, rankCol = "rank")
       .select(col("query_id"), col("id").as("neighbor_id"), col("acos"), col("rank"))
   }
 
@@ -377,9 +379,12 @@ object Similarity {
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val v = spread(withFixed(df, idCol, embCol), col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    // localCheckpoint, not persist+unpersist: the materialized blocks serve
+    // the 2·iters+1 eager index-build passes AND the returned plan's two
+    // uses (member assignment + probe side) — the previous unpersist-in-
+    // finally made the final action recompute the scan + fixed-point twice
+    val v = spread(withFixed(df, idCol, embCol), col("id")).localCheckpoint()
+    locally {
       // deterministic seeds: smallest nlist by (xxhash64(id), id)
       var cents: Array[(Int, Array[Long])] = v
         .select(col("id"), col("iv"))
@@ -432,32 +437,25 @@ object Similarity {
       }
 
       val members = assign(cents)
-      // each vector as query: rank cells, probe the top nprobe
-      val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell").asc)
-      val probes = v
-        .select(col("id").as("qid"), col("iv").as("qiv"), col("nrm").as("qnrm"))
-        .filter(probeFilter)
-        .crossJoin(broadcast(centDf(cents)))
-        .withColumn("ccos", cosineFromFixed(dot(col("qiv"), col("civ")), col("qnrm"), col("cnrm")))
-        .withColumn("rn", row_number().over(wq))
-        .filter(col("rn") <= nprobe)
+      // each vector as query: rank cells, probe the top nprobe — through the
+      // native heap top-k (no per-query sort of the nlist-wide cell scores)
+      val probes = Relational.topKPerGroupNative(
+          v.select(col("id").as("qid"), col("iv").as("qiv"), col("nrm").as("qnrm"))
+            .filter(probeFilter)
+            .crossJoin(broadcast(centDf(cents)))
+            .withColumn("ccos",
+              cosineFromFixed(dot(col("qiv"), col("civ")), col("qnrm"), col("cnrm"))),
+          Seq(col("qid")), Seq(col("ccos").desc, col("cell").asc), nprobe)
         .select(col("qid"), col("cell"), col("qiv"), col("qnrm"))
       val scored = probes
         .join(members, "cell")
         .filter(col("qid") =!= col("id"))
         .withColumn("dot", dot(col("qiv"), col("iv")))
         .withColumn("cosine", cosineFromFixed(col("dot"), col("qnrm"), col("nrm")))
-      val wk = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
-      scored
-        .withColumn("rank", row_number().over(wk))
-        .filter(col("rank") <= k)
+      Relational
+        .topKPerGroupNative(scored, Seq(col("qid")),
+          Seq(col("cosine").desc, col("id").asc), k, rankCol = "rank")
         .select(col("qid").as("query_id"), col("id").as("neighbor_id"), col("cosine"), col("rank"))
-    } finally {
-      // the cache served the 2·iters+1 eager collect/assign passes above;
-      // the RETURNED plan recomputes v from source once (a cheap projection)
-      // rather than holding cached blocks past this call
-      v.unpersist()
-      ()
     }
   }
 }
