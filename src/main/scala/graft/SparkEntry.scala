@@ -729,9 +729,12 @@ object SparkEntry {
         .select(col("doc_id").as("id_a"), col("prefix").as("prefix_a"))
       val b = d.select(col("doc_id").as("id_b"), col("prefix").as("prefix_b"))
       a.join(broadcast(b), col("id_a") < col("id_b"))
+        // bounded form: banded DP that abandons a pair once the distance
+        // provably exceeds 20 (returns -1), instead of filling the full
+        // O(len²) matrix for every pair; kept distances are exact
         .select(col("id_a"), col("id_b"),
-          levenshtein(col("prefix_a"), col("prefix_b")).as("edit_dist"))
-        .filter(col("edit_dist") <= 20)
+          levenshtein(col("prefix_a"), col("prefix_b"), 20).as("edit_dist"))
+        .filter(col("edit_dist") >= 0)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -791,8 +794,14 @@ object SparkEntry {
       t(s, dir, "documents")
         .transform(graft.ops.Par.spread(_, col("doc_id"))) // spread the single-split scan before the per-row gram transform
         .select(col("doc_id"), explode(TextAnalysis.ngrams(col("text"), 3)).as("gram"))
+        // two-step aggregate instead of countDistinct+count in one agg: the
+        // combined form plans an Expand that pushes TWO copies of every
+        // exploded gram through the shuffle; collapsing on (gram, doc_id)
+        // first ships one partially-combined row per distinct pair
+        .groupBy(col("gram"), col("doc_id"))
+        .agg(count(lit(1)).as("tf_doc"))
         .groupBy(col("gram"))
-        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+        .agg(count(lit(1)).as("df"), sum(col("tf_doc")).as("tf"))
         .filter(col("df") >= 5)
         .orderBy(col("gram"))
     }),

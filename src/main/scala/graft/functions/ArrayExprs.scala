@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -155,11 +155,54 @@ case class CountInSet(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Word n-grams of a token array in one pass: n consecutive tokens joined by
+  * a single space, `size - n + 1` grams (empty array when the text is too
+  * short). Equals `transform(sequence(1, size-n+1), i -> array_join(slice(
+  * toks, i, n), ' '))` but without the per-gram lambda dispatch, sequence
+  * materialization, and slice copies — the gram construction is the hot loop
+  * of every shingle-based query (boilerplate mining, contamination, shingle
+  * jaccard, bigram LM).
+  */
+case class TokenNGrams(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "the second argument of graft_ngrams must be a constant n")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val toks = a.asInstanceOf[ArrayData]
+    val n = b.asInstanceOf[Int]
+    val m = toks.numElements()
+    if (n <= 0 || m < n) return new GenericArrayData(Array.empty[Any])
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[Any](m - n + 1)
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i <= m - n) {
+      var j = 0
+      while (j < n) { window(j) = toks.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(sep, window: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object GraftFunctions {
 
   /** Idempotently register the graft_* functions on a session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_ngrams", exprs => TokenNGrams(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_long_dot", exprs => LongArrayDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(

@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
+      FunctionIdentifier("graft_ngrams"),
+      info("graft_ngrams", "space-joined word n-grams of a token array"),
+      (exprs: Seq[Expression]) => TokenNGrams(exprs(0), exprs(1))))
+    e.injectFunction((
       FunctionIdentifier("graft_long_dot"),
       info("graft_long_dot", "exact int64 dot product of two long arrays"),
       (exprs: Seq[Expression]) => LongArrayDot(exprs(0), exprs(1))))

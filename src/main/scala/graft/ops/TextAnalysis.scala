@@ -121,17 +121,11 @@ object TextAnalysis {
     * has fewer than n tokens). The shared shingle primitive for repetition
     * scoring, cross-document boilerplate mining, and contamination checks.
     */
-  def ngrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    // guard size < n explicitly: Spark's sequence(1, 0) counts DOWN and
-    // would fabricate bogus gram indices
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(
-        transform(
-          sequence(lit(1), size(toks) - (n - 1)),
-          i => array_join(slice(toks, i, lit(n)), " ")
-        ))
-  }
+  def ngrams(text: Column, n: Int): Column =
+    // native one-pass gram construction (graft.functions.TokenNGrams): the
+    // HOF form (transform over a sequence of slice+array_join) pays a lambda
+    // dispatch + array copy per gram and dominated every shingle query
+    call_function("graft_ngrams", tokens(text), lit(n))
 
   def ngramRepetition(text: Column, n: Int = 2): Column = {
     val grams = ngrams(text, n)
