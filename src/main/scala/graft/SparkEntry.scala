@@ -392,6 +392,47 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- dedup: directed 3-gram-shingle CONTAINMENT pairs — |A∩B|/|A|
+    // (Broder), the asymmetric twin of q78: an excerpt embedded in a larger
+    // document scores ~1.0 here while symmetric Jaccard scores low. Native
+    // sorted-merge intersect count; bounded id range (the oracle arm — at
+    // corpus scale run the same scoring on MinHash collisions). ----
+    "q80_containment_pairs" -> ((s, dir) => {
+      Dedup
+        .containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.9, maxId = 1000L, shingle = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- dedup: cluster suppression summary — the KEPT corpus after
+    // connected-component near-dup clustering: one representative (min id)
+    // per cluster with its member count. The step that turns cluster labels
+    // into an actual deduplicated training set. ----
+    "q81_dedup_keep" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .filter(col("doc_id") < 600)
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(col("doc_id"), Dedup.wordSetSignature(col("text")).as("sig"), col("text"))
+      // same reps-first collapse + checkpoint as q58 (see there for why)
+      val reps = base
+        .groupBy(col("sig"))
+        .agg(min(col("doc_id")).as("rep"), min_by(col("text"), col("doc_id")).as("text"))
+        .localCheckpoint(true)
+      val edges = Dedup
+        .jaccardPairs(reps.select(col("rep").as("doc_id"), col("text")),
+          "doc_id", "text", threshold = 0.9, maxId = 600L)
+        .select(col("id_a"), col("id_b"))
+      val cc = Dedup.connectedComponents(reps.select(col("rep")), edges)
+      base.select(col("doc_id"), col("sig"))
+        .join(reps.select(col("sig"), col("rep")), "sig")
+        .join(cc, "rep")
+        .groupBy(col("component"))
+        // component is the cluster-min id, i.e. the keeper itself
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("component").as("keeper_id"), col("n_members"))
+        .orderBy(col("keeper_id"))
+    }),
+
     // ---- dedup: exact-collapse → MinHash+LSH banding → exact verify (the
     // scalable near-dup cascade; approximate recall ⇒ rows-only gate, recall
     // asserted in tests) ----
@@ -1881,6 +1922,44 @@ object SparkEntry {
         |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src)
         |SELECT a AS doc_id, MIN(b) AS component FROM reach
         |GROUP BY a ORDER BY doc_id""".stripMargin,
+    "q80_containment_pairs" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |    ELSE list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS ws
+        |  FROM (SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS toks
+        |    FROM documents WHERE doc_id < 1000) y)
+        |SELECT id_a, id_b, containment FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CASE WHEN len(a.ws) = 0 THEN 1.0
+        |      ELSE len(list_intersect(a.ws, b.ws))::DOUBLE / len(a.ws)::DOUBLE END AS containment
+        |  FROM ws a JOIN ws b ON a.doc_id <> b.doc_id) x
+        |WHERE containment >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q81_dedup_keep" ->
+      """WITH RECURSIVE
+        |ws AS (
+        |  SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |    ELSE list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END AS ws
+        |  FROM documents WHERE doc_id < 600),
+        |edges AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+        |  WHERE (CASE WHEN len(list_distinct(list_concat(a.ws, b.ws))) = 0 THEN 1.0
+        |    ELSE len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |      len(list_distinct(list_concat(a.ws, b.ws)))::DOUBLE END) >= 0.9),
+        |sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM edges
+        |  UNION ALL SELECT id_b, id_a FROM edges),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM ws
+        |  UNION
+        |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+        |comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a)
+        |SELECT component AS keeper_id, COUNT(*) AS n_members FROM comp
+        |GROUP BY component ORDER BY keeper_id""".stripMargin,
     "q54_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,

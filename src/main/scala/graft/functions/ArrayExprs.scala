@@ -117,6 +117,64 @@ case class SortedLongArrayJaccard(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Intersection cardinality of two SORTED, DISTINCT long arrays via linear
+  * merge — the hashed-shingle fast path of containment scoring (pair with
+  * xxhash64-mapped shingles the way [[SortedLongArrayJaccard]] is used:
+  * long compares are ~10× cheaper than UTF8 compares at millions of pairs).
+  */
+case class SortedLongArrayIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var nx = x.numElements()
+    var ny = y.numElements()
+    while (nx > 0 && x.isNullAt(nx - 1)) nx -= 1
+    while (ny > 0 && y.isNullAt(ny - 1)) ny -= 1
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    inter
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Intersection cardinality of two SORTED, DISTINCT string arrays via linear
+  * merge — the building block of ASYMMETRIC containment scoring
+  * (|A∩B|/|A|, Broder's containment), which detects a document embedded
+  * inside a larger one where symmetric Jaccard scores low. NULL elements
+  * (sorted last) are ignored on both sides.
+  */
+case class SortedStringArrayIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var nx = x.numElements()
+    var ny = y.numElements()
+    while (nx > 0 && x.isNullAt(nx - 1)) nx -= 1
+    while (ny > 0 && y.isNullAt(ny - 1)) ny -= 1
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Count of elements of a string array contained in a constant string set.
   * The right child must be foldable (an array literal); it is evaluated once
   * and cached as a hash set — the `size(filter(toks, array_contains(...)))`
@@ -209,6 +267,12 @@ object GraftFunctions {
       "graft_sq_norm", exprs => LongArraySqNorm(exprs(0), exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_sorted_jaccard", exprs => SortedStringArrayJaccard(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_sorted_intersect",
+      exprs => SortedStringArrayIntersectCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_sorted_long_intersect",
+      exprs => SortedLongArrayIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_count_in_set", exprs => CountInSet(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(

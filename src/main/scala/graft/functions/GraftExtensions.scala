@@ -36,6 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_sorted_jaccard", "jaccard of two sorted distinct string arrays"),
       (exprs: Seq[Expression]) => SortedStringArrayJaccard(exprs(0), exprs(1))))
     e.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect"),
+      info("graft_sorted_intersect", "intersection count of two sorted distinct string arrays"),
+      (exprs: Seq[Expression]) => SortedStringArrayIntersectCount(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_sorted_long_intersect"),
+      info("graft_sorted_long_intersect", "intersection count of two sorted distinct long arrays"),
+      (exprs: Seq[Expression]) => SortedLongArrayIntersectCount(exprs(0), exprs(1))))
+    e.injectFunction((
       FunctionIdentifier("graft_sorted_long_jaccard"),
       info("graft_sorted_long_jaccard", "jaccard of two sorted distinct long arrays"),
       (exprs: Seq[Expression]) => SortedLongArrayJaccard(exprs(0), exprs(1))))

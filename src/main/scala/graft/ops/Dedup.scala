@@ -76,6 +76,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** All DIRECTED containment pairs over `shingle`-gram sets, bounded id
+    * range: containment(A→B) = |A∩B| / |A| (Broder) — scores ~1.0 when A is
+    * embedded in B even though symmetric Jaccard is low (quotes, excerpts,
+    * page-in-page). Shingles (n ≥ 2) make the measure order-sensitive and
+    * selective; word sets (n = 1) measure vocabulary coverage only. Empty A
+    * is contained in everything (1.0). O(n²) oracle-verifiable reference
+    * form; at corpus scale run the same scoring on [[minHashCandidates]]
+    * collisions instead of all pairs.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      maxId: Long,
+      shingle: Int = 3
+  ): DataFrame = {
+    val sets =
+      if (shingle <= 1) TextAnalysis.tokens(col(textCol))
+      else TextAnalysis.ngrams(col(textCol), shingle)
+    // shingles hashed to sorted 64-bit values: the intersection COUNT is
+    // unchanged up to negligible xxh64 collisions, and the long merge is
+    // ~10× cheaper than UTF8 compares (same trick as [[verifiedNearDups]]).
+    // Materialized once: feeds both sides of the directed self-join.
+    val ws = docs
+      .filter(col(idCol) < maxId)
+      .select(col(idCol).as("id"),
+        array_sort(transform(array_distinct(sets), t => xxhash64(t))).as("ws"))
+      .localCheckpoint()
+    val a = Par.spread(ws, col("id")).select(col("id").as("id_a"), col("ws").as("ws_a"))
+    val b = ws.select(col("id").as("id_b"), col("ws").as("ws_b"))
+    a.join(broadcast(b), col("id_a") =!= col("id_b"))
+      // prefilter: |A∩B| ≤ |B|, so containment ≥ t needs |B|/|A| ≥ t — the
+      // same ÷-then-compare shape as the score (monotone rounding, same
+      // denominator: no boundary pair is lost); empty A passes outright
+      .filter(size(col("ws_a")) === 0
+        || size(col("ws_b")).cast("double") / size(col("ws_a")).cast("double") >= threshold)
+      .withColumn("containment",
+        when(size(col("ws_a")) === 0, lit(1.0))
+          .otherwise(call_function("graft_sorted_long_intersect", col("ws_a"), col("ws_b"))
+            .cast("double") / size(col("ws_a")).cast("double")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** MinHash signature of a token-set column: `numHashes` independent
     * min-hashes h_i(S) = min_{t∈S} ((a_i·(xxh64(t) mod p) + b_i) mod p),
     * p = 2³¹−1 — the mod-p reduction is what makes the lanes independent

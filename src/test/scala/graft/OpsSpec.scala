@@ -54,6 +54,21 @@ class OpsSpec extends SparkTestBase {
     assert(nLsh >= (nExact * 0.9).toLong, s"LSH recall too low: $nLsh/$nExact")
   }
 
+  test("containment pairs: excerpt⊂document scores 1.0 one-way, jaccard-low pairs surface") {
+    import spark.implicits._
+    val full = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val excerpt = "gamma delta epsilon zeta eta theta" // contiguous slice: all its 3-grams appear in full
+    val other = "one two three four five six seven eight nine ten"
+    val df = Seq((0L, full), (1L, excerpt), (2L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.9, maxId = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // directed: the excerpt is contained in the full doc, not vice versa
+    assert(pairs.get((1L, 0L)).contains(1.0), pairs)
+    assert(!pairs.contains((0L, 1L)), pairs)
+    assert(!pairs.exists { case ((a, b), _) => a == 2L || b == 2L }, pairs)
+  }
+
   test("rolling fingerprint: equal token sequences ⇒ equal fingerprints, stable across runs") {
     val fp1 = docs.select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("fp"))
     val fp2 = docs.select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("fp"))
