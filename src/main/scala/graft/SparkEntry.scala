@@ -599,6 +599,17 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- exact quantiles, scale path: distinct-pair collapse + cumulative
+    // counts (q38's built-in `percentile` buffers every group value in the
+    // agg buffer — OOM fuel for hot keys; this form's memory is bounded by
+    // the sort-based window whatever the group size) ----
+    "q82_exact_quantiles" -> ((s, dir) => {
+      Relational
+        .exactQuantilesByKey(t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+          Seq(0.5, 0.9))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- pivot (columns from values; = conditional aggregation) ----
     "q39_pivot" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1922,6 +1933,18 @@ object SparkEntry {
         |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src)
         |SELECT a AS doc_id, MIN(b) AS component FROM reach
         |GROUP BY a ORDER BY doc_id""".stripMargin,
+    "q82_exact_quantiles" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS k, l_extendedprice AS v, COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT k, SUM(c) AS n FROM g GROUP BY k),
+        |cum AS (
+        |  SELECT g.k, g.v, SUM(g.c) OVER (PARTITION BY g.k ORDER BY g.v) AS cc, t.n
+        |  FROM g JOIN t USING (k))
+        |SELECT k AS l_returnflag,
+        |  MIN(CASE WHEN cc >= ceil(0.5 * n) THEN v END) AS p50,
+        |  MIN(CASE WHEN cc >= ceil(0.9 * n) THEN v END) AS p90
+        |FROM cum GROUP BY k ORDER BY k""".stripMargin,
     "q80_containment_pairs" ->
       """WITH ws AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []

@@ -51,6 +51,39 @@ object Relational {
       .withColumnRenamed(marker, rankCol)
   }
 
+  /** Exact per-key discrete quantiles WITHOUT a per-group value buffer:
+    * collapse to distinct (key, value) pairs with counts, cumulative-count
+    * them in one sort-based window pass, and pick for each p the smallest
+    * value whose cumulative count reaches ceil(p·n). Spark's built-in
+    * `percentile` aggregate holds every group value in its aggregation
+    * buffer — a driver-of-OOM at corpus scale for hot keys; this form's
+    * memory is bounded by the window's streaming sort regardless of group
+    * size, at two shuffles of the COLLAPSED pair table. Result column for
+    * p is named `p<100p>` (p50, p90, ...).
+    */
+  def exactQuantilesByKey(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      ps: Seq[Double]
+  ): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"quantiles must be in (0,1]: $ps")
+    val g = df.groupBy(col(keyCol), col(valCol)).agg(count(lit(1)).as("c"))
+    val byKeyOrdered = Window.partitionBy(col(keyCol)).orderBy(col(valCol))
+    val byKey = Window.partitionBy(col(keyCol))
+    val cum = g
+      .withColumn("cc", sum(col("c")).over(byKeyOrdered))
+      .withColumn("n", sum(col("c")).over(byKey))
+    cum
+      .groupBy(col(keyCol))
+      .agg(
+        min(when(col("cc") >= ceil(lit(ps.head) * col("n")), col(valCol)))
+          .as(s"p${math.round(ps.head * 100)}"),
+        ps.tail.map(p =>
+          min(when(col("cc") >= ceil(lit(p) * col("n")), col(valCol)))
+            .as(s"p${math.round(p * 100)}")): _*)
+  }
+
   /** Gap-based sessionization: a new session starts when the time since the
     * previous event of the same key exceeds `gap`. Two windows over ONE
     * shuffle (same partitioning/ordering → single sort), classic
