@@ -64,6 +64,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("constant array"))
   }
 
+  test("ngram and intersect functions resolve through the extensions route") {
+    import spark.implicits._
+    Seq(("a b c d", "b c d e f")).toDF("x", "y").createOrReplaceTempView("v_ng")
+    val r = spark.sql(
+      """SELECT graft_ngrams(split(x, ' '), 2) AS gx,
+        |  graft_sorted_intersect(array_sort(split(x, ' ')), array_sort(split(y, ' '))) AS si,
+        |  graft_sorted_long_intersect(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS sl
+        |FROM v_ng""".stripMargin).collect()(0)
+    assert(r.getSeq[String](0) == Seq("a b", "b c", "c d"))
+    assert(r.getInt(1) == 3) // b, c, d
+    assert(r.getInt(2) == 2) // 3, 5
+  }
+
   test("the extensions route also installs the native top-k rule + strategy") {
     // a MARKED rank filter must plan the heap operator in the extensions
     // session WITHOUT any runtime GraftPlans.install call
