@@ -47,6 +47,27 @@ object Writer {
       .mode("overwrite")
       .parquet(path)
 
+  /** Bucketed catalog table: pre-shuffles rows into `numBuckets` files per
+    * partition by hash of `bucketCol` and records the layout in the catalog.
+    * Joins and aggregations on the bucket column between co-bucketed tables
+    * then plan WITHOUT an Exchange — the repeated-workload shape at corpus
+    * scale, where re-shuffling the fact table per query is the dominant
+    * cost. `sortCols` additionally sorts within each bucket file so a
+    * sort-merge join skips its sort. Bucketing only exists through the
+    * catalog (`saveAsTable`): a path write cannot record bucket metadata.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil
+  ): Unit = {
+    val w = df.write.mode("overwrite").format("parquet").bucketBy(numBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** General path: replace exactly the rows matching `predicate`, keep the rest.
     *
     * The kept set is read with the *existing* table's schema; the caller must
