@@ -922,6 +922,40 @@ object SparkEntry {
 
     // ---- window-function surface: ntile / percent_rank / cume_dist over a
     // unique total order (tie-broken by key, so ratios are engine-stable) ----
+    // ---- window VALUE functions: first/last/nth + a ROWS-framed moving
+    // average over a unique total order (completes §2.5 alongside q59's
+    // rank family and q70's RANGE frame) ----
+    "q83_window_values" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val mov = w.rowsBetween(-2, 0)
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
+          // trailing 3-row mean: decimal-exact sum ÷ exact count, surfaced
+          // as double (the engine-stable division shape)
+          (sum(col("o_totalprice").cast(d2)).over(mov).cast("double")
+            / count(lit(1)).over(mov).cast("double")).as("mov_avg3"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- unpivot (melt): wide → long on the pivoted quantity sums — the
+    // inverse of q39, closing the reshape pair ----
+    "q84_unpivot" -> ((s, dir) => {
+      val wide = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast(d2)).cast("double"))
+      wide
+        .unpivot(Array(col("l_returnflag")), Array(col("F"), col("O")),
+          "l_linestatus", "sum_qty")
+        .filter(col("sum_qty").isNotNull)
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     "q59_window_stats" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("o_orderpriority"))
@@ -1587,6 +1621,27 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS DOUBLE) AS qty_f,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q83_window_values" ->
+      """SELECT o_orderkey, o_custkey,
+        |  FIRST_VALUE(o_totalprice) OVER w AS first_price,
+        |  NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER m AS DOUBLE)
+        |    / CAST(COUNT(*) OVER m AS DOUBLE) AS mov_avg3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  m AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q84_unpivot" ->
+      """WITH wide AS (SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS DOUBLE) AS qf,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS DOUBLE) AS qo
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT * FROM (
+        |  SELECT l_returnflag, 'F' AS l_linestatus, qf AS sum_qty FROM wide WHERE qf IS NOT NULL
+        |  UNION ALL
+        |  SELECT l_returnflag, 'O' AS l_linestatus, qo AS sum_qty FROM wide WHERE qo IS NOT NULL) x
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q40_sql_surface" ->
       """SELECT c_mktsegment, COUNT(*) AS n_above_avg
         |FROM customer
