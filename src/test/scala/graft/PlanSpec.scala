@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions.{concat, lit, when}
 
 /** Physical-plan assertions: the gate queries must not only return the right
   * rows, they must run the plan a 1000-executor cluster needs. Each check
@@ -79,5 +80,37 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("collect_set"), p)
     assert(!p.contains("ObjectHashAggregate"), p)
     assert(p.contains("LeftSemi"), p)
+  }
+
+  test("AQE splits a skewed join partition at runtime (the no-salt skew path)") {
+    import spark.implicits._
+    // q64's salting handles skew the planner can see coming; AQE's skew join
+    // handles the skew nobody predicted. Pin low thresholds so a synthetic
+    // hot key triggers the runtime split, and force sort-merge so the skew
+    // machinery (not broadcast) is what absorbs it.
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(0, 120000).select(
+        when($"id" < 100000, 0L).otherwise($"id").as("k"),
+        concat(lit("payload-payload-payload-"), $"id").as("pay"))
+      val right = spark.range(0, 1000).select($"id".as("k"), lit("dim").as("d"))
+      val j = left.join(right, "k")
+      // materialize J'S OWN QueryExecution (count() would plan a separate
+      // aggregate query and leave this one un-finalized: isFinalPlan=false)
+      assert(j.collect().length == 100000) // only the hot key matches the dims
+      val p = j.queryExecution.executedPlan.toString()
+      assert(p.contains("isFinalPlan=true"), p)
+      assert(p.contains("skew=true"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 }
