@@ -1991,7 +1991,7 @@ object SparkEntry {
     "q82_exact_quantiles" ->
       """WITH g AS (
         |  SELECT l_returnflag AS k, l_extendedprice AS v, COUNT(*) AS c
-        |  FROM lineitem GROUP BY 1, 2),
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
         |t AS (SELECT k, SUM(c) AS n FROM g GROUP BY k),
         |cum AS (
         |  SELECT g.k, g.v, SUM(g.c) OVER (PARTITION BY g.k ORDER BY g.v) AS cc, t.n

@@ -57,19 +57,16 @@ case class LongArraySqNorm(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** Jaccard similarity of two SORTED, DISTINCT string arrays via linear merge —
-  * no per-element set allocation, no lambda dispatch. NULL elements (which
-  * `array_sort` places last) are ignored on both sides.
+/** Shared trim + linear-merge kernels for the sorted-distinct-array
+  * expressions below: one implementation of the null-trim and merge logic
+  * per element type, so a fix applies everywhere at once. Each returns
+  * (intersection, trimmed |x|, trimmed |y|).
   */
-case class SortedStringArrayJaccard(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+private[functions] object SortedMerge {
+  def stringMerge(x: ArrayData, y: ArrayData): (Int, Int, Int) = {
     var nx = x.numElements()
     var ny = y.numElements()
-    // null elements sort to the end under array_sort — trim them off
+    // null elements sort to the end under array_sort - trim them off
     while (nx > 0 && x.isNullAt(nx - 1)) nx -= 1
     while (ny > 0 && y.isNullAt(ny - 1)) ny -= 1
     var i = 0; var j = 0; var inter = 0
@@ -79,8 +76,42 @@ case class SortedStringArrayJaccard(left: Expression, right: Expression)
       else if (c < 0) i += 1
       else j += 1
     }
+    (inter, nx, ny)
+  }
+
+  def longMerge(x: ArrayData, y: ArrayData): (Int, Int, Int) = {
+    var nx = x.numElements()
+    var ny = y.numElements()
+    while (nx > 0 && x.isNullAt(nx - 1)) nx -= 1
+    while (ny > 0 && y.isNullAt(ny - 1)) ny -= 1
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    (inter, nx, ny)
+  }
+
+  def jaccard(inter: Int, nx: Int, ny: Int): Double = {
     val union = nx + ny - inter
     if (union == 0) 1.0 else inter.toDouble / union.toDouble
+  }
+}
+
+/** Jaccard similarity of two SORTED, DISTINCT string arrays via linear merge —
+  * no per-element set allocation, no lambda dispatch. NULL elements (which
+  * `array_sort` places last) are ignored on both sides.
+  */
+case class SortedStringArrayJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (inter, nx, ny) =
+      SortedMerge.stringMerge(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    SortedMerge.jaccard(inter, nx, ny)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -95,23 +126,9 @@ case class SortedLongArrayJaccard(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    var nx = x.numElements()
-    var ny = y.numElements()
-    // null elements sort to the end under array_sort — trim them off
-    while (nx > 0 && x.isNullAt(nx - 1)) nx -= 1
-    while (ny > 0 && y.isNullAt(ny - 1)) ny -= 1
-    var i = 0; var j = 0; var inter = 0
-    while (i < nx && j < ny) {
-      val xv = x.getLong(i)
-      val yv = y.getLong(j)
-      if (xv == yv) { inter += 1; i += 1; j += 1 }
-      else if (xv < yv) i += 1
-      else j += 1
-    }
-    val union = nx + ny - inter
-    if (union == 0) 1.0 else inter.toDouble / union.toDouble
+    val (inter, nx, ny) =
+      SortedMerge.longMerge(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    SortedMerge.jaccard(inter, nx, ny)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -125,23 +142,8 @@ case class SortedLongArrayJaccard(left: Expression, right: Expression)
 case class SortedLongArrayIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    var nx = x.numElements()
-    var ny = y.numElements()
-    while (nx > 0 && x.isNullAt(nx - 1)) nx -= 1
-    while (ny > 0 && y.isNullAt(ny - 1)) ny -= 1
-    var i = 0; var j = 0; var inter = 0
-    while (i < nx && j < ny) {
-      val xv = x.getLong(i)
-      val yv = y.getLong(j)
-      if (xv == yv) { inter += 1; i += 1; j += 1 }
-      else if (xv < yv) i += 1
-      else j += 1
-    }
-    inter
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedMerge.longMerge(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])._1
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -155,22 +157,8 @@ case class SortedLongArrayIntersectCount(left: Expression, right: Expression)
 case class SortedStringArrayIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    var nx = x.numElements()
-    var ny = y.numElements()
-    while (nx > 0 && x.isNullAt(nx - 1)) nx -= 1
-    while (ny > 0 && y.isNullAt(ny - 1)) ny -= 1
-    var i = 0; var j = 0; var inter = 0
-    while (i < nx && j < ny) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (c == 0) { inter += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
-    }
-    inter
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedMerge.stringMerge(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])._1
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -227,11 +215,19 @@ case class TokenNGrams(left: Expression, right: Expression)
     org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.StringType, containsNull = false)
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (!right.foldable)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        "the second argument of graft_ngrams must be a constant n")
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+    left.dataType match {
+      case ArrayType(StringType, _) =>
+        if (right.dataType != IntegerType || !right.foldable)
+          TypeCheckResult.TypeCheckFailure(
+            "the second argument of graft_ngrams must be a constant INT n")
+        else TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"the first argument of graft_ngrams must be array<string>, got $other")
+    }
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val toks = a.asInstanceOf[ArrayData]

@@ -68,9 +68,12 @@ object Dedup {
       // min/max < threshold cannot qualify — an O(1) compare that skips the
       // O(n) merge loop for almost every non-duplicate pair. Same ÷-then-
       // compare shape as the jaccard itself: double rounding is monotone, so
-      // round(min/max) ≥ round(|∩|/|∪|) and no boundary pair is lost
-      .filter(least(size(col("ws_a")), size(col("ws_b"))).cast("double")
-        / greatest(size(col("ws_a")), size(col("ws_b"))).cast("double") >= threshold)
+      // round(min/max) ≥ round(|∩|/|∪|) and no boundary pair is lost. The
+      // both-empty clause keeps the empty∪empty = jaccard-1.0 pair that the
+      // division form would compute as 0/0 = NaN and silently drop
+      .filter((size(col("ws_a")) === 0 && size(col("ws_b")) === 0)
+        || least(size(col("ws_a")), size(col("ws_b"))).cast("double")
+          / greatest(size(col("ws_a")), size(col("ws_b"))).cast("double") >= threshold)
       .withColumn("jaccard", call_function("graft_sorted_jaccard", col("ws_a"), col("ws_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -251,10 +254,12 @@ object Dedup {
       .join(broadcast(ws.withColumnsRenamed(Map("id" -> "id_a", "ws" -> "ws_a"))), "id_a")
       .join(broadcast(ws.withColumnsRenamed(Map("id" -> "id_b", "ws" -> "ws_b"))), "id_b")
       // size-ratio prefilter (division form — rounding is monotone, so no
-      // boundary pair is lost): skips the merge loop for collided pairs
-      // whose set sizes already rule out the threshold
-      .filter(least(size(col("ws_a")), size(col("ws_b"))).cast("double")
-        / greatest(size(col("ws_a")), size(col("ws_b"))).cast("double") >= threshold)
+      // boundary pair is lost; both-empty passes through: 0/0 would be NaN
+      // though empty∪empty is jaccard 1.0): skips the merge loop for
+      // collided pairs whose set sizes already rule out the threshold
+      .filter((size(col("ws_a")) === 0 && size(col("ws_b")) === 0)
+        || least(size(col("ws_a")), size(col("ws_b"))).cast("double")
+          / greatest(size(col("ws_a")), size(col("ws_b"))).cast("double") >= threshold)
       .withColumn("jaccard", call_function("graft_sorted_long_jaccard", col("ws_a"), col("ws_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

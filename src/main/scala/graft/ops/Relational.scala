@@ -68,19 +68,26 @@ object Relational {
       ps: Seq[Double]
   ): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"quantiles must be in (0,1]: $ps")
-    val g = df.groupBy(col(keyCol), col(valCol)).agg(count(lit(1)).as("c"))
+    // prefixed internals: a user value column named e.g. "n" would otherwise
+    // be silently replaced by the group total and corrupt every quantile
+    val (c, cc, n) = ("__gq_c", "__gq_cc", "__gq_n")
+    // NULL measures are excluded, matching the built-in percentile/quantile
+    // aggregates (counted, they would shift every rank; they also sort on
+    // opposite ends in Spark vs DuckDB)
+    val g = df.filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol), col(valCol)).agg(count(lit(1)).as(c))
     val byKeyOrdered = Window.partitionBy(col(keyCol)).orderBy(col(valCol))
     val byKey = Window.partitionBy(col(keyCol))
     val cum = g
-      .withColumn("cc", sum(col("c")).over(byKeyOrdered))
-      .withColumn("n", sum(col("c")).over(byKey))
+      .withColumn(cc, sum(col(c)).over(byKeyOrdered))
+      .withColumn(n, sum(col(c)).over(byKey))
     cum
       .groupBy(col(keyCol))
       .agg(
-        min(when(col("cc") >= ceil(lit(ps.head) * col("n")), col(valCol)))
+        min(when(col(cc) >= ceil(lit(ps.head) * col(n)), col(valCol)))
           .as(s"p${math.round(ps.head * 100)}"),
         ps.tail.map(p =>
-          min(when(col("cc") >= ceil(lit(p) * col("n")), col(valCol)))
+          min(when(col(cc) >= ceil(lit(p) * col(n)), col(valCol)))
             .as(s"p${math.round(p * 100)}")): _*)
   }
 

@@ -152,10 +152,10 @@ object Similarity {
       .select(col(idCol).as("id"), fixedPoint(col(embCol)).as("iv"))
       .withColumn("nrm", sqNorm(col("iv")))
       .localCheckpoint()
-    // fixed-point ONCE per row (the HOF transform is interpreted — repeating
-    // it per table would cost tables×dims lambda calls/row), then the native
-    // one-pass projbits per table over the long array.
-    val buckets = spread(df.select(col(idCol).as("id"), fixedPoint(col(embCol)).as("iv")), col("id"))
+    // bucket construction READS THE CHECKPOINTED v — deriving from raw df
+    // would re-run the scan + interpreted fixed-point transform a third
+    // time; the native one-pass projbits runs per table over the long array.
+    val buckets = spread(v.select(col("id"), col("iv")), col("id"))
       .select(
         col("id"),
         explode(array((0 until numTables).map { tbl =>
