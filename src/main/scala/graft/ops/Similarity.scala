@@ -127,9 +127,11 @@ object Similarity {
     * buckets (candidate volume ∝ n²·tables/2^planes), while probing flipped
     * buckets recovers the recall that narrow buckets lose — per-table
     * collision rises from p^planes to p^planes + Σ flips·p^(planes−1)(1−p).
-    * Measured on the sf0.1 embeddings: 6 planes / 8 tables / probe 1 gives
-    * 1.2M candidates at 0.90 recall vs 7.6M at 0.73 recall for 4 planes /
-    * 8 tables / probe 0 — ~6× fewer candidates AND better recall.
+    * Measured on the sf0.1 embeddings, recall vs brute force over 200
+    * queries: 4 planes / 8 tables / probe-0 → 0.73; 6 / 8 / probe-1 → 0.92
+    * at ~6× fewer candidates; 8 planes / 10 tables / probe-≤2 (all 1-bit
+    * and 2-bit flips) → 0.989 at another ~2.7× less work — each probing
+    * depth pays for one-to-two more planes of bucket narrowing.
     */
   def annTopK(
       df: DataFrame,
@@ -141,7 +143,7 @@ object Similarity {
       seed: Long = 7L,
       probeBits: Int = 0
   ): DataFrame = {
-    require(probeBits >= 0 && probeBits <= 1, "probeBits ∈ {0, 1} supported")
+    require(probeBits >= 0 && probeBits <= 2, "probeBits ∈ {0, 1, 2} supported")
     // vectors computed once; the LSH join shuffles ONLY (id, table, bucket)
     // small keys — arrays are attached to the (distinct) candidate pairs
     // afterwards, so vector bytes never multiply by numTables.
@@ -172,12 +174,18 @@ object Similarity {
     // probe side: the exact bucket + (optionally) all 1-bit flips of it.
     // Asymmetric probing (index once, probe many) keeps the index shuffle at
     // tables×docs rows; only the probe stream multiplies by planes+1.
+    val flips: Seq[Column] =
+      (if (probeBits >= 1) (0 until planes).map(b => col("bkt").bitwiseXOR(lit(1L << b)))
+       else Nil) ++
+      (if (probeBits >= 2)
+         for { i <- 0 until planes; j <- (i + 1) until planes }
+           yield col("bkt").bitwiseXOR(lit((1L << i) | (1L << j)))
+       else Nil)
     val probes =
       if (probeBits == 0) buckets
       else buckets.select(
         col("id"), col("tbl"),
-        explode(array(col("bkt") +: (0 until planes).map(b =>
-          col("bkt").bitwiseXOR(lit(1L << b))): _*)).as("bkt"))
+        explode(array(col("bkt") +: flips: _*)).as("bkt"))
     // candidate pairs are two-long scalar rows, kept UNORDERED (a < b) and
     // deduped BEFORE attaching vectors: each pair's dot product is computed
     // exactly once (cross-table / cross-probe / mirror-direction collisions

@@ -87,16 +87,17 @@ class OpsSpec extends SparkTestBase {
       .bruteForceTopK(emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding", k = 5)
       .select(col("query_id"), col("neighbor_id"))
     val ann = Similarity
-      .annTopK(emb, "vec_id", "embedding", k = 5, planes = 6, numTables = 8, probeBits = 1)
+      .annTopK(emb, "vec_id", "embedding", k = 5, planes = 8, numTables = 10, probeBits = 2)
       .filter(col("query_id") < 50)
       .select(col("query_id"), col("neighbor_id"))
     val hit = ann.join(brute, Seq("query_id", "neighbor_id")).count()
     val total = brute.count()
-    // multi-probe (Hamming-1) recovers the recall that the narrower 6-plane
-    // buckets lose: ≈0.9 measured at sf0.01/sf0.1 on these near-orthogonal
-    // random vectors (probe-less 4-plane config measured ≈0.73)
+    // multi-probe (Hamming-2 flips) recovers the recall that the narrow
+    // 8-plane buckets cut from the candidate volume: 0.989 measured at
+    // sf0.1, ~2.7× faster than 6 planes × 8 tables × probe-1 (0.920);
+    // the probe-less 4-plane config measured ≈0.73
     assert(total == 250)
-    assert(hit.toDouble / total > 0.5, s"ANN recall collapsed: $hit/$total")
+    assert(hit.toDouble / total > 0.8, s"ANN recall collapsed: $hit/$total")
   }
 
   test("ann IVF top-k: deterministic centroids; recall vs brute force is reasonable") {
