@@ -776,8 +776,12 @@ object SparkEntry {
       t(s, dir, "documents")
         .transform(graft.ops.Par.spread(_, col("doc_id"))) // spread the single-split scan before tokenize+explode
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        // two-step aggregate: count+countDistinct in one agg plans an
+        // Expand that ships every exploded token twice (the q56 lesson)
+        .groupBy(col("token"), col("doc_id"))
+        .agg(count(lit(1)).as("tf_doc"))
         .groupBy(col("token"))
-        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .agg(sum(col("tf_doc")).as("tf"), count(lit(1)).as("df"))
         .orderBy(col("token"))
     }),
 
@@ -809,14 +813,17 @@ object SparkEntry {
         .transform(graft.ops.Par.spread(_, col("doc_id"))) // spread the single-split scan before tokenize+explode
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
       val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      // df FROM tf (one row per (doc, token) already) — the corpus is
-      // tokenized and exploded once, not once per statistic
-      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      // df as a window count over the ALREADY-AGGREGATED tf (one row per
+      // (doc, token)): the groupBy+join form replays the whole
+      // tokenize+explode+aggregate lineage for the df side — the q69
+      // lesson; the window shuffles only the collapsed pair table, once
+      val byToken = org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
+      val withDf = tf.withColumn("df", count(lit(1)).over(byToken))
       // native heap top-k: per-doc top-5 without sorting every (doc, token)
       // row of the partition (token closes the ordering — total per doc)
       Relational
         .topKPerGroupNative(
-          tf.join(df, "token"),
+          withDf,
           partitionCols = Seq(col("doc_id")),
           orderBy = Seq(col("tf").desc, col("df").asc, col("token").asc),
           k = 5,
