@@ -54,6 +54,24 @@ class OpsSpec extends SparkTestBase {
     assert(nLsh >= (nExact * 0.9).toLong, s"LSH recall too low: $nLsh/$nExact")
   }
 
+  test("native ngrams ≡ the HOF transform+slice+array_join form it replaced") {
+    // differential guard: the corpus documents (all sizes, boundary
+    // whitespace shapes, size < n) must gram identically under the native
+    // expression and the reference higher-order-function composition
+    for (n <- Seq(2, 3, 5)) {
+      val toks = TextAnalysis.tokens(col("text"))
+      val hof = when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+      val diff = docs
+        .select(TextAnalysis.ngrams(col("text"), n).as("native"), hof.as("hof"))
+        .filter(!(col("native") <=> col("hof")))
+        .count()
+      assert(diff == 0, s"n=$n: $diff rows diverge")
+    }
+  }
+
   test("containment pairs: excerpt⊂document scores 1.0 one-way, jaccard-low pairs surface") {
     import spark.implicits._
     val full = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
