@@ -434,25 +434,32 @@ object SparkEntry {
     }),
 
     // ---- dedup: exact-collapse → MinHash+LSH banding → exact verify (the
-    // scalable near-dup cascade; approximate recall ⇒ rows-only gate, recall
-    // asserted in tests) ----
+    // scalable near-dup cascade). 16 bands × 6 rows at threshold 0.95 puts
+    // per-pair miss probability at (1−0.95⁶)¹⁶ ≈ 6·10⁻¹⁰ — recall is
+    // exactly 1.0 at every test SF (verified against the exact all-pairs
+    // scan), so the output EQUALS exact all-pairs Jaccard over the
+    // representatives and the DuckDB oracle gates it cell-for-cell. ----
     "q24_minhash_neardups" -> ((s, dir) => {
       Dedup
         .verifiedNearDups(
           Dedup.representatives(t(s, dir, "documents"), "doc_id", "text"),
           "doc_id", "text",
-          threshold = 0.95, numHashes = 96, bands = 8)
+          threshold = 0.95, numHashes = 96, bands = 16)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ---- dedup: 64-bit SimHash sketches (bag-of-tokens, order-independent) ----
+    // ---- dedup: 64-bit SimHash sketches (bag-of-tokens, order-independent;
+    // MD5-derived token hash ⇒ the oracle recomputes the identical sketch in
+    // SQL — surfaced as fixed-width hex so the sign bit can't diverge) ----
     "q25_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simHash(TextAnalysis.tokens(col("text"))).as("simhash"))
+        .select(col("doc_id"),
+          format_string("%016x", Dedup.simHash(TextAnalysis.tokens(col("text")))).as("simhash"))
         .orderBy(col("doc_id"))
     }),
 
-    // ---- text analysis: rolling-hash document fingerprint ----
+    // ---- text analysis: rolling-hash document fingerprint (Rabin–Karp over
+    // MD5-derived token hashes mod 2³¹−1 ⇒ the oracle recomputes it) ----
     "q26_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text"), 4).as("fingerprint"))
@@ -520,14 +527,27 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
-    // ---- approximate distinct counting (HLL++; deterministic inside Spark
-    // but engine-specific ⇒ rows-only gate; exact twin is q10) ----
+    // ---- approximate distinct counting (HLL++), self-verifying: the same
+    // query computes the exact distinct count and surfaces a boolean that
+    // gates the sketch's error inside its configured rsd envelope. The HLL
+    // estimate itself is engine-specific (not oracle-expressible), but the
+    // boolean + exact columns hash-match DuckDB's exact distinct + TRUE —
+    // so the driver's gate now verifies the sketch's ACCURACY, not just
+    // that rows came back. ----
     "q32_approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
           count(lit(1)).as("n_rows")
+        )
+        .select(
+          col("l_returnflag"), col("exact_parts"), col("n_rows"),
+          // 2% configured rsd ⇒ a 5% band is > 2σ of slack; deterministic
+          // inside Spark (HLL++ is seedless), so this is a stable gate
+          (abs(col("approx_parts").cast("double") - col("exact_parts").cast("double"))
+            <= lit(0.05) * col("exact_parts").cast("double")).as("within_5pct")
         )
         .orderBy(col("l_returnflag"))
     }),
@@ -1201,13 +1221,18 @@ object SparkEntry {
       val cands = toks.as[String]
         .select(new graft.ops.Aggregators.MisraGries(hhK).toColumn.name("mg"))
         .select(explode(map_keys(col("mg"))).as("token"))
-      val wAll = org.apache.spark.sql.expressions.Window
-        .partitionBy()
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.unboundedFollowing)
-      toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
-        .withColumn("n_total", sum(col("freq")).over(wAll))
+      // corpus total as a SCALAR aggregate broadcast onto the (tiny) verified
+      // set — NOT an unpartitioned window over the token-frequency table: at
+      // corpus scale that table is billions of rows and a partitionBy()
+      // window funnels all of them through one partition. The frequency
+      // table is materialized once (vocab-sized) so the total's aggregate
+      // doesn't replay the tokenize+explode+groupBy subtree.
+      val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .localCheckpoint()
+      val total = freq.agg(sum(col("freq")).as("n_total"))
+      freq
         .join(cands, "token")
+        .crossJoin(broadcast(total))
         .filter(col("freq") * (hhK + 1) > col("n_total"))
         .select(col("token"), col("freq"))
         .orderBy(col("token"))
@@ -1339,6 +1364,81 @@ object SparkEntry {
     * weaker rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
+    // self-verifying sketch gate: DuckDB computes the exact columns and a
+    // TRUE literal; Spark's boolean came from comparing the HLL estimate
+    // against its own exact count — a hash mismatch means the sketch left
+    // its error envelope
+    "q32_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(*) AS n_rows,
+        |  TRUE AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // exact-recall gate for the MinHash-LSH cascade: at 16 bands × 6 rows,
+    // threshold 0.95, per-pair miss probability is ~6e-10, so the verified
+    // LSH output equals exact all-pairs Jaccard over the representatives
+    // (one min-id rep per distinct word set) — which DuckDB computes directly
+    "q24_minhash_neardups" ->
+      """WITH ws AS (
+        |  SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |    ELSE list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END AS ws
+        |  FROM documents),
+        |reps AS (
+        |  SELECT MIN(doc_id) AS id, arg_min(ws, doc_id) AS ws
+        |  FROM (SELECT doc_id, ws, md5(array_to_string(list_sort(ws), ' ')) AS sig FROM ws) x
+        |  GROUP BY sig)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CASE WHEN len(list_distinct(list_concat(a.ws, b.ws))) = 0 THEN 1.0
+        |      ELSE len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |        len(list_distinct(list_concat(a.ws, b.ws)))::DOUBLE END AS jaccard
+        |  FROM reps a JOIN reps b ON a.id < b.id) x
+        |WHERE jaccard >= 0.95 ORDER BY id_a, id_b""".stripMargin,
+    // recomputes the SimHash sketch from scratch: same MD5-derived token
+    // hash (digest bytes 8..15 = hex chars 17..32), same +1/−1 bag votes,
+    // same strict-positive sign rule, surfaced as fixed-width hex
+    "q25_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |    ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS t FROM toks),
+        |h AS (SELECT doc_id,
+        |    ('0x' || substr(md5(t), 17, 8))::BIGINT AS hi,
+        |    ('0x' || substr(md5(t), 25, 8))::BIGINT AS lo
+        |  FROM tok),
+        |votes AS (
+        |  SELECT doc_id, bits.b AS b,
+        |    SUM(CASE WHEN bits.b < 32
+        |          THEN CASE WHEN (lo >> bits.b) & 1 = 1 THEN 1 ELSE -1 END
+        |          ELSE CASE WHEN (hi >> (bits.b - 32)) & 1 = 1 THEN 1 ELSE -1 END END) AS v
+        |  FROM h, (SELECT unnest(range(64)) AS b) bits
+        |  GROUP BY doc_id, bits.b),
+        |sim AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN v > 0 AND b >= 32 THEN (1::BIGINT << (b - 32)) ELSE 0 END) AS BIGINT) AS hibits,
+        |    CAST(SUM(CASE WHEN v > 0 AND b < 32 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS lobits
+        |  FROM votes GROUP BY doc_id)
+        |SELECT d.doc_id, printf('%08x%08x', COALESCE(s.hibits, 0), COALESCE(s.lobits, 0)) AS simhash
+        |FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // recomputes the rolling fingerprint: per-token hash = low 32 bits of
+    // md5 mod 2³¹−1, Rabin–Karp base-31 fold per 4-token window, min over
+    // windows (short docs fold their full token list; empty → 0)
+    "q26_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |    ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS toks
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    list_transform(toks, t -> ('0x' || substr(md5(t), 25, 8))::BIGINT % 2147483647) AS hs
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CASE WHEN len(hs) = 0 THEN 0
+        |    WHEN len(hs) < 4 THEN list_reduce(hs, (a, b) -> (a * 31 + b) % 2147483647)
+        |    ELSE list_min(list_transform(range(1, len(hs) - 2),
+        |      i -> list_reduce(hs[i:i+3], (a, b) -> (a * 31 + b) % 2147483647))) END AS fingerprint
+        |FROM h ORDER BY doc_id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -63,6 +63,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "one-pass 64-bit simhash of a string array"),
       SketchFunctions.simHashBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_fingerprint"),
+      info("graft_fingerprint", "rolling min-window fingerprint of a token array"),
+      SketchFunctions.fingerprintBuilder))
     e.injectOptimizerRule(_ => SimplifySelfSimilarity)
     e.injectOptimizerRule(_ => graft.plans.RewriteMarkedTopK)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

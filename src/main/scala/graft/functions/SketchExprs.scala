@@ -110,18 +110,51 @@ case class RandomProjectionBits(child: Expression, planes: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Cross-engine per-token hash: bytes 8..15 of the MD5 digest, big-endian.
+  * MD5 is the ONE hash both Spark and DuckDB expose with identical results
+  * (`md5()` hex strings match byte for byte), which makes every sketch built
+  * on it expressible as a DuckDB oracle — the hex-string slice
+  * `substr(md5(t), 17, 16)` parses to exactly this value. xxhash64 (Spark's
+  * native choice) has no DuckDB counterpart, which is what kept the
+  * simhash/fingerprint queries un-gateable in rounds 1–3.
+  */
+private[functions] object Md5TokenHash {
+  // MessageDigest is stateful and not thread-safe; in local[n] the same
+  // (deserialized) expression instance can be evaluated by many task threads
+  private val tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Big-endian long from digest bytes 8..15 of md5(UTF-8 bytes). */
+  def low64(s: UTF8String): Long = {
+    val md = tl.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 8
+    while (i < 16) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** Digest bytes 12..15 big-endian as an UNSIGNED 32-bit value in a long —
+    * always non-negative, so `% p` agrees with DuckDB's
+    * `('0x' || substr(md5(t), 25, 8))::BIGINT % p` (a signed-64 floorMod of
+    * [[low64]] would not: 2⁶⁴ is not a multiple of p).
+    */
+  def low32(s: UTF8String): Long = low64(s) & 0xffffffffL
+}
+
 /** 64-bit SimHash of a string-array token bag in one pass: per token
-  * occurrence, bit i votes +1/−1 by bit i of xxh64(token, seed=42); output
-  * bit i is set iff its vote sum is strictly positive. Exactly matches the
-  * `aggregate`/`zip_with` HOF form it replaces (xxhash64 SQL seed, bag
-  * semantics, NULL token → the seed's own bit pattern votes) at ~64 tokens ×
-  * 64 bits fewer interpreted lambda dispatches per row.
+  * occurrence, bit i votes +1/−1 by bit i of the token's [[Md5TokenHash]];
+  * output bit i is set iff its vote sum is strictly positive. Bag semantics
+  * (multiplicities vote), order-independent. The MD5 hash basis makes the
+  * whole sketch DuckDB-expressible, so q25 hash-matches a SQL oracle that
+  * recomputes it from scratch. NULL tokens are skipped (no vote); a NULL
+  * array sketches to 0L.
   */
 case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
-  // a NULL token array sketches to 0L (all votes zero), matching the HOF
-  // form this replaces — when(element_at(NULL,…)>0,…).otherwise(0) OR-folded
-  // to 0, never NULL
   override def nullable: Boolean = false
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
@@ -134,18 +167,13 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     val votes = new Array[Int](64)
     var t = 0
     while (t < n) {
-      // Spark's xxhash64(NULL) leaves the accumulator at the seed — a NULL
-      // token therefore votes with the seed's own bit pattern, replicated here
-      val h =
-        if (arr.isNullAt(t)) 42L
-        else {
-          val s = arr.getUTF8String(t)
-          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      if (!arr.isNullAt(t)) {
+        val h = Md5TokenHash.low64(arr.getUTF8String(t))
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
         }
-      var i = 0
-      while (i < 64) {
-        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
-        i += 1
       }
       t += 1
     }
@@ -156,6 +184,71 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
       i += 1
     }
     bits
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Rolling (Rabin–Karp) fingerprint of a token array: every `k`-token window
+  * is hashed with the polynomial H = Σ h(tᵢ)·B^(k-1-i) mod p (B = 31,
+  * p = 2³¹−1, h = [[Md5TokenHash.low32]] mod p) and the MINIMUM window hash is the
+  * fingerprint (winnowing-lite — identical token sequences fingerprint
+  * identically, and any shared k-window bounds the min). Arrays shorter than
+  * `k` hash their full token list; empty/NULL → 0L.
+  *
+  * Genuinely rolling: each window derives from the previous in O(1) via
+  * H' = (H − h(t_out)·B^(k-1))·B + h(t_in) mod p — one pass over the tokens,
+  * unlike the HOF `transform(sequence, i -> aggregate(slice(...)))` form this
+  * replaces, which re-folded every window from scratch (O(n·k) lambda
+  * dispatches per row). Mod-p arithmetic (not mod 2⁶⁴) keeps every
+  * intermediate < 2³⁶, so the SAME computation runs in DuckDB SQL
+  * (list_reduce over md5-derived hashes) — the q26 oracle.
+  */
+case class RollingFingerprint(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"window must be >= 1 token, got $k")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  private val P = 2147483647L // 2^31 − 1, prime
+  private val B = 31L
+  // B^(k-1) mod p, for the O(1) roll-out of the leaving token
+  private lazy val Bk: Long = {
+    var r = 1L
+    var i = 1
+    while (i < k) { r = r * B % P; i += 1 }
+    r
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else nullSafeEval(v)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = if (arr.isNullAt(i)) 0L
+        else Md5TokenHash.low32(arr.getUTF8String(i)) % P
+      i += 1
+    }
+    val w = math.min(k, n)
+    // first window: plain left fold
+    var h = 0L
+    i = 0
+    while (i < w) { h = (h * B + hs(i)) % P; i += 1 }
+    var min = h
+    // roll: drop hs(j-w), admit hs(j)
+    var j = w
+    while (j < n) {
+      h = java.lang.Math.floorMod((h - hs(j - w) * Bk % P) * B + hs(j), P)
+      if (h < min) min = h
+      j += 1
+    }
+    min
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -171,6 +264,8 @@ object SketchFunctions {
     exprs => RandomProjectionBits(exprs(0), intLit(exprs(1), "planes"), longLit(exprs(2), "seed"))
   val simHashBuilder: Seq[Expression] => Expression =
     exprs => SimHash64(exprs(0))
+  val fingerprintBuilder: Seq[Expression] => Expression =
+    exprs => RollingFingerprint(exprs(0), intLit(exprs(1), "k"))
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
@@ -188,5 +283,6 @@ object SketchFunctions {
     reg.createOrReplaceTempFunction("graft_minhash", minHashBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_projbits", projBitsBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_simhash", simHashBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_fingerprint", fingerprintBuilder, "built-in")
   }
 }

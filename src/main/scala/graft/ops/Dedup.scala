@@ -226,7 +226,8 @@ object Dedup {
       threshold: Double,
       numHashes: Int = 96,
       bands: Int = 8,
-      seed: Long = 42L
+      seed: Long = 42L,
+      broadcastAttach: Boolean = true
   ): DataFrame = {
     // raw band collisions stream straight through the verify: with the
     // long-merge jaccard at ~0.1µs/pair, piping duplicates through the
@@ -235,14 +236,11 @@ object Dedup {
     // slower UTF8-merge verify the tradeoff pointed the other way — both
     // were measured: 12s distinct-first vs 33s raw with UTF8 merges, then
     // 9.8s raw vs 10.9s distinct-first with long merges.)
-    // At corpus sizes where the token-set table outgrows broadcast, flip the
-    // attach joins to shuffle joins bucketed on id — candidate generation is
-    // unchanged.
     val cands = minHashCandidatesRaw(docs, idCol, textCol, numHashes, bands, seed)
     // verify on sorted per-token 64-bit hashes (equal to string jaccard up to
     // negligible xxh64 collisions): long merges are ~10× cheaper than UTF8
     // merges at millions of candidate pairs, and the broadcast is smaller.
-    // materialized once: both attach-broadcasts below would otherwise replay
+    // materialized once: both attach joins below would otherwise replay
     // the scan + tokenize + hash + sort lineage (and, for collapsed inputs,
     // the representative groupBy upstream of it) independently
     val ws = docs.select(
@@ -250,9 +248,16 @@ object Dedup {
       array_sort(transform(array_distinct(TextAnalysis.tokens(col(textCol))), t => xxhash64(t)))
         .as("ws")
     ).localCheckpoint()
+    // attach joins: broadcast while the per-doc token-hash table fits in an
+    // executor (one network ship, no shuffle of the candidate stream);
+    // `broadcastAttach = false` is the corpus-scale form — plain equi-joins
+    // on id that shuffle BOTH sides by the join key (sort-merge/shuffled-hash
+    // under AQE), so no task ever holds the full signature table in memory
+    def attach(side: DataFrame): DataFrame =
+      if (broadcastAttach) broadcast(side) else side
     cands
-      .join(broadcast(ws.withColumnsRenamed(Map("id" -> "id_a", "ws" -> "ws_a"))), "id_a")
-      .join(broadcast(ws.withColumnsRenamed(Map("id" -> "id_b", "ws" -> "ws_b"))), "id_b")
+      .join(attach(ws.withColumnsRenamed(Map("id" -> "id_a", "ws" -> "ws_a"))), "id_a")
+      .join(attach(ws.withColumnsRenamed(Map("id" -> "id_b", "ws" -> "ws_b"))), "id_b")
       // size-ratio prefilter (division form — rounding is monotone, so no
       // boundary pair is lost; both-empty passes through: 0/0 would be NaN
       // though empty∪empty is jaccard 1.0): skips the merge loop for
@@ -269,7 +274,8 @@ object Dedup {
   /** 64-bit SimHash over the token bag: per bit, sum +1/−1 votes weighted by
     * token occurrences, take the sign. Order-independent (bag semantics) and
     * row-local; near-identical bags differ in few bits (compare with
-    * [[hammingDistance]]).
+    * [[hammingDistance]]). Token hash is MD5-derived (bytes 8..15), so the
+    * whole sketch is recomputable in DuckDB SQL — the q25 oracle gate.
     */
   def simHash(tokens: Column): Column =
     // native one-pass expression (graft.functions.SimHash64) — the

@@ -141,7 +141,8 @@ object Similarity {
       planes: Int = 4,
       numTables: Int = 8,
       seed: Long = 7L,
-      probeBits: Int = 0
+      probeBits: Int = 0,
+      broadcastAttach: Boolean = true
   ): DataFrame = {
     require(probeBits >= 0 && probeBits <= 2, "probeBits ∈ {0, 1, 2} supported")
     // vectors computed once; the LSH join shuffles ONLY (id, table, bucket)
@@ -199,9 +200,14 @@ object Similarity {
         least(col("x.id"), col("y.id")).as("id_a"),
         greatest(col("x.id"), col("y.id")).as("id_b"))
       .distinct()
+    // attach joins: broadcast while the vector table fits in an executor;
+    // `broadcastAttach = false` is the corpus-scale form — plain equi-joins
+    // on id (shuffled by key under AQE), so no task holds every vector
+    def attach(side: DataFrame): DataFrame =
+      if (broadcastAttach) broadcast(side) else side
     val pairScores = cands
-      .join(broadcast(v.withColumnsRenamed(Map("id" -> "id_a", "iv" -> "iv_a", "nrm" -> "nrm_a"))), "id_a")
-      .join(broadcast(v.withColumnsRenamed(Map("id" -> "id_b", "iv" -> "iv_b", "nrm" -> "nrm_b"))), "id_b")
+      .join(attach(v.withColumnsRenamed(Map("id" -> "id_a", "iv" -> "iv_a", "nrm" -> "nrm_a"))), "id_a")
+      .join(attach(v.withColumnsRenamed(Map("id" -> "id_b", "iv" -> "iv_b", "nrm" -> "nrm_b"))), "id_b")
       .withColumn("dot", dot(col("iv_a"), col("iv_b")))
       .withColumn("cosine", cosineFromFixed(col("dot"), col("nrm_a"), col("nrm_b")))
       .select(col("id_a"), col("id_b"), col("dot"), col("cosine"))

@@ -145,25 +145,15 @@ object TextAnalysis {
   }
 
   /** Rolling polynomial hash fingerprint: hash every `k`-token window with a
-    * Rabin-Karp-style polynomial over per-token 64-bit hashes, keep the
-    * minimum (winnowing-lite). Identical token sequences ⇒ identical
-    * fingerprints; row-local expression, no shuffle.
+    * Rabin-Karp polynomial over per-token MD5-derived hashes mod 2³¹−1, keep
+    * the minimum (winnowing-lite). Identical token sequences ⇒ identical
+    * fingerprints; row-local, no shuffle. Native one-pass O(1)-roll
+    * expression ([[graft.functions.RollingFingerprint]]) — the HOF
+    * transform-over-slices form it replaced re-folded every window from
+    * scratch. MD5 hash basis ⇒ the exact value is recomputable in DuckDB
+    * SQL, which is what gates q26. Requires graft function registration
+    * (GraftFunctions.register or the GraftExtensions conf).
     */
-  def rollingFingerprint(text: Column, k: Int = 4): Column = {
-    val toks = tokens(text)
-    val n = size(toks)
-    // polynomial hash folded mod 2^31 each step: acc·31 + h₃₁ < 2^36, so the
-    // expression never overflows long even under ANSI mode.
-    def poly(ts: Column): Column =
-      aggregate(
-        ts,
-        lit(0L),
-        (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(2147483647L)), lit(2147483647L))
-      )
-    val windowHashes = transform(
-      sequence(lit(1), greatest(n - (k - 1), lit(1))),
-      i => poly(slice(toks, i, lit(k)))
-    )
-    when(n >= k, array_min(windowHashes)).otherwise(poly(toks))
-  }
+  def rollingFingerprint(text: Column, k: Int = 4): Column =
+    call_function("graft_fingerprint", tokens(text), lit(k))
 }
