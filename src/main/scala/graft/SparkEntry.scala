@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -54,6 +54,51 @@ object SparkEntry {
     obs
       .select(col("l_orderkey"), col("l_linenumber"), col("motivo_obs"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Recall audit shared by the three ANN queries (q29 LSH / q55 IVF / q74
+    * PQ): per audited query, the EXACT best neighbor (from the brute-force
+    * ranking — DuckDB recomputes it, q27's proven machinery) plus the ANN
+    * path's hit counts against the exact top-5 / top-20 sets. Both sides are
+    * deterministic-by-construction, so hit counts are exact properties of
+    * (data, config) — the query-level booleans threshold at/below the minima
+    * measured at sf0.001/0.01/0.1 (tools/RecallAudit), turning the driver's
+    * hash compare into a stable ANN-accuracy gate.
+    *
+    * The audit set is BOUNDED (≤ auditMax queries): at corpus scale you
+    * cannot brute-force every query — you audit a fixed sample; the ANN
+    * operator itself still runs over the full corpus.
+    */
+  private def annRecallAudit(
+      s: SparkSession,
+      dir: String,
+      ann: DataFrame,
+      auditMax: Long
+  ): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    // one brute-force pass (k=20) serves the top-5 set, the top-20 set, and
+    // the best-neighbor row; checkpointed because three derivations read it
+    val exact = Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < auditMax), "vec_id", "embedding", k = 20)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .localCheckpoint()
+    val hits = ann
+      .filter(col("query_id") < auditMax)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id"), col("rank")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("h20"),
+        count(when(col("rank") <= 5, 1)).as("h5"))
+    exact
+      .filter(col("rank") === 1)
+      .select(col("query_id"),
+        col("neighbor_id").as("exact_best_id"),
+        col("cosine").as("exact_best_cosine"))
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("h5", coalesce(col("h5"), lit(0L)))
+      .withColumn("h20", coalesce(col("h20"), lit(0L)))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -433,6 +478,38 @@ object SparkEntry {
         .orderBy(col("keeper_id"))
     }),
 
+    // ---- dedup: the FULL scale cascade under the gate — exact-collapse →
+    // MinHash+LSH (16-band recall-1.0 config, shuffle-join attach: the
+    // corpus-scale form, no broadcast of the signature table) → exact verify
+    // → connected components → keeper summary, over the WHOLE documents
+    // table with no O(n²) operator anywhere in the plan (q58/q81 are the
+    // bounded all-pairs ORACLE ARMS of this same composition). Because LSH
+    // recall is exactly 1.0 at this config (per-pair miss ~6e-10, verified
+    // at every SF), the recursive-CTE oracle over exact Jaccard applies
+    // verbatim. ----
+    "q85_dedup_cascade" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(col("doc_id"), Dedup.wordSetSignature(col("text")).as("sig"), col("text"))
+      val reps = base
+        .groupBy(col("sig"))
+        .agg(min(col("doc_id")).as("rep"), min_by(col("text"), col("doc_id")).as("text"))
+        .localCheckpoint(true)
+      val edges = Dedup
+        .verifiedNearDups(reps.select(col("rep").as("doc_id"), col("text")),
+          "doc_id", "text",
+          threshold = 0.95, numHashes = 96, bands = 16, broadcastAttach = false)
+        .select(col("id_a"), col("id_b"))
+      val cc = Dedup.connectedComponents(reps.select(col("rep")), edges)
+      base.select(col("doc_id"), col("sig"))
+        .join(reps.select(col("sig"), col("rep")), "sig")
+        .join(cc, "rep")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("component").as("keeper_id"), col("n_members"))
+        .orderBy(col("keeper_id"))
+    }),
+
     // ---- dedup: exact-collapse → MinHash+LSH banding → exact verify (the
     // scalable near-dup cascade). 16 bands × 6 rows at threshold 0.95 puts
     // per-pair miss probability at (1−0.95⁶)¹⁶ ≈ 6·10⁻¹⁰ — recall is
@@ -482,16 +559,21 @@ object SparkEntry {
     }),
 
     // ---- similarity: multi-probe LSH approximate NN — 8 planes × 10
-    // tables, probing all Hamming-≤2 buckets (rows-only; recall vs brute
-    // force asserted in tests). Measured at sf0.1: 0.989 recall, ~2.7×
-    // faster than 6 planes × 8 tables × probe-1 (0.920) — deeper probing
-    // buys back what exponentially narrower buckets cut from the candidate
-    // volume, the core multi-probe tradeoff (Lv et al., VLDB'07) ----
+    // tables, probing all Hamming-≤2 buckets. Measured at sf0.1: 0.989
+    // recall, ~2.7× faster than 6 planes × 8 tables × probe-1 (0.920) —
+    // deeper probing buys back what exponentially narrower buckets cut from
+    // the candidate volume, the core multi-probe tradeoff (Lv et al.,
+    // VLDB'07). Surfaced as the bounded recall AUDIT (annRecallAudit): the
+    // oracle recomputes the exact best neighbor and expects TRUE from both
+    // accuracy booleans — thresholds sit at/below the measured minima
+    // (hits-in-top5 min 3; hits-in-top20 = 5 for every query at every SF). ----
     "q29_ann_lsh" -> ((s, dir) => {
-      Similarity
-        .annTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
-          planes = 8, numTables = 10, probeBits = 2)
-        .orderBy(col("query_id"), col("rank"))
+      val ann = Similarity.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
+        planes = 8, numTables = 10, probeBits = 2)
+      annRecallAudit(s, dir, ann, auditMax = 500L)
+        .select(col("query_id"), col("exact_best_id"), col("exact_best_cosine"),
+          (col("h5") >= 3).as("recall5_ok"), (col("h20") === 5).as("all_in_top20"))
+        .orderBy(col("query_id"))
     }),
 
     // ---- multimodal: binary payload + typed metadata (expression pass;
@@ -506,6 +588,45 @@ object SparkEntry {
           col("media_meta.n_bytes").as("n_bytes"),
           col("media_meta.sha256").as("sha256")
         )
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- multimodal: REAL container-header decode (BMP dims/bpp, WAV
+    // channels/rate/width — dependency-free parsers, RIFF chunk scan). The
+    // payloads are synthesized as byte-valid headers from doc_id arithmetic
+    // with pure expressions (format_string hex → unhex), so the oracle
+    // verifies the encode→decode round trip field by field: a parser that
+    // misreads an offset or endianness goes hash-red. ----
+    "q86_media_decode" -> ((s, dir) => {
+      val d = col("doc_id").cast("int")
+      def le16h(c: Column): Column =
+        format_string("%02x%02x", c.bitwiseAND(lit(255)), shiftright(c, 8).bitwiseAND(lit(255)))
+      def le32h(c: Column): Column =
+        format_string("%02x%02x%02x%02x",
+          c.bitwiseAND(lit(255)), shiftright(c, 8).bitwiseAND(lit(255)),
+          shiftright(c, 16).bitwiseAND(lit(255)), shiftright(c, 24).bitwiseAND(lit(255)))
+      val w = pmod(d, lit(640)) + lit(1)
+      val h = pmod(d, lit(480)) + lit(1)
+      val bpp = element_at(array(lit(1), lit(8), lit(24), lit(32)), pmod(d, lit(4)) + lit(1))
+      val ch = pmod(shiftright(d, 1), lit(2)) + lit(1)
+      val rate = element_at(
+        array(lit(8000), lit(16000), lit(22050), lit(44100), lit(48000)), pmod(d, lit(5)) + lit(1))
+      val bits = element_at(array(lit(8), lit(16), lit(32)), pmod(d, lit(3)) + lit(1))
+      // 54-byte BMP: file header (BM, size, reserved, pixel offset) +
+      // BITMAPINFOHEADER (size 40, width, height, planes 1, bpp, 24 zero bytes)
+      val bmpHex = concat(lit("424d"), le32h(lit(54)), lit("000000003600000028000000"),
+        le32h(w), le32h(h), lit("0100"), le16h(bpp), lit("00" * 24))
+      // 44-byte canonical WAV: RIFF size 36, WAVE, fmt chunk (PCM, channels,
+      // rate, byte rate, block align, bits), empty data chunk
+      val wavHex = concat(lit("52494646"), le32h(lit(36)), lit("57415645"),
+        lit("666d742010000000"), lit("0100"), le16h(ch), le32h(rate),
+        le32h(shiftright(rate * ch * bits, 3)), le16h(shiftright(ch * bits, 3)), le16h(bits),
+        lit("64617461"), lit("00000000"))
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"),
+          unhex(when(pmod(d, lit(2)) === 0, bmpHex).otherwise(wavHex)).as("payload"))
+      Multimodal.decodeMedia(withBin, "payload")
+        .select(col("doc_id"), col("decoded.*"))
         .orderBy(col("doc_id"))
     }),
 
@@ -763,14 +884,17 @@ object SparkEntry {
     }),
 
     // ---- similarity: IVF approximate NN — deterministic integer k-means
-    // coarse quantizer, probe the 8 nearest of 32 cells (rows-only; recall
-    // vs brute force asserted in tests; the clustered-data scale path
-    // complementing q29's data-independent LSH) ----
+    // coarse quantizer, probe the 8 nearest of 32 cells (the clustered-data
+    // scale path complementing q29's data-independent LSH). Gated via the
+    // bounded recall audit: hits-in-exact-top20 measured minimum is 4 at
+    // every SF (tools/RecallAudit) — the boolean thresholds at ≥ 3. ----
     "q55_ann_ivf" -> ((s, dir) => {
-      Similarity
-        .ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
-          nlist = 32, nprobe = 8, iters = 1)
-        .orderBy(col("query_id"), col("rank"))
+      val ann = Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
+        nlist = 32, nprobe = 8, iters = 1)
+      annRecallAudit(s, dir, ann, auditMax = 500L)
+        .select(col("query_id"), col("exact_best_id"), col("exact_best_cosine"),
+          (col("h20") >= 3).as("recall20_ok"))
+        .orderBy(col("query_id"))
     }),
 
     // ---- full outer join: daily order starts vs daily shipments (both
@@ -1197,13 +1321,16 @@ object SparkEntry {
 
     // ---- similarity: product-quantization ANN — 16 subspaces × 256-code
     // codebooks (128 bits/vector, 16× compression) scored by asymmetric
-    // distance against reconstructions (rows-only; recall 0.81 vs brute
-    // force measured at sf0.01; completes the LSH/IVF/PQ trio) ----
+    // distance against reconstructions (completes the LSH/IVF/PQ trio).
+    // Gated via the recall audit over its 50 queries: hits-in-exact-top20
+    // measured minimum is 4 at every SF — the boolean thresholds at ≥ 3. ----
     "q74_ann_pq" -> ((s, dir) => {
-      Similarity
-        .pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
-          queryMaxId = 50, subspaces = 16, codebookSize = 256)
-        .orderBy(col("query_id"), col("rank"))
+      val ann = Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
+        queryMaxId = 50, subspaces = 16, codebookSize = 256)
+      annRecallAudit(s, dir, ann, auditMax = 50L)
+        .select(col("query_id"), col("exact_best_id"), col("exact_best_cosine"),
+          (col("h20") >= 3).as("recall20_ok"))
+        .orderBy(col("query_id"))
     }),
 
     // ---- heavy hitters: Misra–Gries bounded-memory candidates (k=32
@@ -1439,6 +1566,97 @@ object SparkEntry {
         |    ELSE list_min(list_transform(range(1, len(hs) - 2),
         |      i -> list_reduce(hs[i:i+3], (a, b) -> (a * 31 + b) % 2147483647))) END AS fingerprint
         |FROM h ORDER BY doc_id""".stripMargin,
+    // full-cascade gate (q85): components over exact-Jaccard-≥0.95 edges —
+    // valid for the LSH path because the 16-band config's recall is exactly
+    // 1.0 (same argument as q24); q81/q58 gate the same composition's
+    // bounded all-pairs arms
+    "q85_dedup_cascade" ->
+      """WITH RECURSIVE
+        |ws AS (
+        |  SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |    ELSE list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END AS ws
+        |  FROM documents),
+        |edges AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+        |  WHERE (CASE WHEN len(list_distinct(list_concat(a.ws, b.ws))) = 0 THEN 1.0
+        |    ELSE len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |      len(list_distinct(list_concat(a.ws, b.ws)))::DOUBLE END) >= 0.95),
+        |sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM edges
+        |  UNION ALL SELECT id_b, id_a FROM edges),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM ws
+        |  UNION
+        |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+        |comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a)
+        |SELECT component AS keeper_id, COUNT(*) AS n_members FROM comp
+        |GROUP BY component ORDER BY keeper_id""".stripMargin,
+    // ANN recall-audit gates (q29/q55/q74): DuckDB recomputes the EXACT best
+    // neighbor per audited query from the same fixed-point integers (q27's
+    // proven formula) and expects TRUE from the accuracy booleans; a Spark
+    // FALSE (ANN recall under the measured-minima thresholds) goes hash-red
+    "q29_ann_lsh" ->
+      """WITH n AS (
+        |  SELECT vec_id, iv, CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS nrm
+        |  FROM (SELECT vec_id,
+        |          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+        |        FROM embeddings) v),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> q.iv[i] * c.iv[i])) AS BIGINT)::DOUBLE
+        |      / (sqrt(q.nrm::DOUBLE) * sqrt(c.nrm::DOUBLE)) AS cosine
+        |  FROM n q JOIN n c ON q.vec_id < 500 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id AS exact_best_id, cosine AS exact_best_cosine,
+        |  TRUE AS recall5_ok, TRUE AS all_in_top20
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |      FROM s) r
+        |WHERE rank = 1 ORDER BY query_id""".stripMargin,
+    "q55_ann_ivf" ->
+      """WITH n AS (
+        |  SELECT vec_id, iv, CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS nrm
+        |  FROM (SELECT vec_id,
+        |          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+        |        FROM embeddings) v),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> q.iv[i] * c.iv[i])) AS BIGINT)::DOUBLE
+        |      / (sqrt(q.nrm::DOUBLE) * sqrt(c.nrm::DOUBLE)) AS cosine
+        |  FROM n q JOIN n c ON q.vec_id < 500 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id AS exact_best_id, cosine AS exact_best_cosine,
+        |  TRUE AS recall20_ok
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |      FROM s) r
+        |WHERE rank = 1 ORDER BY query_id""".stripMargin,
+    "q74_ann_pq" ->
+      """WITH n AS (
+        |  SELECT vec_id, iv, CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS nrm
+        |  FROM (SELECT vec_id,
+        |          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+        |        FROM embeddings) v),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> q.iv[i] * c.iv[i])) AS BIGINT)::DOUBLE
+        |      / (sqrt(q.nrm::DOUBLE) * sqrt(c.nrm::DOUBLE)) AS cosine
+        |  FROM n q JOIN n c ON q.vec_id < 50 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id AS exact_best_id, cosine AS exact_best_cosine,
+        |  TRUE AS recall20_ok
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |      FROM s) r
+        |WHERE rank = 1 ORDER BY query_id""".stripMargin,
+    // round-trip gate for the real BMP/WAV header decoder: the payloads were
+    // synthesized from doc_id arithmetic, so the decoded fields must equal
+    // the same arithmetic recomputed here (NULL where the format lacks them)
+    "q86_media_decode" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 640 + 1 AS INT) END AS width,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 480 + 1 AS INT) END AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST([1,8,24,32][CAST(doc_id % 4 + 1 AS INT)] AS INT) END AS bpp,
+        |  CASE WHEN doc_id % 2 = 1 THEN CAST((doc_id // 2) % 2 + 1 AS INT) END AS channels,
+        |  CASE WHEN doc_id % 2 = 1 THEN CAST([8000,16000,22050,44100,48000][CAST(doc_id % 5 + 1 AS INT)] AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 2 = 1 THEN CAST([8,16,32][CAST(doc_id % 3 + 1 AS INT)] AS INT) END AS bits_per_sample
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

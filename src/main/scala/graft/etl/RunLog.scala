@@ -48,12 +48,22 @@ object RunLog {
 
   /** Open a per-run log file under `logDir` (created if absent), named from
     * the clock's run timestamp.
+    *
+    * Rejects scheme-prefixed non-local roots (`s3://…`, `hdfs://…`)
+    * explicitly: this sink writes through java.io, and POSIX accepts the
+    * colon as a filename character, so without the check `Paths.get` would
+    * silently create a bogus local `s3:/bucket/...` directory instead of
+    * letting the caller degrade to console-only.
     */
   def apply(
       logDir: String,
       clock: () => LocalDateTime = () => LocalDateTime.now(),
       console: Logger = LoggerFactory.getLogger(classOf[RunLog])
   ): RunLog = {
+    val scheme = try new java.net.URI(logDir).getScheme catch { case _: Exception => null }
+    if (scheme != null && scheme != "file")
+      throw new IllegalArgumentException(
+        s"RunLog writes through java.io — '$logDir' has non-local scheme '$scheme'")
     val dir = Paths.get(logDir)
     Files.createDirectories(dir)
     new RunLog(dir.resolve(s"etl_run_${nameFmt.format(clock())}.log"), clock, console)

@@ -50,6 +50,7 @@ object Dedup {
       threshold: Double,
       maxId: Long
   ): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     // sorted distinct token arrays → the native merge-loop jaccard expression
     // (graft_sorted_jaccard) instead of per-pair set allocation
     // materialized once (bounded: maxId rows): the tokenize+sort lineage
@@ -96,6 +97,7 @@ object Dedup {
       maxId: Long,
       shingle: Int = 3
   ): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val sets =
       if (shingle <= 1) TextAnalysis.tokens(col(textCol))
       else TextAnalysis.ngrams(col(textCol), shingle)
@@ -128,7 +130,10 @@ object Dedup {
     * min-hashes h_i(S) = min_{t∈S} ((a_i·(xxh64(t) mod p) + b_i) mod p),
     * p = 2³¹−1 — the mod-p reduction is what makes the lanes independent
     * (see graft.functions.MinHashSignature). Row-local native expression;
-    * a_i/b_i derive deterministically from the seed.
+    * a_i/b_i derive deterministically from the seed. Column-level helper —
+    * requires graft function registration on the session
+    * (`GraftFunctions.register` or the GraftExtensions conf); the
+    * DataFrame-level ops in this object register it themselves.
     */
   def minHashSignature(tokenSet: Column, numHashes: Int, seed: Long = 42L): Column =
     // native one-pass expression: hash each token once, update all lanes
@@ -165,6 +170,7 @@ object Dedup {
       bands: Int,
       seed: Long = 42L
   ): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val rowsPerBand = numHashes / bands
     // spread BEFORE the signature projection: minhashing is tokens×lanes work
@@ -229,6 +235,7 @@ object Dedup {
       seed: Long = 42L,
       broadcastAttach: Boolean = true
   ): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     // raw band collisions stream straight through the verify: with the
     // long-merge jaccard at ~0.1µs/pair, piping duplicates through the
     // pipelined verify is cheaper than a distinct shuffle of the raw pairs,
@@ -276,6 +283,8 @@ object Dedup {
     * row-local; near-identical bags differ in few bits (compare with
     * [[hammingDistance]]). Token hash is MD5-derived (bytes 8..15), so the
     * whole sketch is recomputable in DuckDB SQL — the q25 oracle gate.
+    * Column-level helper — requires graft function registration on the
+    * session (`GraftFunctions.register` or the GraftExtensions conf).
     */
   def simHash(tokens: Column): Column =
     // native one-pass expression (graft.functions.SimHash64) — the

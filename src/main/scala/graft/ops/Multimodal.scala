@@ -7,19 +7,24 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video payloads travel as opaque
   * `binary` columns with a typed metadata struct, exactly like a production
   * training-data pipeline stores them next to text. The Spark-side machinery
-  * (schema, batch shape, partition-parallel decode) is real and tested; the
-  * actual codec is STUBBED with a deterministic fake because no image/audio
-  * libraries exist in this container — swap [[decodeStub]]'s body for a real
-  * decoder (JNI/javax.imageio/ffmpeg) without touching the plumbing.
+  * (schema, batch shape, partition-parallel decode) is real and tested, and
+  * [[decodeMedia]] is a REAL dependency-free header decoder for BMP and WAV
+  * payloads — richer codecs (JPEG/PNG/MP4 via JNI or javax.imageio) slot into
+  * the same `mapPartitions` shape without touching the plumbing.
   */
 object Multimodal {
 
-  /** Schema of the extracted-feature struct a real decoder would produce. */
-  val featureSchema: StructType = StructType(Seq(
+  /** Schema of the decoded-metadata struct [[decodeMedia]] produces. Fields
+    * not applicable to a format (e.g. sample_rate for an image) are NULL.
+    */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
-    StructField("n_frames", IntegerType),
-    StructField("feature", ArrayType(FloatType))
+    StructField("bpp", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits_per_sample", IntegerType)
   ))
 
   /** Wrap any blob column with standard media metadata (content hash, size,
@@ -32,30 +37,64 @@ object Multimodal {
       lit("application/octet-stream").as("mime")
     ))
 
-  /** STUB decoder: deterministic pseudo-features from the payload bytes.
-    * Real pipeline shape: `mapPartitions` so a real codec amortizes native
-    * init per partition (the Scala analogue of `mapInPandas` batching), one
-    * output row per input row, typed Row output with [[featureSchema]].
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  /** Parse one payload's container header. Returns a [[mediaSchema]]-shaped
+    * Row; malformed/truncated/unknown payloads decode as format "unknown"
+    * with NULL fields (never throws — corrupt blobs are data, not errors).
     */
-  def decodeStub(df: DataFrame, binCol: String, featureDim: Int = 8): DataFrame = {
+  private[ops] def parseHeader(bytes: Array[Byte]): Row = {
+    def unknown = Row("unknown", null, null, null, null, null, null)
+    if (bytes == null || bytes.length < 12) unknown
+    // BMP: "BM", BITMAPINFOHEADER at offset 14 (size 40): width LE32 @18,
+    // height LE32 @22 (signed — negative means top-down row order), planes
+    // @26, bits-per-pixel LE16 @28
+    else if (bytes(0) == 'B' && bytes(1) == 'M' && bytes.length >= 30 && le32(bytes, 14) >= 40)
+      Row("bmp", le32(bytes, 18), le32(bytes, 22), le16(bytes, 28), null, null, null)
+    // WAV: RIFF container with form type WAVE; scan chunks for "fmt " —
+    // its body holds channels @2 (LE16), sample rate @4 (LE32), bits per
+    // sample @14 (LE16). Chunk scan (not a fixed 44-byte layout) so files
+    // with LIST/fact chunks before fmt still decode; odd-sized chunks pad
+    // to even per the RIFF spec.
+    else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F'
+      && bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') {
+      var off = 12
+      while (off + 8 <= bytes.length) {
+        val size = le32(bytes, off + 4)
+        if (bytes(off) == 'f' && bytes(off + 1) == 'm' && bytes(off + 2) == 't'
+          && bytes(off + 3) == ' ') {
+          return if (size >= 16 && off + 8 + 16 <= bytes.length)
+            Row("wav", null, null, null,
+              le16(bytes, off + 10), le32(bytes, off + 12), le16(bytes, off + 22))
+          else unknown
+        }
+        if (size < 0) return unknown // corrupt size — stop scanning
+        off += 8 + size + (size & 1)
+      }
+      unknown
+    } else unknown
+  }
+
+  /** Decode container headers of a binary payload column — image dimensions
+    * for BMP, channel/rate/width for WAV; "unknown" otherwise. Real pipeline
+    * shape: `mapPartitions` so a heavier codec amortizes native init per
+    * partition (the Scala analogue of `mapInPandas` batching), one output
+    * row per input row, typed Row output with [[mediaSchema]].
+    */
+  def decodeMedia(df: DataFrame, binCol: String): DataFrame = {
     val inSchema = df.schema
-    val outSchema = StructType(inSchema.fields :+ StructField("decoded", featureSchema))
+    val outSchema = StructType(inSchema.fields :+ StructField("decoded", mediaSchema))
     val binIdx = inSchema.fieldIndex(binCol)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
-      // real decoder: initialize native codec context HERE, once per partition
+      // a native codec would initialize its context HERE, once per partition
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](binIdx)
-        val n = if (bytes == null) 0 else bytes.length
-        // ??? real decode goes here; deterministic fake below
-        val fake = Row(
-          (n % 640) + 1,
-          (n % 480) + 1,
-          1,
-          Array.tabulate(featureDim)(i =>
-            ((util.hashing.MurmurHash3.bytesHash(if (bytes == null) Array.emptyByteArray else bytes, i) % 1000) / 1000.0f))
-        )
-        Row.fromSeq(r.toSeq :+ fake)
+        Row.fromSeq(r.toSeq :+ parseHeader(r.getAs[Array[Byte]](binIdx)))
       }
     }(enc)
   }

@@ -59,7 +59,11 @@ object Relational {
     * buffer — a driver-of-OOM at corpus scale for hot keys; this form's
     * memory is bounded by the window's streaming sort regardless of group
     * size, at two shuffles of the COLLAPSED pair table. Result column for
-    * p is named `p<100p>` (p50, p90, ...).
+    * p is named `p<100p>` (p50, p90, ...) — ps must stay distinct after that
+    * rounding (enforced below). Keys whose measures are ALL NULL drop out of
+    * the output entirely (the NULL filter precedes the grouping), where the
+    * built-in `percentile` would emit a NULL row — callers needing those
+    * keys should left-join this result back to the distinct key set.
     */
   def exactQuantilesByKey(
       df: DataFrame,
@@ -68,6 +72,11 @@ object Relational {
       ps: Seq[Double]
   ): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"quantiles must be in (0,1]: $ps")
+    // result columns are named from round(p·100), so ps that collide after
+    // rounding (e.g. 0.995 and 1.0 → both "p100") would silently produce
+    // duplicate column names and break any downstream select-by-name
+    require(ps.map(p => math.round(p * 100)).distinct.size == ps.size,
+      s"quantile names p<round(100p)> must be distinct, got $ps")
     // prefixed internals: a user value column named e.g. "n" would otherwise
     // be silently replaced by the group total and corrupt every quantile
     val (c, cc, n) = ("__gq_c", "__gq_cc", "__gq_n")

@@ -64,6 +64,7 @@ object Similarity {
       embCol: String,
       k: Int
   ): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = spread(withFixed(corpus, idCol, embCol), col("id"))
     val q = withFixed(queries, idCol, embCol)
       .withColumnsRenamed(Map("id" -> "query_id", "iv" -> "qiv", "nrm" -> "qnrm"))
@@ -94,6 +95,7 @@ object Similarity {
       threshold: Double,
       forceBroadcast: Boolean = true
   ): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val v = withFixed(df, idCol, embCol)
     val a = spread(v, col("id"))
       .withColumnsRenamed(Map("id" -> "id_a", "iv" -> "iv_a", "nrm" -> "nrm_a"))
@@ -144,6 +146,7 @@ object Similarity {
       probeBits: Int = 0,
       broadcastAttach: Boolean = true
   ): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     require(probeBits >= 0 && probeBits <= 2, "probeBits ∈ {0, 1, 2} supported")
     // vectors computed once; the LSH join shuffles ONLY (id, table, bucket)
     // small keys — arrays are attached to the (distinct) candidate pairs
@@ -248,6 +251,7 @@ object Similarity {
       iters: Int = 5,
       sampleSize: Int = 4096
   ): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     // materialized once: the codebook sample collect below and the encode
     // pass of the returned plan otherwise each replay scan + fixed-point
     val v = spread(withFixed(df, idCol, embCol), col("id")).localCheckpoint()
@@ -392,6 +396,7 @@ object Similarity {
       probeFilter: Column = lit(true)
   ): DataFrame = {
     val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
     // localCheckpoint, not persist+unpersist: the materialized blocks serve
     // the 2·iters+1 eager index-build passes AND the returned plan's two

@@ -65,8 +65,14 @@ object Sketches {
     val items0 = if (expectedItems > 0) expectedItems else DefaultExpectedItems
     val bits0 = if (numBits > 0) numBits else sizeBits(items0)
     val (bf0, n) = build(items0, bits0)
+    // rebuild whenever the caller gave no cardinality and the default guess
+    // undershot — INCLUDING the numBits-only case: the hash-function count is
+    // sized from `items`, so keeping the 128k default for a much larger dim
+    // would saturate the (caller-sized) bitmap and prune nothing. The
+    // caller's explicit numBits is preserved; only `items` is corrected.
     val bf =
-      if (expectedItems <= 0 && numBits <= 0 && n > items0) build(n, sizeBits(n))._1
+      if (expectedItems <= 0 && n > items0)
+        build(n, if (numBits > 0) numBits else sizeBits(n))._1
       else bf0
     facts.filter(call_function("graft_might_contain", lit(bf), xxhash64(factKey)))
   }

@@ -120,6 +120,11 @@ object TextAnalysis {
   /** Space-joined token n-grams of a text column (empty array when the text
     * has fewer than n tokens). The shared shingle primitive for repetition
     * scoring, cross-document boilerplate mining, and contamination checks.
+    * Column-level helper — requires graft function registration on the
+    * session (`GraftFunctions.register(spark)` or the GraftExtensions conf);
+    * DataFrame-level ops (Dedup/Similarity/Sketches) register it themselves,
+    * but a bare `df.select(TextAnalysis.ngrams(...))` on a fresh session
+    * resolves only after registration.
     */
   def ngrams(text: Column, n: Int): Column =
     // native one-pass gram construction (graft.functions.TokenNGrams): the

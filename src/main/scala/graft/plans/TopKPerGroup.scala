@@ -120,6 +120,17 @@ object TopKPerGroupStrategy extends SparkStrategy {
   * inserts the one hash exchange), then a single un-sorted pass per partition
   * keeping a size-k max-heap per group; each group's survivors are sorted
   * (k·log k on k rows, not n·log n on all rows) and emitted with their rank.
+  *
+  * Memory contract: retained state is (groups-per-partition × k) copied rows
+  * — bounded by k but NOT by group cardinality. The heap state itself is not
+  * spillable (evictions must see every group), so the operator REGISTERS its
+  * retained bytes with the task memory manager as it grows: co-resident
+  * spillable consumers (sorts, aggregates) shrink around it, and if the
+  * request cannot be met the task fails with an explicit message naming the
+  * fix (raise shuffle partitions so fewer groups land per task) instead of
+  * dying on an opaque executor OOM. The window form trades this for a full
+  * partition sort whose spills hide the same pressure — with MANY groups per
+  * partition prefer more partitions over either form's worst case.
   */
 case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
@@ -157,17 +168,53 @@ case class TopKPerGroupExec(
       // row buffers across iterator steps).
       val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
       val revOrd: java.util.Comparator[InternalRow] = ord.reversed()
+      // account the retained heap bytes with the task memory manager: the
+      // state can't spill, but registering it makes spillable co-consumers
+      // yield and turns an would-be executor OOM into a diagnosable failure
+      val taskCtx = org.apache.spark.TaskContext.get()
+      val consumer =
+        if (taskCtx == null) null
+        else new org.apache.spark.memory.MemoryConsumer(
+          org.apache.spark.graft.TaskMemoryBridge.manager(taskCtx),
+          org.apache.spark.memory.MemoryMode.ON_HEAP) {
+          override def spill(size: Long, trigger: org.apache.spark.memory.MemoryConsumer): Long = 0L
+        }
+      var acquired = 0L
+      var retained = 0L
+      if (consumer != null)
+        taskCtx.addTaskCompletionListener[Unit] { _ =>
+          if (acquired > 0) consumer.freeMemory(acquired)
+        }
+      def track(row: InternalRow, extra: Long): Unit = {
+        retained += extra + (row match {
+          case u: UnsafeRow => u.getSizeInBytes.toLong
+          case _ => 64L
+        })
+        if (consumer != null && retained > acquired) {
+          val want = math.max(retained - acquired, 1L << 20)
+          val got = consumer.acquireMemory(want)
+          acquired += got
+          if (retained > acquired)
+            throw new IllegalStateException(
+              s"TopKPerGroupExec retained state (~$retained bytes of group heaps) exceeds " +
+                "available execution memory — raise spark.sql.shuffle.partitions so fewer " +
+                "groups land in each task, or use the window form which sorts+spills")
+        }
+      }
       while (iter.hasNext) {
         val row = iter.next()
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
           heap = new java.util.PriorityQueue[InternalRow](math.min(limit, 16), revOrd)
-          heaps.put(key.copy(), heap)
+          val keyCopy = key.copy()
+          heaps.put(keyCopy, heap)
+          track(keyCopy, 64L) // map-entry + queue fixed overhead
         }
-        if (heap.size() < limit) { heap.add(row.copy()); () }
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll()
+        if (heap.size() < limit) {
+          val c = row.copy(); track(c, 48L); heap.add(c); ()
+        } else if (ord.compare(row, heap.peek()) < 0) {
+          heap.poll() // replaced row: same k slots, no net growth tracked
           heap.add(row.copy())
           ()
         }

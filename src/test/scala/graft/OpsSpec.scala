@@ -54,6 +54,29 @@ class OpsSpec extends SparkTestBase {
     assert(nLsh >= (nExact * 0.9).toLong, s"LSH recall too low: $nLsh/$nExact")
   }
 
+  test("broadcastAttach=false (shuffle attach) equals the broadcast path") {
+    // the corpus-scale attach form must be result-identical to the
+    // broadcast form — only the physical join strategy may differ
+    val nd = Dedup
+      .verifiedNearDups(docs, "doc_id", "text", threshold = 0.9, numHashes = 64, bands = 8)
+      .collect().map(_.toSeq).toSet
+    val ndShuffle = Dedup
+      .verifiedNearDups(docs, "doc_id", "text", threshold = 0.9, numHashes = 64, bands = 8,
+        broadcastAttach = false)
+      .collect().map(_.toSeq).toSet
+    assert(nd.nonEmpty && nd == ndShuffle, "verifiedNearDups attach paths diverged")
+
+    val emb = Tables(spark, sf(), "embeddings")
+    val ann = Similarity
+      .annTopK(emb, "vec_id", "embedding", k = 3, planes = 6, numTables = 4, probeBits = 1)
+      .collect().map(_.toSeq).toSet
+    val annShuffle = Similarity
+      .annTopK(emb, "vec_id", "embedding", k = 3, planes = 6, numTables = 4, probeBits = 1,
+        broadcastAttach = false)
+      .collect().map(_.toSeq).toSet
+    assert(ann.nonEmpty && ann == annShuffle, "annTopK attach paths diverged")
+  }
+
   test("native ngrams ≡ the HOF transform+slice+array_join form it replaced") {
     // differential guard: the corpus documents (all sizes, boundary
     // whitespace shapes, size < n) must gram identically under the native
@@ -243,21 +266,48 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
-  test("multimodal decode stub: schema, determinism, per-partition batching") {
-    val withBin = docs.limit(50)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .repartition(4)
-    val decoded = Multimodal.decodeStub(Multimodal.withMediaMeta(withBin, "payload"), "payload")
-    assert(decoded.schema("decoded").dataType == Multimodal.featureSchema)
-    val rows = decoded.select(col("doc_id"), col("decoded.width"),
-      col("decoded.feature")(0).as("f0"), col("media_meta.n_bytes")).collect()
-    assert(rows.length == 50)
-    // deterministic: second run identical
-    val again = Multimodal.decodeStub(Multimodal.withMediaMeta(withBin, "payload"), "payload")
-      .select(col("doc_id"), col("decoded.feature")(0).as("f0"))
-    val j = decoded.select(col("doc_id"), col("decoded.feature")(0).as("f0"))
-      .join(again.withColumnRenamed("f0", "f0b"), "doc_id")
-    assert(j.filter(col("f0") =!= col("f0b")).count() == 0)
+  test("multimodal decodeMedia: real BMP/WAV header parse, malformed-safe, partition-parallel") {
+    import spark.implicits._
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def bmp(w: Int, h: Int, bpp: Int): Array[Byte] =
+      "BM".getBytes ++ le32(54) ++ le32(0) ++ le32(54) ++ // file header
+        le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(bpp) ++ Array.fill(24)(0.toByte)
+    def wav(ch: Int, rate: Int, bits: Int, junkChunkFirst: Boolean): Array[Byte] = {
+      val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(ch) ++ le32(rate) ++
+        le32(rate * ch * bits / 8) ++ le16(ch * bits / 8) ++ le16(bits)
+      // odd-sized junk chunk before fmt: exercises the chunk scan + RIFF even padding
+      val junk = if (junkChunkFirst) "JUNK".getBytes ++ le32(3) ++ Array[Byte](1, 2, 3, 0) else Array.emptyByteArray
+      val body = junk ++ fmt ++ "data".getBytes ++ le32(0)
+      "RIFF".getBytes ++ le32(4 + body.length) ++ "WAVE".getBytes ++ body
+    }
+    val payloads = Seq(
+      (1L, bmp(640, 480, 24)),
+      (2L, bmp(1, 1, 1)),
+      (3L, wav(2, 44100, 16, junkChunkFirst = false)),
+      (4L, wav(1, 8000, 8, junkChunkFirst = true)),
+      (5L, "not media at all".getBytes),
+      (6L, Array.emptyByteArray),
+      (7L, null.asInstanceOf[Array[Byte]]),
+      (8L, bmp(9, 9, 32).take(20)) // truncated mid-header
+    )
+    val df = payloads.toDF("id", "payload").repartition(4)
+    val out = Multimodal.decodeMedia(df, "payload")
+    assert(out.schema("decoded").dataType == Multimodal.mediaSchema)
+    val got = out.select(col("id"), col("decoded.*")).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(got(1L) == Seq("bmp", 640, 480, 24, null, null, null))
+    assert(got(2L) == Seq("bmp", 1, 1, 1, null, null, null))
+    assert(got(3L) == Seq("wav", null, null, null, 2, 44100, 16))
+    assert(got(4L) == Seq("wav", null, null, null, 1, 8000, 8))
+    Seq(5L, 6L, 7L, 8L).foreach { id =>
+      assert(got(id) == Seq("unknown", null, null, null, null, null, null), s"id=$id")
+    }
+    // deterministic across runs (the q86 gate also hash-verifies this end-to-end)
+    val again = Multimodal.decodeMedia(df, "payload").select(col("id"), col("decoded.*")).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(again == got)
   }
 
   test("PII redaction masks emails, urls, and digit runs; repetition flags repeats") {

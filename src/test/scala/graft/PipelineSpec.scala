@@ -86,6 +86,13 @@ class PipelineSpec extends SparkTestBase {
     assert(logText.contains("2026-01-02 03:04:05 [INFO] country EC done [2025-01-01..2025-06-30]"), logText)
     assert(logText.contains("[INFO] run complete: processed=EC,PE"), logText)
 
+    // a scheme-prefixed non-local log root must be REJECTED (java.io would
+    // happily create a bogus local "s3:/bucket" directory — POSIX filenames
+    // allow the colon) so Pipeline.run's catch degrades to console-only
+    intercept[IllegalArgumentException] {
+      graft.etl.RunLog("s3://bucket/out/log", fixedClock)
+    }
+
     val paths = Pipeline.Paths.under(s"$dir/out")
     val clean = spark.read.parquet(paths.silverClean)
     val obs = spark.read.parquet(paths.silverQuarantine)
