@@ -8,12 +8,17 @@ import graft.ops.Dedup
 /** Headroom measurement for the flagship dedup cascade (q85's shape): run
   * MinHash-LSH near-dup detection over the sf0.1 corpus and a synthetically
   * 10×-inflated version of it, and compare CANDIDATE-PAIR growth against the
-  * all-pairs quadratic. Inflation appends ~12.5% copy-distinct junk tokens
-  * per replica, so replicas are NOT near-dups of each other (Jaccard ≤ 8/9 <
-  * 0.95) — the corpus genuinely grows 10× in near-dup-free content while
-  * preserving each replica's internal duplicate structure. A bucketing
-  * scheme that is linear in corpus size should show ~10× candidates at 10×
-  * docs; all-pairs would show 100×. Results recorded in SURVEY.md §8.
+  * all-pairs quadratic. Inflation suffixes every token with the replica
+  * index, so replica token spaces are fully DISJOINT (cross-replica Jaccard
+  * = 0) while each replica preserves the original corpus's internal
+  * duplicate structure — the corpus genuinely grows 10× in distinct
+  * content. (Appending junk tokens instead would NOT work: even 12.5% junk
+  * leaves cross-replica Jaccard ≈ 0.89, and a 16-band×6-row banding catches
+  * 0.89-similar pairs with probability ≈ 1 — candidates would grow
+  * quadratically because the corpus is quadratically self-similar, not
+  * because the operator buckets wrongly.) A bucketing scheme linear in
+  * corpus size should show ~10× candidates and ~10× verified pairs at 10×
+  * docs; all-pairs would show 100×. Results recorded in SURVEY.md §8.5.
   *
   * Run: sbt "Test/runMain graft.tools.ScaleHeadroom"
   */
@@ -39,14 +44,11 @@ object ScaleHeadroom {
         .crossJoin(spark.range(factor.toLong).toDF("i"))
         .select(
           (col("doc_id") * factor + col("i")).as("doc_id"),
-          concat(
-            col("text"), lit(" "),
-            array_join(
-              transform(
-                sequence(lit(1),
-                  greatest(size(split(trim(col("text")), "\\s+")) / 8, lit(1))),
-                k => concat(lit("zz"), col("i"), lit("x"), k)),
-              " ")).as("text"))
+          array_join(
+            transform(
+              filter(split(trim(col("text")), "\\s+"), t => t =!= ""),
+              t => concat(t, lit("_"), col("i"))),
+            " ").as("text"))
 
     def measure(label: String, d: DataFrame): Unit = {
       val n = d.count()
