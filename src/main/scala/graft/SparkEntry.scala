@@ -630,6 +630,51 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- cohort retention matrix: first-active-day cohorts × day offset.
+    // One corpus shuffle (distinct user,day), then user-keyed window min,
+    // then a calendar²-sized rollup ----
+    "q87_retention_cohorts" -> ((s, dir) => {
+      graft.ops.Events
+        .retentionCohorts(t(s, dir, "events"), col("user_id"), col("ts"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // ---- at-least-once telemetry collapse: earliest event per
+    // (user, type, 5-minute bucket); exact integer bucket math ----
+    "q88_event_dedup" -> ((s, dir) => {
+      graft.ops.Events
+        .dedupeEvents(t(s, dir, "events"), col("user_id"), col("event_type"),
+          col("ts"), col("event_id"), bucketSeconds = 300)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- strict sequential funnel view → click → purchase: per-level
+    // conditional-min chain, every intermediate distinct-user sized ----
+    "q89_funnel" -> ((s, dir) => {
+      graft.ops.Events
+        .funnel(t(s, dir, "events"), col("user_id"), col("event_type"), col("ts"),
+          Seq("view", "click", "purchase"))
+        .orderBy(col("step"))
+    }),
+
+    // ---- exact substring-dup signal: per doc, fraction of its distinct
+    // 8-token grams shared with any other doc (Lee et al. 2021 shape);
+    // cost O(total grams), never O(docs²) ----
+    "q90_dup_gram_fraction" -> ((s, dir) => {
+      Dedup
+        .dupGramStats(t(s, dir, "documents"), col("doc_id"), col("text"), n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- robust outlier stats: per-flag MAD envelope over extended price,
+    // both medians via the bufferless distinct-pair quantile machinery ----
+    "q91_mad_outliers" -> ((s, dir) => {
+      Relational
+        .madOutliers(t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", k = 3.0)
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- typed Aggregator (UDAF): weighted mean with exact decimal sums;
     // runs as a Tungsten hash aggregate with map-side partial merge ----
     "q31_weighted_avg" -> ((s, dir) => {
@@ -1657,6 +1702,74 @@ object SparkEntry {
         |  CASE WHEN doc_id % 2 = 1 THEN CAST([8000,16000,22050,44100,48000][CAST(doc_id % 5 + 1 AS INT)] AS INT) END AS sample_rate,
         |  CASE WHEN doc_id % 2 = 1 THEN CAST([8,16,32][CAST(doc_id % 3 + 1 AS INT)] AS INT) END AS bits_per_sample
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q87_retention_cohorts" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, day,
+        |  MIN(day) OVER (PARTITION BY user_id) AS cohort_day FROM a)
+        |SELECT cohort_day, datediff('day', cohort_day, day) AS day_offset,
+        |  COUNT(*) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q88_event_dedup" ->
+      """SELECT event_id, user_id, event_type, ts FROM (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY user_id, event_type, epoch_us(ts) // 300000000
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events) x
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q89_funnel" ->
+      """WITH l1 AS (
+        |  SELECT user_id, MIN(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |l2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN l1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > l1.t GROUP BY e.user_id),
+        |l3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN l2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > l2.t GROUP BY e.user_id)
+        |SELECT step, n_users FROM (
+        |  SELECT '1_view' AS step, COUNT(*) AS n_users FROM l1
+        |  UNION ALL SELECT '2_click', COUNT(*) FROM l2
+        |  UNION ALL SELECT '3_purchase', COUNT(*) FROM l3) x
+        |ORDER BY step""".stripMargin,
+    "q90_dup_gram_fraction" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(toks) < 8 THEN []
+        |      ELSE list_transform(range(1, len(toks) - 6),
+        |        i -> array_to_string(toks[i:i+7], ' ')) END) AS gram
+        |    FROM (SELECT doc_id,
+        |      CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |        ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS toks
+        |      FROM documents) y) x),
+        |d AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+        |SELECT g.doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+        |FROM g JOIN d USING (gram) GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "q91_mad_outliers" ->
+      """WITH rows_ AS (
+        |  SELECT l_returnflag AS k, l_extendedprice AS v FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |g1 AS (SELECT k, v, COUNT(*) AS c FROM rows_ GROUP BY 1, 2),
+        |t1 AS (SELECT k, SUM(c) AS n FROM g1 GROUP BY k),
+        |med AS (
+        |  SELECT k, MIN(CASE WHEN cc >= ceil(0.5 * n) THEN v END) AS med FROM (
+        |    SELECT g1.k, g1.v, SUM(g1.c) OVER (PARTITION BY g1.k ORDER BY g1.v) AS cc, t1.n
+        |    FROM g1 JOIN t1 USING (k)) x GROUP BY k),
+        |dev AS (
+        |  SELECT rows_.k, abs(rows_.v - med.med) AS dv FROM rows_ JOIN med USING (k)),
+        |g2 AS (SELECT k, dv, COUNT(*) AS c FROM dev GROUP BY 1, 2),
+        |t2 AS (SELECT k, SUM(c) AS n FROM g2 GROUP BY k),
+        |mad AS (
+        |  SELECT k, MIN(CASE WHEN cc >= ceil(0.5 * n) THEN dv END) AS mad FROM (
+        |    SELECT g2.k, g2.dv, SUM(g2.c) OVER (PARTITION BY g2.k ORDER BY g2.dv) AS cc, t2.n
+        |    FROM g2 JOIN t2 USING (k)) x GROUP BY k)
+        |SELECT rows_.k AS l_returnflag, MIN(med.med) AS med, MIN(mad.mad) AS mad,
+        |  COUNT(CASE WHEN abs(rows_.v - med.med) > 3.0 * mad.mad THEN 1 END) AS n_outliers
+        |FROM rows_ JOIN med USING (k) JOIN mad USING (k)
+        |GROUP BY rows_.k ORDER BY rows_.k""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -28,6 +28,37 @@ object Dedup {
   def wordSetSignature(text: Column): Column =
     md5(array_join(array_sort(array_distinct(TextAnalysis.tokens(text))), " "))
 
+  /** Per-document duplicated-text fraction from exact n-gram shingles (the
+    * Lee et al. 2021 "Deduplicating Training Data" substring-dup signal,
+    * arXiv:2107.06499, at gram granularity): for each document, the share of
+    * its DISTINCT n-token grams that also occur in at least one other
+    * document. Docs shorter than n tokens (no grams) drop out, matching the
+    * grouping-after-unnest oracle form.
+    *
+    * Scale shape: within-doc distinct is row-local (`array_distinct` before
+    * the explode); the gram table then shuffles twice on the gram string —
+    * once for the doc-frequency aggregate, once for the join back — and the
+    * final per-doc rollup shuffles on doc_id. No pairwise comparisons
+    * anywhere: cost is O(total distinct grams), not O(docs²).
+    */
+  def dupGramStats(docs: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val grams = docs
+      .select(
+        idCol.as("doc_id"),
+        explode(array_distinct(call_function("graft_ngrams", TextAnalysis.tokens(textCol), lit(n))))
+          .as("gram"))
+    // distinct-per-doc upstream ⇒ count(*) per gram IS the doc frequency
+    val df_ = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    grams
+      .join(df_, "gram")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(when(col("df") >= 2, lit(1))).as("n_dup"))
+      .withColumn("dup_frac", col("n_dup").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Exact word-set Jaccard similarity of two token-array columns. Integer
     * set sizes divided as IEEE doubles — engine-deterministic. NULL-safe:
     * NULL arrays yield NULL (without the guard, ANSI-off `size(NULL)` = -1

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log analytics over an append-only `(user, ts, type)` stream — the
+  * telemetry/product-analytics companions to the entregas batch pipeline
+  * (reference reads one CSV of delivery events per country,
+  * `notebooks/ETL_Entregas_Base.ipynb:477-480`; these are the query shapes a
+  * generalized event table needs at fleet scale).
+  *
+  * All three operators are pure DataFrame compositions: every grouping keys
+  * on (a derivative of) the user id, so at 100 TB they shuffle once per
+  * logical step on a key whose per-group size is bounded by one user's
+  * activity — never by corpus size.
+  */
+object Events {
+
+  /** Cohort-retention matrix: users are cohorted by their first active DAY;
+    * output is one row per (cohort_day, day_offset) with the number of
+    * cohort members active that many days after their first day.
+    *
+    * Shape: (1) collapse the raw log to distinct (user, day) — the only
+    * corpus-sized shuffle, and it is also the aggregation that makes
+    * `count(*)` below equal `count(distinct user)`; (2) a per-user window
+    * min attaches the cohort day with ONE shuffle on user_id (a join
+    * against a separate min-aggregate would shuffle twice and replay the
+    * activity subtree); (3) the final groupBy is calendar²-sized.
+    * Per-user window group size is bounded by active days per user — a
+    * calendar bound, not a data bound.
+    */
+  def retentionCohorts(events: DataFrame, userCol: Column, tsCol: Column): DataFrame = {
+    val activity = events.select(userCol.as("user_id"), to_date(tsCol).as("day")).distinct()
+    val byUser = Window.partitionBy(col("user_id"))
+    activity
+      .withColumn("cohort_day", min(col("day")).over(byUser))
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Windowed event dedup: within each (user, type, fixed time bucket) keep
+    * only the FIRST event (earliest ts, event id as the total-order
+    * tie-breaker) — the standard at-least-once-telemetry collapse. The
+    * bucket identity is the epoch-microsecond bucket START computed with
+    * pure integer ops (`us - us % N`) — no float division anywhere, so the
+    * grouping is exact at any timestamp magnitude and identical to the
+    * DuckDB oracle's `//` bucketing. One shuffle; per-group size is one
+    * user's events in one bucket.
+    */
+  def dedupeEvents(
+      events: DataFrame,
+      userCol: Column,
+      typeCol: Column,
+      tsCol: Column,
+      idCol: Column,
+      bucketSeconds: Long
+  ): DataFrame = {
+    val us = unix_micros(tsCol)
+    val bucket = us - pmod(us, lit(bucketSeconds * 1000000L))
+    val w = Window.partitionBy(userCol, typeCol, bucket).orderBy(tsCol, idCol)
+    events
+      .withColumn("__ed_rn", row_number().over(w))
+      .filter(col("__ed_rn") === 1)
+      .drop("__ed_rn")
+  }
+
+  /** Strict sequential funnel: for ordered steps s1..sn, a user counts at
+    * level i iff they performed s1 then (strictly later) s2 … then si.
+    * Output: one row per step — (step "<i>_<name>", n_users).
+    *
+    * Each level is the conditional min-timestamp of the next step AFTER the
+    * previous level's timestamp: a filter + join + min-aggregate per level,
+    * all keyed on user_id, each intermediate at most distinct-user sized.
+    * Levels are localCheckpointed so level i's (tiny) frame feeds both its
+    * own count and level i+1 without replaying the whole chain per branch.
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: Column,
+      typeCol: Column,
+      tsCol: Column,
+      steps: Seq[String]
+  ): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val base = events.select(userCol.as("user_id"), typeCol.as("etype"), tsCol.as("ts"))
+    var level = base
+      .filter(col("etype") === steps.head)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t"))
+      .localCheckpoint()
+    var out = level.agg(count(lit(1)).as("n_users"))
+      .select(lit(s"1_${steps.head}").as("step"), col("n_users"))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      level = base
+        .filter(col("etype") === st)
+        .join(level, "user_id")
+        .filter(col("ts") > col("t"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t"))
+        .localCheckpoint()
+      out = out.unionAll(
+        level.agg(count(lit(1)).as("n_users"))
+          .select(lit(s"${i + 1}_$st").as("step"), col("n_users")))
+    }
+    out
+  }
+}

@@ -100,6 +100,43 @@ object Relational {
             .as(s"p${math.round(p * 100)}")): _*)
   }
 
+  /** Robust per-key outlier statistics via the median absolute deviation:
+    * per key, med = exact median of `valCol`, mad = exact median of
+    * |v − med|, and the count of rows with |v − med| > k·mad. Both medians
+    * go through [[exactQuantilesByKey]] (distinct-pair collapse + cumulative
+    * counts) — NO per-group value buffer, so hot keys can't OOM an executor
+    * the way the built-in `percentile` aggregate can. The per-key stats
+    * frame is group-count sized → broadcast onto the raw rows for the final
+    * single-pass count. Three shuffles total, each over collapsed or
+    * group-sized frames; NULL measures are excluded throughout (matching
+    * the quantile contract).
+    */
+  def madOutliers(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      k: Double = 3.0
+  ): DataFrame = {
+    require(k > 0, s"outlier multiplier must be positive: $k")
+    val rows = df.filter(col(valCol).isNotNull).select(col(keyCol), col(valCol))
+    val med = exactQuantilesByKey(rows, keyCol, valCol, Seq(0.5))
+      .withColumnRenamed("p50", "med")
+    val dev = rows
+      .join(broadcast(med), keyCol)
+      .withColumn("__mad_dev", abs(col(valCol) - col("med")))
+    val mad = exactQuantilesByKey(dev, keyCol, "__mad_dev", Seq(0.5))
+      .withColumnRenamed("p50", "mad")
+    val stats = med.join(mad, keyCol)
+    rows
+      .join(broadcast(stats), keyCol)
+      .groupBy(col(keyCol))
+      .agg(
+        min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        count(when(abs(col(valCol) - col("med")) > lit(k) * col("mad"), lit(1)))
+          .as("n_outliers"))
+  }
+
   /** Gap-based sessionization: a new session starts when the time since the
     * previous event of the same key exceeds `gap`. Two windows over ONE
     * shuffle (same partitioning/ordering → single sort), classic

@@ -1,0 +1,145 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Events, Relational}
+
+class EventsSpec extends SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("retentionCohorts: cohort day is each user's first day; counts are distinct users") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: active day 1 (twice) and day 3
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 23:59:59")),
+      (1L, ts("2024-01-03 00:00:00")),
+      // user 2: same cohort as user 1, active day 1 only
+      (2L, ts("2024-01-01 05:00:00")),
+      // user 3: later cohort, active its day 0 and day 1
+      (3L, ts("2024-01-02 12:00:00")), (3L, ts("2024-01-03 12:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Events.retentionCohorts(ev, col("user_id"), col("ts"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0L, 2L), // users 1+2 on their first day
+      ("2024-01-01", 2L, 1L), // user 1 back two days later
+      ("2024-01-02", 0L, 1L),
+      ("2024-01-02", 1L, 1L)
+    ))
+  }
+
+  test("dedupeEvents keeps the earliest event per (user, type, bucket)") {
+    import spark.implicits._
+    val ev = Seq(
+      // same user/type, 3 events inside one 5-min bucket → keep earliest id 10
+      (10L, 1L, "click", ts("2024-01-01 00:00:30")),
+      (11L, 1L, "click", ts("2024-01-01 00:01:30")),
+      (12L, 1L, "click", ts("2024-01-01 00:04:59")),
+      // same user/type but next bucket → kept
+      (13L, 1L, "click", ts("2024-01-01 00:05:00")),
+      // same bucket, different type → kept
+      (14L, 1L, "view", ts("2024-01-01 00:00:45")),
+      // same bucket+type, different user → kept
+      (15L, 2L, "click", ts("2024-01-01 00:02:00")),
+      // identical ts as id 10: event_id tie-break keeps 10, drops 16
+      (16L, 1L, "click", ts("2024-01-01 00:00:30"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val kept = Events
+      .dedupeEvents(ev, col("user_id"), col("event_type"), col("ts"), col("event_id"), 300)
+      .select("event_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(10L, 13L, 14L, 15L))
+  }
+
+  test("funnel counts strictly-ordered step sequences") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1 completes view → click → purchase in order
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 00:10:00")),
+      (1L, "purchase", ts("2024-01-01 00:20:00")),
+      // user 2: clicked BEFORE viewing, never re-clicked → stops at level 1
+      (2L, "click", ts("2024-01-01 00:00:00")),
+      (2L, "view", ts("2024-01-01 00:05:00")),
+      (2L, "purchase", ts("2024-01-01 00:10:00")),
+      // user 3: view then click, no purchase → level 2
+      (3L, "view", ts("2024-01-01 00:00:00")),
+      (3L, "click", ts("2024-01-01 00:01:00")),
+      // user 4: purchase only → not even level 1
+      (4L, "purchase", ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Events
+      .funnel(ev, col("user_id"), col("event_type"), col("ts"), Seq("view", "click", "purchase"))
+      .orderBy(col("step"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("1_view", 3L), ("2_click", 2L), ("3_purchase", 1L)))
+  }
+
+  test("funnel: same-timestamp next step does NOT count (strict ordering)") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Events
+      .funnel(ev, col("user_id"), col("event_type"), col("ts"), Seq("view", "click"))
+      .orderBy(col("step"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("1_view", 1L), ("2_click", 0L)))
+  }
+
+  test("dupGramStats: duplicated-gram fraction against a hand-computed corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      // docs 1 and 2 share the gram "a b c"; doc 1 has one extra distinct gram
+      (1L, "a b c d"), // grams: "a b c", "b c d"
+      (2L, "x a b c"), // grams: "x a b", "a b c"
+      (3L, "p q r"), // one gram, unshared
+      (4L, "too short") // < 3 tokens → no grams → absent from output
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupGramStats(docs, col("doc_id"), col("text"), n = 3)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 0.5),
+      (2L, 2L, 1L, 0.5),
+      (3L, 1L, 0L, 0.0)
+    ))
+  }
+
+  test("dupGramStats counts within-doc repeats once (distinct grams per doc)") {
+    import spark.implicits._
+    // "a b a b a b" has 3-grams [a b a, b a b, a b a, b a b] → 2 distinct,
+    // none shared with any other doc
+    val docs = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val got = Dedup.dupGramStats(docs, col("doc_id"), col("text"), n = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((2L, 0L)))
+  }
+
+  test("madOutliers matches hand-computed median/MAD and outlier count") {
+    import spark.implicits._
+    // key "a": values 1..5 plus a wild 100 → med of {1,2,3,4,5,100}: cumulative
+    // count reaches ceil(0.5·6)=3 at value 3. |v-3| = {2,1,0,1,2,97} → mad = 1
+    // (cc reaches 3 at 1). Outliers: |v-3| > 3·1 → only 100.
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0), ("a", 100.0),
+      ("b", 7.0), ("b", 7.0)).toDF("k", "v")
+    val got = Relational.madOutliers(df, "k", "v", k = 3.0)
+      .orderBy(col("k"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", 3.0, 1.0, 1L), ("b", 7.0, 0.0, 0L)))
+  }
+
+  test("madOutliers ignores NULL measures") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)), ("a", None))
+      .toDF("k", "v")
+    val got = Relational.madOutliers(df, "k", "v")
+      .collect().map(r => (r.getDouble(1), r.getLong(3)))
+    assert(got.toSeq == Seq((2.0, 0L)))
+  }
+}
