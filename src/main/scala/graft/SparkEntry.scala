@@ -1505,6 +1505,72 @@ object SparkEntry {
       }
     }),
 
+    // ---- Structured Streaming session windows: the q17-style gap
+    // sessionization run THROUGH readStream + session_window + watermark.
+    // Spark only allows APPEND output for session windows, which emits a
+    // session once its end+gap clears the watermark; with a 0-second
+    // watermark delay over a fully-consumed source that is EXACTLY the
+    // sessions with last_event + 30min <= max(ts) — deterministic, and the
+    // oracle applies the same closed-session filter to the batch
+    // lag/flag/cumsum form (probed: 9542 of 9549 sessions at sf0.01, the 7
+    // held-back tails all end within 30min of corpus max-ts). ----
+    "q92_stream_sessions" -> ((s, dir) => {
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prior = s.conf.getOption(key)
+      s.conf.set(key, "true") // events.parquet stores TIMESTAMP(NANOS)
+      try {
+        val sch = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", LongType), // nanos-as-long under the legacy conf
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType),
+          StructField("props", StringType)))
+        val raw = s.readStream.schema(sch)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val ev = raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        graft.streaming.StreamOps
+          .runToMemory(s,
+            graft.streaming.StreamOps.sessionCounts(ev, "30 minutes", watermark = "0 seconds"),
+            "q92_mem", org.apache.spark.sql.streaming.OutputMode.Append())
+          .orderBy(col("user_id"), col("session_start"))
+      } finally prior match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+
+    // ---- approximate-percentile accuracy gate (q32's pattern for
+    // quantiles): the sketch value stays internal; what the driver hashes is
+    // the EXACT median, the group size, and a boolean asserting the sketch's
+    // returned element sits within its configured rank-error envelope
+    // (ε = 1/accuracy, +1 for duplicate-value rank ambiguity) — computed
+    // with one extra broadcast-join rank pass, both sides deterministic ----
+    "q93_approx_quantile_gate" -> ((s, dir) => {
+      val acc = 1000
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .filter(col("l_extendedprice").isNotNull)
+      val ap = li.groupBy(col("l_returnflag"))
+        .agg(
+          expr(s"percentile_approx(l_extendedprice, 0.5, $acc)").as("ap"),
+          count(lit(1)).as("n_rows"))
+      val rk = li.join(broadcast(ap), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(when(col("l_extendedprice") <= col("ap"), lit(1))).as("rk"),
+          min(col("n_rows")).as("n_rows"))
+      val exact = Relational
+        .exactQuantilesByKey(li, "l_returnflag", "l_extendedprice", Seq(0.5))
+        .withColumnRenamed("p50", "exact_p50")
+      rk.join(exact, "l_returnflag")
+        .select(
+          col("l_returnflag"), col("n_rows"), col("exact_p50"),
+          (abs(col("rk").cast("double") - lit(0.5) * col("n_rows").cast("double"))
+            <= col("n_rows").cast("double") / acc + 1.0).as("rank_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -1770,6 +1836,38 @@ object SparkEntry {
         |  COUNT(CASE WHEN abs(rows_.v - med.med) > 3.0 * mad.mad THEN 1 END) AS n_outliers
         |FROM rows_ JOIN med USING (k) JOIN mad USING (k)
         |GROUP BY rows_.k ORDER BY rows_.k""".stripMargin,
+    "q92_stream_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800 * 1000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |    COUNT(*) AS n_events
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id, session_start, n_events FROM sess
+        |WHERE session_end + INTERVAL 30 MINUTE <= (SELECT MAX(ts) FROM events)
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q93_approx_quantile_gate" ->
+      """WITH rows_ AS (
+        |  SELECT l_returnflag AS k, l_extendedprice AS v FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |g AS (SELECT k, v, COUNT(*) AS c FROM rows_ GROUP BY 1, 2),
+        |t AS (SELECT k, SUM(c) AS n FROM g GROUP BY k),
+        |med AS (
+        |  SELECT k, MIN(CASE WHEN cc >= ceil(0.5 * n) THEN v END) AS exact_p50 FROM (
+        |    SELECT g.k, g.v, SUM(g.c) OVER (PARTITION BY g.k ORDER BY g.v) AS cc, t.n
+        |    FROM g JOIN t USING (k)) x GROUP BY k)
+        |SELECT med.k AS l_returnflag, CAST(t.n AS BIGINT) AS n_rows, med.exact_p50,
+        |  TRUE AS rank_ok
+        |FROM med JOIN t USING (k) ORDER BY l_returnflag""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

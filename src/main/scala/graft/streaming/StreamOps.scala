@@ -40,11 +40,21 @@ object StreamOps {
       .select(col("window.start").as("hour_start"), col("event_type"), col("n_events"), col("sum_value"))
 
   /** Gap-based session aggregation using the built-in `session_window`
-    * (streaming twin of `Relational.sessionize`).
+    * (streaming twin of `Relational.sessionize`). Append-only output (Spark
+    * rejects update/complete for session windows): a session is emitted once
+    * its window end (last event + gap) falls at or before the watermark, so
+    * with `watermark = "0 seconds"` the emitted set over a fully-consumed
+    * source is exactly the sessions whose end+gap <= max event time — the
+    * deterministic, batch-checkable subset (q92's oracle filters the same
+    * way; the held-back tail is the streaming-correctness point, not loss).
     */
-  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+  def sessionCounts(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"
+  ): DataFrame =
     events
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", watermark)
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))

@@ -53,6 +53,29 @@ class StreamingSpec extends SparkTestBase {
     assert(j.filter(col("n_events_sessions") > col("n_events_batch")).count() == 0)
   }
 
+  test("streaming sessions with 0s watermark == batch sessions closed before max-ts - gap") {
+    val dir = eventsDir
+    val stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
+    val got = StreamOps
+      .runToMemory(spark,
+        StreamOps.sessionCounts(stream, "30 minutes", watermark = "0 seconds"),
+        "sessions_closed", OutputMode.Append)
+    val ev = Tables(spark, sf(), "events")
+    val gmax = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val batchClosed = graft.ops.Relational
+      .sessionize(ev, col("user_id"), col("ts"), 1800)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_batch"))
+      .filter(col("session_end") + expr("INTERVAL 30 MINUTES") <= lit(gmax))
+      .select(col("user_id"), col("session_start"), col("n_batch"))
+    // exact set + count equality: the emitted set IS the closed-session set
+    assert(got.count() == batchClosed.count())
+    val j = got.join(batchClosed, Seq("user_id", "session_start"))
+    assert(j.count() == got.count(), "every emitted session matches a closed batch session")
+    assert(j.filter(col("n_events") =!= col("n_batch")).count() == 0)
+  }
+
   test("streaming entregas ingest: same clean/quarantine split as the batch pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sing")
     val csv = dir.resolve("in")
