@@ -31,10 +31,23 @@ object Bench {
     // untimed warmup at the smallest SF: JIT-compiles the shared operator
     // paths (codegen, parquet reader, shuffle) so the timed runs below
     // measure steady-state query cost, not first-touch compilation.
+    // Per-query state hygiene, applied OUTSIDE the timed window: queries
+    // that persist/localCheckpoint intermediates (CC rounds, ANN indexes,
+    // signature tables) would otherwise accumulate pinned blocks across
+    // 93 × 3 executions and the later heavy queries would pay eviction +
+    // recompute for their predecessors' leftovers — measured as 4-25×
+    // bimodal swings (q58 4s↔43s, q85 15s↔102s) purely from run order.
+    def dropQueryState(): Unit = {
+      try {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      } catch { case _: Throwable => () }
+    }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.foreach { case (_, fn) =>
         try { fn(spark, warmDir).count(); () } catch { case _: Throwable => () }
+        dropQueryState()
       }
     }
     // two timed passes, min per query: single-run numbers on a shared
@@ -46,7 +59,9 @@ object Bench {
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-        name -> ((System.nanoTime() - t0) / 1e9, ok)
+        val dt = (System.nanoTime() - t0) / 1e9
+        dropQueryState() // untimed: each query pays for its own state only
+        name -> (dt, ok)
       }
     val (p1, p2) = (timedPass(), timedPass())
     val results = p1.map { case (k, (v1, ok1)) =>

@@ -1571,6 +1571,17 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- running distinct-count window (COUNT(DISTINCT) OVER is illegal in
+    // both engines): first-occurrence flag + running sum, two streaming
+    // window passes, no per-row set buffer ----
+    "q94_running_distinct" -> ((s, dir) => {
+      Relational
+        .runningDistinct(t(s, dir, "events"), col("user_id"), col("event_type"),
+          Seq(col("ts"), col("event_id")))
+        .select(col("event_id"), col("user_id"), col("running_distinct"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -1868,6 +1879,17 @@ object SparkEntry {
         |SELECT med.k AS l_returnflag, CAST(t.n AS BIGINT) AS n_rows, med.exact_p50,
         |  TRUE AS rank_ok
         |FROM med JOIN t USING (k) ORDER BY l_returnflag""".stripMargin,
+    "q94_running_distinct" ->
+      """SELECT event_id, user_id, running_distinct FROM (
+        |  SELECT event_id, user_id,
+        |    CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_distinct
+        |  FROM (SELECT event_id, user_id, ts,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts, event_id) AS rn
+        |    FROM events) x) y
+        |ORDER BY event_id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -274,7 +274,16 @@ object Dedup {
     // slower UTF8-merge verify the tradeoff pointed the other way — both
     // were measured: 12s distinct-first vs 33s raw with UTF8 merges, then
     // 9.8s raw vs 10.9s distinct-first with long merges.)
-    val cands = minHashCandidatesRaw(docs, idCol, textCol, numHashes, bands, seed)
+    // Pair-dedup placement depends on the attach strategy. Broadcast attach:
+    // piping raw band collisions straight through the verify measured faster
+    // than a distinct shuffle (9.8s raw vs 10.9s distinct-first with long
+    // merges at sf0.1) — the attach is free, the merge is ~0.1µs/pair.
+    // Shuffle attach (corpus-scale form): every duplicate collision rides
+    // TWO shuffled joins, so collapsing first is strictly less shuffle IO
+    // (sf0.1: 8.5M raw collisions -> 3.1M distinct pairs, q85 warm total
+    // 7.6s -> 6.7s; the win grows with band count and duplicate density).
+    val rawCands = minHashCandidatesRaw(docs, idCol, textCol, numHashes, bands, seed)
+    val cands = if (broadcastAttach) rawCands else rawCands.distinct()
     // verify on sorted per-token 64-bit hashes (equal to string jaccard up to
     // negligible xxh64 collisions): long merges are ~10× cheaper than UTF8
     // merges at millions of candidate pairs, and the broadcast is smaller.

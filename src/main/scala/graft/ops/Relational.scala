@@ -137,6 +137,30 @@ object Relational {
           .as("n_outliers"))
   }
 
+  /** Running per-key DISTINCT count — the window shape Spark (and ANSI SQL)
+    * won't express directly (`COUNT(DISTINCT) OVER (... ORDER BY ...)` is
+    * rejected) and the naive workaround (`size(collect_set() over w)`)
+    * buffers the whole set per row. Classic two-window rewrite instead:
+    * flag each (key, value)'s FIRST occurrence in the total order
+    * (row_number over (key, value)), then running-sum the flags per key.
+    * Two sort-shuffles, zero per-row set state — both windows stream.
+    * `order` must include a unique tie-breaker for determinism.
+    */
+  def runningDistinct(
+      df: DataFrame,
+      keyCol: Column,
+      valueCol: Column,
+      order: Seq[Column],
+      resultCol: String = "running_distinct"
+  ): DataFrame = {
+    val firstW = Window.partitionBy(keyCol, valueCol).orderBy(order: _*)
+    val runW = Window.partitionBy(keyCol).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__rd_first", when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+      .withColumn(resultCol, sum(col("__rd_first")).over(runW))
+      .drop("__rd_first")
+  }
+
   /** Gap-based sessionization: a new session starts when the time since the
     * previous event of the same key exceeds `gap`. Two windows over ONE
     * shuffle (same partitioning/ordering → single sort), classic

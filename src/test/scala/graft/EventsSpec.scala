@@ -134,6 +134,21 @@ class EventsSpec extends SparkTestBase {
     assert(got.toSeq == Seq(("a", 3.0, 1.0, 1L), ("b", 7.0, 0.0, 0L)))
   }
 
+  test("runningDistinct counts each (key,value) once at first occurrence") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "a", ts("2024-01-01 00:00:00")),
+      (2L, 1L, "b", ts("2024-01-01 00:01:00")),
+      (3L, 1L, "a", ts("2024-01-01 00:02:00")), // repeat: count stays 2
+      (4L, 1L, "c", ts("2024-01-01 00:03:00")),
+      (5L, 2L, "a", ts("2024-01-01 00:00:30")) // other key independent
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Relational
+      .runningDistinct(ev, col("user_id"), col("event_type"), Seq(col("ts"), col("event_id")))
+      .select("event_id", "running_distinct").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 3L), (5L, 1L)))
+  }
+
   test("madOutliers ignores NULL measures") {
     import spark.implicits._
     val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)), ("a", None))
