@@ -1582,6 +1582,42 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ---- Markov transition matrix of per-user event flow: lag over one
+    // user-keyed shuffle, types²-sized rollup ----
+    "q95_event_transitions" -> ((s, dir) => {
+      graft.ops.Events
+        .transitionCounts(t(s, dir, "events"), col("user_id"), col("event_type"),
+          col("ts"), col("event_id"))
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
+
+    // ---- mixture-weighted corpus resampling: q73's flatten-to-uniform cell
+    // weights drive a deterministic PPS sample (md5-derived uniform, row-
+    // local, engine-recomputable) — the step that turns mixture math into an
+    // actual training corpus ----
+    "q96_weighted_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cells = docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy()
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      // same flatten-to-uniform formula as q73 (window over the dictionary-
+      // sized CELL table, not the corpus)
+      val weights = cells.select(
+        col("lang"), col("source"),
+        (sum(col("n_docs")).over(wAll).cast("double") /
+          (count(lit(1)).over(wAll).cast("double") * col("n_docs").cast("double")))
+          .as("weight"))
+      Relational
+        .deterministicWeightedSample(
+          docs.join(broadcast(weights), Seq("lang", "source")),
+          col("doc_id"), col("weight"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -1890,6 +1926,28 @@ object SparkEntry {
         |        ORDER BY ts, event_id) AS rn
         |    FROM events) x) y
         |ORDER BY event_id""".stripMargin,
+    "q95_event_transitions" ->
+      """SELECT prev_type, next_type, COUNT(*) AS n_transitions FROM (
+        |  SELECT LAG(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |    event_type AS next_type
+        |  FROM events) x
+        |WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q96_weighted_sample" ->
+      """WITH cells AS (
+        |  SELECT lang, source, COUNT(*) AS n_docs FROM documents GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT CAST(SUM(n_docs) AS DOUBLE) AS total,
+        |    CAST(COUNT(*) AS DOUBLE) AS k FROM cells),
+        |w AS (
+        |  SELECT lang, source, tot.total / (tot.k * CAST(n_docs AS DOUBLE)) AS weight
+        |  FROM cells, tot)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN w USING (lang, source)
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 25, 8))::BIGINT AS DOUBLE)
+        |    / 4294967296.0 < least(1.0, w.weight)
+        |ORDER BY d.doc_id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -65,6 +65,28 @@ object Events {
       .drop("__ed_rn")
   }
 
+  /** First-order transition counts of the per-user event sequence (the
+    * Markov-chain view of session flow): for consecutive events of the same
+    * user in (ts, id) total order, count each (prev_type → next_type) pair.
+    * One shuffle on user_id (group size = one user's history), then a
+    * types²-sized rollup.
+    */
+  def transitionCounts(
+      events: DataFrame,
+      userCol: Column,
+      typeCol: Column,
+      tsCol: Column,
+      idCol: Column
+  ): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("eid"))
+    events
+      .select(userCol.as("user_id"), typeCol.as("next_type"), tsCol.as("ts"), idCol.as("eid"))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** Strict sequential funnel: for ordered steps s1..sn, a user counts at
     * level i iff they performed s1 then (strictly later) s2 … then si.
     * Output: one row per step — (step "<i>_<name>", n_users).

@@ -137,6 +137,22 @@ object Relational {
           .as("n_outliers"))
   }
 
+  /** Deterministic weighted (Poisson/PPS-style) sampling: keep a row iff its
+    * id-derived uniform u ∈ [0,1) is below `min(1, weight)`. The uniform is
+    * the last 8 hex digits of md5(id-as-string) over 2³² — exactly
+    * recomputable in any engine with md5 (the q25/q26 cross-engine hash
+    * trick), so the sampled set is a pure function of (ids, weights):
+    * reproducible across runs, engines, and partitionings, and row-local
+    * (no shuffle, no RNG state). The per-row expected keep-rate is the
+    * weight — the corpus-mixture resampling step that turns q73-style
+    * mixture weights into an actual training corpus.
+    */
+  def deterministicWeightedSample(df: DataFrame, idCol: Column, weightCol: Column): DataFrame = {
+    val u = conv(substring(md5(idCol.cast("string")), 25, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    df.filter(u < least(lit(1.0), weightCol))
+  }
+
   /** Running per-key DISTINCT count — the window shape Spark (and ANSI SQL)
     * won't express directly (`COUNT(DISTINCT) OVER (... ORDER BY ...)` is
     * rejected) and the naive workaround (`size(collect_set() over w)`)

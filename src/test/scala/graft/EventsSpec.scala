@@ -149,6 +149,36 @@ class EventsSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 3L), (5L, 1L)))
   }
 
+  test("transitionCounts: consecutive same-user pairs in (ts,id) order") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "a", ts("2024-01-01 00:00:00")),
+      (2L, 1L, "b", ts("2024-01-01 00:01:00")),
+      (3L, 1L, "a", ts("2024-01-01 00:02:00")), // a->b, b->a
+      (4L, 2L, "a", ts("2024-01-01 00:00:00")),
+      (5L, 2L, "a", ts("2024-01-01 00:00:00")) // tie: id order -> a->a once
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.ops.Events
+      .transitionCounts(ev, col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .orderBy(col("prev_type"), col("next_type"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", "a", 1L), ("a", "b", 1L), ("b", "a", 1L)))
+  }
+
+  test("deterministicWeightedSample: weight 1 keeps all, 0 keeps none, stable subset") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, "x")).toDF("id", "tag")
+    assert(Relational.deterministicWeightedSample(df, col("id"), lit(1.0)).count() == 1000)
+    assert(Relational.deterministicWeightedSample(df, col("id"), lit(0.0)).count() == 0)
+    val half1 = Relational.deterministicWeightedSample(df, col("id"), lit(0.5))
+      .select("id").as[Long].collect().toSet
+    val half2 = Relational.deterministicWeightedSample(df.repartition(7), col("id"), lit(0.5))
+      .select("id").as[Long].collect().toSet
+    assert(half1 == half2, "sample must be partitioning-independent")
+    // md5-uniform: expect ~500 at weight 0.5, binomial 3-sigma band
+    assert(math.abs(half1.size - 500) < 50, s"got ${half1.size}")
+  }
+
   test("madOutliers ignores NULL measures") {
     import spark.implicits._
     val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)), ("a", None))
