@@ -267,27 +267,11 @@ object Dedup {
       broadcastAttach: Boolean = true
   ): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    // raw band collisions stream straight through the verify: with the
-    // long-merge jaccard at ~0.1µs/pair, piping duplicates through the
-    // pipelined verify is cheaper than a distinct shuffle of the raw pairs,
-    // and the dedup runs on the small verified output instead. (With the
-    // slower UTF8-merge verify the tradeoff pointed the other way — both
-    // were measured: 12s distinct-first vs 33s raw with UTF8 merges, then
-    // 9.8s raw vs 10.9s distinct-first with long merges.)
-    // Pair-dedup placement depends on the attach strategy. Broadcast attach:
-    // piping raw band collisions straight through the verify measured faster
-    // than a distinct shuffle (9.8s raw vs 10.9s distinct-first with long
-    // merges at sf0.1) — the attach is free, the merge is ~0.1µs/pair.
-    // Shuffle attach (corpus-scale form): every duplicate collision rides
-    // TWO shuffled joins, so collapsing first is strictly less shuffle IO
-    // (sf0.1: 8.5M raw collisions -> 3.1M distinct pairs, q85 warm total
-    // 7.6s -> 6.7s; the win grows with band count and duplicate density).
     val rawCands = minHashCandidatesRaw(docs, idCol, textCol, numHashes, bands, seed)
-    val cands = if (broadcastAttach) rawCands else rawCands.distinct()
     // verify on sorted per-token 64-bit hashes (equal to string jaccard up to
     // negligible xxh64 collisions): long merges are ~10× cheaper than UTF8
     // merges at millions of candidate pairs, and the broadcast is smaller.
-    // materialized once: both attach joins below would otherwise replay
+    // materialized once: the attach joins below would otherwise replay
     // the scan + tokenize + hash + sort lineage (and, for collapsed inputs,
     // the representative groupBy upstream of it) independently
     val ws = docs.select(
@@ -295,23 +279,47 @@ object Dedup {
       array_sort(transform(array_distinct(TextAnalysis.tokens(col(textCol))), t => xxhash64(t)))
         .as("ws")
     ).localCheckpoint()
-    // attach joins: broadcast while the per-doc token-hash table fits in an
-    // executor (one network ship, no shuffle of the candidate stream);
-    // `broadcastAttach = false` is the corpus-scale form — plain equi-joins
-    // on id that shuffle BOTH sides by the join key (sort-merge/shuffled-hash
-    // under AQE), so no task ever holds the full signature table in memory
-    def attach(side: DataFrame): DataFrame =
-      if (broadcastAttach) broadcast(side) else side
-    cands
-      .join(attach(ws.withColumnsRenamed(Map("id" -> "id_a", "ws" -> "ws_a"))), "id_a")
-      .join(attach(ws.withColumnsRenamed(Map("id" -> "id_b", "ws" -> "ws_b"))), "id_b")
-      // size-ratio prefilter (division form — rounding is monotone, so no
-      // boundary pair is lost; both-empty passes through: 0/0 would be NaN
-      // though empty∪empty is jaccard 1.0): skips the merge loop for
-      // collided pairs whose set sizes already rule out the threshold
-      .filter((size(col("ws_a")) === 0 && size(col("ws_b")) === 0)
-        || least(size(col("ws_a")), size(col("ws_b"))).cast("double")
-          / greatest(size(col("ws_a")), size(col("ws_b"))).cast("double") >= threshold)
+    // size-ratio prefilter (division form — rounding is monotone, so no
+    // boundary pair is lost; both-empty passes through: 0/0 would be NaN
+    // though empty∪empty is jaccard 1.0): rules a pair out from set sizes
+    // alone, before the merge loop ever runs
+    def sizeRatioOk(szA: Column, szB: Column): Column =
+      (szA === 0 && szB === 0) ||
+        least(szA, szB).cast("double") / greatest(szA, szB).cast("double") >= threshold
+    val attached =
+      if (broadcastAttach) {
+        // broadcast attach: the per-doc token-hash table ships once to every
+        // executor, the candidate stream never shuffles. Raw band collisions
+        // stream straight through the verify — piping duplicates through the
+        // ~0.1µs/pair long-merge measured faster than a distinct shuffle of
+        // the raw pairs (9.8s raw vs 10.9s distinct-first at sf0.1; with the
+        // 10× slower UTF8 merges the tradeoff pointed the other way), and
+        // the dedup runs on the small verified output instead.
+        rawCands
+          .join(broadcast(ws.withColumnsRenamed(Map("id" -> "id_a", "ws" -> "ws_a"))), "id_a")
+          .join(broadcast(ws.withColumnsRenamed(Map("id" -> "id_b", "ws" -> "ws_b"))), "id_b")
+          .filter(sizeRatioOk(size(col("ws_a")), size(col("ws_b"))))
+      } else {
+        // shuffle attach — the corpus-scale form: plain equi-joins on id, so
+        // no task ever holds the full signature table. Here shuffle BYTES are
+        // the cost model, so the pipeline narrows before it widens:
+        // (1) collapse band collisions to distinct pairs first — each
+        //     duplicate would ride every later join (8.5M → 3.1M at sf0.1);
+        // (2) attach 8-byte set SIZES and run the ratio prefilter BEFORE the
+        //     arrays — at sf0.1 it kills 69% of pairs (3.1M → 978k), so the
+        //     wide token-hash payload (~1.6 KB/pair) only ships for
+        //     survivors. Same join count, ~5× less shuffle volume.
+        val sizes = ws.select(col("id"), size(col("ws")).as("sz"))
+        rawCands
+          .distinct()
+          .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), "id_a")
+          .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), "id_b")
+          .filter(sizeRatioOk(col("sz_a"), col("sz_b")))
+          .select(col("id_a"), col("id_b"))
+          .join(ws.withColumnsRenamed(Map("id" -> "id_a", "ws" -> "ws_a")), "id_a")
+          .join(ws.withColumnsRenamed(Map("id" -> "id_b", "ws" -> "ws_b")), "id_b")
+      }
+    attached
       .withColumn("jaccard", call_function("graft_sorted_long_jaccard", col("ws_a"), col("ws_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -376,9 +384,25 @@ object Dedup {
     // plan doubles per round — exponential driver-side analysis cost and an
     // eventual OOM. Checkpointing pins each round's result as a LogicalRDD:
     // constant plan size, constant round cost.
-    var labels = Par.spread(
-      nodes.select(col(idName).as("id"), col(idName).as("component")), col("id"))
-      .localCheckpoint(true)
+    // Each round's localCheckpoint pins its blocks until the session's
+    // ContextCleaner happens to GC the dropped DataFrame — on a large driver
+    // heap that can be never, and N rounds of corpus-sized label tables
+    // accumulate in the block manager (measured: repeated cascade runs in
+    // one session degraded 10× from exactly this). Track the RDD ids each
+    // checkpoint adds and free the PREVIOUS round eagerly once the next
+    // round is materialized; only the returned round stays pinned (its
+    // blocks ARE the result — a localCheckpoint cannot be recomputed).
+    val sc = nodes.sparkSession.sparkContext
+    def ckpt(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(true)
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      sc.getPersistentRDDs.filter(kv => ids.contains(kv._1)).values
+        .foreach(_.unpersist(blocking = false))
+    var (labels, labelIds) = ckpt(Par.spread(
+      nodes.select(col(idName).as("id"), col(idName).as("component")), col("id")))
     try {
       val compType = labels.schema("component").dataType
       var converged = false
@@ -391,18 +415,20 @@ object Dedup {
           .join(labels, sym("dst") === labels("id"))
           .select(col("src").as("id"), col("component"),
             lit(null).cast(compType).as("prev"))
-        val next = labels.select(col("id"), col("component"), col("component").as("prev"))
-          .unionAll(nbr)
-          .groupBy(col("id"))
-          .agg(min(col("component")).as("component"), max(col("prev")).as("prev"))
-          .localCheckpoint(true)
+        val (next, nextIds) = ckpt(
+          labels.select(col("id"), col("component"), col("component").as("prev"))
+            .unionAll(nbr)
+            .groupBy(col("id"))
+            .agg(min(col("component")).as("component"), max(col("prev")).as("prev")))
         // null-safe inequality: an edge endpoint absent from `nodes` enters
         // via propagation with NULL prev — it must count as changed (plain
         // =!= is NULL there and would let the loop stop before its label
         // transits through), and it stays in the labeling (the graph adopts
         // edge endpoints as nodes).
         val changed = next.filter(!(col("component") <=> col("prev"))).count()
+        free(labelIds) // previous round: fully consumed by `next`'s checkpoint
         labels = next.select(col("id"), col("component"))
+        labelIds = nextIds
         converged = changed == 0
         it += 1
       }
