@@ -79,17 +79,53 @@ object Relational {
       s"quantile names p<round(100p)> must be distinct, got $ps")
     // prefixed internals: a user value column named e.g. "n" would otherwise
     // be silently replaced by the group total and corrupt every quantile
-    val (c, cc, n) = ("__gq_c", "__gq_cc", "__gq_n")
+    val (c, cc, n, bkt, off) = ("__gq_c", "__gq_cc", "__gq_n", "__gq_b", "__gq_o")
     // NULL measures are excluded, matching the built-in percentile/quantile
     // aggregates (counted, they would shift every rank; they also sort on
     // opposite ends in Spark vs DuckDB)
     val g = df.filter(col(valCol).isNotNull)
       .groupBy(col(keyCol), col(valCol)).agg(count(lit(1)).as(c))
-    val byKeyOrdered = Window.partitionBy(col(keyCol)).orderBy(col(valCol))
-    val byKey = Window.partitionBy(col(keyCol))
-    val cum = g
-      .withColumn(cc, sum(col(c)).over(byKeyOrdered))
-      .withColumn(n, sum(col(c)).over(byKey))
+    // Cumulative counts as a BUCKETED PREFIX SUM, not a per-key window: a
+    // plain `Window.partitionBy(key).orderBy(value)` funnels each key's
+    // whole collapsed pair table through ONE sort partition — for few hot
+    // keys that is a single-reducer sort no matter how many executors exist.
+    // Instead: (1) bucket values by range inside each key (monotone double
+    // bucketing — floor((v−lo)/w) with w>0 is nondecreasing in v and a pure
+    // function of v, so equal values share a bucket and bucket order is
+    // value order; the RESULT arithmetic stays exact integer counts, the
+    // doubles only route rows); (2) per-(key,bucket) subtotals — a tiny
+    // frame — give each bucket its prefix offset via a window over buckets;
+    // (3) the in-bucket cumulative sum runs as a window over (key, bucket):
+    // keys×buckets parallel sort groups instead of one group per key.
+    val nBuckets = df.sparkSession.sessionState.conf.numShufflePartitions
+    val bounds = g.groupBy(col(keyCol)).agg(
+      min(col(valCol)).as("__gq_lo"), max(col(valCol)).as("__gq_hi"))
+    val vD = col(valCol).cast("double")
+    val loD = col("__gq_lo").cast("double")
+    val hiD = col("__gq_hi").cast("double")
+    val bucketed = g
+      .join(broadcast(bounds), keyCol)
+      .withColumn(bkt,
+        // non-numeric measures cast to NULL → every row lands in bucket 0,
+        // which is exactly the pre-bucketing one-group-per-key behavior
+        when(vD.isNull || hiD.isNull || loD.isNull || hiD === loD, lit(0))
+          .otherwise(least(lit(nBuckets - 1),
+            floor((vD - loD) / ((hiD - loD) / nBuckets)).cast("int"))))
+    val subtotals = bucketed.groupBy(col(keyCol), col(bkt))
+      .agg(sum(col(c)).as("__gq_sub"))
+    val wOff = Window.partitionBy(col(keyCol)).orderBy(col(bkt))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col(keyCol))
+    // keys × buckets rows: window cost is trivial, and it yields both the
+    // per-bucket prefix offset and the per-key total in one pass
+    val offsets = subtotals
+      .withColumn(off, coalesce(sum(col("__gq_sub")).over(wOff), lit(0L)))
+      .withColumn(n, sum(col("__gq_sub")).over(wTot))
+      .select(col(keyCol), col(bkt), col(off), col(n))
+    val wInBucket = Window.partitionBy(col(keyCol), col(bkt)).orderBy(col(valCol))
+    val cum = bucketed
+      .join(broadcast(offsets), Seq(keyCol, bkt))
+      .withColumn(cc, col(off) + sum(col(c)).over(wInBucket))
     cum
       .groupBy(col(keyCol))
       .agg(

@@ -73,4 +73,32 @@ class RelationalSpec extends SparkTestBase {
     assert(out.count() == 2)
     assert(out.filter(col("bin_name") === "lo").count() == 1)
   }
+
+  test("exactQuantilesByKey: bucketed prefix-sum matches the rank definition on a hot key") {
+    import spark.implicits._
+    // ONE key, 10k skewed values (the case the per-key window serialized):
+    // the bucketed cumulative counts must reproduce min{v : rank(v) >= ceil(p*n)}
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(10000)(math.pow(rnd.nextDouble(), 4) * 1000.0)
+    val df = vals.map(("k", _)).toDF("k", "v")
+    val got = Relational.exactQuantilesByKey(df, "k", "v", Seq(0.5, 0.9, 1.0))
+      .collect()(0)
+    val sorted = vals.sorted
+    def rankQ(p: Double) = sorted(math.ceil(p * sorted.size).toInt - 1)
+    assert(got.getDouble(1) == rankQ(0.5))
+    assert(got.getDouble(2) == rankQ(0.9))
+    assert(got.getDouble(3) == rankQ(1.0))
+  }
+
+  test("exactQuantilesByKey: duplicates and all-equal keys survive bucketing") {
+    import spark.implicits._
+    // key "a": heavy duplicates around a bucket boundary; key "b": hi == lo
+    val df = (Seq.fill(50)(("a", 1.0)) ++ Seq.fill(50)(("a", 2.0)) ++
+      Seq.fill(30)(("b", 5.0))).toDF("k", "v")
+    val got = Relational.exactQuantilesByKey(df, "k", "v", Seq(0.5, 1.0))
+      .orderBy(col("k"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // a: cc(1.0)=50 >= ceil(0.5*100)=50 -> p50=1.0; p100=2.0. b: single value.
+    assert(got.toSeq == Seq(("a", 1.0, 2.0), ("b", 5.0, 5.0)))
+  }
 }
