@@ -1618,6 +1618,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- equi-depth histogram without a global sort: boundaries from the
+    // bucketed exact-quantile machinery, assignment is a row-local
+    // when-cascade against the broadcast boundary frame (ntile's ordered
+    // window would serialize each key through one reducer) ----
+    "q97_equidepth_hist" -> ((s, dir) => {
+      Relational
+        .equiDepthHistogram(t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", bins = 4)
+        .orderBy(col("l_returnflag"), col("bin"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -1948,6 +1958,28 @@ object SparkEntry {
         |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 25, 8))::BIGINT AS DOUBLE)
         |    / 4294967296.0 < least(1.0, w.weight)
         |ORDER BY d.doc_id""".stripMargin,
+    "q97_equidepth_hist" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS k, l_extendedprice AS v, COUNT(*) AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT k, SUM(c) AS n FROM g GROUP BY k),
+        |cum AS (
+        |  SELECT g.k, g.v, SUM(g.c) OVER (PARTITION BY g.k ORDER BY g.v) AS cc, t.n
+        |  FROM g JOIN t USING (k)),
+        |b AS (SELECT k,
+        |  MIN(CASE WHEN cc >= ceil(0.25 * n) THEN v END) AS b1,
+        |  MIN(CASE WHEN cc >= ceil(0.5 * n) THEN v END) AS b2,
+        |  MIN(CASE WHEN cc >= ceil(0.75 * n) THEN v END) AS b3
+        |  FROM cum GROUP BY k),
+        |r AS (SELECT l_returnflag AS k, l_extendedprice AS v FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL)
+        |SELECT r.k AS l_returnflag,
+        |  1 + (CASE WHEN v > b1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v > b2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN v > b3 THEN 1 ELSE 0 END) AS bin,
+        |  COUNT(*) AS n_rows, MIN(v) AS lo, MAX(v) AS hi
+        |FROM r JOIN b USING (k)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

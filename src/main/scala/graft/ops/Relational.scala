@@ -136,6 +136,42 @@ object Relational {
             .as(s"p${math.round(p * 100)}")): _*)
   }
 
+  /** Per-key equi-depth (equal-count) histogram WITHOUT a global sort: the
+    * classic `ntile` form funnels every row of a key through one ordered
+    * window partition, which is the same single-reducer ceiling
+    * [[exactQuantilesByKey]] avoids — so the boundaries come from it
+    * instead (exact quantiles at 1/n .. (n−1)/n), and rows are assigned by
+    * comparing against the broadcast boundary frame: one row-local pass, no
+    * ordered shuffle of the data. Bin b (1-based) holds rows with
+    * boundary(b−1) < v ≤ boundary(b) — upper-inclusive, matching the
+    * quantile definition (min v with cc ≥ ceil(p·n)), so bin populations
+    * are exactly the rank ranges and every bin of a key with enough
+    * distinct values holds ~n_rows/bins. Ties share a bin by construction.
+    * Output: key, bin, n_rows, lo, hi (observed value range per bin).
+    */
+  def equiDepthHistogram(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      bins: Int
+  ): DataFrame = {
+    require(bins >= 2 && bins <= 100, s"bins must be in [2,100]: $bins")
+    require(100 % bins == 0, s"bins must divide 100 so boundary names stay distinct: $bins")
+    val ps = (1 until bins).map(_.toDouble / bins)
+    val bb = exactQuantilesByKey(df, keyCol, valCol, ps)
+    val bCols = ps.map(p => col(s"p${math.round(p * 100)}"))
+    val rows = df.filter(col(valCol).isNotNull).select(col(keyCol), col(valCol))
+    // bin = 1 + count of boundaries strictly below v — a codegen'd when-sum
+    // over bins−1 broadcast columns, row-local after the broadcast join
+    val binExpr = bCols.map(b => when(col(valCol) > b, 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    rows
+      .join(broadcast(bb), keyCol)
+      .withColumn("bin", binExpr)
+      .groupBy(col(keyCol), col("bin"))
+      .agg(count(lit(1)).as("n_rows"), min(col(valCol)).as("lo"), max(col(valCol)).as("hi"))
+  }
+
   /** Robust per-key outlier statistics via the median absolute deviation:
     * per key, med = exact median of `valCol`, mad = exact median of
     * |v − med|, and the count of rows with |v − med| > k·mad. Both medians

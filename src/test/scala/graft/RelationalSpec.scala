@@ -90,6 +90,19 @@ class RelationalSpec extends SparkTestBase {
     assert(got.getDouble(3) == rankQ(1.0))
   }
 
+  test("equiDepthHistogram: bins hold the exact rank ranges") {
+    import spark.implicits._
+    // 100 distinct values 1..100 in one key: 4 bins of exactly 25, with
+    // boundary values landing upper-inclusive
+    val df = (1 to 100).map(i => ("k", i.toDouble)).toDF("k", "v")
+    val got = Relational.equiDepthHistogram(df, "k", "v", bins = 4)
+      .orderBy(col("bin"))
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1, 25L, 1.0, 25.0), (2, 25L, 26.0, 50.0),
+      (3, 25L, 51.0, 75.0), (4, 25L, 76.0, 100.0)))
+  }
+
   test("exactQuantilesByKey: duplicates and all-equal keys survive bucketing") {
     import spark.implicits._
     // key "a": heavy duplicates around a bucket boundary; key "b": hi == lo
