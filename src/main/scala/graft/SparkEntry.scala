@@ -1628,6 +1628,19 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("bin"))
     }),
 
+    // ---- EXACT similarity self-join at scale: positional prefix filter
+    // (SSJoin/PPJoin) — candidates equi-join on rarest-token prefixes whose
+    // length guarantees recall 1.0 BY THEOREM (no MinHash probability
+    // argument), then exact sorted-merge verify. Output equals the O(n²)
+    // all-pairs Jaccard over the WHOLE table, so q23's oracle applies with
+    // the id bound removed. Shuffle attach: the corpus-scale form. ----
+    "q98_prefix_jaccard" -> ((s, dir) => {
+      Dedup
+        .prefixFilterJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.9, broadcastAttach = false)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -2178,6 +2191,23 @@ object SparkEntry {
         |  JOIN (SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
         |          ELSE list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END AS ws
         |        FROM documents WHERE doc_id < 1000) b
+        |    ON a.doc_id < b.doc_id) x
+        |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    // q98 = q23 with the bounded-id restriction REMOVED: the prefix-filter
+    // join is exact (recall-1.0 by the prefix theorem), so the full-table
+    // all-pairs scan is its oracle verbatim
+    "q98_prefix_jaccard" ->
+      """SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CASE WHEN len(list_distinct(list_concat(a.ws, b.ws))) = 0 THEN 1.0
+        |      ELSE len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |        len(list_distinct(list_concat(a.ws, b.ws)))::DOUBLE END AS jaccard
+        |  FROM (SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |          ELSE list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END AS ws
+        |        FROM documents) a
+        |  JOIN (SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |          ELSE list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END AS ws
+        |        FROM documents) b
         |    ON a.doc_id < b.doc_id) x
         |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     "q78_shingle_jaccard" ->

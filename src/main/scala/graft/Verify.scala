@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [queryName ...] — trailing names restrict the
+    // dump to those queries (local iteration); the driver passes exactly two
+    val Array(sfDir, outDir) = args.take(2)
+    val only = args.drop(2).toSet
     // honor a submitted master (spark-submit / -Dspark.master); local
     // fallback only when running outside a harness — same policy as Bench
     val submitted = new org.apache.spark.SparkConf().contains("spark.master")
@@ -20,7 +23,9 @@ object Verify {
       (if (submitted) builder else builder.master(s"local[$cpus]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

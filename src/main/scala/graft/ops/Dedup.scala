@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, in increasing
@@ -274,11 +275,34 @@ object Dedup {
     // materialized once: the attach joins below would otherwise replay
     // the scan + tokenize + hash + sort lineage (and, for collapsed inputs,
     // the representative groupBy upstream of it) independently
-    val ws = docs.select(
+    val ws = hashedWordSets(docs, idCol, textCol).localCheckpoint()
+    verifyCandidatePairs(rawCands, ws, threshold, broadcastAttach)
+  }
+
+  /** Per-doc sorted 64-bit token-hash sets — the verify-side signature shared
+    * by every exact-Jaccard pipeline here (equal to string-set jaccard up to
+    * negligible xxh64 collisions).
+    */
+  private[ops] def hashedWordSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
       col(idCol).as("id"),
       array_sort(transform(array_distinct(TextAnalysis.tokens(col(textCol))), t => xxhash64(t)))
-        .as("ws")
-    ).localCheckpoint()
+        .as("ws"))
+
+  /** Exact-Jaccard verification of candidate pairs against a (id, ws)
+    * token-hash table: attach both sides' sets, size-ratio prefilter, native
+    * sorted-merge jaccard, threshold, pair-dedup. `rawPairs` MAY contain
+    * duplicates (band collisions, shared prefix tokens) — the broadcast arm
+    * streams them through the cheap merge and dedups after; the shuffle arm
+    * collapses them first so they don't ride every join. `ws` should be
+    * materialized by the caller (it feeds two joins).
+    */
+  private[ops] def verifyCandidatePairs(
+      rawPairs: DataFrame,
+      ws: DataFrame,
+      threshold: Double,
+      broadcastAttach: Boolean
+  ): DataFrame = {
     // size-ratio prefilter (division form — rounding is monotone, so no
     // boundary pair is lost; both-empty passes through: 0/0 would be NaN
     // though empty∪empty is jaccard 1.0): rules a pair out from set sizes
@@ -295,7 +319,7 @@ object Dedup {
         // the raw pairs (9.8s raw vs 10.9s distinct-first at sf0.1; with the
         // 10× slower UTF8 merges the tradeoff pointed the other way), and
         // the dedup runs on the small verified output instead.
-        rawCands
+        rawPairs
           .join(broadcast(ws.withColumnsRenamed(Map("id" -> "id_a", "ws" -> "ws_a"))), "id_a")
           .join(broadcast(ws.withColumnsRenamed(Map("id" -> "id_b", "ws" -> "ws_b"))), "id_b")
           .filter(sizeRatioOk(size(col("ws_a")), size(col("ws_b"))))
@@ -310,7 +334,7 @@ object Dedup {
         //     wide token-hash payload (~1.6 KB/pair) only ships for
         //     survivors. Same join count, ~5× less shuffle volume.
         val sizes = ws.select(col("id"), size(col("ws")).as("sz"))
-        rawCands
+        rawPairs
           .distinct()
           .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), "id_a")
           .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), "id_b")
@@ -324,6 +348,69 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** EXACT set-similarity self-join by positional prefix filtering (the
+    * SSJoin/PPJoin candidate scheme, Chaudhuri et al. ICDE'06 / Xiao et al.
+    * WWW'08): order every document's tokens by ascending global document
+    * frequency (rarest first, (df, token) as the total order), keep only the
+    * first |s| − ⌈t·|s|⌉ + 1 tokens as the PREFIX, and equi-join documents on
+    * shared prefix tokens. Any pair with Jaccard ≥ t must share at least one
+    * prefix token under a common total order — so unlike MinHash+LSH this
+    * candidate set has PROVABLY perfect recall and the output equals the
+    * O(n²) all-pairs scan, while generating candidates via one equi-join on
+    * the rarest tokens in the corpus (the frequency order exists precisely to
+    * keep hot tokens out of prefixes).
+    *
+    * Scale shape: token doc-frequencies are one aggregate over the exploded
+    * distinct-token table; the prefix cut is a per-doc streaming window
+    * (partition = doc); candidates shuffle on prefix token; verification is
+    * [[verifyCandidatePairs]] (size-ratio prefilter + native sorted merge).
+    * No O(n²) operator anywhere. Empty docs have no prefix, so the
+    * (empty, empty) = 1.0 pairs are emitted by a separate bounded arm —
+    * exact-collapse empties upstream ([[representatives]]) when a corpus can
+    * hold many.
+    *
+    * The prefix length uses ⌈t·|s| − 1e−9⌉: IEEE `t·|s|` can land a hair
+    * ABOVE the exact rational (0.9·10 = 9.000000000000002), and rounding the
+    * overlap bound UP would shorten the prefix — a recall hole. The epsilon
+    * only ever lengthens prefixes (extra candidates, never missed ones).
+    */
+  def prefixFilterJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      broadcastAttach: Boolean = true
+  ): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1]: $threshold")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // one token-hash table feeds df-counts, prefixes, and both verify joins
+    val ws = hashedWordSets(Par.spread(docs, col(idCol)), idCol, textCol).localCheckpoint()
+    // size attached BEFORE the explode (row-local on the array), so the
+    // prefix cut needs no second window over the exploded table
+    val exploded = ws.select(col("id"), size(col("ws")).as("sz"), explode(col("ws")).as("tok"))
+    // distinct-per-doc upstream ⇒ count(*) IS the document frequency
+    val dfreq = exploded.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ord = Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))
+    val prefix = exploded
+      .join(dfreq, "tok")
+      .withColumn("__pf_rn", row_number().over(ord))
+      .filter(col("__pf_rn") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + lit(1))
+      .select(col("id"), col("tok"))
+    val rawPairs = prefix.select(col("id").as("id_a"), col("tok"))
+      .join(prefix.select(col("id").as("id_b"), col("tok")), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val verified = verifyCandidatePairs(rawPairs, ws, threshold, broadcastAttach)
+    // prefix-less empty docs: empty∪empty = jaccard 1.0 by the corpus
+    // convention (q23's oracle CASE) — bounded arm, see Scaladoc
+    val empties = ws.filter(size(col("ws")) === 0).select(col("id"))
+    val emptyPairs = empties.select(col("id").as("id_a"))
+      .join(empties.select(col("id").as("id_b")), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    verified.unionAll(emptyPairs)
   }
 
   /** 64-bit SimHash over the token bag: per bit, sum +1/−1 votes weighted by

@@ -77,6 +77,47 @@ class OpsSpec extends SparkTestBase {
     assert(ann.nonEmpty && ann == annShuffle, "annTopK attach paths diverged")
   }
 
+  test("prefix-filter jaccard join equals the exact all-pairs scan") {
+    // recall-1.0 is a THEOREM for the prefix scheme — so the differential
+    // against the O(n²) scan must be exact equality (ids AND scores), on
+    // both attach paths
+    val exact = Dedup
+      .jaccardPairs(docs, "doc_id", "text", threshold = 0.9, maxId = Long.MaxValue)
+      .collect().map(_.toSeq).toSet
+    val pfx = Dedup
+      .prefixFilterJaccardPairs(docs, "doc_id", "text", threshold = 0.9)
+      .collect().map(_.toSeq).toSet
+    val pfxShuffle = Dedup
+      .prefixFilterJaccardPairs(docs, "doc_id", "text", threshold = 0.9,
+        broadcastAttach = false)
+      .collect().map(_.toSeq).toSet
+    assert(exact.nonEmpty, "corpus should contain near-dup pairs at 0.9")
+    assert(pfx == exact, s"prefix-filter diverged from all-pairs: " +
+      s"missed=${(exact -- pfx).size} extra=${(pfx -- exact).size}")
+    assert(pfxShuffle == exact, "shuffle-attach prefix-filter diverged")
+  }
+
+  test("prefix-filter jaccard: empty docs, exact-boundary threshold, identical docs") {
+    import spark.implicits._
+    // A/B share 9 of 10 tokens: jaccard = 9/10 = 0.9 EXACTLY — the boundary
+    // pair the fp-naive prefix length (ceil(0.9·10) = 10 in IEEE) would
+    // silently drop; C == A (jaccard 1.0); D/E empty (jaccard 1.0 by the
+    // corpus convention); F disjoint (no pairs)
+    val hand = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (2L, "t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (3L, "t10 t9 t8 t7 t6 t5 t4 t3 t2 t1"),
+      (4L, ""),
+      (5L, "   "),
+      (6L, "zz yy xx")
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .prefixFilterJaccardPairs(hand, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 0.9), (1L, 3L, 1.0), (2L, 3L, 0.9), (4L, 5L, 1.0)),
+      s"unexpected pair set: $got")
+  }
+
   test("native ngrams ≡ the HOF transform+slice+array_join form it replaced") {
     // differential guard: the corpus documents (all sizes, boundary
     // whitespace shapes, size < n) must gram identically under the native
