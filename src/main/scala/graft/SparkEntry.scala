@@ -1641,6 +1641,28 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- point-in-interval RANGE join via the bin rewrite: a pure range
+    // predicate would plan as BroadcastNestedLoopJoin (points × intervals);
+    // binning turns it into one equi-join on bin ids + an exact residual.
+    // Deterministically sampled 30-day order windows against every lineitem
+    // shipdate — exact integer counts + decimal-exact quantity sums. ----
+    "q99_range_join" -> ((s, dir) => {
+      val iv = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey"), col("o_orderdate").cast("timestamp").cast("long").as("win_lo"))
+        .withColumn("win_hi", col("win_lo") + lit(30L * 86400L))
+      val pts = t(s, dir, "lineitem")
+        .select(col("l_shipdate").cast("timestamp").cast("long").as("ship_s"), col("l_quantity"))
+      Relational
+        .pointInRangeJoin(pts, col("ship_s"), iv, col("win_lo"), col("win_hi"),
+          binWidth = 7L * 86400L)
+        .groupBy(col("o_orderkey"))
+        .agg(
+          count(lit(1)).as("n_shipped"),
+          sum(col("l_quantity").cast(d2)).cast("double").as("sum_qty"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -2193,6 +2215,16 @@ object SparkEntry {
         |        FROM documents WHERE doc_id < 1000) b
         |    ON a.doc_id < b.doc_id) x
         |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    // the oracle states the range join DIRECTLY (DuckDB's IEJoin handles
+    // it); Spark's binned rewrite must produce the identical match set
+    "q99_range_join" ->
+      """SELECT o_orderkey, COUNT(*) AS n_shipped,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem
+        |  ON l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+        |WHERE o_orderkey % 997 = 0
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     // q98 = q23 with the bounded-id restriction REMOVED: the prefix-filter
     // join is exact (recall-1.0 by the prefix theorem), so the full-table
     // all-pairs scan is its oracle verbatim

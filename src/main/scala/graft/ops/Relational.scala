@@ -209,6 +209,52 @@ object Relational {
           .as("n_outliers"))
   }
 
+  /** Point-in-interval range join WITHOUT a nested-loop: Spark plans a pure
+    * range predicate (no equi-key) as BroadcastNestedLoopJoin — O(points ×
+    * intervals) work and an executor-OOM broadcast when neither side is
+    * small. Standard bin rewrite instead (the Databricks "range join
+    * optimization" shape): slice the domain into fixed-width bins, explode
+    * each interval onto every bin it covers, tag each point with its single
+    * containing bin, EQUI-join on the bin id, then apply the exact
+    * `lo ≤ p < hi` residual. Each (point, interval) match shares exactly one
+    * bin — the point's — so the join emits no duplicates and needs no
+    * distinct. Cost: shuffle on bin ids ∝ points + intervals×(span/width),
+    * never points×intervals.
+    *
+    * Domain is integral (cast timestamps to epoch seconds first): the
+    * last covered bin is floor((hi−1)/w), which needs unit granularity.
+    * Intervals are half-open [lo, hi); empty ones (hi ≤ lo) drop out, as
+    * they match nothing. Pick `binWidth` near the TYPICAL interval span:
+    * too wide puts many points per bin behind the residual filter, too
+    * narrow explodes long intervals onto many bins (a p99-span cap plus a
+    * second pass for outlier-long intervals is the production refinement).
+    * The output carries all columns of both inputs — align names upstream;
+    * inputs must not share lineage (self-joins need aliased plans).
+    */
+  def pointInRangeJoin(
+      points: DataFrame,
+      pointExpr: Column,
+      intervals: DataFrame,
+      loExpr: Column,
+      hiExpr: Column,
+      binWidth: Long
+  ): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    // floor over doubles: exact for |domain| < 2^53 (epoch seconds ≈ 2^31),
+    // and correct for negative values where integer division truncates up
+    def bin(c: Column): Column = floor(c.cast("double") / lit(binWidth.toDouble)).cast("long")
+    val iv = intervals
+      .filter(hiExpr > loExpr)
+      // sequence() with start > stop generates DESCENDING values — the
+      // hi > lo guard above is what makes this range well-formed
+      .withColumn("__rj_bin", explode(sequence(bin(loExpr), bin(hiExpr - lit(1)))))
+    points
+      .withColumn("__rj_bin", bin(pointExpr))
+      .join(iv, Seq("__rj_bin"))
+      .filter(pointExpr >= loExpr && pointExpr < hiExpr)
+      .drop("__rj_bin")
+  }
+
   /** Deterministic weighted (Poisson/PPS-style) sampling: keep a row iff its
     * id-derived uniform u ∈ [0,1) is below `min(1, weight)`. The uniform is
     * the last 8 hex digits of md5(id-as-string) over 2³² — exactly

@@ -74,6 +74,44 @@ class RelationalSpec extends SparkTestBase {
     assert(out.filter(col("bin_name") === "lo").count() == 1)
   }
 
+  test("pointInRangeJoin: boundary semantics and equality with the direct range join") {
+    import spark.implicits._
+    // intervals: [10,20) spanning several width-3 bins; [20,25) adjacent;
+    // [30,30) empty (drops); [0,100) long (covers everything)
+    val iv = Seq((1L, 10L, 20L), (2L, 20L, 25L), (3L, 30L, 30L), (4L, 0L, 100L))
+      .toDF("iv_id", "lo", "hi")
+    // points: 9 (below 1), 10 (lo INcluded), 19, 20 (hi of 1 EXcluded, lo of
+    // 2 included), 24, 25, 99, 100 (hi of 4 excluded), negative -1
+    val pts = Seq(9L, 10L, 19L, 20L, 24L, 25L, 99L, 100L, -1L).toDF("p")
+    val got = Relational
+      .pointInRangeJoin(pts, col("p"), iv, col("lo"), col("hi"), binWidth = 3L)
+      .select(col("iv_id"), col("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Set(
+      (1L, 10L), (1L, 19L),
+      (2L, 20L), (2L, 24L),
+      (4L, 9L), (4L, 10L), (4L, 19L), (4L, 20L), (4L, 24L), (4L, 25L), (4L, 99L))
+    assert(got == want, s"binned range join mismatch: $got")
+
+    // differential on real data: the binned rewrite must equal Spark's own
+    // non-equi (nested-loop) plan, duplicates included
+    val ivR = Tables(spark, sf(), "orders")
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), col("o_orderdate").cast("timestamp").cast("long").as("lo"))
+      .withColumn("hi", col("lo") + lit(45L * 86400L))
+    val ptsR = Tables(spark, sf(), "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate").cast("timestamp").cast("long").as("p"))
+    val binned = Relational
+      .pointInRangeJoin(ptsR, col("p"), ivR, col("lo"), col("hi"), binWidth = 10L * 86400L)
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+    val direct = ptsR
+      .join(ivR, col("p") >= col("lo") && col("p") < col("hi"))
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n2"))
+    assert(binned.count() == direct.count())
+    assert(binned.join(direct, Seq("o_orderkey"))
+      .filter(col("n") =!= col("n2")).count() == 0)
+  }
+
   test("exactQuantilesByKey: bucketed prefix-sum matches the rank definition on a hot key") {
     import spark.implicits._
     // ONE key, 10k skewed values (the case the per-key window serialized):
