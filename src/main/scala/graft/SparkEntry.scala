@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{Dedup, Multimodal, Relational, RuleEngine, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Graph, Multimodal, Relational, RuleEngine, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1663,6 +1663,33 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- exact triangle counting by degree-ordered orientation: each
+    // triangle found once from its lowest-degree corner, wedge fanout capped
+    // at O(√m) by the orientation (no celebrity-node blowup). Graph = parts
+    // co-occurring in the same urgent order; exact integer counts. ----
+    "q100_triangle_count" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"))
+      val op = t(s, dir, "lineitem")
+        .join(urgent, Seq("l_orderkey"), "left_semi")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .distinct()
+      // per-order co-occurrence pairs: the self-join is keyed on the order,
+      // so fanout is C(parts-per-order, 2) — bounded by order size, not by
+      // part popularity (the degree-skew hazard lives in the triangle
+      // counting, where the orientation handles it)
+      val edges = op.as("a")
+        .join(op.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      Graph.triangleCounts(edges)
+        .select(col("node").as("p_partkey"), col("n_triangles"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -2215,6 +2242,30 @@ object SparkEntry {
         |        FROM documents WHERE doc_id < 1000) b
         |    ON a.doc_id < b.doc_id) x
         |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    // the oracle mirrors the same compact-forward orientation (any exact
+    // triangle enumeration agrees; this form keeps DuckDB's join tractable)
+    "q100_triangle_count" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, count(*) AS d
+        |  FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) GROUP BY node),
+        |ori AS (
+        |  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+        |         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
+        |         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dst_d
+        |  FROM edges e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+        |tri AS (
+        |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM ori e1
+        |  JOIN ori e2 ON e1.src = e2.src AND (e1.dst_d, e1.dst) < (e2.dst_d, e2.dst)
+        |  JOIN ori e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+        |SELECT node AS p_partkey, COUNT(*) AS n_triangles
+        |FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |GROUP BY node ORDER BY p_partkey""".stripMargin,
     // the oracle states the range join DIRECTLY (DuckDB's IEJoin handles
     // it); Spark's binned rewrite must produce the identical match set
     "q99_range_join" ->

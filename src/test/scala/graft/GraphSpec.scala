@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Graph
+
+class GraphSpec extends SparkTestBase {
+
+  test("triangleCounts: K4, path, and disjoint triangles") {
+    import spark.implicits._
+    // K4 on 1-4: C(4,3) = 4 triangles, every node in C(3,2) = 3 of them
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val gotK4 = Graph.triangleCounts(k4.toDF("u", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotK4 == Set((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)), s"K4: $gotK4")
+
+    // path 10-11-12-13: no triangles -> empty output
+    val path = Seq((10L, 11L), (11L, 12L), (12L, 13L))
+    assert(Graph.triangleCounts(path.toDF("u", "v")).count() == 0)
+
+    // two disjoint triangles sharing no nodes: each node in exactly 1
+    val two = Seq((1L, 2L), (2L, 3L), (3L, 1L), (7L, 8L), (8L, 9L), (9L, 7L))
+    val gotTwo = Graph.triangleCounts(two.toDF("u", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotTwo == (1L to 3L).map((_, 1L)).toSet ++ Set(7L, 8L, 9L).map((_, 1L)))
+  }
+
+  test("triangleCounts normalizes direction, duplicates, and self-loops") {
+    import spark.implicits._
+    // one triangle fed as: reversed edge, duplicate edge, duplicate-reversed
+    // edge, a self-loop, and a null endpoint — counts must not inflate
+    val messy = Seq(
+      (Some(1L), Some(2L)), (Some(2L), Some(1L)), (Some(2L), Some(3L)),
+      (Some(2L), Some(3L)), (Some(3L), Some(1L)), (Some(2L), Some(2L)),
+      (Some(1L), None)
+    ).toDF("u", "v")
+    val got = Graph.triangleCounts(messy)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L)), s"messy: $got")
+  }
+
+  test("triangleCounts: hub node (degree skew) still counts exactly once each") {
+    import spark.implicits._
+    // hub 0 connected to 1..20, plus ring edges (i, i+1) for 1..19:
+    // triangles are exactly (0, i, i+1) for i in 1..19 -> 19 triangles;
+    // hub in all 19, node 1 and 20 in 1, middle nodes in 2
+    val hub = (1L to 20L).map((0L, _)) ++ (1L until 20L).map(i => (i, i + 1))
+    val got = Graph.triangleCounts(hub.toDF("u", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(0L) == 19L)
+    assert(got(1L) == 1L && got(20L) == 1L)
+    assert((2L until 20L).forall(got(_) == 2L), s"ring interior: $got")
+  }
+}
