@@ -1690,6 +1690,24 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
 
+    // ---- time-series resampling: per-user daily grid (gap days present
+    // with zero counts) + forward-filled last observation — fillDateGrid ∘
+    // forwardFill, one grid join + one streaming window. The fill copies
+    // values (no fp arithmetic), so the hash gate is exact. ----
+    "q101_gap_fill" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_events"), max(col("value")).as("day_max"))
+      val grid = Relational
+        .fillDateGrid(daily, "user_id", "day")
+        .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      Relational
+        .forwardFill(grid, Seq(col("user_id")), Seq(col("day")), Seq("day_max"))
+        .withColumnRenamed("day_max", "filled_max")
+        .select(col("user_id"), col("day"), col("n_events"), col("filled_max"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -2242,6 +2260,20 @@ object SparkEntry {
         |        FROM documents WHERE doc_id < 1000) b
         |    ON a.doc_id < b.doc_id) x
         |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    "q101_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, ts::DATE AS day, COUNT(*) AS n_events, MAX(value) AS day_max
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1),
+        |grid AS (SELECT user_id, UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM span),
+        |joined AS (
+        |  SELECT g.user_id, g.day, COALESCE(d.n_events, 0) AS n_events, d.day_max
+        |  FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day)
+        |SELECT user_id, day, n_events,
+        |  LAST_VALUE(day_max IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_max
+        |FROM joined ORDER BY user_id, day""".stripMargin,
     // the oracle mirrors the same compact-forward orientation (any exact
     // triangle enumeration agrees; this form keeps DuckDB's join tractable)
     "q100_triangle_count" ->

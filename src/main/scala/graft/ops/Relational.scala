@@ -255,6 +255,42 @@ object Relational {
       .drop("__rj_bin")
   }
 
+  /** Expand an aggregated (key, date, metrics…) frame to each key's FULL
+    * contiguous daily grid — gap days appear with NULL metrics (time-series
+    * resampling step 1; compose with [[forwardFill]] for step 2). Per-key
+    * span comes from one aggregate; the grid is `sequence(lo, hi)` exploded
+    * (row-local) and LEFT-joined back on (key, date) — one shuffle, sized by
+    * keys × span-days, never keys². Callers with unbounded spans should
+    * clamp [lo, hi] upstream (a single immortal key otherwise generates
+    * decades of grid rows).
+    */
+  def fillDateGrid(df: DataFrame, keyCol: String, dateCol: String): DataFrame = {
+    val span = df
+      .groupBy(col(keyCol))
+      .agg(min(col(dateCol)).as("__gf_lo"), max(col(dateCol)).as("__gf_hi"))
+    span
+      .select(col(keyCol), explode(sequence(col("__gf_lo"), col("__gf_hi"))).as(dateCol))
+      .join(df, Seq(keyCol, dateCol), "left")
+  }
+
+  /** Forward fill (last-observation-carried-forward): replace NULLs in
+    * `fillCols` with the latest non-NULL value per partition in `order`.
+    * One streaming window pass — the stacked `last(ignoreNulls)` calls share
+    * a window spec, so Catalyst collapses them into a single Window operator
+    * (one sort-shuffle total). Leading NULLs (no prior observation) stay
+    * NULL. `order` must be a total order for deterministic fills.
+    */
+  def forwardFill(
+      df: DataFrame,
+      partitionCols: Seq[Column],
+      order: Seq[Column],
+      fillCols: Seq[String]
+  ): DataFrame = {
+    val w = Window.partitionBy(partitionCols: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fillCols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
   /** Deterministic weighted (Poisson/PPS-style) sampling: keep a row iff its
     * id-derived uniform u ∈ [0,1) is below `min(1, weight)`. The uniform is
     * the last 8 hex digits of md5(id-as-string) over 2³² — exactly

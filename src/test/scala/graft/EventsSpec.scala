@@ -149,6 +149,35 @@ class EventsSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 3L), (5L, 1L)))
   }
 
+  test("fillDateGrid + forwardFill: gaps appear, fills carry, leading nulls stay") {
+    import spark.implicits._
+    import java.sql.Date
+    // key "a": observations on day 1 and day 4 (gap of 2 days, filled from
+    // day 1's value); key "b": FIRST day's metric is NULL (leading null must
+    // survive the fill), then a value on day 2
+    val daily = Seq(
+      ("a", Date.valueOf("2024-03-01"), Some(10.0)),
+      ("a", Date.valueOf("2024-03-04"), Some(40.0)),
+      ("b", Date.valueOf("2024-03-02"), None),
+      ("b", Date.valueOf("2024-03-03"), Some(7.0))
+    ).toDF("k", "day", "m")
+    val grid = Relational.fillDateGrid(daily, "k", "day")
+    assert(grid.count() == 6, "a: 4 grid days, b: 2 grid days")
+    val filled = Relational
+      .forwardFill(grid, Seq(col("k")), Seq(col("day")), Seq("m"))
+      .orderBy(col("k"), col("day"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(filled.toSeq == Seq(
+      ("a", "2024-03-01", Some(10.0)),
+      ("a", "2024-03-02", Some(10.0)), // gap day materialized, filled
+      ("a", "2024-03-03", Some(10.0)),
+      ("a", "2024-03-04", Some(40.0)), // real observation overrides carry
+      ("b", "2024-03-02", None),       // leading null: nothing to carry
+      ("b", "2024-03-03", Some(7.0))
+    ), s"got ${filled.toSeq}")
+  }
+
   test("transitionCounts: consecutive same-user pairs in (ts,id) order") {
     import spark.implicits._
     val ev = Seq(
