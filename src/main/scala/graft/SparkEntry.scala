@@ -32,6 +32,28 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Part co-occurrence graph: distinct part pairs sharing an urgent order —
+    * the edge feed for the graph-analytics queries (q100/q103). The
+    * self-join is keyed on the order, so fanout is C(parts-per-order, 2) —
+    * bounded by order size, not part popularity (degree skew is the graph
+    * operators' problem, and they handle it).
+    */
+  private def coSupplyEdges(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"))
+    val op = t(s, dir, "lineitem")
+      .join(urgent, Seq("l_orderkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+    op.as("a")
+      .join(op.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey")
+          && col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The entregas-style
     * DQ rule engine recast over lineitem: annotate every row, return the
     * quarantined ones with their pipe-joined reasons.
@@ -1668,25 +1690,19 @@ object SparkEntry {
     // at O(√m) by the orientation (no celebrity-node blowup). Graph = parts
     // co-occurring in the same urgent order; exact integer counts. ----
     "q100_triangle_count" -> ((s, dir) => {
-      val urgent = t(s, dir, "orders")
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey").as("l_orderkey"))
-      val op = t(s, dir, "lineitem")
-        .join(urgent, Seq("l_orderkey"), "left_semi")
-        .select(col("l_orderkey"), col("l_partkey"))
-        .distinct()
-      // per-order co-occurrence pairs: the self-join is keyed on the order,
-      // so fanout is C(parts-per-order, 2) — bounded by order size, not by
-      // part popularity (the degree-skew hazard lives in the triangle
-      // counting, where the orientation handles it)
-      val edges = op.as("a")
-        .join(op.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey")
-            && col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
-      Graph.triangleCounts(edges)
+      Graph.triangleCounts(coSupplyEdges(s, dir))
         .select(col("node").as("p_partkey"), col("n_triangles"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ---- fixed-iteration PageRank in scaled-integer arithmetic: every op
+    // is an exact rational floor (`div` here, `//` in the oracle), so the
+    // ranks are bit-identical on any engine/partitioning — the property
+    // that makes an iterative double-based centrality un-hashable becomes
+    // a cell-exact gate. One shuffle per iteration. ----
+    "q103_pagerank" -> ((s, dir) => {
+      Graph.pageRankIntFixed(coSupplyEdges(s, dir), iters = 5)
+        .select(col("node").as("p_partkey"), col("rank"))
         .orderBy(col("p_partkey"))
     }),
 
@@ -1706,6 +1722,28 @@ object SparkEntry {
         .withColumnRenamed("day_max", "filled_max")
         .select(col("user_id"), col("day"), col("n_events"), col("filled_max"))
         .orderBy(col("user_id"), col("day"))
+    }),
+
+    // ---- winsorized (clamped) robust mean per key: exact [p10, p90] from
+    // the bucketed quantile machinery, row-local clamp, decimal-exact sum.
+    // The robust-mean companion to q91's MAD envelope — outliers are pulled
+    // to the fences instead of dropped. ----
+    "q102_winsorized_mean" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_extendedprice").isNotNull)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val fences = Relational
+        .exactQuantilesByKey(li, "l_returnflag", "l_extendedprice", Seq(0.1, 0.9))
+      val clamped = li
+        .join(broadcast(fences), "l_returnflag")
+        .withColumn("__wz", least(greatest(col("l_extendedprice"), col("p10")), col("p90")))
+      clamped
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("__wz").cast(d2)).cast("double").as("sum_winsorized"),
+          (sum(col("__wz").cast(d2)).cast("double") / count(lit(1))).as("winsorized_mean"))
+        .orderBy(col("l_returnflag"))
     }),
 
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
@@ -1738,6 +1776,40 @@ object SparkEntry {
     * same parquet tables. Omit for non-SQL-expressible ops → driver records a
     * weaker rows-only check.
     */
+  /** q103's oracle, generated: fixed PageRank iterations unrolled as chained
+    * CTEs over the q100 edge graph. Every arithmetic step is DuckDB's exact
+    * integer floor division `//` — the mirror of the operator's `div` — so
+    * agreement is unconditional (no double rounding anywhere). SUM over
+    * BIGINT widens to HUGEINT in DuckDB; the final ::BIGINT restores the
+    * schema.
+    */
+  private def pageRankOracleSql(iters: Int): String = {
+    val head =
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |sym AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v AS src, u AS dst FROM edges),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+        |params AS (SELECT COUNT(*)::BIGINT AS n FROM deg),
+        |r0 AS (SELECT src AS node, (1000000000000 // n)::BIGINT AS rank FROM deg, params)""".stripMargin
+    val its = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"it${i - 1}"
+      s""",
+         |it$i AS (
+         |  SELECT d.src AS node,
+         |    (((3 * 1000000000000) // (20 * p.n)) + ((17 * COALESCE(m.in_mass, 0)) // 20))::BIGINT AS rank
+         |  FROM deg d CROSS JOIN params p
+         |  LEFT JOIN (
+         |    SELECT s.dst, SUM(r.rank // dg.deg) AS in_mass
+         |    FROM $prev r JOIN deg dg ON r.node = dg.src JOIN sym s ON s.src = r.node
+         |    GROUP BY s.dst) m ON m.dst = d.src)""".stripMargin
+    }.mkString
+    head + its + s"\nSELECT node AS p_partkey, rank FROM it$iters ORDER BY p_partkey"
+  }
+
   def oracleSql: Map[String, String] = Map(
     // self-verifying sketch gate: DuckDB computes the exact columns and a
     // TRUE literal; Spark's boolean came from comparing the HLL estimate
@@ -2260,6 +2332,26 @@ object SparkEntry {
         |        FROM documents WHERE doc_id < 1000) b
         |    ON a.doc_id < b.doc_id) x
         |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    // same rank rule as q82's oracle (min v with cum-count >= ceil(p*n)),
+    // then the clamp + decimal-exact sum restated directly
+    "q102_winsorized_mean" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS k, l_extendedprice AS v, COUNT(*) AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT k, SUM(c) AS n FROM g GROUP BY k),
+        |cum AS (
+        |  SELECT g.k, g.v, SUM(g.c) OVER (PARTITION BY g.k ORDER BY g.v) AS cc, t.n
+        |  FROM g JOIN t USING (k)),
+        |q AS (
+        |  SELECT k, MIN(CASE WHEN cc >= ceil(0.1 * n) THEN v END) AS p10,
+        |         MIN(CASE WHEN cc >= ceil(0.9 * n) THEN v END) AS p90
+        |  FROM cum GROUP BY k)
+        |SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(LEAST(GREATEST(l_extendedprice, p10), p90) AS DECIMAL(18,2))) AS DOUBLE) AS sum_winsorized,
+        |  CAST(SUM(CAST(LEAST(GREATEST(l_extendedprice, p10), p90) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS winsorized_mean
+        |FROM lineitem JOIN q ON l_returnflag = q.k
+        |WHERE l_extendedprice IS NOT NULL
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q101_gap_fill" ->
       """WITH daily AS (
         |  SELECT user_id, ts::DATE AS day, COUNT(*) AS n_events, MAX(value) AS day_max
@@ -2274,6 +2366,9 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_max
         |FROM joined ORDER BY user_id, day""".stripMargin,
+    // integer PageRank: the oracle UNROLLS the fixed iterations as chained
+    // CTEs (generated below — same exact-floor arithmetic, `//` for `div`)
+    "q103_pagerank" -> pageRankOracleSql(5),
     // the oracle mirrors the same compact-forward orientation (any exact
     // triangle enumeration agrees; this form keeps DuckDB's join tractable)
     "q100_triangle_count" ->

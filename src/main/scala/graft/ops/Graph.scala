@@ -11,6 +11,75 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Fixed-iteration PageRank in SCALED INTEGER arithmetic — every operation
+    * is integer floor-division/multiply/sum, so the result is bit-identical
+    * on any engine, partitioning, or summation order (double-based PageRank
+    * is NOT: per-group fp addition order wobbles the low bits, which is why
+    * generic graph libraries can't hash-verify their ranks). Damping d =
+    * dampNum/dampDen (default 17/20 = 0.85):
+    *
+    *   r⁰(v)   = ⌊scale / n⌋
+    *   rᵏ⁺¹(v) = ⌊(dampDen − dampNum)·scale / (dampDen·n)⌋
+    *           + ⌊dampNum · Σ_{u→v} ⌊rᵏ(u)/outdeg(u)⌋ / dampDen⌋
+    *
+    * Ranks are in fixed-point `scale` units (1e12 default: 12 significant
+    * digits of rank mass, headroom to 2⁶³ for the Σ over a billion-edge
+    * fan-in). Floors make total mass decay by a few units per iteration —
+    * the deterministic variant's documented bias, O(n/scale) relative.
+    *
+    * Scale shape: one shuffle per iteration (contributions groupBy dst) plus
+    * the initial degree aggregate; a fixed iteration count keeps the plan
+    * finite and the output a pure function of (edges, iters) — no
+    * convergence collect. Nodes and degrees come from the edge list
+    * (isolated nodes have no inbound/outbound mass anyway). Input edges are
+    * treated as UNDIRECTED (each edge feeds both directions), matching the
+    * similarity/co-occurrence graphs this library produces.
+    */
+  def pageRankIntFixed(
+      edges: DataFrame,
+      iters: Int = 5,
+      scale: Long = 1000000000000L,
+      dampNum: Long = 17,
+      dampDen: Long = 20
+  ): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50]: $iters")
+    require(dampNum > 0 && dampNum < dampDen, s"damping must be in (0,1): $dampNum/$dampDen")
+    val Seq(uName, vName) = edges.columns.take(2).toSeq
+    val sym = edges
+      .filter(col(uName).isNotNull && col(vName).isNotNull && col(uName) =!= col(vName))
+      .select(least(col(uName), col(vName)).as("u"), greatest(col(uName), col(vName)).as("v"))
+      .distinct()
+      .select(explode(array(struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+      // every iteration joins this list — materialize once, like
+      // [[Dedup.connectedComponents]] does
+      .localCheckpoint()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    val n = deg.count()
+    require(n > 0, "pageRankIntFixed needs a non-empty edge list")
+    val teleport = ((dampDen - dampNum) * scale) / (dampDen * n)
+    var rank = deg.select(col("src").as("node"), lit(scale / n).as("rank"))
+    for (_ <- 1 to iters) {
+      // `div` is EXACT integer division (the `/` operator would detour
+      // through double and round, and double→long casts truncate in Spark
+      // but round in DuckDB — `div` here and `//` in the oracle are both
+      // exact rational floors, so they agree unconditionally)
+      val contribs = rank
+        .join(deg, rank("node") === deg("src"))
+        .select(col("src"), expr("rank div deg").as("c"))
+        .join(sym, "src")
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      // left join: a node whose in-neighbors all rank 0 still gets teleport
+      rank = deg.select(col("src").as("node"))
+        .join(contribs.withColumnsRenamed(Map("dst" -> "node")), Seq("node"), "left")
+        .withColumn("__pr_in", coalesce(col("in_mass"), lit(0L)))
+        .select(col("node"),
+          (lit(teleport) + expr(s"($dampNum * __pr_in) div $dampDen")).as("rank"))
+    }
+    rank
+  }
+
   /** Per-node triangle participation counts by DEGREE-ORDERED ORIENTATION
     * (the compact-forward / node-iterator+ algorithm, Schank & Wagner 2005):
     * orient every undirected edge from its (degree, id)-smaller endpoint to

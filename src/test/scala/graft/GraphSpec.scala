@@ -39,6 +39,45 @@ class GraphSpec extends SparkTestBase {
     assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L)), s"messy: $got")
   }
 
+  test("pageRankIntFixed matches a hand-rolled integer reference on a small graph") {
+    import spark.implicits._
+    // star + tail: 1-2, 1-3, 1-4, 4-5 (undirected). Degrees: 1->3, 4->2,
+    // 2,3,5 -> 1. Reference below mirrors the exact integer recurrence.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L))
+    val adj = Map(
+      1L -> Seq(2L, 3L, 4L), 2L -> Seq(1L), 3L -> Seq(1L),
+      4L -> Seq(1L, 5L), 5L -> Seq(4L))
+    val scale = 1000000000000L
+    val n = adj.size
+    val teleport = (3L * scale) / (20L * n)
+    var r: Map[Long, Long] = adj.map { case (k, _) => k -> scale / n }
+    for (_ <- 1 to 5) {
+      val contrib = adj.map { case (k, out) => k -> r(k) / out.size }
+      r = adj.map { case (k, _) =>
+        val inMass = adj.collect { case (j, out) if out.contains(k) => contrib(j) }.sum
+        k -> (teleport + (17L * inMass) / 20L)
+      }
+    }
+    val got = Graph.pageRankIntFixed(edges.toDF("u", "v"), iters = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(got == r, s"got $got want $r")
+    // hub outranks leaves; symmetric leaves tie exactly (integer math)
+    assert(got(1L) > got(4L) && got(4L) > got(5L))
+    assert(got(2L) == got(3L))
+  }
+
+  test("pageRankIntFixed is invariant under partitioning and edge direction") {
+    import spark.implicits._
+    val edges = (1L to 40L).flatMap(i => Seq((i, i % 40 + 1), (i, (i * 7) % 40 + 1)))
+      .filter { case (a, b) => a != b }
+    val base = Graph.pageRankIntFixed(edges.toDF("u", "v"), iters = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val flipped = Graph.pageRankIntFixed(
+      edges.map { case (a, b) => (b, a) }.toDF("u", "v").repartition(13), iters = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(base == flipped, "integer ranks must be partitioning/direction invariant")
+  }
+
   test("triangleCounts: hub node (degree skew) still counts exactly once each") {
     import spark.implicits._
     // hub 0 connected to 1..20, plus ring edges (i, i+1) for 1..19:
