@@ -1746,6 +1746,60 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- rolling 7-day distinct active users (the DAU/WAU shape) WITHOUT a
+    // per-day set-union window: each distinct (user, day) contributes to its
+    // 7 target days via an exploded sequence — linear in user-days, one
+    // distinct aggregation, exact integers. ----
+    "q104_rolling_active" -> ((s, dir) => {
+      graft.ops.Events
+        .rollingActiveUsers(t(s, dir, "events"), col("user_id"), col("ts"), windowDays = 7)
+        .withColumnRenamed("active_users", "wau")
+        .orderBy(col("day"))
+    }),
+
+    // ---- deterministic stratified sampling: exactly N per stratum, chosen
+    // by md5-hash order (uniform w/o replacement, reproducible on any
+    // engine/partitioning — the q96 trick with a per-stratum quota). ----
+    "q105_stratified_sample" -> ((s, dir) => {
+      Relational
+        .topKPerGroup(
+          t(s, dir, "customer"),
+          Seq(col("c_mktsegment")),
+          Seq(md5(col("c_custkey").cast("string")), col("c_custkey")),
+          k = 20)
+        .select(col("c_mktsegment"), col("c_custkey"), col("rn"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    }),
+
+    // ---- corpus keyness: per-source over-represented tokens by smoothed
+    // relative risk (a/n1)/((b+1)/n2) — counts are exact ints, the risk is
+    // two exactly-rounded IEEE divisions (deterministic cross-engine; a
+    // log-likelihood G² would hit libm divergence). Top-10 per source. ----
+    "q106_keyness" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val cell = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("a"))
+      val perSrc = toks.groupBy(col("source")).agg(count(lit(1)).as("n1"))
+      val perTok = toks.groupBy(col("tok")).agg(count(lit(1)).as("tot"))
+      val total = toks.agg(count(lit(1)).as("nall"))
+      val scored = cell
+        .join(broadcast(perSrc), "source")
+        .join(perTok, "tok")
+        .crossJoin(broadcast(total))
+        .withColumn("risk",
+          (col("a").cast("double") / col("n1").cast("double")) /
+            ((col("tot") - col("a") + lit(1)).cast("double") /
+              (col("nall") - col("n1")).cast("double")))
+        .filter(col("a") >= 5)
+      scored
+        .withColumn("rn", row_number().over(
+          w.partitionBy(col("source")).orderBy(col("risk").desc, col("tok"))))
+        .filter(col("rn") <= 10)
+        .select(col("source"), col("tok"), col("a"), col("risk"), col("rn"))
+        .orderBy(col("source"), col("rn"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -2366,6 +2420,42 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_max
         |FROM joined ORDER BY user_id, day""".stripMargin,
+    "q104_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud),
+        |contrib AS (
+        |  SELECT user_id,
+        |    UNNEST(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY))::DATE AS day
+        |  FROM ud)
+        |SELECT c.day, COUNT(DISTINCT c.user_id) AS wau
+        |FROM contrib c, span s WHERE c.day BETWEEN s.lo AND s.hi
+        |GROUP BY c.day ORDER BY c.day""".stripMargin,
+    "q105_stratified_sample" ->
+      """SELECT c_mktsegment, c_custkey, rn FROM (
+        |  SELECT c_mktsegment, c_custkey,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY md5(c_custkey::VARCHAR), c_custkey) AS rn
+        |  FROM customer) x
+        |WHERE rn <= 20 ORDER BY c_mktsegment, rn""".stripMargin,
+    "q106_keyness" ->
+      """WITH toks AS (
+        |  SELECT source, UNNEST(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tok
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |cell AS (SELECT source, tok, COUNT(*) AS a FROM toks GROUP BY 1, 2),
+        |persrc AS (SELECT source, COUNT(*) AS n1 FROM toks GROUP BY 1),
+        |pertok AS (SELECT tok, COUNT(*) AS tot FROM toks GROUP BY 1),
+        |total AS (SELECT COUNT(*) AS nall FROM toks),
+        |scored AS (
+        |  SELECT c.source, c.tok, c.a,
+        |    (c.a::DOUBLE / s.n1::DOUBLE) /
+        |      ((p.tot - c.a + 1)::DOUBLE / (t.nall - s.n1)::DOUBLE) AS risk
+        |  FROM cell c JOIN persrc s USING (source) JOIN pertok p USING (tok)
+        |  CROSS JOIN total t
+        |  WHERE c.a >= 5)
+        |SELECT source, tok, a, risk, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY risk DESC, tok) AS rn
+        |  FROM scored) x
+        |WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
     // integer PageRank: the oracle UNROLLS the fixed iterations as chained
     // CTEs (generated below — same exact-floor arithmetic, `//` for `div`)
     "q103_pagerank" -> pageRankOracleSql(5),

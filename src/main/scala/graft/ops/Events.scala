@@ -17,6 +17,31 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** Rolling W-day distinct active users per day (the DAU/WAU/MAU shape).
+    * `COUNT(DISTINCT) OVER (RANGE 6 PRECEDING)` is illegal SQL, and the
+    * collect_set-window workaround buffers a user set per day — this is the
+    * explode rewrite instead: each distinct (user, day) CONTRIBUTES to the W
+    * target days [day, day+W−1] via a row-local sequence, then one distinct
+    * aggregation per target day. Linear in user-days × W, no per-row set
+    * state; output days are clamped to the observed [min, max] span (leading
+    * days would otherwise report partial windows).
+    */
+  def rollingActiveUsers(
+      events: DataFrame,
+      userCol: Column,
+      tsCol: Column,
+      windowDays: Int
+  ): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 366, s"windowDays must be in [1,366]: $windowDays")
+    val ud = events.select(userCol.as("user_id"), to_date(tsCol).as("day")).distinct()
+    val span = ud.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    ud.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), windowDays - 1))).as("day"))
+      .join(broadcast(span), col("day").between(col("lo"), col("hi")))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
   /** Cohort-retention matrix: users are cohorted by their first active DAY;
     * output is one row per (cohort_day, day_offset) with the number of
     * cohort members active that many days after their first day.

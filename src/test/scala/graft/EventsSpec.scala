@@ -149,6 +149,26 @@ class EventsSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 3L), (5L, 1L)))
   }
 
+  test("rollingActiveUsers: window membership, dedup within window, span clamp") {
+    import spark.implicits._
+    // user 1 active day 1 (twice: must count once) and day 3; user 2 active
+    // day 5 only. 3-day windows. Span = [day1, day5].
+    val ev = Seq(
+      (1L, ts("2024-01-01 08:00:00")), (1L, ts("2024-01-01 20:00:00")),
+      (1L, ts("2024-01-03 12:00:00")),
+      (2L, ts("2024-01-05 09:00:00"))
+    ).toDF("user_id", "ts")
+    val got = graft.ops.Events
+      .rollingActiveUsers(ev, col("user_id"), col("ts"), windowDays = 3)
+      .orderBy(col("day"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    // day1: u1. day2: u1 (from day1). day3: u1 (days 1+3, once). day4: u1.
+    // day5: u1 (from day3) + u2. Days 6-7 clamped away (beyond max day).
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 1L), ("2024-01-02", 1L), ("2024-01-03", 1L),
+      ("2024-01-04", 1L), ("2024-01-05", 2L)), s"got ${got.toSeq}")
+  }
+
   test("fillDateGrid + forwardFill: gaps appear, fills carry, leading nulls stay") {
     import spark.implicits._
     import java.sql.Date
