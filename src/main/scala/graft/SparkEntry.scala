@@ -1810,6 +1810,57 @@ object SparkEntry {
         .orderBy(col("source"), col("rn"))
     }),
 
+    // ---- per-label embedding cluster inertia (within-cluster scatter, the
+    // k-means quality metric) in EXACT integer arithmetic: vectors scale to
+    // fixed-point ints (q27's proven rounding), and the scatter uses the
+    // n·Σx² − (Σx)² identity — no centroid division anywhere, which matters
+    // because Spark `div` truncates toward zero while DuckDB `//` floors
+    // (negative centroids would diverge). Integer numerator + one final
+    // exactly-rounded double division = hash-exact. 1e3 scale keeps
+    // n·ΣΣx² < 2⁶³ to ~500k vectors/label (document larger shards). ----
+    "q107_cluster_inertia" -> ((s, dir) => {
+      val iv = t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("label"), col("pos"),
+          round(col("x").cast("double") * 1e3).cast("long").as("xi"))
+      val perDim = iv
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("xi")).as("s"),
+          sum(col("xi") * col("xi")).as("ss"))
+      perDim
+        .groupBy(col("label"))
+        .agg(
+          min(col("n")).as("n_vectors"),
+          sum(col("n") * col("ss") - col("s") * col("s")).as("inertia_num"))
+        .withColumn("inertia",
+          col("inertia_num").cast("double") / col("n_vectors").cast("double"))
+        .orderBy(col("label"))
+    }),
+
+    // ---- bipartite projection with similarity weights: event types linked
+    // by the users they share (the co-engagement graph). The per-user
+    // self-join fans out C(types-per-user, 2) ≤ C(6,2) — bounded by the
+    // type universe, not user activity; exact set algebra via
+    // |∪| = |A|+|B|−|∩|, one exactly-rounded division. ----
+    "q108_coengagement" -> ((s, dir) => {
+      val ut = t(s, dir, "events").select(col("user_id"), col("event_type")).distinct()
+      val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+      ut.as("a")
+        .join(ut.as("b"),
+          col("a.user_id") === col("b.user_id")
+            && col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sizes.withColumnsRenamed(
+          Map("event_type" -> "type_a", "n_users" -> "n_a"))), "type_a")
+        .join(broadcast(sizes.withColumnsRenamed(
+          Map("event_type" -> "type_b", "n_users" -> "n_b"))), "type_b")
+        .withColumn("jaccard", col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+        .select(col("type_a"), col("type_b"), col("n_shared"), col("jaccard"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -2430,6 +2481,35 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_max
         |FROM joined ORDER BY user_id, day""".stripMargin,
+    // multiple UNNESTs in one DuckDB SELECT zip in lockstep, so the value
+    // and its 1-based subscript stay aligned (pos is only a grouping key —
+    // Spark's 0-based posexplode never surfaces)
+    "q107_cluster_inertia" ->
+      """WITH iv AS (
+        |  SELECT label, UNNEST(ivec) AS xi, generate_subscripts(ivec, 1) AS pos FROM (
+        |    SELECT label,
+        |      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ivec
+        |    FROM embeddings)),
+        |perdim AS (
+        |  SELECT label, pos, COUNT(*) AS n, SUM(xi) AS s, SUM(xi * xi) AS ss
+        |  FROM iv GROUP BY 1, 2)
+        |SELECT label, MIN(n)::BIGINT AS n_vectors,
+        |  SUM(n * ss - s * s)::BIGINT AS inertia_num,
+        |  SUM(n * ss - s * s)::DOUBLE / MIN(n)::DOUBLE AS inertia
+        |FROM perdim GROUP BY label ORDER BY label""".stripMargin,
+    "q108_coengagement" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |sizes AS (SELECT event_type, COUNT(*) AS n_users FROM ut GROUP BY 1),
+        |shared AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_shared
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_shared,
+        |  n_shared::DOUBLE / (sa.n_users + sb.n_users - n_shared)::DOUBLE AS jaccard
+        |FROM shared
+        |JOIN sizes sa ON sa.event_type = type_a
+        |JOIN sizes sb ON sb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
     "q104_rolling_active" ->
       """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
         |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud),
