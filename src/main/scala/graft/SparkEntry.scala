@@ -1861,6 +1861,46 @@ object SparkEntry {
         .orderBy(col("type_a"), col("type_b"))
     }),
 
+    // ---- column profiling (the first query every ingest runs): one
+    // aggregation pass computes every column's row/null/distinct/min/max
+    // simultaneously; min/max stringified so heterogeneous types stack ----
+    "q109_profile" -> ((s, dir) => {
+      Relational
+        .profile(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"))
+        .orderBy(col("column"))
+    }),
+
+    // ---- per-key OLS trend slope, hash-exact: x = epoch day, y = exact
+    // cents; the four sums are exact longs, the closed-form combination
+    // n·Σxy − Σx·Σy runs in DECIMAL(38,0) (it tops ~1.5e22 — past 2⁶³, so
+    // long math would overflow where DuckDB's HUGEINT silently wouldn't),
+    // and the slope is one double division of two correctly-rounded
+    // conversions of identical integers. Regression over groups without a
+    // single fp accumulation. ----
+    "q110_trend_slope" -> ((s, dir) => {
+      val d0 = DecimalType(38, 0)
+      val base = t(s, dir, "orders").select(
+        col("o_orderpriority"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("x"),
+        round(col("o_totalprice") * 100).cast("long").as("y"))
+      base
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .withColumn("slope_cents_per_day",
+          (col("n").cast(d0) * col("sxy").cast(d0) - col("sx").cast(d0) * col("sy").cast(d0))
+            .cast("double") /
+            (col("n").cast(d0) * col("sxx").cast(d0) - col("sx").cast(d0) * col("sx").cast(d0))
+              .cast("double"))
+        .select(col("o_orderpriority"), col("n"), col("slope_cents_per_day"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -2481,6 +2521,27 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_max
         |FROM joined ORDER BY user_id, day""".stripMargin,
+    "q110_trend_slope" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority AS k,
+        |    datediff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT AS x,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+        |  FROM orders),
+        |s AS (SELECT k, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |        SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM b GROUP BY k)
+        |SELECT k AS o_orderpriority, n,
+        |  ((n * sxy - sx * sy)::DOUBLE) / ((n * sxx - sx * sx)::DOUBLE) AS slope_cents_per_day
+        |FROM s ORDER BY k""".stripMargin,
+    "q109_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null, COUNT(DISTINCT $c) AS n_distinct,
+           |  MIN($c)::VARCHAR AS min_value, MAX($c)::VARCHAR AS max_value
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
     // multiple UNNESTs in one DuckDB SELECT zip in lockstep, so the value
     // and its 1-based subscript stay aligned (pos is only a grouping key —
     // Spark's 0-based posexplode never surfaces)

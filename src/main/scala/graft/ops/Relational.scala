@@ -291,6 +291,35 @@ object Relational {
     fillCols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
   }
 
+  /** Column profile — the data-quality report every ingest pipeline runs
+    * first: per column, row/null/distinct counts and min/max (as strings, so
+    * heterogeneous column types stack into one frame). ONE aggregation pass
+    * computes every column's stats simultaneously (a per-column loop would
+    * rescan the table N times); the only shuffle is the final aggregate.
+    * `count_distinct` is exact — swap `approx_count_distinct` in at corpus
+    * scale if the per-column distinct state (one HLL vs exact hash set per
+    * column) matters more than exactness.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"__n_$c"),
+        count(col(c)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single wide row into (column, stats) — stack is row-local
+    val stacked = cols.map(c =>
+      struct(lit(c).as("column"), col(s"__n_$c").as("n_rows"),
+        (col(s"__n_$c") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_value"), col(s"__mx_$c").as("max_value")))
+    wide.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Deterministic weighted (Poisson/PPS-style) sampling: keep a row iff its
     * id-derived uniform u ∈ [0,1) is below `min(1, weight)`. The uniform is
     * the last 8 hex digits of md5(id-as-string) over 2³² — exactly

@@ -82,6 +82,33 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("q99 binned range join plans NO nested-loop join (the direct form does)") {
+    import org.apache.spark.sql.functions.col
+    val p = plan(q("q99_range_join"))
+    // the whole point of the bin rewrite: the range predicate rides an
+    // equi-join as a residual, never a BroadcastNestedLoop/cartesian
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // control: the same join stated directly IS a nested loop — proving the
+    // assertion above is load-bearing, not vacuous
+    val iv = Tables(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_orderdate").cast("timestamp").cast("long").as("lo"))
+    val pts = Tables(spark, sf(), "lineitem")
+      .select(col("l_shipdate").cast("timestamp").cast("long").as("p"))
+    val direct = pts.join(iv, col("p") >= col("lo") && col("p") < col("lo") + 86400L * 30)
+    assert(plan(direct).contains("BroadcastNestedLoop"), plan(direct))
+  }
+
+  test("q100/q103 graph queries: no cartesian products, partial aggregation on") {
+    for (name <- Seq("q100_triangle_count", "q103_pagerank")) {
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct"), s"$name: $p")
+      assert(!p.contains("BroadcastNestedLoop"), s"$name: $p")
+      // degree/contribution rollups must map-side combine before shuffling
+      assert(p.contains("HashAggregate"), s"$name: $p")
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (the no-salt skew path)") {
     import spark.implicits._
     // q64's salting handles skew the planner can see coming; AQE's skew join

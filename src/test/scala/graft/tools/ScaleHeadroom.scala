@@ -77,6 +77,57 @@ object ScaleHeadroom {
 
     measure("  1x", docs)
     measure(" 10x", inflate(10))
+
+    // ---- prefix-filter exact join headroom (q98's operator): inflation
+    // keeps replica token spaces disjoint, so candidates/output should grow
+    // ~10× at 10× docs if the candidate scheme is linear in true similarity
+    // structure (all-pairs verify would grow 100×). Shuffle attach — the
+    // corpus-scale arm. ----
+    def measurePrefix(label: String, d: DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val reps = Dedup.representatives(d, "doc_id", "text").localCheckpoint(true)
+      val nReps = reps.count()
+      val pairs = Dedup
+        .prefixFilterJaccardPairs(reps, "doc_id", "text", threshold = 0.9,
+          broadcastAttach = false)
+        .count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val allPairs = nReps * (nReps - 1) / 2
+      println(f"prefix $label: reps=$nReps exact_pairs=$pairs " +
+        f"(all-pairs verify would be $allPairs) secs=$secs%.1f")
+    }
+    measurePrefix("  1x", docs)
+    measurePrefix(" 10x", inflate(10))
+
+    // ---- triangle-counting headroom (q100's operator): replica node
+    // spaces are disjoint (node·f + i), so edges, wedges, and triangles
+    // should all grow ~10× at 10× — the degree-ordered orientation keeps
+    // wedge volume linear in components, never cross-replica. ----
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    val ord = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"))
+    val op = li.join(ord, Seq("l_orderkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = op.as("a")
+      .join(op.as("b"), col("a.l_orderkey") === col("b.l_orderkey")
+        && col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct().localCheckpoint(true)
+    def inflateEdges(factor: Int): DataFrame =
+      edges.crossJoin(spark.range(factor.toLong).toDF("i"))
+        .select((col("u") * factor + col("i")).as("u"),
+          (col("v") * factor + col("i")).as("v"))
+    def measureTriangles(label: String, e: DataFrame): Unit = {
+      val nE = e.count()
+      val t0 = System.nanoTime()
+      val tri = graft.ops.Graph.triangleCounts(e)
+        .agg(sum(col("n_triangles")).as("s")).collect()(0).getLong(0) / 3
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"triangles $label: edges=$nE triangles=$tri secs=$secs%.1f")
+    }
+    measureTriangles("  1x", edges)
+    measureTriangles(" 10x", inflateEdges(10))
     spark.stop()
   }
 }
