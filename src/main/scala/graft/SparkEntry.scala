@@ -1901,6 +1901,46 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ---- Morton/Z-order clustering value (the lakehouse multi-dim layout
+    // primitive): bit-interleave (l_partkey, l_suppkey) so one sort gives
+    // BOTH join/filter dimensions file-level locality. Pure integer bit
+    // math, bit-exact cross-engine; the pruning-surface win is measured in
+    // RelationalSpec. ----
+    "q111_zorder" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 1000 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          Relational.zOrderValue(col("l_partkey"), col("l_suppkey"), bits = 16)
+            .as("zval"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- MERGEABLE sketch rollup — the 100 TB pre-aggregation pattern:
+    // per-cell HLL sketches are built once, then coarser levels merge the
+    // SKETCHES (hll_union_agg) without touching raw rows again; the q32
+    // accuracy boolean gates the merged estimate against the exact distinct
+    // recount. COUNT(DISTINCT) cannot roll up (cells overlap in customers);
+    // sketches can — that is the point. ----
+    "q112_sketch_rollup" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cells = o
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      val rolled = cells
+        .groupBy(col("o_orderpriority"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = o
+        .groupBy(col("o_orderpriority"))
+        .agg(count_distinct(col("o_custkey")).as("exact_custs"))
+      exact
+        .join(rolled, "o_orderpriority")
+        .select(col("o_orderpriority"), col("exact_custs"),
+          (abs(col("est") - col("exact_custs")).cast("double")
+            <= lit(0.05) * col("exact_custs").cast("double")).as("within_5pct"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -2521,6 +2561,25 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_max
         |FROM joined ORDER BY user_id, day""".stripMargin,
+    // z-order: the same 16-bit interleave unrolled as a sum of bit terms
+    "q111_zorder" -> {
+      val terms = (0 until 16).map { i =>
+        s"(((l_partkey >> $i) & 1) * (1::BIGINT << ${2 * i})) + " +
+          s"(((l_suppkey >> $i) & 1) * (1::BIGINT << ${2 * i + 1}))"
+      }.mkString(" + ")
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  ($terms) AS zval
+         |FROM lineitem WHERE l_orderkey % 1000 = 0
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+    // sketch rollup: DuckDB recounts the exact distinct and expects the
+    // accuracy boolean TRUE — a Spark FALSE (merged sketch left its 5%
+    // envelope) goes hash-red (q32's gate pattern for mergeable sketches)
+    "q112_sketch_rollup" ->
+      """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey) AS exact_custs,
+        |  TRUE AS within_5pct
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q110_trend_slope" ->
       """WITH b AS (
         |  SELECT o_orderpriority AS k,

@@ -320,6 +320,24 @@ object Relational {
     wide.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Morton (Z-order) value: interleave the low `bits` bits of two
+    * non-negative integer columns — the lakehouse multi-dimensional
+    * clustering primitive. Sorting/range-partitioning a table by this value
+    * gives BOTH dimensions locality, so per-file min/max ranges stay narrow
+    * on both columns and a selective filter on EITHER prunes row groups —
+    * single-column sorting leaves the second dimension's per-file range at
+    * full width (pruning surface measured in `RelationalSpec`). Pure integer
+    * bit arithmetic (32 codegen'd terms at bits=16), bit-exact on any
+    * engine.
+    */
+  def zOrderValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
+    (0 until bits).map { i =>
+      shiftright(a.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(b.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
   /** Deterministic weighted (Poisson/PPS-style) sampling: keep a row iff its
     * id-derived uniform u ∈ [0,1) is below `min(1, weight)`. The uniform is
     * the last 8 hex digits of md5(id-as-string) over 2³² — exactly

@@ -112,6 +112,70 @@ class RelationalSpec extends SparkTestBase {
       .filter(col("n") =!= col("n2")).count() == 0)
   }
 
+  test("zOrderValue: hand-computed interleave and round-trip bit extraction") {
+    import spark.implicits._
+    // a = 0b101 (5), b = 0b011 (3): z bit 2i from a, 2i+1 from b ->
+    // z = a0 + 2*b0 + 4*a1 + 8*b1 + 16*a2 = 1 + 2 + 0 + 8 + 16 = 27
+    val got = Seq((5L, 3L)).toDF("a", "b")
+      .select(Relational.zOrderValue(col("a"), col("b"), 8).as("z"))
+      .collect()(0).getLong(0)
+    assert(got == 27L, s"interleave(5,3) = $got, want 27")
+    // round trip: de-interleaving recovers both inputs for arbitrary pairs
+    val pairs = Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (12345L, 54321L), (1L, 65534L))
+    val z = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Relational.zOrderValue(col("a"), col("b"), 16).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for ((a, b, zv) <- z) {
+      val aBack = (0 until 16).map(i => ((zv >> (2 * i)) & 1L) << i).sum
+      val bBack = (0 until 16).map(i => ((zv >> (2 * i + 1)) & 1L) << i).sum
+      assert(aBack == a && bBack == b, s"round trip failed for ($a,$b): z=$zv")
+    }
+  }
+
+  test("z-order layout prunes files on BOTH dimensions; single-column sort cannot") {
+    import spark.implicits._
+    // 64k rows over a 4096×4096 domain, cut into 64 equal files per layout.
+    // min/max pruning for an equality filter touches every file whose
+    // [min,max] straddles the probe value. Sorting by `a` alone leaves every
+    // file's b-range at full width — a filter on b touches ALL files;
+    // z-order gives both dimensions ~sqrt locality.
+    val n = 65536
+    val nFiles = 64
+    val rows = (0 until n)
+      .map(i => ((i * 2654435761L) % 4096, (i * 40503L + 17) % 4096))
+      .toDF("a", "b")
+    def fileRanges(ord: org.apache.spark.sql.Column) = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(ord, col("a"), col("b"))
+      rows
+        .withColumn("rn", row_number().over(w))
+        .withColumn("file", ((col("rn") - 1) * nFiles / n).cast("int"))
+        .groupBy(col("file"))
+        .agg(min(col("a")).as("a_lo"), max(col("a")).as("a_hi"),
+          min(col("b")).as("b_lo"), max(col("b")).as("b_hi"))
+        .collect()
+    }
+    val probes = (0 until 32).map(_ * 128L + 64L)
+    def touched(ranges: Array[org.apache.spark.sql.Row], lo: String, hi: String): Int =
+      probes.map(v => ranges.count(r =>
+        r.getAs[Long](lo) <= v && v <= r.getAs[Long](hi))).sum
+    val byA = fileRanges(col("a"))
+    val byZ = fileRanges(Relational.zOrderValue(col("a"), col("b"), 12))
+    val (aFilterOnB, zFilterOnB) = (touched(byA, "b_lo", "b_hi"), touched(byZ, "b_lo", "b_hi"))
+    val (aFilterOnA, zFilterOnA) = (touched(byA, "a_lo", "a_hi"), touched(byZ, "a_lo", "a_hi"))
+    // single-dim layout: b-filters scan ~everything (each file's observed
+    // b-range spans nearly the full domain; sampling can clip the extremes)
+    assert(aFilterOnB * 10 >= nFiles * probes.size * 9,
+      s"a-sort should barely prune on b: $aFilterOnB of ${nFiles * probes.size}")
+    // z-order: b-filters touch a small fraction; a-filters stay bounded too
+    assert(zFilterOnB * 4 < aFilterOnB,
+      s"z-order should prune b-filters >=4x: z=$zFilterOnB vs a-sort=$aFilterOnB")
+    assert(zFilterOnA * 4 < nFiles * probes.size,
+      s"z-order should also prune a-filters >=4x: $zFilterOnA")
+    assert(aFilterOnA < zFilterOnA,
+      "sanity: the single-dim sort is still the best possible for its own column")
+  }
+
   test("exactQuantilesByKey: bucketed prefix-sum matches the rank definition on a hot key") {
     import spark.implicits._
     // ONE key, 10k skewed values (the case the per-key window serialized):
