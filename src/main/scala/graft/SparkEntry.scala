@@ -1941,6 +1941,54 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ---- EXACT mergeable aggregation state — incremental-view maintenance
+    // without approximation: per-shard (n, Σx, Σx²) triples in exact cents
+    // merge by plain addition (early shard: days 1–15; late: 16+), and the
+    // merged state reproduces count/sum/mean/variance of a full recompute
+    // bit-for-bit (variance via the n·Σx²−(Σx)² identity — no running-mean
+    // fp state, no Welford order dependence). The oracle IS the full
+    // recompute: any merge error goes hash-red. ----
+    "q113_incremental_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      def state(part: DataFrame): DataFrame = part
+        .groupBy(col("event_type"))
+        .agg(count(col("cents")).as("n"), sum(col("cents")).as("s"),
+          sum(col("cents") * col("cents")).as("ss"))
+      val early = state(ev.filter(dayofmonth(col("ts")) <= 15))
+      val late = state(ev.filter(dayofmonth(col("ts")) >= 16))
+      early.unionByName(late)
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("s")).as("s"), sum(col("ss")).as("ss"))
+        .select(col("event_type"), col("n"),
+          (col("s").cast("double") / lit(100.0)).as("sum_value"),
+          ((col("n") * col("ss") - col("s") * col("s")).cast("double")
+            / (col("n") * col("n")).cast("double") / lit(10000.0)).as("variance"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- key-skew diagnostics (the partition-planning report for a 100 TB
+    // shuffle): per-key counts, then exact distribution stats over the
+    // counts — max, the rank-based p50/p99 (bucketed quantile machinery on
+    // the COUNTS table, keys-sized not rows-sized), and the share of rows
+    // owned by the single heaviest key. Exact integers + one division. ----
+    "q114_key_skew" -> ((s, dir) => {
+      val counts = t(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .withColumn("__all", lit(1))
+      val qs = Relational
+        .exactQuantilesByKey(counts, "__all", "c", Seq(0.5, 0.99))
+      counts
+        .groupBy(col("__all"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_count"))
+        .join(qs, "__all")
+        .select(col("n_keys"), col("n_rows"), col("max_count"),
+          col("p50").as("p50_count"), col("p99").as("p99_count"),
+          (col("max_count").cast("double") / col("n_rows").cast("double"))
+            .as("top_key_share"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -2561,6 +2609,30 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_max
         |FROM joined ORDER BY user_id, day""".stripMargin,
+    // the merge gate: the oracle is the FULL recompute — if the shard-state
+    // merge lost anything, count/sum/variance go hash-red
+    "q113_incremental_agg" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |s AS (SELECT event_type, COUNT(cents) AS n, SUM(cents) AS s,
+        |        SUM(cents * cents) AS ss FROM b GROUP BY 1)
+        |SELECT event_type, n, s::DOUBLE / 100.0 AS sum_value,
+        |  ((n * ss - s * s)::DOUBLE / (n * n)::DOUBLE) / 10000.0 AS variance
+        |FROM s ORDER BY event_type""".stripMargin,
+    "q114_key_skew" ->
+      """WITH counts AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+        |g AS (SELECT c AS v, COUNT(*) AS cnt FROM counts GROUP BY 1),
+        |t AS (SELECT SUM(cnt) AS n FROM g),
+        |cum AS (SELECT g.v, SUM(g.cnt) OVER (ORDER BY g.v) AS cc, t.n FROM g, t),
+        |q AS (SELECT MIN(CASE WHEN cc >= ceil(0.5 * n) THEN v END) AS p50,
+        |             MIN(CASE WHEN cc >= ceil(0.99 * n) THEN v END) AS p99 FROM cum)
+        |SELECT (SELECT COUNT(*) FROM counts) AS n_keys,
+        |       (SELECT SUM(c) FROM counts)::BIGINT AS n_rows,
+        |       (SELECT MAX(c) FROM counts) AS max_count,
+        |       q.p50 AS p50_count, q.p99 AS p99_count,
+        |       (SELECT MAX(c) FROM counts)::DOUBLE /
+        |         (SELECT SUM(c) FROM counts)::DOUBLE AS top_key_share
+        |FROM q""".stripMargin,
     // z-order: the same 16-bit interleave unrolled as a sum of bit terms
     "q111_zorder" -> {
       val terms = (0 until 16).map { i =>
