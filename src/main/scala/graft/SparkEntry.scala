@@ -1989,6 +1989,27 @@ object SparkEntry {
             .as("top_key_share"))
     }),
 
+    // ---- interval × interval overlap join (SCD2/validity-window shape) by
+    // the bin rewrite — no nested loop, and no distinct: a pair is owned by
+    // the first bin its intersection covers. Two deterministic order
+    // samplings as 30- and 21-day windows; exact counts. ----
+    "q115_interval_overlap" -> ((s, dir) => {
+      def windows(mod: Long, days: Long, loName: String, hiName: String, idName: String) =
+        t(s, dir, "orders")
+          .filter(col("o_orderkey") % mod === 0)
+          .select(col("o_orderkey").as(idName),
+            col("o_orderdate").cast("timestamp").cast("long").as(loName))
+          .withColumn(hiName, col(loName) + lit(days * 86400L))
+      val a = windows(997L, 30L, "lo_a", "hi_a", "key_a")
+      val b = windows(611L, 21L, "lo_b", "hi_b", "key_b")
+      Relational
+        .intervalOverlapJoin(a, col("lo_a"), col("hi_a"), b, col("lo_b"), col("hi_b"),
+          binWidth = 7L * 86400L)
+        .groupBy(col("key_a"))
+        .agg(count(lit(1)).as("n_overlaps"), min(col("key_b")).as("first_overlap"))
+        .orderBy(col("key_a"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -2609,6 +2630,18 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_max
         |FROM joined ORDER BY user_id, day""".stripMargin,
+    "q115_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS key_a, o_orderdate AS lo_a,
+        |         o_orderdate + INTERVAL 30 DAY AS hi_a
+        |  FROM orders WHERE o_orderkey % 997 = 0),
+        |b AS (
+        |  SELECT o_orderkey AS key_b, o_orderdate AS lo_b,
+        |         o_orderdate + INTERVAL 21 DAY AS hi_b
+        |  FROM orders WHERE o_orderkey % 611 = 0)
+        |SELECT key_a, COUNT(*) AS n_overlaps, MIN(key_b) AS first_overlap
+        |FROM a JOIN b ON lo_a < hi_b AND lo_b < hi_a
+        |GROUP BY key_a ORDER BY key_a""".stripMargin,
     // the merge gate: the oracle is the FULL recompute — if the shard-state
     // merge lost anything, count/sum/variance go hash-red
     "q113_incremental_agg" ->

@@ -320,6 +320,39 @@ object Relational {
     wide.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Interval × interval OVERLAP join via the same bin rewrite as
+    * [[pointInRangeJoin]] — the SCD2/validity-window companion. Both sides
+    * explode onto their covered bins and equi-join on the bin id; the exact
+    * `lo₁ < hi₂ ∧ lo₂ < hi₁` residual runs per bin. Overlapping intervals
+    * share EVERY bin their intersection covers, so duplicates are
+    * eliminated for free by bin OWNERSHIP instead of a distinct shuffle:
+    * a pair is emitted only from the first bin both intervals inhabit,
+    * `max(bin(lo₁), bin(lo₂))` — one integer equality, no second pass.
+    * Intervals are half-open; empty ones drop. Same binWidth guidance and
+    * column-collision caveats as [[pointInRangeJoin]].
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      lo1: Column,
+      hi1: Column,
+      right: DataFrame,
+      lo2: Column,
+      hi2: Column,
+      binWidth: Long
+  ): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    def bin(c: Column): Column = floor(c.cast("double") / lit(binWidth.toDouble)).cast("long")
+    def expand(df: DataFrame, lo: Column, hi: Column): DataFrame = df
+      .filter(hi > lo)
+      .withColumn("__oj_bin", explode(sequence(bin(lo), bin(hi - lit(1)))))
+    expand(left, lo1, hi1)
+      .join(expand(right, lo2, hi2), Seq("__oj_bin"))
+      .filter(lo1 < hi2 && lo2 < hi1)
+      // ownership: the intersection's first bin — emitted exactly once
+      .filter(col("__oj_bin") === greatest(bin(lo1), bin(lo2)))
+      .drop("__oj_bin")
+  }
+
   /** Morton (Z-order) value: interleave the low `bits` bits of two
     * non-negative integer columns — the lakehouse multi-dimensional
     * clustering primitive. Sorting/range-partitioning a table by this value

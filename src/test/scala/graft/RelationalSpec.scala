@@ -112,6 +112,40 @@ class RelationalSpec extends SparkTestBase {
       .filter(col("n") =!= col("n2")).count() == 0)
   }
 
+  test("intervalOverlapJoin: adjacency excluded, multi-bin pairs emitted once") {
+    import spark.implicits._
+    // A1 [10,20) overlaps B1 [15,40) across several width-3 bins (must emit
+    // ONCE despite sharing bins 5 and 6); A2 [20,25) is ADJACENT to B2
+    // [25,30) (half-open: no overlap); A3 [0,100) covers everything
+    val a = Seq((1L, 10L, 20L), (2L, 20L, 25L), (3L, 0L, 100L)).toDF("ka", "la", "ha")
+    val b = Seq((10L, 15L, 40L), (11L, 25L, 30L)).toDF("kb", "lb", "hb")
+    val got = Relational
+      .intervalOverlapJoin(a, col("la"), col("ha"), b, col("lb"), col("hb"), binWidth = 3L)
+      .select(col("ka"), col("kb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // toSeq (not toSet): a duplicate emission would show here. A2 overlaps
+    // B1 (20 < 40 ∧ 15 < 25) but NOT the adjacent B2 (half-open).
+    assert(got.sorted == Seq((1L, 10L), (2L, 10L), (3L, 10L), (3L, 11L)), s"got $got")
+
+    // differential vs the directly-stated overlap join on real data
+    val ivA = Tables(spark, sf(), "orders").filter(col("o_orderkey") % 40 === 0)
+      .select(col("o_orderkey").as("ka"),
+        col("o_orderdate").cast("timestamp").cast("long").as("la"))
+      .withColumn("ha", col("la") + lit(45L * 86400L))
+    val ivB = Tables(spark, sf(), "orders").filter(col("o_orderkey") % 30 === 0)
+      .select(col("o_orderkey").as("kb"),
+        col("o_orderdate").cast("timestamp").cast("long").as("lb"))
+      .withColumn("hb", col("lb") + lit(10L * 86400L))
+    val binned = Relational
+      .intervalOverlapJoin(ivA, col("la"), col("ha"), ivB, col("lb"), col("hb"),
+        binWidth = 14L * 86400L)
+      .select(col("ka"), col("kb"))
+    val direct = ivA.join(ivB, col("la") < col("hb") && col("lb") < col("ha"))
+      .select(col("ka"), col("kb"))
+    assert(binned.count() == direct.count())
+    assert(binned.exceptAll(direct).count() == 0 && direct.exceptAll(binned).count() == 0)
+  }
+
   test("zOrderValue: hand-computed interleave and round-trip bit extraction") {
     import spark.implicits._
     // a = 0b101 (5), b = 0b011 (3): z bit 2i from a, 2i+1 from b ->
