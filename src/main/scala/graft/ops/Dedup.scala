@@ -482,7 +482,29 @@ object Dedup {
       .unionAll(edges.select(col(bName).as("src"), col(aName).as("dst")))
       .transform(Par.spread(_, col("dst")))
       .persist()
-    sym.count()
+    val nEdges = sym.count()
+    // partition-size the ROUNDS from the measured edge count: every round
+    // is a join + groupBy over the label table, and at full shuffle width a
+    // small graph (thousands of near-dup edges) pays 32-task shuffles ×
+    // 2 × rounds for microseconds of real work — measured 4.4 s of a 9 s
+    // cascade at sf0.1. ~100k edges per partition keeps big graphs wide
+    // (the 100 TB case plans at full width, unaffected) and collapses
+    // small ones onto a few tasks. The conf is scoped to the loop and
+    // restored in finally — each round plans inside the loop, so it picks
+    // the narrow width up; AQE can't substitute here because every round's
+    // localCheckpoint materializes before post-shuffle coalescing applies
+    // to the NEXT plan.
+    val sess = nodes.sparkSession
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevShuffle = sess.conf.get(shuffleKey)
+    val prevAqe = sess.conf.get(aqeKey)
+    val roundParts = math.max(1, math.min(
+      sess.sessionState.conf.numShufflePartitions, (nEdges / 100000L).toInt + 1))
+    // below ~1M edges the rounds are already known-narrow, and AQE's
+    // per-job re-optimization is pure overhead (measured: 3.3 s → 2.2 s
+    // for the sf0.1 cascade's CC); large graphs keep AQE for skew/coalesce
+    val smallGraph = nEdges < 1000000L
     // localCheckpoint each round: the recurrence references `labels` TWICE
     // (self ∪ neighbor-propagated), so without lineage truncation the logical
     // plan doubles per round — exponential driver-side analysis cost and an
@@ -507,6 +529,8 @@ object Dedup {
         .foreach(_.unpersist(blocking = false))
     var (labels, labelIds) = ckpt(Par.spread(
       nodes.select(col(idName).as("id"), col(idName).as("component")), col("id")))
+    sess.conf.set(shuffleKey, roundParts.toString)
+    if (smallGraph) sess.conf.set(aqeKey, "false")
     try {
       val compType = labels.schema("component").dataType
       var converged = false
@@ -542,6 +566,11 @@ object Dedup {
             "graph has a component with diameter > maxIters; raise maxIters " +
             "(or use a doubling scheme) rather than consuming a mid-chain labeling")
       labels.select(col("id").as(idName), col("component"))
-    } finally { sym.unpersist(); () }
+    } finally {
+      sess.conf.set(shuffleKey, prevShuffle)
+      sess.conf.set(aqeKey, prevAqe)
+      sym.unpersist()
+      ()
+    }
   }
 }
