@@ -333,9 +333,13 @@ object Relational {
     * share EVERY bin their intersection covers, so duplicates are
     * eliminated for free by bin OWNERSHIP instead of a distinct shuffle:
     * a pair is emitted only from the first bin both intervals inhabit,
-    * `max(bin(lo₁), bin(lo₂))` — one integer equality, no second pass.
-    * Intervals are half-open; empty ones drop. Same binWidth guidance and
-    * column-collision caveats as [[pointInRangeJoin]].
+    * `max(bin(lo₁), bin(lo₂))` — one integer equality, no second pass
+    * (overlap guarantees that bin is inside both: lo₂ < hi₁ ⇒ bin(lo₂) ≤
+    * bin(hi₁−1), and symmetrically). Intervals are half-open and EMPTY ones
+    * ([x,x)) match nothing — note the naive `lo₁<hi₂ ∧ lo₂<hi₁` predicate
+    * alone would match an empty interval lying strictly inside a non-empty
+    * one; this operator follows empty-set algebra instead. Same binWidth
+    * guidance and column-collision caveats as [[pointInRangeJoin]].
     */
   def intervalOverlapJoin(
       left: DataFrame,

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Graph, Relational}
+
+/** Seeded randomized differentials: each operator with a nontrivial
+  * candidate/rewrite scheme is checked for EXACT equality against its
+  * brute-force reference on generated inputs that vary the regimes a fixed
+  * corpus cannot — thresholds at fp-hostile values, tiny and large vocabs,
+  * empty/duplicate/adjacent/degenerate shapes. Seeds are fixed: failures
+  * reproduce.
+  */
+class RandomDifferentialSpec extends SparkTestBase {
+
+  test("prefix-filter join ≡ all-pairs scan across vocab sizes and thresholds") {
+    import spark.implicits._
+    for ((vocab, thr, seed) <- Seq((8, 0.5, 1), (40, 0.7, 2), (500, 0.85, 3), (25, 0.9, 4))) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 120).map { i =>
+        val n = rnd.nextInt(30)
+        val toks = Seq.fill(n)(s"w${rnd.nextInt(vocab)}")
+        (i.toLong, toks.mkString(" "))
+      } :+ ((120L, "")) :+ ((121L, "   ")) // empty docs → the 1.0 pair arm
+      val df = docs.toDF("doc_id", "text")
+      val exact = Dedup
+        .jaccardPairs(df, "doc_id", "text", thr, maxId = Long.MaxValue)
+        .collect().map(_.toSeq).toSet
+      val pfx = Dedup
+        .prefixFilterJaccardPairs(df, "doc_id", "text", thr)
+        .collect().map(_.toSeq).toSet
+      assert(pfx == exact,
+        s"vocab=$vocab thr=$thr seed=$seed: missed=${(exact -- pfx).size} extra=${(pfx -- exact).size}")
+    }
+  }
+
+  test("binned range joins ≡ direct non-equi joins across widths and shapes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val iv = (0 until 150).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      // mix: empty (hi == lo), unit, typical, and very long intervals
+      val len = rnd.nextInt(4) match {
+        case 0 => 0L
+        case 1 => 1L
+        case 2 => rnd.nextInt(40).toLong
+        case _ => 400L + rnd.nextInt(200).toLong
+      }
+      (i.toLong, lo, lo + len)
+    }.toDF("iv_id", "lo", "hi")
+    val pts = (0 until 400).map(i => (i.toLong, rnd.nextInt(1200).toLong - 100L))
+      .toDF("pt_id", "p")
+    for (width <- Seq(1L, 7L, 64L, 1000L)) {
+      val binned = Relational
+        .pointInRangeJoin(pts, col("p"), iv, col("lo"), col("hi"), width)
+        .select(col("iv_id"), col("pt_id"))
+      val direct = pts.join(iv, col("p") >= col("lo") && col("p") < col("hi"))
+        .select(col("iv_id"), col("pt_id"))
+      assert(binned.exceptAll(direct).unionAll(direct.exceptAll(binned)).count() == 0,
+        s"point-in-range width=$width diverged")
+    }
+    val ivB = (0 until 150).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (i.toLong, lo, lo + rnd.nextInt(120).toLong)
+    }.toDF("kb", "lb", "hb")
+    for (width <- Seq(1L, 13L, 128L)) {
+      val binned = Relational
+        .intervalOverlapJoin(iv, col("lo"), col("hi"), ivB, col("lb"), col("hb"), width)
+        .select(col("iv_id"), col("kb"))
+      // the naive predicate alone would also match EMPTY intervals lying
+      // strictly inside a non-empty one ([5,5) "overlaps" [0,9) under
+      // lo₁<hi₂ ∧ lo₂<hi₁) — the operator treats [x,x) as the empty set,
+      // so the reference must too (this differential caught exactly that)
+      val direct = iv.filter(col("hi") > col("lo"))
+        .join(ivB.filter(col("hb") > col("lb")),
+          col("lo") < col("hb") && col("lb") < col("hi"))
+        .select(col("iv_id"), col("kb"))
+      assert(binned.exceptAll(direct).unionAll(direct.exceptAll(binned)).count() == 0,
+        s"interval-overlap width=$width diverged (duplicates count as divergence)")
+    }
+  }
+
+  test("triangleCounts ≡ brute-force enumeration on random graphs") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val edges = (for {
+        u <- 0 until n; v <- (u + 1) until n if rnd.nextDouble() < 0.15
+      } yield (u.toLong, v.toLong)).toSeq
+      val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val brute = (for {
+        a <- 0L until n; b <- (a + 1) until n; c <- (b + 1) until n
+        if adj.getOrElse(a, Set()).contains(b) &&
+          adj.getOrElse(b, Set()).contains(c) &&
+          adj.getOrElse(a, Set()).contains(c)
+      } yield Seq(a, b, c)).flatten
+        .groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+      val got = Graph.triangleCounts(edges.toDF("u", "v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == brute, s"seed=$seed: got=$got want=$brute")
+    }
+  }
+
+  test("pageRankIntFixed ≡ integer reference on random graphs") {
+    import spark.implicits._
+    for (seed <- 1 to 2) {
+      val rnd = new scala.util.Random(seed * 11)
+      val n = 25
+      val edges = (for {
+        u <- 0 until n; v <- (u + 1) until n if rnd.nextDouble() < 0.2
+      } yield (u.toLong, v.toLong)).toSeq
+      val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).distinct.sorted }
+      val scale = 1000000000000L
+      val nn = adj.size
+      val teleport = (3L * scale) / (20L * nn)
+      var r: Map[Long, Long] = adj.map { case (k, _) => k -> scale / nn }
+      for (_ <- 1 to 4) {
+        val contrib = adj.map { case (k, out) => k -> r(k) / out.size }
+        r = adj.map { case (k, _) =>
+          val in = adj.collect { case (j, out) if out.contains(k) => contrib(j) }.sum
+          k -> (teleport + (17L * in) / 20L)
+        }
+      }
+      val got = Graph.pageRankIntFixed(edges.toDF("u", "v"), iters = 4)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+      assert(got == r, s"seed=$seed diverged")
+    }
+  }
+}
