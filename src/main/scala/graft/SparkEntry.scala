@@ -2010,6 +2010,66 @@ object SparkEntry {
         .orderBy(col("key_a"))
     }),
 
+    // ---- distribution drift between data slices (the monitoring gate
+    // before a model retrain): L1 distance between per-slice value
+    // histograms over shared equi-width bins, computed EXACTLY — the
+    // per-bin term is |c₁·n₂ − c₂·n₁| in integers (a float Σ|p₁−p₂| would
+    // be summation-order dependent), one division at the very end.
+    // Slices = first vs second half of the event window. ----
+    "q116_distribution_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"),
+          when(dayofmonth(col("ts")) <= 15, lit(0)).otherwise(lit(1)).as("half"),
+          least(lit(19), floor(col("value") / 10.0).cast("int")).as("bin"))
+        .filter(col("bin") >= 0)
+      val cells = ev.groupBy(col("event_type"), col("half"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+      val wide = cells.groupBy(col("event_type"), col("bin"))
+        .agg(
+          sum(when(col("half") === 0, col("c")).otherwise(lit(0L))).as("c1"),
+          sum(when(col("half") === 1, col("c")).otherwise(lit(0L))).as("c2"))
+      val totals = wide.groupBy(col("event_type"))
+        .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      wide
+        .join(broadcast(totals), "event_type")
+        .groupBy(col("event_type"))
+        .agg(
+          min(col("n1")).as("n1"), min(col("n2")).as("n2"),
+          sum(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("l1_num"))
+        .withColumn("l1_distance",
+          col("l1_num").cast("double") / (col("n1") * col("n2")).cast("double"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- quantile-normalization calibration table (score calibration
+    // across slices): per event type, the exact decile values side by side
+    // with the GLOBAL decile values at the same rank fraction — the lookup
+    // table that maps a slice's score distribution onto the pooled one.
+    // Two runs of the bucketed quantile machinery (slice keys + a constant
+    // pseudo-key), one broadcast of the 1-row global frame, a row-local
+    // stack — no per-row cross join, output is types × 9 deciles. ----
+    "q117_quantile_norm" -> ((s, dir) => {
+      val ps = (1 to 9).map(_ / 10.0)
+      val ev = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+      val slice = Relational.exactQuantilesByKey(ev, "event_type", "value", ps)
+      val global = Relational
+        .exactQuantilesByKey(ev.withColumn("__g", lit(1)), "__g", "value", ps)
+        .drop("__g")
+      val pairs = ps.map { p =>
+        val name = s"p${math.round(p * 100)}"
+        struct(lit(math.round(p * 100)).cast("int").as("pct"),
+          col(name).as("slice_value"), col(s"g_$name").as("global_value"))
+      }
+      slice
+        .crossJoin(broadcast(global.select(
+          ps.map(p => col(s"p${math.round(p * 100)}").as(s"g_p${math.round(p * 100)}")): _*)))
+        .select(col("event_type"), explode(array(pairs: _*)).as("q"))
+        .select(col("event_type"), col("q.*"))
+        .orderBy(col("event_type"), col("pct"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -2072,6 +2132,37 @@ object SparkEntry {
          |    GROUP BY s.dst) m ON m.dst = d.src)""".stripMargin
     }.mkString
     head + its + s"\nSELECT node AS p_partkey, rank FROM it$iters ORDER BY p_partkey"
+  }
+
+  /** q117's oracle, generated: the q82 rank rule (min v with cum-count ≥
+    * ⌈p·n⌉) once per slice key and once globally, then one UNION arm per
+    * decile pairing the slice value with the global value.
+    */
+  private def quantileNormOracleSql: String = {
+    val ps = (1 to 9).map(_ * 10)
+    def sel(prefix: String) = ps.map(p =>
+      s"MIN(CASE WHEN cc >= ceil(0.$p * n) THEN v END) AS p$p").mkString(",\n|    ")
+    val head =
+      s"""WITH g AS (
+         |  SELECT event_type AS k, value AS v, COUNT(*) AS c
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT k, SUM(c) AS n FROM g GROUP BY k),
+         |cum AS (
+         |  SELECT g.k, g.v, SUM(g.c) OVER (PARTITION BY g.k ORDER BY g.v) AS cc, t.n
+         |  FROM g JOIN t USING (k)),
+         |sq AS (SELECT k,
+         |    ${sel("s")}
+         |  FROM cum GROUP BY k),
+         |gg AS (SELECT value AS v, COUNT(*) AS c FROM events WHERE value IS NOT NULL GROUP BY 1),
+         |gt AS (SELECT SUM(c) AS n FROM gg),
+         |gcum AS (SELECT gg.v, SUM(gg.c) OVER (ORDER BY gg.v) AS cc, gt.n FROM gg, gt),
+         |gq AS (SELECT
+         |    ${sel("g")}
+         |  FROM gcum)""".stripMargin
+    val arms = ps.map(p =>
+      s"SELECT k AS event_type, $p AS pct, sq.p$p AS slice_value, gq.p$p AS global_value FROM sq, gq")
+      .mkString("\n", "\nUNION ALL\n", "\n")
+    head + arms + "ORDER BY event_type, pct"
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2630,6 +2721,27 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_max
         |FROM joined ORDER BY user_id, day""".stripMargin,
+    "q116_distribution_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS half,
+        |    LEAST(19, CAST(FLOOR(value / 10.0) AS INTEGER)) AS bin
+        |  FROM events),
+        |f AS (SELECT * FROM ev WHERE bin >= 0),
+        |cells AS (SELECT event_type, half, bin, COUNT(*) AS c FROM f GROUP BY 1, 2, 3),
+        |wide AS (
+        |  SELECT event_type, bin,
+        |    SUM(CASE WHEN half = 0 THEN c ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN half = 1 THEN c ELSE 0 END) AS c2
+        |  FROM cells GROUP BY 1, 2),
+        |tot AS (SELECT event_type, SUM(c1) AS n1, SUM(c2) AS n2 FROM wide GROUP BY 1)
+        |SELECT w.event_type, MIN(t.n1)::BIGINT AS n1, MIN(t.n2)::BIGINT AS n2,
+        |  SUM(ABS(w.c1 * t.n2 - w.c2 * t.n1))::BIGINT AS l1_num,
+        |  SUM(ABS(w.c1 * t.n2 - w.c2 * t.n1))::DOUBLE /
+        |    (MIN(t.n1) * MIN(t.n2))::DOUBLE AS l1_distance
+        |FROM wide w JOIN tot t USING (event_type)
+        |GROUP BY w.event_type ORDER BY w.event_type""".stripMargin,
+    "q117_quantile_norm" -> quantileNormOracleSql,
     "q115_interval_overlap" ->
       """WITH a AS (
         |  SELECT o_orderkey AS key_a, o_orderdate AS lo_a,
