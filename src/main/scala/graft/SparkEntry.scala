@@ -1536,6 +1536,42 @@ object SparkEntry {
     // oracle applies the same closed-session filter to the batch
     // lag/flag/cumsum form (probed: 9542 of 9549 sessions at sf0.01, the 7
     // held-back tails all end within 30min of corpus max-ts). ----
+    // ---- arbitrary stateful streaming (flatMapGroupsWithState) under the
+    // gate: per-user totals in EXACT integer cents, so state merges are
+    // arrival-order/batch-boundary independent and the single-batch Append
+    // output equals the batch aggregate cell-for-cell (the FMGWS path's
+    // batch-equivalence proof — q77/q92's pattern for custom state). ----
+    "q118_stream_totals" -> ((s, dir) => {
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prior = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try {
+        val sch = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType),
+          StructField("props", StringType)))
+        val raw = s.readStream.schema(sch)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val ev = raw
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("cents"))
+        graft.streaming.StreamOps
+          .runToMemory(s,
+            graft.streaming.StreamOps.runningUserTotalsExact(s, ev),
+            "q118_mem", org.apache.spark.sql.streaming.OutputMode.Append())
+          .select(col("user_id"), col("n_events"),
+            (col("cents").cast("double") / lit(100.0)).as("total_value"))
+          .orderBy(col("user_id"))
+      } finally prior match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     "q92_stream_sessions" -> ((s, dir) => {
       val key = "spark.sql.legacy.parquet.nanosAsLong"
       val prior = s.conf.getOption(key)
@@ -2721,6 +2757,10 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_max
         |FROM joined ORDER BY user_id, day""".stripMargin,
+    "q118_stream_totals" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  SUM(CAST(round(value * 100) AS BIGINT))::DOUBLE / 100.0 AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q116_distribution_drift" ->
       """WITH ev AS (
         |  SELECT event_type,

@@ -92,6 +92,36 @@ object StreamOps {
       .toDF()
   }
 
+  final case class EventC(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                          event_type: String, cents: Long)
+  final case class UserTotalC(user_id: Long, n_events: Long, cents: Long)
+
+  /** [[runningUserTotals]] in EXACT integer cents — the hash-gateable form:
+    * long addition is commutative/associative, so per-user totals are
+    * independent of arrival order, batch boundaries, and partitioning,
+    * where the double-accumulating twin wobbles low bits by arrival order.
+    * With a single micro-batch (one input file), Append emits exactly one
+    * final row per user — the batch-equivalence gate (q118). Same
+    * forever-state caveat as [[runningUserTotals]].
+    */
+  def runningUserTotalsExact(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.as[EventC]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[EventC], state: GroupState[UserTotalC]) => {
+          val prev = state.getOption.getOrElse(UserTotalC(uid, 0L, 0L))
+          var n = prev.n_events
+          var cents = prev.cents
+          rows.foreach { e => n += 1; cents += e.cents }
+          val next = UserTotalC(uid, n, cents)
+          state.update(next)
+          Iterator(next)
+        }
+      )
+      .toDF()
+  }
+
   /** Streaming twin of the Bronze→Silver entregas ingest (SURVEY §2.10):
     * `readStream.csv` with the fixed schema → the SAME typed/enrich/quality
     * expressions as the batch pipeline → `foreachBatch` splitting each
