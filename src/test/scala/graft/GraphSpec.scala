@@ -78,6 +78,28 @@ class GraphSpec extends SparkTestBase {
     assert(base == flipped, "integer ranks must be partitioning/direction invariant")
   }
 
+  test("connectedComponents restores session confs on success AND failure") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val (s0, a0) = (spark.conf.get(shuffleKey), spark.conf.get(aqeKey))
+    // success path: small graph → CC narrows both confs internally
+    val nodes = (1L to 6L).toDF("id")
+    val edges = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    Dedup.connectedComponents(nodes, edges).count()
+    assert(spark.conf.get(shuffleKey) == s0 && spark.conf.get(aqeKey) == a0,
+      "confs must be restored after a successful run")
+    // failure path: a 12-node path has diameter 11 > maxIters=2 → the
+    // non-convergence throw must still restore the confs
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents((1L to 12L).toDF("id"), chain, maxIters = 2)
+    }
+    assert(spark.conf.get(shuffleKey) == s0 && spark.conf.get(aqeKey) == a0,
+      "confs must be restored when CC throws")
+  }
+
   test("triangleCounts: hub node (degree skew) still counts exactly once each") {
     import spark.implicits._
     // hub 0 connected to 1..20, plus ring edges (i, i+1) for 1..19:
