@@ -2106,6 +2106,65 @@ object SparkEntry {
         .orderBy(col("event_type"), col("pct"))
     }),
 
+    // ---- hierarchy percent-of-parent rollup (region → nation → customer
+    // revenue shares): exact decimal totals at each level, shares as one
+    // exactly-rounded division each — drill-down analytics without a
+    // window over the fact table (levels aggregate first, then join
+    // dimension-sized frames). ----
+    "q119_hierarchy_shares" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      val fact = o
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("r_name"), col("n_name"), col("o_totalprice").cast(d2).as("p"))
+      val byNation = fact.groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("p")).as("nation_rev"))
+      val byRegion = byNation.groupBy(col("r_name"))
+        .agg(sum(col("nation_rev")).as("region_rev"))
+      val total = byRegion.agg(sum(col("region_rev")).as("total_rev"))
+      byNation
+        .join(broadcast(byRegion), "r_name")
+        .crossJoin(broadcast(total))
+        .select(col("r_name"), col("n_name"),
+          col("nation_rev").cast("double").as("nation_rev"),
+          (col("nation_rev").cast("double") / col("region_rev").cast("double"))
+            .as("share_of_region"),
+          (col("region_rev").cast("double") / col("total_rev").cast("double"))
+            .as("region_share_of_total"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // ---- near-dup pair observability: for each verified pair, the exact
+    // overlap anatomy (n_common, n_only_a, n_only_b) via the native
+    // sorted-merge intersect — the audit table a dedup reviewer reads
+    // before trusting a threshold. Bounded oracle arm (q23's ids). ----
+    "q120_pair_overlap" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val ws = t(s, dir, "documents")
+        .filter(col("doc_id") < 1000)
+        .select(col("doc_id"),
+          array_sort(array_distinct(TextAnalysis.tokens(col("text")))).as("ws"))
+        .localCheckpoint()
+      val pairs = Dedup
+        .jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8, maxId = 1000L)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+      pairs
+        .join(ws.select(col("doc_id").as("id_a"), col("ws").as("ws_a")), "id_a")
+        .join(ws.select(col("doc_id").as("id_b"), col("ws").as("ws_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          call_function("graft_sorted_intersect", col("ws_a"), col("ws_b")).as("n_common"),
+          (size(col("ws_a")) - call_function("graft_sorted_intersect", col("ws_a"), col("ws_b")))
+            .as("n_only_a"),
+          (size(col("ws_b")) - call_function("graft_sorted_intersect", col("ws_a"), col("ws_b")))
+            .as("n_only_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -2757,6 +2816,36 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_max
         |FROM joined ORDER BY user_id, day""".stripMargin,
+    "q119_hierarchy_shares" ->
+      """WITH fact AS (
+        |  SELECT r_name, n_name, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |bn AS (SELECT r_name, n_name, SUM(p) AS nation_rev FROM fact GROUP BY 1, 2),
+        |br AS (SELECT r_name, SUM(nation_rev) AS region_rev FROM bn GROUP BY 1),
+        |tt AS (SELECT SUM(region_rev) AS total_rev FROM br)
+        |SELECT bn.r_name, n_name, CAST(nation_rev AS DOUBLE) AS nation_rev,
+        |  CAST(nation_rev AS DOUBLE) / CAST(region_rev AS DOUBLE) AS share_of_region,
+        |  CAST(region_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) AS region_share_of_total
+        |FROM bn JOIN br USING (r_name) CROSS JOIN tt
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q120_pair_overlap" ->
+      """WITH ws AS (
+        |  SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |    ELSE list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END AS ws
+        |  FROM documents WHERE doc_id < 1000)
+        |SELECT id_a, id_b, jaccard, n_common, n_only_a, n_only_b FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CASE WHEN len(list_distinct(list_concat(a.ws, b.ws))) = 0 THEN 1.0
+        |      ELSE len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |        len(list_distinct(list_concat(a.ws, b.ws)))::DOUBLE END AS jaccard,
+        |    len(list_intersect(a.ws, b.ws)) AS n_common,
+        |    len(a.ws) - len(list_intersect(a.ws, b.ws)) AS n_only_a,
+        |    len(b.ws) - len(list_intersect(a.ws, b.ws)) AS n_only_b
+        |  FROM ws a JOIN ws b ON a.doc_id < b.doc_id) x
+        |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
     "q118_stream_totals" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  SUM(CAST(round(value * 100) AS BIGINT))::DOUBLE / 100.0 AS total_value
