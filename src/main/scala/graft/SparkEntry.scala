@@ -2165,6 +2165,41 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- between-cluster centroid separation (q107's companion: within vs
+    // BETWEEN scatter). Centroids are never materialized — the pairwise
+    // squared distance scales by (nᵢ·nⱼ)²: Σ_d (nⱼ·Sᵢd − nᵢ·Sⱼd)², an exact
+    // DECIMAL(38,0) integer (tops ~1e22, past 2⁶³). The surfaced distance
+    // uses sqrt, which IEEE-754 requires to be correctly rounded (unlike
+    // ln/log, which diverge between libms) — so even the irrational column
+    // hash-matches. ----
+    "q121_centroid_separation" -> ((s, dir) => {
+      val d0 = DecimalType(38, 0)
+      val iv = t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("label"), col("pos"),
+          round(col("x").cast("double") * 1e3).cast("long").as("xi"))
+      val perDim = iv.groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("xi")).as("sd"))
+      val a = perDim.select(col("label").as("label_a"), col("pos"),
+        col("n").as("n_a"), col("sd").as("s_a"))
+      val b = perDim.select(col("label").as("label_b"), col("pos"),
+        col("n").as("n_b"), col("sd").as("s_b"))
+      a.join(b, Seq("pos"))
+        .filter(col("label_a") < col("label_b"))
+        .withColumn("diff",
+          (col("n_b") * col("s_a") - col("n_a") * col("s_b")).cast(d0))
+        .groupBy(col("label_a"), col("label_b"))
+        .agg(
+          min(col("n_a")).as("n_a"), min(col("n_b")).as("n_b"),
+          sum(col("diff") * col("diff")).cast(d0).as("dist_num"))
+        .withColumn("centroid_dist",
+          sqrt(col("dist_num").cast("double"))
+            / (col("n_a") * col("n_b")).cast("double") / lit(1000.0))
+        .select(col("label_a"), col("label_b"), col("dist_num").cast("double").as("dist_num"),
+          col("centroid_dist"))
+        .orderBy(col("label_a"), col("label_b"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -2816,6 +2851,22 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_max
         |FROM joined ORDER BY user_id, day""".stripMargin,
+    "q121_centroid_separation" ->
+      """WITH iv AS (
+        |  SELECT label, UNNEST(ivec) AS xi, generate_subscripts(ivec, 1) AS pos FROM (
+        |    SELECT label,
+        |      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ivec
+        |    FROM embeddings)),
+        |perdim AS (SELECT label, pos, COUNT(*) AS n, SUM(xi) AS sd FROM iv GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |    MIN(a.n) AS n_a, MIN(b.n) AS n_b,
+        |    SUM((b.n * a.sd - a.n * b.sd) * (b.n * a.sd - a.n * b.sd)) AS dist_num
+        |  FROM perdim a JOIN perdim b ON a.pos = b.pos AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b, dist_num::DOUBLE AS dist_num,
+        |  sqrt(dist_num::DOUBLE) / (n_a * n_b)::DOUBLE / 1000.0 AS centroid_dist
+        |FROM p ORDER BY label_a, label_b""".stripMargin,
     "q119_hierarchy_shares" ->
       """WITH fact AS (
         |  SELECT r_name, n_name, CAST(o_totalprice AS DECIMAL(18,2)) AS p
