@@ -2200,6 +2200,62 @@ object SparkEntry {
         .orderBy(col("label_a"), col("label_b"))
     }),
 
+    // ---- collocation extraction by LIFT — PMI's ranking without its log:
+    // lift = (c_ab·N)/(c_a·c_b) orders pairs identically to PMI (log is
+    // monotone) but stays pure integer products + ONE division, where
+    // log itself diverges between libm implementations and can never
+    // hash-gate. Bigram and unigram counts from the native ngram pass. ----
+    "q122_collocations" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val w = org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(explode(TextAnalysis.ngrams(col("text"), 2)).as("gram"))
+        .select(split_part(col("gram"), lit(" "), lit(1)).as("w1"),
+          split_part(col("gram"), lit(" "), lit(2)).as("w2"))
+      val big = toks.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      // unigram occurrence counts and the grand total derived from the
+      // aggregated bigram table (vocab²-sized), not a corpus re-scan
+      val scored = big
+        .withColumn("c_a", sum(col("c_ab")).over(w.partitionBy(col("w1"))))
+        .withColumn("c_b", sum(col("c_ab")).over(w.partitionBy(col("w2"))))
+        .withColumn("n", sum(col("c_ab")).over(w.partitionBy()))
+        .filter(col("c_ab") >= 10)
+        .withColumn("lift",
+          (col("c_ab") * col("n")).cast("double") /
+            (col("c_a") * col("c_b")).cast("double"))
+      scored
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("lift").desc, col("w1"), col("w2"))))
+        .filter(col("rn") <= 25)
+        .select(col("rn"), col("w1"), col("w2"), col("c_ab"), col("lift"))
+        .orderBy(col("rn"))
+    }),
+
+    // ---- cluster quality report: q107's within-scatter and q121's
+    // between-centroid separation composed into one per-label summary —
+    // nearest-centroid distance over RMS within-radius, the
+    // silhouette-style ratio, from exact integer numerators with only
+    // correctly-rounded sqrt/division at the surface. ----
+    "q123_cluster_quality" -> ((s, dir) => {
+      val sep = queries("q121_centroid_separation")(s, dir)
+        .select(explode(array(
+          struct(col("label_a").as("label"), col("centroid_dist")),
+          struct(col("label_b").as("label"), col("centroid_dist")))).as("e"))
+        .select(col("e.label"), col("e.centroid_dist"))
+        .groupBy(col("label"))
+        .agg(min(col("centroid_dist")).as("nearest_centroid_dist"))
+      val within = queries("q107_cluster_inertia")(s, dir)
+        .withColumn("rms_radius",
+          sqrt(col("inertia") / col("n_vectors").cast("double")) / lit(1000.0))
+        .select(col("label"), col("n_vectors"), col("rms_radius"))
+      within
+        .join(sep, "label")
+        .withColumn("separation_ratio",
+          col("nearest_centroid_dist") / col("rms_radius"))
+        .orderBy(col("label"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -2851,6 +2907,58 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_max
         |FROM joined ORDER BY user_id, day""".stripMargin,
+    "q122_collocations" ->
+      """WITH big AS (
+        |  SELECT split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2,
+        |    COUNT(*) AS c_ab
+        |  FROM (
+        |    SELECT unnest(CASE WHEN len(toks) < 2 THEN []
+        |      ELSE list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1]) END) AS gram
+        |    FROM (SELECT CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS toks
+        |      FROM documents) y) x
+        |  GROUP BY 1, 2),
+        |ua AS (SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM big GROUP BY w1),
+        |ub AS (SELECT w2, CAST(SUM(c_ab) AS BIGINT) AS c_b FROM big GROUP BY w2),
+        |tt AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM big),
+        |scored AS (
+        |  SELECT big.w1, big.w2, c_ab,
+        |    CAST(c_ab * n AS DOUBLE) / CAST(c_a * c_b AS DOUBLE) AS lift
+        |  FROM big JOIN ua USING (w1) JOIN ub USING (w2) CROSS JOIN tt
+        |  WHERE c_ab >= 10)
+        |SELECT rn, w1, w2, c_ab, lift FROM (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) AS rn FROM scored) z
+        |WHERE rn <= 25 ORDER BY rn""".stripMargin,
+    "q123_cluster_quality" ->
+      """WITH iv AS (
+        |  SELECT label, UNNEST(ivec) AS xi, generate_subscripts(ivec, 1) AS pos FROM (
+        |    SELECT label,
+        |      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ivec
+        |    FROM embeddings)),
+        |perdim AS (SELECT label, pos, COUNT(*) AS n, SUM(xi) AS s, SUM(xi * xi) AS ss
+        |  FROM iv GROUP BY 1, 2),
+        |inert AS (SELECT label, MIN(n)::BIGINT AS n_vectors,
+        |    SUM(n * ss - s * s)::DOUBLE AS inum FROM perdim GROUP BY label),
+        |within AS (SELECT label, n_vectors,
+        |    sqrt((inum / n_vectors::DOUBLE) / n_vectors::DOUBLE) / 1000.0 AS rms_radius
+        |  FROM inert),
+        |p AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |    MIN(a.n) AS n_a, MIN(b.n) AS n_b,
+        |    SUM((b.n * a.s - a.n * b.s) * (b.n * a.s - a.n * b.s)) AS dist_num
+        |  FROM perdim a JOIN perdim b ON a.pos = b.pos AND a.label < b.label
+        |  GROUP BY 1, 2),
+        |dist AS (SELECT label_a, label_b,
+        |    sqrt(dist_num::DOUBLE) / (n_a * n_b)::DOUBLE / 1000.0 AS d FROM p),
+        |near AS (
+        |  SELECT label, MIN(d) AS nearest_centroid_dist FROM (
+        |    SELECT label_a AS label, d FROM dist
+        |    UNION ALL SELECT label_b AS label, d FROM dist) u
+        |  GROUP BY label)
+        |SELECT w.label, n_vectors, rms_radius, nearest_centroid_dist,
+        |  nearest_centroid_dist / rms_radius AS separation_ratio
+        |FROM within w JOIN near USING (label) ORDER BY w.label""".stripMargin,
     "q121_centroid_separation" ->
       """WITH iv AS (
         |  SELECT label, UNNEST(ivec) AS xi, generate_subscripts(ivec, 1) AS pos FROM (
