@@ -2256,6 +2256,74 @@ object SparkEntry {
         .orderBy(col("label"))
     }),
 
+    // ---- merged-interval coverage (sweep line): each event spans
+    // [ts, ts + value seconds]; per user, collapse overlapping spans into
+    // islands with a running-max-end window and report the DISTINCT covered
+    // time — the classic interval-union rewrite that replaces an O(n²)
+    // overlap self-join with one partitioned sort. All arithmetic is integer
+    // microseconds (durations snapped at cent precision), so the oracle
+    // agrees bit-for-bit; the windows partition by user, so no task ever
+    // sees more than one user's spans. ----
+    "q124_interval_coverage" -> ((s, dir) => {
+      val iv = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("s0"),
+          (unix_micros(col("ts"))
+            + round(col("value") * 100).cast("long") * 10000L).as("e0"))
+      Relational
+        .intervalCoverage(iv, col("user_id"), col("s0"), col("e0"), col("event_id"))
+        .select(col("user_id"), col("n_islands"),
+          col("n_intervals").as("n_events"), col("covered").as("covered_us"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- exact weighted quantiles: per-flag quantity-weighted median and
+    // p90 of extended price through the same distinct-value + cumulative
+    // count machinery as q82/q91 — weights just replace the per-value counts
+    // in the running sum. Integer cents and integer weights end-to-end; the
+    // only doubles are the final /100.0 surface casts. ----
+    "q125_weighted_quantiles" -> ((s, dir) => {
+      val rows = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("k"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          round(col("l_quantity")).cast("long").as("w"))
+      val q = Relational.weightedQuantilesByKey(rows, "k", "cents", "w", Seq(0.5, 0.9))
+      val tot = rows.groupBy(col("k")).agg(sum(col("w")).as("total_weight"))
+      q.join(tot, "k")
+        .select(col("k").as("l_returnflag"),
+          (col("p50").cast("double") / 100.0).as("wmedian"),
+          (col("p90").cast("double") / 100.0).as("wp90"),
+          col("total_weight"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- corpus-mixing audit: 7-gram Jaccard overlap between every source
+    // pair. The load-bearing move for scale is aggregating to DISTINCT
+    // (source, gram) BEFORE the self-join: per-gram fanout is then bounded
+    // by the source count (≤ C(20,2) pairs/gram), never by document
+    // popularity — the same shape works when each source holds a billion
+    // docs. ----
+    "q126_source_overlap" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val g = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(col("source"), explode(TextAnalysis.ngrams(col("text"), 7)).as("gram"))
+        .distinct()
+      val sizes = g.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+      g.as("a")
+        .join(g.as("b"),
+          col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("sz").as("sz_a"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("sz_b"))), "src_b")
+        .withColumn("jaccard", col("inter").cast("double")
+          / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+        .select(col("src_a"), col("src_b"), col("inter"), col("sz_a"), col("sz_b"),
+          col("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -2930,6 +2998,68 @@ object SparkEntry {
         |SELECT rn, w1, w2, c_ab, lift FROM (
         |  SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) AS rn FROM scored) z
         |WHERE rn <= 25 ORDER BY rn""".stripMargin,
+    "q124_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s0,
+        |    epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 10000 AS e0
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, s0, e0,
+        |    CASE WHEN s0 > coalesce(
+        |      MAX(e0) OVER (PARTITION BY user_id ORDER BY s0, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -9223372036854775807) THEN 1 ELSE 0 END AS new_island
+        |  FROM iv),
+        |isl AS (
+        |  SELECT user_id, s0, e0,
+        |    SUM(new_island) OVER (PARTITION BY user_id ORDER BY s0, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, island, MIN(s0) AS i_start, MAX(e0) AS i_end,
+        |    COUNT(*) AS n_ev
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_islands, CAST(SUM(n_ev) AS BIGINT) AS n_events,
+        |  CAST(SUM(i_end - i_start) AS BIGINT) AS covered_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q125_weighted_quantiles" ->
+      """WITH rows_ AS (
+        |  SELECT l_returnflag AS k,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(round(l_quantity) AS BIGINT) AS w
+        |  FROM lineitem),
+        |g AS (SELECT k, cents, SUM(w) AS w FROM rows_ GROUP BY 1, 2),
+        |tot AS (SELECT k, SUM(w) AS n FROM g GROUP BY k),
+        |cum AS (
+        |  SELECT g.k, g.cents, tot.n,
+        |    SUM(g.w) OVER (PARTITION BY g.k ORDER BY g.cents) AS cw
+        |  FROM g JOIN tot USING (k))
+        |SELECT k AS l_returnflag,
+        |  CAST(MIN(CASE WHEN cw * 2 >= n THEN cents END) AS DOUBLE) / 100.0 AS wmedian,
+        |  CAST(MIN(CASE WHEN cw * 10 >= n * 9 THEN cents END) AS DOUBLE) / 100.0 AS wp90,
+        |  CAST(MIN(n) AS BIGINT) AS total_weight
+        |FROM cum GROUP BY k ORDER BY k""".stripMargin,
+    "q126_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS toks
+        |  FROM documents),
+        |g AS (SELECT DISTINCT source, gram FROM (
+        |  SELECT source, unnest(CASE WHEN len(toks) < 7 THEN []
+        |    ELSE list_transform(range(1, len(toks) - 5),
+        |      i -> array_to_string(toks[i:i+6], ' ')) END) AS gram
+        |  FROM toks) x),
+        |sz AS (SELECT source, COUNT(*) AS sz FROM g GROUP BY source),
+        |i AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
+        |  CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+        |  CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+        |FROM i JOIN sz sa ON i.src_a = sa.source JOIN sz sb ON i.src_b = sb.source
+        |ORDER BY src_a, src_b""".stripMargin,
     "q123_cluster_quality" ->
       """WITH iv AS (
         |  SELECT label, UNNEST(ivec) AS xi, generate_subscripts(ivec, 1) AS pos FROM (

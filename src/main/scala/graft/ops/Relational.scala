@@ -70,6 +70,41 @@ object Relational {
       keyCol: String,
       valCol: String,
       ps: Seq[Double]
+  ): DataFrame =
+    quantilesCore(df, keyCol, valCol, ps, weight = None,
+      // rank pick: smallest value whose cumulative count reaches ceil(p·n)
+      pick = (p, cc, n) => cc >= ceil(lit(p) * n))
+
+  /** Exact per-key WEIGHTED quantiles — [[exactQuantilesByKey]] with an
+    * integer weight column replacing the per-value counts in the cumulative
+    * sum (PPS medians, token-weighted percentiles, ...). The pick predicate
+    * stays pure integer arithmetic (`100·cumw ≥ round(100p)·total`), so the
+    * result is bit-exact at any scale — no `ceil(p·n)` double rounding even
+    * when totals pass 2^53; the price is ps must land on whole percents.
+    * NULL or non-positive weights drop the row (a zero-weight value can
+    * never be picked; negative weights would corrupt every rank after it).
+    */
+  def weightedQuantilesByKey(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      weightCol: String,
+      ps: Seq[Double]
+  ): DataFrame = {
+    require(ps.forall(p => math.abs(p * 100 - math.round(p * 100)) < 1e-9),
+      s"weighted quantiles must be whole percents: $ps")
+    quantilesCore(df, keyCol, valCol, ps,
+      weight = Some(col(weightCol)),
+      pick = (p, cc, n) => cc * 100L >= lit(math.round(p * 100)) * n)
+  }
+
+  private def quantilesCore(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      ps: Seq[Double],
+      weight: Option[Column],
+      pick: (Double, Column, Column) => Column
   ): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"quantiles must be in (0,1]: $ps")
     // result columns are named from round(p·100), so ps that collide after
@@ -83,8 +118,11 @@ object Relational {
     // NULL measures are excluded, matching the built-in percentile/quantile
     // aggregates (counted, they would shift every rank; they also sort on
     // opposite ends in Spark vs DuckDB)
-    val g = df.filter(col(valCol).isNotNull)
-      .groupBy(col(keyCol), col(valCol)).agg(count(lit(1)).as(c))
+    val rows0 = df.filter(col(valCol).isNotNull)
+    val rows = weight.fold(rows0)(w => rows0.filter(w.isNotNull && w > 0))
+    val g = rows
+      .groupBy(col(keyCol), col(valCol))
+      .agg(weight.fold(count(lit(1)))(w => sum(w.cast("long"))).as(c))
     // Cumulative counts as a BUCKETED PREFIX SUM, not a per-key window: a
     // plain `Window.partitionBy(key).orderBy(value)` funnels each key's
     // whole collapsed pair table through ONE sort partition — for few hot
@@ -129,10 +167,10 @@ object Relational {
     cum
       .groupBy(col(keyCol))
       .agg(
-        min(when(col(cc) >= ceil(lit(ps.head) * col(n)), col(valCol)))
+        min(when(pick(ps.head, col(cc), col(n)), col(valCol)))
           .as(s"p${math.round(ps.head * 100)}"),
         ps.tail.map(p =>
-          min(when(col(cc) >= ceil(lit(p) * col(n)), col(valCol)))
+          min(when(pick(p, col(cc), col(n)), col(valCol)))
             .as(s"p${math.round(p * 100)}")): _*)
   }
 
@@ -361,6 +399,44 @@ object Relational {
       // ownership: the intersection's first bin — emitted exactly once
       .filter(col("__oj_bin") === greatest(bin(lo1), bin(lo2)))
       .drop("__oj_bin")
+  }
+
+  /** Merged-interval coverage (interval union) per key: collapse CLOSED
+    * integer intervals [start, end] into maximal overlapping runs
+    * ("islands") with one running-max-end window, and report per key the
+    * island count, member count, and total covered length — the sweep-line
+    * rewrite of "how much distinct time/space do these spans cover" that
+    * replaces an O(n²) overlap self-join with one partitioned sort.
+    * Touching intervals ([1,5] and [5,9]) merge: a new island starts only
+    * when start exceeds the running max end STRICTLY. Both windows share
+    * the (key, start, tie) sort, so Catalyst plans ONE shuffle + sort; no
+    * task ever holds more than a streamed frame of one key. `tieCol` must
+    * make (start, tie) unique per key for deterministic island numbering
+    * (the aggregate is order-insensitive, but determinism keeps the
+    * operator gateable). Inputs with end < start are kept as zero-length
+    * contributors of their start point (callers should filter upstream if
+    * they mean something else).
+    */
+  def intervalCoverage(
+      df: DataFrame,
+      keyCol: Column,
+      startCol: Column,
+      endCol: Column,
+      tieCol: Column
+  ): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(startCol, tieCol)
+    val prevEnd = max(endCol).over(byKey.rowsBetween(Window.unboundedPreceding, -1))
+    df
+      .withColumn("__ic_new",
+        when(startCol > coalesce(prevEnd, lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("__ic_isl",
+        sum(col("__ic_new")).over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(keyCol, col("__ic_isl"))
+      .agg(min(startCol).as("__ic_s"), max(endCol).as("__ic_e"),
+        count(lit(1)).as("__ic_n"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_islands"), sum(col("__ic_n")).as("n_intervals"),
+        sum(col("__ic_e") - col("__ic_s")).as("covered"))
   }
 
   /** Morton (Z-order) value: interleave the low `bits` bits of two

@@ -250,4 +250,71 @@ class RelationalSpec extends SparkTestBase {
     // a: cc(1.0)=50 >= ceil(0.5*100)=50 -> p50=1.0; p100=2.0. b: single value.
     assert(got.toSeq == Seq(("a", 1.0, 2.0), ("b", 5.0, 5.0)))
   }
+
+  test("weightedQuantilesByKey: equals the unit-weight form on weight-expanded rows") {
+    import spark.implicits._
+    // random (value, weight) pairs per key; expanding each row `w` times and
+    // running with weight=1 must give identical quantiles (the weighting is
+    // exactly multiplicity). Both arms use the integer pick predicate, so
+    // equality is exact, not approximate.
+    val rnd = new scala.util.Random(11)
+    val rows = for (k <- Seq("a", "b"); _ <- 1 to 400)
+      yield (k, (rnd.nextInt(1000) + 1).toLong, (rnd.nextInt(9) + 1).toLong)
+    val df = rows.toDF("k", "v", "w")
+    val expanded = df
+      .withColumn("w", explode(sequence(lit(1L), col("w"))))
+      .withColumn("w", lit(1L))
+    val wq = Relational.weightedQuantilesByKey(df, "k", "v", "w", Seq(0.25, 0.5, 0.9))
+    val uq = Relational.weightedQuantilesByKey(expanded, "k", "v", "w", Seq(0.25, 0.5, 0.9))
+    assert(wq.orderBy(col("k")).collect().toSeq == uq.orderBy(col("k")).collect().toSeq)
+  }
+
+  test("weightedQuantilesByKey: hand case — zero/NULL weights excluded, rank math exact") {
+    import spark.implicits._
+    // values 10,20,30,40 with weights 1,2,3,4 (total 10): cumw 1,3,6,10.
+    // p50 -> 100·cumw >= 50·10 ⇒ cumw >= 5 ⇒ v=30; p90 ⇒ cumw >= 9 ⇒ v=40.
+    // The zero- and NULL-weight rows with huge values must not shift ranks.
+    val df = Seq(("k", 10L, Some(1L)), ("k", 20L, Some(2L)), ("k", 30L, Some(3L)),
+      ("k", 40L, Some(4L)), ("k", 999L, Some(0L)), ("k", 998L, None))
+      .toDF("k", "v", "w")
+    val got = Relational.weightedQuantilesByKey(df, "k", "v", "w", Seq(0.5, 0.9))
+      .collect()(0)
+    assert((got.getLong(1), got.getLong(2)) == (30L, 40L))
+  }
+
+  test("intervalCoverage: touching merges, nesting collapses, gaps split islands") {
+    import spark.implicits._
+    // key a: [0,10] ∪ [2,3] (nested) ∪ [10,15] (touching) -> one island,
+    // covered 15; then [20,25] after a gap -> second island, covered 5.
+    // key b: zero-length [7,7] alone -> one island of covered 0.
+    val df = Seq(
+      ("a", 0L, 10L, 1L), ("a", 2L, 3L, 2L), ("a", 10L, 15L, 3L), ("a", 20L, 25L, 4L),
+      ("b", 7L, 7L, 5L)
+    ).toDF("k", "s", "e", "id")
+    val got = Relational.intervalCoverage(df, col("k"), col("s"), col("e"), col("id"))
+      .orderBy(col("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", 2L, 4L, 20L), ("b", 1L, 1L, 0L)))
+  }
+
+  test("intervalCoverage: covered equals the distinct-unit-cell union on random spans") {
+    import spark.implicits._
+    // differential oracle: a closed [s,e] covers unit cells s..e-1, so the
+    // per-key distinct cell count IS the union length the sweep must report
+    val rnd = new scala.util.Random(23)
+    val rows = for (k <- Seq("x", "y", "z"); i <- 1 to 200) yield {
+      val s = rnd.nextInt(500).toLong
+      (k, s, s + 1 + rnd.nextInt(40).toLong, i.toLong)
+    }
+    val df = rows.toDF("k", "s", "e", "id")
+    val got = Relational.intervalCoverage(df, col("k"), col("s"), col("e"), col("id"))
+      .select(col("k"), col("covered"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = df
+      .select(col("k"), explode(sequence(col("s"), col("e") - 1)).as("cell"))
+      .distinct()
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
 }
