@@ -2324,6 +2324,34 @@ object SparkEntry {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // ---- degree assortativity (Newman 2002) of the co-supply graph: do
+    // high-degree parts co-occur with high-degree parts? Pearson r over the
+    // endpoint-degree pairs of every DIRECTED edge. The symmetric edge set
+    // makes Σx = Σy and Σx² = Σy², so the usual sqrt denominator collapses
+    // to n·Σxx − (Σx)² — the whole statistic is exact integer products (in
+    // DECIMAL(38,0) so 100× the edges still can't overflow) with ONE double
+    // division at the surface: an iterative-free, hash-gateable graph
+    // moment. Degrees come from one aggregation; the edge×degree attach is
+    // two joins against a node-count-sized frame. ----
+    "q127_degree_assortativity" -> ((s, dir) =>
+      Graph.degreeAssortativity(coSupplyEdges(s, dir))),
+
+    // ---- embedding-level dedup keep-list: connected components over the
+    // exact cosine near-dup pairs (q28's edge set), keep the min vec_id per
+    // component — the semantic-dedup step of a training pipeline, composed
+    // from the same CC machinery as the text cascade (q58/q85). Output is
+    // every vector with its cluster label and survivor flag. ----
+    "q128_embedding_dedup_keep" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val edges = Similarity
+        .nearDupPairs(emb, "vec_id", "embedding", threshold = 0.45)
+        .select(col("id_a"), col("id_b"))
+      val cc = Dedup.connectedComponents(emb.select(col("vec_id")), edges)
+      cc.select(col("vec_id"), col("component"),
+          (col("vec_id") === col("component")).as("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -2998,6 +3026,47 @@ object SparkEntry {
         |SELECT rn, w1, w2, c_ab, lift FROM (
         |  SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) AS rn FROM scored) z
         |WHERE rn <= 25 ORDER BY rn""".stripMargin,
+    "q127_degree_assortativity" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, COUNT(*) AS d
+        |  FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) GROUP BY node),
+        |sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+        |xy AS (
+        |  SELECT du.d AS dx, dv.d AS dy
+        |  FROM sym JOIN deg du ON sym.u = du.node JOIN deg dv ON sym.v = dv.node),
+        |s AS (
+        |  SELECT COUNT(*) AS n2, SUM(dx) AS sx, SUM(dx * dx) AS sxx,
+        |    SUM(dx * dy) AS sxy
+        |  FROM xy)
+        |SELECT CAST(n2 // 2 AS BIGINT) AS n_edges,
+        |  (n2 * sxy - sx * sx)::DOUBLE / (n2 * sxx - sx * sx)::DOUBLE AS assortativity
+        |FROM s""".stripMargin,
+    "q128_embedding_dedup_keep" ->
+      """WITH RECURSIVE
+        |nn AS (
+        |  SELECT vec_id, iv, CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS nrm
+        |  FROM (SELECT vec_id,
+        |          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+        |        FROM embeddings) v),
+        |edges AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM nn a JOIN nn b ON a.vec_id < b.vec_id
+        |  WHERE CAST(list_sum(list_transform(range(1, 65), i -> a.iv[i] * b.iv[i])) AS BIGINT)::DOUBLE
+        |      / (sqrt(a.nrm::DOUBLE) * sqrt(b.nrm::DOUBLE)) >= 0.45),
+        |sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM edges
+        |  UNION ALL SELECT id_b, id_a FROM edges),
+        |reach(a, b) AS (
+        |  SELECT vec_id, vec_id FROM nn
+        |  UNION
+        |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src)
+        |SELECT a AS vec_id, MIN(b) AS component, (a = MIN(b)) AS kept FROM reach
+        |GROUP BY a ORDER BY a""".stripMargin,
     "q124_interval_coverage" ->
       """WITH iv AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS s0,

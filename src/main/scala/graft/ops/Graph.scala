@@ -136,4 +136,44 @@ object Graph {
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Degree assortativity (Newman 2002): Pearson correlation between the
+    * endpoint degrees of every DIRECTED edge of an undirected graph — do
+    * hubs link to hubs (r > 0) or to leaves (r < 0)? Because the directed
+    * edge set is symmetric, Σx = Σy and Σx² = Σy², so Pearson's sqrt
+    * denominator collapses to n·Σx² − (Σx)² and the whole statistic is
+    * exact integer products (DECIMAL(38,0) so 100× the edges cannot
+    * overflow) with ONE double division at the surface — an iteration-free,
+    * hash-gateable graph moment. Cost: one aggregation for degrees, two
+    * node-frame joins to attach them, one scalar aggregate. Input contract
+    * matches [[triangleCounts]]: first two columns are endpoints of
+    * already-canonical u < v edges. Output: (n_edges, assortativity);
+    * assortativity is NULL for degree-regular graphs — the denominator is
+    * 0 and Spark's Divide returns NULL on a zero divisor for EVERY numeric
+    * type, doubles included (not IEEE NaN; Pearson is undefined when one
+    * variable is constant, so NULL is the honest surface anyway).
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d0 = DecimalType(38, 0)
+    val Seq(uName, vName) = edges.columns.take(2).toSeq
+    val e = edges.select(col(uName).as("u"), col(vName).as("v"))
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val xy = sym
+      .join(deg.select(col("node").as("u"), col("deg").as("dx")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dy")), "v")
+    xy.agg(
+        count(lit(1)).as("n2"),
+        sum(col("dx").cast(d0)).as("sx"),
+        sum((col("dx") * col("dx")).cast(d0)).as("sxx"),
+        sum((col("dx") * col("dy")).cast(d0)).as("sxy"))
+      .select(
+        (col("n2") / 2).cast("long").as("n_edges"),
+        ((col("n2").cast(d0) * col("sxy") - col("sx") * col("sx")).cast("double")
+          / (col("n2").cast(d0) * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("assortativity"))
+  }
 }

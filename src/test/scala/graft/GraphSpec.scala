@@ -100,6 +100,20 @@ class GraphSpec extends SparkTestBase {
       "confs must be restored when CC throws")
   }
 
+  test("degreeAssortativity: star is -1, 4-path is -0.5, cycle is NaN") {
+    import spark.implicits._
+    def row(edges: Seq[(Long, Long)]) =
+      Graph.degreeAssortativity(edges.toDF("u", "v")).collect()(0)
+    // star K1,3: every edge joins degree 3 to degree 1 → perfectly
+    // disassortative; exact integer arithmetic must land on -1.0, not ≈
+    assert(row(Seq((0L, 1L), (0L, 2L), (0L, 3L))).getDouble(1) == -1.0)
+    // path 1-2-3-4: n2=6, Σx=10, Σx²=18, Σxy=16 → (96-100)/(108-100) = -0.5
+    assert(row(Seq((1L, 2L), (2L, 3L), (3L, 4L))).getDouble(1) == -0.5)
+    // cycle: degree-regular → denominator 0 → NULL (Spark's Divide returns
+    // NULL on zero divisor for doubles too; Pearson is undefined here)
+    assert(row(Seq((1L, 2L), (2L, 3L), (1L, 3L))).isNullAt(1))
+  }
+
   test("triangleCounts: hub node (degree skew) still counts exactly once each") {
     import spark.implicits._
     // hub 0 connected to 1..20, plus ring edges (i, i+1) for 1..19:
