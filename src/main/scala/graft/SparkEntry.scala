@@ -2336,6 +2336,43 @@ object SparkEntry {
     "q127_degree_assortativity" -> ((s, dir) =>
       Graph.degreeAssortativity(coSupplyEdges(s, dir))),
 
+    // ---- local clustering coefficient: per node, 2·triangles / d(d−1) —
+    // how close the neighborhood is to a clique. Composes the exact
+    // degree-ordered triangle counts (q100's operator) with the degree
+    // table; the only new work is one key-sized left join (nodes without
+    // triangles coalesce to 0). Numerator and denominator are exact
+    // integers; the ratio is the single IEEE division at the surface.
+    // Degree-1 nodes are excluded (d(d−1)=0 — the coefficient is
+    // undefined, and surfacing NULL would just re-encode that). ----
+    "q129_clustering_coeff" -> ((s, dir) => {
+      val e = coSupplyEdges(s, dir)
+      val tri = Graph.triangleCounts(e)
+      val deg = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      deg
+        .join(tri, Seq("node"), "left")
+        .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+        .filter(col("deg") >= 2)
+        .withColumn("clustering_coeff",
+          (col("n_triangles") * 2).cast("double")
+            / (col("deg") * (col("deg") - 1)).cast("double"))
+        .select(col("node").as("p_partkey"), col("deg"), col("n_triangles"),
+          col("clustering_coeff"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ---- k-core backbone (Seidman 1983): iterative peel of nodes with
+    // induced degree < 8 until the fixed point. The fixed point is UNIQUE
+    // regardless of removal order, so an iterative Spark loop and an
+    // unrolled-CTE DuckDB oracle agree exactly once both converge (the
+    // operator throws on non-convergence; measured rounds-to-stable is
+    // 2–4 at every SF, the oracle unrolls 8). ----
+    "q130_kcore" -> ((s, dir) =>
+      Graph.kCore(coSupplyEdges(s, dir), k = 8)
+        .select(col("node").as("p_partkey"), col("core_deg"))
+        .orderBy(col("p_partkey"))),
+
     // ---- embedding-level dedup keep-list: connected components over the
     // exact cosine near-dup pairs (q28's edge set), keep the min vec_id per
     // component — the semantic-dedup step of a training pipeline, composed
@@ -2389,6 +2426,42 @@ object SparkEntry {
     * BIGINT widens to HUGEINT in DuckDB; the final ::BIGINT restores the
     * schema.
     */
+  /** q130's oracle, generated: k-core peeling unrolled as chained CTEs —
+    * each round keeps edges whose BOTH endpoints have round-local degree
+    * ≥ k. `rounds` must be ≥ the data's rounds-to-stable (measured 2–4 at
+    * every SF; 8 leaves 2× margin) — if the oracle hasn't converged the
+    * gate goes red, which is the correct failure direction.
+    */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs at each use
+    // site, and a round referencing its predecessor 3× would expand the
+    // base scan 3^rounds times (measured: "too many open files" at 8
+    // rounds before this)
+    val head =
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""".stripMargin
+    val rounds_ = (1 to rounds).flatMap { i =>
+      val p = s"e${i - 1}"
+      Seq(
+        s"""d$i AS MATERIALIZED (
+           |  SELECT node FROM (SELECT u AS node FROM $p UNION ALL SELECT v FROM $p)
+           |  GROUP BY node HAVING COUNT(*) >= $k)""".stripMargin,
+        s"""e$i AS MATERIALIZED (
+           |  SELECT e.u, e.v FROM $p e
+           |  JOIN d$i du ON e.u = du.node
+           |  JOIN d$i dv ON e.v = dv.node)""".stripMargin)
+    }
+    val tail =
+      s"""SELECT node AS p_partkey, CAST(COUNT(*) AS BIGINT) AS core_deg
+         |FROM (SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+         |GROUP BY node ORDER BY p_partkey""".stripMargin
+    (Seq(head) ++ rounds_).mkString(",\n") + "\n" + tail
+  }
+
   private def pageRankOracleSql(iters: Int): String = {
     val head =
       """WITH li AS (
@@ -3046,6 +3119,36 @@ object SparkEntry {
         |SELECT CAST(n2 // 2 AS BIGINT) AS n_edges,
         |  (n2 * sxy - sx * sx)::DOUBLE / (n2 * sxx - sx * sx)::DOUBLE AS assortativity
         |FROM s""".stripMargin,
+    "q130_kcore" -> kCoreOracleSql(k = 8, rounds = 8),
+    "q129_clustering_coeff" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, COUNT(*) AS deg
+        |  FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) GROUP BY node),
+        |ori AS (
+        |  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS src,
+        |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS dst,
+        |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN dv.deg ELSE du.deg END AS dst_d
+        |  FROM edges e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+        |tri AS (
+        |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM ori e1
+        |  JOIN ori e2 ON e1.src = e2.src AND (e1.dst_d, e1.dst) < (e2.dst_d, e2.dst)
+        |  JOIN ori e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+        |tc AS (
+        |  SELECT node, COUNT(*) AS n_triangles
+        |  FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |  GROUP BY node)
+        |SELECT deg.node AS p_partkey, CAST(deg.deg AS BIGINT) AS deg,
+        |  CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |  (coalesce(tc.n_triangles, 0) * 2)::DOUBLE / (deg.deg * (deg.deg - 1))::DOUBLE
+        |    AS clustering_coeff
+        |FROM deg LEFT JOIN tc ON deg.node = tc.node
+        |WHERE deg.deg >= 2 ORDER BY p_partkey""".stripMargin,
     "q128_embedding_dedup_keep" ->
       """WITH RECURSIVE
         |nn AS (

@@ -137,6 +137,48 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** k-core: the maximal subgraph where every node has induced degree ≥ k
+    * (Seidman 1983) — the standard "dense backbone" extraction. Classic
+    * peeling: drop nodes with degree < k, recompute induced degrees,
+    * repeat until stable. The fixed point is UNIQUE (independent of
+    * removal order), which is what makes an iterative operator gateable
+    * against an unrolled-rounds oracle: any two engines that both reach
+    * convergence agree exactly. Each round is one degree aggregation and
+    * two semi-joins; `localCheckpoint` per round keeps the plan
+    * constant-size (the q58/q85 CC lesson). Throws if not converged in
+    * `maxIters` — a silent partial peel would LOOK like a valid core.
+    * Input contract matches [[triangleCounts]]: first two columns are
+    * endpoints of canonical u < v edges. Output: (node, core_deg) for
+    * surviving nodes — every core_deg is ≥ k by construction.
+    */
+  def kCore(edges: DataFrame, k: Int, maxIters: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val Seq(uName, vName) = edges.columns.take(2).toSeq
+    def degrees(e: DataFrame): DataFrame = e
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+    var cur = edges.select(col(uName).as("u"), col(vName).as("v")).localCheckpoint(true)
+    var nEdges = cur.count()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val keep = degrees(cur).filter(col("core_deg") >= k).select(col("node"))
+      val next = cur
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      val n = next.count()
+      converged = n == nEdges
+      cur = next
+      nEdges = n
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(s"kCore(k=$k) did not converge in $maxIters rounds")
+    degrees(cur)
+  }
+
   /** Degree assortativity (Newman 2002): Pearson correlation between the
     * endpoint degrees of every DIRECTED edge of an undirected graph — do
     * hubs link to hubs (r > 0) or to leaves (r < 0)? Because the directed

@@ -114,6 +114,20 @@ class GraphSpec extends SparkTestBase {
     assert(row(Seq((1L, 2L), (2L, 3L), (1L, 3L))).isNullAt(1))
   }
 
+  test("kCore: pendant chain peels over multiple rounds; non-convergence throws") {
+    import spark.implicits._
+    // triangle {1,2,3} with a tail 3-4-5: the 2-core is exactly the
+    // triangle, reached in 3 rounds (5 drops, then 4, then stable) — the
+    // multi-round case that catches a peel that stops after one pass
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val got = Graph.kCore(edges, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    intercept[IllegalStateException] { Graph.kCore(edges, k = 2, maxIters = 2).count() }
+    // k above the max degree: empty core, no throw (0 == 0 converges)
+    assert(Graph.kCore(edges, k = 5).count() == 0)
+  }
+
   test("triangleCounts: hub node (degree skew) still counts exactly once each") {
     import spark.implicits._
     // hub 0 connected to 1..20, plus ring edges (i, i+1) for 1..19:
