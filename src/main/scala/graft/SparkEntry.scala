@@ -2389,6 +2389,67 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- link prediction by the resource-allocation index (Zhou 2009):
+    // score every non-adjacent part pair by Σ 1/deg(z) over shared
+    // co-supply neighbors z, the reciprocal in exact fixed-point (1e-12
+    // units, `div` on both engines) so the sum is order-independent. The
+    // wedge build is inherently C(deg,2) per hub; the maxHubDegree cap is
+    // operator SEMANTICS (super-hubs carry ~zero RA mass), applied
+    // identically in the oracle. ----
+    "q131_link_prediction" -> ((s, dir) =>
+      Graph.linkPredictionRA(coSupplyEdges(s, dir), minCommonNeighbors = 3)
+        .orderBy(col("ra_fixed").desc, col("u"), col("w"))),
+
+    // ---- Benford first-digit audit of order totals per priority class —
+    // the classic fabricated-data / drift detector for financial columns.
+    // The digit comes from the CENTS-integer's decimal string (no log10:
+    // its low-bit wobble could flip a boundary digit), counts are exact,
+    // and the expected Benford shares are identical double literals on
+    // both engines (e-notation in the oracle: DuckDB parses plain decimal
+    // literals as DECIMAL, whose double conversion is off by 1 ulp);
+    // the divisions at the surface are single IEEE ops. ----
+    "q132_benford" -> ((s, dir) => {
+      val digitShares = typedLit(Map(
+        1 -> 0.3010299956639812, 2 -> 0.17609125905568124, 3 -> 0.12493873660829993,
+        4 -> 0.09691001300805642, 5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+        7 -> 0.05799194697768673, 8 -> 0.05115252244738129, 9 -> 0.04575749056067514))
+      val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderpriority"))
+      t(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull && col("o_totalprice") > 0)
+        .withColumn("digit",
+          substring(round(col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+            .cast("int"))
+        .groupBy(col("o_orderpriority"), col("digit"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", col("n").cast("double") / sum(col("n")).over(wTot).cast("double"))
+        .withColumn("benford_share", element_at(digitShares, col("digit")))
+        .withColumn("abs_dev", abs(col("share") - col("benford_share")))
+        .select(col("o_orderpriority"), col("digit"), col("n"), col("share"),
+          col("benford_share"), col("abs_dev"))
+        .orderBy(col("o_orderpriority"), col("digit"))
+    }),
+
+    // ---- gaps-and-islands: per-user episodes of CONSECUTIVE same-type
+    // events (state runs), via the row_number-difference trick — two
+    // windows over the same (user, time) shuffle, then one groupBy. The
+    // (ts, event_id) compound order is a total order, so episode bounds
+    // are deterministic under ties. Everything partitions by user_id:
+    // no global sort, no single-reducer window at corpus scale. ----
+    "q133_state_episodes" -> ((s, dir) => {
+      val byUser = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val byUserType = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("__grp", row_number().over(byUser) - row_number().over(byUserType))
+        .groupBy(col("user_id"), col("event_type"), col("__grp"))
+        .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("event_type"), col("start_ts"), col("end_ts"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_ts"), col("event_type"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -3120,6 +3181,62 @@ object SparkEntry {
         |  (n2 * sxy - sx * sx)::DOUBLE / (n2 * sxx - sx * sx)::DOUBLE AS assortativity
         |FROM s""".stripMargin,
     "q130_kcore" -> kCoreOracleSql(k = 8, rounds = 8),
+    "q131_link_prediction" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, COUNT(*) AS deg
+        |  FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) GROUP BY node),
+        |adj AS (
+        |  SELECT z, nb, 1000000000000 // deg AS recip
+        |  FROM (SELECT u AS z, v AS nb FROM edges UNION ALL SELECT v, u FROM edges) a
+        |  JOIN deg ON a.z = deg.node WHERE deg.deg <= 1000),
+        |cand AS (
+        |  SELECT a.nb AS u, b.nb AS w, COUNT(*) AS common_neighbors,
+        |         CAST(SUM(a.recip) AS BIGINT) AS ra_fixed
+        |  FROM adj a JOIN adj b ON a.z = b.z AND a.nb < b.nb
+        |  GROUP BY a.nb, b.nb HAVING COUNT(*) >= 3)
+        |SELECT c.u, c.w, c.common_neighbors, c.ra_fixed
+        |FROM cand c LEFT JOIN edges e ON c.u = e.u AND c.w = e.v
+        |WHERE e.u IS NULL
+        |ORDER BY c.ra_fixed DESC, c.u, c.w""".stripMargin,
+    "q132_benford" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority,
+        |    CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+        |      AS digit
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+        |c AS (SELECT o_orderpriority, digit, COUNT(*) AS n FROM d GROUP BY 1, 2)
+        |SELECT o_orderpriority, digit, n,
+        |  n::DOUBLE / (SUM(n) OVER (PARTITION BY o_orderpriority))::DOUBLE AS share,
+        |  CASE digit
+        |    WHEN 1 THEN 3.010299956639812e-1 WHEN 2 THEN 1.7609125905568124e-1
+        |    WHEN 3 THEN 1.2493873660829993e-1 WHEN 4 THEN 9.691001300805642e-2
+        |    WHEN 5 THEN 7.918124604762482e-2 WHEN 6 THEN 6.694678963061322e-2
+        |    WHEN 7 THEN 5.799194697768673e-2 WHEN 8 THEN 5.115252244738129e-2
+        |    WHEN 9 THEN 4.575749056067514e-2 END AS benford_share,
+        |  abs(n::DOUBLE / (SUM(n) OVER (PARTITION BY o_orderpriority))::DOUBLE
+        |    - CASE digit
+        |        WHEN 1 THEN 3.010299956639812e-1 WHEN 2 THEN 1.7609125905568124e-1
+        |        WHEN 3 THEN 1.2493873660829993e-1 WHEN 4 THEN 9.691001300805642e-2
+        |        WHEN 5 THEN 7.918124604762482e-2 WHEN 6 THEN 6.694678963061322e-2
+        |        WHEN 7 THEN 5.799194697768673e-2 WHEN 8 THEN 5.115252244738129e-2
+        |        WHEN 9 THEN 4.575749056067514e-2 END) AS abs_dev
+        |FROM c ORDER BY o_orderpriority, digit""".stripMargin,
+    "q133_state_episodes" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |      AS grp
+        |  FROM events)
+        |SELECT user_id, event_type, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+        |  COUNT(*) AS n_events
+        |FROM r GROUP BY user_id, event_type, grp
+        |ORDER BY user_id, start_ts, event_type""".stripMargin,
     "q129_clustering_coeff" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

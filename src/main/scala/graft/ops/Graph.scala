@@ -179,6 +179,55 @@ object Graph {
     degrees(cur)
   }
 
+  /** Link prediction by the resource-allocation index (Zhou, Lü &
+    * Zhang 2009): for every NON-adjacent pair (u,w) with at least
+    * `minCommonNeighbors` shared neighbors, score = Σ_{z ∈ N(u)∩N(w)}
+    * 1/deg(z). The reciprocal is computed as EXACT fixed-point integer
+    * division (`scale div deg`, 1e12 units) so the per-pair sum is
+    * bit-identical under any summation order or partitioning — the same
+    * determinism trick as [[pageRankIntFixed]]; Adamic-Adar's 1/ln(deg)
+    * is deliberately avoided because libm `ln` low bits differ across
+    * engines. Candidate pairs come from wedge enumeration at the shared
+    * neighbor z, which is inherently C(deg(z), 2) per hub — unlike
+    * triangle counting there is no orientation trick, every wedge IS a
+    * candidate. The scale lever is `maxHubDegree`: super-hub wedges grow
+    * quadratically while contributing ~zero RA mass (1/deg → 0), so hubs
+    * above the cap are excluded as evidence — part of the operator's
+    * SEMANTICS (the oracle must apply the same cap), not an
+    * approximation knob. Three shuffles: degrees, wedge build on z,
+    * candidate groupBy (u,w); the anti-join against the edge list removes
+    * already-adjacent pairs. Output: (u, w, common_neighbors, ra_fixed)
+    * with ra_fixed in 1e-12 units.
+    */
+  def linkPredictionRA(
+      edges: DataFrame,
+      minCommonNeighbors: Int = 2,
+      maxHubDegree: Int = 1000,
+      scale: Long = 1000000000000L
+  ): DataFrame = {
+    require(minCommonNeighbors >= 1, s"minCommonNeighbors must be >= 1: $minCommonNeighbors")
+    val Seq(uName, vName) = edges.columns.take(2).toSeq
+    val e = edges.select(col(uName).as("u"), col(vName).as("v"))
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val adj = e.select(col("u").as("z"), col("v").as("nb"))
+      .unionAll(e.select(col("v").as("z"), col("u").as("nb")))
+      // attach the hub degree once, BEFORE the wedge self-join, so the
+      // fixed-point reciprocal rides along instead of re-joining degrees
+      // onto the (much larger) wedge table
+      .join(deg.withColumnRenamed("node", "z"), "z")
+      .filter(col("deg") <= maxHubDegree)
+      .withColumn("recip", expr(s"$scale div deg"))
+    val cand = adj.as("a")
+      .join(adj.as("b"), col("a.z") === col("b.z") && col("a.nb") < col("b.nb"))
+      .select(col("a.nb").as("u"), col("b.nb").as("w"), col("a.recip").as("recip"))
+      .groupBy(col("u"), col("w"))
+      .agg(count(lit(1)).as("common_neighbors"), sum(col("recip")).as("ra_fixed"))
+      .filter(col("common_neighbors") >= minCommonNeighbors)
+    cand.join(e, cand("u") === e("u") && cand("w") === e("v"), "left_anti")
+  }
+
   /** Degree assortativity (Newman 2002): Pearson correlation between the
     * endpoint degrees of every DIRECTED edge of an undirected graph — do
     * hubs link to hubs (r > 0) or to leaves (r < 0)? Because the directed

@@ -128,6 +128,36 @@ class GraphSpec extends SparkTestBase {
     assert(Graph.kCore(edges, k = 5).count() == 0)
   }
 
+  test("linkPredictionRA: path, square, hub cap, and adjacency exclusion") {
+    import spark.implicits._
+    // path 1-2-3: only candidate pair is (1,3) via hub 2 (deg 2) ->
+    // ra = 1e12 div 2 = 5e11, cn = 1
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val gotPath = Graph.linkPredictionRA(path, minCommonNeighbors = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(gotPath.toSeq == Seq((1L, 3L, 1L, 500000000000L)), s"path: ${gotPath.toSeq}")
+
+    // square 1-2-3-4-1: diagonals (1,3) and (2,4), each with TWO deg-2
+    // common neighbors -> cn = 2, ra = 2 * 5e11; the four square edges
+    // themselves are adjacent pairs and must NOT appear
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    val gotSq = Graph.linkPredictionRA(sq, minCommonNeighbors = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotSq == Set((1L, 3L, 2L, 1000000000000L), (2L, 4L, 2L, 1000000000000L)),
+      s"square: $gotSq")
+
+    // hub cap: star 0-(1..5) has every leaf pair as a candidate through
+    // hub 0 (deg 5); capping maxHubDegree below 5 removes the hub as
+    // evidence -> no candidates survive
+    val star = (1L to 5L).map((0L, _)).toDF("u", "v")
+    assert(Graph.linkPredictionRA(star, minCommonNeighbors = 1).count() == 10L)
+    assert(Graph.linkPredictionRA(star, minCommonNeighbors = 1, maxHubDegree = 4).count() == 0L)
+
+    // minCommonNeighbors filter: square diagonals have cn = 2, so a
+    // threshold of 3 empties the output
+    assert(Graph.linkPredictionRA(sq, minCommonNeighbors = 3).count() == 0L)
+  }
+
   test("triangleCounts: hub node (degree skew) still counts exactly once each") {
     import spark.implicits._
     // hub 0 connected to 1..20, plus ring edges (i, i+1) for 1..19:
