@@ -2450,6 +2450,61 @@ object SparkEntry {
         .orderBy(col("user_id"), col("start_ts"), col("event_type"))
     }),
 
+    // ---- CDC/MERGE apply without a table format: events as a change feed
+    // over a customer snapshot (purchase→U, signup→I, error→D), latest
+    // event_id wins per key. The window sorts only the DELTA; the base
+    // pays one anti-join and is never sorted. Balances to cents-integers
+    // so the payload arithmetic is exact on both engines. ----
+    "q134_cdc_merge" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
+      val changes = t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "signup", "error"))
+        .select(col("user_id").as("c_custkey"),
+          concat(lit("cdc#"), col("event_id").cast("string")).as("c_name"),
+          round(col("value") * 100).cast("long").as("acctbal_cents"),
+          col("event_id").as("version"),
+          when(col("event_type") === "error", lit("D"))
+            .when(col("event_type") === "signup", lit("I"))
+            .otherwise(lit("U")).as("op"))
+      Relational.applyCdc(base, changes, Seq("c_custkey"), "version", "op")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- reciprocal-rank fusion of two per-source document rankings
+    // (token count, char length) — the multi-signal shortlist merge of a
+    // curation pipeline. Reciprocals in exact fixed-point `div` so the
+    // cross-list sum is order-independent; ranks come from windows
+    // PARTITIONED by source (the op itself is union + groupBy, sort-free). ----
+    "q135_rrf_fusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          coalesce(length(col("text")), lit(0)).as("n_chars"))
+        .localCheckpoint()
+      val bySrc = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      val byTokens = bySrc.orderBy(col("n_tokens").desc, col("doc_id"))
+      val byChars = bySrc.orderBy(col("n_chars").desc, col("doc_id"))
+      val rankA = docs.withColumn("rank", row_number().over(byTokens))
+      val rankB = docs.withColumn("rank", row_number().over(byChars))
+      Relational.rrfFuse(Seq(rankA, rankB), Seq("source", "doc_id"), "rank")
+        .orderBy(col("rrf_fixed").desc, col("source"), col("doc_id"))
+    }),
+
+    // ---- sorted-neighborhood near-dup pairs (Hernández-Stolfo): blocks =
+    // source, sort key = 12-char text prefix, window 8, exact-jaccard
+    // verify at 0.5 — the O(n·w) complement to MinHash blocking. The rank
+    // self-join runs on w-sized rank BUCKETS (each left row explodes to 2
+    // bucket keys), never within-block all-pairs. ----
+    "q136_sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          blockCol = col("source"),
+          sortKey = substring(trim(coalesce(col("text"), lit(""))), 1, 12),
+          windowSize = 8, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -3226,6 +3281,58 @@ object SparkEntry {
         |        WHEN 7 THEN 5.799194697768673e-2 WHEN 8 THEN 5.115252244738129e-2
         |        WHEN 9 THEN 4.575749056067514e-2 END) AS abs_dev
         |FROM c ORDER BY o_orderpriority, digit""".stripMargin,
+    "q134_cdc_merge" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        |  FROM customer),
+        |ch AS (
+        |  SELECT user_id AS c_custkey, 'cdc#' || CAST(event_id AS VARCHAR) AS c_name,
+        |         CAST(round(value * 100) AS BIGINT) AS acctbal_cents, event_id AS version,
+        |         CASE event_type WHEN 'error' THEN 'D' WHEN 'signup' THEN 'I' ELSE 'U' END AS op
+        |  FROM events WHERE event_type IN ('purchase', 'signup', 'error')),
+        |latest AS (
+        |  SELECT c_custkey, c_name, acctbal_cents, op FROM ch
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY version DESC) = 1)
+        |SELECT b.c_custkey, b.c_name, b.acctbal_cents FROM base b
+        |WHERE b.c_custkey NOT IN (SELECT c_custkey FROM latest)
+        |UNION ALL
+        |SELECT c_custkey, c_name, acctbal_cents FROM latest WHERE upper(op) <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
+    "q135_rrf_fusion" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |      ELSE len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END
+        |      AS n_tokens,
+        |    coalesce(length(text), 0) AS n_chars
+        |  FROM documents),
+        |ra AS (SELECT source, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS rank FROM d),
+        |rb AS (SELECT source, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank FROM d),
+        |u AS (
+        |  SELECT source, doc_id, 1000000000000 // (60 + rank) AS recip FROM ra
+        |  UNION ALL
+        |  SELECT source, doc_id, 1000000000000 // (60 + rank) FROM rb)
+        |SELECT source, doc_id, COUNT(*) AS n_lists, CAST(SUM(recip) AS BIGINT) AS rrf_fixed
+        |FROM u GROUP BY source, doc_id
+        |ORDER BY rrf_fixed DESC, source, doc_id""".stripMargin,
+    "q136_sorted_neighborhood" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END
+        |      AS ws,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY substr(trim(coalesce(text, '')), 1, 12), doc_id) AS rn
+        |  FROM documents),
+        |p AS (
+        |  SELECT least(a.doc_id, b.doc_id) AS id_a, greatest(a.doc_id, b.doc_id) AS id_b,
+        |    CASE WHEN len(list_distinct(list_concat(a.ws, b.ws))) = 0 THEN 1.0
+        |      ELSE len(list_intersect(a.ws, b.ws))::DOUBLE
+        |        / len(list_distinct(list_concat(a.ws, b.ws)))::DOUBLE END AS jaccard
+        |  FROM d a JOIN d b ON a.source = b.source AND b.rn - a.rn BETWEEN 1 AND 7)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
     "q133_state_episodes" ->
       """WITH r AS (
         |  SELECT user_id, event_type, ts, event_id,

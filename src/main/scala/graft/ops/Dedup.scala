@@ -112,6 +112,58 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo 1995): sort
+    * each block by a cheap key, compare only rows within `windowSize`
+    * rank positions, verify survivors with exact word-set Jaccard. The
+    * complement to MinHash blocking — catches neighbors a hash bucket
+    * splits (prefix typos, serial ids) at O(n·w) candidate cost with NO
+    * pairwise hashing. Scale contract: the row_number window partitions
+    * by `blockCol`, so pick blocks bounded well under a partition (source,
+    * date, shard) — the sort is per-block, never global. The rank-window
+    * self-join is NOT a naive within-block O(block²) equi-join: rows join
+    * on w-sized rank BUCKETS (pair at distance ≤ w−1 ⇒ right bucket is
+    * left's or the next — each left row explodes to exactly 2 bucket
+    * keys), so join fanout is O(n·w) by construction and hot blocks
+    * shuffle-spread across (block, bucket) keys. Output: canonical
+    * (id_a < id_b) pairs with exact jaccard ≥ threshold.
+    */
+  def sortedNeighborhoodPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: Column,
+      sortKey: Column,
+      windowSize: Int,
+      threshold: Double
+  ): DataFrame = {
+    require(windowSize >= 2, s"windowSize must be >= 2: $windowSize")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val w = Window.partitionBy(col("blk")).orderBy(col("sk"), col("id"))
+    // tokenize + rank once; the self-join below reads it twice
+    val ranked = docs
+      .select(blockCol.as("blk"), col(idCol).as("id"), sortKey.as("sk"),
+        array_sort(array_distinct(TextAnalysis.tokens(col(textCol)))).as("ws"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("bkt", expr(s"(rn - 1) div $windowSize"))
+      .localCheckpoint()
+    val left = ranked.select(col("blk"), col("id").as("id_l"), col("ws").as("ws_l"),
+        col("rn").as("rn_l"), explode(array(col("bkt"), col("bkt") + 1)).as("bkt"))
+    val right = ranked.select(col("blk"), col("bkt"), col("id").as("id_r"),
+      col("ws").as("ws_r"), col("rn").as("rn_r"))
+    left
+      .join(right, Seq("blk", "bkt"))
+      .filter((col("rn_r") - col("rn_l")).between(1, windowSize - 1))
+      // size-ratio prefilter before the merge-loop jaccard, as in
+      // [[jaccardPairs]] — monotone rounding keeps every boundary pair
+      .filter((size(col("ws_l")) === 0 && size(col("ws_r")) === 0)
+        || least(size(col("ws_l")), size(col("ws_r"))).cast("double")
+          / greatest(size(col("ws_l")), size(col("ws_r"))).cast("double") >= threshold)
+      .withColumn("jaccard", call_function("graft_sorted_jaccard", col("ws_l"), col("ws_r")))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"), col("jaccard"))
+  }
+
   /** All DIRECTED containment pairs over `shingle`-gram sets, bounded id
     * range: containment(A→B) = |A∩B| / |A| (Broder) — scores ~1.0 when A is
     * embedded in B even though symmetric Jaccard is low (quotes, excerpts,

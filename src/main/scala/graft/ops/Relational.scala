@@ -261,6 +261,77 @@ object Relational {
           .as("n_outliers"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009): combine
+    * several rankings of the same items into one score,
+    * Σ_lists 1/(k + rank), with the reciprocal in EXACT fixed-point
+    * integer division (1e-12 units) so the cross-list sum is
+    * bit-identical under any summation order — the same determinism
+    * device as [[Graph.linkPredictionRA]]. Items missing from a list
+    * contribute nothing for it (the standard convention); `n_lists`
+    * surfaces how many lists ranked each item so callers can tell a
+    * consensus item from a single-list spike. Each input must carry
+    * `keyCols` (item identity — INCLUDE the group/query column when
+    * fusing per-group rankings) and `rankCol` (1-based). Ranking
+    * construction is the caller's job, and the scale contract lives
+    * there: build ranks with windows PARTITIONED by the group column
+    * (or bounded top-N shortlists), never one global row_number. This
+    * op itself is one union + one groupBy — no window, no sort.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      keyCols: Seq[String],
+      rankCol: String,
+      k: Int = 60,
+      scale: Long = 1000000000000L
+  ): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 0, s"k must be >= 0: $k")
+    val slim = rankings.map(r =>
+      r.select((keyCols.map(col) :+ expr(s"$scale div ($k + $rankCol)").as("__rrf_recip")): _*))
+    slim.reduce(_ unionByName _)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_lists"), sum(col("__rrf_recip")).as("rrf_fixed"))
+  }
+
+  /** CDC/MERGE apply WITHOUT a transactional table format: fold a
+    * change feed (whole-row payloads + version + op) into a base
+    * snapshot. Latest-version-wins per key; op 'D' deletes the key,
+    * anything else upserts its payload (an 'I' on an existing key and a
+    * 'U' on a missing one both resolve to the payload — upsert
+    * semantics, the standard untyped-MERGE behavior). `changes` must
+    * carry every base column plus `versionCol`/`opCol`; `versionCol`
+    * must be UNIQUE per key (pass a compound struct expression as a
+    * derived column if the natural version ties) — a tie would make
+    * latest-wins nondeterministic, which no partitioning trick can fix.
+    *
+    * Scale shape: the window sorts only the CHANGE FEED partitioned by
+    * key (a delta, typically orders of magnitude under the base), and
+    * the base pays one anti-join shuffle on its key — it is never
+    * sorted, never windowed. AQE broadcasts the anti-join's right side
+    * when the touched-key set is small, which is the common CDC case.
+    */
+  def applyCdc(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      versionCol: String,
+      opCol: String
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "applyCdc needs at least one key column")
+    val missing = (base.columns.toSet + versionCol + opCol) -- changes.columns.toSet
+    require(missing.isEmpty, s"changes is missing columns: $missing")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)
+    val latest = changes
+      .withColumn("__cdc_rn", row_number().over(w))
+      .filter(col("__cdc_rn") === 1)
+    val survivors = latest
+      .filter(upper(col(opCol)) =!= "D")
+      .select(base.columns.map(col).toSeq: _*)
+    base
+      .join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(survivors)
+  }
+
   /** Point-in-interval range join WITHOUT a nested-loop: Spark plans a pure
     * range predicate (no equi-key) as BroadcastNestedLoopJoin — O(points ×
     * intervals) work and an executor-OOM broadcast when neither side is

@@ -388,4 +388,47 @@ class OpsSpec extends SparkTestBase {
     assert(out(0).getAs[Long]("oid") == 77L, "right row at exactly leftTs must match")
     assert(out(1).isNullAt(out(1).fieldIndex("oid")), "no earlier right row ⇒ NULL")
   }
+
+  test("sorted neighborhood: window bounds candidates, jaccard verifies, blocks isolate") {
+    import spark.implicits._
+    // one block; sort key = text, so the two apple-docs and the two
+    // zebra-docs are rank-adjacent while the families sit far apart
+    val docs = Seq(
+      (1L, "blk", "apple banana cherry"),
+      (2L, "blk", "apple banana cherry date"),
+      (3L, "blk", "zebra yak xray"),
+      (4L, "blk", "zebra yak xray walrus")
+    ).toDF("doc_id", "src", "text")
+    def run(w: Int, thr: Double = 0.5) = Dedup
+      .sortedNeighborhoodPairs(docs, "doc_id", "text",
+        blockCol = col("src"), sortKey = col("text"), windowSize = w, threshold = thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // w=2: only rank-adjacent pairs compared; both families found, the
+    // cross-family adjacency (2,3) has jaccard 0 and is verified away
+    assert(run(2) == Set((1L, 2L), (3L, 4L)), s"w=2: ${run(2)}")
+    // full window: no additional TRUE pairs exist, output unchanged
+    assert(run(4) == Set((1L, 2L), (3L, 4L)))
+
+    // rank distance beats similarity: an explicit sort key puts an
+    // unrelated doc BETWEEN the near-dup pair; w=2 misses the pair
+    // (distance 2), w=3 recovers it
+    val wedge = Seq(
+      (1L, "blk", "apple banana cherry", "a1"),
+      (5L, "blk", "totally unrelated words", "a2"),
+      (2L, "blk", "apple banana cherry date", "a3")
+    ).toDF("doc_id", "src", "text", "sk")
+    val w2 = Dedup.sortedNeighborhoodPairs(wedge, "doc_id", "text",
+        col("src"), col("sk"), windowSize = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w3 = Dedup.sortedNeighborhoodPairs(wedge, "doc_id", "text",
+        col("src"), col("sk"), windowSize = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!w2.contains((1L, 2L)) && w3.contains((1L, 2L)), s"w2=$w2 w3=$w3")
+
+    // different blocks never pair, even with identical text
+    val split = Seq((1L, "b1", "same text here"), (2L, "b2", "same text here"))
+      .toDF("doc_id", "src", "text")
+    assert(Dedup.sortedNeighborhoodPairs(split, "doc_id", "text",
+      col("src"), col("text"), windowSize = 4, threshold = 0.1).count() == 0)
+  }
 }

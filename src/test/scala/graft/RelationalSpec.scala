@@ -317,4 +317,40 @@ class RelationalSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got == want)
   }
+
+  test("applyCdc: latest-wins upsert, delete, insert, untouched passthrough") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      // key 1: deleted at v5, then re-upserted at v6 -> survives as a2
+      (1L, "dead", 5L, "D"), (1L, "a2", 6L, "U"),
+      // key 2: two updates, v2 is latest -> b3
+      (2L, "b2", 1L, "U"), (2L, "b3", 2L, "U"),
+      // key 3: deleted
+      (3L, "gone", 1L, "D"),
+      // key 4: fresh insert; an 'I' on existing key 2 at an OLD version
+      // must lose to the newer 'U'
+      (4L, "d", 1L, "I"), (2L, "stale", 0L, "I")
+    ).toDF("k", "v", "ver", "op")
+    val got = Relational.applyCdc(base, changes, Seq("k"), "ver", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "a2", 2L -> "b3", 4L -> "d"), s"cdc: $got")
+    // missing payload column fails fast, not at execution
+    intercept[IllegalArgumentException] {
+      Relational.applyCdc(base, changes.drop("v"), Seq("k"), "ver", "op")
+    }
+  }
+
+  test("rrfFuse: fixed-point reciprocal sums and per-item list counts") {
+    import spark.implicits._
+    def recip(rank: Long): Long = 1000000000000L / (60L + rank)
+    val ra = Seq(("x", 1L), ("y", 2L), ("z", 3L)).toDF("item", "rank")
+    val rb = Seq(("y", 1L), ("z", 2L)).toDF("item", "rank") // x unranked in B
+    val got = Relational.rrfFuse(Seq(ra, rb), Seq("item"), "rank")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "x" -> ((1L, recip(1))),
+      "y" -> ((2L, recip(2) + recip(1))),
+      "z" -> ((2L, recip(3) + recip(2)))), s"rrf: $got")
+  }
 }
