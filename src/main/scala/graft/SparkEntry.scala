@@ -2505,6 +2505,94 @@ object SparkEntry {
           windowSize = 8, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- streaming CDC: the q134 change feed through a keyed
+    // flatMapGroupsWithState latest-version store, folded into the base
+    // snapshot — gated against the SAME batch oracle as q134 (max-version
+    // selection is order-free, so stream and batch must agree exactly).
+    // The batch-side merge runs on the memory-sink result. ----
+    "q137_stream_cdc" -> ((s, dir) => {
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prior = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try {
+        val sch = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType),
+          StructField("props", StringType)))
+        val raw = s.readStream.schema(sch)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val changes = raw
+          .filter(col("event_type").isin("purchase", "signup", "error"))
+          .select(col("user_id").as("key"),
+            concat(lit("cdc#"), col("event_id").cast("string")).as("name"),
+            round(col("value") * 100).cast("long").as("cents"),
+            col("event_id").as("version"),
+            when(col("event_type") === "error", lit("D"))
+              .when(col("event_type") === "signup", lit("I"))
+              .otherwise(lit("U")).as("op"))
+        val latest = graft.streaming.StreamOps
+          .runToMemory(s, graft.streaming.StreamOps.cdcLatest(s, changes),
+            "q137_mem", org.apache.spark.sql.streaming.OutputMode.Append())
+          .select(col("key").as("c_custkey"), col("name").as("c_name"),
+            col("cents").as("acctbal_cents"), col("op"))
+        val base = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
+        base
+          .join(latest.select(col("c_custkey")), Seq("c_custkey"), "left_anti")
+          .unionByName(latest.filter(upper(col("op")) =!= "D").drop("op"))
+          .orderBy(col("c_custkey"))
+      } finally prior match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+
+    // ---- missingness-pattern profile: one row per NULL-combination of
+    // three derived nullable views of lineitem (NULLIF encodings of the
+    // zero/default states) — correlated-missingness fingerprint in one
+    // pass; the pattern share divides exact counts at the surface. ----
+    "q138_null_patterns" -> ((s, dir) => {
+      val v = t(s, dir, "lineitem")
+        .select(nullif(col("l_tax"), lit(0.0)).as("tax"),
+          nullif(col("l_discount"), lit(0.0)).as("discount"),
+          nullif(col("l_returnflag"), lit("N")).as("returnflag"))
+      val profiled = Relational.nullPatternProfile(v, Seq("tax", "discount", "returnflag"))
+      val total = org.apache.spark.sql.expressions.Window.partitionBy()
+      // the pattern table is ≤ 2^3 rows — the unpartitioned share window
+      // runs over 8 rows, not the input
+      profiled
+        .withColumn("share", col("n").cast("double") / sum(col("n")).over(total).cast("double"))
+        .orderBy(col("tax_null"), col("discount_null"), col("returnflag_null"))
+    }),
+
+    // ---- vocabulary coverage curve: cumulative token-mass share by
+    // frequency rank — the "how big a vocab do we need" curve. The
+    // window is unpartitioned BUT runs over the vocabulary aggregate
+    // (dictionary-sized by construction; for web-scale vocabularies the
+    // q82 bucketed prefix-sum machinery is the drop-in). ----
+    "q139_vocab_coverage" -> ((s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      val byFreq = org.apache.spark.sql.expressions.Window
+        .orderBy(col("tf").desc, col("token"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val total = org.apache.spark.sql.expressions.Window.partitionBy()
+      vocab
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("tf").desc, col("token"))))
+        .withColumn("cum_tf", sum(col("tf")).over(byFreq))
+        .withColumn("cum_share",
+          col("cum_tf").cast("double") / sum(col("tf")).over(total).cast("double"))
+        .select(col("rank"), col("token"), col("tf"), col("cum_tf"), col("cum_share"))
+        .orderBy(col("rank"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -3281,6 +3369,48 @@ object SparkEntry {
         |        WHEN 7 THEN 5.799194697768673e-2 WHEN 8 THEN 5.115252244738129e-2
         |        WHEN 9 THEN 4.575749056067514e-2 END) AS abs_dev
         |FROM c ORDER BY o_orderpriority, digit""".stripMargin,
+    // identical oracle to q134: max-version CDC state is order-free, so the
+    // streaming fold must agree with the batch merge cell-exactly
+    "q137_stream_cdc" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        |  FROM customer),
+        |ch AS (
+        |  SELECT user_id AS c_custkey, 'cdc#' || CAST(event_id AS VARCHAR) AS c_name,
+        |         CAST(round(value * 100) AS BIGINT) AS acctbal_cents, event_id AS version,
+        |         CASE event_type WHEN 'error' THEN 'D' WHEN 'signup' THEN 'I' ELSE 'U' END AS op
+        |  FROM events WHERE event_type IN ('purchase', 'signup', 'error')),
+        |latest AS (
+        |  SELECT c_custkey, c_name, acctbal_cents, op FROM ch
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY version DESC) = 1)
+        |SELECT b.c_custkey, b.c_name, b.acctbal_cents FROM base b
+        |WHERE b.c_custkey NOT IN (SELECT c_custkey FROM latest)
+        |UNION ALL
+        |SELECT c_custkey, c_name, acctbal_cents FROM latest WHERE upper(op) <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
+    "q138_null_patterns" ->
+      """WITH v AS (
+        |  SELECT NULLIF(l_tax, 0.0) AS tax, NULLIF(l_discount, 0.0) AS discount,
+        |         NULLIF(l_returnflag, 'N') AS returnflag FROM lineitem),
+        |c AS (
+        |  SELECT tax IS NULL AS tax_null, discount IS NULL AS discount_null,
+        |         returnflag IS NULL AS returnflag_null, COUNT(*) AS n
+        |  FROM v GROUP BY 1, 2, 3)
+        |SELECT tax_null, discount_null, returnflag_null, n,
+        |  n::DOUBLE / (SUM(n) OVER ())::DOUBLE AS share
+        |FROM c ORDER BY tax_null, discount_null, returnflag_null""".stripMargin,
+    "q139_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS token
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |v AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token),
+        |r AS (SELECT token, tf,
+        |  ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS rank,
+        |  SUM(tf) OVER (ORDER BY tf DESC, token ROWS UNBOUNDED PRECEDING) AS cum_tf,
+        |  SUM(tf) OVER () AS total FROM v)
+        |SELECT rank, token, tf, CAST(cum_tf AS BIGINT) AS cum_tf,
+        |  cum_tf::DOUBLE / total::DOUBLE AS cum_share
+        |FROM r ORDER BY rank""".stripMargin,
     "q134_cdc_merge" ->
       """WITH base AS (
         |  SELECT c_custkey, c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents

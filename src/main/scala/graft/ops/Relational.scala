@@ -261,6 +261,23 @@ object Relational {
           .as("n_outliers"))
   }
 
+  /** Missingness-pattern profile: one row per NULL/non-NULL combination
+    * of `cols` with its count — the data-quality fingerprint that tells
+    * correlated missingness (sensor A and B always NULL together) from
+    * independent gaps, which per-column null rates cannot. Single pass,
+    * one shuffle of ≤ 2^|cols| partial rows per task (map-side combine
+    * collapses to the pattern count before anything ships); the initial
+    * select prunes the scan to exactly the profiled columns.
+    */
+  def nullPatternProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "nullPatternProfile needs at least one column")
+    require(cols.size <= 20, s"2^${cols.size} patterns — cap the column set at 20")
+    val flagged = df.select(cols.map(c => col(c).isNull.as(s"${c}_null")): _*)
+    flagged
+      .groupBy(cols.map(c => col(s"${c}_null")): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009): combine
     * several rankings of the same items into one score,
     * Σ_lists 1/(k + rank), with the reciprocal in EXACT fixed-point

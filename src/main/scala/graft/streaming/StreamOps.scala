@@ -122,6 +122,37 @@ object StreamOps {
       .toDF()
   }
 
+  final case class CdcChange(key: Long, name: String, cents: Long, version: Long, op: String)
+
+  /** Streaming CDC latest-state store: a keyed `flatMapGroupsWithState`
+    * machine that keeps the MAX-version change per key and emits the
+    * post-batch latest row — the stream-side half of
+    * [[graft.ops.Relational.applyCdc]]'s latest-wins fold. Max-version
+    * selection is commutative/associative/idempotent, so the state is
+    * independent of arrival order, batch boundaries, and partitioning —
+    * the same order-free-aggregation discipline as
+    * [[runningUserTotalsExact]], which is exactly what makes a streaming
+    * operator batch-equivalence-GATEABLE (q137 folds the emitted latest
+    * rows into the base snapshot and must match q134's batch oracle).
+    * Versions must be unique per key (ties would make latest-wins
+    * nondeterministic in any execution model). State is one row per key,
+    * forever — real deployments add a TTL/timeout; the gate's feed is
+    * bounded.
+    */
+  def cdcLatest(spark: SparkSession, changes: DataFrame): DataFrame = {
+    import spark.implicits._
+    changes.as[CdcChange]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[CdcChange], state: GroupState[CdcChange]) => {
+          var cur = state.getOption.orNull
+          rows.foreach { r => if (cur == null || r.version > cur.version) cur = r }
+          state.update(cur)
+          Iterator(cur)
+        })
+      .toDF()
+  }
+
   /** Streaming twin of the Bronze→Silver entregas ingest (SURVEY §2.10):
     * `readStream.csv` with the fixed schema → the SAME typed/enrich/quality
     * expressions as the batch pipeline → `foreachBatch` splitting each

@@ -187,4 +187,32 @@ class StreamingSpec extends SparkTestBase {
     assert(j.count() > 0)
     assert(j.filter(col("n_events") =!= col("n_batch")).count() == 0)
   }
+
+  test("streaming CDC latest-state == batch latest-wins, any arrival order") {
+    import spark.implicits._
+    val changes = Seq(
+      // key 7: three versions, deliberately NOT in version order in the
+      // input — max-version selection must not care
+      StreamOps.CdcChange(7L, "v2", 200L, 2L, "U"),
+      StreamOps.CdcChange(7L, "v3", 300L, 3L, "U"),
+      StreamOps.CdcChange(7L, "v1", 100L, 1L, "I"),
+      // key 8: delete wins as the latest
+      StreamOps.CdcChange(8L, "x", 10L, 1L, "U"),
+      StreamOps.CdcChange(8L, "gone", 0L, 2L, "D"),
+      // key 9: single insert
+      StreamOps.CdcChange(9L, "only", 55L, 1L, "I"))
+    val dir = java.nio.file.Files.createTempDirectory("cdcstream").toString
+    changes.toDF().repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(changes.toDF().schema)
+      .parquet(dir)
+    val got = StreamOps
+      .runToMemory(spark, StreamOps.cdcLatest(spark, stream), "cdc_latest", OutputMode.Append)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got == Map(
+      7L -> (("v3", 300L, 3L, "U")),
+      8L -> (("gone", 0L, 2L, "D")),
+      9L -> (("only", 55L, 1L, "I"))), s"cdc state: $got")
+  }
 }
