@@ -2593,6 +2593,60 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // ---- k-NN label-error audit (confident learning): per vector, the
+    // label histogram of its 10 exact nearest neighbors; own-label vs
+    // neighborhood-majority disagreement flags suspected label errors.
+    // Exact arm over the bounded panel (complete at sf0.001/0.01); the
+    // ANN twins are the documented corpus-scale neighbor stage. ----
+    "q140_label_audit" -> ((s, dir) =>
+      Similarity.knnLabelAudit(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", k = 10, maxQueryId = 500)
+        .orderBy(col("query_id"))),
+
+    // ---- per-group min-max feature scaling on exact cents integers: the
+    // min/max are exact, the surface is one IEEE division; degenerate
+    // groups (max == min) surface NULL rather than 0/0. ----
+    "q141_minmax_scale" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val ext = c.groupBy(col("c_nationkey"))
+        .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      c.join(broadcast(ext), "c_nationkey")
+        .withColumn("scaled",
+          when(col("hi") === col("lo"), lit(null).cast("double"))
+            .otherwise((col("cents") - col("lo")).cast("double")
+              / (col("hi") - col("lo")).cast("double")))
+        .select(col("c_custkey"), col("c_nationkey"), col("cents"), col("scaled"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- Cohen's kappa between two document-quality classifiers (char
+    // length ≥ 200 vs token count ≥ 40): chance-corrected agreement from
+    // the exact 2×2 contingency, algebraically collapsed to ONE double
+    // division — kappa = (N·(n11+n00) − (r1·c1 + r0·c0)) /
+    // (N² − (r1·c1 + r0·c0)), products in DECIMAL(38,0) so corpus-scale
+    // N² cannot overflow. ----
+    "q142_kappa" -> ((s, dir) => {
+      val d0 = DecimalType(38, 0)
+      val flags = t(s, dir, "documents")
+        .select((coalesce(length(col("text")), lit(0)) >= 200).as("a"),
+          (TextAnalysis.tokenCount(col("text")) >= 40).as("b"))
+      flags.agg(
+          count(lit(1)).as("n"),
+          count(when(col("a") && col("b"), 1)).as("n11"),
+          count(when(!col("a") && !col("b"), 1)).as("n00"),
+          count(when(col("a") && !col("b"), 1)).as("n10"),
+          count(when(!col("a") && col("b"), 1)).as("n01"))
+        .withColumn("__pe",
+          (col("n11") + col("n10")).cast(d0) * (col("n11") + col("n01")).cast(d0)
+            + (col("n00") + col("n01")).cast(d0) * (col("n00") + col("n10")).cast(d0))
+        .select(col("n"), col("n11"), col("n00"), col("n10"), col("n01"),
+          ((col("n").cast(d0) * (col("n11") + col("n00")).cast(d0) - col("__pe")).cast("double")
+            / (col("n").cast(d0) * col("n").cast(d0) - col("__pe")).cast("double"))
+            .as("kappa"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -3369,6 +3423,61 @@ object SparkEntry {
         |        WHEN 7 THEN 5.799194697768673e-2 WHEN 8 THEN 5.115252244738129e-2
         |        WHEN 9 THEN 4.575749056067514e-2 END) AS abs_dev
         |FROM c ORDER BY o_orderpriority, digit""".stripMargin,
+    "q140_label_audit" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, iv, CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+        |        FROM embeddings) v),
+        |nn AS (
+        |  SELECT query_id, nb_label FROM (
+        |    SELECT q.vec_id AS query_id, c.label AS nb_label,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        CAST(list_sum(list_transform(range(1, 65), i -> q.iv[i] * c.iv[i])) AS BIGINT)::DOUBLE
+        |          / (sqrt(q.nrm::DOUBLE) * sqrt(c.nrm::DOUBLE)) DESC, c.vec_id ASC) AS rank
+        |    FROM n q JOIN n c ON q.vec_id < 500 AND c.vec_id <> q.vec_id) r
+        |  WHERE rank <= 10),
+        |votes AS (SELECT query_id, nb_label, COUNT(*) AS votes FROM nn GROUP BY 1, 2),
+        |maj AS (
+        |  SELECT query_id, nb_label AS majority_label, votes AS majority_votes FROM votes
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, nb_label ASC) = 1)
+        |SELECT e.vec_id AS query_id, e.label, m.majority_label,
+        |  CAST(m.majority_votes AS BIGINT) AS majority_votes,
+        |  m.majority_votes::DOUBLE / 10.0 AS agree_frac,
+        |  (m.majority_label <> e.label) AS suspect
+        |FROM embeddings e JOIN maj m ON e.vec_id = m.query_id
+        |WHERE e.vec_id < 500 ORDER BY query_id""".stripMargin,
+    "q141_minmax_scale" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |e AS (SELECT c_nationkey, MIN(cents) AS lo, MAX(cents) AS hi FROM c GROUP BY 1)
+        |SELECT c.c_custkey, c.c_nationkey, c.cents,
+        |  CASE WHEN e.hi = e.lo THEN NULL
+        |    ELSE (c.cents - e.lo)::DOUBLE / (e.hi - e.lo)::DOUBLE END AS scaled
+        |FROM c JOIN e USING (c_nationkey) ORDER BY c.c_custkey""".stripMargin,
+    "q142_kappa" ->
+      """WITH f AS (
+        |  SELECT (coalesce(length(text), 0) >= 200) AS a,
+        |    (CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |      ELSE len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END >= 40)
+        |      AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT COUNT(*) AS n,
+        |    COUNT(*) FILTER (a AND b) AS n11,
+        |    COUNT(*) FILTER ((NOT a) AND (NOT b)) AS n00,
+        |    COUNT(*) FILTER (a AND NOT b) AS n10,
+        |    COUNT(*) FILTER ((NOT a) AND b) AS n01
+        |  FROM f)
+        |SELECT n, n11, n00, n10, n01,
+        |  (n::DECIMAL(38,0) * (n11 + n00)::DECIMAL(38,0)
+        |     - ((n11 + n10)::DECIMAL(38,0) * (n11 + n01)::DECIMAL(38,0)
+        |        + (n00 + n01)::DECIMAL(38,0) * (n00 + n10)::DECIMAL(38,0)))::DOUBLE
+        |  / (n::DECIMAL(38,0) * n::DECIMAL(38,0)
+        |     - ((n11 + n10)::DECIMAL(38,0) * (n11 + n01)::DECIMAL(38,0)
+        |        + (n00 + n01)::DECIMAL(38,0) * (n00 + n10)::DECIMAL(38,0)))::DOUBLE AS kappa
+        |FROM c""".stripMargin,
     // identical oracle to q134: max-version CDC state is order-free, so the
     // streaming fold must agree with the batch merge cell-exactly
     "q137_stream_cdc" ->

@@ -79,6 +79,45 @@ object Similarity {
       .select(col("query_id"), col("id").as("neighbor_id"), col("dot"), col("cosine"), col("rank"))
   }
 
+  /** k-NN label audit (the confident-learning move, Northcutt 2021): for
+    * each query vector, the label histogram of its k nearest neighbors;
+    * a vector whose own label disagrees with the neighborhood majority is
+    * a suspected LABEL ERROR — the single highest-yield filter on noisy
+    * supervised/preference data. Majority ties break by (votes desc,
+    * label asc) — deterministic. Built on the exact [[bruteForceTopK]]
+    * arm over a bounded query panel (the oracle-gateable form); at corpus
+    * scale swap in [[annTopK]]/[[ivfTopK]] for the neighbor stage and
+    * audit shards of queries — the vote/majority tail is unchanged (one
+    * groupBy + one k-bounded window + one key join, all on query_id).
+    */
+  def knnLabelAudit(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      labelCol: String,
+      k: Int,
+      maxQueryId: Long
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val labels = emb.select(col(idCol).as("neighbor_id"), col(labelCol).as("nb_label"))
+    val nn = bruteForceTopK(emb, emb.filter(col(idCol) < maxQueryId), idCol, embCol, k)
+    val votes = nn
+      .join(labels, "neighbor_id")
+      .groupBy(col("query_id"), col("nb_label"))
+      .agg(count(lit(1)).as("votes"))
+    val wMaj = Window.partitionBy(col("query_id")).orderBy(col("votes").desc, col("nb_label").asc)
+    val maj = votes
+      .withColumn("rn", row_number().over(wMaj))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("nb_label").as("majority_label"),
+        col("votes").as("majority_votes"))
+    emb.filter(col(idCol) < maxQueryId)
+      .select(col(idCol).as("query_id"), col(labelCol).as("label"))
+      .join(maj, "query_id")
+      .withColumn("agree_frac", col("majority_votes").cast("double") / lit(k).cast("double"))
+      .withColumn("suspect", col("majority_label") =!= col("label"))
+  }
+
   /** All pairs with cosine ≥ threshold (id_a < id_b). Brute-force form for
     * BOUNDED corpora / oracle verification ONLY: the non-equi condition forces
     * a nested-loop join, and `forceBroadcast` (default) ships the whole right

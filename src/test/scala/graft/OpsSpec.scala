@@ -389,6 +389,29 @@ class OpsSpec extends SparkTestBase {
     assert(out(1).isNullAt(out(1).fieldIndex("oid")), "no earlier right row ⇒ NULL")
   }
 
+  test("knn label audit: cluster-consistent labels pass, the planted error is flagged") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes; id 2 sits in cluster A but
+    // carries cluster B's label — the planted label error
+    val emb = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f), 1),
+      (1L, Array(0.9f, 0.1f, 0f, 0f), 1),
+      (2L, Array(0.95f, 0.05f, 0f, 0f), 2), // mislabeled
+      (3L, Array(0f, 1.0f, 0f, 0f), 2),
+      (4L, Array(0f, 0.9f, 0.1f, 0f), 2),
+      (5L, Array(0f, 0.95f, 0.05f, 0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelAudit(emb, "vec_id", "embedding", "label", k = 2, maxQueryId = 6)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getBoolean(5)))).toMap
+    // id 2's two nearest are 0 and 1 (label 1) -> majority 1, own 2 -> suspect
+    assert(got(2L) == ((2, 1, true)), s"planted error: ${got(2L)}")
+    // its cluster-mates see one vote each way (the mislabeled neighbor) —
+    // tie breaks to the SMALLER label, which equals their own
+    assert(got(0L) == ((1, 1, false)) && got(1L) == ((1, 1, false)), s"cluster A: $got")
+    // cluster B is label-pure
+    assert(Seq(3L, 4L, 5L).forall(i => got(i) == ((2, 2, false))), s"cluster B: $got")
+  }
+
   test("sorted neighborhood: window bounds candidates, jaccard verifies, blocks isolate") {
     import spark.implicits._
     // one block; sort key = text, so the two apple-docs and the two
