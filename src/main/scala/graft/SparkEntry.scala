@@ -2647,6 +2647,70 @@ object SparkEntry {
             .as("kappa"))
     }),
 
+    // ---- per-group z-score standardization with EXACT interior algebra:
+    // z = (n·x − S) / sqrt(n·Q − S²) over cents integers in DECIMAL(38,0)
+    // (the (x−μ)/σ form rearranged so every intermediate is exact; one
+    // sqrt + one division at the surface — both correctly-rounded IEEE
+    // ops, so engines agree bit-exactly where a naive mean/stddev chain
+    // diverges in summation order). ----
+    "q143_zscore" -> ((s, dir) => {
+      val d0 = DecimalType(38, 0)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val stats = li.groupBy(col("flag")).agg(
+        count(lit(1)).cast(d0).as("nn"),
+        sum(col("cents").cast(d0)).as("ss"),
+        sum(col("cents").cast(d0) * col("cents").cast(d0)).as("qq"))
+      li.join(broadcast(stats), "flag")
+        .withColumn("z",
+          (col("nn") * col("cents").cast(d0) - col("ss")).cast("double")
+            / sqrt((col("nn") * col("qq") - col("ss") * col("ss")).cast("double")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("flag"), col("cents"), col("z"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- max concurrent open order-lines per supplier: sweep-line over
+    // ±1 boundary events of the [o_orderdate, l_shipdate) interval, running
+    // sum under a per-supplier window with a TOTAL order ((date, delta,
+    // orderkey, linenumber); delta −1 sorts first, so half-open intervals
+    // release before same-day starts). The capacity-planning twin of the
+    // q124 coverage sweep — no O(n²) overlap join anywhere. ----
+    "q144_max_concurrent" -> ((s, dir) => {
+      val iv = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+          "l_orderkey")
+        .filter(col("l_shipdate") > col("o_orderdate"))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("o_orderdate"), col("l_shipdate"))
+      val deltas = iv.select(col("l_suppkey"), col("o_orderdate").as("d"),
+          lit(1).as("delta"), col("l_orderkey"), col("l_linenumber"))
+        .unionByName(iv.select(col("l_suppkey"), col("l_shipdate").as("d"),
+          lit(-1).as("delta"), col("l_orderkey"), col("l_linenumber")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("d"), col("delta"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      deltas
+        .withColumn("open", sum(col("delta")).over(w))
+        .groupBy(col("l_suppkey"))
+        .agg(max(col("open")).as("max_open"), (count(lit(1)) / 2).cast("long").as("n_lines"))
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // ---- per-session dwell/bounce: the q17 sessionizer surfaced at
+    // SESSION grain (start/end/dwell/bounce) — windows stay partitioned
+    // by user; the event-id tie-break makes session MEMBERSHIP a total
+    // order even on tied timestamps. ----
+    "q145_session_dwell" -> ((s, dir) =>
+      Relational.sessionize(t(s, dir, "events"), col("user_id"), col("ts"),
+          gapSeconds = 1800, tieBreak = Seq(col("event_id")))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+          count(lit(1)).as("n_events"))
+        .withColumn("dwell_us", unix_micros(col("end_ts")) - unix_micros(col("start_ts")))
+        .withColumn("bounce", col("n_events") === 1)
+        .orderBy(col("user_id"), col("session_id"))),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -3423,6 +3487,54 @@ object SparkEntry {
         |        WHEN 7 THEN 5.799194697768673e-2 WHEN 8 THEN 5.115252244738129e-2
         |        WHEN 9 THEN 4.575749056067514e-2 END) AS abs_dev
         |FROM c ORDER BY o_orderpriority, digit""".stripMargin,
+    "q143_zscore" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+        |st AS (
+        |  SELECT flag, CAST(COUNT(*) AS DECIMAL(38,0)) AS nn,
+        |    SUM(CAST(cents AS DECIMAL(38,0))) AS ss,
+        |    SUM(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS qq
+        |  FROM li GROUP BY flag)
+        |SELECT li.l_orderkey, li.l_linenumber, li.flag, li.cents,
+        |  (st.nn * CAST(li.cents AS DECIMAL(38,0)) - st.ss)::DOUBLE
+        |    / sqrt((st.nn * st.qq - st.ss * st.ss)::DOUBLE) AS z
+        |FROM li JOIN st USING (flag) ORDER BY li.l_orderkey, li.l_linenumber""".stripMargin,
+    "q144_max_concurrent" ->
+      """WITH iv AS (
+        |  SELECT l.l_suppkey, l.l_orderkey, l.l_linenumber, o.o_orderdate, l.l_shipdate
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_shipdate > o.o_orderdate),
+        |deltas AS (
+        |  SELECT l_suppkey, o_orderdate AS d, 1 AS delta, l_orderkey, l_linenumber FROM iv
+        |  UNION ALL
+        |  SELECT l_suppkey, l_shipdate, -1, l_orderkey, l_linenumber FROM iv),
+        |runs AS (
+        |  SELECT l_suppkey,
+        |    SUM(delta) OVER (PARTITION BY l_suppkey
+        |      ORDER BY d, delta, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING) AS open
+        |  FROM deltas)
+        |SELECT l_suppkey, CAST(MAX(open) AS BIGINT) AS max_open,
+        |  CAST(COUNT(*) / 2 AS BIGINT) AS n_lines
+        |FROM runs GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "q145_session_dwell" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800 * 1000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  MIN(ts) AS start_ts, MAX(ts) AS end_ts, COUNT(*) AS n_events,
+        |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dwell_us,
+        |  (COUNT(*) = 1) AS bounce
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "q140_label_audit" ->
       """WITH n AS (
         |  SELECT vec_id, label, iv, CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS nrm

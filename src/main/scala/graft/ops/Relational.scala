@@ -604,9 +604,14 @@ object Relational {
       keyCol: Column,
       tsCol: Column,
       gapSeconds: Long,
-      sessionCol: String = "session_id"
+      sessionCol: String = "session_id",
+      // equal-timestamp rows otherwise have ARBITRARY lag order, which can
+      // flip which of the tied rows closes the previous session — pass a
+      // unique tie-break (event id) whenever per-session MEMBERSHIP (not
+      // just per-key counts) is surfaced
+      tieBreak: Seq[Column] = Nil
   ): DataFrame = {
-    val byKeyTime = Window.partitionBy(keyCol).orderBy(tsCol)
+    val byKeyTime = Window.partitionBy(keyCol).orderBy(tsCol +: tieBreak: _*)
     val prevTs = lag(tsCol, 1).over(byKeyTime)
     // exact integer microsecond comparison — a double epoch-seconds diff would
     // disagree with the oracle at the gap boundary on sub-second timestamps.
