@@ -2711,6 +2711,67 @@ object SparkEntry {
         .withColumn("bounce", col("n_events") === 1)
         .orderBy(col("user_id"), col("session_id"))),
 
+    // ---- exact-algebra Pearson correlation per group: r = (nΣxy − ΣxΣy)
+    // / (sqrt(nΣxx − (Σx)²)·sqrt(nΣyy − (Σy)²)) with every sum/product in
+    // DECIMAL(38,0). sqrt(a·b) is split as sqrt(a)·sqrt(b) because the
+    // 26-digit factors would overflow 38 digits multiplied together —
+    // each sqrt is correctly rounded, the product and division are single
+    // IEEE ops, so engines agree bit-exactly (q127/q143 pattern). ----
+    "q146_correlation" -> ((s, dir) => {
+      val d0 = DecimalType(38, 0)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          round(col("l_quantity") * 100).cast("long").as("x"),
+          round(col("l_extendedprice") * 100).cast("long").as("y"))
+      li.groupBy(col("flag"))
+        .agg(count(lit(1)).cast(d0).as("nn"),
+          sum(col("x").cast(d0)).as("sx"), sum(col("y").cast(d0)).as("sy"),
+          sum(col("x").cast(d0) * col("x").cast(d0)).as("sxx"),
+          sum(col("y").cast(d0) * col("y").cast(d0)).as("syy"),
+          sum(col("x").cast(d0) * col("y").cast(d0)).as("sxy"))
+        .select(col("flag"), col("nn").cast("long").as("n"),
+          ((col("nn") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("nn") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * sqrt((col("nn") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("pearson_r"))
+        .orderBy(col("flag"))
+    }),
+
+    // ---- duplicate-cluster size histogram: how many exact-dup clusters
+    // of each size exist (the dedup dashboard headline). Two aggregations,
+    // both key-collapsing — output is bounded by max cluster size. ----
+    "q147_cluster_sizes" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(Dedup.wordSetSignature(col("text")).as("sig"))
+        .groupBy(col("sig")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))),
+
+    // ---- histogram-based AUC (no global per-row sort): collapse to
+    // distinct score values with pos/neg counts, prefix-sum the negatives
+    // below each score, then 2U = Σ pos_s·(2·cumneg_<s + neg_s) — exact
+    // integers end to end, ties worth ½ by construction, ONE division at
+    // the surface. The window runs over the DISTINCT-SCORE table (score
+    // cardinality, not corpus rows); q82's bucketed prefix sums are the
+    // drop-in when even that is unbounded. ----
+    "q148_auc" -> ((s, dir) => {
+      val d0 = DecimalType(38, 0)
+      val h = t(s, dir, "documents")
+        .select(col("n_chars").as("score"), col("lang").eqNullSafe("en").as("label"))
+        .groupBy(col("score"))
+        .agg(count(when(col("label"), 1)).as("pos"),
+          count(when(!col("label"), 1)).as("neg"))
+      val wBelow = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      h.withColumn("cumneg", coalesce(sum(col("neg")).over(wBelow), lit(0L)))
+        .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+          sum(col("pos").cast(d0) * (col("cumneg").cast(d0) * 2 + col("neg").cast(d0)))
+            .as("u2"))
+        .select(col("n_pos"), col("n_neg"), col("u2").cast("long").as("u2"),
+          (col("u2").cast("double")
+            / (col("n_pos").cast(d0) * col("n_neg").cast(d0) * 2).cast("double")).as("auc"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -3487,6 +3548,53 @@ object SparkEntry {
         |        WHEN 7 THEN 5.799194697768673e-2 WHEN 8 THEN 5.115252244738129e-2
         |        WHEN 9 THEN 4.575749056067514e-2 END) AS abs_dev
         |FROM c ORDER BY o_orderpriority, digit""".stripMargin,
+    "q146_correlation" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |st AS (
+        |  SELECT flag, CAST(COUNT(*) AS DECIMAL(38,0)) AS nn,
+        |    SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+        |    SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+        |    SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy,
+        |    SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy
+        |  FROM li GROUP BY flag)
+        |SELECT flag, CAST(nn AS BIGINT) AS n,
+        |  (nn * sxy - sx * sy)::DOUBLE
+        |    / (sqrt((nn * sxx - sx * sx)::DOUBLE) * sqrt((nn * syy - sy * sy)::DOUBLE))
+        |    AS pearson_r
+        |FROM st ORDER BY flag""".stripMargin,
+    "q147_cluster_sizes" ->
+      """WITH sig AS (
+        |  SELECT md5(array_to_string(list_sort(list_distinct(
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END)), ' '))
+        |    AS sig
+        |  FROM documents),
+        |cl AS (SELECT sig, COUNT(*) AS cluster_size FROM sig GROUP BY sig)
+        |SELECT cluster_size, COUNT(*) AS n_clusters FROM cl
+        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    "q148_auc" ->
+      """WITH h AS (
+        |  SELECT n_chars AS score,
+        |    COUNT(*) FILTER (lang = 'en') AS pos,
+        |    COUNT(*) FILTER (lang IS NULL OR lang <> 'en') AS neg
+        |  FROM documents GROUP BY n_chars),
+        |c AS (
+        |  SELECT pos, neg,
+        |    coalesce(SUM(neg) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS cumneg
+        |  FROM h)
+        |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg,
+        |  CAST(SUM(CAST(pos AS DECIMAL(38,0)) * (CAST(cumneg AS DECIMAL(38,0)) * 2
+        |    + CAST(neg AS DECIMAL(38,0)))) AS BIGINT) AS u2,
+        |  SUM(CAST(pos AS DECIMAL(38,0)) * (CAST(cumneg AS DECIMAL(38,0)) * 2
+        |    + CAST(neg AS DECIMAL(38,0))))::DOUBLE
+        |  / (CAST(SUM(pos) AS DECIMAL(38,0)) * CAST(SUM(neg) AS DECIMAL(38,0)) * 2)::DOUBLE
+        |  AS auc
+        |FROM c""".stripMargin,
     "q143_zscore" ->
       """WITH li AS (
         |  SELECT l_orderkey, l_linenumber, l_returnflag AS flag,

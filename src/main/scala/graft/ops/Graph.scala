@@ -207,7 +207,11 @@ object Graph {
   ): DataFrame = {
     require(minCommonNeighbors >= 1, s"minCommonNeighbors must be >= 1: $minCommonNeighbors")
     val Seq(uName, vName) = edges.columns.take(2).toSeq
-    val e = edges.select(col(uName).as("u"), col(vName).as("v"))
+    // the edge frame feeds FOUR plan branches (degrees, both sides of the
+    // wedge self-join via adj, and the final adjacency anti-join) — without
+    // a checkpoint each branch replays the caller's full edge derivation
+    // (for q131's co-supply graph: scan + join + self-join + distinct)
+    val e = edges.select(col(uName).as("u"), col(vName).as("v")).localCheckpoint()
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
