@@ -2772,6 +2772,42 @@ object SparkEntry {
             / (col("n_pos").cast(d0) * col("n_neg").cast(d0) * 2).cast("double")).as("auc"))
     }),
 
+    // ---- Gini-Simpson diversity of languages per source: 1 − Σp² written
+    // as (N² − Σn²)/N² — exact DECIMAL(38,0) interior, one division; plus
+    // the inverse-Simpson "effective language count" N²/Σn². The
+    // data-mixing balance metric, by the same exact-algebra discipline as
+    // q142/q146. ----
+    "q149_simpson_diversity" -> ((s, dir) => {
+      val d0 = DecimalType(38, 0)
+      t(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("nl"))
+        .groupBy(col("source"))
+        .agg(sum(col("nl")).cast(d0).as("nn"),
+          sum(col("nl").cast(d0) * col("nl").cast(d0)).as("sq"),
+          count(lit(1)).as("n_langs"))
+        .select(col("source"), col("nn").cast("long").as("n_docs"), col("n_langs"),
+          ((col("nn") * col("nn") - col("sq")).cast("double")
+            / (col("nn") * col("nn")).cast("double")).as("simpson_diversity"),
+          ((col("nn") * col("nn")).cast("double") / col("sq").cast("double"))
+            .as("effective_langs"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- 3-hop reachability counts over the co-supply graph for a
+    // 50-part seed panel: fixed-round frontier expansion (3 shuffles,
+    // checkpoint per round), gated against a 3×-unrolled MATERIALIZED-CTE
+    // oracle — the influence-radius measure, no convergence collect. ----
+    "q150_khop_reach" -> ((s, dir) => {
+      val e = coSupplyEdges(s, dir)
+      val seeds = e.select(col("u").as("seed"))
+        .unionAll(e.select(col("v").as("seed")))
+        .distinct().filter(col("seed") < 50)
+      Graph.kHopCounts(e, seeds, k = 3)
+        .withColumnRenamed("seed", "p_partkey")
+        .orderBy(col("p_partkey"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -3548,6 +3584,42 @@ object SparkEntry {
         |        WHEN 7 THEN 5.799194697768673e-2 WHEN 8 THEN 5.115252244738129e-2
         |        WHEN 9 THEN 4.575749056067514e-2 END) AS abs_dev
         |FROM c ORDER BY o_orderpriority, digit""".stripMargin,
+    "q149_simpson_diversity" ->
+      """WITH c AS (SELECT source, lang, COUNT(*) AS nl FROM documents GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(SUM(nl) AS DECIMAL(38,0)) AS nn,
+        |  SUM(CAST(nl AS DECIMAL(38,0)) * CAST(nl AS DECIMAL(38,0))) AS sq,
+        |  COUNT(*) AS n_langs FROM c GROUP BY source)
+        |SELECT source, CAST(nn AS BIGINT) AS n_docs, n_langs,
+        |  (nn * nn - sq)::DOUBLE / (nn * nn)::DOUBLE AS simpson_diversity,
+        |  (nn * nn)::DOUBLE / sq::DOUBLE AS effective_langs
+        |FROM st ORDER BY source""".stripMargin,
+    "q150_khop_reach" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |sym AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
+        |r0 AS MATERIALIZED (
+        |  SELECT node AS seed, node FROM (
+        |    SELECT u AS node FROM edges UNION SELECT v FROM edges) n
+        |  WHERE node < 50),
+        |r1 AS MATERIALIZED (
+        |  SELECT DISTINCT seed, node FROM (
+        |    SELECT seed, node FROM r0
+        |    UNION ALL SELECT r0.seed, s.dst FROM r0 JOIN sym s ON r0.node = s.src) x),
+        |r2 AS MATERIALIZED (
+        |  SELECT DISTINCT seed, node FROM (
+        |    SELECT seed, node FROM r1
+        |    UNION ALL SELECT r1.seed, s.dst FROM r1 JOIN sym s ON r1.node = s.src) x),
+        |r3 AS MATERIALIZED (
+        |  SELECT DISTINCT seed, node FROM (
+        |    SELECT seed, node FROM r2
+        |    UNION ALL SELECT r2.seed, s.dst FROM r2 JOIN sym s ON r2.node = s.src) x)
+        |SELECT seed AS p_partkey, COUNT(*) AS n_within_3
+        |FROM r3 GROUP BY seed ORDER BY p_partkey""".stripMargin,
     "q146_correlation" ->
       """WITH li AS (
         |  SELECT l_returnflag AS flag,

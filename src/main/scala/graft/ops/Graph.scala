@@ -179,6 +179,39 @@ object Graph {
     degrees(cur)
   }
 
+  /** k-hop reachability counts for a seed panel: |{v : dist(seed, v) ≤ k}|
+    * per seed (seed included at distance 0) — the neighborhood-size /
+    * influence-radius measure. Fixed-round frontier expansion: round i
+    * joins the reached set against the adjacency list and unions+distincts
+    * — k shuffles total, each bounded by (reached × avg-degree), with a
+    * `localCheckpoint` per round keeping the plan constant-size (the CC /
+    * kCore lesson). A FIXED k makes the operator a pure function of
+    * (edges, seeds, k) — gateable against a k-times-unrolled oracle; no
+    * convergence collect. Input contract matches [[triangleCounts]]:
+    * first two columns are canonical u < v endpoints; edges are treated
+    * as undirected.
+    */
+  def kHopCounts(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 8, s"k must be in [1,8]: $k")
+    val Seq(uName, vName) = edges.columns.take(2).toSeq
+    val sym = edges
+      .select(col(uName).as("src"), col(vName).as("dst"))
+      .unionAll(edges.select(col(vName).as("src"), col(uName).as("dst")))
+      .localCheckpoint()
+    val seedCol = seeds.columns.head
+    var reached = seeds.select(col(seedCol).as("seed"), col(seedCol).as("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to k) {
+      reached = reached
+        .unionAll(reached
+          .join(sym, reached("node") === sym("src"))
+          .select(col("seed"), col("dst").as("node")))
+        .distinct()
+        .localCheckpoint(true)
+    }
+    reached.groupBy(col("seed")).agg(count(lit(1)).as(s"n_within_$k"))
+  }
+
   /** Link prediction by the resource-allocation index (Zhou, Lü &
     * Zhang 2009): for every NON-adjacent pair (u,w) with at least
     * `minCommonNeighbors` shared neighbors, score = Σ_{z ∈ N(u)∩N(w)}

@@ -128,6 +128,29 @@ class GraphSpec extends SparkTestBase {
     assert(Graph.kCore(edges, k = 5).count() == 0)
   }
 
+  test("kHopCounts: path, star, and disconnected seeds") {
+    import spark.implicits._
+    // path 1-2-3-4-5, seed 1: k=1 -> {1,2}, k=2 -> {1,2,3}, k=4 -> all 5
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val seed1 = Seq(1L).toDF("seed")
+    def reach(edges: org.apache.spark.sql.DataFrame, seeds: org.apache.spark.sql.DataFrame, k: Int) =
+      Graph.kHopCounts(edges, seeds, k).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(reach(path, seed1, 1) == Map(1L -> 2L))
+    assert(reach(path, seed1, 2) == Map(1L -> 3L))
+    assert(reach(path, seed1, 4) == Map(1L -> 5L))
+
+    // star 0-(1..6): from the hub, 1 hop covers everything; from a leaf,
+    // 1 hop reaches only the hub, 2 hops the whole star
+    val star = (1L to 6L).map((0L, _)).toDF("u", "v")
+    assert(reach(star, Seq(0L).toDF("seed"), 1) == Map(0L -> 7L))
+    assert(reach(star, Seq(3L).toDF("seed"), 1) == Map(3L -> 2L))
+    assert(reach(star, Seq(3L).toDF("seed"), 2) == Map(3L -> 7L))
+
+    // a seed disconnected from the rest reaches only itself at any k
+    val twoComp = Seq((1L, 2L), (8L, 9L)).toDF("u", "v")
+    assert(reach(twoComp, Seq(1L, 8L).toDF("seed"), 3) == Map(1L -> 2L, 8L -> 2L))
+  }
+
   test("linkPredictionRA: path, square, hub cap, and adjacency exclusion") {
     import spark.implicits._
     // path 1-2-3: only candidate pair is (1,3) via hub 2 (deg 2) ->
