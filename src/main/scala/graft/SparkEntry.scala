@@ -2808,6 +2808,92 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
 
+    // ---- market-basket brand affinity (frequent pairs + lift): baskets are
+    // orders, items are the DISTINCT brands in each basket, so the self-join
+    // fans out C(brands-per-order, 2) ≤ C(7,2) per basket — bounded by basket
+    // width, never by item popularity. Output is ≤ C(25,2) rows regardless of
+    // corpus size; support and lift are each ONE double division over exact
+    // integer products (q146 discipline). ----
+    "q151_brand_affinity" -> ((s, dir) => {
+      val d0 = DecimalType(38, 0)
+      val bi = t(s, dir, "lineitem")
+        .join(t(s, dir, "part").select(col("p_partkey").as("l_partkey"), col("p_brand")),
+          "l_partkey")
+        .select(col("l_orderkey"), col("p_brand")).distinct()
+      val pairs = bi.as("a").join(bi.as("b"), Seq("l_orderkey"))
+        .filter(col("a.p_brand") < col("b.p_brand"))
+        .select(col("a.p_brand").as("brand_a"), col("b.p_brand").as("brand_b"))
+        .groupBy(col("brand_a"), col("brand_b")).agg(count(lit(1)).as("c_ab"))
+      val item = bi.groupBy(col("p_brand")).agg(count(lit(1)).as("c_item"))
+      val tot = bi.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
+      pairs
+        .join(broadcast(item.select(col("p_brand").as("brand_a"), col("c_item").as("c_a"))),
+          "brand_a")
+        .join(broadcast(item.select(col("p_brand").as("brand_b"), col("c_item").as("c_b"))),
+          "brand_b")
+        .crossJoin(broadcast(tot))
+        .select(col("brand_a"), col("brand_b"), col("c_ab"), col("c_a"), col("c_b"),
+          col("n_baskets"),
+          (col("c_ab").cast("double") / col("n_baskets").cast("double")).as("support"),
+          ((col("c_ab").cast(d0) * col("n_baskets").cast(d0)).cast("double")
+            / (col("c_a").cast(d0) * col("c_b").cast(d0)).cast("double")).as("lift"))
+        .orderBy(col("brand_a"), col("brand_b"))
+    }),
+
+    // ---- max drawdown of the per-supplier net-revenue curve: daily net
+    // cents (returns negative), cumulative sum, running peak, drawdown =
+    // peak − cum — all integer window algebra partitioned by supplier, two
+    // stacked windows over the DAILY aggregate (≤ date-range rows per key,
+    // not lineitem rows). The risk-exposure measure for any signed series. ----
+    "q152_drawdown" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_shipdate"),
+          when(col("l_returnflag") === "R",
+              -round(col("l_extendedprice") * 100).cast("long"))
+            .otherwise(round(col("l_extendedprice") * 100).cast("long")).as("net_cents"))
+        .groupBy(col("l_suppkey"), col("l_shipdate"))
+        .agg(sum(col("net_cents")).as("day_cents"))
+      val wCum = W.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+        .rowsBetween(W.unboundedPreceding, 0)
+      daily
+        .withColumn("cum", sum(col("day_cents")).over(wCum))
+        .withColumn("peak", max(col("cum")).over(wCum))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_days"),
+          max(col("peak")).as("peak_cents"),
+          max(col("peak") - col("cum")).as("max_drawdown_cents"),
+          sum(col("day_cents")).as("final_cents"))
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // ---- clamped running balance (floor-at-zero ledger) WITHOUT iteration:
+    // the recursive c_i = max(0, c_{i-1} + x_i) has the closed form
+    // c_i = S_i − min(0, min_{j≤i} S_j) over plain prefix sums, so two
+    // stacked per-user windows replace a stateful scan — exact integers,
+    // arrival-order total-ordered by (ts, event_id). Credits are
+    // purchase/signup value cents; everything else debits. ----
+    "q153_clamped_balance" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val led = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type").isin("purchase", "signup"),
+              round(col("value") * 100).cast("long"))
+            .otherwise(-round(col("value") * 100).cast("long")).as("x"))
+      val w = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+      led
+        .withColumn("s", sum(col("x")).over(w))
+        .withColumn("bal", col("s") - least(lit(0L), min(col("s")).over(w)))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("bal")).as("max_balance"),
+          // the closed form at the last row: S_n − min(0, min_j S_j) — an
+          // order-free aggregate, no last()/arg_max needed
+          (sum(col("x")) - least(lit(0L), min(col("s")))).as("final_balance"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -3620,6 +3706,70 @@ object SparkEntry {
         |    UNION ALL SELECT r2.seed, s.dst FROM r2 JOIN sym s ON r2.node = s.src) x)
         |SELECT seed AS p_partkey, COUNT(*) AS n_within_3
         |FROM r3 GROUP BY seed ORDER BY p_partkey""".stripMargin,
+    "q151_brand_affinity" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |pairs AS (
+        |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS c_ab
+        |  FROM bi a JOIN bi b
+        |    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        |  GROUP BY 1, 2),
+        |item AS (SELECT p_brand, COUNT(*) AS c_item FROM bi GROUP BY 1),
+        |tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM bi)
+        |SELECT brand_a, brand_b, c_ab, ia.c_item AS c_a, ib.c_item AS c_b, n_baskets,
+        |  c_ab::DOUBLE / n_baskets::DOUBLE AS support,
+        |  (CAST(c_ab AS DECIMAL(38,0)) * CAST(n_baskets AS DECIMAL(38,0)))::DOUBLE
+        |    / (CAST(ia.c_item AS DECIMAL(38,0)) * CAST(ib.c_item AS DECIMAL(38,0)))::DOUBLE
+        |    AS lift
+        |FROM pairs
+        |JOIN item ia ON brand_a = ia.p_brand
+        |JOIN item ib ON brand_b = ib.p_brand
+        |CROSS JOIN tot
+        |ORDER BY brand_a, brand_b""".stripMargin,
+    "q152_drawdown" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey, l_shipdate,
+        |    SUM(CASE WHEN l_returnflag = 'R'
+        |      THEN -CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      ELSE CAST(round(l_extendedprice * 100) AS BIGINT) END) AS day_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |cums AS (
+        |  SELECT l_suppkey, l_shipdate, day_cents,
+        |    SUM(day_cents) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM daily),
+        |curve AS (
+        |  SELECT l_suppkey, day_cents, cum,
+        |    MAX(cum) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM cums)
+        |SELECT l_suppkey, COUNT(*) AS n_days,
+        |  CAST(MAX(peak) AS BIGINT) AS peak_cents,
+        |  CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_cents,
+        |  CAST(SUM(day_cents) AS BIGINT) AS final_cents
+        |FROM curve GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "q153_clamped_balance" ->
+      """WITH led AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type IN ('purchase', 'signup')
+        |      THEN CAST(round(value * 100) AS BIGINT)
+        |      ELSE -CAST(round(value * 100) AS BIGINT) END AS x
+        |  FROM events),
+        |sums AS (
+        |  SELECT user_id, ts, event_id, x,
+        |    SUM(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM led),
+        |pre AS (
+        |  SELECT user_id, x, s,
+        |    LEAST(0, MIN(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS floorv
+        |  FROM sums)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(MAX(s - floorv) AS BIGINT) AS max_balance,
+        |  CAST(SUM(x) - LEAST(0, MIN(s)) AS BIGINT) AS final_balance
+        |FROM pre GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q146_correlation" ->
       """WITH li AS (
         |  SELECT l_returnflag AS flag,
