@@ -2894,6 +2894,65 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ---- Pareto / ABC inventory classification: brands ranked by exact
+    // revenue cents, cumulative share thresholds at 80% / 95% tested as
+    // INTEGER cross-products (cum·5 ≤ tot·4, cum·20 ≤ tot·19) — no division
+    // anywhere. Windows run over the 25-row brand AGGREGATE, so the
+    // unpartitioned ordering is a constant-size frame at any corpus scale. ----
+    "q154_pareto_abc" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val rev = t(s, dir, "lineitem")
+        .join(t(s, dir, "part").select(col("p_partkey").as("l_partkey"), col("p_brand")),
+          "l_partkey")
+        .groupBy(col("p_brand"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      val wCum = W.orderBy(col("cents").desc, col("p_brand"))
+        .rowsBetween(W.unboundedPreceding, 0)
+      val d0 = DecimalType(38, 0)
+      rev
+        .withColumn("rnk", row_number().over(W.orderBy(col("cents").desc, col("p_brand"))))
+        .withColumn("cum_cents", sum(col("cents")).over(wCum))
+        .withColumn("total_cents",
+          sum(col("cents")).over(W.partitionBy(lit(1))))
+        .withColumn("abc_class",
+          when(col("cum_cents").cast(d0) * 5 <= col("total_cents").cast(d0) * 4, "A")
+            .when(col("cum_cents").cast(d0) * 20 <= col("total_cents").cast(d0) * 19, "B")
+            .otherwise("C"))
+        .select(col("p_brand"), col("rnk"), col("cents"), col("cum_cents"),
+          col("total_cents"), col("abc_class"))
+        .orderBy(col("rnk"))
+    }),
+
+    // ---- RFM segmentation: per-customer recency/frequency/monetary scored
+    // into quartiles over the FULLY DETERMINISTIC total order (metric,
+    // custkey). NOT the naive `ntile(4) over (order by …)` — that window is
+    // unpartitioned, one sort reducer for ALL customers at corpus scale —
+    // but [[Relational.globalNtile]]: bucketed two-pass global ranks + the
+    // SQL-standard tile-fill formula in integer DIV, bit-identical to the
+    // window form (DuckDB runs plain NTILE as the oracle). Monetary is
+    // exact cents; recency is integer days. ----
+    "q155_rfm" -> ((s, dir) => {
+      val per = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_date"),
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+        .withColumn("r_days", datediff(col("last_date"), lit("1990-01-01")))
+      val scored = Seq(("r_days", "r_score"), ("n_orders", "f_score"),
+        ("total_cents", "m_score"))
+        .foldLeft(per) { case (df, (m, sc)) =>
+          Relational.globalNtile(df, m, "o_custkey", 4, sc)
+        }
+      scored
+        .withColumn("segment",
+          concat(col("r_score").cast("string"), col("f_score").cast("string"),
+            col("m_score").cast("string")))
+        .select(col("o_custkey"), col("last_date"), col("n_orders"),
+          col("total_cents"), col("r_score"), col("f_score"), col("m_score"),
+          col("segment"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -3770,6 +3829,45 @@ object SparkEntry {
         |  CAST(MAX(s - floorv) AS BIGINT) AS max_balance,
         |  CAST(SUM(x) - LEAST(0, MIN(s)) AS BIGINT) AS final_balance
         |FROM pre GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q154_pareto_abc" ->
+      """WITH rev AS (
+        |  SELECT p_brand,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  GROUP BY 1),
+        |ranked AS (
+        |  SELECT p_brand, cents,
+        |    ROW_NUMBER() OVER (ORDER BY cents DESC, p_brand) AS rnk,
+        |    SUM(cents) OVER (ORDER BY cents DESC, p_brand
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+        |    SUM(cents) OVER () AS total_cents
+        |  FROM rev)
+        |SELECT p_brand, rnk, cents,
+        |  CAST(cum_cents AS BIGINT) AS cum_cents,
+        |  CAST(total_cents AS BIGINT) AS total_cents,
+        |  CASE
+        |    WHEN CAST(cum_cents AS DECIMAL(38,0)) * 5
+        |      <= CAST(total_cents AS DECIMAL(38,0)) * 4 THEN 'A'
+        |    WHEN CAST(cum_cents AS DECIMAL(38,0)) * 20
+        |      <= CAST(total_cents AS DECIMAL(38,0)) * 19 THEN 'B'
+        |    ELSE 'C' END AS abc_class
+        |FROM ranked ORDER BY rnk""".stripMargin,
+    "q155_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey, MAX(o_orderdate) AS last_date, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM orders GROUP BY 1),
+        |scored AS (
+        |  SELECT o_custkey, last_date, n_orders, total_cents,
+        |    NTILE(4) OVER (ORDER BY last_date, o_custkey) AS r_score,
+        |    NTILE(4) OVER (ORDER BY n_orders, o_custkey) AS f_score,
+        |    NTILE(4) OVER (ORDER BY total_cents, o_custkey) AS m_score
+        |  FROM per)
+        |SELECT o_custkey, last_date, n_orders, total_cents,
+        |  r_score, f_score, m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+        |    || CAST(m_score AS VARCHAR) AS segment
+        |FROM scored ORDER BY o_custkey""".stripMargin,
     "q146_correlation" ->
       """WITH li AS (
         |  SELECT l_returnflag AS flag,

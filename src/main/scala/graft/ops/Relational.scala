@@ -746,4 +746,70 @@ object Relational {
           rightValCols.map(c => col(s"_asof.$c").as(c))): _*
       )
   }
+
+  /** Exact global NTILE(k) WITHOUT the single-reducer unpartitioned window:
+    * `ntile(k) over (order by value, tie)` funnels the whole frame through
+    * ONE sort partition, so ranks come from a bucketed two-pass prefix sum
+    * instead (the [[exactQuantilesByKey]] device, keyless): (1) range-bucket
+    * the LONG sort value with integer arithmetic — ((v−lo)·B) DIV (hi−lo+1)
+    * is nondecreasing in v and a pure function of v, so equal values share a
+    * bucket and bucket order is value order; (2) per-bucket counts (a B-row
+    * frame) give each bucket its global rank offset and the total n via a
+    * window over the AGGREGATE; (3) row_number inside each bucket + offset
+    * is the exact global rank — B parallel sort groups instead of one. The
+    * tile index then follows the SQL-standard distribution (the first
+    * n mod k tiles get ⌈n/k⌉ rows) computed with integer DIV only, so the
+    * result is bit-identical to `ntile(k)` over the (value, tie) total
+    * order on any engine.
+    *
+    * `valCol` must be integral (LONG-castable) and `(valCol, tieCol)` must
+    * be unique for a deterministic order. NULL values are excluded — a
+    * quantile score for NULL is meaningless; filter or impute upstream.
+    * Degenerate all-equal-values input lands in one bucket (same caveat as
+    * [[exactQuantilesByKey]]'s range bucketing).
+    */
+  def globalNtile(
+      df: DataFrame,
+      valCol: String,
+      tieCol: String,
+      k: Int,
+      outCol: String = "tile"
+  ): DataFrame = {
+    require(k >= 1, s"ntile k must be >= 1: $k")
+    val (b, cnt, off, rnk, n) = ("__gn_b", "__gn_c", "__gn_off", "__gn_rnk", "__gn_n")
+    val rows = df.filter(col(valCol).isNotNull)
+    val nBuckets = df.sparkSession.sessionState.conf.numShufflePartitions
+    val bounds = rows.agg(
+      min(col(valCol).cast("long")).as("__gn_lo"),
+      max(col(valCol).cast("long")).as("__gn_hi"))
+    val bucketed = rows
+      .crossJoin(broadcast(bounds))
+      .withColumn(b, expr(
+        s"CAST(((CAST($valCol AS BIGINT) - __gn_lo) * $nBuckets)" +
+          s" DIV (__gn_hi - __gn_lo + 1) AS INT)"))
+      .drop("__gn_lo", "__gn_hi")
+    val offsets = bucketed.groupBy(col(b)).agg(count(lit(1)).as(cnt))
+      .withColumn(off, coalesce(
+        sum(col(cnt)).over(
+          Window.orderBy(col(b)).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn(n, sum(col(cnt)).over(Window.partitionBy(lit(1))))
+      .select(col(b), col(off), col(n))
+    bucketed
+      .join(broadcast(offsets), b)
+      .withColumn(rnk, col(off) + row_number().over(
+        Window.partitionBy(col(b)).orderBy(col(valCol).cast("long"), col(tieCol))))
+      // SQL-standard ntile fill: sz = n DIV k, the first big = n % k tiles
+      // take sz+1 rows; greatest(sz,1) guards the (n < k) case where the
+      // ELSE branch is unreachable but still type-checked
+      .withColumn(outCol, expr(
+        s"""CAST(CASE
+           |  WHEN $rnk <= ($n % $k) * (($n DIV $k) + 1)
+           |    THEN ($rnk - 1) DIV (($n DIV $k) + 1) + 1
+           |  ELSE ($n % $k)
+           |    + ($rnk - 1 - ($n % $k) * (($n DIV $k) + 1)) DIV greatest($n DIV $k, 1L)
+           |    + 1
+           |END AS INT)""".stripMargin))
+      .drop(b, off, rnk, n)
+  }
 }

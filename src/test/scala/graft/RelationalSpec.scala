@@ -353,4 +353,35 @@ class RelationalSpec extends SparkTestBase {
       "y" -> ((2L, recip(2) + recip(1))),
       "z" -> ((2L, recip(3) + recip(2)))), s"rrf: $got")
   }
+
+  test("globalNtile: equals the window ntile on skewed, tied, and tiny inputs") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // heavy ties (80% of rows share v=5) exercise the equal-values-share-a-
+    // bucket invariant; the id tie-break makes the total order unique
+    val skewed = ((1 to 400).map(i => (5L, i.toLong)) ++
+      (1 to 100).map(i => (i.toLong % 17, 1000L + i))).toDF("v", "id")
+    for ((df, k) <- Seq((skewed, 4), (skewed, 7),
+        ((1 to 3).map(i => (i.toLong, i.toLong)).toDF("v", "id"), 5))) { // n < k
+      val want = df.withColumn("t",
+        ntile(k).over(Window.orderBy(col("v"), col("id"))))
+        .select("id", "t").as[(Long, Int)].collect().toMap
+      val got = Relational.globalNtile(df, "v", "id", k, "t")
+        .select("id", "t").as[(Long, Int)].collect().toMap
+      assert(got == want, s"k=$k: distributed ntile diverged from window ntile")
+    }
+  }
+
+  test("globalNtile: plan has no unpartitioned window over the input rows") {
+    val per = Tables(spark, sf(), "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    val plan = Relational.globalNtile(per, "n", "o_custkey", 4, "t")
+      .queryExecution.executedPlan.toString
+    // the one window over the DATA rows (the rank pass) must be partitioned
+    // by the bucket column — B parallel sort groups; and no ntile window
+    // (the single-reducer form this operator exists to avoid) anywhere
+    assert("windowspecdefinition\\(__gn_b#\\d+,".r.findFirstIn(plan).isDefined,
+      s"expected the row_number window partitioned by __gn_b:\n$plan")
+    assert(!plan.toLowerCase.contains("ntile"), "naive ntile window leaked into the plan")
+  }
 }
