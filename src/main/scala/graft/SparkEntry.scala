@@ -2953,6 +2953,35 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    // ---- count–min sketch frequency audit: the mergeable CMS aggregator
+    // builds a 4×2048 counter table over all tokens (bounded state per
+    // partial, elementwise-add merge — the table crosses the shuffle, not
+    // the stream), then the top-50 exact tokens probe it with plain
+    // element_at/least Columns. CMS estimates NEVER undercount, so
+    // `cms_ge_exact` is a deterministic TRUE the oracle gates — the q75
+    // sketch-then-verify pattern for the other classic frequency sketch. ----
+    "q156_countmin" -> ((s, dir) => {
+      import s.implicits._
+      val (depth, width) = (4, 2048)
+      val toks = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val cms = toks.select(xxhash64(col("token")).as("h")).as[Long]
+        .select(new graft.ops.Aggregators.CountMin(depth, width).toColumn.name("cms"))
+      val top = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("token")).limit(50)
+      val est = least((0 until depth).map(r => expr(
+        s"element_at(cms, CAST($r * $width" +
+          s" + ((h & 4294967295) + $r * shiftrightunsigned(h, 32)) % $width" +
+          s" + 1 AS INT))")): _*)
+      top
+        .crossJoin(broadcast(cms.toDF("cms")))
+        .withColumn("h", xxhash64(col("token")))
+        .select(col("token"), col("exact_n"),
+          (est >= col("exact_n")).as("cms_ge_exact"))
+        .orderBy(col("exact_n").desc, col("token"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -3868,6 +3897,15 @@ object SparkEntry {
         |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
         |    || CAST(m_score AS VARCHAR) AS segment
         |FROM scored ORDER BY o_custkey""".stripMargin,
+    "q156_countmin" ->
+      """WITH toks AS (
+        |  SELECT unnest(
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END
+        |  ) AS token FROM documents)
+        |SELECT token, COUNT(*) AS exact_n, TRUE AS cms_ge_exact
+        |FROM toks GROUP BY token
+        |ORDER BY exact_n DESC, token LIMIT 50""".stripMargin,
     "q146_correlation" ->
       """WITH li AS (
         |  SELECT l_returnflag AS flag,

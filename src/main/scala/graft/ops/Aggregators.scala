@@ -79,4 +79,56 @@ object Aggregators {
     override def outputEncoder: Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
+
+  /** Count–min sketch over pre-hashed 64-bit keys (feed `xxhash64(col)` so
+    * the hashing is identical and deterministic on both the build and the
+    * probe side): a depth×width counter table where row r increments slot
+    * `(lo + r·hi) mod width` (Carter–Wegman from the two 32-bit halves of
+    * the key hash). Estimates — `min` over the depth slots, computed on the
+    * PROBE side with plain `element_at`/`least` Columns against the
+    * finished table — NEVER undercount, so `est ≥ exact` is a deterministic
+    * property a correctness gate can assert, not a probabilistic one. The
+    * buffer is a fixed depth·width Long array: bounded state per partial,
+    * mergeable by elementwise add (runs as an ObjectHashAggregate with
+    * map-side partials; the table, not the stream, crosses the shuffle).
+    *
+    * Width must be a power of two so the mod is a mask, bias-free over the
+    * uniform xxhash halves.
+    */
+  final case class CMSBuf(table: Array[Long])
+
+  final class CountMin(depth: Int, width: Int)
+      extends Aggregator[Long, CMSBuf, Array[Long]] {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8]: $depth")
+    require(width >= 16 && (width & (width - 1)) == 0,
+      s"width must be a power of two >= 16: $width")
+
+    /** Slot for hash `h` in row `r` — mirrored exactly by the SQL probe
+      * expression `((h & 4294967295) + r * shiftrightunsigned(h, 32)) % width`.
+      */
+    def slot(h: Long, r: Int): Int = {
+      val hi = h >>> 32
+      val lo = h & 0xffffffffL
+      ((lo + r.toLong * hi) & (width - 1).toLong).toInt
+    }
+
+    override def zero: CMSBuf = CMSBuf(Array.ofDim[Long](depth * width))
+
+    override def reduce(b: CMSBuf, h: Long): CMSBuf = {
+      var r = 0
+      while (r < depth) { b.table(r * width + slot(h, r)) += 1L; r += 1 }
+      b
+    }
+
+    override def merge(a: CMSBuf, b: CMSBuf): CMSBuf = {
+      var i = 0
+      while (i < a.table.length) { a.table(i) += b.table(i); i += 1 }
+      a
+    }
+
+    override def finish(b: CMSBuf): Array[Long] = b.table
+    override def bufferEncoder: Encoder[CMSBuf] = Encoders.product[CMSBuf]
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
 }

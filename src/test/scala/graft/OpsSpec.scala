@@ -224,6 +224,36 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("count-min: never undercounts any key, partition-invariant, SQL probe matches slot()") {
+    import spark.implicits._
+    val agg = new graft.ops.Aggregators.CountMin(4, 64) // small width forces collisions
+    val data = Seq.fill(500)("hot") ++ (1 to 300).map(i => s"k$i")
+    val exact = data.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    def build(parts: Int): Array[Long] =
+      spark.createDataset(data).repartition(parts)
+        .select(xxhash64(col("value")).as("h")).as[Long]
+        .select(agg.toColumn.name("cms")).collect()(0)
+    val t1 = build(1)
+    assert(java.util.Arrays.equals(t1, build(9)), "merge must be partition-invariant")
+    // scala-side estimate via the published slot(); never below the true count
+    def estScala(k: String): Long = {
+      val h = spark.range(1).select(xxhash64(lit(k))).as[Long].collect()(0)
+      (0 until 4).map(r => t1(r * 64 + agg.slot(h, r))).min
+    }
+    exact.foreach { case (k, n) =>
+      assert(estScala(k) >= n, s"CMS undercounted $k: ${estScala(k)} < $n")
+    }
+    // the SQL probe expression used by q156 lands on the same slots
+    val est = least((0 until 4).map(r => expr(
+      s"element_at(cms, CAST($r * 64 + ((h & 4294967295) + $r * shiftrightunsigned(h, 32)) % 64 + 1 AS INT))")): _*)
+    val viaSql = Seq("hot", "k1", "k299").toDF("k")
+      .crossJoin(spark.createDataset(Seq(t1)).toDF("cms"))
+      .withColumn("h", xxhash64(col("k")))
+      .select(est.as("e")).as[Long].collect().toList
+    assert(viaSql == List(estScala("hot"), estScala("k1"), estScala("k299")),
+      s"SQL probe diverged from slot(): $viaSql")
+  }
+
   test("tokens: boundary whitespace never yields empty tokens; null/blank → empty array") {
     import spark.implicits._
     val got = Seq("a\tb", "a\t", "\ta", "  a  b  ", " ", "", null.asInstanceOf[String], "a\nb\r\nc")
