@@ -2982,6 +2982,70 @@ object SparkEntry {
         .orderBy(col("exact_n").desc, col("token"))
     }),
 
+    // ---- referential-integrity audit across the whole star schema: for
+    // every FK edge, (row count, NULL FKs, orphans) — orphans via LEFT ANTI
+    // against the DISTINCT parent keys, so each relation is one shuffle (or
+    // a broadcast under AQE for the dimension-sized parents) and nothing is
+    // ever collected. NULL FKs are counted separately, not as violations
+    // (SQL FK semantics). The events→customer and embeddings→documents
+    // edges audit the synthetic-data seams — nonzero orphan counts are a
+    // finding, not an error. ----
+    "q157_fk_audit" -> ((s, dir) => {
+      def rel(name: String, child: DataFrame, fk: String,
+          parent: DataFrame, pk: String): DataFrame = {
+        val c = child.select(col(fk).as("fk"))
+        val counts = c.agg(count(lit(1)).as("n_rows"),
+          count(when(col("fk").isNull, 1)).as("n_null"))
+        val orphans = c.filter(col("fk").isNotNull)
+          .join(parent.select(col(pk).as("fk")).distinct(), Seq("fk"), "left_anti")
+          .agg(count(lit(1)).as("n_orphan"))
+        counts.crossJoin(orphans)
+          .select(lit(name).as("relation"), col("n_rows"), col("n_null"),
+            col("n_orphan"))
+      }
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      val p = t(s, dir, "part"); val n = t(s, dir, "nation")
+      val r = t(s, dir, "region"); val ev = t(s, dir, "events")
+      val docs = t(s, dir, "documents"); val emb = t(s, dir, "embeddings")
+      Seq(
+        rel("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+        rel("embeddings.vec_id->documents", emb, "vec_id", docs, "doc_id"),
+        rel("events.user_id->customer", ev, "user_id", c, "c_custkey"),
+        rel("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        rel("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"),
+        rel("lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey"),
+        rel("nation.n_regionkey->region", n, "n_regionkey", r, "r_regionkey"),
+        rel("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+        rel("supplier.s_nationkey->nation", su, "s_nationkey", n, "n_nationkey")
+      ).reduce(_.unionByName(_)).orderBy(col("relation"))
+    }),
+
+    // ---- HITS hubs & authorities on the bipartite customer→supplier
+    // purchase graph, two unnormalized power iterations in EXACT integer
+    // arithmetic (a₀=1 → h₁=deg, a₁=Σh₁, h₂=Σa₁): normalization is a
+    // per-iteration constant, so top-k ranks are identical to the
+    // normalized form and skipping the division keeps both engines
+    // bit-equal (the q103 PageRank discipline, applied to the other classic
+    // link-analysis score). Each iteration is one join + one aggregate on
+    // the distinct edge table — checkpointed once, three consumers. ----
+    "q158_hits" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")), "l_orderkey")
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+        .localCheckpoint()
+      val h1 = e.groupBy(col("cust")).agg(count(lit(1)).as("h1"))
+      val a1 = e.join(h1, "cust").groupBy(col("supp")).agg(sum(col("h1")).as("a1"))
+      val h2 = e.join(a1, "supp").groupBy(col("cust")).agg(sum(col("a1")).as("h2"))
+      val topH = h2.orderBy(col("h2").desc, col("cust")).limit(20)
+        .select(lit("hub").as("side"), col("cust").as("node"), col("h2").as("score"))
+      val topA = a1.orderBy(col("a1").desc, col("supp")).limit(20)
+        .select(lit("authority").as("side"), col("supp").as("node"), col("a1").as("score"))
+      topH.unionByName(topA).orderBy(col("side"), col("node"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -3897,6 +3961,41 @@ object SparkEntry {
         |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
         |    || CAST(m_score AS VARCHAR) AS segment
         |FROM scored ORDER BY o_custkey""".stripMargin,
+    "q157_fk_audit" -> {
+      def rel(name: String, child: String, fk: String,
+          parent: String, pk: String): String =
+        s"""SELECT '$name' AS relation,
+           |  (SELECT COUNT(*) FROM $child) AS n_rows,
+           |  (SELECT COUNT(*) FROM $child WHERE $fk IS NULL) AS n_null,
+           |  (SELECT COUNT(*) FROM $child x WHERE x.$fk IS NOT NULL
+           |     AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = x.$fk)) AS n_orphan""".stripMargin
+      Seq(
+        rel("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        rel("embeddings.vec_id->documents", "embeddings", "vec_id", "documents", "doc_id"),
+        rel("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+        rel("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        rel("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        rel("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        rel("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        rel("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        rel("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey")
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+    },
+    "q158_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+        |h1 AS (SELECT cust, COUNT(*) AS h1 FROM e GROUP BY 1),
+        |a1 AS (SELECT supp, CAST(SUM(h1) AS BIGINT) AS a1
+        |  FROM e JOIN h1 USING (cust) GROUP BY 1),
+        |h2 AS (SELECT cust, CAST(SUM(a1) AS BIGINT) AS h2
+        |  FROM e JOIN a1 USING (supp) GROUP BY 1),
+        |th AS (SELECT 'hub' AS side, cust AS node, h2 AS score
+        |  FROM h2 ORDER BY h2 DESC, cust LIMIT 20),
+        |ta AS (SELECT 'authority' AS side, supp AS node, a1 AS score
+        |  FROM a1 ORDER BY a1 DESC, supp LIMIT 20)
+        |SELECT * FROM th UNION ALL SELECT * FROM ta
+        |ORDER BY side, node""".stripMargin,
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(
