@@ -3046,6 +3046,50 @@ object SparkEntry {
       topH.unionByName(topA).orderBy(col("side"), col("node"))
     }),
 
+    // ---- month-over-month revenue growth per nation: calendar-aligned
+    // period comparison — exact cents per (nation, month), lag(1) over the
+    // nation-partitioned MONTH aggregate (≤ a few hundred rows per nation
+    // at any corpus size), growth as the single terminal division. First
+    // observed month has NULL growth; absent months are skipped (observed-
+    // month semantics on both engines). ----
+    "q159_mom_growth" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val monthly = t(s, dir, "orders")
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey")), "o_custkey")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nationkey"), col("n_name"))), "c_nationkey")
+        .groupBy(col("n_name"), trunc(col("o_orderdate"), "month").as("month"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      monthly
+        .withColumn("prev_cents",
+          lag(col("cents"), 1).over(W.partitionBy(col("n_name")).orderBy(col("month"))))
+        .withColumn("growth",
+          (col("cents") - col("prev_cents")).cast("double")
+            / col("prev_cents").cast("double"))
+        .orderBy(col("n_name"), col("month"))
+    }),
+
+    // ---- supplier ship-latency SLA scorecard: on-time = shipped within 30
+    // days of order placement, late-day total as exact integer datediff
+    // sum, the rate as one terminal division — one fact-fact equi join on
+    // the order key, then a single partial-aggregated groupBy. ----
+    "q160_ship_sla" -> ((s, dir) => {
+      val delay = datediff(to_date(col("l_shipdate")), col("o_orderdate"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")), "l_orderkey")
+        .groupBy(col("l_suppkey"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          count(when(delay <= 30, 1)).as("n_ontime"),
+          sum(when(delay > 30, delay - 30).otherwise(lit(0)))
+            .cast("long").as("late_days_total"))
+        .withColumn("ontime_rate",
+          col("n_ontime").cast("double") / col("n_lines").cast("double"))
+        .orderBy(col("l_suppkey"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -3996,6 +4040,33 @@ object SparkEntry {
         |  FROM a1 ORDER BY a1 DESC, supp LIMIT 20)
         |SELECT * FROM th UNION ALL SELECT * FROM ta
         |ORDER BY side, node""".stripMargin,
+    "q159_mom_growth" ->
+      """WITH monthly AS (
+        |  SELECT n_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT n_name, month, cents,
+        |    LAG(cents, 1) OVER (PARTITION BY n_name ORDER BY month) AS prev_cents
+        |  FROM monthly)
+        |SELECT n_name, month, cents, prev_cents,
+        |  (cents - prev_cents)::DOUBLE / prev_cents::DOUBLE AS growth
+        |FROM lagged ORDER BY n_name, month""".stripMargin,
+    "q160_ship_sla" ->
+      """WITH d AS (
+        |  SELECT l_suppkey,
+        |    datediff('day', o_orderdate, CAST(l_shipdate AS DATE)) AS delay
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
+        |SELECT l_suppkey, COUNT(*) AS n_lines,
+        |  COUNT(CASE WHEN delay <= 30 THEN 1 END) AS n_ontime,
+        |  CAST(SUM(CASE WHEN delay > 30 THEN delay - 30 ELSE 0 END) AS BIGINT)
+        |    AS late_days_total,
+        |  COUNT(CASE WHEN delay <= 30 THEN 1 END)::DOUBLE
+        |    / COUNT(*)::DOUBLE AS ontime_rate
+        |FROM d GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(
