@@ -3090,6 +3090,62 @@ object SparkEntry {
         .orderBy(col("l_suppkey"))
     }),
 
+    // ---- dedup-aggressiveness sweep: the pair count at EVERY Jaccard
+    // threshold decile in one pass — the curve a corpus curator reads
+    // before picking a near-dup cutoff. Deciles are assigned with INTEGER
+    // arithmetic ((inter·10) DIV union — floor(10·j) without touching a
+    // float), counted, then cumulated descending over the ≤11-row decile
+    // aggregate; decile 10 is reserved for exact 1.0 (incl. empty∩empty).
+    // Bounded-id oracle arm of the q78 family (no ≥0.9 prefilter — the
+    // sweep needs the full pair distribution). ----
+    "q161_dedup_thresholds" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val sh = t(s, dir, "documents")
+        .filter(col("doc_id") < 1000)
+        .select(col("doc_id"),
+          array_sort(array_distinct(TextAnalysis.ngrams(col("text"), 3))).as("sh"))
+        .localCheckpoint()
+      val a = graft.ops.Par.spread(sh, col("doc_id"))
+        .select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val cnt = a.join(broadcast(b), col("id_a") < col("id_b"))
+        .select(call_function("graft_sorted_intersect", col("sh_a"), col("sh_b")).as("inter"),
+          (size(col("sh_a")) + size(col("sh_b"))).as("sz_sum"))
+        .select(expr("CAST(CASE WHEN sz_sum - inter = 0 THEN 10" +
+          " ELSE LEAST(9, (inter * 10) DIV (sz_sum - inter)) END AS INT)").as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("n_pairs"))
+      cnt
+        .withColumn("n_at_or_above", sum(col("n_pairs")).over(
+          W.orderBy(col("decile").desc).rowsBetween(W.unboundedPreceding, 0)))
+        .orderBy(col("decile"))
+    }),
+
+    // ---- longest strictly-increasing daily-revenue streak per supplier:
+    // gaps-and-islands where the island id is a running count of "not
+    // higher than yesterday" breaks — lag + two stacked windows over the
+    // per-supplier DAILY aggregate, then an island-length max. The
+    // consecutive-run analytic that rank tricks alone can't express. ----
+    "q162_up_streaks" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w1 = W.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_shipdate"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("day_cents"))
+      val flagged = daily
+        .withColumn("up", coalesce(
+          (col("day_cents") > lag(col("day_cents"), 1).over(w1)).cast("int"), lit(0)))
+        .withColumn("grp", sum(lit(1) - col("up"))
+          .over(w1.rowsBetween(W.unboundedPreceding, 0)))
+      val islands = flagged.groupBy(col("l_suppkey"), col("grp"))
+        .agg(sum(col("up")).as("len"))
+        .groupBy(col("l_suppkey"))
+        .agg(max(col("len")).cast("long").as("longest_up_streak"))
+      daily.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_days"))
+        .join(islands, "l_suppkey")
+        .orderBy(col("l_suppkey"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -4067,6 +4123,54 @@ object SparkEntry {
         |  COUNT(CASE WHEN delay <= 30 THEN 1 END)::DOUBLE
         |    / COUNT(*)::DOUBLE AS ontime_rate
         |FROM d GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "q161_dedup_thresholds" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |    ELSE list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |  FROM (SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS toks
+        |    FROM documents WHERE doc_id < 1000) y),
+        |pairs AS (
+        |  SELECT len(list_intersect(a.sh, b.sh)) AS inter,
+        |    len(a.sh) + len(b.sh) AS sz_sum
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |dec AS (
+        |  SELECT CAST(CASE WHEN sz_sum - inter = 0 THEN 10
+        |    ELSE LEAST(9, (inter * 10) // (sz_sum - inter)) END AS INT) AS decile
+        |  FROM pairs),
+        |cnt AS (SELECT decile, COUNT(*) AS n_pairs FROM dec GROUP BY 1)
+        |SELECT decile, n_pairs,
+        |  CAST(SUM(n_pairs) OVER (ORDER BY decile DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_at_or_above
+        |FROM cnt ORDER BY decile""".stripMargin,
+    "q162_up_streaks" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey, l_shipdate,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS day_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |flagged AS (
+        |  SELECT l_suppkey, day_cents,
+        |    COALESCE(CAST(day_cents > LAG(day_cents, 1) OVER
+        |      (PARTITION BY l_suppkey ORDER BY l_shipdate) AS INT), 0) AS up,
+        |    l_shipdate
+        |  FROM daily),
+        |grouped AS (
+        |  SELECT l_suppkey, up,
+        |    SUM(1 - up) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM flagged),
+        |islands AS (
+        |  SELECT l_suppkey, grp, SUM(up) AS len
+        |  FROM grouped GROUP BY 1, 2)
+        |SELECT d.l_suppkey, d.n_days,
+        |  CAST(i.longest_up_streak AS BIGINT) AS longest_up_streak
+        |FROM (SELECT l_suppkey, COUNT(*) AS n_days FROM daily GROUP BY 1) d
+        |JOIN (SELECT l_suppkey, MAX(len) AS longest_up_streak
+        |  FROM islands GROUP BY 1) i USING (l_suppkey)
+        |ORDER BY l_suppkey""".stripMargin,
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(
