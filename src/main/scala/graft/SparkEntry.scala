@@ -3146,6 +3146,45 @@ object SparkEntry {
         .orderBy(col("l_suppkey"))
     }),
 
+    // ---- last-touch attribution: every purchase credited to the user's
+    // most recent prior view/click — `last(..., ignoreNulls)` over the
+    // (ts, event_id)-total-ordered per-user window ending at 1 PRECEDING,
+    // then one aggregate over the touch channel. The per-user window
+    // partitions by user_id, so it scales with users; purchases with no
+    // prior touch land in 'none'. Exact cents. ----
+    "q163_attribution" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      t(s, dir, "events")
+        .withColumn("touch", last(
+          when(col("event_type").isin("view", "click"), col("event_type")),
+          ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("none")).as("touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .orderBy(col("touch"))
+    }),
+
+    // ---- deterministic per-key MODE (most frequent event type per user):
+    // counts per (user, type), then `max(struct(count, type))` — an
+    // order-free AGGREGATE argmax (struct comparison is count-then-type, so
+    // ties break to the lexicographically largest type deterministically on
+    // both engines) — no window, no shuffle beyond the two-level groupBy.
+    // The built-in `mode()` is tie-nondeterministic and ungateable; this
+    // form is the scale-safe replacement. ----
+    "q164_mode_per_user" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("m.event_type").as("top_type"),
+          col("m.n").as("n"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -4171,6 +4210,27 @@ object SparkEntry {
         |JOIN (SELECT l_suppkey, MAX(len) AS longest_up_streak
         |  FROM islands GROUP BY 1) i USING (l_suppkey)
         |ORDER BY l_suppkey""".stripMargin,
+    "q163_attribution" ->
+      """WITH touched AS (
+        |  SELECT event_type, value,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT COALESCE(touch, 'none') AS touch, COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM touched WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY touch""".stripMargin,
+    "q164_mode_per_user" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, event_type AS top_type, n
+        |FROM c
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        |  ORDER BY n DESC, event_type DESC) = 1
+        |ORDER BY user_id""".stripMargin,
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(
