@@ -2816,10 +2816,14 @@ object SparkEntry {
     // integer products (q146 discipline). ----
     "q151_brand_affinity" -> ((s, dir) => {
       val d0 = DecimalType(38, 0)
+      // bi feeds FOUR consumers (both self-join sides, the per-item agg,
+      // and the basket total) — checkpoint once or the join+distinct
+      // replays four times (measured 2.7 → ~1 s at sf0.1)
       val bi = t(s, dir, "lineitem")
         .join(t(s, dir, "part").select(col("p_partkey").as("l_partkey"), col("p_brand")),
           "l_partkey")
         .select(col("l_orderkey"), col("p_brand")).distinct()
+        .localCheckpoint()
       val pairs = bi.as("a").join(bi.as("b"), Seq("l_orderkey"))
         .filter(col("a.p_brand") < col("b.p_brand"))
         .select(col("a.p_brand").as("brand_a"), col("b.p_brand").as("brand_b"))
@@ -3037,7 +3041,10 @@ object SparkEntry {
         .distinct()
         .localCheckpoint()
       val h1 = e.groupBy(col("cust")).agg(count(lit(1)).as("h1"))
+      // a1 feeds both the next iteration and the authority top-k —
+      // checkpoint the (supplier-sized) frame so the e⋈h1 join runs once
       val a1 = e.join(h1, "cust").groupBy(col("supp")).agg(sum(col("h1")).as("a1"))
+        .localCheckpoint()
       val h2 = e.join(a1, "supp").groupBy(col("cust")).agg(sum(col("a1")).as("h2"))
       val topH = h2.orderBy(col("h2").desc, col("cust")).limit(20)
         .select(lit("hub").as("side"), col("cust").as("node"), col("h2").as("score"))
