@@ -3192,6 +3192,25 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ---- Zipf rank–frequency table: top-100 tokens by corpus frequency
+    // with rank and the rank·freq product (≈constant under Zipf's law — the
+    // corpus-health diagnostic). Top-100 via TakeOrdered (sort-free global
+    // top-k), the rank window runs over the collected 100-row frame only —
+    // never over the full vocabulary (the q75 lesson). ----
+    "q165_zipf" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val top = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token")).limit(100)
+      top
+        .withColumn("rank",
+          row_number().over(W.orderBy(col("freq").desc, col("token"))))
+        .withColumn("rank_x_freq", col("rank") * col("freq"))
+        .orderBy(col("rank"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -4238,6 +4257,20 @@ object SparkEntry {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
         |  ORDER BY n DESC, event_type DESC) = 1
         |ORDER BY user_id""".stripMargin,
+    "q165_zipf" ->
+      """WITH toks AS (
+        |  SELECT unnest(
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END
+        |  ) AS token FROM documents),
+        |top AS (
+        |  SELECT token, COUNT(*) AS freq FROM toks GROUP BY 1
+        |  ORDER BY freq DESC, token LIMIT 100)
+        |SELECT token, freq,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS INT) AS rank,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT) * freq
+        |    AS rank_x_freq
+        |FROM top ORDER BY rank""".stripMargin,
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(
