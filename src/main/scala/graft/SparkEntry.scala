@@ -1501,30 +1501,12 @@ object SparkEntry {
     // independent) — the gate proof that the engine's operators carry over
     // to streams unchanged. Oracle = q18's oracle. ----
     "q77_stream_hourly" -> ((s, dir) => {
-      val key = "spark.sql.legacy.parquet.nanosAsLong"
-      val prior = s.conf.getOption(key)
-      s.conf.set(key, "true") // events.parquet stores TIMESTAMP(NANOS)
-      try {
-        val sch = StructType(Seq(
-          StructField("event_id", LongType),
-          StructField("ts", LongType), // nanos-as-long under the legacy conf
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType),
-          StructField("props", StringType)))
-        // the file source's basePath must be a DIRECTORY — stream the sf dir
-        // with a glob filter selecting just the events table
-        val raw = s.readStream.schema(sch)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-        val ev = raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        graft.streaming.StreamOps
-          .runToMemory(s, graft.streaming.StreamOps.hourlyCounts(ev),
-            "q77_mem", org.apache.spark.sql.streaming.OutputMode.Complete())
-          .orderBy(col("hour_start"), col("event_type"))
-      } finally prior match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
+      // schema-adaptive events stream (footer-derived schema, ts normalized)
+      val ev = Tables.eventsStream(s, dir)
+      graft.streaming.StreamOps
+        .runToMemory(s, graft.streaming.StreamOps.hourlyCounts(ev),
+          "q77_mem", org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy(col("hour_start"), col("event_type"))
     }),
 
     // ---- Structured Streaming session windows: the q17-style gap
@@ -1542,60 +1524,25 @@ object SparkEntry {
     // output equals the batch aggregate cell-for-cell (the FMGWS path's
     // batch-equivalence proof — q77/q92's pattern for custom state). ----
     "q118_stream_totals" -> ((s, dir) => {
-      val key = "spark.sql.legacy.parquet.nanosAsLong"
-      val prior = s.conf.getOption(key)
-      s.conf.set(key, "true")
-      try {
-        val sch = StructType(Seq(
-          StructField("event_id", LongType),
-          StructField("ts", LongType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType),
-          StructField("props", StringType)))
-        val raw = s.readStream.schema(sch)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-        val ev = raw
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-          .withColumn("cents", round(col("value") * 100).cast("long"))
-          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("cents"))
-        graft.streaming.StreamOps
-          .runToMemory(s,
-            graft.streaming.StreamOps.runningUserTotalsExact(s, ev),
-            "q118_mem", org.apache.spark.sql.streaming.OutputMode.Append())
-          .select(col("user_id"), col("n_events"),
-            (col("cents").cast("double") / lit(100.0)).as("total_value"))
-          .orderBy(col("user_id"))
-      } finally prior match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
+      val ev = Tables.eventsStream(s, dir)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("cents"))
+      graft.streaming.StreamOps
+        .runToMemory(s,
+          graft.streaming.StreamOps.runningUserTotalsExact(s, ev),
+          "q118_mem", org.apache.spark.sql.streaming.OutputMode.Append())
+        .select(col("user_id"), col("n_events"),
+          (col("cents").cast("double") / lit(100.0)).as("total_value"))
+        .orderBy(col("user_id"))
     }),
 
     "q92_stream_sessions" -> ((s, dir) => {
-      val key = "spark.sql.legacy.parquet.nanosAsLong"
-      val prior = s.conf.getOption(key)
-      s.conf.set(key, "true") // events.parquet stores TIMESTAMP(NANOS)
-      try {
-        val sch = StructType(Seq(
-          StructField("event_id", LongType),
-          StructField("ts", LongType), // nanos-as-long under the legacy conf
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType),
-          StructField("props", StringType)))
-        val raw = s.readStream.schema(sch)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-        val ev = raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        graft.streaming.StreamOps
-          .runToMemory(s,
-            graft.streaming.StreamOps.sessionCounts(ev, "30 minutes", watermark = "0 seconds"),
-            "q92_mem", org.apache.spark.sql.streaming.OutputMode.Append())
-          .orderBy(col("user_id"), col("session_start"))
-      } finally prior match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
+      val ev = Tables.eventsStream(s, dir)
+      graft.streaming.StreamOps
+        .runToMemory(s,
+          graft.streaming.StreamOps.sessionCounts(ev, "30 minutes", watermark = "0 seconds"),
+          "q92_mem", org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("user_id"), col("session_start"))
     }),
 
     // ---- approximate-percentile accuracy gate (q32's pattern for
@@ -2511,44 +2458,27 @@ object SparkEntry {
     // selection is order-free, so stream and batch must agree exactly).
     // The batch-side merge runs on the memory-sink result. ----
     "q137_stream_cdc" -> ((s, dir) => {
-      val key = "spark.sql.legacy.parquet.nanosAsLong"
-      val prior = s.conf.getOption(key)
-      s.conf.set(key, "true")
-      try {
-        val sch = StructType(Seq(
-          StructField("event_id", LongType),
-          StructField("ts", LongType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType),
-          StructField("props", StringType)))
-        val raw = s.readStream.schema(sch)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-        val changes = raw
-          .filter(col("event_type").isin("purchase", "signup", "error"))
-          .select(col("user_id").as("key"),
-            concat(lit("cdc#"), col("event_id").cast("string")).as("name"),
-            round(col("value") * 100).cast("long").as("cents"),
-            col("event_id").as("version"),
-            when(col("event_type") === "error", lit("D"))
-              .when(col("event_type") === "signup", lit("I"))
-              .otherwise(lit("U")).as("op"))
-        val latest = graft.streaming.StreamOps
-          .runToMemory(s, graft.streaming.StreamOps.cdcLatest(s, changes),
-            "q137_mem", org.apache.spark.sql.streaming.OutputMode.Append())
-          .select(col("key").as("c_custkey"), col("name").as("c_name"),
-            col("cents").as("acctbal_cents"), col("op"))
-        val base = t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_name"),
-            round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
-        base
-          .join(latest.select(col("c_custkey")), Seq("c_custkey"), "left_anti")
-          .unionByName(latest.filter(upper(col("op")) =!= "D").drop("op"))
-          .orderBy(col("c_custkey"))
-      } finally prior match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
+      val changes = Tables.eventsStream(s, dir)
+        .filter(col("event_type").isin("purchase", "signup", "error"))
+        .select(col("user_id").as("key"),
+          concat(lit("cdc#"), col("event_id").cast("string")).as("name"),
+          round(col("value") * 100).cast("long").as("cents"),
+          col("event_id").as("version"),
+          when(col("event_type") === "error", lit("D"))
+            .when(col("event_type") === "signup", lit("I"))
+            .otherwise(lit("U")).as("op"))
+      val latest = graft.streaming.StreamOps
+        .runToMemory(s, graft.streaming.StreamOps.cdcLatest(s, changes),
+          "q137_mem", org.apache.spark.sql.streaming.OutputMode.Append())
+        .select(col("key").as("c_custkey"), col("name").as("c_name"),
+          col("cents").as("acctbal_cents"), col("op"))
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
+      base
+        .join(latest.select(col("c_custkey")), Seq("c_custkey"), "left_anti")
+        .unionByName(latest.filter(upper(col("op")) =!= "D").drop("op"))
+        .orderBy(col("c_custkey"))
     }),
 
     // ---- missingness-pattern profile: one row per NULL-combination of
