@@ -3141,6 +3141,127 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // ---- exact 2-D skyline (Pareto frontier) of parts: cheapest-for-size —
+    // no other part is both no-pricier and no-smaller with one strict edge.
+    // Distributed sort-scan via Relational.skyline2D: range-bucketed x,
+    // range-frame running max within buckets, broadcast prefix-max across
+    // them — no O(n²) join, no single-partition window (oracle: NOT EXISTS,
+    // quadratic, the bounded arm). ----
+    "q166_skyline" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_size"),
+          round(col("p_retailprice") * 100).cast("long").as("price_cents"))
+      Relational.skyline2D(p, "price_cents", "p_size")
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ---- harmonic mean of ship latency per nation: the rate-style average
+    // (mean of rates = harmonic, not arithmetic). Reciprocals in fixed-point
+    // integer division (the q135 device: SUM of SCALE DIV x is bit-exact
+    // under any partitioning), one n·SCALE/Σ division at the surface ----
+    "q167_harmonic_latency" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("lat_days", datediff(col("l_shipdate"), col("o_orderdate")) + lit(1))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_shipments"),
+          // DECIMAL accumulator: 1e11 rows x 1e12-scaled terms overflows LONG
+          sum(expr("CAST(1000000000000 DIV lat_days AS DECIMAL(38,0))"))
+            .as("sum_recip_fixed"))
+        .withColumn("harmonic_days",
+          (col("n_shipments").cast("decimal(38,0)")
+            * lit(1000000000000L).cast("decimal(38,0)")).cast("double") /
+            col("sum_recip_fixed").cast("double"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ---- exact EWMA (half-life decay, trailing 8 observations) of each
+    // part's price series: weights are powers of two so numerator and
+    // denominator stay exact integers (a lag chain, not a frame aggregate —
+    // per-row weights inside one frame aren't expressible as a plain agg);
+    // the one division happens at the surface. Emits the latest smoothed
+    // value per part. ----
+    "q168_ewma" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("l_partkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val lagged = (0 until 8).foldLeft(li) { (df, i) =>
+        df.withColumn(s"c$i", lag(col("cents"), i).over(w))
+      }
+      val num = (0 until 8).map(i => coalesce(col(s"c$i") * lit(1L << (7 - i)), lit(0L)))
+        .reduce(_ + _)
+      val den = (0 until 8).map(i =>
+        when(col(s"c$i").isNotNull, lit(1L << (7 - i))).otherwise(lit(0L))).reduce(_ + _)
+      lagged
+        .withColumn("ewma_num", num).withColumn("ewma_den", den)
+        .withColumn("__rn", row_number().over(
+          W.partitionBy(col("l_partkey"))
+            .orderBy(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc)))
+        .filter(col("__rn") === 1)
+        .select(col("l_partkey"), col("ewma_num"), col("ewma_den"),
+          (col("ewma_num").cast("double") / col("ewma_den").cast("double")).as("ewma_cents"))
+        .orderBy(col("l_partkey"))
+    }),
+
+    // ---- Gini coefficient of customer spend within each nation: the
+    // rank-sum closed form G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over the
+    // ascending (cents, custkey) order — every intermediate is an exact
+    // DECIMAL, one division at the surface (lesson: algebraic rearrangement
+    // beats Lorenz-curve float accumulation). Rank is a per-nation window —
+    // partitions by nation, scale-safe. ----
+    "q169_gini" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      spend
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("i", row_number().over(
+          W.partitionBy(col("n_name")).orderBy(col("cents"), col("o_custkey"))))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents").cast("decimal(38,0)")).as("sx"),
+          sum(col("i").cast("decimal(38,0)") * col("cents").cast("decimal(38,0)")).as("six"))
+        .select(col("n_name"), col("n_customers"),
+          ((lit(2).cast("decimal(38,0)") * col("six")
+            - (col("n_customers") + lit(1)).cast("decimal(38,0)") * col("sx")).cast("double") /
+            (col("n_customers").cast("decimal(38,0)") * col("sx")).cast("double")).as("gini"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ---- functional-dependency audit (profiling): for three candidate FDs,
+    // how many determinant values map to >1 distinct dependent — the
+    // det→dep integrity check a catalog crawler runs before trusting a
+    // column as a key. Exact distinct per key (one shuffle each), share is
+    // a single surface division. ----
+    "q170_fd_audit" -> ((s, dir) => {
+      def fd(df: org.apache.spark.sql.DataFrame, det: String, dep: String, name: String) =
+        df.groupBy(col(det)).agg(countDistinct(col(dep)).as("d"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("d") > 1, 1L).otherwise(0L)).as("n_violating"),
+            max(col("d")).as("max_distinct"))
+          .select(lit(name).as("fd"), col("n_keys"), col("n_violating"), col("max_distinct"),
+            (col("n_violating").cast("double") / col("n_keys").cast("double"))
+              .as("violation_share"))
+      fd(t(s, dir, "part"), "p_brand", "p_type", "part: brand -> type")
+        .unionByName(fd(t(s, dir, "orders"), "o_custkey", "o_orderpriority",
+          "orders: custkey -> priority"))
+        .unionByName(fd(t(s, dir, "lineitem"), "l_partkey", "l_suppkey",
+          "lineitem: partkey -> suppkey"))
+        .orderBy(col("fd"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -4201,6 +4322,109 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT) * freq
         |    AS rank_x_freq
         |FROM top ORDER BY rank""".stripMargin,
+    "q166_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_size,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+        |  FROM part)
+        |SELECT p_partkey, p_size, price_cents FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+        |    AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
+        |ORDER BY p_partkey""".stripMargin,
+    "q167_harmonic_latency" ->
+      """SELECT n_name, COUNT(*) AS n_shipments,
+        |  CAST(SUM(1000000000000 // lat_days) AS DECIMAL(38,0)) AS sum_recip_fixed,
+        |  (CAST(COUNT(*) AS DECIMAL(38,0)) * CAST(1000000000000 AS DECIMAL(38,0)))::DOUBLE
+        |    / CAST(SUM(1000000000000 // lat_days) AS DECIMAL(38,0))::DOUBLE
+        |    AS harmonic_days
+        |FROM (
+        |  SELECT n_name, datediff('day', o_orderdate, l_shipdate) + 1 AS lat_days
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q168_ewma" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |lagged AS (
+        |  SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+        |    cents AS c0,
+        |    LAG(cents, 1) OVER w AS c1, LAG(cents, 2) OVER w AS c2,
+        |    LAG(cents, 3) OVER w AS c3, LAG(cents, 4) OVER w AS c4,
+        |    LAG(cents, 5) OVER w AS c5, LAG(cents, 6) OVER w AS c6,
+        |    LAG(cents, 7) OVER w AS c7
+        |  FROM li
+        |  WINDOW w AS (PARTITION BY l_partkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber)),
+        |scored AS (
+        |  SELECT l_partkey,
+        |    COALESCE(c0 * 128, 0) + COALESCE(c1 * 64, 0) + COALESCE(c2 * 32, 0)
+        |      + COALESCE(c3 * 16, 0) + COALESCE(c4 * 8, 0) + COALESCE(c5 * 4, 0)
+        |      + COALESCE(c6 * 2, 0) + COALESCE(c7, 0) AS ewma_num,
+        |    (CASE WHEN c0 IS NULL THEN 0 ELSE 128 END)
+        |      + (CASE WHEN c1 IS NULL THEN 0 ELSE 64 END)
+        |      + (CASE WHEN c2 IS NULL THEN 0 ELSE 32 END)
+        |      + (CASE WHEN c3 IS NULL THEN 0 ELSE 16 END)
+        |      + (CASE WHEN c4 IS NULL THEN 0 ELSE 8 END)
+        |      + (CASE WHEN c5 IS NULL THEN 0 ELSE 4 END)
+        |      + (CASE WHEN c6 IS NULL THEN 0 ELSE 2 END)
+        |      + (CASE WHEN c7 IS NULL THEN 0 ELSE 1 END) AS ewma_den,
+        |    ROW_NUMBER() OVER (PARTITION BY l_partkey
+        |      ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+        |  FROM lagged)
+        |SELECT l_partkey, CAST(ewma_num AS BIGINT) AS ewma_num,
+        |  CAST(ewma_den AS BIGINT) AS ewma_den,
+        |  CAST(ewma_num AS BIGINT)::DOUBLE / CAST(ewma_den AS BIGINT)::DOUBLE
+        |    AS ewma_cents
+        |FROM scored WHERE rn = 1 ORDER BY l_partkey""".stripMargin,
+    "q169_gini" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT n_name, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY cents, o_custkey) AS i
+        |  FROM spend
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |agg AS (
+        |  SELECT n_name, COUNT(*) AS n_customers,
+        |    SUM(CAST(cents AS DECIMAL(38,0))) AS sx,
+        |    SUM(CAST(i AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS six
+        |  FROM ranked GROUP BY n_name)
+        |SELECT n_name, n_customers,
+        |  (CAST(2 AS DECIMAL(38,0)) * six
+        |     - CAST(n_customers + 1 AS DECIMAL(38,0)) * sx)::DOUBLE
+        |    / (CAST(n_customers AS DECIMAL(38,0)) * sx)::DOUBLE AS gini
+        |FROM agg ORDER BY n_name""".stripMargin,
+    "q170_fd_audit" ->
+      """WITH f1 AS (
+        |  SELECT 'part: brand -> type' AS fd, COUNT(*) AS n_keys,
+        |    CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |    MAX(d) AS max_distinct
+        |  FROM (SELECT p_brand, COUNT(DISTINCT p_type) AS d FROM part GROUP BY 1)),
+        |f2 AS (
+        |  SELECT 'orders: custkey -> priority' AS fd, COUNT(*) AS n_keys,
+        |    CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |    MAX(d) AS max_distinct
+        |  FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS d
+        |    FROM orders GROUP BY 1)),
+        |f3 AS (
+        |  SELECT 'lineitem: partkey -> suppkey' AS fd, COUNT(*) AS n_keys,
+        |    CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |    MAX(d) AS max_distinct
+        |  FROM (SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS d
+        |    FROM lineitem GROUP BY 1))
+        |SELECT fd, n_keys, n_violating, max_distinct,
+        |  n_violating::DOUBLE / n_keys::DOUBLE AS violation_share
+        |FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)
+        |ORDER BY fd""".stripMargin,
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(

@@ -818,4 +818,60 @@ object Relational {
            |END AS INT)""".stripMargin))
       .drop(b, off, rnk, n)
   }
+
+  /** Exact 2-D skyline (Pareto frontier): rows not dominated by any other —
+    * q dominates p iff q minimizes `xCol` no worse AND maximizes `yCol` no
+    * worse, strictly better in at least one. Duplicate (x, y) points carry no
+    * strict edge, so all copies survive (the SQL `NOT EXISTS` semantics).
+    *
+    * Distributed form of the classic sort-scan: a row is dominated through
+    * the strictly-smaller-x channel iff max(y) over x' < x reaches its y,
+    * and through the equal-x channel iff some equal-x row has larger y. The
+    * global "max y over strictly smaller x" decomposes exactly like
+    * [[globalNtile]]'s rank: range-bucket on x (monotone, so earlier bucket
+    * ⇒ strictly smaller x), per-bucket running max via a range-frame window
+    * (range, not rows — equal x must not feed the strict channel), plus a
+    * prefix-max over the nBuckets-row bucket table joined back broadcast.
+    * No global single-partition window anywhere; the only full-width
+    * shuffles are the bucket window and the equal-x groupBy.
+    *
+    * `xCol`/`yCol` must be LONG-castable; NULL in either drops the row
+    * (dominance is undefined on NULL).
+    */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val (b, pfx, wmax, xmax) = ("__sk_b", "__sk_pfx", "__sk_wmax", "__sk_xmax")
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val nBuckets = df.sparkSession.sessionState.conf.numShufflePartitions
+    val bounds = rows.agg(
+      min(col(xCol).cast("long")).as("__sk_lo"),
+      max(col(xCol).cast("long")).as("__sk_hi"))
+    // two consumers (bucket maxima + final window) — checkpoint the bucketed
+    // frame so the scan lineage runs once (the globalNtile lesson)
+    val bucketed = rows
+      .crossJoin(broadcast(bounds))
+      .withColumn(b, expr(
+        s"CAST(((CAST($xCol AS BIGINT) - __sk_lo) * $nBuckets)" +
+          s" DIV (__sk_hi - __sk_lo + 1) AS INT)"))
+      .drop("__sk_lo", "__sk_hi")
+      .localCheckpoint()
+    // prefix-max of per-bucket y maxima over STRICTLY earlier buckets; the
+    // window runs over an nBuckets-row frame only
+    val prefixes = bucketed.groupBy(col(b))
+      .agg(max(col(yCol).cast("long")).as("__sk_bm"))
+      .withColumn(pfx, max(col("__sk_bm")).over(
+        Window.orderBy(col(b)).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col(b), col(pfx))
+    val wSmaller = Window.partitionBy(col(b)).orderBy(col(xCol).cast("long"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEqualX = Window.partitionBy(col(xCol).cast("long"))
+    bucketed
+      .join(broadcast(prefixes), Seq(b))
+      .withColumn(wmax, greatest(
+        coalesce(max(col(yCol).cast("long")).over(wSmaller), lit(Long.MinValue)),
+        coalesce(col(pfx), lit(Long.MinValue))))
+      .withColumn(xmax, max(col(yCol).cast("long")).over(wEqualX))
+      .filter(col(wmax) < col(yCol).cast("long") &&
+        col(xmax) === col(yCol).cast("long"))
+      .drop(b, pfx, wmax, xmax)
+  }
 }

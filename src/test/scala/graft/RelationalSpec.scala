@@ -384,4 +384,23 @@ class RelationalSpec extends SparkTestBase {
       s"expected the row_number window partitioned by __gn_b:\n$plan")
     assert(!plan.toLowerCase.contains("ntile"), "naive ntile window leaked into the plan")
   }
+
+  test("skyline2D: equals the NOT-EXISTS brute force incl. ties and duplicates") {
+    import spark.implicits._
+    // seeded layout with duplicate points, x-ties with different y, and a
+    // dominated cluster — every dominance channel exercised
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 300).map(i =>
+      (i.toLong, (rnd.nextInt(40) * 5).toLong, rnd.nextInt(30).toLong)) ++
+      Seq((1001L, 10L, 25L), (1002L, 10L, 25L)) // exact duplicate point
+    val df = pts.toDF("id", "x", "y")
+    val brute = df.as("a").join(df.as("b"),
+        col("b.x") <= col("a.x") && col("b.y") >= col("a.y") &&
+          (col("b.x") < col("a.x") || col("b.y") > col("a.y")), "left_anti")
+      .select("a.id").as[Long].collect().toSet
+    val got = Relational.skyline2D(df, "x", "y").select("id").as[Long].collect().toSet
+    assert(got == brute, s"skyline diverged: extra=${got -- brute} missing=${brute -- got}")
+    // duplicates of a frontier point both survive
+    assert(got.contains(1001L) == got.contains(1002L))
+  }
 }
