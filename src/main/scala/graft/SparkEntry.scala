@@ -3262,6 +3262,57 @@ object SparkEntry {
         .orderBy(col("fd"))
     }),
 
+    // ---- order-free table fingerprint (anti-entropy checksum): per
+    // return-flag, COUNT + SUM/MIN/MAX of a cross-engine 64-bit row hash
+    // (md5-low-half, big-endian hex parse — engine-private hashes like
+    // xxhash64 can't gate). Commutative aggregates ⇒ identical under any
+    // partitioning/file layout — verify a 100 TB copy by comparing four
+    // numbers per group instead of moving rows. ----
+    "q171_fingerprint" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val canonical = concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity") * 100).cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"))
+      graft.ops.Sketches.fingerprint(li, Seq(col("l_returnflag")), canonical)
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- exact change-point (largest mean shift) in each supplier's daily
+    // revenue series: argmax over split points of |mean-before − mean-after|
+    // with the score kept as exact-integer p/q until ONE division — the
+    // engine-stable alternative to float CUSUM scans. Prefix sums via
+    // shared per-key windows; no self-join over splits. ----
+    "q172_changepoint" -> ((s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_shipdate"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("day_cents"))
+      Relational.meanShiftSplit(daily, "l_suppkey", Seq(col("l_shipdate")), "day_cents")
+        .select(col("l_suppkey"), col("l_shipdate").as("split_date"),
+          col("split_pos"), col("n_obs"),
+          col("mean_before"), col("mean_after"), col("shift_score"))
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // ---- linear interpolation of gaps in per-user daily purchase series:
+    // date-grid fill, then the straight line between bracketing
+    // observations (boundary gaps take the available neighbor) — the
+    // time-series repair step before any resampling/features; one exact
+    // integer division per filled cell (q143 rule), two window passes
+    // sharing one per-user sort. ----
+    "q173_interpolate" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("day_cents"))
+      val grid = Relational.fillDateGrid(daily, "user_id", "day")
+        .withColumn("day_idx", datediff(col("day"), lit("1970-01-01").cast("date")))
+      Relational.linearInterpolate(grid, Seq(col("user_id")), "day_idx", "day_cents")
+        .select(col("user_id"), col("day"), col("day_cents").isNotNull.as("observed"),
+          col("day_cents_interp"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -4425,6 +4476,88 @@ object SparkEntry {
         |  n_violating::DOUBLE / n_keys::DOUBLE AS violation_share
         |FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)
         |ORDER BY fd""".stripMargin,
+    "q171_fingerprint" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST('0x' || substring(md5(concat_ws('|',
+        |      l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+        |      CAST(round(l_quantity * 100) AS BIGINT),
+        |      CAST(round(l_extendedprice * 100) AS BIGINT))), 17, 16) AS UBIGINT)
+        |      AS DECIMAL(38,0)) AS h
+        |  FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(h) AS DECIMAL(38,0)) AS fp_sum,
+        |  MIN(h) AS fp_min, MAX(h) AS fp_max
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q172_changepoint" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey, l_shipdate,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS day_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT l_suppkey, l_shipdate,
+        |    ROW_NUMBER() OVER w AS i,
+        |    SUM(CAST(day_cents AS DECIMAL(38,0))) OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+        |    COUNT(*) OVER (PARTITION BY l_suppkey) AS n,
+        |    SUM(CAST(day_cents AS DECIMAL(38,0))) OVER (PARTITION BY l_suppkey) AS t
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate)),
+        |sc AS (
+        |  SELECT l_suppkey, l_shipdate, i, s, n, t,
+        |    abs(s * CAST(n - i AS DECIMAL(38,0)) - (t - s) * CAST(i AS DECIMAL(38,0))) AS p,
+        |    CAST(i AS DECIMAL(38,0)) * CAST(n - i AS DECIMAL(38,0)) AS q
+        |  FROM pre WHERE i < n),
+        |best AS (
+        |  SELECT *, p::DOUBLE / q::DOUBLE AS shift_score,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |      ORDER BY p::DOUBLE / q::DOUBLE DESC, i) AS r
+        |  FROM sc)
+        |SELECT l_suppkey, l_shipdate AS split_date,
+        |  CAST(i AS INT) AS split_pos, CAST(n AS BIGINT) AS n_obs,
+        |  s::DOUBLE / CAST(i AS DECIMAL(38,0))::DOUBLE AS mean_before,
+        |  (t - s)::DOUBLE / CAST(n - i AS DECIMAL(38,0))::DOUBLE AS mean_after,
+        |  shift_score
+        |FROM best WHERE r = 1 ORDER BY l_suppkey""".stripMargin,
+    "q173_interpolate" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span),
+        |g AS (
+        |  SELECT grid.user_id, grid.day, d.day_cents,
+        |    datediff('day', DATE '1970-01-01', grid.day) AS p
+        |  FROM grid LEFT JOIN daily d ON grid.user_id = d.user_id AND grid.day = d.day),
+        |f AS (
+        |  SELECT user_id, day, day_cents,
+        |    last_value(CASE WHEN day_cents IS NOT NULL THEN p END IGNORE NULLS)
+        |      OVER wb AS pp,
+        |    last_value(CASE WHEN day_cents IS NOT NULL THEN day_cents END IGNORE NULLS)
+        |      OVER wb AS pv,
+        |    first_value(CASE WHEN day_cents IS NOT NULL THEN p END IGNORE NULLS)
+        |      OVER wf AS np,
+        |    first_value(CASE WHEN day_cents IS NOT NULL THEN day_cents END IGNORE NULLS)
+        |      OVER wf AS nv,
+        |    p
+        |  FROM g
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    wf AS (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day, day_cents IS NOT NULL AS observed,
+        |  CASE
+        |    WHEN day_cents IS NOT NULL THEN day_cents::DOUBLE
+        |    WHEN pv IS NULL AND nv IS NULL THEN NULL
+        |    WHEN pv IS NULL THEN nv::DOUBLE
+        |    WHEN nv IS NULL THEN pv::DOUBLE
+        |    ELSE pv::DOUBLE + ((nv - pv) * (p - pp))::DOUBLE / (np - pp)::DOUBLE
+        |  END AS day_cents_interp
+        |FROM f ORDER BY user_id, day""".stripMargin,
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(

@@ -431,6 +431,86 @@ object Relational {
     fillCols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
   }
 
+  /** Linear interpolation of NULL gaps: each NULL in `valueCol` is replaced
+    * by the straight line between the nearest non-NULL observations on
+    * either side along integral `posCol` (prev + (next−prev)·(t−tp)/(tn−tp));
+    * a boundary NULL (one side missing) takes the available neighbor, a row
+    * with neither stays NULL. The bracketing observations come from two
+    * `last/first(ignoreNulls)` window passes sharing the partition sort, and
+    * the arithmetic is one division of exact integers — bit-deterministic
+    * cross-engine (the q143 single-division rule). `posCol` must be unique
+    * per partition.
+    */
+  def linearInterpolate(
+      df: DataFrame,
+      partitionCols: Seq[Column],
+      posCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val wb = Window.partitionBy(partitionCols: _*).orderBy(col(posCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wf = Window.partitionBy(partitionCols: _*).orderBy(col(posCol))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val obs = when(col(valueCol).isNotNull,
+      struct(col(posCol).cast("long").as("p"), col(valueCol).cast("long").as("v")))
+    df
+      .withColumn("__li_prev", last(obs, ignoreNulls = true).over(wb))
+      .withColumn("__li_next", first(obs, ignoreNulls = true).over(wf))
+      .withColumn(valueCol + "_interp",
+        when(col(valueCol).isNotNull, col(valueCol).cast("double"))
+          .when(col("__li_prev").isNull && col("__li_next").isNull, lit(null))
+          .when(col("__li_prev").isNull, col("__li_next.v").cast("double"))
+          .when(col("__li_next").isNull, col("__li_prev.v").cast("double"))
+          .otherwise(col("__li_prev.v").cast("double") +
+            ((col("__li_next.v") - col("__li_prev.v")) *
+              (col(posCol).cast("long") - col("__li_prev.p"))).cast("double") /
+              (col("__li_next.p") - col("__li_prev.p")).cast("double")))
+      .drop("__li_prev", "__li_next")
+  }
+
+  /** Exact single change-point (largest mean shift) per key: over the
+    * (orderCols)-sorted integral series, the split i maximizing
+    * |mean(x₁..xᵢ) − mean(xᵢ₊₁..xₙ)|. The score's numerator and denominator
+    * stay exact integers (|Sᵢ·(n−i) − (S−Sᵢ)·i| over i·(n−i) — prefix sums
+    * only, no float accumulation); the one division to DOUBLE is correctly
+    * rounded from the same integers on any engine, so the (score desc, i)
+    * argmax is engine-stable. Three windows share the per-key sort.
+    */
+  def meanShiftSplit(
+      df: DataFrame,
+      keyCol: String,
+      order: Seq[Column],
+      valueCol: String
+  ): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col(keyCol))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val scored = df
+      .withColumn("__ms_i", row_number().over(w))
+      .withColumn("__ms_s", sum(dec(col(valueCol))).over(run))
+      .withColumn("__ms_n", count(lit(1)).over(all))
+      .withColumn("__ms_t", sum(dec(col(valueCol))).over(all))
+      .filter(col("__ms_i") < col("__ms_n"))
+      .withColumn("__ms_p", abs(col("__ms_s") * dec(col("__ms_n") - col("__ms_i"))
+        - (col("__ms_t") - col("__ms_s")) * dec(col("__ms_i"))))
+      .withColumn("__ms_q", dec(col("__ms_i")) * dec(col("__ms_n") - col("__ms_i")))
+      .withColumn("shift_score",
+        col("__ms_p").cast("double") / col("__ms_q").cast("double"))
+    scored
+      .withColumn("__ms_r", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("shift_score").desc, col("__ms_i"))))
+      .filter(col("__ms_r") === 1)
+      .withColumn("mean_before",
+        col("__ms_s").cast("double") / col("__ms_i").cast("double"))
+      .withColumn("mean_after",
+        (col("__ms_t") - col("__ms_s")).cast("double")
+          / (col("__ms_n") - col("__ms_i")).cast("double"))
+      .withColumn("split_pos", col("__ms_i"))
+      .withColumn("n_obs", col("__ms_n"))
+      .drop("__ms_i", "__ms_s", "__ms_n", "__ms_t", "__ms_p", "__ms_q", "__ms_r")
+  }
+
   /** Column profile — the data-quality report every ingest pipeline runs
     * first: per column, row/null/distinct counts and min/max (as strings, so
     * heterogeneous column types stack into one frame). ONE aggregation pass

@@ -101,4 +101,34 @@ object Sketches {
       Seq(factKeyName),
       "left_semi")
   }
+
+  /** Cross-engine 64-bit row hash: the big-endian parse of the LOW half of
+    * the md5 hex digest of a canonical row string. md5 renders identical
+    * lowercase hex everywhere, and the hex→integer parse is pinned to one
+    * byte order on both sides (`conv(substr(hex,17,16),16,10)` here;
+    * `('0x'||substring(md5,17,16))::UBIGINT` in DuckDB) — unlike xxhash64 /
+    * DuckDB `hash()`, which are engine-private. DECIMAL(38,0) because the
+    * value is unsigned 64-bit.
+    *
+    * The canonical string is the caller's contract: build it from integer /
+    * string renderings only (cents-cast doubles, ISO-cast dates) — raw
+    * double→string rendering differs across engines.
+    */
+  def rowHash64(canonical: Column): Column =
+    conv(substring(md5(canonical), 17, 16), 16, 10).cast("decimal(38,0)")
+
+  /** Order-free table fingerprint per group: COUNT plus SUM / MIN / MAX of
+    * the 64-bit row hash. Commutative aggregates make the fingerprint
+    * independent of partitioning, task order, and file layout — the
+    * anti-entropy primitive for verifying a 100 TB table copy (or two
+    * engines' views of one) without moving rows: compare four numbers per
+    * group. SUM is duplicate-sensitive where XOR would cancel pairs; MIN/MAX
+    * catch single-row corruption that offsetting edits could hide from SUM.
+    */
+  def fingerprint(df: DataFrame, groupCols: Seq[Column], canonical: Column): DataFrame = {
+    val h = rowHash64(canonical)
+    df.groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(h).as("fp_sum"), min(h).as("fp_min"), max(h).as("fp_max"))
+  }
 }

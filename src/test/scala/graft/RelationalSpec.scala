@@ -403,4 +403,47 @@ class RelationalSpec extends SparkTestBase {
     // duplicates of a frontier point both survive
     assert(got.contains(1001L) == got.contains(1002L))
   }
+
+  test("linearInterpolate: interior lines, boundary neighbors, all-null stays null") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 0L, Some(100L)), ("a", 1L, None), ("a", 2L, None), ("a", 3L, None),
+      ("a", 4L, Some(300L)), // interior gap: 150, 200, 250
+      ("b", 0L, None), ("b", 1L, Some(10L)), ("b", 2L, None), // boundaries: 10, -, 10
+      ("c", 0L, None), ("c", 1L, None) // no observations at all
+    ).toDF("k", "p", "v")
+    val got = Relational.linearInterpolate(df, Seq(col("k")), "p", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(("a", 1L)) == Some(150.0) && got(("a", 2L)) == Some(200.0) &&
+      got(("a", 3L)) == Some(250.0), s"interior: $got")
+    assert(got(("b", 0L)) == Some(10.0) && got(("b", 2L)) == Some(10.0), s"boundary: $got")
+    assert(got(("c", 0L)).isEmpty && got(("c", 1L)).isEmpty, s"all-null: $got")
+  }
+
+  test("meanShiftSplit: finds the obvious level shift with exact means") {
+    import spark.implicits._
+    val df = (Seq.fill(3)(1L) ++ Seq.fill(3)(101L)).zipWithIndex
+      .map { case (v, i) => ("s", i.toLong, v) }.toDF("k", "pos", "v")
+    val r = Relational.meanShiftSplit(df, "k", Seq(col("pos")), "v").collect().head
+    val byName = r.schema.fieldNames.zipWithIndex.toMap
+    assert(r.getInt(byName("split_pos")) == 3)
+    assert(r.getDouble(byName("mean_before")) == 1.0)
+    assert(r.getDouble(byName("mean_after")) == 101.0)
+    assert(r.getDouble(byName("shift_score")) == 100.0)
+  }
+
+  test("fingerprint: invariant to row order and partitioning, sensitive to edits") {
+    import spark.implicits._
+    val rows = (1 to 50).map(i => (i % 3, s"row-$i"))
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sketches.fingerprint(df, Seq(col("_1")), col("_2"))
+        .collect().map(r => r.getInt(0) ->
+          (r.getLong(1), r.getDecimal(2), r.getDecimal(3), r.getDecimal(4))).toMap
+    val a = fp(rows.toDF.repartition(7))
+    val b = fp(scala.util.Random.shuffle(rows).toDF.repartition(2))
+    assert(a == b, "fingerprint must not depend on order/partitioning")
+    val c = fp(rows.updated(10, (rows(10)._1, "tampered")).toDF)
+    assert(a != c, "a changed row must change the fingerprint")
+  }
 }
