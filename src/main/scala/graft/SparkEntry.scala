@@ -3313,6 +3313,69 @@ object SparkEntry {
         .orderBy(col("user_id"), col("day"))
     }),
 
+    // ---- edit-distance-1 neighbor pairs via FastSS deletion neighborhoods:
+    // O(n·L) candidate keys (each name plus its single-char deletions)
+    // replace the O(n²) cross join the oracle runs — the string-similarity
+    // join for typo-level entity resolution at corpus scale; exact banded
+    // verify removes shared-deletion false positives ----
+    "q174_edit_neighbors" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      graft.ops.Dedup.editDistance1Pairs(c, "c_custkey", "c_name")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- two-proportion A/B test in exact arithmetic: cohorts by user-id
+    // parity, conversion = made ≥1 purchase; z² emitted as ONE division of
+    // exact DECIMAL products (z² = (n₂s₁−n₁s₂)²(n₁+n₂) / n₁n₂(s₁+s₂)
+    // (n₁+n₂−s₁−s₂)) with the sign carried separately — no float chain, so
+    // the experiment verdict is engine-stable ----
+    "q175_ab_test" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val users = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+        .withColumn("cohort", (col("user_id") % 2 === 0).cast("int"))
+      users.agg(
+          sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("cohort") === 1, col("converted")).otherwise(0L)).as("s_a"),
+          sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("cohort") === 0, col("converted")).otherwise(0L)).as("s_b"))
+        .select(col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+          (col("s_a").cast("double") / col("n_a").cast("double")).as("rate_a"),
+          (col("s_b").cast("double") / col("n_b").cast("double")).as("rate_b"),
+          signum((dec(col("n_b")) * dec(col("s_a"))
+            - dec(col("n_a")) * dec(col("s_b"))).cast("double")).cast("int").as("direction"),
+          (((dec(col("n_b")) * dec(col("s_a")) - dec(col("n_a")) * dec(col("s_b")))
+            * (dec(col("n_b")) * dec(col("s_a")) - dec(col("n_a")) * dec(col("s_b")))
+            * dec(col("n_a") + col("n_b"))).cast("double") /
+            (dec(col("n_a")) * dec(col("n_b")) * dec(col("s_a") + col("s_b"))
+              * dec(col("n_a") + col("n_b") - col("s_a") - col("s_b"))).cast("double"))
+            .as("z_squared"))
+    }),
+
+    // ---- behavior-combination (UpSet-style) profile of ONBOARDING: users
+    // grouped by the exact SET of event types in their first 5 events — the
+    // segmentation behind "clicked but never purchased early" cohorts; set
+    // identity via sorted array_join (collect_set order is partition-
+    // dependent, sort pins it), share is one surface division over the
+    // ≤2^5-row combo table ----
+    "q176_behavior_combos" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val first5 = t(s, dir, "events")
+        .withColumn("__rn", row_number().over(
+          W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+        .filter(col("__rn") <= 5)
+      val combos = first5
+        .groupBy(col("user_id"))
+        .agg(array_join(sort_array(collect_set(col("event_type"))), ",").as("combo"))
+        .groupBy(col("combo")).agg(count(lit(1)).as("n_users"))
+      val total = W.partitionBy(lit(1))
+      combos
+        .withColumn("share",
+          col("n_users").cast("double") / sum(col("n_users")).over(total).cast("double"))
+        .orderBy(col("combo"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -4558,6 +4621,53 @@ object SparkEntry {
         |    ELSE pv::DOUBLE + ((nv - pv) * (p - pp))::DOUBLE / (np - pp)::DOUBLE
         |  END AS day_cents_interp
         |FROM f ORDER BY user_id, day""".stripMargin,
+    "q174_edit_neighbors" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q175_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS cohort
+        |  FROM events GROUP BY user_id),
+        |agg AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN cohort = 1 THEN converted ELSE 0 END) AS BIGINT) AS s_a,
+        |    CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN cohort = 0 THEN converted ELSE 0 END) AS BIGINT) AS s_b
+        |  FROM u)
+        |SELECT n_a, s_a, n_b, s_b,
+        |  s_a::DOUBLE / n_a::DOUBLE AS rate_a,
+        |  s_b::DOUBLE / n_b::DOUBLE AS rate_b,
+        |  CAST(sign((CAST(n_b AS DECIMAL(38,0)) * CAST(s_a AS DECIMAL(38,0))
+        |    - CAST(n_a AS DECIMAL(38,0)) * CAST(s_b AS DECIMAL(38,0)))::DOUBLE) AS INT)
+        |    AS direction,
+        |  ((CAST(n_b AS DECIMAL(38,0)) * CAST(s_a AS DECIMAL(38,0))
+        |      - CAST(n_a AS DECIMAL(38,0)) * CAST(s_b AS DECIMAL(38,0)))
+        |    * (CAST(n_b AS DECIMAL(38,0)) * CAST(s_a AS DECIMAL(38,0))
+        |      - CAST(n_a AS DECIMAL(38,0)) * CAST(s_b AS DECIMAL(38,0)))
+        |    * CAST(n_a + n_b AS DECIMAL(38,0)))::DOUBLE
+        |  / (CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))
+        |    * CAST(s_a + s_b AS DECIMAL(38,0))
+        |    * CAST(n_a + n_b - s_a - s_b AS DECIMAL(38,0)))::DOUBLE AS z_squared
+        |FROM agg""".stripMargin,
+    "q176_behavior_combos" ->
+      """WITH f AS (
+        |  SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |combos AS (
+        |  SELECT user_id,
+        |    array_to_string(list_sort(list(DISTINCT event_type)), ',') AS combo
+        |  FROM f WHERE rn <= 5 GROUP BY user_id),
+        |c AS (SELECT combo, COUNT(*) AS n_users FROM combos GROUP BY combo)
+        |SELECT combo, n_users,
+        |  n_users::DOUBLE / (SUM(n_users) OVER ())::DOUBLE AS share
+        |FROM c ORDER BY combo""".stripMargin,
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(

@@ -625,4 +625,39 @@ object Dedup {
       ()
     }
   }
+
+  /** All pairs within Levenshtein distance 1 via FastSS deletion
+    * neighborhoods (Bocek et al. 2007): each string emits itself plus every
+    * single-character deletion as candidate keys; two strings within one
+    * edit (substitution, insert, or delete) necessarily share a key, so a
+    * key-equijoin finds every true pair — O(n·L) keys instead of the O(n²)
+    * cross join (the oracle arm). Candidates are distinct-collapsed before
+    * the exact banded-levenshtein verify, which removes the false positives
+    * (shared deletion ⇒ distance ≤ 2, not ≤ 1).
+    *
+    * The deletion expansion is a codegen'd `transform(sequence(...))` HOF —
+    * bounded by string length, no UDF. Key skew mirrors natural-language
+    * name distributions (a hot key = many near-identical strings); the
+    * distinct-collapse caps the verify volume at the true candidate count.
+    */
+  def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val v = df
+      .select(col(idCol).as("__ed_id"), col(strCol).as("__ed_s"))
+      .filter(col("__ed_s").isNotNull)
+      .select(col("__ed_id"), col("__ed_s"), explode(array_distinct(concat(
+        array(col("__ed_s")),
+        expr("transform(sequence(1, length(__ed_s)), i -> " +
+          "concat(substr(__ed_s, 1, i - 1), substr(__ed_s, i + 1, length(__ed_s))))")
+      ))).as("__ed_key"))
+    val cand = v.as("a")
+      .join(v.as("b"),
+        col("a.__ed_key") === col("b.__ed_key") && col("a.__ed_id") < col("b.__ed_id"))
+      .select(col("a.__ed_id").as("id_a"), col("a.__ed_s").as("s_a"),
+        col("b.__ed_id").as("id_b"), col("b.__ed_s").as("s_b"))
+      .distinct()
+    cand
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b"), 1).as("edit_dist"))
+      .filter(col("edit_dist") >= 0)
+  }
 }

@@ -484,4 +484,22 @@ class OpsSpec extends SparkTestBase {
     assert(Dedup.sortedNeighborhoodPairs(split, "doc_id", "text",
       col("src"), col("text"), windowSize = 4, threshold = 0.1).count() == 0)
   }
+
+  test("editDistance1Pairs: equals the quadratic levenshtein join on random strings") {
+    import spark.implicits._
+    // random short strings over a tiny alphabet — dense with substitutions,
+    // insertions, deletions, exact duplicates, and distance-2 decoys that a
+    // shared deletion key must NOT let through
+    val rnd = new scala.util.Random(11)
+    val strs = (1 to 120).map(i =>
+      (i.toLong, (1 to (3 + rnd.nextInt(4))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString))
+    val df = strs.toDF("id", "s")
+    val brute = df.as("a").join(df.as("b"), col("a.id") < col("b.id"))
+      .filter(levenshtein(col("a.s"), col("b.s")) <= 1)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    val got = Dedup.editDistance1Pairs(df, "id", "s")
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(got == brute, s"extra=${got -- brute} missing=${brute -- got}")
+    assert(got.nonEmpty, "degenerate fixture: no close pairs generated")
+  }
 }
