@@ -3376,6 +3376,107 @@ object SparkEntry {
         .orderBy(col("combo"))
     }),
 
+    // ---- χ² independence audit cells (returnflag × linestatus): observed,
+    // expected, and the per-cell χ² contribution held as ONE division of
+    // exact integers ((O·N − r·c)² / (N·r·c)) — emitted per cell rather than
+    // summed, because a cross-engine float SUM is order-sensitive while
+    // every cell value is engine-stable; the margins come from windows over
+    // the ≤·|flags|·|statuses|-row cell table ----
+    "q177_chisq_cells" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val cells = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("observed"))
+      cells
+        .withColumn("r", sum(col("observed")).over(W.partitionBy(col("l_returnflag"))))
+        .withColumn("c", sum(col("observed")).over(W.partitionBy(col("l_linestatus"))))
+        .withColumn("n", sum(col("observed")).over(W.partitionBy(lit(1))))
+        .select(col("l_returnflag"), col("l_linestatus"), col("observed"),
+          ((dec(col("r")) * dec(col("c"))).cast("double") / col("n").cast("double"))
+            .as("expected"),
+          (((dec(col("observed")) * dec(col("n")) - dec(col("r")) * dec(col("c")))
+            * (dec(col("observed")) * dec(col("n")) - dec(col("r")) * dec(col("c"))))
+            .cast("double") /
+            (dec(col("n")) * dec(col("r")) * dec(col("c"))).cast("double"))
+            .as("chisq_contrib"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- seasonal-naive backtest (forecast = same weekday last week) over
+    // per-supplier daily revenue, scored with exact error metrics: WMAPE
+    // and bias as single divisions of exact integer sums — the forecast-
+    // evaluation loop of a demand pipeline with no float accumulation. The
+    // d−7 lookup is a calendar self-join on (supplier, day−7), not a row
+    // lag, so gaps score only genuinely comparable days. ----
+    "q178_backtest" -> ((s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("day"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+        .localCheckpoint() // two consumers below: actuals and the d-7 feed
+      val fc = daily.select(col("l_suppkey"),
+        date_add(col("day"), 7).as("day"), col("cents").as("fc_cents"))
+      daily.join(fc, Seq("l_suppkey", "day"))
+        .withColumn("err", col("cents") - col("fc_cents"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_scored"),
+          sum(abs(col("err"))).as("abs_err_sum"),
+          sum(col("err")).as("err_sum"),
+          sum(col("cents")).as("actual_sum"))
+        .select(col("l_suppkey"), col("n_scored"), col("abs_err_sum"),
+          (col("abs_err_sum").cast("double") / col("actual_sum").cast("double"))
+            .as("wmape"),
+          (col("err_sum").cast("double") / col("actual_sum").cast("double"))
+            .as("bias"))
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // ---- recommender evaluation: top-3 train-period brands per customer
+    // (spend argsort, tie→brand) scored against test-period purchases —
+    // precision@3 and MRR with the reciprocal held in fixed point (the q135
+    // rule: Σ SCALE DIV rank is order-free and exact; divide once at the
+    // surface). One row: the eval harness any ranking pipeline needs. ----
+    "q179_rec_eval" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val split = lit("1999-01-01").cast("date")
+      val sales = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("o_custkey"), col("o_orderdate"), col("p_brand"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .localCheckpoint() // feeds both the train ranking and the test truth
+      val recs = sales.filter(col("o_orderdate") < split)
+        .groupBy(col("o_custkey"), col("p_brand"))
+        .agg(sum(col("cents")).as("spend"))
+        .withColumn("rank", row_number().over(W.partitionBy(col("o_custkey"))
+          .orderBy(col("spend").desc, col("p_brand"))))
+        .filter(col("rank") <= 3)
+      val truth = sales.filter(col("o_orderdate") >= split)
+        .select(col("o_custkey"), col("p_brand")).distinct()
+      val scored = recs
+        .join(truth.withColumn("hit", lit(1L)), Seq("o_custkey", "p_brand"), "left")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_recs"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"),
+          min(when(col("hit") === 1L, col("rank"))).as("first_hit_rank"))
+        // only customers with BOTH train recs and any test activity score
+        .join(truth.select(col("o_custkey")).distinct(), Seq("o_custkey"), "left_semi")
+      scored.agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("hits")).as("total_hits"),
+          sum(col("n_recs")).as("total_recs"),
+          sum(coalesce(expr("1000000000000 DIV first_hit_rank"), lit(0L)))
+            .as("mrr_fixed_sum"))
+        .select(col("n_customers"), col("total_hits"), col("total_recs"),
+          (col("total_hits").cast("double") / col("total_recs").cast("double"))
+            .as("precision_at_3"),
+          col("mrr_fixed_sum"),
+          (col("mrr_fixed_sum").cast("double") /
+            (col("n_customers").cast("decimal(38,0)")
+              * lit(1000000000000L).cast("decimal(38,0)")).cast("double")).as("mrr"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -4668,6 +4769,78 @@ object SparkEntry {
         |SELECT combo, n_users,
         |  n_users::DOUBLE / (SUM(n_users) OVER ())::DOUBLE AS share
         |FROM c ORDER BY combo""".stripMargin,
+    "q177_chisq_cells" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag, l_linestatus, COUNT(*) AS observed
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT l_returnflag, l_linestatus, observed,
+        |    SUM(observed) OVER (PARTITION BY l_returnflag) AS r,
+        |    SUM(observed) OVER (PARTITION BY l_linestatus) AS c,
+        |    SUM(observed) OVER () AS n
+        |  FROM cells)
+        |SELECT l_returnflag, l_linestatus, observed,
+        |  (CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))::DOUBLE
+        |    / CAST(n AS BIGINT)::DOUBLE AS expected,
+        |  ((CAST(observed AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+        |      - CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+        |    * (CAST(observed AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+        |      - CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))))::DOUBLE
+        |  / (CAST(n AS DECIMAL(38,0)) * CAST(r AS DECIMAL(38,0))
+        |    * CAST(c AS DECIMAL(38,0)))::DOUBLE AS chisq_contrib
+        |FROM m ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q178_backtest" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.l_suppkey, a.cents - f.cents AS err, a.cents
+        |  FROM daily a
+        |  JOIN daily f ON a.l_suppkey = f.l_suppkey AND f.day = a.day - 7)
+        |SELECT l_suppkey, COUNT(*) AS n_scored,
+        |  CAST(SUM(abs(err)) AS BIGINT) AS abs_err_sum,
+        |  CAST(SUM(abs(err)) AS BIGINT)::DOUBLE / CAST(SUM(cents) AS BIGINT)::DOUBLE
+        |    AS wmape,
+        |  CAST(SUM(err) AS BIGINT)::DOUBLE / CAST(SUM(cents) AS BIGINT)::DOUBLE AS bias
+        |FROM j GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "q179_rec_eval" ->
+      """WITH sales AS (
+        |  SELECT o_custkey, o_orderdate, p_brand,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey),
+        |recs AS (
+        |  SELECT o_custkey, p_brand, rank FROM (
+        |    SELECT o_custkey, p_brand,
+        |      ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |        ORDER BY SUM(cents) DESC, p_brand) AS rank
+        |    FROM sales WHERE o_orderdate < DATE '1999-01-01'
+        |    GROUP BY o_custkey, p_brand)
+        |  WHERE rank <= 3),
+        |truth AS (
+        |  SELECT DISTINCT o_custkey, p_brand FROM sales
+        |  WHERE o_orderdate >= DATE '1999-01-01'),
+        |scored AS (
+        |  SELECT r.o_custkey, COUNT(*) AS n_recs,
+        |    CAST(SUM(CASE WHEN t.p_brand IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |    MIN(CASE WHEN t.p_brand IS NOT NULL THEN r.rank END) AS first_hit_rank
+        |  FROM recs r
+        |  LEFT JOIN truth t ON r.o_custkey = t.o_custkey AND r.p_brand = t.p_brand
+        |  WHERE r.o_custkey IN (SELECT o_custkey FROM truth)
+        |  GROUP BY r.o_custkey)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(hits) AS BIGINT) AS total_hits,
+        |  CAST(SUM(n_recs) AS BIGINT) AS total_recs,
+        |  CAST(SUM(hits) AS BIGINT)::DOUBLE / CAST(SUM(n_recs) AS BIGINT)::DOUBLE
+        |    AS precision_at_3,
+        |  CAST(SUM(COALESCE(1000000000000 // first_hit_rank, 0)) AS BIGINT)
+        |    AS mrr_fixed_sum,
+        |  CAST(SUM(COALESCE(1000000000000 // first_hit_rank, 0)) AS BIGINT)::DOUBLE
+        |    / (CAST(COUNT(*) AS DECIMAL(38,0))
+        |       * CAST(1000000000000 AS DECIMAL(38,0)))::DOUBLE AS mrr
+        |FROM scored""".stripMargin,
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(
