@@ -3477,6 +3477,68 @@ object SparkEntry {
               * lit(1000000000000L).cast("decimal(38,0)")).cast("double")).as("mrr"))
     }),
 
+    // ---- TPC-H Q13 shape (customer order-count distribution): LEFT join +
+    // COUNT(order) per customer (NULL-safe: customers with no orders count
+    // 0), then the distribution of those counts — the two-level aggregate
+    // with an outer join feeding it; exercises null-aware aggregation ----
+    "q180_custdist" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips NULLs
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // ---- TPC-H Q17 shape (small-quantity revenue): lineitems below 20% of
+    // their part's average quantity — the correlated-scalar-subquery
+    // pattern, decorrelated the Spark-first way as an explicit per-part
+    // aggregate joined back (what Catalyst's decorrelation would emit);
+    // avg held exact as sum/count cross-multiplied into the predicate
+    // (qty·5·cnt < sum ⇔ qty < 0.2·avg) so no float threshold wobbles ----
+    "q181_small_qty_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          round(col("l_quantity") * 100).cast("long").as("qty_c"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+        .localCheckpoint() // feeds the per-part aggregate AND the probe side
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(sum(col("qty_c")).as("sum_qty"), count(lit(1)).as("cnt"))
+      li.join(perPart, Seq("l_partkey"))
+        .filter(col("qty_c") * lit(5L) * col("cnt") < col("sum_qty"))
+        .agg(sum(col("price_c").cast("decimal(38,0)")).as("revenue_cents"),
+          count(lit(1)).as("n_lines"))
+        .select(col("revenue_cents").cast("decimal(38,0)").as("revenue_cents"),
+          col("n_lines"))
+    }),
+
+    // ---- TPC-H Q21 shape (suppliers who alone were late on multi-supplier
+    // orders): EXISTS(another supplier on the order) AND NOT EXISTS(another
+    // LATE supplier) — the double-correlated-exists pattern, expressed as
+    // aggregate semi/anti joins over the per-(order, supplier) lateness
+    // table; late = shipped >90 days after order ----
+    "q182_late_sole_supplier" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max((datediff(col("l_shipdate"), col("o_orderdate")) > 90).cast("int"))
+          .as("late"))
+        .localCheckpoint() // three consumers: probe, exists-arm, not-exists-arm
+      val others = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"),
+        col("late").as("late2"))
+      li.filter(col("late") === 1)
+        // EXISTS: some other supplier on the same order
+        .join(others.filter(col("s2").isNotNull),
+          col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"), "left_semi")
+        // NOT EXISTS: no other LATE supplier on the same order
+        .join(others.filter(col("late2") === 1),
+          col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"), "left_anti")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("l_suppkey"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -4841,6 +4903,45 @@ object SparkEntry {
         |    / (CAST(COUNT(*) AS DECIMAL(38,0))
         |       * CAST(1000000000000 AS DECIMAL(38,0)))::DOUBLE AS mrr
         |FROM scored""".stripMargin,
+    "q180_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q181_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+        |  FROM lineitem),
+        |pp AS (
+        |  SELECT l_partkey, CAST(SUM(qty_c) AS BIGINT) AS sum_qty,
+        |    COUNT(*) AS cnt
+        |  FROM li GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(price_c AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |    AS revenue_cents,
+        |  COUNT(*) AS n_lines
+        |FROM li JOIN pp USING (l_partkey)
+        |WHERE qty_c * 5 * cnt < sum_qty""".stripMargin,
+    "q182_late_sole_supplier" ->
+      """WITH ls AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    MAX(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90
+        |      THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT l_suppkey, COUNT(*) AS numwait
+        |FROM ls a
+        |WHERE a.late = 1
+        |  AND EXISTS (SELECT 1 FROM ls b
+        |    WHERE b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM ls c
+        |    WHERE c.l_orderkey = a.l_orderkey AND c.l_suppkey <> a.l_suppkey
+        |      AND c.late = 1)
+        |GROUP BY l_suppkey
+        |ORDER BY numwait DESC, l_suppkey""".stripMargin,
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(
