@@ -3539,6 +3539,45 @@ object SparkEntry {
         .orderBy(col("numwait").desc, col("l_suppkey"))
     }),
 
+    // ---- stream-static enrichment under the gate: the events stream joined
+    // to the broadcast customer dimension per micro-batch, aggregated to
+    // exact per-segment purchase totals — the canonical streaming enrich
+    // (dim rides map-side, no stream-side shuffle for the join); equals the
+    // batch join+aggregate cell-for-cell because the totals are
+    // arrival-order-free integer cents ----
+    "q183_stream_enrich" -> ((s, dir) => {
+      val ev = Tables.eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = graft.streaming.StreamOps
+        .enrichWithStatic(ev, dim, "user_id", "c_custkey")
+        .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+      graft.streaming.StreamOps
+        .runToMemory(s, enriched, "q183_mem",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy(col("segment"))
+    }),
+
+    // ---- multiset EXCEPT ALL / INTERSECT ALL through the gate: bag
+    // semantics (per-occurrence, not per-value) over the open-vs-finished
+    // order priority bags — the set-op family's missing two members (q11/
+    // q35 gate the DISTINCT forms); aggregated to counts for stable output ----
+    "q184_multiset_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "O").select(col("o_orderpriority"))
+      val b = o.filter(col("o_orderstatus") === "F").select(col("o_orderpriority"))
+      val ea = a.exceptAll(b).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      val ia = a.intersectAll(b).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      ea.unionByName(ia)
+        .select(col("op"), col("o_orderpriority"), col("n"))
+        .orderBy(col("op"), col("o_orderpriority"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -4942,6 +4981,26 @@ object SparkEntry {
         |      AND c.late = 1)
         |GROUP BY l_suppkey
         |ORDER BY numwait DESC, l_suppkey""".stripMargin,
+    "q183_stream_enrich" ->
+      """SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+        |  COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
+    "q184_multiset_ops" ->
+      """WITH a AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'),
+        |b AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+        |ea AS (SELECT o_orderpriority FROM
+        |  (SELECT o_orderpriority FROM a EXCEPT ALL SELECT o_orderpriority FROM b)),
+        |ia AS (SELECT o_orderpriority FROM
+        |  (SELECT o_orderpriority FROM a INTERSECT ALL SELECT o_orderpriority FROM b))
+        |SELECT 'except_all' AS op, o_orderpriority, COUNT(*) AS n
+        |FROM ea GROUP BY 2
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, o_orderpriority, COUNT(*) AS n
+        |FROM ia GROUP BY 2
+        |ORDER BY op, o_orderpriority""".stripMargin,
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(
