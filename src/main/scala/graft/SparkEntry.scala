@@ -3578,6 +3578,77 @@ object SparkEntry {
         .orderBy(col("op"), col("o_orderpriority"))
     }),
 
+    // ---- classifier evaluation table: the engine's own lang-ID predictions
+    // (q21) scored against the labeled lang column — per-class tp / predicted
+    // / actual counts with precision, recall, F1 as single divisions of
+    // exact longs (2tp/(pred+actual) — no intermediate rate chain). The
+    // contingency collapses to |classes|² cells before any window. ----
+    "q185_langid_eval" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(coalesce(col("lang"), lit("und")).as("actual"),
+          col("text"), TextAnalysis.tokens(col("text")).as("_toks"))
+        .select(col("actual"), TextAnalysis.langIdTokens(col("text"), col("_toks")).as("pred"))
+      val cells = d.groupBy(col("actual"), col("pred")).agg(count(lit(1)).as("n"))
+        .localCheckpoint() // three small consumers below
+      val byActual = cells.groupBy(col("actual").as("class")).agg(sum(col("n")).as("n_actual"))
+      val byPred = cells.groupBy(col("pred").as("class")).agg(sum(col("n")).as("n_pred"))
+      val tp = cells.filter(col("actual") === col("pred"))
+        .select(col("actual").as("class"), col("n").as("tp"))
+      byActual.join(byPred, Seq("class"), "full_outer")
+        .join(tp, Seq("class"), "left")
+        .select(col("class"),
+          coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("tp"), lit(0L)).as("tp"))
+        .withColumn("precision", when(col("n_pred") > 0,
+          col("tp").cast("double") / col("n_pred").cast("double")))
+        .withColumn("recall", when(col("n_actual") > 0,
+          col("tp").cast("double") / col("n_actual").cast("double")))
+        .withColumn("f1", when(col("n_pred") + col("n_actual") > 0,
+          (col("tp") * 2L).cast("double") /
+            (col("n_pred") + col("n_actual")).cast("double")))
+        .orderBy(col("class"))
+    }),
+
+    // ---- calibration (reliability) table: documents deciled by length via
+    // the distributed global NTILE (q155's bucketed two-pass device — no
+    // single-reducer window), each decile scored with its empirical
+    // P(lang = 'en') — the monotonicity read says how calibrated length is
+    // as an English-ness score; rate is one surface division ----
+    "q186_calibration" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          (coalesce(col("lang"), lit("")) === "en").cast("long").as("is_en"))
+      Relational.globalNtile(d, "n_chars", "doc_id", 10, "decile")
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("is_en")).as("n_en"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+        .withColumn("en_rate",
+          col("n_en").cast("double") / col("n_docs").cast("double"))
+        .orderBy(col("decile"))
+    }),
+
+    // ---- repurchase-latency quantiles: per-segment exact p50/p90 of the
+    // seconds between consecutive purchases of one user — lag window per
+    // user, then the bucketed exact-quantile core (no per-key sort at the
+    // quantile step); the latency distribution behind churn playbooks ----
+    "q187_repurchase_latency" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gaps = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .filter(col("prev_ts").isNotNull)
+        .withColumn("gap_sec",
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          col("user_id") === col("c_custkey"), "left")
+        .select(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+          col("gap_sec"))
+      Relational.exactQuantilesByKey(gaps, "segment", "gap_sec", Seq(0.5, 0.9))
+        .orderBy(col("segment"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -5001,6 +5072,77 @@ object SparkEntry {
         |SELECT 'intersect_all' AS op, o_orderpriority, COUNT(*) AS n
         |FROM ia GROUP BY 2
         |ORDER BY op, o_orderpriority""".stripMargin,
+    "q185_langid_eval" ->
+      """WITH p AS (
+        |  SELECT coalesce(lang, 'und') AS actual,
+        |    CASE
+        |      WHEN length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+        |      WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+        |      WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+        |      WHEN de >= fr AND de > 0 THEN 'de'
+        |      WHEN fr > 0 THEN 'fr'
+        |      ELSE 'und' END AS pred
+        |  FROM (
+        |    SELECT lang, text,
+        |      len(list_filter(toks, t -> list_contains(['the','a','an','of','and','to','in','is','it','that','for'], t))) AS en,
+        |      len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','un','una','es','por'], t))) AS es,
+        |      len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','von','ein','mit','zu','den'], t))) AS de,
+        |      len(list_filter(toks, t -> list_contains(['le','la','les','de','et','un','une','est','dans','que'], t))) AS fr
+        |    FROM (SELECT lang, text,
+        |      CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN [] ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS toks
+        |      FROM documents) y) x),
+        |cells AS (SELECT actual, pred, COUNT(*) AS n FROM p GROUP BY 1, 2),
+        |ba AS (SELECT actual AS class, CAST(SUM(n) AS BIGINT) AS n_actual
+        |  FROM cells GROUP BY 1),
+        |bp AS (SELECT pred AS class, CAST(SUM(n) AS BIGINT) AS n_pred
+        |  FROM cells GROUP BY 1),
+        |tp AS (SELECT actual AS class, CAST(n AS BIGINT) AS tp FROM cells
+        |  WHERE actual = pred),
+        |j AS (
+        |  SELECT coalesce(ba.class, bp.class) AS class,
+        |    coalesce(n_actual, 0) AS n_actual, coalesce(n_pred, 0) AS n_pred
+        |  FROM ba FULL OUTER JOIN bp ON ba.class = bp.class)
+        |SELECT j.class, j.n_actual, j.n_pred, coalesce(tp.tp, 0) AS tp,
+        |  CASE WHEN j.n_pred > 0
+        |    THEN coalesce(tp.tp, 0)::DOUBLE / j.n_pred::DOUBLE END AS precision,
+        |  CASE WHEN j.n_actual > 0
+        |    THEN coalesce(tp.tp, 0)::DOUBLE / j.n_actual::DOUBLE END AS recall,
+        |  CASE WHEN j.n_pred + j.n_actual > 0
+        |    THEN (coalesce(tp.tp, 0) * 2)::DOUBLE
+        |      / (j.n_pred + j.n_actual)::DOUBLE END AS f1
+        |FROM j LEFT JOIN tp ON j.class = tp.class
+        |ORDER BY j.class""".stripMargin,
+    "q186_calibration" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN coalesce(lang, '') = 'en' THEN 1 ELSE 0 END AS is_en,
+        |    NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+        |  FROM documents)
+        |SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_docs,
+        |  CAST(SUM(is_en) AS BIGINT) AS n_en,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |  CAST(SUM(is_en) AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE AS en_rate
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+    "q187_repurchase_latency" ->
+      """WITH pur AS (
+        |  SELECT user_id, ts, event_id,
+        |    LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |gaps AS (
+        |  SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+        |    datediff('second', prev_ts, ts) AS gap_sec
+        |  FROM pur LEFT JOIN customer ON user_id = c_custkey
+        |  WHERE prev_ts IS NOT NULL),
+        |g AS (SELECT segment AS k, gap_sec AS v, COUNT(*) AS c FROM gaps
+        |  WHERE gap_sec IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT k, SUM(c) AS n FROM g GROUP BY k),
+        |cum AS (
+        |  SELECT g.k, g.v, SUM(g.c) OVER (PARTITION BY g.k ORDER BY g.v) AS cc, t.n
+        |  FROM g JOIN t USING (k))
+        |SELECT k AS segment,
+        |  MIN(CASE WHEN cc >= ceil(0.5 * n) THEN v END) AS p50,
+        |  MIN(CASE WHEN cc >= ceil(0.9 * n) THEN v END) AS p90
+        |FROM cum GROUP BY k ORDER BY k""".stripMargin,
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(
