@@ -3649,6 +3649,61 @@ object SparkEntry {
         .orderBy(col("segment"))
     }),
 
+    // ---- linear (equal-credit) multi-touch attribution: each purchase
+    // splits its cents equally across the user's PRIOR view/click touches;
+    // the per-purchase split is fixed-point integer division (cents·SCALE·
+    // n_channel DIV k — one floor per (purchase, channel), deterministic on
+    // both engines), summed per channel in DECIMAL. Complements q163's
+    // last-touch rule; 'none' holds untouched purchases. ----
+    "q188_linear_attribution" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      val S = 1000000L
+      val p = t(s, dir, "events")
+        .withColumn("n_view",
+          count(when(col("event_type") === "view", 1)).over(w))
+        .withColumn("n_click",
+          count(when(col("event_type") === "click", 1)).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("k", col("n_view") + col("n_click"))
+      val credits = p.select(lit("view").as("channel"),
+          when(col("k") > 0, expr(s"(cents * $S * n_view) DIV k")).otherwise(lit(0L))
+            .as("credit"))
+        .unionAll(p.select(lit("click").as("channel"),
+          when(col("k") > 0, expr(s"(cents * $S * n_click) DIV k")).otherwise(lit(0L))
+            .as("credit")))
+        .unionAll(p.select(lit("none").as("channel"),
+          when(col("k") === 0, col("cents") * lit(S)).otherwise(lit(0L)).as("credit")))
+      credits.groupBy(col("channel"))
+        .agg(sum(when(col("credit") > 0, 1L).otherwise(0L)).as("n_credited"),
+          sum(col("credit").cast("decimal(38,0)")).as("credit_fixed"))
+        .withColumn("credit_dollars",
+          col("credit_fixed").cast("double") / lit(100.0 * S))
+        .orderBy(col("channel"))
+    }),
+
+    // ---- multi-source weighted shortest paths (min-plus Bellman–Ford) over
+    // the co-supply graph, edge weight = 1 + |size difference| of the two
+    // parts: integer distances reach a fixed point that is engine-stable,
+    // gated against an unrolled-rounds oracle (q103/q130 device); the
+    // operator REFUSES a mid-relaxation answer past its round bound ----
+    "q189_sssp" -> ((s, dir) => {
+      val sizes = t(s, dir, "part").select(col("p_partkey"), col("p_size"))
+      val e = coSupplyEdges(s, dir)
+        .join(sizes.select(col("p_partkey").as("u"), col("p_size").as("su")), Seq("u"))
+        .join(sizes.select(col("p_partkey").as("v"), col("p_size").as("sv")), Seq("v"))
+        .select(col("u"), col("v"),
+          (lit(1L) + abs(col("su") - col("sv"))).as("w"))
+      val seeds = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .distinct().filter(col("node") < 50)
+      Graph.shortestPathsInt(e, seeds, maxRounds = 16)
+        .select(col("node").as("p_partkey"), col("dist"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -3747,6 +3802,42 @@ object SparkEntry {
          |    GROUP BY s.dst) m ON m.dst = d.src)""".stripMargin
     }.mkString
     head + its + s"\nSELECT node AS p_partkey, rank FROM it$iters ORDER BY p_partkey"
+  }
+
+  /** q189's oracle, generated: min-plus Bellman–Ford relaxation unrolled to
+    * `rounds` CTEs over the weighted co-supply graph (weight = 1 +
+    * |p_size difference|). `rounds` must be ≥ the operator's measured
+    * rounds-to-fixed-point (the Spark side asserts convergence within the
+    * same bound, so a disagreement is impossible rather than silent —
+    * extra oracle rounds past the fixed point are no-ops).
+    */
+  private def ssspOracleSql(rounds: Int): String = {
+    val head =
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |we AS MATERIALIZED (
+        |  SELECT u, v, 1 + abs(pu.p_size - pv.p_size) AS w
+        |  FROM edges JOIN part pu ON u = pu.p_partkey JOIN part pv ON v = pv.p_partkey),
+        |sym AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM we UNION ALL SELECT v AS src, u AS dst, w FROM we),
+        |d0 AS MATERIALIZED (
+        |  SELECT node, CAST(0 AS BIGINT) AS dist FROM (
+        |    SELECT DISTINCT src AS node FROM sym WHERE src < 50))""".stripMargin
+    val its = (1 to rounds).map { i =>
+      val prev = s"d${i - 1}"
+      s""",
+         |d$i AS MATERIALIZED (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM $prev
+         |    UNION ALL
+         |    SELECT s.dst AS node, p.dist + s.w AS dist
+         |    FROM $prev p JOIN sym s ON p.node = s.src) GROUP BY node)""".stripMargin
+    }.mkString
+    head + its +
+      s"\nSELECT node AS p_partkey, CAST(dist AS BIGINT) AS dist FROM d$rounds ORDER BY p_partkey"
   }
 
   /** q117's oracle, generated: the q82 rank rule (min v with cum-count ≥
@@ -5143,6 +5234,36 @@ object SparkEntry {
         |  MIN(CASE WHEN cc >= ceil(0.5 * n) THEN v END) AS p50,
         |  MIN(CASE WHEN cc >= ceil(0.9 * n) THEN v END) AS p90
         |FROM cum GROUP BY k ORDER BY k""".stripMargin,
+    "q188_linear_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type, value,
+        |    COUNT(CASE WHEN event_type = 'view' THEN 1 END) OVER wb AS n_view,
+        |    COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER wb AS n_click
+        |  FROM events
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |pur AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        |    n_view, n_click, n_view + n_click AS k
+        |  FROM p WHERE event_type = 'purchase'),
+        |credits AS (
+        |  SELECT 'view' AS channel,
+        |    CASE WHEN k > 0 THEN (cents * 1000000 * n_view) // k ELSE 0 END AS credit
+        |  FROM pur
+        |  UNION ALL
+        |  SELECT 'click' AS channel,
+        |    CASE WHEN k > 0 THEN (cents * 1000000 * n_click) // k ELSE 0 END AS credit
+        |  FROM pur
+        |  UNION ALL
+        |  SELECT 'none' AS channel,
+        |    CASE WHEN k = 0 THEN cents * 1000000 ELSE 0 END AS credit
+        |  FROM pur)
+        |SELECT channel,
+        |  CAST(SUM(CASE WHEN credit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_credited,
+        |  CAST(SUM(credit) AS DECIMAL(38,0)) AS credit_fixed,
+        |  CAST(SUM(credit) AS DECIMAL(38,0))::DOUBLE / 100000000.0 AS credit_dollars
+        |FROM credits GROUP BY channel ORDER BY channel""".stripMargin,
+    "q189_sssp" -> ssspOracleSql(16),
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(

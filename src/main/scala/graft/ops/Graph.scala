@@ -212,6 +212,60 @@ object Graph {
     reached.groupBy(col("seed")).agg(count(lit(1)).as(s"n_within_$k"))
   }
 
+  /** Multi-source shortest paths with non-negative INTEGER edge weights by
+    * synchronous min-plus relaxation (Bellman–Ford rounds on the undirected
+    * graph): dist⁰ = 0 at the sources, distʳ(v) = min(distʳ⁻¹(v),
+    * min over edges (u,v) of distʳ⁻¹(u) + w). Integer weights keep every
+    * distance exact, so the fixed point is engine-stable and an unrolled-
+    * rounds SQL oracle matches cell-for-cell (the q103/q130 device for
+    * making iterative graph operators hash-gateable). Runs to convergence
+    * and REFUSES a mid-relaxation result: if the fixed point needs more
+    * than `maxRounds` rounds the caller's oracle (unrolled to the same
+    * bound) would silently disagree — fail loudly instead. Unreached nodes
+    * are absent from the output (no ∞ sentinel). Each round is one
+    * hash-join + one min-groupBy at full width; the frontier frame is
+    * checkpointed per round (constant-depth plan, the CC lesson).
+    */
+  def shortestPathsInt(
+      edges: DataFrame,
+      sources: DataFrame,
+      maxRounds: Int = 8
+  ): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 32, s"maxRounds must be in [1,32]: $maxRounds")
+    val Seq(uName, vName, wName) = edges.columns.take(3).toSeq
+    val sym = edges
+      .select(col(uName).as("src"), col(vName).as("dst"), col(wName).cast("long").as("w"))
+      .unionAll(edges.select(col(vName).as("src"), col(uName).as("dst"),
+        col(wName).cast("long").as("w")))
+      .localCheckpoint()
+    val seedCol = sources.columns.head
+    var dist = sources.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val relaxed = dist.join(sym, dist("node") === sym("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val next = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      // converged iff no node's distance improved and no new node appeared;
+      // count compares the frames without collecting either
+      val improved = next.as("n")
+        .join(dist.as("d"), col("n.node") === col("d.node"), "left")
+        .filter(col("d.node").isNull || col("n.dist") < col("d.dist"))
+        .count()
+      dist = next
+      converged = improved == 0
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"shortestPathsInt did not reach its fixed point in $maxRounds rounds — " +
+          "an unrolled-rounds oracle at this bound would disagree; raise maxRounds")
+    dist
+  }
+
   /** Link prediction by the resource-allocation index (Zhou, Lü &
     * Zhang 2009): for every NON-adjacent pair (u,w) with at least
     * `minCommonNeighbors` shared neighbors, score = Σ_{z ∈ N(u)∩N(w)}
