@@ -3704,6 +3704,64 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
 
+    // ---- top-3 brands per nation with an OTHER rollup row: the BI staple
+    // that needs rank + conditional re-aggregation (top rows keep their
+    // identity, the tail collapses) — share is one surface division against
+    // the nation total carried on a dictionary-sized frame ----
+    "q190_top_other" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val rev = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("n_name"), col("p_brand"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      val ranked = rev.withColumn("rk", row_number().over(
+        W.partitionBy(col("n_name")).orderBy(col("cents").desc, col("p_brand"))))
+      val rolled = ranked
+        .groupBy(col("n_name"),
+          when(col("rk") <= 3, col("p_brand")).otherwise(lit("OTHER")).as("brand"))
+        .agg(sum(col("cents")).as("cents"),
+          min(col("rk")).as("rk")) // OTHER sorts after the top-3 via min rank
+      rolled
+        .withColumn("share", col("cents").cast("double") /
+          sum(col("cents")).over(W.partitionBy(col("n_name"))).cast("double"))
+        .orderBy(col("n_name"), col("rk"))
+        .select(col("n_name"), col("brand"), col("cents"), col("share"))
+    }),
+
+    // ---- funnel step latency: per user the seconds from FIRST view to
+    // FIRST subsequent click and from that click to the FIRST subsequent
+    // purchase; exact p50/p90 of each step gap via the bucketed quantile
+    // core — "where does the funnel stall" with no float in sight ----
+    "q191_step_latency" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts")).localCheckpoint()
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val firstClick = ev.filter(col("event_type") === "click")
+        .join(firstView, Seq("user_id"))
+        .filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id"), col("t_view")).agg(min(col("ts")).as("t_click"))
+      val firstBuy = ev.filter(col("event_type") === "purchase")
+        .join(firstClick, Seq("user_id"))
+        .filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id"), col("t_view"), col("t_click"))
+        .agg(min(col("ts")).as("t_buy"))
+      val gaps = firstBuy
+        .select(lit("view_to_click").as("step"),
+          (unix_timestamp(col("t_click")) - unix_timestamp(col("t_view"))).as("gap_sec"))
+        .unionAll(firstBuy.select(lit("click_to_purchase").as("step"),
+          (unix_timestamp(col("t_buy")) - unix_timestamp(col("t_click"))).as("gap_sec")))
+      Relational.exactQuantilesByKey(gaps, "step", "gap_sec", Seq(0.5, 0.9))
+        .orderBy(col("step"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -5264,6 +5322,59 @@ object SparkEntry {
         |  CAST(SUM(credit) AS DECIMAL(38,0))::DOUBLE / 100000000.0 AS credit_dollars
         |FROM credits GROUP BY channel ORDER BY channel""".stripMargin,
     "q189_sssp" -> ssspOracleSql(16),
+    "q190_top_other" ->
+      """WITH rev AS (
+        |  SELECT n_name, p_brand,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT n_name, p_brand, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY n_name
+        |      ORDER BY cents DESC, p_brand) AS rk
+        |  FROM rev),
+        |rolled AS (
+        |  SELECT n_name,
+        |    CASE WHEN rk <= 3 THEN p_brand ELSE 'OTHER' END AS brand,
+        |    CAST(SUM(cents) AS BIGINT) AS cents
+        |  FROM ranked GROUP BY 1, 2)
+        |SELECT n_name, brand, cents,
+        |  cents::DOUBLE / (SUM(cents) OVER (PARTITION BY n_name))::DOUBLE AS share
+        |FROM rolled ORDER BY n_name, brand""".stripMargin,
+    "q191_step_latency" ->
+      """WITH fv AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |fc AS (
+        |  SELECT e.user_id, fv.t_view, MIN(e.ts) AS t_click
+        |  FROM events e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > fv.t_view
+        |  GROUP BY e.user_id, fv.t_view),
+        |fb AS (
+        |  SELECT e.user_id, fc.t_view, fc.t_click, MIN(e.ts) AS t_buy
+        |  FROM events e JOIN fc ON e.user_id = fc.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > fc.t_click
+        |  GROUP BY e.user_id, fc.t_view, fc.t_click),
+        |gaps AS (
+        |  SELECT 'view_to_click' AS step,
+        |    datediff('second', t_view, t_click) AS gap_sec FROM fb
+        |  UNION ALL
+        |  SELECT 'click_to_purchase' AS step,
+        |    datediff('second', t_click, t_buy) AS gap_sec FROM fb),
+        |g AS (SELECT step AS k, gap_sec AS v, COUNT(*) AS c FROM gaps
+        |  WHERE gap_sec IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT k, SUM(c) AS n FROM g GROUP BY k),
+        |cum AS (
+        |  SELECT g.k, g.v, SUM(g.c) OVER (PARTITION BY g.k ORDER BY g.v) AS cc, t.n
+        |  FROM g JOIN t USING (k))
+        |SELECT k AS step,
+        |  MIN(CASE WHEN cc >= ceil(0.5 * n) THEN v END) AS p50,
+        |  MIN(CASE WHEN cc >= ceil(0.9 * n) THEN v END) AS p90
+        |FROM cum GROUP BY k ORDER BY k""".stripMargin,
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(
