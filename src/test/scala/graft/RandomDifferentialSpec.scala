@@ -129,4 +129,43 @@ class RandomDifferentialSpec extends SparkTestBase {
       assert(got == r, s"seed=$seed diverged")
     }
   }
+
+  test("skyline2D ≡ NOT-EXISTS brute force across point layouts") {
+    import spark.implicits._
+    // regimes: dense grid (heavy x-ties), sparse wide range, collinear
+    // (everything on one line), and near-degenerate (single x bucket)
+    for ((n, xRange, yRange, seed) <- Seq(
+        (200, 10, 10, 21), (300, 100000, 50, 22), (150, 1, 40, 23),
+        (250, 40, 100000, 24))) {
+      val rnd = new scala.util.Random(seed)
+      val df = (1 to n).map(i =>
+        (i.toLong, rnd.nextInt(xRange).toLong, rnd.nextInt(yRange).toLong))
+        .toDF("id", "x", "y")
+      val brute = df.as("a").join(df.as("b"),
+          col("b.x") <= col("a.x") && col("b.y") >= col("a.y") &&
+            (col("b.x") < col("a.x") || col("b.y") > col("a.y")), "left_anti")
+        .select("a.id").as[Long].collect().toSet
+      val got = Relational.skyline2D(df, "x", "y")
+        .select("id").as[Long].collect().toSet
+      assert(got == brute, s"seed=$seed: extra=${got -- brute} missing=${brute -- got}")
+    }
+  }
+
+  test("editDistance1Pairs ≡ quadratic levenshtein join across alphabets and lengths") {
+    import spark.implicits._
+    for ((alpha, minLen, maxLen, seed) <- Seq((2, 1, 4, 31), (4, 5, 9, 32), (10, 2, 6, 33))) {
+      val rnd = new scala.util.Random(seed)
+      val strs = (1 to 100).map { i =>
+        val len = minLen + rnd.nextInt(maxLen - minLen + 1)
+        (i.toLong, (1 to len).map(_ => ('a' + rnd.nextInt(alpha)).toChar).mkString)
+      }
+      val df = strs.toDF("id", "s")
+      val brute = df.as("a").join(df.as("b"), col("a.id") < col("b.id"))
+        .filter(levenshtein(col("a.s"), col("b.s")) <= 1)
+        .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+      val got = Dedup.editDistance1Pairs(df, "id", "s")
+        .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+      assert(got == brute, s"seed=$seed: extra=${got -- brute} missing=${brute -- got}")
+    }
+  }
 }
