@@ -3762,6 +3762,49 @@ object SparkEntry {
         .orderBy(col("step"))
     }),
 
+    // ---- snapshot diff (table-version delta): the customer table vs a
+    // deterministically derived "previous" version (every 97th key new in
+    // current, every 13th key present only in previous, every 11th balance
+    // shifted) — added/removed/changed/unchanged per business key via one
+    // full-outer join with presence sentinels; balances compared in exact
+    // cents so "changed" is engine-stable ----
+    "q192_snapshot_diff" -> ((s, dir) => {
+      val curr = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+        .localCheckpoint() // previous derives from it: two consumers
+      val prev = curr
+        .filter(col("c_custkey") % 97 =!= 0) // these keys are "new" in curr
+        .withColumn("bal_cents",
+          when(col("c_custkey") % 11 === 0, col("bal_cents") + 1000L)
+            .otherwise(col("bal_cents")))
+        .unionAll(curr.filter(col("c_custkey") % 13 === 0) // "removed" in curr
+          .select((col("c_custkey") + 1000000L).as("c_custkey"), col("bal_cents")))
+      Relational.snapshotDiff(prev, curr, Seq("c_custkey"), Seq("bal_cents"))
+        .filter(col("change_type") =!= "unchanged")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- skip-gram (proximity) co-occurrence pairs, window ≤ 3: the
+    // word2vec-era context-pair extraction — each position joins only its
+    // three FORWARD slots (explode to (doc, pos+d), equi-join back), so the
+    // pair volume is 3n, never the within-document quadratic the oracle
+    // runs; unordered pair identity via least/greatest ----
+    "q193_skipgrams" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
+        .select(col("doc_id"), col("pos"), col("col").as("tok"))
+        .localCheckpoint() // both sides of the slot join
+      val slots = toks.select(col("doc_id"), col("tok").as("tok_a"),
+          explode(array((1 to 3).map(d => col("pos") + lit(d)): _*)).as("pos"))
+      slots.join(toks, Seq("doc_id", "pos"))
+        .select(least(col("tok_a"), col("tok")).as("w1"),
+          greatest(col("tok_a"), col("tok")).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("w1"), col("w2")).limit(50)
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -5375,6 +5418,43 @@ object SparkEntry {
         |  MIN(CASE WHEN cc >= ceil(0.5 * n) THEN v END) AS p50,
         |  MIN(CASE WHEN cc >= ceil(0.9 * n) THEN v END) AS p90
         |FROM cum GROUP BY k ORDER BY k""".stripMargin,
+    "q192_snapshot_diff" ->
+      """WITH curr AS (
+        |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |prev AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 11 = 0 THEN bal_cents + 1000
+        |      ELSE bal_cents END AS bal_cents
+        |  FROM curr WHERE c_custkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS c_custkey, bal_cents
+        |  FROM curr WHERE c_custkey % 13 = 0),
+        |j AS (
+        |  SELECT COALESCE(p.c_custkey, c.c_custkey) AS c_custkey,
+        |    p.bal_cents AS old_bal_cents, c.bal_cents AS new_bal_cents,
+        |    CASE
+        |      WHEN p.c_custkey IS NULL THEN 'added'
+        |      WHEN c.c_custkey IS NULL THEN 'removed'
+        |      WHEN p.bal_cents IS DISTINCT FROM c.bal_cents THEN 'changed'
+        |      ELSE 'unchanged' END AS change_type
+        |  FROM prev p FULL OUTER JOIN curr c ON p.c_custkey = c.c_custkey)
+        |SELECT c_custkey, old_bal_cents, new_bal_cents, change_type
+        |FROM j WHERE change_type <> 'unchanged'
+        |ORDER BY c_custkey""".stripMargin,
+    "q193_skipgrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS pos
+        |  FROM (SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS ts
+        |    FROM documents)),
+        |pairs AS (
+        |  SELECT least(a.tok, b.tok) AS w1, greatest(a.tok, b.tok) AS w2
+        |  FROM toks a JOIN toks b
+        |    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3)
+        |SELECT w1, w2, COUNT(*) AS n_pairs FROM pairs GROUP BY 1, 2
+        |ORDER BY n_pairs DESC, w1, w2 LIMIT 50""".stripMargin,
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(

@@ -511,6 +511,41 @@ object Relational {
       .drop("__ms_i", "__ms_s", "__ms_n", "__ms_t", "__ms_p", "__ms_q", "__ms_r")
   }
 
+  /** Snapshot diff — the table-versioning primitive behind CDC backfills and
+    * data-regression checks: full-outer join two versions on the business
+    * key and classify every row as added / removed / changed / unchanged
+    * (changed = any compare column differs, null-safe). One shuffle on the
+    * key; compare columns should be exact-typed (integer cents, not raw
+    * doubles) so "changed" is engine-stable. Output keeps the key, the
+    * change type, and old/new values of each compare column.
+    */
+  def snapshotDiff(
+      prev: DataFrame,
+      curr: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String]
+  ): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty, "need key and compare columns")
+    // presence flags come from join-side membership sentinels, not value
+    // nullness — a legitimately-NULL compare column must not read as absent
+    val p = prev.select((keyCols ++ compareCols).map(col): _*)
+      .toDF(keyCols ++ compareCols.map("old_" + _): _*)
+      .withColumn("__sd_p", lit(1))
+    val c = curr.select((keyCols ++ compareCols).map(col): _*)
+      .toDF(keyCols ++ compareCols.map("new_" + _): _*)
+      .withColumn("__sd_c", lit(1))
+    val j = p.join(c, keyCols, "full_outer")
+    val anyDiff = compareCols
+      .map(cc => !(col("old_" + cc) <=> col("new_" + cc)))
+      .reduce(_ || _)
+    j.withColumn("change_type",
+        when(col("__sd_p").isNull, lit("added"))
+          .when(col("__sd_c").isNull, lit("removed"))
+          .when(anyDiff, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .drop("__sd_p", "__sd_c")
+  }
+
   /** Column profile — the data-quality report every ingest pipeline runs
     * first: per column, row/null/distinct counts and min/max (as strings, so
     * heterogeneous column types stack into one frame). ONE aggregation pass

@@ -433,6 +433,21 @@ class RelationalSpec extends SparkTestBase {
     assert(r.getDouble(byName("shift_score")) == 100.0)
   }
 
+  test("snapshotDiff: presence from membership, NULL-safe change compare") {
+    import spark.implicits._
+    val prev = Seq((1L, Some(10L)), (2L, None), (3L, Some(30L)), (4L, None))
+      .toDF("k", "v")
+    val curr = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, None), (5L, None))
+      .toDF("k", "v")
+    val got = Relational.snapshotDiff(prev, curr, Seq("k"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // k=4: removed even though its value is NULL (membership, not nullness);
+    // k=5: added with NULL value; k=2/3: NULL vs value is "changed";
+    // k=1: identical → unchanged
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"), s"diff: $got")
+  }
+
   test("fingerprint: invariant to row order and partitioning, sensitive to edits") {
     import spark.implicits._
     val rows = (1 to 50).map(i => (i % 3, s"row-$i"))
