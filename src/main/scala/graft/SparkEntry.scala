@@ -3805,6 +3805,53 @@ object SparkEntry {
         .orderBy(col("n_pairs").desc, col("w1"), col("w2")).limit(50)
     }),
 
+    // ---- dataset card (datasheet) per source: the one-stop corpus summary
+    // a release ships with — doc/token counts, English share, exact-dup
+    // rate (1 − distinct word-set signatures / docs), and mean length, every
+    // rate one surface division over exact counts; one pass builds the
+    // per-doc stats, one aggregate folds them ----
+    "q194_dataset_card" -> ((s, dir) => {
+      val per = t(s, dir, "documents")
+        .select(col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          coalesce(length(col("text")), lit(0)).as("n_chars"),
+          (coalesce(col("lang"), lit("")) === "en").cast("long").as("is_en"),
+          md5(array_join(sort_array(array_distinct(TextAnalysis.tokens(col("text")))), " "))
+            .as("sig"))
+      per.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(col("is_en")).as("n_en"),
+          countDistinct(col("sig")).as("n_distinct"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+          (col("n_en").cast("double") / col("n_docs").cast("double")).as("en_share"),
+          ((col("n_docs") - col("n_distinct")).cast("double") /
+            col("n_docs").cast("double")).as("dup_rate"),
+          (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+            .as("mean_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- deterministic k-fold assignment + balance audit: folds from the
+    // md5-derived row hash (the q171 cross-engine device — xxhash folds
+    // can't gate) so every engine deals the same folds; the audit shows
+    // per-fold size and class balance, the leakage check every CV split
+    // needs ----
+    "q195_fold_audit" -> ((s, dir) => {
+      val folds = t(s, dir, "documents")
+        .select(col("doc_id"), (coalesce(col("lang"), lit("")) === "en")
+          .cast("long").as("is_en"))
+        .withColumn("fold",
+          pmod(graft.ops.Sketches.rowHash64(col("doc_id").cast("string")), lit(5))
+            .cast("int"))
+      folds.groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("is_en")).as("n_en"))
+        .withColumn("en_share",
+          col("n_en").cast("double") / col("n_docs").cast("double"))
+        .orderBy(col("fold"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -5455,6 +5502,36 @@ object SparkEntry {
         |    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3)
         |SELECT w1, w2, COUNT(*) AS n_pairs FROM pairs GROUP BY 1, 2
         |ORDER BY n_pairs DESC, w1, w2 LIMIT 50""".stripMargin,
+    "q194_dataset_card" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |      ELSE len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END
+        |      AS n_tokens,
+        |    coalesce(length(text), 0) AS n_chars,
+        |    CASE WHEN coalesce(lang, '') = 'en' THEN 1 ELSE 0 END AS is_en,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |        ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END)), ' '))
+        |      AS sig
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(SUM(is_en) AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE AS en_share,
+        |  (COUNT(*) - COUNT(DISTINCT sig))::DOUBLE / COUNT(*)::DOUBLE AS dup_rate,
+        |  CAST(SUM(n_tokens) AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE AS mean_tokens
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
+    "q195_fold_audit" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN coalesce(lang, '') = 'en' THEN 1 ELSE 0 END AS is_en,
+        |    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 17, 16) AS UBIGINT)
+        |      % 5 AS INT) AS fold
+        |  FROM documents)
+        |SELECT fold, COUNT(*) AS n_docs, CAST(SUM(is_en) AS BIGINT) AS n_en,
+        |  CAST(SUM(is_en) AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE AS en_share
+        |FROM f GROUP BY fold ORDER BY fold""".stripMargin,
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(
