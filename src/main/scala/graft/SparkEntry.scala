@@ -3852,6 +3852,62 @@ object SparkEntry {
         .orderBy(col("fold"))
     }),
 
+    // ---- golden-record survivorship (MDM merge): duplicate clusters from
+    // the exact word-set signature (q22's key), one surviving record per
+    // cluster assembled by FIELD-LEVEL rules — min id, longest text (tie →
+    // smallest id), modal lang (count argmax, tie → lexicographic) — every
+    // rule an order-free aggregate (max/min of struct), no window ----
+    "q196_golden_record" -> ((s, dir) => {
+      val sig = md5(array_join(sort_array(array_distinct(
+        TextAnalysis.tokens(col("text")))), " "))
+      val d = t(s, dir, "documents")
+        .select(sig.as("sig"), col("doc_id"), col("text"), col("lang"),
+          coalesce(length(col("text")), lit(0)).as("len"))
+        .localCheckpoint() // two consumers: record rules + lang mode
+      val langMode = d.filter(col("lang").isNotNull)
+        .groupBy(col("sig"), col("lang")).agg(count(lit(1)).as("n"))
+        .groupBy(col("sig"))
+        .agg(max(struct(col("n"), col("lang"))).as("m"))
+        .select(col("sig"), col("m.lang").as("golden_lang"))
+      d.groupBy(col("sig"))
+        .agg(count(lit(1)).as("cluster_size"),
+          min(col("doc_id")).as("golden_id"),
+          max(struct(col("len"), (-col("doc_id")).as("nid"))).as("lt"))
+        .join(langMode, Seq("sig"), "left")
+        .select(col("sig"), col("cluster_size"), col("golden_id"),
+          col("lt.len").as("golden_len"), (-col("lt.nid")).as("longest_id"),
+          col("golden_lang"))
+        .orderBy(col("sig"))
+    }),
+
+    // ---- incremental view maintenance, self-gated: a materialized daily
+    // aggregate built from the first 80% of events (by event_id) merged
+    // with the delta batch (the remaining 20%) must equal the full
+    // recompute CELL-FOR-CELL — counts and exact cents are mergeable
+    // states, so the equality booleans are deterministic TRUEs the gate
+    // hashes (the q156 one-sided device applied to view maintenance) ----
+    "q197_ivm_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .localCheckpoint() // three consumers: base, delta, full recompute
+      val cut = 8000L // event_ids are dense from 0; sf-proportional split
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      val merged = agg(ev.filter(col("event_id") < cut))
+        .unionByName(agg(ev.filter(col("event_id") >= cut)))
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_merged"), sum(col("cents")).as("cents_merged"))
+      val full = agg(ev)
+        .withColumnRenamed("n", "n_full").withColumnRenamed("cents", "cents_full")
+      merged.join(full, Seq("event_type"))
+        .select(col("event_type"), col("n_full"), col("cents_full"),
+          (col("n_merged") === col("n_full")).as("n_matches"),
+          (col("cents_merged") === col("cents_full")).as("cents_match"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -5532,6 +5588,48 @@ object SparkEntry {
         |SELECT fold, COUNT(*) AS n_docs, CAST(SUM(is_en) AS BIGINT) AS n_en,
         |  CAST(SUM(is_en) AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE AS en_share
         |FROM f GROUP BY fold ORDER BY fold""".stripMargin,
+    "q196_golden_record" ->
+      """WITH d AS (
+        |  SELECT md5(array_to_string(list_sort(list_distinct(
+        |      CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |        ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END)), ' '))
+        |      AS sig,
+        |    doc_id, lang, coalesce(length(text), 0) AS len
+        |  FROM documents),
+        |lmc AS (SELECT sig, lang, COUNT(*) AS n FROM d
+        |  WHERE lang IS NOT NULL GROUP BY 1, 2),
+        |lm AS (SELECT sig, lang AS golden_lang FROM lmc
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY sig ORDER BY n DESC, lang DESC) = 1),
+        |lt AS (SELECT sig, len AS golden_len, doc_id AS longest_id FROM d
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY sig ORDER BY len DESC, doc_id) = 1),
+        |g AS (SELECT sig, COUNT(*) AS cluster_size, MIN(doc_id) AS golden_id
+        |  FROM d GROUP BY sig)
+        |SELECT g.sig, g.cluster_size, g.golden_id, lt.golden_len, lt.longest_id,
+        |  lm.golden_lang
+        |FROM g JOIN lt USING (sig) LEFT JOIN lm USING (sig)
+        |ORDER BY sig""".stripMargin,
+    "q197_ivm_merge" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |base AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS cents
+        |  FROM ev WHERE event_id < 8000 GROUP BY 1),
+        |delta AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS cents
+        |  FROM ev WHERE event_id >= 8000 GROUP BY 1),
+        |merged AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_merged,
+        |    CAST(SUM(cents) AS BIGINT) AS cents_merged
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta) GROUP BY 1),
+        |f AS (SELECT event_type, COUNT(*) AS n_full,
+        |    CAST(SUM(cents) AS BIGINT) AS cents_full
+        |  FROM ev GROUP BY 1)
+        |SELECT event_type, n_full, cents_full,
+        |  n_merged = n_full AS n_matches,
+        |  cents_merged = cents_full AS cents_match
+        |FROM merged JOIN f USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(
