@@ -3908,6 +3908,101 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- time-decay attribution (the third classic model next to q163
+    // last-touch and q188 linear): each purchase credits its last ≤8 prior
+    // touches with half-life weights 2⁰…2⁻⁷ (newest heaviest) — powers of
+    // two keep the split exact (q168's device): credit = cents·SCALE·w DIV
+    // Σw, one floor per (purchase, touch-slot) ----
+    "q198_decay_attribution" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      val S = 1000000L
+      // collect the channels of the last 8 prior touches, newest first
+      val perPurchase = t(s, dir, "events")
+        .withColumn("touches", slice(reverse(collect_list(
+          when(col("event_type").isin("view", "click"), col("event_type"))).over(w)),
+          1, 8))
+        .filter(col("event_type") === "purchase")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        // Σ_{i=1..k} 2^(8−i) = 2^8 − 2^(8−k): closed-form weight total
+        .withColumn("k", size(col("touches")))
+        .withColumn("wsum", when(col("k") > 0,
+          expr("shiftleft(1L, 8) - shiftleft(1L, 8 - k)")).otherwise(lit(0L)))
+        .localCheckpoint() // two consumers: channel credits and the none arm
+      val credits = perPurchase.filter(col("wsum") > 0)
+        .select(col("cents"), col("wsum"), posexplode(col("touches")))
+        .withColumn("credit",
+          expr("(cents * 1000000 * shiftleft(1L, 7 - pos)) DIV wsum"))
+        .groupBy(col("col").as("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit").cast("decimal(38,0)")).as("credit_fixed"))
+      val none = perPurchase.filter(col("wsum") === 0)
+        .agg(count(lit(1)).as("n_touches"),
+          coalesce(sum((col("cents") * lit(S)).cast("decimal(38,0)")),
+            lit(0L).cast("decimal(38,0)")).as("credit_fixed"))
+        .select(lit("none").as("channel"), col("n_touches"), col("credit_fixed"))
+      credits.unionByName(none)
+        .withColumn("credit_dollars",
+          col("credit_fixed").cast("double") / lit(100.0 * S))
+        .orderBy(col("channel"))
+    }),
+
+    // ---- Rand index between two labelings of the corpus (source vs lang):
+    // pair-assignment agreement WITHOUT materializing C(n,2) pairs — the
+    // contingency identity RI = (C(n,2) + 2ΣC(n_ij,2) − ΣC(a_i,2) −
+    // ΣC(b_j,2)) / C(n,2) over exact integer sums, one surface division ----
+    "q199_rand_index" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      // s(n) = n(n−1) = 2·C(n,2): the /2 cancels in the ratio, so no
+      // decimal division anywhere (engine division-type rules differ)
+      def s2(c: Column): Column = dec(c) * dec(c - 1)
+      val d = t(s, dir, "documents")
+        .select(col("source").as("a"), coalesce(col("lang"), lit("und")).as("b"))
+        .localCheckpoint() // three marginal scans
+      val cells = d.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+        .agg(sum(s2(col("n"))).as("sum_cells"))
+      val ma = d.groupBy(col("a")).agg(count(lit(1)).as("n"))
+        .agg(sum(s2(col("n"))).as("sum_a"))
+      val mb = d.groupBy(col("b")).agg(count(lit(1)).as("n"))
+        .agg(sum(s2(col("n"))).as("sum_b"))
+      val tot = d.agg(count(lit(1)).as("n")).select(s2(col("n")).as("pairs2"),
+        col("n").as("n_docs"))
+      tot.crossJoin(cells).crossJoin(ma).crossJoin(mb)
+        .select(col("n_docs"),
+          ((col("pairs2") + lit(2) * col("sum_cells") - col("sum_a") - col("sum_b"))
+            .cast("double") / col("pairs2").cast("double")).as("rand_index"))
+    }),
+
+    // ---- dbt-style expectation suite: unique / not-null / accepted-values /
+    // referential checks over the warehouse expressed as ONE audit table
+    // (suite = union of single-row test aggregates; each failure count is
+    // exact, the pass flag deterministic) — the declarative data-test layer
+    // every pipeline ships with ----
+    "q200_expectations" -> ((s, dir) => {
+      def test(name: String, failures: org.apache.spark.sql.DataFrame) =
+        failures.agg(count(lit(1)).as("n_failures"))
+          .select(lit(name).as("test_name"), col("n_failures"),
+            (col("n_failures") === 0L).as("passed"))
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val c = t(s, dir, "customer")
+      test("orders.o_orderkey unique",
+          o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n")).filter(col("n") > 1))
+        .unionByName(test("orders.o_custkey not_null", o.filter(col("o_custkey").isNull)))
+        .unionByName(test("orders.o_orderstatus accepted_values",
+          o.filter(!col("o_orderstatus").isin("O", "F", "P"))))
+        .unionByName(test("lineitem.l_orderkey references orders",
+          li.join(o.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")))
+        .unionByName(test("orders.o_custkey references customer",
+          o.join(c.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")))
+        .unionByName(test("lineitem.l_quantity positive",
+          li.filter(col("l_quantity").isNull || col("l_quantity") <= 0)))
+        .orderBy(col("test_name"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -5630,6 +5725,86 @@ object SparkEntry {
         |  cents_merged = cents_full AS cents_match
         |FROM merged JOIN f USING (event_type)
         |ORDER BY event_type""".stripMargin,
+    "q198_decay_attribution" ->
+      """WITH tou AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        |    list_filter(list_reverse(list(
+        |        CASE WHEN event_type IN ('view', 'click') THEN event_type END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |      x -> x IS NOT NULL)[1:8] AS touches
+        |  FROM events QUALIFY event_type = 'purchase'),
+        |p AS (
+        |  SELECT cents, touches, len(touches) AS k,
+        |    CASE WHEN len(touches) > 0
+        |      THEN (1::BIGINT << 8) - (1::BIGINT << (8 - len(touches)))
+        |      ELSE 0 END AS wsum
+        |  FROM tou),
+        |cr AS (
+        |  SELECT unnest(touches) AS channel,
+        |    generate_subscripts(touches, 1) AS pos1, cents, wsum
+        |  FROM p WHERE wsum > 0),
+        |ch AS (
+        |  SELECT channel, COUNT(*) AS n_touches,
+        |    CAST(SUM((cents * 1000000 * (1::BIGINT << (8 - pos1))) // wsum)
+        |      AS DECIMAL(38,0)) AS credit_fixed
+        |  FROM cr GROUP BY channel),
+        |nn AS (
+        |  SELECT 'none' AS channel, COUNT(*) AS n_touches,
+        |    CAST(COALESCE(SUM(cents * 1000000), 0) AS DECIMAL(38,0)) AS credit_fixed
+        |  FROM p WHERE wsum = 0)
+        |SELECT channel, n_touches, credit_fixed,
+        |  credit_fixed::DOUBLE / 100000000.0 AS credit_dollars
+        |FROM (SELECT * FROM ch UNION ALL SELECT * FROM nn)
+        |ORDER BY channel""".stripMargin,
+    "q199_rand_index" ->
+      """WITH d AS (
+        |  SELECT source AS a, coalesce(lang, 'und') AS b FROM documents),
+        |cells AS (
+        |  SELECT SUM(CAST(n AS DECIMAL(38,0)) * CAST(n - 1 AS DECIMAL(38,0)))
+        |    AS sum_cells
+        |  FROM (SELECT COUNT(*) AS n FROM d GROUP BY a, b)),
+        |ma AS (
+        |  SELECT SUM(CAST(n AS DECIMAL(38,0)) * CAST(n - 1 AS DECIMAL(38,0)))
+        |    AS sum_a
+        |  FROM (SELECT COUNT(*) AS n FROM d GROUP BY a)),
+        |mb AS (
+        |  SELECT SUM(CAST(n AS DECIMAL(38,0)) * CAST(n - 1 AS DECIMAL(38,0)))
+        |    AS sum_b
+        |  FROM (SELECT COUNT(*) AS n FROM d GROUP BY b)),
+        |tot AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(COUNT(*) AS DECIMAL(38,0)) * CAST(COUNT(*) - 1 AS DECIMAL(38,0))
+        |      AS pairs2
+        |  FROM d)
+        |SELECT n_docs,
+        |  (pairs2 + 2 * sum_cells - sum_a - sum_b)::DOUBLE / pairs2::DOUBLE
+        |    AS rand_index
+        |FROM tot, cells, ma, mb""".stripMargin,
+    "q200_expectations" ->
+      """WITH t1 AS (
+        |  SELECT 'orders.o_orderkey unique' AS test_name, COUNT(*) AS n_failures
+        |  FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)),
+        |t2 AS (
+        |  SELECT 'orders.o_custkey not_null', COUNT(*) FROM orders
+        |  WHERE o_custkey IS NULL),
+        |t3 AS (
+        |  SELECT 'orders.o_orderstatus accepted_values', COUNT(*) FROM orders
+        |  WHERE o_orderstatus NOT IN ('O', 'F', 'P')),
+        |t4 AS (
+        |  SELECT 'lineitem.l_orderkey references orders', COUNT(*) FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |t5 AS (
+        |  SELECT 'orders.o_custkey references customer', COUNT(*) FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |t6 AS (
+        |  SELECT 'lineitem.l_quantity positive', COUNT(*) FROM lineitem
+        |  WHERE l_quantity IS NULL OR l_quantity <= 0)
+        |SELECT test_name, n_failures, n_failures = 0 AS passed FROM (
+        |  SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
+        |  UNION ALL SELECT * FROM t4 UNION ALL SELECT * FROM t5
+        |  UNION ALL SELECT * FROM t6)
+        |ORDER BY test_name""".stripMargin,
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(
