@@ -4003,6 +4003,56 @@ object SparkEntry {
         .orderBy(col("test_name"))
     }),
 
+    // ---- rolling regression slope (trailing-30-obs trend) per supplier:
+    // frame sums n/Σx/Σy/Σxy/Σxx stay exact DECIMAL, the per-row slope is
+    // ONE division of exact operands ((nΣxy − ΣxΣy)/(nΣxx − (Σx)²) — the
+    // q110 closed form inside a moving frame); emits each supplier's
+    // LATEST trend — the live demand-direction signal ----
+    "q201_rolling_slope" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("day"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+        .withColumn("x", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+      val f = W.partitionBy(col("l_suppkey")).orderBy(col("day"))
+        .rowsBetween(-29, W.currentRow)
+      val scored = daily
+        .withColumn("n", count(lit(1)).over(f))
+        .withColumn("sx", sum(dec(col("x"))).over(f))
+        .withColumn("sy", sum(dec(col("cents"))).over(f))
+        .withColumn("sxy", sum(dec(col("x")) * dec(col("cents"))).over(f))
+        .withColumn("sxx", sum(dec(col("x")) * dec(col("x"))).over(f))
+        .withColumn("num", dec(col("n")) * col("sxy") - col("sx") * col("sy"))
+        .withColumn("den", dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+        .withColumn("slope_cents_per_day", when(col("den") > 0,
+          col("num").cast("double") / col("den").cast("double")))
+        .withColumn("__rn", row_number().over(
+          W.partitionBy(col("l_suppkey")).orderBy(col("day").desc)))
+      scored.filter(col("__rn") === 1)
+        .select(col("l_suppkey"), col("day").as("latest_day"),
+          col("n").as("n_window"), col("slope_cents_per_day"))
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // ---- session path mining: the ordered first-3-event-type path of each
+    // session (q17's 30-min gap sessionization), counted across sessions —
+    // "how do journeys begin". Path identity via array_sort(struct) so the
+    // collected order is the (ts, event_id) total order regardless of
+    // partitioning (collect_list alone is arrival-ordered = nondet) ----
+    "q202_session_paths" -> ((s, dir) => {
+      val sess = Relational.sessionize(
+        t(s, dir, "events"), col("user_id"), col("ts"), gapSeconds = 1800,
+        tieBreak = Seq(col("event_id")))
+      val paths = sess
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(array_join(slice(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), 1, 3), ">").as("path"))
+      paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(30)
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -5805,6 +5855,52 @@ object SparkEntry {
         |  UNION ALL SELECT * FROM t4 UNION ALL SELECT * FROM t5
         |  UNION ALL SELECT * FROM t6)
         |ORDER BY test_name""".stripMargin,
+    "q201_rolling_slope" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT l_suppkey, day, cents,
+        |    datediff('day', DATE '1970-01-01', day) AS x
+        |  FROM daily),
+        |sc AS (
+        |  SELECT l_suppkey, day,
+        |    COUNT(*) OVER f AS n,
+        |    SUM(CAST(x AS DECIMAL(38,0))) OVER f AS sx,
+        |    SUM(CAST(cents AS DECIMAL(38,0))) OVER f AS sy,
+        |    SUM(CAST(x AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) OVER f AS sxy,
+        |    SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) OVER f AS sxx
+        |  FROM d2
+        |  WINDOW f AS (PARTITION BY l_suppkey ORDER BY day
+        |    ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)),
+        |best AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY day DESC) AS rn
+        |  FROM sc)
+        |SELECT l_suppkey, day AS latest_day, CAST(n AS BIGINT) AS n_window,
+        |  CASE WHEN (CAST(n AS DECIMAL(38,0)) * sxx - sx * sx) > 0 THEN
+        |    (CAST(n AS DECIMAL(38,0)) * sxy - sx * sy)::DOUBLE
+        |      / (CAST(n AS DECIMAL(38,0)) * sxx - sx * sx)::DOUBLE END
+        |    AS slope_cents_per_day
+        |FROM best WHERE rn = 1 ORDER BY l_suppkey""".stripMargin,
+    "q202_session_paths" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800 * 1000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+        |  FROM flagged),
+        |paths AS (
+        |  SELECT user_id, session_id,
+        |    array_to_string((list(event_type ORDER BY ts, event_id))[1:3], '>') AS path
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 30""".stripMargin,
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(
