@@ -4053,6 +4053,79 @@ object SparkEntry {
         .orderBy(col("n_sessions").desc, col("path")).limit(30)
     }),
 
+    // ---- cohort LTV curve: per signup-week cohort (first purchase week) ×
+    // week offset, cumulative revenue per cohort member — q87's retention
+    // matrix with money instead of presence; the cumulative runs over the
+    // (cohort × offset) aggregate (dictionary-sized), per-member LTV is one
+    // surface division. Weekly because the events corpus spans ~1 month. ----
+    "q203_ltv_curve" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val p = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (floor(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            / lit(7))).cast("int").as("week"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val cohorts = p.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      val cells = p.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(sum(col("cents")).as("cents"), countDistinct(col("user_id")).as("active_users"))
+      val sizes = cohorts.groupBy(col("cohort_week"))
+        .agg(countDistinct(col("user_id")).as("cohort_size"))
+      cells.join(sizes, Seq("cohort_week"))
+        .withColumn("cum_cents", sum(col("cents")).over(
+          W.partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .select(col("cohort_week"), col("week_offset"), col("cohort_size"),
+          col("active_users"), col("cum_cents"),
+          (col("cum_cents").cast("double") / col("cohort_size").cast("double"))
+            .as("ltv_cents_per_user"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // ---- safety-stock table: per part, daily-demand mean and EXACT
+    // variance via the (n, Σ, Σx²) identity (q62 discipline) with the one
+    // sqrt applied to an exact ratio — reorder point = mean + 2σ, each
+    // float op a correctly-rounded function of exact integers, so the
+    // inventory policy is engine-stable ----
+    "q204_safety_stock" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_shipdate").cast("date").as("day"))
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"))
+      daily.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(dec(col("qty_c"))).as("s"),
+          sum(dec(col("qty_c")) * dec(col("qty_c"))).as("q"))
+        .filter(col("n_days") >= 2)
+        .withColumn("mean_qty", col("s").cast("double") / col("n_days").cast("double"))
+        .withColumn("sigma_qty", sqrt(
+          (dec(col("n_days")) * col("q") - col("s") * col("s")).cast("double") /
+            (dec(col("n_days")) * dec(col("n_days"))).cast("double")))
+        .select(col("l_partkey"), col("n_days"), col("mean_qty"), col("sigma_qty"),
+          (col("mean_qty") + lit(2.0) * col("sigma_qty")).as("reorder_point"))
+        .orderBy(col("l_partkey"))
+    }),
+
+    // ---- sentence-level stats: split on terminal punctuation, per doc the
+    // sentence count and mean sentence length in words (single division) —
+    // the structural-quality signal next to q20's character ratios ----
+    "q205_sentences" -> ((s, dir) => {
+      val sentences = filter(
+        transform(split(coalesce(col("text"), lit("")), "[.!?]+"), x => trim(x)),
+        x => x =!= "")
+      t(s, dir, "documents")
+        .select(col("doc_id"), sentences.as("sents"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .select(col("doc_id"), size(col("sents")).as("n_sentences"), col("n_tokens"),
+          when(size(col("sents")) > 0,
+            col("n_tokens").cast("double") / size(col("sents")).cast("double"))
+            .as("mean_sentence_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -5901,6 +5974,64 @@ object SparkEntry {
         |  FROM sess GROUP BY user_id, session_id)
         |SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path
         |ORDER BY n_sessions DESC, path LIMIT 30""".stripMargin,
+    "q203_ltv_curve" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7)
+        |      AS INT) AS week,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |coh AS (SELECT user_id, MIN(week) AS cohort_week FROM p GROUP BY 1),
+        |cells AS (
+        |  SELECT cohort_week, week - cohort_week AS week_offset,
+        |    CAST(SUM(cents) AS BIGINT) AS cents,
+        |    COUNT(DISTINCT p.user_id) AS active_users
+        |  FROM p JOIN coh ON p.user_id = coh.user_id GROUP BY 1, 2),
+        |sizes AS (SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_size
+        |  FROM coh GROUP BY 1),
+        |c2 AS (
+        |  SELECT cells.cohort_week, week_offset, cohort_size, active_users,
+        |    CAST(SUM(cents) OVER (PARTITION BY cells.cohort_week ORDER BY week_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |  FROM cells JOIN sizes USING (cohort_week))
+        |SELECT cohort_week, CAST(week_offset AS INT) AS week_offset, cohort_size,
+        |  active_users, cum_cents,
+        |  cum_cents::DOUBLE / cohort_size::DOUBLE AS ltv_cents_per_user
+        |FROM c2 ORDER BY cohort_week, week_offset""".stripMargin,
+    "q204_safety_stock" ->
+      """WITH daily AS (
+        |  SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
+        |  FROM lineitem GROUP BY 1, 2),
+        |st AS (
+        |  SELECT l_partkey, COUNT(*) AS n_days,
+        |    SUM(CAST(qty_c AS DECIMAL(38,0))) AS s,
+        |    SUM(CAST(qty_c AS DECIMAL(38,0)) * CAST(qty_c AS DECIMAL(38,0))) AS q
+        |  FROM daily GROUP BY 1 HAVING COUNT(*) >= 2)
+        |SELECT l_partkey, n_days,
+        |  s::DOUBLE / n_days::DOUBLE AS mean_qty,
+        |  sqrt((CAST(n_days AS DECIMAL(38,0)) * q - s * s)::DOUBLE
+        |    / (CAST(n_days AS DECIMAL(38,0)) * CAST(n_days AS DECIMAL(38,0)))::DOUBLE)
+        |    AS sigma_qty,
+        |  s::DOUBLE / n_days::DOUBLE
+        |    + 2.0 * sqrt((CAST(n_days AS DECIMAL(38,0)) * q - s * s)::DOUBLE
+        |      / (CAST(n_days AS DECIMAL(38,0)) * CAST(n_days AS DECIMAL(38,0)))::DOUBLE)
+        |    AS reorder_point
+        |FROM st ORDER BY l_partkey""".stripMargin,
+    "q205_sentences" ->
+      """SELECT doc_id, CAST(ns AS INT) AS n_sentences, n_tokens,
+        |  CASE WHEN ns > 0 THEN n_tokens::DOUBLE / ns::DOUBLE END
+        |    AS mean_sentence_tokens
+        |FROM (
+        |  SELECT doc_id,
+        |    len(list_filter(list_transform(
+        |      string_split_regex(coalesce(text, ''), '[.!?]+'), x -> trim(x)),
+        |      x -> x <> '')) AS ns,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |      ELSE len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END
+        |      AS n_tokens
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(
