@@ -4126,6 +4126,74 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- CUSUM drift detector per supplier: S_t = max(0, S_{t−1} + x_t − k)
+    // over daily revenue with reference k = the supplier's integer mean —
+    // computed via the q153 closed form (S_t = P_t − min(0, min prefix)),
+    // NO stateful scan; alarms = days the statistic clears 2k. Exact
+    // integers end to end — the sequential-looking detector is two windows ----
+    "q206_cusum" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("day"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      val withK = daily
+        .withColumn("stot", sum(col("cents")).over(W.partitionBy(col("l_suppkey"))))
+        .withColumn("nd", count(lit(1)).over(W.partitionBy(col("l_suppkey"))))
+        .withColumn("k", expr("stot DIV nd")) // integer mean: engine-stable floor
+      val w = W.partitionBy(col("l_suppkey")).orderBy(col("day"))
+        .rowsBetween(W.unboundedPreceding, 0)
+      withK
+        .withColumn("p", sum(col("cents") - col("k")).over(w))
+        .withColumn("cusum", col("p") - least(lit(0L), min(col("p")).over(w)))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_days"), max(col("k")).as("k_cents"),
+          sum(when(col("cusum") > col("k") * 2, 1L).otherwise(0L)).as("n_alarms"),
+          max(col("cusum")).as("max_cusum"))
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // ---- forward fill with TTL (staleness expiry): the q101 grid fill
+    // where a carried observation DIES after 3 days — the sensor-staleness
+    // rule plain LOCF gets wrong; carried-from distance decides both the
+    // value and the freshness flag ----
+    "q207_ttl_fill" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val grid = Relational.fillDateGrid(daily, "user_id", "day")
+        .withColumn("p", datediff(col("day"), lit("1970-01-01").cast("date")))
+      val wb = W.partitionBy(col("user_id")).orderBy(col("p"))
+        .rowsBetween(W.unboundedPreceding, 0)
+      val obs = when(col("cents").isNotNull, struct(col("p").as("op"), col("cents").as("v")))
+      grid
+        .withColumn("lastobs", last(obs, ignoreNulls = true).over(wb))
+        .withColumn("age", col("p") - col("lastobs.op"))
+        .select(col("user_id"), col("day"),
+          when(col("age") <= 3, col("lastobs.v")).as("filled_cents"),
+          (col("age") <= 3 && col("cents").isNull).as("carried"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // ---- accumulating-snapshot fact: one wide row per order carrying its
+    // lifecycle milestones (first/last ship, line count, exact day spans) —
+    // the warehouse pattern for process-tracking facts; one aggregate, no
+    // window ----
+    "q208_order_lifecycle" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("order_date"),
+          col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          min(col("l_shipdate").cast("date")).as("first_ship"),
+          max(col("l_shipdate").cast("date")).as("last_ship"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+        .withColumn("days_to_first", datediff(col("first_ship"), col("order_date")))
+        .withColumn("ship_span_days", datediff(col("last_ship"), col("first_ship")))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -6032,6 +6100,69 @@ object SparkEntry {
         |      AS n_tokens
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "q206_cusum" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |wk AS (
+        |  SELECT l_suppkey, day, cents,
+        |    CAST(SUM(cents) OVER (PARTITION BY l_suppkey) AS BIGINT)
+        |      // COUNT(*) OVER (PARTITION BY l_suppkey) AS k
+        |  FROM daily),
+        |pre1 AS (
+        |  SELECT l_suppkey, k, day,
+        |    SUM(cents - k) OVER (PARTITION BY l_suppkey ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM wk),
+        |pre AS (
+        |  SELECT l_suppkey, k, p,
+        |    LEAST(CAST(0 AS BIGINT), MIN(p) OVER (PARTITION BY l_suppkey ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS mn
+        |  FROM pre1)
+        |SELECT l_suppkey, COUNT(*) AS n_days, CAST(MAX(k) AS BIGINT) AS k_cents,
+        |  CAST(SUM(CASE WHEN p - mn > k * 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+        |  CAST(MAX(p - mn) AS BIGINT) AS max_cusum
+        |FROM pre GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "q207_ttl_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span),
+        |g AS (
+        |  SELECT grid.user_id, grid.day, d.cents,
+        |    datediff('day', DATE '1970-01-01', grid.day) AS p
+        |  FROM grid LEFT JOIN daily d ON grid.user_id = d.user_id AND grid.day = d.day),
+        |f AS (
+        |  SELECT user_id, day, cents, p,
+        |    last_value(CASE WHEN cents IS NOT NULL THEN p END IGNORE NULLS)
+        |      OVER wb AS op,
+        |    last_value(CASE WHEN cents IS NOT NULL THEN cents END IGNORE NULLS)
+        |      OVER wb AS v
+        |  FROM g
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, day,
+        |  CASE WHEN p - op <= 3 THEN v END AS filled_cents,
+        |  (p - op <= 3 AND cents IS NULL) AS carried
+        |FROM f ORDER BY user_id, day""".stripMargin,
+    "q208_order_lifecycle" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderstatus,
+        |  COUNT(*) AS n_lines,
+        |  MIN(CAST(l_shipdate AS DATE)) AS first_ship,
+        |  MAX(CAST(l_shipdate AS DATE)) AS last_ship,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  datediff('day', CAST(o_orderdate AS DATE), MIN(CAST(l_shipdate AS DATE)))
+        |    AS days_to_first,
+        |  datediff('day', MIN(CAST(l_shipdate AS DATE)), MAX(CAST(l_shipdate AS DATE)))
+        |    AS ship_span_days
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2, 3 ORDER BY o_orderkey""".stripMargin,
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(
