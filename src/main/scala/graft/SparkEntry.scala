@@ -4194,6 +4194,66 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- idle-gap extraction (the complement of q124's interval union):
+    // per user, the gaps BETWEEN merged activity sessions — gap = lag-based
+    // silence longer than the session gap itself; emits each gap with exact
+    // second duration plus per-user totals — the "when are they away"
+    // signal ----
+    "q209_idle_gaps" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gaps = t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .filter(col("prev_ts").isNotNull)
+        .withColumn("gap_sec", unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")))
+        .filter(col("gap_sec") >= 1800) // silences longer than the session gap
+      gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap_sec")).as("idle_sec_total"),
+          max(col("gap_sec")).as("longest_gap_sec"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- weekday seasonality indices: per day-of-week, revenue share and
+    // the seasonal index 7·dow/total — both single divisions over exact
+    // integer sums; the demand-planning profile every forecast consumes ----
+    "q210_seasonality" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      t(s, dir, "lineitem")
+        .groupBy(dayofweek(col("l_shipdate")).as("dow"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+        .withColumn("total", sum(col("cents")).over(W.partitionBy(lit(1))))
+        .select(col("dow"), col("n_lines"), col("cents"),
+          (col("cents").cast("double") / col("total").cast("double")).as("share"),
+          ((col("cents") * lit(7L)).cast("double") / col("total").cast("double"))
+            .as("seasonal_index"))
+        .orderBy(col("dow"))
+    }),
+
+    // ---- nation trade-flow matrix: supplier nation × customer nation
+    // revenue — the two-sided dimension join (lineitem → supplier AND
+    // through orders → customer), both dims broadcast; the OLAP matrix
+    // behind "who supplies whom" ----
+    "q211_trade_matrix" -> ((s, dir) => {
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("snk"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("cnk"))
+        .groupBy(col("supp_nation"), col("cust_nation"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+        .orderBy(col("supp_nation"), col("cust_nation"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -6163,6 +6223,37 @@ object SparkEntry {
         |    AS ship_span_days
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1, 2, 3 ORDER BY o_orderkey""".stripMargin,
+    "q209_idle_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    datediff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |      ts) AS gap_sec
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_gaps,
+        |  CAST(SUM(gap_sec) AS BIGINT) AS idle_sec_total,
+        |  CAST(MAX(gap_sec) AS BIGINT) AS longest_gap_sec
+        |FROM g WHERE gap_sec >= 1800
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q210_seasonality" ->
+      """WITH d AS (
+        |  SELECT dayofweek(l_shipdate) + 1 AS dow, COUNT(*) AS n_lines,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT dow, n_lines, cents,
+        |  cents::DOUBLE / (SUM(cents) OVER ())::DOUBLE AS share,
+        |  (cents * 7)::DOUBLE / (SUM(cents) OVER ())::DOUBLE AS seasonal_index
+        |FROM d ORDER BY dow""".stripMargin,
+    "q211_trade_matrix" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |GROUP BY 1, 2 ORDER BY supp_nation, cust_nation""".stripMargin,
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(
