@@ -4254,6 +4254,22 @@ object SparkEntry {
         .orderBy(col("supp_nation"), col("cust_nation"))
     }),
 
+    // ---- DataSource V2 connector under the gate: the graft-range synthetic
+    // source (custom TableProvider with filter + column pushdown, sliced
+    // input partitions) scanned with range predicates that the source
+    // absorbs into its generated bounds — the full connector read path,
+    // mirrored by DuckDB's range() (SourceV2Spec asserts the pushdown
+    // reached the scan) ----
+    "q212_datasource_v2" -> ((s, dir) => {
+      s.read.format("graft.sources.RangeSource")
+        .option("n", "100000").option("slices", "8").load()
+        .filter(col("id") >= 1000 && col("id") < 50000)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("square")).as("sum_square"),
+          min(col("label")).as("first_label"))
+        .orderBy(col("bucket"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -6254,6 +6270,16 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation cn ON c_nationkey = cn.n_nationkey
         |GROUP BY 1, 2 ORDER BY supp_nation, cust_nation""".stripMargin,
+    "q212_datasource_v2" ->
+      """WITH r AS (
+        |  SELECT range AS id, range * range AS square,
+        |    CAST(range % 16 AS INT) AS bucket, 'row-' || range AS label
+        |  FROM range(100000))
+        |SELECT bucket, COUNT(*) AS n_rows,
+        |  CAST(SUM(square) AS BIGINT) AS sum_square,
+        |  MIN(label) AS first_label
+        |FROM r WHERE id >= 1000 AND id < 50000
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(
