@@ -47,4 +47,18 @@ class SourceV2Spec extends SparkTestBase {
     // residual (non-id) filters stay with Spark and still evaluate correctly
     assert(src(100).filter(col("bucket") === 3).count() == 7) // 3,19,...,99
   }
+
+  test("counting sink aggregates task commit messages on the driver") {
+    import graft.sources.CountingSink
+    src(12345, slices = 8)
+      .write.format("graft.sources.CountingSink")
+      .option("tag", "v2spec").mode("append").save()
+    assert(CountingSink.total("v2spec") == 12345L)
+    // a second write with a different partition layout replaces the total
+    src(77, slices = 3).repartition(5)
+      .write.format("graft.sources.CountingSink")
+      .option("tag", "v2spec").mode("append").save()
+    assert(CountingSink.total("v2spec") == 77L)
+    assert(CountingSink.total("never-written") == -1L)
+  }
 }
