@@ -59,7 +59,7 @@ private[sources] class RangeTable(n: Long, slices: Int) extends Table with Suppo
   override def name(): String = s"graft_range($n)"
   override def schema(): StructType = RangeSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RangeScanBuilder(n, slices)
 }
@@ -103,7 +103,22 @@ private[sources] class RangeScan(lo: Long, hi: Long, slices: Int, required: Stru
   override def description(): String =
     s"graft-range [$lo, $hi) slices=$slices cols=${required.fieldNames.mkString(",")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    RangeScan.slicePartitions(lo, hi, slices)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RangeReaderFactory(required)
+
+  // ---- streaming read: the same generator consumed as a micro-batch
+  // stream. Offsets are plain row positions, so a restart resumes exactly
+  // where the committed offset left off — replayable-source semantics with
+  // zero per-batch state beyond two longs.
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new RangeMicroBatchStream(lo, hi, slices, required)
+}
+
+private[sources] object RangeScan {
+  def slicePartitions(lo: Long, hi: Long, slices: Int): Array[InputPartition] = {
     val span = math.max(0L, hi - lo)
     val k = math.max(1, math.min(slices.toLong, span)).toInt
     (0 until k).map { i =>
@@ -114,6 +129,26 @@ private[sources] class RangeScan(lo: Long, hi: Long, slices: Int, required: Stru
       RangePartition(start, start + len): InputPartition
     }.toArray
   }
+}
+
+private[sources] case class RangeOffset(pos: Long) extends streaming.Offset {
+  override def json(): String = pos.toString
+}
+
+private[sources] class RangeMicroBatchStream(
+    lo: Long, hi: Long, slices: Int, required: StructType)
+    extends streaming.MicroBatchStream {
+  override def initialOffset(): streaming.Offset = RangeOffset(lo)
+  override def latestOffset(): streaming.Offset = RangeOffset(hi)
+  override def deserializeOffset(json: String): streaming.Offset =
+    RangeOffset(json.trim.toLong)
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(
+      start: streaming.Offset, end: streaming.Offset): Array[InputPartition] =
+    RangeScan.slicePartitions(
+      start.asInstanceOf[RangeOffset].pos, end.asInstanceOf[RangeOffset].pos, slices)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RangeReaderFactory(required)

@@ -48,6 +48,22 @@ class SourceV2Spec extends SparkTestBase {
     assert(src(100).filter(col("bucket") === 3).count() == 7) // 3,19,...,99
   }
 
+  test("micro-batch stream read equals the batch read") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.streaming.OutputMode
+    val stream = spark.readStream.format("graft.sources.RangeSource")
+      .option("n", "5000").option("slices", "6").load()
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("square")).as("sum_square"))
+    val got = StreamOps.runToMemory(spark, stream, "v2stream", OutputMode.Complete())
+      .orderBy(col("bucket")).collect().map(_.toSeq)
+    val want = src(5000)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("square")).as("sum_square"))
+      .orderBy(col("bucket")).collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("counting sink aggregates task commit messages on the driver") {
     import graft.sources.CountingSink
     src(12345, slices = 8)
