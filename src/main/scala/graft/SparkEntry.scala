@@ -4270,6 +4270,35 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // ---- frequent 3-itemsets (q151's pair mining extended one level): the
+    // distinct brands of each order exploded to C(w,3) ordered triples —
+    // fanout bounded by basket WIDTH (≤7 brands ⇒ ≤35 triples/basket),
+    // never by item popularity, the property that makes basket mining
+    // feasible at 100 TB; support = one surface division ----
+    "q213_itemsets_3" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand")).distinct()
+        .localCheckpoint() // three self-join arms + the basket count
+      val tot = baskets.select(countDistinct(col("l_orderkey")).as("n_baskets"))
+      val triples = baskets.as("a")
+        .join(baskets.as("b"), col("a.l_orderkey") === col("b.l_orderkey")
+          && col("a.p_brand") < col("b.p_brand"))
+        .join(baskets.as("c"), col("a.l_orderkey") === col("c.l_orderkey")
+          && col("b.p_brand") < col("c.p_brand"))
+        .select(col("a.p_brand").as("b1"), col("b.p_brand").as("b2"),
+          col("c.p_brand").as("b3"))
+      triples.groupBy(col("b1"), col("b2"), col("b3"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 20)
+        .crossJoin(broadcast(tot)) // scalar total rides broadcast, no action
+        .withColumn("support",
+          col("n_orders").cast("double") / col("n_baskets").cast("double"))
+        .drop("n_baskets")
+        .orderBy(col("n_orders").desc, col("b1"), col("b2"), col("b3"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -6280,6 +6309,21 @@ object SparkEntry {
         |  MIN(label) AS first_label
         |FROM r WHERE id >= 1000 AND id < 50000
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q213_itemsets_3" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM baskets),
+        |tri AS (
+        |  SELECT a.p_brand AS b1, b.p_brand AS b2, c.p_brand AS b3
+        |  FROM baskets a
+        |  JOIN baskets b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        |  JOIN baskets c ON a.l_orderkey = c.l_orderkey AND b.p_brand < c.p_brand)
+        |SELECT b1, b2, b3, COUNT(*) AS n_orders,
+        |  COUNT(*)::DOUBLE / (SELECT n_baskets FROM tot)::DOUBLE AS support
+        |FROM tri GROUP BY b1, b2, b3
+        |HAVING COUNT(*) >= 20
+        |ORDER BY n_orders DESC, b1, b2, b3""".stripMargin,
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(
