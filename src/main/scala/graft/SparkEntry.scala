@@ -4299,6 +4299,65 @@ object SparkEntry {
         .orderBy(col("n_orders").desc, col("b1"), col("b2"), col("b3"))
     }),
 
+    // ---- engagement grid: customers cross-binned by spend quartile ×
+    // order-count quartile (two independent distributed NTILEs — the q155
+    // device twice), cell counts + share — the 2-D segmentation behind
+    // migration matrices; no single-reducer window anywhere ----
+    "q214_engagement_grid" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val per = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val binned = Seq(("cents", "spend_q"), ("n_orders", "freq_q"))
+        .foldLeft(per) { case (df, (m, out)) =>
+          Relational.globalNtile(df, m, "o_custkey", 4, out)
+        }
+      binned.groupBy(col("spend_q"), col("freq_q"))
+        .agg(count(lit(1)).as("n_customers"))
+        .withColumn("share", col("n_customers").cast("double") /
+          sum(col("n_customers")).over(W.partitionBy(lit(1))).cast("double"))
+        .orderBy(col("spend_q"), col("freq_q"))
+    }),
+
+    // ---- path-to-purchase length: events each user saw BEFORE their first
+    // purchase, as a distribution (exposure count histogram) — the
+    // journey-length read on top of q89's funnel; min-ts argmin via
+    // aggregate, one shuffle per level ----
+    "q215_path_length" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .localCheckpoint() // first-purchase feed + the pre-purchase count scan
+      val firstBuy = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("fb"))
+        .select(col("user_id"), col("fb.ts").as("buy_ts"), col("fb.event_id").as("buy_id"))
+      val nBefore = ev.join(firstBuy, Seq("user_id"))
+        .filter(col("ts") < col("buy_ts") ||
+          (col("ts") === col("buy_ts") && col("event_id") < col("buy_id")))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_before"))
+      firstBuy.join(nBefore, Seq("user_id"), "left")
+        .select(coalesce(col("n_before"), lit(0L)).as("n_before"))
+        .groupBy(col("n_before")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_before"))
+    }),
+
+    // ---- cross-source duplication matrix: which sources share EXACT
+    // duplicate documents (word-set signature groups spanning sources) —
+    // the contamination ledger between corpus feeds; per-signature source
+    // pairs are bounded by the sources-per-group (≤20), never group size² ----
+    "q216_source_dup_matrix" -> ((s, dir) => {
+      val sig = md5(array_join(sort_array(array_distinct(
+        TextAnalysis.tokens(col("text")))), " "))
+      val srcs = t(s, dir, "documents")
+        .select(sig.as("sig"), col("source")).distinct()
+      srcs.as("a").join(srcs.as("b"),
+          col("a.sig") === col("b.sig") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared_sigs"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -6324,6 +6383,43 @@ object SparkEntry {
         |FROM tri GROUP BY b1, b2, b3
         |HAVING COUNT(*) >= 20
         |ORDER BY n_orders DESC, b1, b2, b3""".stripMargin,
+    "q214_engagement_grid" ->
+      """WITH per AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |b AS (
+        |  SELECT CAST(NTILE(4) OVER (ORDER BY cents, o_custkey) AS INT) AS spend_q,
+        |    CAST(NTILE(4) OVER (ORDER BY n_orders, o_custkey) AS INT) AS freq_q
+        |  FROM per),
+        |g AS (SELECT spend_q, freq_q, COUNT(*) AS n_customers FROM b GROUP BY 1, 2)
+        |SELECT spend_q, freq_q, n_customers,
+        |  n_customers::DOUBLE / (SUM(n_customers) OVER ())::DOUBLE AS share
+        |FROM g ORDER BY spend_q, freq_q""".stripMargin,
+    "q215_path_length" ->
+      """WITH fb AS (
+        |  SELECT user_id, MIN({'ts': ts, 'event_id': event_id}) AS m
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |fb2 AS (SELECT user_id, m.ts AS buy_ts, m.event_id AS buy_id FROM fb),
+        |nb AS (
+        |  SELECT e.user_id, COUNT(*) AS n_before
+        |  FROM events e JOIN fb2 ON e.user_id = fb2.user_id
+        |  WHERE e.ts < buy_ts OR (e.ts = buy_ts AND e.event_id < buy_id)
+        |  GROUP BY e.user_id)
+        |SELECT COALESCE(n_before, 0) AS n_before, COUNT(*) AS n_users
+        |FROM fb2 LEFT JOIN nb ON fb2.user_id = nb.user_id
+        |GROUP BY 1 ORDER BY n_before""".stripMargin,
+    "q216_source_dup_matrix" ->
+      """WITH srcs AS (
+        |  SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(
+        |      CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |        ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END)), ' '))
+        |      AS sig,
+        |    source
+        |  FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared_sigs
+        |FROM srcs a JOIN srcs b ON a.sig = b.sig AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(
