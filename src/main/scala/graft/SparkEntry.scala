@@ -4358,6 +4358,54 @@ object SparkEntry {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // ---- day-over-day growth-rate histogram WITHOUT a division: the ratio
+    // cents/prev lands in a bin iff cents·100 clears edge·prev — integer
+    // cross-multiplication replaces the float ratio entirely, so bin
+    // membership is exact at any magnitude (the compare-fractions-by-
+    // cross-product device, applied to binning) ----
+    "q217_growth_histogram" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").cast("date").as("day"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      val edges = Seq(50L, 80L, 95L, 105L, 125L, 200L) // ratio·100 bin edges
+      val withPrev = daily
+        .withColumn("prev", lag(col("cents"), 1).over(W.orderBy(col("day"))))
+        .filter(col("prev").isNotNull && col("prev") > 0)
+      val binIdx = edges.map(e =>
+        when(col("cents") * lit(100L) >= lit(e) * col("prev"), 1).otherwise(0))
+        .reduce(_ + _)
+      withPrev.withColumn("bin", binIdx)
+        .groupBy(col("bin")).agg(count(lit(1)).as("n_days"))
+        .orderBy(col("bin"))
+    }),
+
+    // ---- Spearman rank correlation between two centrality orderings
+    // (integer PageRank vs integer HITS authority) on the co-supply graph:
+    // ranks from the bucketed GLOBAL row_number device (no single-reducer
+    // window), ρ = 1 − 6Σd²/(n(n²−1)) with Σd² an exact DECIMAL — "do the
+    // two centralities agree" as one engine-stable number ----
+    "q218_rank_correlation" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val e = coSupplyEdges(s, dir).localCheckpoint()
+      val pr = Graph.pageRankIntFixed(e, iters = 5)
+        .withColumnRenamed("p_partkey", "node")
+      val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val ra = Relational.globalRank(pr, "rank", "node", "ra")
+        .select(col("node"), col("ra"))
+      val rb = Relational.globalRank(deg, "deg", "node", "rb")
+        .select(col("node"), col("rb"))
+      ra.join(rb, Seq("node"))
+        .agg(count(lit(1)).as("n"),
+          sum((dec(col("ra")) - dec(col("rb"))) * (dec(col("ra")) - dec(col("rb"))))
+            .as("sd2"))
+        .select(col("n"),
+          (lit(1.0) - (lit(6).cast("decimal(38,0)") * col("sd2")).cast("double") /
+            (dec(col("n")) * (dec(col("n")) * dec(col("n")) - lit(1).cast("decimal(38,0)")))
+              .cast("double")).as("spearman_rho"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -4456,6 +4504,33 @@ object SparkEntry {
          |    GROUP BY s.dst) m ON m.dst = d.src)""".stripMargin
     }.mkString
     head + its + s"\nSELECT node AS p_partkey, rank FROM it$iters ORDER BY p_partkey"
+  }
+
+  /** q218's oracle, generated: the q103 PageRank CTE chain re-used (same
+    * head/iterations, different tail) — ranks by (score, node) via
+    * ROW_NUMBER on both the PageRank scores and the symmetric degrees, then
+    * the exact-Σd² Spearman closed form with one division at the surface.
+    */
+  private def spearmanOracleSql(iters: Int): String = {
+    val pr = pageRankOracleSql(iters)
+    val ctes = pr.substring(0, pr.lastIndexOf("\nSELECT")) // reuse head + its
+    ctes +
+      s""",
+         |prr AS (
+         |  SELECT node, ROW_NUMBER() OVER (ORDER BY rank, node) AS ra
+         |  FROM it$iters),
+         |dgr AS (
+         |  SELECT src AS node, ROW_NUMBER() OVER (ORDER BY COUNT(*), src) AS rb
+         |  FROM sym GROUP BY src),
+         |j AS (
+         |  SELECT CAST(pr2.ra AS DECIMAL(38,0)) - CAST(dgr.rb AS DECIMAL(38,0)) AS d
+         |  FROM prr pr2 JOIN dgr ON pr2.node = dgr.node)
+         |SELECT COUNT(*) AS n,
+         |  1.0 - (CAST(6 AS DECIMAL(38,0)) * SUM(d * d))::DOUBLE
+         |    / (CAST(COUNT(*) AS DECIMAL(38,0))
+         |       * (CAST(COUNT(*) AS DECIMAL(38,0)) * CAST(COUNT(*) AS DECIMAL(38,0))
+         |          - CAST(1 AS DECIMAL(38,0))))::DOUBLE AS spearman_rho
+         |FROM j""".stripMargin
   }
 
   /** q189's oracle, generated: min-plus Bellman–Ford relaxation unrolled to
@@ -6420,6 +6495,24 @@ object SparkEntry {
         |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared_sigs
         |FROM srcs a JOIN srcs b ON a.sig = b.sig AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+    "q217_growth_histogram" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |wp AS (
+        |  SELECT day, cents, LAG(cents) OVER (ORDER BY day) AS prev FROM daily)
+        |SELECT
+        |  (CASE WHEN cents * 100 >= 50 * prev THEN 1 ELSE 0 END)
+        |  + (CASE WHEN cents * 100 >= 80 * prev THEN 1 ELSE 0 END)
+        |  + (CASE WHEN cents * 100 >= 95 * prev THEN 1 ELSE 0 END)
+        |  + (CASE WHEN cents * 100 >= 105 * prev THEN 1 ELSE 0 END)
+        |  + (CASE WHEN cents * 100 >= 125 * prev THEN 1 ELSE 0 END)
+        |  + (CASE WHEN cents * 100 >= 200 * prev THEN 1 ELSE 0 END) AS bin,
+        |  COUNT(*) AS n_days
+        |FROM wp WHERE prev IS NOT NULL AND prev > 0
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q218_rank_correlation" -> spearmanOracleSql(5),
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(

@@ -934,6 +934,47 @@ object Relational {
       .drop(b, off, rnk, n)
   }
 
+  /** Exact GLOBAL row_number over the (valCol, tieCol) ascending total order
+    * without a single-reducer window — the first half of [[globalNtile]]'s
+    * device exposed on its own: range-bucket on the value, per-bucket
+    * count offsets via a window over the nBuckets-row bucket table, global
+    * rank = offset + within-bucket row_number. Any "rank the whole
+    * population" consumer (Spearman ranks, percentile assignment, global
+    * deciling beyond ntile) composes on this. Same caveats as globalNtile:
+    * integral valCol, (valCol, tieCol) unique, NULL values excluded.
+    */
+  def globalRank(
+      df: DataFrame,
+      valCol: String,
+      tieCol: String,
+      outCol: String = "rank"
+  ): DataFrame = {
+    val (b, cnt, off) = ("__gr_b", "__gr_c", "__gr_off")
+    val rows = df.filter(col(valCol).isNotNull)
+    val nBuckets = df.sparkSession.sessionState.conf.numShufflePartitions
+    val bounds = rows.agg(
+      min(col(valCol).cast("long")).as("__gr_lo"),
+      max(col(valCol).cast("long")).as("__gr_hi"))
+    val bucketed = rows
+      .crossJoin(broadcast(bounds))
+      .withColumn(b, expr(
+        s"CAST(((CAST($valCol AS BIGINT) - __gr_lo) * $nBuckets)" +
+          s" DIV (__gr_hi - __gr_lo + 1) AS INT)"))
+      .drop("__gr_lo", "__gr_hi")
+      .localCheckpoint() // two consumers: offsets aggregate + rank join
+    val offsets = bucketed.groupBy(col(b)).agg(count(lit(1)).as(cnt))
+      .withColumn(off, coalesce(
+        sum(col(cnt)).over(
+          Window.orderBy(col(b)).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(b), col(off))
+    bucketed
+      .join(broadcast(offsets), b)
+      .withColumn(outCol, col(off) + row_number().over(
+        Window.partitionBy(col(b)).orderBy(col(valCol).cast("long"), col(tieCol))))
+      .drop(b, off)
+  }
+
   /** Exact 2-D skyline (Pareto frontier): rows not dominated by any other —
     * q dominates p iff q minimizes `xCol` no worse AND maximizes `yCol` no
     * worse, strictly better in at least one. Duplicate (x, y) points carry no

@@ -385,6 +385,19 @@ class RelationalSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("ntile"), "naive ntile window leaked into the plan")
   }
 
+  test("globalRank: equals the window row_number on skewed and tied inputs") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val skewed = ((1 to 300).map(i => (7L, i.toLong)) ++
+      (1 to 80).map(i => (i.toLong % 13, 2000L + i))).toDF("v", "id")
+    val want = skewed.withColumn("r",
+      row_number().over(Window.orderBy(col("v"), col("id"))))
+      .select("id", "r").as[(Long, Int)].collect().toMap
+    val got = Relational.globalRank(skewed, "v", "id", "r")
+      .select("id", "r").as[(Long, Long)].collect().map { case (i, r) => (i, r.toInt) }.toMap
+    assert(got == want, "distributed global rank diverged from the window row_number")
+  }
+
   test("skyline2D: equals the NOT-EXISTS brute force incl. ties and duplicates") {
     import spark.implicits._
     // seeded layout with duplicate points, x-ties with different y, and a
