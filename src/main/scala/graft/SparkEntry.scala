@@ -4406,6 +4406,55 @@ object SparkEntry {
               .cast("double")).as("spearman_rho"))
     }),
 
+    // ---- WEIGHTED integer PageRank: the co-supply graph with edge weight =
+    // number of shared urgent orders (pair multiplicity) — mass flows
+    // proportionally to weight via (rank·w) DIV Σw_out, every step an exact
+    // rational floor (q103's discipline extended to weighted centrality);
+    // oracle = unrolled weighted rounds ----
+    "q219_weighted_pagerank" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"))
+      val op = t(s, dir, "lineitem")
+        .join(urgent, Seq("l_orderkey"), "left_semi")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .distinct()
+      val we = op.as("a")
+        .join(op.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("w"))
+      Graph.pageRankWeightedIntFixed(we, iters = 5)
+        .select(col("node").as("p_partkey"), col("rank"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ---- one-token-apart near-dups: document pairs whose distinct token
+    // SETS differ by exactly one token (A ⊂ B, |B\A| = 1) — the FastSS
+    // deletion-neighborhood device lifted from characters (q174) to tokens:
+    // the subset side joins its FULL set hash against the superset side's
+    // n single-token-deletion hashes, O(Σ set size) keys, no pair scan ----
+    "q220_one_token_diff" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"),
+          sort_array(array_distinct(TextAnalysis.tokens(col("text")))).as("ts"))
+        .localCheckpoint() // both join sides derive from it
+      val small = base.select(col("doc_id").as("id_small"), size(col("ts")).as("n_small"),
+        md5(array_join(col("ts"), " ")).as("key"))
+      val big = base.select(col("doc_id").as("id_big"),
+        explode(expr(
+          "CASE WHEN size(ts) = 0 THEN array() " +
+            "ELSE transform(sequence(1, size(ts)), i -> md5(array_join(" +
+            "concat(slice(ts, 1, i - 1), slice(ts, i + 1, size(ts) - i)), ' '))) END"))
+          .as("key"))
+      small.join(big, Seq("key"))
+        .filter(col("id_small") =!= col("id_big"))
+        .select(col("id_small"), col("id_big"), col("n_small"))
+        .distinct()
+        .orderBy(col("id_small"), col("id_big"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -4567,6 +4616,41 @@ object SparkEntry {
     }.mkString
     head + its +
       s"\nSELECT node AS p_partkey, CAST(dist AS BIGINT) AS dist FROM d$rounds ORDER BY p_partkey"
+  }
+
+  /** q219's oracle, generated: weighted PageRank rounds unrolled — mass
+    * src→dst is (rank·w) // Σw_out(src), the mirror of the operator's
+    * `div`; rounds are MATERIALIZED (each feeds the next's join; the §8.5#18
+    * rule).
+    */
+  private def weightedPageRankOracleSql(iters: Int): String = {
+    val head =
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+        |we AS MATERIALIZED (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |sym AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst, w FROM we
+        |  UNION ALL SELECT v AS src, u AS dst, w FROM we),
+        |wout AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM sym GROUP BY src),
+        |params AS (SELECT COUNT(*)::BIGINT AS n FROM wout),
+        |r0 AS (SELECT src AS node, (1000000000000 // n)::BIGINT AS rank FROM wout, params)""".stripMargin
+    val its = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"it${i - 1}"
+      s""",
+         |it$i AS MATERIALIZED (
+         |  SELECT d.src AS node,
+         |    (((3 * 1000000000000) // (20 * p.n)) + ((17 * COALESCE(m.in_mass, 0)) // 20))::BIGINT AS rank
+         |  FROM wout d CROSS JOIN params p
+         |  LEFT JOIN (
+         |    SELECT s.dst, SUM((r.rank * s.w) // wo.wout) AS in_mass
+         |    FROM $prev r JOIN wout wo ON r.node = wo.src JOIN sym s ON s.src = r.node
+         |    GROUP BY s.dst) m ON m.dst = d.src)""".stripMargin
+    }.mkString
+    head + its + s"\nSELECT node AS p_partkey, rank FROM it$iters ORDER BY p_partkey"
   }
 
   /** q117's oracle, generated: the q82 rank rule (min v with cum-count ≥
@@ -6513,6 +6597,26 @@ object SparkEntry {
         |FROM wp WHERE prev IS NOT NULL AND prev > 0
         |GROUP BY 1 ORDER BY bin""".stripMargin,
     "q218_rank_correlation" -> spearmanOracleSql(5),
+    "q219_weighted_pagerank" -> weightedPageRankOracleSql(5),
+    "q220_one_token_diff" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_sort(list_distinct(
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END))
+        |    AS ts
+        |  FROM documents),
+        |small AS (
+        |  SELECT doc_id AS id_small, CAST(len(ts) AS INT) AS n_small,
+        |    md5(array_to_string(ts, ' ')) AS key
+        |  FROM base),
+        |big AS (
+        |  SELECT doc_id AS id_big,
+        |    md5(array_to_string(list_concat(ts[1:i-1], ts[i+1:len(ts)]), ' ')) AS key
+        |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM base))
+        |SELECT DISTINCT id_small, id_big, n_small
+        |FROM small JOIN big USING (key)
+        |WHERE id_small <> id_big
+        |ORDER BY id_small, id_big""".stripMargin,
     "q156_countmin" ->
       """WITH toks AS (
         |  SELECT unnest(

@@ -212,6 +212,62 @@ object Graph {
     reached.groupBy(col("seed")).agg(count(lit(1)).as(s"n_within_$k"))
   }
 
+  /** [[pageRankIntFixed]] with INTEGER edge weights: each neighbor receives
+    * mass proportional to its edge weight — contribution src→dst is
+    * (rank·w) DIV Σw_out(src), every step an exact rational floor, so the
+    * weighted centrality is hash-gateable like the unweighted one. Input
+    * rows are (u, v, w); parallel (u,v) duplicates are SUMMED into one
+    * undirected edge. Overflow headroom: rank ≤ scale (1e12 default) and
+    * the per-edge product rank·w must fit a LONG — weights above ~1e6 need
+    * a smaller scale (documented, not silently truncated: the multiply
+    * would wrap, so the require below bounds it).
+    */
+  def pageRankWeightedIntFixed(
+      edges: DataFrame,
+      iters: Int = 5,
+      scale: Long = 1000000000000L,
+      dampNum: Long = 17,
+      dampDen: Long = 20,
+      maxWeight: Long = 1000000L
+  ): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50]: $iters")
+    require(dampNum > 0 && dampNum < dampDen, s"damping must be in (0,1): $dampNum/$dampDen")
+    val Seq(uName, vName, wName) = edges.columns.take(3).toSeq
+    val und = edges
+      .filter(col(uName).isNotNull && col(vName).isNotNull && col(uName) =!= col(vName))
+      .select(least(col(uName), col(vName)).as("u"),
+        greatest(col(uName), col(vName)).as("v"), col(wName).cast("long").as("w"))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+    val sym = und
+      .select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst"), col("w")),
+        struct(col("v").as("src"), col("u").as("dst"), col("w")))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.w"))
+      .localCheckpoint()
+    val wBound = sym.agg(max(col("w"))).head().getLong(0)
+    require(wBound <= maxWeight,
+      s"edge weight $wBound exceeds the rank·w overflow bound $maxWeight — lower scale")
+    val wout = sym.groupBy(col("src")).agg(sum(col("w")).as("wout")).localCheckpoint()
+    val n = wout.count()
+    require(n > 0, "pageRankWeightedIntFixed needs a non-empty edge list")
+    val teleport = ((dampDen - dampNum) * scale) / (dampDen * n)
+    var rank = wout.select(col("src").as("node"), lit(scale / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = rank
+        .join(wout, rank("node") === wout("src"))
+        .select(col("src"), col("rank"), col("wout"))
+        .join(sym, "src")
+        .select(col("dst"), expr("(rank * w) div wout").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      rank = wout.select(col("src").as("node"))
+        .join(contribs.withColumnsRenamed(Map("dst" -> "node")), Seq("node"), "left")
+        .withColumn("__pr_in", coalesce(col("in_mass"), lit(0L)))
+        .select(col("node"),
+          (lit(teleport) + expr(s"($dampNum * __pr_in) div $dampDen")).as("rank"))
+    }
+    rank
+  }
+
   /** Multi-source shortest paths with non-negative INTEGER edge weights by
     * synchronous min-plus relaxation (Bellman–Ford rounds on the undirected
     * graph): dist⁰ = 0 at the sources, distʳ(v) = min(distʳ⁻¹(v),
