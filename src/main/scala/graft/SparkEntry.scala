@@ -4455,6 +4455,29 @@ object SparkEntry {
         .orderBy(col("id_small"), col("id_big"))
     }),
 
+    // ---- DQ conservation law under the gate: the reference's rule-engine
+    // split must neither lose nor duplicate rows — per return flag,
+    // clean + quarantined == total as a deterministic boolean the driver
+    // hashes (q15 gates the quarantine CONTENT; this gates the split's
+    // row-conservation INVARIANT — the property a refactor would break
+    // silently) ----
+    "q221_dq_conservation" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").localCheckpoint() // split + total scans
+      val (clean, quarantined) = RuleEngine.split(li, lineitemRules)
+      val byFlag = (df: org.apache.spark.sql.DataFrame, name: String) =>
+        df.groupBy(upper(trim(col("l_returnflag"))).as("flag"))
+          .agg(count(lit(1)).as(name))
+      byFlag(li, "n_total")
+        .join(byFlag(clean, "n_clean"), Seq("flag"), "left")
+        .join(byFlag(quarantined, "n_quarantined"), Seq("flag"), "left")
+        .select(col("flag"), col("n_total"),
+          coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+          coalesce(col("n_quarantined"), lit(0L)).as("n_quarantined"))
+        .withColumn("conserved",
+          col("n_clean") + col("n_quarantined") === col("n_total"))
+        .orderBy(col("flag"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -6598,6 +6621,24 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY bin""".stripMargin,
     "q218_rank_correlation" -> spearmanOracleSql(5),
     "q219_weighted_pagerank" -> weightedPageRankOracleSql(5),
+    "q221_dq_conservation" ->
+      """WITH ann AS (
+        |  SELECT UPPER(TRIM(l_returnflag)) AS flag,
+        |    NULLIF(CONCAT_WS('|',
+        |      CASE WHEN l_quantity IS NULL THEN 'ERR_CANT_NULL' END,
+        |      CASE WHEN l_quantity IS NOT NULL AND l_quantity <= 0 THEN 'ERR_CANT_NO_POSITIVA' END,
+        |      CASE WHEN l_quantity > 45 THEN 'ERR_CANT_EXCESIVA' END,
+        |      CASE WHEN l_discount > 0.08 THEN 'ERR_DESC_EXCESIVO' END,
+        |      CASE WHEN UPPER(TRIM(l_returnflag)) NOT IN ('A','N','R') THEN 'ERR_FLAG_DESCONOCIDO' END,
+        |      CASE WHEN l_extendedprice IS NOT NULL AND l_extendedprice <= 0 THEN 'ERR_VENTA_NO_POSITIVA' END
+        |    ), '') AS motivo_obs
+        |  FROM lineitem)
+        |SELECT flag, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN motivo_obs IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+        |  CAST(SUM(CASE WHEN motivo_obs IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_quarantined,
+        |  TRUE AS conserved
+        |FROM ann GROUP BY flag ORDER BY flag""".stripMargin,
     "q220_one_token_diff" ->
       """WITH base AS (
         |  SELECT doc_id, list_sort(list_distinct(
