@@ -4478,6 +4478,31 @@ object SparkEntry {
         .orderBy(col("flag"))
     }),
 
+    // ---- within-basket brand share: each line's share of its order total
+    // held in FIXED POINT (cents·10⁶ DIV order_total — floor per line, so
+    // the per-brand mean is a sum of exact integers divided once), the
+    // q135/q188 discipline applied to composition metrics: a naive
+    // avg(cents/total) would sum doubles in partition order ----
+    "q222_basket_share" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      li.withColumn("order_total", sum(col("cents")).over(
+          W.partitionBy(col("l_orderkey"))))
+        .withColumn("share_fixed", expr("(cents * 1000000) DIV order_total"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("share_fixed").cast("decimal(38,0)")).as("share_fixed_sum"))
+        .withColumn("mean_share",
+          col("share_fixed_sum").cast("double") /
+            (col("n_lines").cast("decimal(38,0)")
+              * lit(1000000L).cast("decimal(38,0)")).cast("double"))
+        .orderBy(col("p_brand"))
+    }),
+
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
@@ -6621,6 +6646,22 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY bin""".stripMargin,
     "q218_rank_correlation" -> spearmanOracleSql(5),
     "q219_weighted_pagerank" -> weightedPageRankOracleSql(5),
+    "q222_basket_share" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, p_brand,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |sh AS (
+        |  SELECT p_brand,
+        |    (cents * 1000000) // CAST(SUM(cents) OVER (PARTITION BY l_orderkey) AS BIGINT)
+        |      AS share_fixed
+        |  FROM li)
+        |SELECT p_brand, COUNT(*) AS n_lines,
+        |  CAST(SUM(share_fixed) AS DECIMAL(38,0)) AS share_fixed_sum,
+        |  CAST(SUM(share_fixed) AS DECIMAL(38,0))::DOUBLE
+        |    / (CAST(COUNT(*) AS DECIMAL(38,0))
+        |       * CAST(1000000 AS DECIMAL(38,0)))::DOUBLE AS mean_share
+        |FROM sh GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q221_dq_conservation" ->
       """WITH ann AS (
         |  SELECT UPPER(TRIM(l_returnflag)) AS flag,
