@@ -47,6 +47,23 @@ def main():
         if only and name not in only:
             continue
         try:
+            # Structural gate: the driver's hash canonicalization rejects any
+            # final DECIMAL column even when values are cell-exact (proven in
+            # rounds 2 and 4). canon() below string-compares Decimals, which
+            # AGREES cross-engine — so without this check the mimic green-lights
+            # exactly the class the driver reds. Fail on schema, not values.
+            schema = con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            ).fetchall()
+            dec_cols = [c for c, t, *_ in schema if "DECIMAL" in t.upper()]
+            if dec_cols:
+                print(
+                    f"FAIL {name}: final DecimalType column(s) {dec_cols} — "
+                    "driver hash gate rejects these; surface as hi/lo BIGINT "
+                    "pairs (Sketches.surfaceHiLo) or canonical strings"
+                )
+                n_fail += 1
+                continue
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
             ).fetchdf()

@@ -3164,7 +3164,7 @@ object SparkEntry {
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
       val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
       val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val agg = li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .withColumn("lat_days", datediff(col("l_shipdate"), col("o_orderdate")) + lit(1))
@@ -3177,6 +3177,9 @@ object SparkEntry {
           (col("n_shipments").cast("decimal(38,0)")
             * lit(1000000000000L).cast("decimal(38,0)")).cast("double") /
             col("sum_recip_fixed").cast("double"))
+      // the >2^53 accumulator surfaces as an exact (hi, lo) BIGINT pair —
+      // final DecimalType is not hash-stable at the gate (SURVEY §8.3#1)
+      graft.ops.Sketches.surfaceHiLo(agg, "sum_recip_fixed")
         .orderBy(col("n_name"))
     }),
 
@@ -3505,12 +3508,12 @@ object SparkEntry {
         .localCheckpoint() // feeds the per-part aggregate AND the probe side
       val perPart = li.groupBy(col("l_partkey"))
         .agg(sum(col("qty_c")).as("sum_qty"), count(lit(1)).as("cnt"))
-      li.join(perPart, Seq("l_partkey"))
+      val agg = li.join(perPart, Seq("l_partkey"))
         .filter(col("qty_c") * lit(5L) * col("cnt") < col("sum_qty"))
         .agg(sum(col("price_c").cast("decimal(38,0)")).as("revenue_cents"),
           count(lit(1)).as("n_lines"))
-        .select(col("revenue_cents").cast("decimal(38,0)").as("revenue_cents"),
-          col("n_lines"))
+      // exact (hi, lo) BIGINT surface for the >2^53 cents sum (SURVEY §8.3#1)
+      graft.ops.Sketches.surfaceHiLo(agg, "revenue_cents")
     }),
 
     // ---- TPC-H Q21 shape (suppliers who alone were late on multi-supplier
@@ -3676,11 +3679,13 @@ object SparkEntry {
             .as("credit")))
         .unionAll(p.select(lit("none").as("channel"),
           when(col("k") === 0, col("cents") * lit(S)).otherwise(lit(0L)).as("credit")))
-      credits.groupBy(col("channel"))
+      val agg = credits.groupBy(col("channel"))
         .agg(sum(when(col("credit") > 0, 1L).otherwise(0L)).as("n_credited"),
           sum(col("credit").cast("decimal(38,0)")).as("credit_fixed"))
         .withColumn("credit_dollars",
           col("credit_fixed").cast("double") / lit(100.0 * S))
+      // exact (hi, lo) BIGINT surface for the >2^53 credit sum (SURVEY §8.3#1)
+      graft.ops.Sketches.surfaceHiLo(agg, "credit_fixed")
         .orderBy(col("channel"))
     }),
 
@@ -3942,9 +3947,11 @@ object SparkEntry {
           coalesce(sum((col("cents") * lit(S)).cast("decimal(38,0)")),
             lit(0L).cast("decimal(38,0)")).as("credit_fixed"))
         .select(lit("none").as("channel"), col("n_touches"), col("credit_fixed"))
-      credits.unionByName(none)
+      val agg = credits.unionByName(none)
         .withColumn("credit_dollars",
           col("credit_fixed").cast("double") / lit(100.0 * S))
+      // exact (hi, lo) BIGINT surface for the >2^53 credit sum (SURVEY §8.3#1)
+      graft.ops.Sketches.surfaceHiLo(agg, "credit_fixed")
         .orderBy(col("channel"))
     }),
 
@@ -4490,7 +4497,7 @@ object SparkEntry {
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey"), col("p_brand"),
           round(col("l_extendedprice") * 100).cast("long").as("cents"))
-      li.withColumn("order_total", sum(col("cents")).over(
+      val agg = li.withColumn("order_total", sum(col("cents")).over(
           W.partitionBy(col("l_orderkey"))))
         .withColumn("share_fixed", expr("(cents * 1000000) DIV order_total"))
         .groupBy(col("p_brand"))
@@ -4500,6 +4507,8 @@ object SparkEntry {
           col("share_fixed_sum").cast("double") /
             (col("n_lines").cast("decimal(38,0)")
               * lit(1000000L).cast("decimal(38,0)")).cast("double"))
+      // exact (hi, lo) BIGINT surface for the >2^53 share sum (SURVEY §8.3#1)
+      graft.ops.Sketches.surfaceHiLo(agg, "share_fixed_sum")
         .orderBy(col("p_brand"))
     }),
 
@@ -5673,18 +5682,22 @@ object SparkEntry {
         |    AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
         |ORDER BY p_partkey""".stripMargin,
     "q167_harmonic_latency" ->
-      """SELECT n_name, COUNT(*) AS n_shipments,
-        |  CAST(SUM(1000000000000 // lat_days) AS DECIMAL(38,0)) AS sum_recip_fixed,
-        |  (CAST(COUNT(*) AS DECIMAL(38,0)) * CAST(1000000000000 AS DECIMAL(38,0)))::DOUBLE
-        |    / CAST(SUM(1000000000000 // lat_days) AS DECIMAL(38,0))::DOUBLE
-        |    AS harmonic_days
-        |FROM (
+      """WITH base AS (
         |  SELECT n_name, datediff('day', o_orderdate, l_shipdate) + 1 AS lat_days
         |  FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
-        |  JOIN nation ON c_nationkey = n_nationkey)
-        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |g AS (
+        |  SELECT n_name, COUNT(*) AS n_shipments,
+        |    SUM(CAST(1000000000000 // lat_days AS HUGEINT)) AS sr
+        |  FROM base GROUP BY n_name)
+        |SELECT n_name, n_shipments,
+        |  (CAST(n_shipments AS HUGEINT) * 1000000000000)::DOUBLE / sr::DOUBLE
+        |    AS harmonic_days,
+        |  CAST(sr // 1000000000000000000 AS BIGINT) AS sum_recip_fixed_hi,
+        |  CAST(sr % 1000000000000000000 AS BIGINT) AS sum_recip_fixed_lo
+        |FROM g ORDER BY n_name""".stripMargin,
     "q168_ewma" ->
       """WITH li AS (
         |  SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
@@ -5771,12 +5784,20 @@ object SparkEntry {
         |      l_orderkey, l_linenumber, l_returnflag, l_linestatus,
         |      CAST(round(l_quantity * 100) AS BIGINT),
         |      CAST(round(l_extendedprice * 100) AS BIGINT))), 17, 16) AS UBIGINT)
-        |      AS DECIMAL(38,0)) AS h
-        |  FROM lineitem)
-        |SELECT l_returnflag, COUNT(*) AS n_rows,
-        |  CAST(SUM(h) AS DECIMAL(38,0)) AS fp_sum,
-        |  MIN(h) AS fp_min, MAX(h) AS fp_max
-        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        |      AS HUGEINT) AS h
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_returnflag, COUNT(*) AS n_rows,
+        |    SUM(h) AS fp_sum, MIN(h) AS fp_min, MAX(h) AS fp_max
+        |  FROM c GROUP BY l_returnflag)
+        |SELECT l_returnflag, n_rows,
+        |  CAST(fp_sum // 1000000000000000000 AS BIGINT) AS fp_sum_hi,
+        |  CAST(fp_sum % 1000000000000000000 AS BIGINT) AS fp_sum_lo,
+        |  CAST(fp_min // 1000000000000000000 AS BIGINT) AS fp_min_hi,
+        |  CAST(fp_min % 1000000000000000000 AS BIGINT) AS fp_min_lo,
+        |  CAST(fp_max // 1000000000000000000 AS BIGINT) AS fp_max_hi,
+        |  CAST(fp_max % 1000000000000000000 AS BIGINT) AS fp_max_lo
+        |FROM g ORDER BY l_returnflag""".stripMargin,
     "q172_changepoint" ->
       """WITH daily AS (
         |  SELECT l_suppkey, l_shipdate,
@@ -5981,12 +6002,16 @@ object SparkEntry {
         |pp AS (
         |  SELECT l_partkey, CAST(SUM(qty_c) AS BIGINT) AS sum_qty,
         |    COUNT(*) AS cnt
-        |  FROM li GROUP BY l_partkey)
-        |SELECT CAST(SUM(CAST(price_c AS DECIMAL(38,0))) AS DECIMAL(38,0))
-        |    AS revenue_cents,
-        |  COUNT(*) AS n_lines
-        |FROM li JOIN pp USING (l_partkey)
-        |WHERE qty_c * 5 * cnt < sum_qty""".stripMargin,
+        |  FROM li GROUP BY l_partkey),
+        |agg AS (
+        |  SELECT SUM(CAST(price_c AS HUGEINT)) AS revenue_cents,
+        |    COUNT(*) AS n_lines
+        |  FROM li JOIN pp USING (l_partkey)
+        |  WHERE qty_c * 5 * cnt < sum_qty)
+        |SELECT n_lines,
+        |  CAST(revenue_cents // 1000000000000000000 AS BIGINT) AS revenue_cents_hi,
+        |  CAST(revenue_cents % 1000000000000000000 AS BIGINT) AS revenue_cents_lo
+        |FROM agg""".stripMargin,
     "q182_late_sole_supplier" ->
       """WITH ls AS (
         |  SELECT l_orderkey, l_suppkey,
@@ -6118,12 +6143,17 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'none' AS channel,
         |    CASE WHEN k = 0 THEN cents * 1000000 ELSE 0 END AS credit
-        |  FROM pur)
-        |SELECT channel,
-        |  CAST(SUM(CASE WHEN credit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_credited,
-        |  CAST(SUM(credit) AS DECIMAL(38,0)) AS credit_fixed,
-        |  CAST(SUM(credit) AS DECIMAL(38,0))::DOUBLE / 100000000.0 AS credit_dollars
-        |FROM credits GROUP BY channel ORDER BY channel""".stripMargin,
+        |  FROM pur),
+        |g AS (
+        |  SELECT channel,
+        |    CAST(SUM(CASE WHEN credit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_credited,
+        |    SUM(CAST(credit AS HUGEINT)) AS credit_fixed
+        |  FROM credits GROUP BY channel)
+        |SELECT channel, n_credited,
+        |  credit_fixed::DOUBLE / 100000000.0 AS credit_dollars,
+        |  CAST(credit_fixed // 1000000000000000000 AS BIGINT) AS credit_fixed_hi,
+        |  CAST(credit_fixed % 1000000000000000000 AS BIGINT) AS credit_fixed_lo
+        |FROM g ORDER BY channel""".stripMargin,
     "q189_sssp" -> ssspOracleSql(16),
     "q190_top_other" ->
       """WITH rev AS (
@@ -6309,14 +6339,16 @@ object SparkEntry {
         |ch AS (
         |  SELECT channel, COUNT(*) AS n_touches,
         |    CAST(SUM((cents * 1000000 * (1::BIGINT << (8 - pos1))) // wsum)
-        |      AS DECIMAL(38,0)) AS credit_fixed
+        |      AS HUGEINT) AS credit_fixed
         |  FROM cr GROUP BY channel),
         |nn AS (
         |  SELECT 'none' AS channel, COUNT(*) AS n_touches,
-        |    CAST(COALESCE(SUM(cents * 1000000), 0) AS DECIMAL(38,0)) AS credit_fixed
+        |    CAST(COALESCE(SUM(cents * 1000000), 0) AS HUGEINT) AS credit_fixed
         |  FROM p WHERE wsum = 0)
-        |SELECT channel, n_touches, credit_fixed,
-        |  credit_fixed::DOUBLE / 100000000.0 AS credit_dollars
+        |SELECT channel, n_touches,
+        |  credit_fixed::DOUBLE / 100000000.0 AS credit_dollars,
+        |  CAST(credit_fixed // 1000000000000000000 AS BIGINT) AS credit_fixed_hi,
+        |  CAST(credit_fixed % 1000000000000000000 AS BIGINT) AS credit_fixed_lo
         |FROM (SELECT * FROM ch UNION ALL SELECT * FROM nn)
         |ORDER BY channel""".stripMargin,
     "q199_rand_index" ->
@@ -6655,13 +6687,16 @@ object SparkEntry {
         |  SELECT p_brand,
         |    (cents * 1000000) // CAST(SUM(cents) OVER (PARTITION BY l_orderkey) AS BIGINT)
         |      AS share_fixed
-        |  FROM li)
-        |SELECT p_brand, COUNT(*) AS n_lines,
-        |  CAST(SUM(share_fixed) AS DECIMAL(38,0)) AS share_fixed_sum,
-        |  CAST(SUM(share_fixed) AS DECIMAL(38,0))::DOUBLE
-        |    / (CAST(COUNT(*) AS DECIMAL(38,0))
-        |       * CAST(1000000 AS DECIMAL(38,0)))::DOUBLE AS mean_share
-        |FROM sh GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+        |  FROM li),
+        |g AS (
+        |  SELECT p_brand, COUNT(*) AS n_lines,
+        |    SUM(CAST(share_fixed AS HUGEINT)) AS sfs
+        |  FROM sh GROUP BY p_brand)
+        |SELECT p_brand, n_lines,
+        |  sfs::DOUBLE / (CAST(n_lines AS HUGEINT) * 1000000)::DOUBLE AS mean_share,
+        |  CAST(sfs // 1000000000000000000 AS BIGINT) AS share_fixed_sum_hi,
+        |  CAST(sfs % 1000000000000000000 AS BIGINT) AS share_fixed_sum_lo
+        |FROM g ORDER BY p_brand""".stripMargin,
     "q221_dq_conservation" ->
       """WITH ann AS (
         |  SELECT UPPER(TRIM(l_returnflag)) AS flag,

@@ -117,18 +117,50 @@ object Sketches {
   def rowHash64(canonical: Column): Column =
     conv(substring(md5(canonical), 17, 16), 16, 10).cast("decimal(38,0)")
 
+  /** 10^18: the largest power of ten whose remainder always fits a signed
+    * 64-bit long, used by [[surfaceHiLo]] to split wide exact integers.
+    */
+  val HiLoBase = 1000000000000000000L
+
+  /** Surface NONNEGATIVE exact DECIMAL(38,0) columns as (hi, lo) BIGINT
+    * pairs: `x = hi·10^18 + lo`, both exact. Decimal accumulators are the
+    * right internal type for sums that exceed 2^53 (64-bit row hashes × 10^11
+    * rows; cents × 10^6 credits), but a final DecimalType column is not
+    * hash-stable across engines' canonicalizations — BIGINT is. The DuckDB
+    * mirror is `CAST(CAST(x AS HUGEINT) // 10^18 AS BIGINT)` /
+    * `... % ... AS BIGINT` (the HUGEINT hop matters: DuckDB's `//` on
+    * DECIMAL routes through DOUBLE and rounds the quotient).
+    *
+    * Spark's `DIV` (IntegralDivide) returns BIGINT and truncates toward
+    * zero; DuckDB's integer `//` floors — identical on the nonnegative
+    * domain this helper is contracted to.
+    */
+  def surfaceHiLo(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(s"${c}_hi", expr(s"$c DIV $HiLoBase"))
+        .withColumn(s"${c}_lo", expr(s"CAST($c % $HiLoBase AS BIGINT)"))
+        .drop(c)
+    }
+
   /** Order-free table fingerprint per group: COUNT plus SUM / MIN / MAX of
     * the 64-bit row hash. Commutative aggregates make the fingerprint
     * independent of partitioning, task order, and file layout — the
     * anti-entropy primitive for verifying a 100 TB table copy (or two
-    * engines' views of one) without moving rows: compare four numbers per
-    * group. SUM is duplicate-sensitive where XOR would cancel pairs; MIN/MAX
-    * catch single-row corruption that offsetting edits could hide from SUM.
+    * engines' views of one) without moving rows: compare a handful of
+    * numbers per group. SUM is duplicate-sensitive where XOR would cancel
+    * pairs; MIN/MAX catch single-row corruption that offsetting edits could
+    * hide from SUM.
+    *
+    * The u64 hash and its sum don't fit a signed BIGINT, so each of
+    * sum/min/max is surfaced as an exact (hi, lo) pair via [[surfaceHiLo]] —
+    * six BIGINTs, engine-stable, instead of three DECIMAL(38,0)s the driver
+    * hash gate rejects.
     */
   def fingerprint(df: DataFrame, groupCols: Seq[Column], canonical: Column): DataFrame = {
     val h = rowHash64(canonical)
-    df.groupBy(groupCols: _*)
+    val agg = df.groupBy(groupCols: _*)
       .agg(count(lit(1)).as("n_rows"),
         sum(h).as("fp_sum"), min(h).as("fp_min"), max(h).as("fp_max"))
+    surfaceHiLo(agg, "fp_sum", "fp_min", "fp_max")
   }
 }

@@ -26,4 +26,30 @@ class ContractSpec extends SparkTestBase {
   test("entry() produces rows on the smoke scale factor") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  /** The driver hash gate rejects any final DecimalType column even when
+    * values are cell-exact (proven in rounds 2 and 4 — six r4 queries
+    * shipped DECIMAL(38,0) surfaces and went hash-red). Decimal is fine as
+    * an INTERNAL accumulator; the surface must be BIGINT/DOUBLE/STRING —
+    * wide exact sums go out as (hi, lo) BIGINT pairs via
+    * [[graft.ops.Sketches.surfaceHiLo]]. Schema-only: analysis, no job run.
+    */
+  test("no registered query surfaces a DecimalType column") {
+    import org.apache.spark.sql.types._
+    def hasDecimal(dt: DataType): Boolean = dt match {
+      case _: DecimalType => true
+      case s: StructType => s.fields.exists(f => hasDecimal(f.dataType))
+      case a: ArrayType => hasDecimal(a.elementType)
+      case m: MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val bad = q(spark, sf()).schema.fields.filter(f => hasDecimal(f.dataType))
+        if (bad.isEmpty) None
+        else Some(s"$name: ${bad.map(f => s"${f.name}:${f.dataType.sql}").mkString(", ")}")
+    }
+    assert(offenders.isEmpty,
+      s"final DecimalType surfaces (driver gate rejects these):\n${offenders.mkString("\n")}")
+  }
 }

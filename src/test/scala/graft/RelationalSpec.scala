@@ -464,14 +464,35 @@ class RelationalSpec extends SparkTestBase {
   test("fingerprint: invariant to row order and partitioning, sensitive to edits") {
     import spark.implicits._
     val rows = (1 to 50).map(i => (i % 3, s"row-$i"))
-    def fp(df: org.apache.spark.sql.DataFrame) =
-      graft.ops.Sketches.fingerprint(df, Seq(col("_1")), col("_2"))
-        .collect().map(r => r.getInt(0) ->
-          (r.getLong(1), r.getDecimal(2), r.getDecimal(3), r.getDecimal(4))).toMap
+    // surface is all-BIGINT (hi/lo pairs) — no DecimalType reaches the gate
+    def fp(df: org.apache.spark.sql.DataFrame) = {
+      val out = graft.ops.Sketches.fingerprint(df, Seq(col("_1")), col("_2"))
+      assert(out.schema.fields.forall(
+        !_.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]),
+        s"fingerprint surfaced a DecimalType: ${out.schema.simpleString}")
+      out.collect().map(r => r.getInt(0) ->
+        (1 to 7).map(r.getLong).toList).toMap
+    }
     val a = fp(rows.toDF.repartition(7))
     val b = fp(scala.util.Random.shuffle(rows).toDF.repartition(2))
     assert(a == b, "fingerprint must not depend on order/partitioning")
     val c = fp(rows.updated(10, (rows(10)._1, "tampered")).toDF)
     assert(a != c, "a changed row must change the fingerprint")
+  }
+
+  test("surfaceHiLo: exact split of wide decimals, reconstructible") {
+    import spark.implicits._
+    // values straddle 2^53, 2^63, and 10^18 boundaries; 0 and exact multiples
+    val vals = Seq("0", "1", "999999999999999999", "1000000000000000000",
+      "9223372036854775807", "18446744073709551615", "12345678901234567890123456")
+    val df = vals.toDF("s").selectExpr("CAST(s AS DECIMAL(38,0)) AS x")
+    val out = graft.ops.Sketches.surfaceHiLo(df, "x")
+    assert(out.schema.fieldNames.toSet == Set("x_hi", "x_lo"))
+    assert(out.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType))
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = vals.map(BigInt(_)).map(v =>
+      ((v / BigInt(10).pow(18)).toLong, (v % BigInt(10).pow(18)).toLong)).toSet
+    assert(got == want, s"got $got want $want")
   }
 }
