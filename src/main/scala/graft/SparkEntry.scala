@@ -3731,12 +3731,12 @@ object SparkEntry {
       val rolled = ranked
         .groupBy(col("n_name"),
           when(col("rk") <= 3, col("p_brand")).otherwise(lit("OTHER")).as("brand"))
-        .agg(sum(col("cents")).as("cents"),
-          min(col("rk")).as("rk")) // OTHER sorts after the top-3 via min rank
+        .agg(sum(col("cents")).as("cents"))
       rolled
         .withColumn("share", col("cents").cast("double") /
           sum(col("cents")).over(W.partitionBy(col("n_name"))).cast("double"))
-        .orderBy(col("n_name"), col("rk"))
+        // (n_name, brand) — same final sort as the oracle's ORDER BY
+        .orderBy(col("n_name"), col("brand"))
         .select(col("n_name"), col("brand"), col("cents"), col("share"))
     }),
 
@@ -3784,7 +3784,10 @@ object SparkEntry {
           when(col("c_custkey") % 11 === 0, col("bal_cents") + 1000L)
             .otherwise(col("bal_cents")))
         .unionAll(curr.filter(col("c_custkey") % 13 === 0) // "removed" in curr
-          .select((col("c_custkey") + 1000000L).as("c_custkey"), col("bal_cents")))
+          // negative keys: a namespace disjoint from real custkeys at ANY
+          // scale factor (a fixed +1e6 offset collides once customer > 1M
+          // rows and the added/removed labels silently drift)
+          .select((-col("c_custkey")).as("c_custkey"), col("bal_cents")))
       Relational.snapshotDiff(prev, curr, Seq("c_custkey"), Seq("bal_cents"))
         .filter(col("change_type") =!= "unchanged")
         .orderBy(col("c_custkey"))
@@ -4388,7 +4391,7 @@ object SparkEntry {
     }),
 
     // ---- Spearman rank correlation between two centrality orderings
-    // (integer PageRank vs integer HITS authority) on the co-supply graph:
+    // (integer PageRank vs symmetric degree) on the co-supply graph:
     // ranks from the bucketed GLOBAL row_number device (no single-reducer
     // window), ρ = 1 − 6Σd²/(n(n²−1)) with Σd² an exact DECIMAL — "do the
     // two centralities agree" as one engine-stable number ----
@@ -6218,7 +6221,7 @@ object SparkEntry {
         |      ELSE bal_cents END AS bal_cents
         |  FROM curr WHERE c_custkey % 97 <> 0
         |  UNION ALL
-        |  SELECT c_custkey + 1000000 AS c_custkey, bal_cents
+        |  SELECT -c_custkey AS c_custkey, bal_cents
         |  FROM curr WHERE c_custkey % 13 = 0),
         |j AS (
         |  SELECT COALESCE(p.c_custkey, c.c_custkey) AS c_custkey,

@@ -862,6 +862,20 @@ object Relational {
       )
   }
 
+  /** Range-bucket id for the global-rank machinery: ((v−lo)·B) DIV (hi−lo+1),
+    * nondecreasing in v and a pure function of v, so equal values share a
+    * bucket and bucket order is value order. Computed in DECIMAL(38,0): in
+    * pure LONG arithmetic (v−lo)·B overflows once the value span exceeds
+    * ~Long.Max/B (e.g. full-range 64-bit hashes bucketed 32 ways), silently
+    * yielding negative bucket ids and wrong ranks. The decimal product is
+    * ≤ 2^64·B ≪ 10^38 and the DIV quotient is < B, so the INT cast is safe;
+    * the cost is one decimal mul/div per row, only inside this device.
+    */
+  private def rangeBucket(valCol: String, lo: String, hi: String, nBuckets: Int): Column =
+    expr(
+      s"CAST(((CAST(CAST($valCol AS BIGINT) AS DECIMAL(38,0)) - $lo) * $nBuckets)" +
+        s" DIV (CAST($hi AS DECIMAL(38,0)) - $lo + 1) AS INT)")
+
   /** Exact global NTILE(k) WITHOUT the single-reducer unpartitioned window:
     * `ntile(k) over (order by value, tie)` funnels the whole frame through
     * ONE sort partition, so ranks come from a bucketed two-pass prefix sum
@@ -904,9 +918,7 @@ object Relational {
     // measured 2.7 s at sf0.1 pre-checkpoint, ~1 s after
     val bucketed = rows
       .crossJoin(broadcast(bounds))
-      .withColumn(b, expr(
-        s"CAST(((CAST($valCol AS BIGINT) - __gn_lo) * $nBuckets)" +
-          s" DIV (__gn_hi - __gn_lo + 1) AS INT)"))
+      .withColumn(b, rangeBucket(valCol, "__gn_lo", "__gn_hi", nBuckets))
       .drop("__gn_lo", "__gn_hi")
       .localCheckpoint()
     val offsets = bucketed.groupBy(col(b)).agg(count(lit(1)).as(cnt))
@@ -957,9 +969,7 @@ object Relational {
       max(col(valCol).cast("long")).as("__gr_hi"))
     val bucketed = rows
       .crossJoin(broadcast(bounds))
-      .withColumn(b, expr(
-        s"CAST(((CAST($valCol AS BIGINT) - __gr_lo) * $nBuckets)" +
-          s" DIV (__gr_hi - __gr_lo + 1) AS INT)"))
+      .withColumn(b, rangeBucket(valCol, "__gr_lo", "__gr_hi", nBuckets))
       .drop("__gr_lo", "__gr_hi")
       .localCheckpoint() // two consumers: offsets aggregate + rank join
     val offsets = bucketed.groupBy(col(b)).agg(count(lit(1)).as(cnt))
@@ -1005,9 +1015,7 @@ object Relational {
     // frame so the scan lineage runs once (the globalNtile lesson)
     val bucketed = rows
       .crossJoin(broadcast(bounds))
-      .withColumn(b, expr(
-        s"CAST(((CAST($xCol AS BIGINT) - __sk_lo) * $nBuckets)" +
-          s" DIV (__sk_hi - __sk_lo + 1) AS INT)"))
+      .withColumn(b, rangeBucket(xCol, "__sk_lo", "__sk_hi", nBuckets))
       .drop("__sk_lo", "__sk_hi")
       .localCheckpoint()
     // prefix-max of per-bucket y maxima over STRICTLY earlier buckets; the
