@@ -120,58 +120,91 @@ object Relational {
     // opposite ends in Spark vs DuckDB)
     val rows0 = df.filter(col(valCol).isNotNull)
     val rows = weight.fold(rows0)(w => rows0.filter(w.isNotNull && w > 0))
-    // The collapsed pair table feeds THREE downstream plans (key bounds,
-    // bucket subtotals, the in-bucket cumulative pass) — without a
-    // checkpoint each branch replays the full base scan + collapse shuffle
-    // (measured: ~3× re-execution, the dominant warm cost of the operator).
-    // Lazy localCheckpoint materializes it once on the first job; the
-    // blocks are disk-backed (MEMORY_AND_DISK), so at corpus scale the
-    // cost is one spill of the DISTINCT pair table, not of the input.
-    val g = rows
+    // PATH CHOICE BY INPUT SIZE (three tiers). The bucketed prefix-sum
+    // machinery below pays ~3 extra shuffles + 2 broadcast builds of FIXED
+    // overhead — the right trade when some key's collapsed pair count is
+    // huge (single-reducer sort ceiling), pure tax when the pair table is
+    // small (it turned a 0.32 s window-form query into 1.70 s at sf0.1).
+    //
+    //  tier 1 — input provably small (Catalyst sizeInBytes of the scan ≤
+    //    `spark.graft.quantiles.windowPathMaxInputBytes`, default 256 MB:
+    //    the collapsed pairs can't exceed the input rows): ONE linear plan —
+    //    collapse, per-key ordered window — no checkpoint, no sizing job.
+    //  tier 2 — big input but the COLLAPSED pair table is small (exact
+    //    count of the materialized checkpoint ≤
+    //    `spark.graft.quantiles.windowPathMaxPairs`, default 1e6): same
+    //    window form over the checkpoint (worst single sort group = the
+    //    threshold, bounded seconds at any input scale).
+    //  tier 3 — otherwise: the bucketed prefix-sum form.
+    // The tier-2 count reads already-materialized checkpoint blocks, not
+    // the input; tier 1 skips even that job.
+    val maxWindowPairs = df.sparkSession.conf
+      .get("spark.graft.quantiles.windowPathMaxPairs", "1000000").toLong
+    val maxInputBytes = df.sparkSession.conf
+      .get("spark.graft.quantiles.windowPathMaxInputBytes", (256L << 20).toString).toLong
+    val g0 = rows
       .groupBy(col(keyCol), col(valCol))
       .agg(weight.fold(count(lit(1)))(w => sum(w.cast("long"))).as(c))
-      .localCheckpoint()
-    // Cumulative counts as a BUCKETED PREFIX SUM, not a per-key window: a
-    // plain `Window.partitionBy(key).orderBy(value)` funnels each key's
-    // whole collapsed pair table through ONE sort partition — for few hot
-    // keys that is a single-reducer sort no matter how many executors exist.
-    // Instead: (1) bucket values by range inside each key (monotone double
-    // bucketing — floor((v−lo)/w) with w>0 is nondecreasing in v and a pure
-    // function of v, so equal values share a bucket and bucket order is
-    // value order; the RESULT arithmetic stays exact integer counts, the
-    // doubles only route rows); (2) per-(key,bucket) subtotals — a tiny
-    // frame — give each bucket its prefix offset via a window over buckets;
-    // (3) the in-bucket cumulative sum runs as a window over (key, bucket):
-    // keys×buckets parallel sort groups instead of one group per key.
-    val nBuckets = df.sparkSession.sessionState.conf.numShufflePartitions
-    val bounds = g.groupBy(col(keyCol)).agg(
-      min(col(valCol)).as("__gq_lo"), max(col(valCol)).as("__gq_hi"))
-    val vD = col(valCol).cast("double")
-    val loD = col("__gq_lo").cast("double")
-    val hiD = col("__gq_hi").cast("double")
-    val bucketed = g
-      .join(broadcast(bounds), keyCol)
-      .withColumn(bkt,
-        // non-numeric measures cast to NULL → every row lands in bucket 0,
-        // which is exactly the pre-bucketing one-group-per-key behavior
-        when(vD.isNull || hiD.isNull || loD.isNull || hiD === loD, lit(0))
-          .otherwise(least(lit(nBuckets - 1),
-            floor((vD - loD) / ((hiD - loD) / nBuckets)).cast("int"))))
-    val subtotals = bucketed.groupBy(col(keyCol), col(bkt))
-      .agg(sum(col(c)).as("__gq_sub"))
-    val wOff = Window.partitionBy(col(keyCol)).orderBy(col(bkt))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wTot = Window.partitionBy(col(keyCol))
-    // keys × buckets rows: window cost is trivial, and it yields both the
-    // per-bucket prefix offset and the per-key total in one pass
-    val offsets = subtotals
-      .withColumn(off, coalesce(sum(col("__gq_sub")).over(wOff), lit(0L)))
-      .withColumn(n, sum(col("__gq_sub")).over(wTot))
-      .select(col(keyCol), col(bkt), col(off), col(n))
-    val wInBucket = Window.partitionBy(col(keyCol), col(bkt)).orderBy(col(valCol))
-    val cum = bucketed
-      .join(broadcast(offsets), Seq(keyCol, bkt))
-      .withColumn(cc, col(off) + sum(col(c)).over(wInBucket))
+    def windowForm(src: DataFrame): DataFrame = {
+      val wCum = Window.partitionBy(col(keyCol)).orderBy(col(valCol))
+      val wTot = Window.partitionBy(col(keyCol))
+      // (key, value) is unique after the collapse, so the RANGE default
+      // frame of the ordered sum has no tie groups to worry about
+      src.withColumn(n, sum(col(c)).over(wTot))
+        .withColumn(cc, sum(col(c)).over(wCum))
+    }
+    val smallInput = maxWindowPairs > 0 &&
+      rows.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(maxInputBytes)
+    val cum = if (smallInput) {
+      windowForm(g0)
+    } else {
+      val g = g0.localCheckpoint()
+      if (g.count() <= maxWindowPairs) {
+        windowForm(g)
+      } else {
+      // Cumulative counts as a BUCKETED PREFIX SUM, not a per-key window: a
+      // plain `Window.partitionBy(key).orderBy(value)` funnels each key's
+      // whole collapsed pair table through ONE sort partition — for few hot
+      // keys that is a single-reducer sort no matter how many executors exist.
+      // Instead: (1) bucket values by range inside each key (monotone double
+      // bucketing — floor((v−lo)/w) with w>0 is nondecreasing in v and a pure
+      // function of v, so equal values share a bucket and bucket order is
+      // value order; the RESULT arithmetic stays exact integer counts, the
+      // doubles only route rows); (2) per-(key,bucket) subtotals — a tiny
+      // frame — give each bucket its prefix offset via a window over buckets;
+      // (3) the in-bucket cumulative sum runs as a window over (key, bucket):
+      // keys×buckets parallel sort groups instead of one group per key.
+      val nBuckets = df.sparkSession.sessionState.conf.numShufflePartitions
+      val bounds = g.groupBy(col(keyCol)).agg(
+        min(col(valCol)).as("__gq_lo"), max(col(valCol)).as("__gq_hi"))
+      val vD = col(valCol).cast("double")
+      val loD = col("__gq_lo").cast("double")
+      val hiD = col("__gq_hi").cast("double")
+      val bucketed = g
+        .join(broadcast(bounds), keyCol)
+        .withColumn(bkt,
+          // non-numeric measures cast to NULL → every row lands in bucket 0,
+          // which is exactly the pre-bucketing one-group-per-key behavior
+          when(vD.isNull || hiD.isNull || loD.isNull || hiD === loD, lit(0))
+            .otherwise(least(lit(nBuckets - 1),
+              floor((vD - loD) / ((hiD - loD) / nBuckets)).cast("int"))))
+      val subtotals = bucketed.groupBy(col(keyCol), col(bkt))
+        .agg(sum(col(c)).as("__gq_sub"))
+      val wOff = Window.partitionBy(col(keyCol)).orderBy(col(bkt))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wTot = Window.partitionBy(col(keyCol))
+      // keys × buckets rows: window cost is trivial, and it yields both the
+      // per-bucket prefix offset and the per-key total in one pass
+      val offsets = subtotals
+        .withColumn(off, coalesce(sum(col("__gq_sub")).over(wOff), lit(0L)))
+        .withColumn(n, sum(col("__gq_sub")).over(wTot))
+        .select(col(keyCol), col(bkt), col(off), col(n))
+      val wInBucket = Window.partitionBy(col(keyCol), col(bkt)).orderBy(col(valCol))
+      bucketed
+        .join(broadcast(offsets), Seq(keyCol, bkt))
+        .withColumn(cc, col(off) + sum(col(c)).over(wInBucket))
+      }
+    }
     cum
       .groupBy(col(keyCol))
       .agg(

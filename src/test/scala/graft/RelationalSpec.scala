@@ -213,17 +213,48 @@ class RelationalSpec extends SparkTestBase {
   test("exactQuantilesByKey: bucketed prefix-sum matches the rank definition on a hot key") {
     import spark.implicits._
     // ONE key, 10k skewed values (the case the per-key window serialized):
-    // the bucketed cumulative counts must reproduce min{v : rank(v) >= ceil(p*n)}
+    // the bucketed cumulative counts must reproduce min{v : rank(v) >= ceil(p*n)}.
+    // Threshold forced to 0 so this covers the BUCKETED path explicitly
+    // (the size-based path choice would otherwise route 10k pairs to the
+    // window form and leave the scale path untested).
     val rnd = new scala.util.Random(7)
     val vals = Seq.fill(10000)(math.pow(rnd.nextDouble(), 4) * 1000.0)
     val df = vals.map(("k", _)).toDF("k", "v")
-    val got = Relational.exactQuantilesByKey(df, "k", "v", Seq(0.5, 0.9, 1.0))
-      .collect()(0)
+    val got = withQuantilePathThreshold("0") {
+      Relational.exactQuantilesByKey(df, "k", "v", Seq(0.5, 0.9, 1.0)).collect()(0)
+    }
     val sorted = vals.sorted
     def rankQ(p: Double) = sorted(math.ceil(p * sorted.size).toInt - 1)
     assert(got.getDouble(1) == rankQ(0.5))
     assert(got.getDouble(2) == rankQ(0.9))
     assert(got.getDouble(3) == rankQ(1.0))
+  }
+
+  private def withQuantilePathThreshold[A](v: String)(body: => A): A = {
+    val key = "spark.graft.quantiles.windowPathMaxPairs"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, v)
+    try body
+    finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("exactQuantilesByKey: window and bucketed paths agree exactly") {
+    import spark.implicits._
+    // differential gate for the size-based path choice: same skewed multi-key
+    // input through both forms must match cell-for-cell (both use the exact
+    // integer pick predicate, so equality is ==, not approx)
+    val rnd = new scala.util.Random(23)
+    val df = (1 to 5000).map { i =>
+      (s"k${i % 7}", math.floor(math.pow(rnd.nextDouble(), 3) * 500.0))
+    }.toDF("k", "v")
+    val ps = Seq(0.25, 0.5, 0.9, 1.0)
+    val win = withQuantilePathThreshold(Long.MaxValue.toString) {
+      Relational.exactQuantilesByKey(df, "k", "v", ps).orderBy(col("k")).collect().toSeq
+    }
+    val bkt = withQuantilePathThreshold("0") {
+      Relational.exactQuantilesByKey(df, "k", "v", ps).orderBy(col("k")).collect().toSeq
+    }
+    assert(win == bkt, s"paths disagree:\n window=$win\n bucket=$bkt")
   }
 
   test("equiDepthHistogram: bins hold the exact rank ranges") {
