@@ -54,29 +54,56 @@ object Bench {
     // machine carry ±20% scheduler/page-cache noise; the min is the
     // steady-state cost the plan actually has. A query that THREW in either
     // pass reports -1, never its time-to-fail (a fast failure must not read
-    // as a good score).
-    def timedPass(): Map[String, (Double, Boolean)] =
+    // as a good score). Each timing carries the hypervisor-steal fraction
+    // sampled around it from /proc/stat, so a cross-round swing (the r4 q64
+    // lesson: 1.1 s -> 3.5 s with unchanged code) is attributable in-file
+    // instead of needing a post-hoc isolation rerun.
+    def stealTotal(): (Long, Long) = {
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat")
+        val cols = try f.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        finally f.close()
+        (cols.lift(7).getOrElse(0L), cols.sum)
+      } catch { case _: Throwable => (0L, 1L) }
+    }
+    def timedPass(): Map[String, (Double, Boolean, Double)] =
       SparkEntry.queries.map { case (name, fn) =>
+        val (s0, j0) = stealTotal()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
+        val (s1, j1) = stealTotal()
+        val stealPct = 100.0 * (s1 - s0) / math.max(1L, j1 - j0)
         dropQueryState() // untimed: each query pays for its own state only
-        name -> (dt, ok)
+        name -> (dt, ok, stealPct)
       }
     val (p1, p2) = (timedPass(), timedPass())
-    val results = p1.map { case (k, (v1, ok1)) =>
-      val (v2, ok2) = p2(k)
+    val results = p1.map { case (k, (v1, ok1, _)) =>
+      val (v2, ok2, _) = p2(k)
       k -> (if (ok1 && ok2) math.min(v1, v2) else -1.0)
     }
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // noise annotation for the 10 most expensive queries: both pass times,
+    // the pass spread (|p1-p2|/min — the harness's own variance floor), and
+    // per-pass steal. A future >2x swing on one of these reads off whether
+    // the machine or the plan moved.
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
+    val noise = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, _) =>
+        val (t1, _, st1) = p1(k)
+        val (t2, _, st2) = p2(k)
+        val spread = 100.0 * math.abs(t1 - t2) / math.max(1e-9, math.min(t1, t2))
+        s"\"" + k + s"\":{\"pass1\":${r3(t1)},\"pass2\":${r3(t2)}," +
+          s"\"spread_pct\":${r3(spread)},\"steal1_pct\":${r3(st1)},\"steal2_pct\":${r3(st2)}}"
+      }.mkString("{", ",", "}")
     // "queries" first, scalar total LAST: the driver captures the TAIL of
     // stdout, and with 75+ queries a front-loaded total fell off the capture
     // (r2's total line was truncated). Also mirror the line to a file so the
     // full JSON survives any stdout truncation.
     val line =
-      s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}"""
+      s"""{"queries":$qs,"noise":$noise,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}"""
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
     catch { case _: Throwable => () }
