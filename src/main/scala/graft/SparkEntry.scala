@@ -2500,25 +2500,25 @@ object SparkEntry {
     }),
 
     // ---- vocabulary coverage curve: cumulative token-mass share by
-    // frequency rank — the "how big a vocab do we need" curve. The
-    // window is unpartitioned BUT runs over the vocabulary aggregate
-    // (dictionary-sized by construction; for web-scale vocabularies the
-    // q82 bucketed prefix-sum machinery is the drop-in). ----
+    // frequency rank — the "how big a vocab do we need" curve. Rank and
+    // running mass both come from ONE pass of the bucketed global-prefix
+    // device (no unpartitioned ordered window: the vocabulary grows with
+    // the corpus under Heaps' law, so a single sort partition over it is a
+    // scale ceiling); the corpus total is a broadcast scalar, not a
+    // whole-frame window ----
     "q139_vocab_coverage" -> ((s, dir) => {
       val vocab = t(s, dir, "documents")
         .transform(graft.ops.Par.spread(_, col("doc_id")))
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("tf"))
-      val byFreq = org.apache.spark.sql.expressions.Window
-        .orderBy(col("tf").desc, col("token"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val total = org.apache.spark.sql.expressions.Window.partitionBy()
-      vocab
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("tf").desc, col("token"))))
-        .withColumn("cum_tf", sum(col("tf")).over(byFreq))
+        // negate: the device ranks ascending, the curve wants tf DESC
+        .withColumn("neg_tf", -col("tf"))
+      val total = vocab.agg(sum(col("tf")).as("__total"))
+      Relational.globalPrefixSum(vocab, "neg_tf", "token", "tf", "cum_tf",
+          includeCurrent = true, rankCol = Some("rank"))
+        .crossJoin(broadcast(total))
         .withColumn("cum_share",
-          col("cum_tf").cast("double") / sum(col("tf")).over(total).cast("double"))
+          col("cum_tf").cast("double") / col("__total").cast("double"))
         .select(col("rank"), col("token"), col("tf"), col("cum_tf"), col("cum_share"))
         .orderBy(col("rank"))
     }),
@@ -2678,12 +2678,12 @@ object SparkEntry {
         .orderBy(col("cluster_size"))),
 
     // ---- histogram-based AUC (no global per-row sort): collapse to
-    // distinct score values with pos/neg counts, prefix-sum the negatives
-    // below each score, then 2U = Σ pos_s·(2·cumneg_<s + neg_s) — exact
-    // integers end to end, ties worth ½ by construction, ONE division at
-    // the surface. The window runs over the DISTINCT-SCORE table (score
-    // cardinality, not corpus rows); q82's bucketed prefix sums are the
-    // drop-in when even that is unbounded. ----
+    // distinct score values with pos/neg counts, strict-prefix-sum the
+    // negatives below each score, then 2U = Σ pos_s·(2·cumneg_<s + neg_s) —
+    // exact integers end to end, ties worth ½ by construction, ONE division
+    // at the surface. The prefix runs through the bucketed global-prefix
+    // device, so even an unbounded score domain (continuous scores at
+    // corpus scale) never serializes into one sort partition ----
     "q148_auc" -> ((s, dir) => {
       val d0 = DecimalType(38, 0)
       val h = t(s, dir, "documents")
@@ -2691,9 +2691,8 @@ object SparkEntry {
         .groupBy(col("score"))
         .agg(count(when(col("label"), 1)).as("pos"),
           count(when(!col("label"), 1)).as("neg"))
-      val wBelow = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      h.withColumn("cumneg", coalesce(sum(col("neg")).over(wBelow), lit(0L)))
+      Relational.globalPrefixSum(h, "score", "score", "neg", "cumneg",
+          includeCurrent = false)
         .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
           sum(col("pos").cast(d0) * (col("cumneg").cast(d0) * 2 + col("neg").cast(d0)))
             .as("u2"))

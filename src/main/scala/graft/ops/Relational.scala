@@ -1018,6 +1018,62 @@ object Relational {
       .drop(b, off)
   }
 
+  /** Exact GLOBAL running sum of `measureCol` over the (valCol, tieCol)
+    * ascending total order — [[globalRank]]'s device with a measure instead
+    * of a row count: range-bucket on the value, per-bucket measure subtotals
+    * give each bucket its prefix offset via a window over the nBuckets-row
+    * bucket table, in-bucket running sum + offset = the global prefix sum.
+    * No single-reducer ordered window anywhere, so the frame may grow with
+    * the fact table (vocabulary ranks under Heaps' law, distinct-score AUC
+    * prefixes) without serializing.
+    *
+    * `includeCurrent = false` gives the STRICT prefix (sum over rows
+    * strictly before this one in the total order). `rankCol`, when set,
+    * also emits the global row_number over the same order from the same
+    * shuffles — callers needing both (coverage curves) pay one device, not
+    * two. Same caveats as [[globalRank]]: integral valCol, (valCol, tieCol)
+    * unique, NULL values excluded; `measureCol` must be LONG-safe (sums
+    * wider than 2^63 need the decimal accumulator + surfaceHiLo treatment).
+    */
+  def globalPrefixSum(
+      df: DataFrame,
+      valCol: String,
+      tieCol: String,
+      measureCol: String,
+      cumCol: String,
+      includeCurrent: Boolean = true,
+      rankCol: Option[String] = None
+  ): DataFrame = {
+    val (b, off, roff) = ("__gp_b", "__gp_off", "__gp_roff")
+    val rows = df.filter(col(valCol).isNotNull)
+    val nBuckets = df.sparkSession.sessionState.conf.numShufflePartitions
+    val bounds = rows.agg(
+      min(col(valCol).cast("long")).as("__gp_lo"),
+      max(col(valCol).cast("long")).as("__gp_hi"))
+    val bucketed = rows
+      .crossJoin(broadcast(bounds))
+      .withColumn(b, rangeBucket(valCol, "__gp_lo", "__gp_hi", nBuckets))
+      .drop("__gp_lo", "__gp_hi")
+      .localCheckpoint() // two consumers: offsets aggregate + final join
+    val wBefore = Window.orderBy(col(b)).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col(b))
+      .agg(sum(col(measureCol).cast("long")).as("__gp_sub"),
+        count(lit(1)).as("__gp_cnt"))
+      .withColumn(off, coalesce(sum(col("__gp_sub")).over(wBefore), lit(0L)))
+      .withColumn(roff, coalesce(sum(col("__gp_cnt")).over(wBefore), lit(0L)))
+      .select(col(b), col(off), col(roff))
+    val w = Window.partitionBy(col(b))
+      .orderBy(col(valCol).cast("long"), col(tieCol))
+    val frame = w.rowsBetween(Window.unboundedPreceding, if (includeCurrent) 0 else -1)
+    val withCum = bucketed
+      .join(broadcast(offsets), b)
+      .withColumn(cumCol,
+        col(off) + coalesce(sum(col(measureCol).cast("long")).over(frame), lit(0L)))
+    rankCol.fold(withCum)(rc =>
+      withCum.withColumn(rc, col(roff) + row_number().over(w)))
+      .drop(b, off, roff)
+  }
+
   /** Exact 2-D skyline (Pareto frontier): rows not dominated by any other —
     * q dominates p iff q minimizes `xCol` no worse AND maximizes `yCol` no
     * worse, strictly better in at least one. Duplicate (x, y) points carry no

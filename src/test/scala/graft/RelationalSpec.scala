@@ -511,6 +511,30 @@ class RelationalSpec extends SparkTestBase {
     assert(a != c, "a changed row must change the fingerprint")
   }
 
+  test("globalPrefixSum: matches the single-window form, both frames, with rank") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    // duplicate values across bucket boundaries; unique (val, tie) pairs
+    val rnd = new scala.util.Random(31)
+    val df = (1 to 2000).map(i => (rnd.nextInt(40) - 20, s"t$i", rnd.nextInt(100).toLong))
+      .toDF("v", "tie", "m")
+    for (incl <- Seq(true, false)) {
+      val got = Relational.globalPrefixSum(df, "v", "tie", "m", "cum",
+          includeCurrent = incl, rankCol = Some("rk"))
+        .select(col("v"), col("tie"), col("m"), col("cum"), col("rk"))
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> (r.getLong(3), r.getLong(4)))
+        .toMap
+      val w = W.orderBy(col("v"), col("tie"))
+      val want = df
+        .withColumn("cum", coalesce(sum(col("m")).over(
+          w.rowsBetween(W.unboundedPreceding, if (incl) 0 else -1)), lit(0L)))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> (r.getLong(3), r.getLong(4)))
+        .toMap
+      assert(got == want, s"includeCurrent=$incl mismatch")
+    }
+  }
+
   test("surfaceHiLo: exact split of wide decimals, reconstructible") {
     import spark.implicits._
     // values straddle 2^53, 2^63, and 10^18 boundaries; 0 and exact multiples
