@@ -4515,6 +4515,133 @@ object SparkEntry {
     }),
 
     // ---- PII redaction: emails, bare URLs, and long digit runs masked with
+    // ---- token-budget corpus sharding: pack documents (in doc_id order)
+    // into ~20k-token training shards — shard id = strict-prefix token
+    // count DIV budget via the bucketed global-prefix device (no single-
+    // reducer ordered window; this is the pretraining shard-writer's
+    // assignment step, and packing is deterministic in the doc_id total
+    // order whatever the partitioning). Emits per-shard doc/token counts
+    // and the id range each shard covers. ----
+    "q223_token_shards" -> ((s, dir) => {
+      val budget = 20000L
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Relational.globalPrefixSum(d, "doc_id", "doc_id", "n_tokens", "cum_before",
+          includeCurrent = false)
+        .withColumn("shard_id", expr(s"cum_before DIV $budget"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard_id"))
+    }),
+
+    // ---- per-brand two-feature OLS (price ~ quantity + size) from exact
+    // integer sufficient statistics: the five centered second moments
+    // n·Σxy − Σx·Σy accumulate in DECIMAL(38,0) (order-free, partition-
+    // safe; bound documented at ~1e11 rows/group for these domains), then
+    // Cramer's rule runs in IEEE doubles over the exact moments — the
+    // distributed-ML pattern where only sufficient statistics shuffle,
+    // never rows ----
+    "q224_group_ols" -> ((s, dir) => {
+      val d0 = DecimalType(38, 0)
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+          col("p_size"))), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          round(col("l_quantity")).cast("long").as("x1"),
+          col("p_size").cast("long").as("x2"),
+          round(col("l_extendedprice") * 100).cast("long").as("y"))
+      val dec = (c: Column) => c.cast(d0)
+      val m = li.groupBy(col("p_brand")).agg(
+        count(lit(1)).cast(d0).as("n"),
+        sum(dec(col("x1"))).as("s1"), sum(dec(col("x2"))).as("s2"),
+        sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x1")) * dec(col("x1"))).as("s11"),
+        sum(dec(col("x2")) * dec(col("x2"))).as("s22"),
+        sum(dec(col("x1")) * dec(col("x2"))).as("s12"),
+        sum(dec(col("x1")) * dec(col("y"))).as("s1y"),
+        sum(dec(col("x2")) * dec(col("y"))).as("s2y"))
+      val c11 = (col("n") * col("s11") - col("s1") * col("s1")).cast("double")
+      val c22 = (col("n") * col("s22") - col("s2") * col("s2")).cast("double")
+      val c12 = (col("n") * col("s12") - col("s1") * col("s2")).cast("double")
+      val c1y = (col("n") * col("s1y") - col("s1") * col("sy")).cast("double")
+      val c2y = (col("n") * col("s2y") - col("s2") * col("sy")).cast("double")
+      m.withColumn("det", c11 * c22 - c12 * c12)
+        .withColumn("beta_qty", (c1y * c22 - c2y * c12) / col("det"))
+        .withColumn("beta_size", (c2y * c11 - c1y * c12) / col("det"))
+        .withColumn("intercept",
+          (col("sy").cast("double") - col("beta_qty") * col("s1").cast("double")
+            - col("beta_size") * col("s2").cast("double")) / col("n").cast("double"))
+        .select(col("p_brand"), col("n").cast("long").as("n_rows"),
+          col("beta_qty"), col("beta_size"), col("intercept"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // ---- rolling 7-day median of daily revenue: the trailing window is a
+    // SEVEN-element array per row, sorted row-locally, lower median taken —
+    // exact integers, no quantile machinery at window size 7. The ordered
+    // frame runs over the DAY dictionary (bounded by the calendar span,
+    // never by data volume). ----
+    "q225_rolling_median" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").as("day"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("day_cents"))
+      val w = W.orderBy(col("day")).rowsBetween(-6, 0)
+      daily
+        .withColumn("arr", sort_array(collect_list(col("day_cents")).over(w)))
+        .select(col("day"), col("day_cents"),
+          expr("element_at(arr, CAST((size(arr) + 1) DIV 2 AS INT))")
+            .as("med7_cents"))
+        .orderBy(col("day"))
+    }),
+
+    // ---- BPE merge training (4 rounds) over the word-frequency
+    // dictionary: the tokenizer-training core — per round, one vocabulary-
+    // sized pair-count shuffle, a scalar argmax, one broadcast best pair,
+    // one row-local fold rewrite; gated against a 4-round unrolled CTE
+    // oracle whose list_reduce mirrors the operator's merge fold ----
+    "q226_bpe_merges" -> ((s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .select(graft.ops.Bpe.charSeq(col("token")).as("seq"), col("cnt"))
+      graft.ops.Bpe.trainMerges(vocab, "seq", "cnt", rounds = 4)
+        .orderBy(col("round"))
+    }),
+
+    // ---- blocked record-linkage scoring (Fellegi–Sunter shape with
+    // deterministic integer weights): candidate pairs come ONLY from
+    // equi-join blocks on (size, container) — block-bounded quadratic, the
+    // standard linkage trade — scored by exact field agreements, surfaced
+    // as the score distribution of plausible matches ----
+    "q227_record_linkage" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          split(col("p_type"), " ").getItem(0).as("type_head"),
+          split(col("p_name"), " ").getItem(0).as("name_head"),
+          col("p_size"),
+          round(col("p_retailprice") * 100).cast("long").as("price_c"))
+        .localCheckpoint() // both sides of the block self-join
+      val l = p.select(col("p_partkey").as("k1"), col("p_brand").as("br1"),
+        col("p_type").as("ty1"), col("name_head").as("n1"),
+        col("p_size").as("sz"), col("type_head").as("th"), col("price_c").as("pc1"))
+      val r = p.select(col("p_partkey").as("k2"), col("p_brand").as("br2"),
+        col("p_type").as("ty2"), col("name_head").as("n2"),
+        col("p_size").as("sz"), col("type_head").as("th"), col("price_c").as("pc2"))
+      l.join(r, Seq("sz", "th")).filter(col("k1") < col("k2"))
+        .withColumn("score",
+          when(col("br1") === col("br2"), 40).otherwise(0) +
+            when(col("ty1") === col("ty2"), 30).otherwise(0) +
+            when(col("n1") === col("n2"), 20).otherwise(0) +
+            when(abs(col("pc1") - col("pc2")) <= 1000, 10).otherwise(0))
+        .filter(col("score") >= 50)
+        .groupBy(col("score")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("score"))
+    }),
+
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
     "q76_pii_redaction" -> ((s, dir) => {
@@ -4639,6 +4766,44 @@ object SparkEntry {
          |       * (CAST(COUNT(*) AS DECIMAL(38,0)) * CAST(COUNT(*) AS DECIMAL(38,0))
          |          - CAST(1 AS DECIMAL(38,0))))::DOUBLE AS spearman_rho
          |FROM j""".stripMargin
+  }
+
+  /** q226's oracle, generated: BPE merge rounds unrolled as chained CTEs
+    * over the word-frequency dictionary. Every round CTE is MATERIALIZED
+    * (§8.5#18 — pR feeds bR, bR feeds both wR and the final UNION). The
+    * word rewrite mirrors the operator's left fold exactly: `list_reduce`
+    * with the same suffix-test merge rule, so greedy non-overlapping
+    * left-to-right semantics agree by construction.
+    */
+  private def bpeOracleSql(rounds: Int): String = {
+    val head =
+      """WITH tok AS MATERIALIZED (
+        |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> t <> '')) AS token
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |w0 AS MATERIALIZED (
+        |  SELECT trim(regexp_replace(token, '(.)', '\1 ', 'g')) AS seq,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM tok GROUP BY 1)""".stripMargin
+    val rounds_ = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT s[i] AS a, s[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS pc
+         |  FROM (
+         |    SELECT s, cnt, unnest(generate_series(1, len(s) - 1)) AS i
+         |    FROM (SELECT string_split(seq, ' ') AS s, cnt FROM w${r - 1}))
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (
+         |  SELECT a AS ba, b AS bb, pc FROM p$r ORDER BY pc DESC, a, b LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT list_reduce(string_split(seq, ' '), (acc, x) ->
+         |    CASE WHEN (acc = ba OR ends_with(acc, ' ' || ba)) AND x = bb
+         |      THEN acc || bb ELSE acc || ' ' || x END) AS seq, cnt
+         |  FROM w${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to rounds).map { r =>
+      s"SELECT $r AS round, ba AS left_sym, bb AS right_sym, pc AS pair_count FROM b$r"
+    }.mkString("\nUNION ALL\n")
+    s"$head,\n${rounds_}\n$sel\nORDER BY round"
   }
 
   /** q189's oracle, generated: min-plus Bellman–Ford relaxation unrolled to
@@ -7915,6 +8080,85 @@ object SparkEntry {
         |comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a)
         |SELECT component AS keeper_id, COUNT(*) AS n_members FROM comp
         |GROUP BY component ORDER BY keeper_id""".stripMargin,
+    "q223_token_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |      ELSE len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        t -> t <> '')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM d)
+        |SELECT CAST(cum_before AS BIGINT) // 20000 AS shard_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM p GROUP BY 1 ORDER BY shard_id""".stripMargin,
+    "q224_group_ols" ->
+      """WITH r AS (
+        |  SELECT p_brand,
+        |    CAST(round(l_quantity) AS HUGEINT) AS x1,
+        |    CAST(p_size AS HUGEINT) AS x2,
+        |    CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |m AS (
+        |  SELECT p_brand, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+        |    SUM(x1 * x1) AS s11, SUM(x2 * x2) AS s22, SUM(x1 * x2) AS s12,
+        |    SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+        |  FROM r GROUP BY p_brand),
+        |c AS (
+        |  SELECT p_brand, n, s1, s2, sy,
+        |    (n * s11 - s1 * s1)::DOUBLE AS c11,
+        |    (n * s22 - s2 * s2)::DOUBLE AS c22,
+        |    (n * s12 - s1 * s2)::DOUBLE AS c12,
+        |    (n * s1y - s1 * sy)::DOUBLE AS c1y,
+        |    (n * s2y - s2 * sy)::DOUBLE AS c2y
+        |  FROM m),
+        |b AS (
+        |  SELECT p_brand, n, s1, s2, sy,
+        |    c11 * c22 - c12 * c12 AS det,
+        |    (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS beta_qty,
+        |    (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS beta_size
+        |  FROM c)
+        |SELECT p_brand, CAST(n AS BIGINT) AS n_rows, beta_qty, beta_size,
+        |  (sy::DOUBLE - beta_qty * s1::DOUBLE - beta_size * s2::DOUBLE)
+        |    / n::DOUBLE AS intercept
+        |FROM b ORDER BY p_brand""".stripMargin,
+    "q226_bpe_merges" -> bpeOracleSql(4),
+    "q227_record_linkage" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand, p_type,
+        |    string_split(p_type, ' ')[1] AS type_head,
+        |    string_split(p_name, ' ')[1] AS name_head,
+        |    p_size,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+        |  FROM part)
+        |SELECT score, COUNT(*) AS n_pairs FROM (
+        |  SELECT CAST(
+        |    CASE WHEN a.p_brand = b.p_brand THEN 40 ELSE 0 END +
+        |    CASE WHEN a.p_type = b.p_type THEN 30 ELSE 0 END +
+        |    CASE WHEN a.name_head = b.name_head THEN 20 ELSE 0 END +
+        |    CASE WHEN abs(a.price_c - b.price_c) <= 1000 THEN 10 ELSE 0 END
+        |    AS INT) AS score
+        |  FROM p a JOIN p b ON a.p_size = b.p_size
+        |    AND a.type_head = b.type_head AND a.p_partkey < b.p_partkey)
+        |WHERE score >= 50 GROUP BY score ORDER BY score""".stripMargin,
+    "q225_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT l_shipdate AS day,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS day_cents
+        |  FROM lineitem GROUP BY 1),
+        |win AS (
+        |  SELECT day, day_cents,
+        |    list_sort(list(day_cents) OVER (ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM daily)
+        |SELECT day, day_cents, arr[(len(arr) + 1) // 2] AS med7_cents
+        |FROM win ORDER BY day""".stripMargin,
     "q54_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
