@@ -4642,6 +4642,52 @@ object SparkEntry {
         .orderBy(col("score"))
     }),
 
+    // ---- train/eval split leakage audit: exact-duplicate clusters (word-
+    // set signature, q22's key) crossed with the deterministic fold deal
+    // (q195's md5 device) — a cluster spanning >1 fold leaks eval content
+    // into training; the headline numbers every CV/pretraining split needs
+    // before any metric is trusted. Two shuffles, both key-collapsing. ----
+    "q228_split_leakage" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(graft.ops.Dedup.wordSetSignature(col("text")).as("sig"), col("doc_id"))
+        .withColumn("fold",
+          pmod(graft.ops.Sketches.rowHash64(col("doc_id").cast("string")), lit(5))
+            .cast("int"))
+      d.groupBy(col("sig"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("fold")).as("n_folds"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_multi_doc"),
+          sum(when(col("n_folds") > 1, 1L).otherwise(0L)).as("n_leaking"),
+          sum(when(col("n_folds") > 1, col("n_docs")).otherwise(0L))
+            .as("docs_in_leaking"))
+    }),
+
+    // ---- embedding-column quality audit: per label, counts of NULL/empty,
+    // zero, denormal-tiny, and oversized vectors plus the dim range — the
+    // pre-index sanity gate every vector pipeline runs. The squared norm is
+    // a row-local LEFT FOLD in double (deterministic operation order, so
+    // both engines produce bit-identical sums — a commutative reduce would
+    // not gate). ----
+    "q229_embedding_audit" -> ((s, dir) => {
+      val normSq = expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE)," +
+          " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+      t(s, dir, "embeddings")
+        .select(col("label"), col("embedding"),
+          size(col("embedding")).as("dim"), normSq.as("nsq"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("embedding").isNull || size(col("embedding")) === 0, 1L)
+            .otherwise(0L)).as("n_null_or_empty"),
+          sum(when(isnan(col("nsq")), 1L).otherwise(0L)).as("n_nan"),
+          sum(when(col("nsq") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+          sum(when(col("nsq") > 0.0 && col("nsq") < 1e-6, 1L).otherwise(0L))
+            .as("n_tiny"),
+          sum(when(col("nsq") > 1e6, 1L).otherwise(0L)).as("n_huge"),
+          min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"))
+        .orderBy(col("label"))
+    }),
+
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
     "q76_pii_redaction" -> ((s, dir) => {
@@ -8128,6 +8174,41 @@ object SparkEntry {
         |    / n::DOUBLE AS intercept
         |FROM b ORDER BY p_brand""".stripMargin,
     "q226_bpe_merges" -> bpeOracleSql(4),
+    "q228_split_leakage" ->
+      """WITH d AS (
+        |  SELECT md5(array_to_string(list_sort(list_distinct(
+        |      CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |        ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END)), ' '))
+        |      AS sig,
+        |    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 17, 16) AS UBIGINT)
+        |      % 5 AS INT) AS fold
+        |  FROM documents),
+        |c AS (
+        |  SELECT sig, COUNT(*) AS n_docs, COUNT(DISTINCT fold) AS n_folds
+        |  FROM d GROUP BY sig)
+        |SELECT COUNT(*) AS n_clusters,
+        |  CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_doc,
+        |  CAST(SUM(CASE WHEN n_folds > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking,
+        |  CAST(SUM(CASE WHEN n_folds > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+        |    AS docs_in_leaking
+        |FROM c""".stripMargin,
+    "q229_embedding_audit" ->
+      """WITH e AS (
+        |  SELECT label, embedding,
+        |    CAST(len(embedding) AS INT) AS dim,
+        |    list_reduce(list_prepend(0.0::DOUBLE, CAST(embedding AS DOUBLE[])),
+        |      (a, x) -> a + x * x) AS nsq
+        |  FROM embeddings)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  CAST(SUM(CASE WHEN embedding IS NULL OR len(embedding) = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_null_or_empty,
+        |  CAST(SUM(CASE WHEN isnan(nsq) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+        |  CAST(SUM(CASE WHEN nsq = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(SUM(CASE WHEN nsq > 0.0 AND nsq < 1e-6 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_tiny,
+        |  CAST(SUM(CASE WHEN nsq > 1e6 THEN 1 ELSE 0 END) AS BIGINT) AS n_huge,
+        |  MIN(dim) AS dim_min, MAX(dim) AS dim_max
+        |FROM e GROUP BY label ORDER BY label""".stripMargin,
     "q227_record_linkage" ->
       """WITH p AS (
         |  SELECT p_partkey, p_brand, p_type,
