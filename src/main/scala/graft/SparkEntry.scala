@@ -4688,6 +4688,17 @@ object SparkEntry {
         .orderBy(col("label"))
     }),
 
+    // ---- edit-distance-≤2 neighbor pairs via 2-deletion FastSS
+    // neighborhoods (q174's device at k = 2): O(n·L²) candidate keys vs
+    // the oracle's O(n²) cross join; banded levenshtein verify. Supplier
+    // names keep the output density sane — serial-number-style keys are
+    // exactly where d≤2 blocking stress-tests collision handling ----
+    "q230_edit2_neighbors" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      graft.ops.Dedup.editDistancePairs(sup, "s_suppkey", "s_name", k = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
     "q76_pii_redaction" -> ((s, dir) => {
@@ -8174,6 +8185,12 @@ object SparkEntry {
         |    / n::DOUBLE AS intercept
         |FROM b ORDER BY p_brand""".stripMargin,
     "q226_bpe_merges" -> bpeOracleSql(4),
+    "q230_edit2_neighbors" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        |  CAST(levenshtein(a.s_name, b.s_name) AS INT) AS edit_dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     "q228_split_leakage" ->
       """WITH d AS (
         |  SELECT md5(array_to_string(list_sort(list_distinct(

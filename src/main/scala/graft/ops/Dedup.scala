@@ -640,20 +640,49 @@ object Dedup {
     * name distributions (a hot key = many near-identical strings); the
     * distinct-collapse caps the verify volume at the true candidate count.
     */
-  def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+  def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame =
+    editDistancePairs(df, idCol, strCol, k = 1)
+
+  /** FastSS edit-distance-≤k join, k ∈ {1, 2}: strings within edit distance
+    * k share a common member of their ≤k-deletion neighborhoods (each
+    * substitution deletes one char from BOTH sides, each insert/delete from
+    * one), so candidate pairs come from an equi-join on deletion-variant
+    * keys — O(n·L^k) keys, never the O(n²) cross join — and the banded
+    * `levenshtein(_, _, k)` verify removes shared-variant false positives
+    * exactly. Recall 1.0 by the FastSS theorem (Bocek et al. 2007).
+    *
+    * Collision volume is data-dependent: near-uniform key-like strings
+    * (serial numbers) collide hard at k = 2 because deleting two of the few
+    * varying positions leaves big equivalence classes. That is a property
+    * of the DATA's true near-neighbor density — the output itself is the
+    * same size — not of the device; the candidate table stays (id, key)
+    * pairs so the hot buckets shuffle longs, not strings.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String, k: Int): DataFrame = {
+    require(k == 1 || k == 2, s"editDistancePairs supports k in {1, 2}: $k")
     val base = df
       .select(col(idCol).as("__ed_id"), col(strCol).as("__ed_s"))
       .filter(col("__ed_s").isNotNull)
       .localCheckpoint() // feeds the variant explosion and both attach joins
-    // candidate generation ships only (id, key): the ~L-fold key explosion
+    // candidate generation ships only (id, key): the ~L^k-fold key explosion
     // never carries the strings, and the collision distinct runs on two
     // longs-and-a-hash worth of bytes, not four string columns (measured
     // 5.7 s → 2.7 s warm at sf0.1 on 15 k names vs the string-through form)
-    val v = base.select(col("__ed_id"), explode(array_distinct(concat(
-      array(col("__ed_s")),
-      expr("transform(sequence(1, length(__ed_s)), i -> " +
-        "concat(substr(__ed_s, 1, i - 1), substr(__ed_s, i + 1, length(__ed_s))))")
-    ))).as("__ed_key"))
+    val del1 =
+      "transform(sequence(1, length(__ed_s)), i -> " +
+        "concat(substr(__ed_s, 1, i - 1), substr(__ed_s, i + 1)))"
+    // delete positions i < j: s[1..i-1] + s[i+1..j-1] + s[j+1..]; the
+    // sequence guard matters — sequence(2, 1) would DESCEND, not empty
+    val del2 =
+      """CASE WHEN length(__ed_s) < 2 THEN CAST(array() AS ARRAY<STRING>)
+        |ELSE flatten(transform(sequence(2, length(__ed_s)), j ->
+        |  transform(sequence(1, j - 1), i ->
+        |    concat(substr(__ed_s, 1, i - 1), substr(__ed_s, i + 1, j - i - 1),
+        |      substr(__ed_s, j + 1))))) END""".stripMargin
+    val keys =
+      if (k == 1) expr(s"array_distinct(concat(array(__ed_s), $del1))")
+      else expr(s"array_distinct(concat(array(__ed_s), $del1, $del2))")
+    val v = base.select(col("__ed_id"), explode(keys).as("__ed_key"))
     val candIds = v.as("a")
       .join(v.as("b"),
         col("a.__ed_key") === col("b.__ed_key") && col("a.__ed_id") < col("b.__ed_id"))
@@ -663,7 +692,7 @@ object Dedup {
       .join(base.select(col("__ed_id").as("id_a"), col("__ed_s").as("s_a")), Seq("id_a"))
       .join(base.select(col("__ed_id").as("id_b"), col("__ed_s").as("s_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("s_a"), col("s_b"), 1).as("edit_dist"))
+        levenshtein(col("s_a"), col("s_b"), k).as("edit_dist"))
       .filter(col("edit_dist") >= 0)
   }
 }

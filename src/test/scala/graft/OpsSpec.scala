@@ -502,4 +502,26 @@ class OpsSpec extends SparkTestBase {
     assert(got == brute, s"extra=${got -- brute} missing=${brute -- got}")
     assert(got.nonEmpty, "degenerate fixture: no close pairs generated")
   }
+
+  test("editDistancePairs k=2: equals the quadratic levenshtein join, incl. 1-char strings") {
+    import spark.implicits._
+    // distance-2 pairs need 2-deletion variants; distance-3 decoys that
+    // share a 2-deletion key must be killed by the banded verify. Includes
+    // length-1 and length-2 strings (the del2 CASE guard's edge).
+    val rnd = new scala.util.Random(17)
+    val strs = (1 to 100).map(i =>
+      (i.toLong, (1 to (1 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString))
+    val df = strs.toDF("id", "s")
+    val brute = df.as("a").join(df.as("b"), col("a.id") < col("b.id"))
+      .filter(levenshtein(col("a.s"), col("b.s")) <= 2)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    val got = Dedup.editDistancePairs(df, "id", "s", k = 2)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(got == brute, s"extra=${got -- brute} missing=${brute -- got}")
+    assert(got.nonEmpty, "degenerate fixture: no close pairs generated")
+    // the verify must report the true distance, not just membership
+    val dists = Dedup.editDistancePairs(df, "id", "s", k = 2)
+      .select(col("edit_dist")).as[Int].collect()
+    assert(dists.forall(d => d >= 0 && d <= 2), s"bad distances: ${dists.toSet}")
+  }
 }
