@@ -4699,6 +4699,28 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- filtered vector search: top-5 nearest SAME-LABEL vectors per
+    // query — metadata-constrained similarity (pre-filter form: the
+    // predicate joins before ranking, so k survivors are guaranteed where
+    // post-filtering an unfiltered top-k comes up short) ----
+    "q231_filtered_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.filteredTopK(emb, emb.filter(col("vec_id") < 50),
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- Matryoshka prefix-dim audit: overlap between the 64-dim top-10
+    // and the first-16-dims top-10 per query — the exact measurement behind
+    // "can we serve the truncated index"; both rankings off one scored
+    // join, exact integer dots ----
+    "q232_matryoshka_audit" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.prefixDimAudit(emb, emb.filter(col("vec_id") < 50),
+          "vec_id", "embedding", prefixDims = 16, k = 10)
+        .orderBy(col("query_id"))
+    }),
+
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
     "q76_pii_redaction" -> ((s, dir) => {
@@ -8185,6 +8207,51 @@ object SparkEntry {
         |    / n::DOUBLE AS intercept
         |FROM b ORDER BY p_brand""".stripMargin,
     "q226_bpe_merges" -> bpeOracleSql(4),
+    "q232_matryoshka_audit" ->
+      """WITH n AS (
+        |  SELECT vec_id, iv, iv[1:16] AS ivp,
+        |    CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS nrm,
+        |    CAST(list_sum(list_transform(iv[1:16], x -> x * x)) AS BIGINT) AS nrmp
+        |  FROM (SELECT vec_id,
+        |          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+        |        FROM embeddings) v),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> q.iv[i] * c.iv[i])) AS BIGINT)::DOUBLE
+        |      / (sqrt(q.nrm::DOUBLE) * sqrt(c.nrm::DOUBLE)) AS cos_full,
+        |    CAST(list_sum(list_transform(range(1, 17), i -> q.ivp[i] * c.ivp[i])) AS BIGINT)::DOUBLE
+        |      / (sqrt(q.nrmp::DOUBLE) * sqrt(c.nrmp::DOUBLE)) AS cos_pre
+        |  FROM n q JOIN n c ON q.vec_id < 50 AND c.vec_id <> q.vec_id),
+        |r AS (
+        |  SELECT query_id, id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos_full DESC, id ASC) AS rk_full,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos_pre DESC, id ASC) AS rk_pre
+        |  FROM s)
+        |SELECT query_id,
+        |  CAST(SUM(CASE WHEN rk_full <= 10 AND rk_pre <= 10 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS overlap_at_k
+        |FROM r GROUP BY query_id ORDER BY query_id""".stripMargin,
+    "q231_filtered_topk" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, iv,
+        |    CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+        |        FROM embeddings) v),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.label AS tag, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> q.iv[i] * c.iv[i])) AS BIGINT) AS dot,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> q.iv[i] * c.iv[i])) AS BIGINT)::DOUBLE
+        |      / (sqrt(q.nrm::DOUBLE) * sqrt(c.nrm::DOUBLE)) AS cosine
+        |  FROM n q JOIN n c ON q.vec_id < 50 AND c.vec_id <> q.vec_id
+        |    AND q.label IS NOT DISTINCT FROM c.label)
+        |SELECT query_id, tag, neighbor_id, dot, cosine, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM s) r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q230_edit2_neighbors" ->
       """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
         |  CAST(levenshtein(a.s_name, b.s_name) AS INT) AS edit_dist

@@ -79,6 +79,83 @@ object Similarity {
       .select(col("query_id"), col("id").as("neighbor_id"), col("dot"), col("cosine"), col("rank"))
   }
 
+  /** FILTERED vector search: [[bruteForceTopK]] restricted to corpus
+    * vectors sharing the query's `filterCol` value — the metadata-
+    * constrained top-k every production vector store serves ("nearest
+    * within this tenant/language/label"). Pre-filtering is the exact form:
+    * the predicate joins BEFORE ranking, so k survivors are guaranteed
+    * (post-filtering an unfiltered top-k can come up short). Same scale
+    * shape as the unfiltered arm — bounded query panel broadcast, corpus
+    * scanned once; the ANN twins take the same predicate as a bucket-side
+    * pre-filter.
+    */
+  def filteredTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      filterCol: String,
+      k: Int
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def fixed(df: DataFrame) = withFixed(df, idCol, embCol)
+      .join(df.select(col(idCol).as("id"), col(filterCol).as("tag")), Seq("id"))
+    val c = spread(fixed(corpus), col("id"))
+    val q = fixed(queries)
+      .withColumnsRenamed(Map(
+        "id" -> "query_id", "iv" -> "qiv", "nrm" -> "qnrm", "tag" -> "qtag"))
+    val scored = c
+      .join(broadcast(q),
+        col("query_id") =!= col("id") && col("qtag") <=> col("tag"))
+      .withColumn("dot", dot(col("qiv"), col("iv")))
+      .withColumn("cosine", cosineFromFixed(col("dot"), col("qnrm"), col("nrm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("tag"), col("id").as("neighbor_id"),
+        col("dot"), col("cosine"), col("rank"))
+  }
+
+  /** Matryoshka-style prefix-dimension audit: per query, how many of the
+    * full-dimension top-k survive when ranking by the FIRST `prefixDims`
+    * dimensions only — the measurement that justifies (or kills) serving a
+    * truncated-embedding index. Both rankings run from the same scored
+    * join; exact integer dots, deterministic (cosine desc, id asc) order.
+    * overlap_at_k = k means the prefix index loses nothing at this k.
+    */
+  def prefixDimAudit(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      prefixDims: Int,
+      k: Int
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def fixed(df: DataFrame) = withFixed(df, idCol, embCol)
+      .withColumn("ivp", slice(col("iv"), 1, prefixDims))
+      .withColumn("nrmp", sqNorm(col("ivp")))
+    val c = spread(fixed(corpus), col("id"))
+    val q = fixed(queries)
+      .withColumnsRenamed(Map("id" -> "query_id", "iv" -> "qiv", "nrm" -> "qnrm",
+        "ivp" -> "qivp", "nrmp" -> "qnrmp"))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("id"))
+      .withColumn("cos_full",
+        cosineFromFixed(dot(col("qiv"), col("iv")), col("qnrm"), col("nrm")))
+      .withColumn("cos_pre",
+        cosineFromFixed(dot(col("qivp"), col("ivp")), col("qnrmp"), col("nrmp")))
+    val wF = Window.partitionBy(col("query_id")).orderBy(col("cos_full").desc, col("id").asc)
+    val wP = Window.partitionBy(col("query_id")).orderBy(col("cos_pre").desc, col("id").asc)
+    scored
+      .withColumn("rk_full", row_number().over(wF))
+      .withColumn("rk_pre", row_number().over(wP))
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("rk_full") <= k && col("rk_pre") <= k, 1L).otherwise(0L))
+        .as("overlap_at_k"))
+  }
+
   /** k-NN label audit (the confident-learning move, Northcutt 2021): for
     * each query vector, the label histogram of its k nearest neighbors;
     * a vector whose own label disagrees with the neighborhood majority is
