@@ -4721,6 +4721,27 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // ---- SimHash near-dups at hamming ≤ 3 via 4-band pigeonhole blocking
+    // (the Manku/Google web-dedup scheme): O(4n) band keys vs the oracle's
+    // O(n²) cross join, recall 1.0 by pigeonhole, exact bit_count verify ----
+    "q233_simhash_neardup" -> ((s, dir) => {
+      graft.ops.Dedup
+        .simHashNearDups(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- greedy max-coverage corpus selection (5 picks): which documents
+    // cover the most not-yet-covered vocabulary — the submodular data-
+    // selection baseline, gated against a 5-round unrolled CTE oracle;
+    // per round one anti-join + count + scalar argmax, never a pairwise
+    // comparison ----
+    "q234_coverage_select" -> ((s, dir) => {
+      val dt = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      Relational.greedyCoverage(dt, "doc_id", "token", rounds = 5)
+        .orderBy(col("round"))
+    }),
+
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
     "q76_pii_redaction" -> ((s, dir) => {
@@ -4881,6 +4902,37 @@ object SparkEntry {
     }.mkString(",\n")
     val sel = (1 to rounds).map { r =>
       s"SELECT $r AS round, ba AS left_sym, bb AS right_sym, pc AS pair_count FROM b$r"
+    }.mkString("\nUNION ALL\n")
+    s"$head,\n${rounds_}\n$sel\nORDER BY round"
+  }
+
+  /** q234's oracle, generated: greedy max-coverage rounds unrolled as
+    * chained MATERIALIZED CTEs (g/b/c per round — gains against the
+    * covered-so-far set, deterministic argmax, coverage union).
+    */
+  private def coverageOracleSql(rounds: Int): String = {
+    val head =
+      """WITH dt AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> t <> '')) AS token
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)""".stripMargin
+    val rounds_ = (1 to rounds).map { r =>
+      val gainSrc =
+        if (r == 1) "dt"
+        else s"(SELECT * FROM dt WHERE NOT EXISTS (SELECT 1 FROM c${r - 1} " +
+          s"WHERE c${r - 1}.token = dt.token)) dtf"
+      val prevUnion =
+        if (r == 1) "" else s"SELECT token FROM c${r - 1} UNION "
+      s"""g$r AS MATERIALIZED (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM $gainSrc GROUP BY doc_id),
+         |b$r AS MATERIALIZED (
+         |  SELECT doc_id AS pick, gain FROM g$r ORDER BY gain DESC, doc_id LIMIT 1),
+         |c$r AS MATERIALIZED (
+         |  ${prevUnion}SELECT DISTINCT token FROM dt JOIN b$r ON dt.doc_id = b$r.pick)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to rounds).map { r =>
+      s"SELECT $r AS round, pick AS picked_id, gain FROM b$r"
     }.mkString("\nUNION ALL\n")
     s"$head,\n${rounds_}\n$sel\nORDER BY round"
   }
@@ -8207,6 +8259,38 @@ object SparkEntry {
         |    / n::DOUBLE AS intercept
         |FROM b ORDER BY p_brand""".stripMargin,
     "q226_bpe_merges" -> bpeOracleSql(4),
+    "q234_coverage_select" -> coverageOracleSql(5),
+    "q233_simhash_neardup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |    ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS t FROM toks),
+        |h AS (SELECT doc_id,
+        |    ('0x' || substr(md5(t), 17, 8))::BIGINT AS hi,
+        |    ('0x' || substr(md5(t), 25, 8))::BIGINT AS lo
+        |  FROM tok),
+        |votes AS (
+        |  SELECT doc_id, bits.b AS b,
+        |    SUM(CASE WHEN bits.b < 32
+        |          THEN CASE WHEN (lo >> bits.b) & 1 = 1 THEN 1 ELSE -1 END
+        |          ELSE CASE WHEN (hi >> (bits.b - 32)) & 1 = 1 THEN 1 ELSE -1 END END) AS v
+        |  FROM h, (SELECT unnest(range(64)) AS b) bits
+        |  GROUP BY doc_id, bits.b),
+        |sim AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN v > 0 AND b >= 32 THEN (1::BIGINT << (b - 32)) ELSE 0 END) AS BIGINT) AS hibits,
+        |    CAST(SUM(CASE WHEN v > 0 AND b < 32 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS lobits
+        |  FROM votes GROUP BY doc_id),
+        |simall AS (
+        |  SELECT d.doc_id, COALESCE(s.hibits, 0) AS hi, COALESCE(s.lobits, 0) AS lo
+        |  FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
+        |    AS hamming
+        |FROM simall a JOIN simall b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "q232_matryoshka_audit" ->
       """WITH n AS (
         |  SELECT vec_id, iv, iv[1:16] AS ivp,

@@ -499,6 +499,59 @@ object Dedup {
   /** Hamming distance between two 64-bit sketches. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pairs at Hamming distance ≤ `maxHamming` (< 4) via
+    * pigeonhole banding (the Manku/Google simhash-dedup scheme): split the
+    * 64-bit sketch into 4 disjoint 16-bit bands — at distance ≤ 3 at least
+    * one band is untouched, so candidates come from an equi-join on
+    * (band index, band value) keys with recall 1.0; the exact
+    * `bit_count(xor)` verify removes band-collision false positives.
+    * O(4n) keys, never the O(n²) cross join the oracle runs.
+    *
+    * The sketch is carried as two NONNEGATIVE 32-bit halves (hi, lo) so
+    * every shift/xor stays in safe positive BIGINT space on both engines —
+    * the same reason the q25 oracle never assembles the signed 64-bit
+    * value.
+    */
+  def simHashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"4-band pigeonhole guarantees recall only for hamming < 4: $maxHamming")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val sh = simHash(TextAnalysis.tokens(col(textCol)))
+    val base = df
+      .select(col(idCol).as("__sh_id"), sh.as("__sh"))
+      .select(col("__sh_id"),
+        shiftrightunsigned(col("__sh"), 32).bitwiseAND(lit(0xFFFFFFFFL)).as("__sh_hi"),
+        col("__sh").bitwiseAND(lit(0xFFFFFFFFL)).as("__sh_lo"))
+      .localCheckpoint() // feeds the band explosion and both verify joins
+    // one long key per band: bandIdx * 2^16 + bandValue (disjoint ranges)
+    val bandKeys = array(
+      col("__sh_lo").bitwiseAND(lit(0xFFFFL)),
+      shiftrightunsigned(col("__sh_lo"), 16).bitwiseAND(lit(0xFFFFL)) + lit(1L << 16),
+      col("__sh_hi").bitwiseAND(lit(0xFFFFL)) + lit(2L << 16),
+      shiftrightunsigned(col("__sh_hi"), 16).bitwiseAND(lit(0xFFFFL)) + lit(3L << 16))
+    val v = base.select(col("__sh_id"), explode(bandKeys).as("__sh_key"))
+    val cand = v.as("a")
+      .join(v.as("b"),
+        col("a.__sh_key") === col("b.__sh_key") && col("a.__sh_id") < col("b.__sh_id"))
+      .select(col("a.__sh_id").as("id_a"), col("b.__sh_id").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("__sh_id").as("id_a"),
+        col("__sh_hi").as("hi_a"), col("__sh_lo").as("lo_a")), Seq("id_a"))
+      .join(base.select(col("__sh_id").as("id_b"),
+        col("__sh_hi").as("hi_b"), col("__sh_lo").as("lo_b")), Seq("id_b"))
+      .withColumn("hamming",
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Connected components by iterative min-label propagation: every node
     * starts labeled with its own id; each round a node takes the minimum of
     * its label and its neighbors' labels, until a fixpoint. The component

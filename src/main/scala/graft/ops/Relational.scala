@@ -1074,6 +1074,55 @@ object Relational {
       .drop(b, off, roff)
   }
 
+  /** Greedy maximum-coverage selection — the classic submodular data-
+    * selection baseline (1 − 1/e guarantee): over (id, item) membership
+    * pairs, pick `rounds` ids, each round the id covering the most
+    * NOT-YET-COVERED items (ties → smallest id; an exhausted round — no id
+    * with positive gain — contributes no row, and later rounds stay empty).
+    * The corpus-subset selection move: "which K documents cover the most
+    * vocabulary/n-grams/entities".
+    *
+    * Scale shape per round: one anti-join of the membership table against
+    * the covered-item table (grows monotonically, bounded by the item
+    * universe), one count aggregate, two scalar-sized argmax aggregates,
+    * one broadcast of the single pick. The Scala loop iterates ROUNDS (a
+    * constant); per-round frames are checkpointed so lineage doesn't
+    * compound.
+    */
+  def greedyCoverage(
+      pairs: DataFrame,
+      idCol: String,
+      itemCol: String,
+      rounds: Int
+  ): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val base = pairs
+      .select(col(idCol).as("__gc_id"), col(itemCol).as("__gc_it"))
+      .filter(col("__gc_it").isNotNull)
+      .distinct()
+      .localCheckpoint() // every round's gain scan reads it
+    var covered = base.select(col("__gc_it")).limit(0).localCheckpoint()
+    val picks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val gains = base.join(covered, Seq("__gc_it"), "left_anti")
+        .groupBy(col("__gc_id")).agg(count(lit(1)).as("gain"))
+        .localCheckpoint() // two consumers: the max scalar + the argmax filter
+      val mx = gains.agg(max(col("gain")).as("mx"))
+      val best = gains.join(broadcast(mx), col("gain") === col("mx"))
+        .agg(min(col("__gc_id")).as("pick"), max(col("gain")).as("bg"))
+        .where(col("pick").isNotNull)
+        .localCheckpoint() // two consumers: the pick row + the coverage update
+      picks += best.select(lit(r).as("round"), col("pick").as("picked_id"),
+        col("bg").as("gain"))
+      covered = covered
+        .unionByName(base.join(broadcast(best), col("__gc_id") === col("pick"))
+          .select(col("__gc_it")))
+        .distinct()
+        .localCheckpoint()
+    }
+    picks.reduce(_ unionByName _)
+  }
+
   /** Exact 2-D skyline (Pareto frontier): rows not dominated by any other —
     * q dominates p iff q minimizes `xCol` no worse AND maximizes `yCol` no
     * worse, strictly better in at least one. Duplicate (x, y) points carry no

@@ -503,6 +503,35 @@ class OpsSpec extends SparkTestBase {
     assert(got.nonEmpty, "degenerate fixture: no close pairs generated")
   }
 
+  test("simHashNearDups: equals the quadratic hamming join; bands never lose a pair") {
+    import spark.implicits._
+    // near-dup texts differing in one token (small sketch distance) plus
+    // unrelated texts; exact duplicates (hamming 0) and empty docs (sketch
+    // 0 on both) must pair too
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"), // 1-token edit of doc 1
+      (3L, "alpha beta gamma delta epsilon zeta"), // exact dup of doc 1
+      (4L, "completely different words entirely here now"),
+      (5L, ""), (6L, "")
+    ).toDF("doc_id", "text")
+    val got = Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .as[(Long, Long, Int)].collect().toSet
+    // quadratic reference over the same sketches
+    graft.functions.GraftFunctions.register(spark)
+    val sh = docs.select(col("doc_id"),
+      Dedup.simHash(graft.ops.TextAnalysis.tokens(col("text"))).as("sh"))
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        Dedup.hammingDistance(col("a.sh"), col("b.sh")).cast("int").as("d"))
+      .filter(col("d") <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute, s"extra=${got -- brute} missing=${brute -- got}")
+    assert(got.contains((1L, 3L, 0)), "exact dup must appear at hamming 0")
+    assert(got.contains((5L, 6L, 0)), "empty docs share the zero sketch")
+  }
+
   test("editDistancePairs k=2: equals the quadratic levenshtein join, incl. 1-char strings") {
     import spark.implicits._
     // distance-2 pairs need 2-deletion variants; distance-3 decoys that

@@ -535,6 +535,27 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("greedyCoverage: greedy order, tie-break, and exhaustion") {
+    import spark.implicits._
+    // universe {1..9}: doc 10 covers {1,2,3,4}, doc 20 {4,5,6}, doc 30
+    // {5,6,7,8}, doc 40 {9}, doc 50 {1,2} (never best). Greedy: 10 (gain 4),
+    // then 30 (gain 4 of {5,6,7,8}), then tie 20 vs 40 broken... 20 has
+    // gain 0 after 30; 40 gain 1 -> picks 40; round 4 exhausts.
+    val pairs = Seq(
+      10 -> Seq(1, 2, 3, 4), 20 -> Seq(4, 5, 6), 30 -> Seq(5, 6, 7, 8),
+      40 -> Seq(9), 50 -> Seq(1, 2)
+    ).flatMap { case (id, its) => its.map(i => (id.toLong, i)) }.toDF("id", "item")
+    val got = Relational.greedyCoverage(pairs, "id", "item", rounds = 5)
+      .orderBy(col("round"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 10L, 4L), (2, 30L, 4L), (3, 40L, 1L)), got.toSeq)
+    // tie-break: two ids with equal first-round gain -> smaller id wins
+    val tied = Seq(7L -> "a", 7L -> "b", 3L -> "c", 3L -> "d").toDF("id", "item")
+    val first = Relational.greedyCoverage(tied, "id", "item", rounds = 1)
+      .collect()(0)
+    assert((first.getLong(1), first.getLong(2)) == (3L, 2L))
+  }
+
   test("surfaceHiLo: exact split of wide decimals, reconstructible") {
     import spark.implicits._
     // values straddle 2^53, 2^63, and 10^18 boundaries; 0 and exact multiples
