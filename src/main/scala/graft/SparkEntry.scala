@@ -4742,6 +4742,81 @@ object SparkEntry {
         .orderBy(col("round"))
     }),
 
+    // ---- discrete-time survival (hazard) table: per lifetime-week w,
+    // users still at risk, users ending exactly at w, hazard = ratio —
+    // exact integers off one per-user min/max pass; the risk-set suffix
+    // sum runs over the WEEK dictionary (calendar-bounded frame) ----
+    "q235_hazard_table" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val life = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(expr("datediff(max(CAST(ts AS DATE)), min(CAST(ts AS DATE))) DIV 7")
+          .as("life_w"))
+      val perW = life.groupBy(col("life_w")).agg(count(lit(1)).as("n_churned"))
+      val wOrd = W.orderBy(col("life_w"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      val total = W.partitionBy(lit(1))
+      perW
+        .withColumn("n_at_risk",
+          sum(col("n_churned")).over(total) -
+            coalesce(sum(col("n_churned")).over(wOrd), lit(0L)))
+        .withColumn("hazard",
+          col("n_churned").cast("double") / col("n_at_risk").cast("double"))
+        .select(col("life_w"), col("n_at_risk"), col("n_churned"), col("hazard"))
+        .orderBy(col("life_w"))
+    }),
+
+    // ---- rare-term entity-resolution candidates: docs sharing a RARE
+    // token (df ≤ 10% of corpus — scale-invariant rarity; the fixture corpus has a ~5%-df tail), scored by
+    // fixed-point IDF sum over the shared rare terms. Pair volume is
+    // Σ C(df,2) over rare tokens only — the classic rare-term blocking
+    // bound, never all-pairs ----
+    "q236_rare_token_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tok = docs
+        .select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+        .localCheckpoint() // feeds df counts and the inverted index
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val rare = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") * lit(10L) <= col("n_docs"))
+        .withColumn("idf_fixed", expr("(n_docs * 1000000) DIV df"))
+        .select(col("token"), col("idf_fixed"))
+      val inv = tok.join(rare, Seq("token"))
+      inv.as("a")
+        .join(inv.as("b"),
+          col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared_rare"),
+          sum(col("a.idf_fixed")).as("score_fixed"))
+        .orderBy(col("score_fixed").desc, col("id_a"), col("id_b"))
+        .limit(50)
+    }),
+
+    // ---- content blocklist tagging: per category, how many documents
+    // match its term list — the policy pre-filter pass every corpus scrub
+    // runs; codegen'd rlike over word-boundary alternations (ASCII-safe in
+    // both regex engines), one row-local scan for all categories ----
+    "q237_blocklist_tags" -> ((s, dir) => {
+      val cats = Seq(
+        "perf_terms" -> "\\b(slow|fast)\\b",
+        "exec_terms" -> "\\b(hash|merge|sort)\\b",
+        "stream_terms" -> "\\b(stream|window|batch)\\b")
+      val d = t(s, dir, "documents")
+      val nDocs = d.agg(count(lit(1)).as("n_docs"))
+      val tagged = cats.map { case (name, re) =>
+        d.filter(col("text").rlike(re))
+          .agg(count(lit(1)).as("n_matched"))
+          .select(lit(name).as("category"), col("n_matched"))
+      }.reduce(_ unionByName _)
+      tagged.crossJoin(broadcast(nDocs))
+        .withColumn("share",
+          col("n_matched").cast("double") / col("n_docs").cast("double"))
+        .select(col("category"), col("n_matched"), col("share"))
+        .orderBy(col("category"))
+    }),
+
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
     "q76_pii_redaction" -> ((s, dir) => {
@@ -8260,6 +8335,55 @@ object SparkEntry {
         |FROM b ORDER BY p_brand""".stripMargin,
     "q226_bpe_merges" -> bpeOracleSql(4),
     "q234_coverage_select" -> coverageOracleSql(5),
+    "q235_hazard_table" ->
+      """WITH life AS (
+        |  SELECT user_id,
+        |    datediff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) // 7
+        |      AS life_w
+        |  FROM events GROUP BY user_id),
+        |pw AS (SELECT life_w, COUNT(*) AS n_churned FROM life GROUP BY life_w),
+        |r AS (
+        |  SELECT life_w, n_churned,
+        |    CAST(SUM(n_churned) OVER () -
+        |      COALESCE(SUM(n_churned) OVER (ORDER BY life_w
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS n_at_risk
+        |  FROM pw)
+        |SELECT life_w, n_at_risk, n_churned,
+        |  n_churned::DOUBLE / n_at_risk::DOUBLE AS hazard
+        |FROM r ORDER BY life_w""".stripMargin,
+    "q236_rare_token_pairs" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> t <> '')) AS token
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |rare AS (
+        |  SELECT token, CAST((n_docs * 1000000) // df AS BIGINT) AS idf_fixed
+        |  FROM (SELECT token, COUNT(*) AS df FROM tok GROUP BY token), nd
+        |  WHERE df * 10 <= n_docs),
+        |inv AS (SELECT doc_id, tok.token, idf_fixed FROM tok JOIN rare USING (token))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  COUNT(*) AS n_shared_rare,
+        |  CAST(SUM(a.idf_fixed) AS BIGINT) AS score_fixed
+        |FROM inv a JOIN inv b ON a.token = b.token AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |ORDER BY score_fixed DESC, id_a, id_b LIMIT 50""".stripMargin,
+    "q237_blocklist_tags" ->
+      """WITH nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |m AS (
+        |  SELECT 'perf_terms' AS category, COUNT(*) AS n_matched
+        |  FROM documents WHERE regexp_matches(text, '\b(slow|fast)\b')
+        |  UNION ALL
+        |  SELECT 'exec_terms', COUNT(*) FROM documents
+        |  WHERE regexp_matches(text, '\b(hash|merge|sort)\b')
+        |  UNION ALL
+        |  SELECT 'stream_terms', COUNT(*) FROM documents
+        |  WHERE regexp_matches(text, '\b(stream|window|batch)\b'))
+        |SELECT category, n_matched,
+        |  n_matched::DOUBLE / n_docs::DOUBLE AS share
+        |FROM m, nd ORDER BY category""".stripMargin,
     "q233_simhash_neardup" ->
       """WITH toks AS (
         |  SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
