@@ -4817,6 +4817,47 @@ object SparkEntry {
         .orderBy(col("category"))
     }),
 
+    // ---- TPC-H Q8 shape (national market share): 8-relation snowflake —
+    // fact filtered by a broadcast part dim, two nation role-playing
+    // aliases, region gate on the customer side, supplier-nation share per
+    // order year. Volume = cents × (100 − discount_bp) exact integers,
+    // DECIMAL accumulators, ONE double division per year at the surface ----
+    "q238_market_share" -> ((s, dir) => {
+      val d0 = DecimalType(38, 0)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("vol"))
+      val part = t(s, dir, "part").select(col("p_partkey"), col("p_type"))
+        .filter(col("p_type") === "ECONOMY")
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+      val reg = t(s, dir, "region").filter(col("r_name") === "AMERICA")
+        .select(col("r_regionkey"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("supp_nation") === "NATION_3", col("vol")).otherwise(0L)
+            .cast(d0)).as("focal"),
+          sum(col("vol").cast(d0)).as("total"))
+        .select(col("o_year"), col("n_lines"),
+          (col("focal").cast("double") / col("total").cast("double")).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
     "q76_pii_redaction" -> ((s, dir) => {
@@ -8335,6 +8376,26 @@ object SparkEntry {
         |FROM b ORDER BY p_brand""".stripMargin,
     "q226_bpe_merges" -> bpeOracleSql(4),
     "q234_coverage_select" -> coverageOracleSql(5),
+    "q238_market_share" ->
+      """WITH base AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS vol,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01')
+        |SELECT o_year, COUNT(*) AS n_lines,
+        |  SUM(CASE WHEN supp_nation = 'NATION_3' THEN CAST(vol AS HUGEINT)
+        |    ELSE 0 END)::DOUBLE / SUM(CAST(vol AS HUGEINT))::DOUBLE AS mkt_share
+        |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin,
     "q235_hazard_table" ->
       """WITH life AS (
         |  SELECT user_id,
