@@ -4858,6 +4858,90 @@ object SparkEntry {
         .orderBy(col("o_year"))
     }),
 
+    // ---- weak-supervision labeling-function diagnostics (the Snorkel-
+    // style panel): three deterministic LFs over the corpus; per LF its
+    // labeled count, per LF pair overlap/agreement/conflict — ONE
+    // aggregate pass over the label frame, stacked to rows ----
+    "q239_label_model_diag" -> ((s, dir) => {
+      val lab = t(s, dir, "documents").select(
+        expr("CASE WHEN text LIKE '%slow%' THEN 0 WHEN text LIKE '%fast%' THEN 1 END")
+          .as("lf1"),
+        expr("CASE WHEN n_chars >= 200 THEN 1 WHEN n_chars < 50 THEN 0 END").as("lf2"),
+        expr("CASE WHEN lang = 'en' THEN 1 WHEN lang IS NOT NULL THEN 0 END").as("lf3"))
+      def both(a: String, b: String) =
+        sum(when(col(a).isNotNull && col(b).isNotNull, 1L).otherwise(0L))
+      def agree(a: String, b: String) =
+        sum(when(col(a).isNotNull && col(b).isNotNull && col(a) === col(b), 1L)
+          .otherwise(0L))
+      val m = lab.agg(
+        sum(when(col("lf1").isNotNull, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("lf2").isNotNull, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("lf3").isNotNull, 1L).otherwise(0L)).as("n3"),
+        both("lf1", "lf2").as("b12"), agree("lf1", "lf2").as("a12"),
+        both("lf1", "lf3").as("b13"), agree("lf1", "lf3").as("a13"),
+        both("lf2", "lf3").as("b23"), agree("lf2", "lf3").as("a23"))
+      m.selectExpr(
+        """stack(6,
+          |  'lf1', 'lf1', n1, n1, 0L,
+          |  'lf2', 'lf2', n2, n2, 0L,
+          |  'lf3', 'lf3', n3, n3, 0L,
+          |  'lf1', 'lf2', b12, a12, b12 - a12,
+          |  'lf1', 'lf3', b13, a13, b13 - a13,
+          |  'lf2', 'lf3', b23, a23, b23 - a23)
+          |AS (lf_a, lf_b, n_both, n_agree, n_conflict)""".stripMargin)
+        .orderBy(col("lf_a"), col("lf_b"))
+    }),
+
+    // ---- time-weighted average balance per user (the step-function
+    // integral): running cents balance × seconds-to-next-event, one
+    // per-user ordered window, exact integer weights, one surface
+    // division; single-event users (zero observed span) drop out ----
+    "q240_time_weighted_balance" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("bal", sum(col("cents")).over(
+          w.rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .filter(col("next_ts").isNotNull)
+        // exact microseconds (unix_micros ↔ DuckDB epoch_us) — second-level
+        // casts would truncate the sub-second parts differently per engine
+        .withColumn("dur_us",
+          expr("unix_micros(next_ts) - unix_micros(ts)"))
+      ev.groupBy(col("user_id"))
+        .agg(sum(col("dur_us")).as("total_us"),
+          sum((col("bal") * col("dur_us")).cast(DecimalType(38, 0))).as("wsum"))
+        .filter(col("total_us") > 0)
+        .select(col("user_id"), col("total_us"),
+          (col("wsum").cast("double") / col("total_us").cast("double"))
+            .as("twa_cents"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- open-order backlog by day (sweep line): +1 at order date, −1
+    // the day after the order's last shipment — running sum over the DAY
+    // dictionary (calendar-bounded frame), never an interval self-join ----
+    "q241_order_backlog" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val spans = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate").cast("date")).as("close_day"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate").cast("date").as("open_day")),
+          col("l_orderkey") === col("o_orderkey"))
+      val deltas = spans.select(col("open_day").as("day"), lit(1L).as("d"))
+        .unionAll(spans.select(date_add(col("close_day"), 1).as("day"),
+          lit(-1L).as("d")))
+        .groupBy(col("day")).agg(sum(col("d")).as("delta"))
+      deltas
+        .withColumn("open_orders", sum(col("delta")).over(
+          W.orderBy(col("day")).rowsBetween(W.unboundedPreceding, 0)))
+        .select(col("day"), col("delta"), col("open_orders"))
+        .orderBy(col("day"))
+    }),
+
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
     "q76_pii_redaction" -> ((s, dir) => {
@@ -8376,6 +8460,66 @@ object SparkEntry {
         |FROM b ORDER BY p_brand""".stripMargin,
     "q226_bpe_merges" -> bpeOracleSql(4),
     "q234_coverage_select" -> coverageOracleSql(5),
+    "q239_label_model_diag" ->
+      """WITH lab AS (
+        |  SELECT
+        |    CASE WHEN text LIKE '%slow%' THEN 0 WHEN text LIKE '%fast%' THEN 1 END AS lf1,
+        |    CASE WHEN n_chars >= 200 THEN 1 WHEN n_chars < 50 THEN 0 END AS lf2,
+        |    CASE WHEN lang = 'en' THEN 1 WHEN lang IS NOT NULL THEN 0 END AS lf3
+        |  FROM documents),
+        |m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN lf1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN lf2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN lf3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |    CAST(SUM(CASE WHEN lf1 IS NOT NULL AND lf2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS b12,
+        |    CAST(SUM(CASE WHEN lf1 IS NOT NULL AND lf2 IS NOT NULL AND lf1 = lf2 THEN 1 ELSE 0 END) AS BIGINT) AS a12,
+        |    CAST(SUM(CASE WHEN lf1 IS NOT NULL AND lf3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS b13,
+        |    CAST(SUM(CASE WHEN lf1 IS NOT NULL AND lf3 IS NOT NULL AND lf1 = lf3 THEN 1 ELSE 0 END) AS BIGINT) AS a13,
+        |    CAST(SUM(CASE WHEN lf2 IS NOT NULL AND lf3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS b23,
+        |    CAST(SUM(CASE WHEN lf2 IS NOT NULL AND lf3 IS NOT NULL AND lf2 = lf3 THEN 1 ELSE 0 END) AS BIGINT) AS a23
+        |  FROM lab)
+        |SELECT 'lf1' AS lf_a, 'lf1' AS lf_b, n1 AS n_both, n1 AS n_agree, 0::BIGINT AS n_conflict FROM m
+        |UNION ALL SELECT 'lf2', 'lf2', n2, n2, 0 FROM m
+        |UNION ALL SELECT 'lf3', 'lf3', n3, n3, 0 FROM m
+        |UNION ALL SELECT 'lf1', 'lf2', b12, a12, b12 - a12 FROM m
+        |UNION ALL SELECT 'lf1', 'lf3', b13, a13, b13 - a13 FROM m
+        |UNION ALL SELECT 'lf2', 'lf3', b23, a23, b23 - a23 FROM m
+        |ORDER BY lf_a, lf_b""".stripMargin,
+    "q240_time_weighted_balance" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS bal,
+        |    LEAD(ts, 1) OVER w AS next_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |d AS (
+        |  SELECT user_id, bal, epoch_us(next_ts) - epoch_us(ts) AS dur_us
+        |  FROM ev WHERE next_ts IS NOT NULL)
+        |SELECT user_id, CAST(SUM(dur_us) AS BIGINT) AS total_us,
+        |  SUM(CAST(bal AS HUGEINT) * CAST(dur_us AS HUGEINT))::DOUBLE
+        |    / CAST(SUM(dur_us) AS BIGINT)::DOUBLE AS twa_cents
+        |FROM d GROUP BY user_id HAVING SUM(dur_us) > 0
+        |ORDER BY user_id""".stripMargin,
+    "q241_order_backlog" ->
+      """WITH spans AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS open_day,
+        |    CAST(MAX(l_shipdate) AS DATE) AS close_day
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY o_orderkey, CAST(o_orderdate AS DATE)),
+        |deltas AS (
+        |  SELECT day, CAST(SUM(d) AS BIGINT) AS delta FROM (
+        |    SELECT open_day AS day, 1 AS d FROM spans
+        |    UNION ALL
+        |    SELECT close_day + INTERVAL 1 DAY, -1 FROM spans)
+        |  GROUP BY day)
+        |SELECT CAST(day AS DATE) AS day, delta,
+        |  CAST(SUM(delta) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS open_orders
+        |FROM deltas ORDER BY day""".stripMargin,
     "q238_market_share" ->
       """WITH base AS (
         |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
