@@ -4942,6 +4942,53 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    // ---- add-one-smoothed bigram language model table: top-3 next tokens
+    // per context word with Laplace probability in fixed point —
+    // (c+1)·10⁶ DIV (ctx_total + V), all exact integers; the n-gram-LM
+    // scoring table a perplexity-based quality filter needs. Pair volume
+    // is corpus token count; the rank window partitions by context word ----
+    "q242_bigram_lm" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("s"))
+        .filter(size(col("s")) >= 2)
+      val bi = toks.select(explode(expr(
+          "transform(sequence(1, size(s) - 1)," +
+            " i -> struct(element_at(s, i) AS w1, element_at(s, i + 1) AS w2))"))
+          .as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds context totals AND the ranked output
+      val ctx = bi.groupBy(col("w1")).agg(sum(col("c")).as("ctx_total"))
+      val v = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .agg(countDistinct(col("tok")).as("vsize"))
+      bi.join(ctx, Seq("w1")).crossJoin(broadcast(v))
+        .withColumn("prob_fixed", expr("((c + 1) * 1000000) DIV (ctx_total + vsize)"))
+        .withColumn("rk", row_number().over(
+          W.partitionBy(col("w1")).orderBy(col("c").desc, col("w2"))))
+        .filter(col("rk") <= 3)
+        .select(col("w1"), col("w2"), col("c"), col("prob_fixed"), col("rk"))
+        .orderBy(col("w1"), col("rk"))
+    }),
+
+    // ---- PII scrub coverage by source: share of documents the redaction
+    // pass actually touches — the audit number a scrub step reports; one
+    // row-local redact + compare, one key-collapsing aggregate ----
+    "q243_pii_hit_rate" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"),
+          // NULL text redacts to NULL: that's a non-hit, not a NULL vote
+          coalesce((TextAnalysis.redactPII(col("text")) =!= col("text"))
+            .cast("long"), lit(0L)).as("hit"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("hit")).as("n_redacted"))
+        .withColumn("hit_share",
+          col("n_redacted").cast("double") / col("n_docs").cast("double"))
+        .orderBy(col("source"))
+    }),
+
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
     "q76_pii_redaction" -> ((s, dir) => {
@@ -8460,6 +8507,44 @@ object SparkEntry {
         |FROM b ORDER BY p_brand""".stripMargin,
     "q226_bpe_merges" -> bpeOracleSql(4),
     "q234_coverage_select" -> coverageOracleSql(5),
+    "q242_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS s
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |bi AS (
+        |  SELECT s[i] AS w1, s[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT s, unnest(generate_series(1, len(s) - 1)) AS i
+        |        FROM toks WHERE len(s) >= 2)
+        |  GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS ctx_total FROM bi GROUP BY w1),
+        |v AS (
+        |  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsize
+        |  FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> t <> '')) AS tok
+        |    FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)),
+        |r AS (
+        |  SELECT w1, w2, c,
+        |    ((c + 1) * 1000000) // (ctx_total + vsize) AS prob_fixed,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS INT)
+        |      AS rk
+        |  FROM bi JOIN ctx USING (w1), v)
+        |SELECT w1, w2, c, prob_fixed, rk FROM r
+        |WHERE rk <= 3 ORDER BY w1, rk""".stripMargin,
+    "q243_pii_hit_rate" ->
+      """WITH h AS (
+        |  SELECT source,
+        |    CASE WHEN regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        'https?://[^ \t\n\r]+', '<URL>', 'g'),
+        |      '[0-9][0-9 ()+.-]{6,}[0-9]', '<NUMBER>', 'g') <> text
+        |      THEN 1 ELSE 0 END AS hit
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(hit) AS BIGINT) AS n_redacted,
+        |  CAST(SUM(hit) AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE AS hit_share
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
     "q239_label_model_diag" ->
       """WITH lab AS (
         |  SELECT
