@@ -4989,6 +4989,32 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- return-rate p-chart (statistical process control): weekly
+    // return share against 3σ binomial limits around the overall rate —
+    // n/returns stay exact integers, p̄/UCL/LCL are the SAME double
+    // expression on both engines, the out-of-control flag follows from
+    // those identical doubles ----
+    "q244_return_pchart" -> ((s, dir) => {
+      val wk = t(s, dir, "lineitem")
+        .select(date_trunc("week", col("l_shipdate")).cast("date").as("week"),
+          (col("l_returnflag") === "R").cast("long").as("ret"))
+        .groupBy(col("week"))
+        .agg(count(lit(1)).as("n"), sum(col("ret")).as("returns"))
+        .localCheckpoint() // feeds the overall-rate scalar and the chart
+      val overall = wk.agg(sum(col("n")).as("tn"), sum(col("returns")).as("tr"))
+      wk.crossJoin(broadcast(overall))
+        .withColumn("pbar", col("tr").cast("double") / col("tn").cast("double"))
+        .withColumn("p_week", col("returns").cast("double") / col("n").cast("double"))
+        .withColumn("sigma",
+          sqrt(col("pbar") * (lit(1.0) - col("pbar")) / col("n").cast("double")))
+        .withColumn("ucl", col("pbar") + lit(3.0) * col("sigma"))
+        .withColumn("lcl", greatest(col("pbar") - lit(3.0) * col("sigma"), lit(0.0)))
+        .withColumn("out_of_control", col("p_week") > col("ucl") || col("p_week") < col("lcl"))
+        .select(col("week"), col("n"), col("returns"), col("p_week"),
+          col("ucl"), col("lcl"), col("out_of_control"))
+        .orderBy(col("week"))
+    }),
+
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
     "q76_pii_redaction" -> ((s, dir) => {
@@ -8507,6 +8533,28 @@ object SparkEntry {
         |FROM b ORDER BY p_brand""".stripMargin,
     "q226_bpe_merges" -> bpeOracleSql(4),
     "q234_coverage_select" -> coverageOracleSql(5),
+    "q244_return_pchart" ->
+      """WITH wk AS (
+        |  SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS returns
+        |  FROM lineitem GROUP BY 1),
+        |o AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+        |  CAST(SUM(returns) AS BIGINT) AS tr FROM wk),
+        |c AS (
+        |  SELECT week, n, returns,
+        |    tr::DOUBLE / tn::DOUBLE AS pbar,
+        |    returns::DOUBLE / n::DOUBLE AS p_week,
+        |    sqrt((tr::DOUBLE / tn::DOUBLE) * (1.0 - tr::DOUBLE / tn::DOUBLE)
+        |      / n::DOUBLE) AS sigma
+        |  FROM wk, o)
+        |SELECT week, n, returns, p_week,
+        |  pbar + 3.0 * sigma AS ucl,
+        |  greatest(pbar - 3.0 * sigma, 0.0) AS lcl,
+        |  p_week > pbar + 3.0 * sigma OR p_week < greatest(pbar - 3.0 * sigma, 0.0)
+        |    AS out_of_control
+        |FROM c ORDER BY week""".stripMargin,
     "q242_bigram_lm" ->
       """WITH toks AS (
         |  SELECT list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS s

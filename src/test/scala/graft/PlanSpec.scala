@@ -140,4 +140,25 @@ class PlanSpec extends SparkTestBase {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("q238 snowflake: every dim joins broadcast, p_type reaches the scan") {
+    val p = plan(q("q238_market_share"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("EqualTo(p_type,ECONOMY)"), p)
+  }
+
+  test("q233 simhash banding plans equi-joins only, no nested-loop pair scan") {
+    val p = plan(q("q233_simhash_neardup"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q242 bigram counts combine map-side before the shuffle") {
+    val p = plan(q("q242_bigram_lm"))
+    assert(p.contains("partial_count") || p.contains("partial_sum") ||
+      p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
