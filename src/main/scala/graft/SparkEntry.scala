@@ -5015,6 +5015,113 @@ object SparkEntry {
         .orderBy(col("week"))
     }),
 
+    // ---- Theil–Sen robust trend per supplier (median of pairwise monthly
+    // slopes): outlier-immune where OLS is not; pair volume is C(months, 2)
+    // per key — calendar-bounded, never fact-table-quadratic. Slopes are
+    // the identical double division on both engines; the lower median is
+    // picked by a deterministic (slope, x1, x2) order ----
+    "q245_theil_sen" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val monthly = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"),
+          (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1).as("mo"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+        .localCheckpoint() // both sides of the pair join
+      val a = monthly.select(col("l_suppkey"), col("mo").as("x1"), col("cents").as("y1"))
+      val b = monthly.select(col("l_suppkey"), col("mo").as("x2"), col("cents").as("y2"))
+      val slopes = a.join(b, Seq("l_suppkey")).filter(col("x1") < col("x2"))
+        .withColumn("slope",
+          (col("y2") - col("y1")).cast("double") /
+            (col("x2") - col("x1")).cast("double"))
+      val w = W.partitionBy(col("l_suppkey"))
+        .orderBy(col("slope"), col("x1"), col("x2"))
+      slopes
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(W.partitionBy(col("l_suppkey"))))
+        .filter(expr("rn = (cnt + 1) DIV 2")) // lower median, integer DIV
+        .select(col("l_suppkey"), col("cnt").as("n_pairs"),
+          col("slope").as("ts_slope_cents_per_month"))
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // ---- CUPED variance reduction for the A/B read (Deng et al. 2013):
+    // pre-period spend as covariate, θ = cov(x,y)/var(x) from POOLED exact
+    // integer moments (n·Σxy − Σx·Σy in DECIMAL), adjusted cohort means in
+    // identical double algebra — the experimentation-platform adjustment
+    // that typically halves metric variance ----
+    "q246_cuped" -> ((s, dir) => {
+      val d0 = DecimalType(38, 0)
+      val dec = (c: Column) => c.cast(d0)
+      val cut = lit("2024-04-01").cast("timestamp")
+      val per = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(
+          coalesce(sum(when(col("ts") < cut,
+            round(col("value") * 100).cast("long"))), lit(0L)).as("x"),
+          coalesce(sum(when(col("ts") >= cut,
+            round(col("value") * 100).cast("long"))), lit(0L)).as("y"))
+        .withColumn("cohort", (col("user_id") % 2 === 0).cast("int"))
+        .localCheckpoint() // pooled-moment scalar + per-cohort aggregate
+      val pooled = per.agg(count(lit(1)).cast(d0).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+        .withColumn("theta",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .withColumn("xbar", col("sx").cast("double") / col("n").cast("double"))
+        .select(col("theta"), col("xbar"))
+      // Σ(y − θ(x − x̄)) decomposes to Σy − θ(Σx − n·x̄): the adjusted mean
+      // comes from EXACT integer sums and scalar doubles — a per-row double
+      // sum would be partition-order-dependent and never hash-gate
+      per.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("x")).as("sx_c"), sum(col("y")).as("sy_c"))
+        .crossJoin(broadcast(pooled))
+        .select(col("cohort"), col("n_users"),
+          (col("sy_c").cast("double") / col("n_users").cast("double"))
+            .as("mean_y_cents"),
+          ((col("sy_c").cast("double") - col("theta") *
+            (col("sx_c").cast("double") -
+              col("n_users").cast("double") * col("xbar"))) /
+            col("n_users").cast("double")).as("mean_y_cuped"),
+          col("theta"))
+        .orderBy(col("cohort"))
+    }),
+
+    // ---- consistent-hash reshard audit: keys on an md5 ring (8 vnodes per
+    // shard), assignment = first vnode clockwise; growing 8 → 10 shards
+    // must move only the keys the new shards' vnodes capture (~2/10) —
+    // the data-placement property that makes cluster growth cheap,
+    // measured exactly. The 80 vnode positions are collision-free, so the
+    // struct-min / arg_min assignment is deterministic on both engines ----
+    "q247_consistent_hash" -> ((s, dir) => {
+      val vn = s.range(80).select(
+        (col("id") / 8).cast("int").as("shard"), (col("id") % 8).cast("int").as("rep"))
+        .withColumn("vpos", graft.ops.Sketches.rowHash64(
+          concat(lit("vnode:"), col("shard"), lit(":"), col("rep"))))
+        .select(col("shard"), col("vpos"))
+      val keys = t(s, dir, "customer")
+        .select(col("c_custkey").as("key"),
+          graft.ops.Sketches.rowHash64(col("c_custkey").cast("string")).as("kpos"))
+      def assign(ring: DataFrame, outCol: String): DataFrame =
+        keys.crossJoin(broadcast(ring))
+          .groupBy(col("key"), col("kpos"))
+          .agg(coalesce(
+            min(when(col("vpos") >= col("kpos"),
+              struct(col("vpos"), col("shard")))),
+            min(struct(col("vpos"), col("shard"))))
+            .getField("shard").as(outCol))
+          .select(col("key"), col(outCol))
+      assign(vn.filter(col("shard") < 8), "s8")
+        .join(assign(vn, "s10"), Seq("key"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("s8") =!= col("s10"), 1L).otherwise(0L)).as("n_moved"))
+        .withColumn("moved_share",
+          col("n_moved").cast("double") / col("n_keys").cast("double"))
+    }),
+
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
     "q76_pii_redaction" -> ((s, dir) => {
@@ -8533,6 +8640,82 @@ object SparkEntry {
         |FROM b ORDER BY p_brand""".stripMargin,
     "q226_bpe_merges" -> bpeOracleSql(4),
     "q234_coverage_select" -> coverageOracleSql(5),
+    "q247_consistent_hash" ->
+      """WITH vn AS (
+        |  SELECT s AS shard,
+        |    CAST(CAST('0x' || substring(md5('vnode:' || s || ':' || r), 17, 16)
+        |      AS UBIGINT) AS HUGEINT) AS vpos
+        |  FROM (SELECT unnest(generate_series(0, 9)) AS s),
+        |       (SELECT unnest(generate_series(0, 7)) AS r)),
+        |k AS (
+        |  SELECT c_custkey AS key,
+        |    CAST(CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 17, 16)
+        |      AS UBIGINT) AS HUGEINT) AS kpos
+        |  FROM customer),
+        |a8 AS (
+        |  SELECT key, COALESCE(
+        |    arg_min(shard, vpos) FILTER (WHERE vpos >= kpos),
+        |    arg_min(shard, vpos)) AS s8
+        |  FROM k, vn WHERE shard < 8 GROUP BY key, kpos),
+        |a10 AS (
+        |  SELECT key, COALESCE(
+        |    arg_min(shard, vpos) FILTER (WHERE vpos >= kpos),
+        |    arg_min(shard, vpos)) AS s10
+        |  FROM k, vn GROUP BY key, kpos)
+        |SELECT COUNT(*) AS n_keys,
+        |  CAST(SUM(CASE WHEN s8 <> s10 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+        |  CAST(SUM(CASE WHEN s8 <> s10 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+        |    / COUNT(*)::DOUBLE AS moved_share
+        |FROM a8 JOIN a10 USING (key)""".stripMargin,
+    "q246_cuped" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-04-01'
+        |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS x,
+        |    COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-04-01'
+        |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS y,
+        |    CAST(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS INT) AS cohort
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |pooled AS (
+        |  SELECT
+        |    (CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+        |      - SUM(CAST(x AS HUGEINT)) * SUM(CAST(y AS HUGEINT)))::DOUBLE
+        |    / (CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+        |      - SUM(CAST(x AS HUGEINT)) * SUM(CAST(x AS HUGEINT)))::DOUBLE AS theta,
+        |    SUM(CAST(x AS HUGEINT))::DOUBLE / CAST(COUNT(*) AS HUGEINT)::DOUBLE
+        |      AS xbar
+        |  FROM per),
+        |c AS (
+        |  SELECT cohort, COUNT(*) AS n_users,
+        |    CAST(SUM(x) AS BIGINT) AS sx_c, CAST(SUM(y) AS BIGINT) AS sy_c
+        |  FROM per GROUP BY cohort)
+        |SELECT cohort, n_users,
+        |  sy_c::DOUBLE / n_users::DOUBLE AS mean_y_cents,
+        |  (sy_c::DOUBLE - theta * (sx_c::DOUBLE - n_users::DOUBLE * xbar))
+        |    / n_users::DOUBLE AS mean_y_cuped,
+        |  theta
+        |FROM c, pooled ORDER BY cohort""".stripMargin,
+    "q245_theil_sen" ->
+      """WITH monthly AS (
+        |  SELECT l_suppkey,
+        |    CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS INT) AS mo,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |slopes AS (
+        |  SELECT a.l_suppkey, a.mo AS x1, b.mo AS x2,
+        |    (b.cents - a.cents)::DOUBLE / (b.mo - a.mo)::DOUBLE AS slope
+        |  FROM monthly a JOIN monthly b
+        |    ON a.l_suppkey = b.l_suppkey AND a.mo < b.mo),
+        |r AS (
+        |  SELECT l_suppkey, slope,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |      ORDER BY slope, x1, x2) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_suppkey) AS cnt
+        |  FROM slopes)
+        |SELECT l_suppkey, cnt AS n_pairs, slope AS ts_slope_cents_per_month
+        |FROM r WHERE rn = (cnt + 1) // 2
+        |ORDER BY l_suppkey""".stripMargin,
     "q244_return_pchart" ->
       """WITH wk AS (
         |  SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
