@@ -5122,6 +5122,65 @@ object SparkEntry {
           col("n_moved").cast("double") / col("n_keys").cast("double"))
     }),
 
+    // ---- feed-freshness audit: per event type, volume, newest timestamp,
+    // and exact microsecond lag behind the freshest feed — the staleness
+    // monitor every ingestion dashboard leads with; one key-collapsing
+    // aggregate plus a broadcast scalar ----
+    "q248_freshness" -> ((s, dir) => {
+      val per = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), max(col("ts")).as("max_ts"))
+      val g = per.agg(max(col("max_ts")).as("global_max"))
+      per.crossJoin(broadcast(g))
+        .withColumn("lag_us",
+          expr("unix_micros(global_max) - unix_micros(max_ts)"))
+        .withColumn("stale_1d", col("lag_us") > lit(86400000000L))
+        .select(col("event_type"), col("n_events"), col("max_ts"),
+          col("lag_us"), col("stale_1d"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- order-value inversion rate per customer: consecutive orders
+    // (by date, key tie-break) where totalprice DROPPED — the sequence-
+    // anomaly share, one per-customer ordered window pass in exact cents ----
+    "q249_order_inversions" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("prev", lag(col("cents"), 1).over(w))
+        .filter(col("prev").isNotNull)
+      o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_steps"),
+          sum(when(col("cents") < col("prev"), 1L).otherwise(0L)).as("n_down"))
+        .withColumn("down_share",
+          col("n_down").cast("double") / col("n_steps").cast("double"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // ---- k-anonymity audit over quasi-identifiers (nation, market
+    // segment, coarse balance band): equivalence-class size distribution,
+    // the k=5 violation count, and the share of individuals re-identifiable
+    // below k — the privacy gate before a tabular release ----
+    "q250_k_anonymity" -> ((s, dir) => {
+      val qid = t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          // +10000 shift keeps the band argument nonnegative: Spark DIV
+          // truncates where DuckDB // floors, and they only agree ≥ 0
+          expr("(CAST(round(c_acctbal) AS BIGINT) + 10000) DIV 1000").as("bal_band"))
+      val cls = qid.groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+        .agg(count(lit(1)).as("cls_size"))
+      cls.agg(count(lit(1)).as("n_classes"),
+          min(col("cls_size")).as("min_class"),
+          sum(when(col("cls_size") < 5, 1L).otherwise(0L)).as("n_violating"),
+          sum(when(col("cls_size") < 5, col("cls_size")).otherwise(0L))
+            .as("n_exposed"),
+          sum(col("cls_size")).as("n_rows"))
+        .withColumn("exposed_share",
+          col("n_exposed").cast("double") / col("n_rows").cast("double"))
+    }),
+
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
     "q76_pii_redaction" -> ((s, dir) => {
@@ -8640,6 +8699,44 @@ object SparkEntry {
         |FROM b ORDER BY p_brand""".stripMargin,
     "q226_bpe_merges" -> bpeOracleSql(4),
     "q234_coverage_select" -> coverageOracleSql(5),
+    "q248_freshness" ->
+      """WITH per AS (
+        |  SELECT event_type, COUNT(*) AS n_events, MAX(ts) AS max_ts
+        |  FROM events GROUP BY event_type),
+        |g AS (SELECT MAX(max_ts) AS global_max FROM per)
+        |SELECT event_type, n_events, max_ts,
+        |  CAST(epoch_us(global_max) - epoch_us(max_ts) AS BIGINT) AS lag_us,
+        |  epoch_us(global_max) - epoch_us(max_ts) > 86400000000 AS stale_1d
+        |FROM per, g ORDER BY event_type""".stripMargin,
+    "q249_order_inversions" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    LAG(CAST(round(o_totalprice * 100) AS BIGINT), 1)
+        |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |      AS prev
+        |  FROM orders)
+        |SELECT o_custkey, COUNT(*) AS n_steps,
+        |  CAST(SUM(CASE WHEN cents < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+        |  CAST(SUM(CASE WHEN cents < prev THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+        |    / COUNT(*)::DOUBLE AS down_share
+        |FROM o WHERE prev IS NOT NULL
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q250_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    (CAST(round(c_acctbal) AS BIGINT) + 10000) // 1000 AS bal_band,
+        |    COUNT(*) AS cls_size
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT COUNT(*) AS n_classes,
+        |  MIN(cls_size) AS min_class,
+        |  CAST(SUM(CASE WHEN cls_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating,
+        |  CAST(SUM(CASE WHEN cls_size < 5 THEN cls_size ELSE 0 END) AS BIGINT)
+        |    AS n_exposed,
+        |  CAST(SUM(cls_size) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN cls_size < 5 THEN cls_size ELSE 0 END) AS BIGINT)::DOUBLE
+        |    / CAST(SUM(cls_size) AS BIGINT)::DOUBLE AS exposed_share
+        |FROM cls""".stripMargin,
     "q247_consistent_hash" ->
       """WITH vn AS (
         |  SELECT s AS shard,
