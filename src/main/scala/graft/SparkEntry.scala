@@ -5181,6 +5181,34 @@ object SparkEntry {
           col("n_exposed").cast("double") / col("n_rows").cast("double"))
     }),
 
+    // ---- BPE ENCODE (the other half of the q226 tokenizer loop): apply
+    // the 4 trained merges and report per-source compression — symbols
+    // per character under the learned vocab. The final training state IS
+    // the token → encoding dictionary (strip spaces to recover the token),
+    // so encoding is one broadcast-able dictionary join, no re-fold per
+    // document ----
+    "q251_bpe_compression" -> ((s, dir) => {
+      val corpusTok = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .localCheckpoint() // training counts + the per-source encode join
+      val vocab = corpusTok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .select(graft.ops.Bpe.charSeq(col("token")).as("seq"), col("cnt"))
+      val (_, state) =
+        graft.ops.Bpe.trainMergesWithState(vocab, "seq", "cnt", rounds = 4)
+      val enc = state.select(
+        regexp_replace(col("seq"), " ", "").as("token"),
+        size(split(col("seq"), " ")).cast("long").as("n_sym"))
+      corpusTok.join(enc, Seq("token"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(length(col("token")).cast("long")).as("total_chars"),
+          sum(col("n_sym")).as("total_symbols"))
+        .withColumn("symbols_per_char",
+          col("total_symbols").cast("double") / col("total_chars").cast("double"))
+        .orderBy(col("source"))
+    }),
+
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
     "q76_pii_redaction" -> ((s, dir) => {
@@ -5315,6 +5343,37 @@ object SparkEntry {
     * left-to-right semantics agree by construction.
     */
   private def bpeOracleSql(rounds: Int): String = {
+    val sel = (1 to rounds).map { r =>
+      s"SELECT $r AS round, ba AS left_sym, bb AS right_sym, pc AS pair_count FROM b$r"
+    }.mkString("\nUNION ALL\n")
+    s"${bpeCtes(rounds)}\n$sel\nORDER BY round"
+  }
+
+  /** q251's oracle: the same training CTE chain, then the final word state
+    * w<rounds> becomes the token → encoding dictionary (strip spaces to
+    * reconstruct the token, count symbols) joined back to the per-source
+    * token stream.
+    */
+  private def bpeEncodeOracleSql(rounds: Int): String = {
+    s"""${bpeCtes(rounds)},
+       |enc AS MATERIALIZED (
+       |  SELECT replace(seq, ' ', '') AS token,
+       |    CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sym
+       |  FROM w$rounds),
+       |dt AS (
+       |  SELECT source, unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+       |    t -> t <> '')) AS token
+       |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)
+       |SELECT source, COUNT(*) AS n_tokens,
+       |  CAST(SUM(length(token)) AS BIGINT) AS total_chars,
+       |  CAST(SUM(n_sym) AS BIGINT) AS total_symbols,
+       |  CAST(SUM(n_sym) AS BIGINT)::DOUBLE
+       |    / CAST(SUM(length(token)) AS BIGINT)::DOUBLE AS symbols_per_char
+       |FROM dt JOIN enc USING (token)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  private def bpeCtes(rounds: Int): String = {
     val head =
       """WITH tok AS MATERIALIZED (
         |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
@@ -5339,10 +5398,7 @@ object SparkEntry {
          |      THEN acc || bb ELSE acc || ' ' || x END) AS seq, cnt
          |  FROM w${r - 1}, b$r)""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to rounds).map { r =>
-      s"SELECT $r AS round, ba AS left_sym, bb AS right_sym, pc AS pair_count FROM b$r"
-    }.mkString("\nUNION ALL\n")
-    s"$head,\n${rounds_}\n$sel\nORDER BY round"
+    s"$head,\n${rounds_}"
   }
 
   /** q234's oracle, generated: greedy max-coverage rounds unrolled as
@@ -8698,6 +8754,7 @@ object SparkEntry {
         |    / n::DOUBLE AS intercept
         |FROM b ORDER BY p_brand""".stripMargin,
     "q226_bpe_merges" -> bpeOracleSql(4),
+    "q251_bpe_compression" -> bpeEncodeOracleSql(4),
     "q234_coverage_select" -> coverageOracleSql(5),
     "q248_freshness" ->
       """WITH per AS (

@@ -48,7 +48,21 @@ object Bpe {
       seqCol: String,
       cntCol: String,
       rounds: Int
-  ): DataFrame = {
+  ): DataFrame = trainMergesWithState(words, seqCol, cntCol, rounds)._1
+
+  /** [[trainMerges]] plus the post-training word state: (merges, final
+    * (seq, cnt) rows). The final seq IS the word's encoding under the
+    * learned merges — its space count is the symbol count, and stripping
+    * spaces reconstructs the original token (symbols are concatenations of
+    * its chars), so the state doubles as the token → encoding dictionary
+    * for the ENCODE half of the tokenizer loop.
+    */
+  def trainMergesWithState(
+      words: DataFrame,
+      seqCol: String,
+      cntCol: String,
+      rounds: Int
+  ): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     var w = words.select(col(seqCol).as("seq"), col(cntCol).as("cnt"))
       .localCheckpoint() // rounds chain on it; cut the upstream lineage once
@@ -82,6 +96,6 @@ object Bpe {
           .as("seq"), col("cnt"))
         .localCheckpoint() // cut the per-round lineage (rounds compound)
     }
-    merges.reduce(_ unionByName _)
+    (merges.reduce(_ unionByName _), w)
   }
 }
