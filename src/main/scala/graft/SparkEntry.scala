@@ -5209,6 +5209,71 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- n-gram fluency scoring (the perplexity-filter stand-in that
+    // stays log-free and hash-gateable): per document, the fixed-point
+    // MEAN Laplace bigram probability under the corpus LM, rolled up to a
+    // per-source quality profile — the q242 table applied as a filter
+    // signal, exact integers until the surface ----
+    "q252_fluency_score" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(col("doc_id"), col("source"), TextAnalysis.tokens(col("text")).as("s"))
+        .filter(size(col("s")) >= 2)
+      val pairs = toks.select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(1, size(s) - 1)," +
+            " i -> struct(element_at(s, i) AS w1, element_at(s, i + 1) AS w2))"))
+          .as("p"))
+        .select(col("doc_id"), col("source"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .localCheckpoint() // corpus LM counts + the scoring join
+      val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // context totals + the pair-score join
+      val ctx = bi.groupBy(col("w1")).agg(sum(col("c")).as("ctx_total"))
+      val v = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .agg(countDistinct(col("tok")).as("vsize"))
+      val perDoc = pairs.join(bi, Seq("w1", "w2")).join(ctx, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .withColumn("ps", expr("((c + 1) * 1000000) DIV (ctx_total + vsize)"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(expr("sum(ps) DIV count(1)").as("doc_score"))
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("doc_score")).cast("double") / count(lit(1)).cast("double"))
+            .as("mean_score"),
+          min(col("doc_score")).as("min_score"),
+          max(col("doc_score")).as("max_score"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- eval-set contamination probe: share of eval-fold documents with
+    // at least one 8-gram also present in the training folds — the
+    // benchmark-hygiene number every model eval should publish; distinct
+    // (doc, gram) before the semi join bounds the work by distinct grams ----
+    "q253_eval_contamination" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val d = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .withColumn("fold",
+          pmod(graft.ops.Sketches.rowHash64(col("doc_id").cast("string")), lit(5))
+            .cast("int"))
+        .localCheckpoint() // eval grams, train grams, and the doc roll-up
+      val evalG = d.filter(col("fold") === 0)
+        .select(col("doc_id"), explode(TextAnalysis.ngrams(col("text"), 8)).as("gram"))
+        .distinct()
+      val trainG = d.filter(col("fold") =!= 0)
+        .select(explode(TextAnalysis.ngrams(col("text"), 8)).as("gram")).distinct()
+      val contaminated = evalG.join(trainG, Seq("gram"), "left_semi")
+        .select(col("doc_id")).distinct().withColumn("hit", lit(1L))
+      d.filter(col("fold") === 0).select(col("doc_id"), col("source"))
+        .join(contaminated, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_eval_docs"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+        .withColumn("contamination_rate",
+          col("n_contaminated").cast("double") / col("n_eval_docs").cast("double"))
+        .orderBy(col("source"))
+    }),
+
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
     "q76_pii_redaction" -> ((s, dir) => {
@@ -8755,6 +8820,60 @@ object SparkEntry {
         |FROM b ORDER BY p_brand""".stripMargin,
     "q226_bpe_merges" -> bpeOracleSql(4),
     "q251_bpe_compression" -> bpeEncodeOracleSql(4),
+    "q252_fluency_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS s
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |pairs AS (
+        |  SELECT doc_id, source, s[i] AS w1, s[i + 1] AS w2
+        |  FROM (SELECT doc_id, source, s, unnest(generate_series(1, len(s) - 1)) AS i
+        |        FROM toks WHERE len(s) >= 2)),
+        |bi AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS ctx_total FROM bi GROUP BY w1),
+        |v AS (
+        |  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsize
+        |  FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> t <> '')) AS tok
+        |    FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)),
+        |perdoc AS (
+        |  SELECT doc_id, source,
+        |    SUM(((c + 1) * 1000000) // (ctx_total + vsize)) // COUNT(*) AS doc_score
+        |  FROM pairs JOIN bi USING (w1, w2) JOIN ctx USING (w1), v
+        |  GROUP BY doc_id, source)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_score) AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE AS mean_score,
+        |  CAST(MIN(doc_score) AS BIGINT) AS min_score,
+        |  CAST(MAX(doc_score) AS BIGINT) AS max_score
+        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
+    "q253_eval_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 17, 16)
+        |      AS UBIGINT) % 5 AS INT) AS fold,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS toks
+        |  FROM documents),
+        |eg AS (SELECT DISTINCT doc_id, gram FROM (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) < 8 THEN []
+        |    ELSE list_transform(range(1, len(toks) - 6),
+        |      i -> array_to_string(toks[i:i+7], ' ')) END) AS gram
+        |  FROM d WHERE fold = 0) x),
+        |tg AS (SELECT DISTINCT gram FROM (
+        |  SELECT unnest(CASE WHEN len(toks) < 8 THEN []
+        |    ELSE list_transform(range(1, len(toks) - 6),
+        |      i -> array_to_string(toks[i:i+7], ' ')) END) AS gram
+        |  FROM d WHERE fold <> 0) y),
+        |cont AS (
+        |  SELECT DISTINCT doc_id FROM eg WHERE gram IN (SELECT gram FROM tg))
+        |SELECT source, COUNT(*) AS n_eval_docs,
+        |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM cont)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM cont)
+        |    THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE
+        |    AS contamination_rate
+        |FROM d WHERE fold = 0 GROUP BY source ORDER BY source""".stripMargin,
     "q234_coverage_select" -> coverageOracleSql(5),
     "q248_freshness" ->
       """WITH per AS (
