@@ -5274,6 +5274,21 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- memorization-risk audit: the 8-grams repeated across the most
+    // documents (top-20 by doc frequency, then total occurrences) — the
+    // verbatim-duplication hotspots a dedup pass should kill first; one
+    // gram-keyed shuffle, occurrence counts ride the same aggregate ----
+    "q254_memorization_grams" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val g = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(col("doc_id"), explode(TextAnalysis.ngrams(col("text"), 8)).as("gram"))
+      val byDoc = g.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("doc_freq"), count(lit(1)).as("n_occ"))
+        .filter(col("doc_freq") >= 2)
+      byDoc.orderBy(col("doc_freq").desc, col("n_occ").desc, col("gram")).limit(20)
+    }),
+
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
     "q76_pii_redaction" -> ((s, dir) => {
@@ -8820,6 +8835,22 @@ object SparkEntry {
         |FROM b ORDER BY p_brand""".stripMargin,
     "q226_bpe_merges" -> bpeOracleSql(4),
     "q251_bpe_compression" -> bpeEncodeOracleSql(4),
+    "q254_memorization_grams" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) < 8 THEN []
+        |    ELSE list_transform(range(1, len(toks) - 6),
+        |      i -> array_to_string(toks[i:i+7], ' ')) END) AS gram
+        |  FROM toks)
+        |SELECT gram,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+        |  COUNT(*) AS n_occ
+        |FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY doc_freq DESC, n_occ DESC, gram LIMIT 20""".stripMargin,
     "q252_fluency_score" ->
       """WITH toks AS (
         |  SELECT doc_id, source,
