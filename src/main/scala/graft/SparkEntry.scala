@@ -5289,6 +5289,87 @@ object SparkEntry {
       byDoc.orderBy(col("doc_freq").desc, col("n_occ").desc, col("gram")).limit(20)
     }),
 
+    // ---- Gopher-style quality-rule verdict panel (Rae et al. 2021 §A1.1
+    // shape, token-level rules — the corpus is whitespace prose with no
+    // line structure): per (source, rule) the doc counts passing each
+    // filter. Every rule compares INTEGERS cross-multiplied (3·n_tok ≤
+    // chars, 50·n_stop ≥ n_tok, …) so no ratio is ever floated before the
+    // verdict. One shuffle on (doc, token), one on doc, one on (source,
+    // rule) — no pairwise work, row counts bound every stage. ----
+    "q255_gopher_rules" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(col("doc_id"), col("source"), col("text"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val perTok = toks.groupBy(col("doc_id"), col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      val perDoc = perTok.groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("c")).cast("long").as("n_tok"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_cnt"),
+          sum(when(col("tok").isin(TextAnalysis.EnStopwords: _*), col("c"))
+            .otherwise(lit(0L))).cast("long").as("n_stop"))
+      val chars = t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(regexp_replace(col("text"), "[ \\t\\n\\r]+", "")).cast("long").as("n_chars_ns"))
+      val verdicts = perDoc.join(chars, Seq("doc_id"))
+        .select(col("source"), explode(array(
+          struct(lit("min_tokens").as("rule"), (col("n_tok") >= 30L).as("pass")),
+          struct(lit("mean_word_len_range").as("rule"),
+            (col("n_chars_ns") >= col("n_tok") * 3L &&
+              col("n_chars_ns") <= col("n_tok") * 10L).as("pass")),
+          struct(lit("stopword_ratio").as("rule"),
+            (col("n_stop") * 50L >= col("n_tok")).as("pass")),
+          struct(lit("top_token_share").as("rule"),
+            (col("top_cnt") * 5L <= col("n_tok")).as("pass")),
+          struct(lit("distinct_ratio").as("rule"),
+            (col("n_distinct") * 5L >= col("n_tok") * 2L).as("pass"))
+        )).as("v"))
+      verdicts
+        .groupBy(col("source"), col("v.rule").as("rule"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("v.pass"), 1L).otherwise(0L)).cast("long").as("n_pass"))
+        .withColumn("pass_share",
+          col("n_pass").cast("double") / col("n_docs").cast("double"))
+        .orderBy(col("source"), col("rule"))
+    }),
+
+    // ---- corpus distinct-n diversity (the self-BLEU-adjacent distinct-1/2/3
+    // metric): per (source, n) total vs distinct n-gram counts and their
+    // ratio — the generation-diversity / mode-collapse audit applied to a
+    // training corpus. Native one-pass gram construction; cost is O(total
+    // grams) with one countDistinct shuffle per (source, n) cell. ----
+    "q256_distinct_ngrams" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val base = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
+        .localCheckpoint() // three gram passes share the tokenize
+      val grams = Seq(1, 2, 3)
+        .map(n => base.select(col("source"), lit(n).as("n"),
+          explode(call_function("graft_ngrams", col("toks"), lit(n))).as("gram")))
+        .reduce(_ unionAll _)
+      grams.groupBy(col("source"), col("n"))
+        .agg(count(lit(1)).as("total_grams"),
+          countDistinct(col("gram")).as("distinct_grams"))
+        .withColumn("distinct_ratio",
+          col("distinct_grams").cast("double") / col("total_grams").cast("double"))
+        .orderBy(col("source"), col("n"))
+    }),
+
+    // ---- two-level Merkle manifest per source (dataset-versioning device;
+    // complements q171's flat commutative fingerprint by LOCALIZING any
+    // mismatch to a leaf instead of "somewhere in the table") ----
+    "q257_merkle_manifest" -> ((s, dir) => {
+      graft.ops.Sketches.merkleManifest(
+        t(s, dir, "documents"),
+        Seq(col("source")),
+        col("doc_id"),
+        concat_ws("|", col("doc_id"), col("text")),
+        buckets = 64)
+        .orderBy(col("source"))
+    }),
+
     // type tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
     "q76_pii_redaction" -> ((s, dir) => {
@@ -8851,6 +8932,67 @@ object SparkEntry {
         |  COUNT(*) AS n_occ
         |FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
         |ORDER BY doc_freq DESC, n_occ DESC, gram LIMIT 20""".stripMargin,
+    "q255_gopher_rules" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tok
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |pc AS (
+        |  SELECT doc_id, source, tok, COUNT(*) AS c FROM tk GROUP BY doc_id, source, tok),
+        |st AS (
+        |  SELECT doc_id, source,
+        |    CAST(SUM(c) AS BIGINT) AS n_tok,
+        |    COUNT(*) AS n_distinct,
+        |    MAX(c) AS top_cnt,
+        |    CAST(SUM(CASE WHEN tok IN ('the','a','an','of','and','to','in','is','it','that','for')
+        |      THEN c ELSE 0 END) AS BIGINT) AS n_stop
+        |  FROM pc GROUP BY doc_id, source),
+        |ch AS (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_replace(text, '[ \t\n\r]+', '', 'g')) AS BIGINT) AS n_chars_ns
+        |  FROM documents),
+        |d AS (SELECT * FROM st JOIN ch USING (doc_id)),
+        |r AS (
+        |  SELECT source, 'min_tokens' AS rule, (n_tok >= 30) AS pass FROM d
+        |  UNION ALL SELECT source, 'mean_word_len_range',
+        |    (n_chars_ns >= n_tok * 3 AND n_chars_ns <= n_tok * 10) FROM d
+        |  UNION ALL SELECT source, 'stopword_ratio', (n_stop * 50 >= n_tok) FROM d
+        |  UNION ALL SELECT source, 'top_token_share', (top_cnt * 5 <= n_tok) FROM d
+        |  UNION ALL SELECT source, 'distinct_ratio', (n_distinct * 5 >= n_tok * 2) FROM d)
+        |SELECT source, rule, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  SUM(CASE WHEN pass THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE AS pass_share
+        |FROM r GROUP BY source, rule ORDER BY source, rule""".stripMargin,
+    "q256_distinct_ngrams" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, 1 AS n, unnest(toks) AS gram FROM tk
+        |  UNION ALL
+        |  SELECT source, 2, unnest(CASE WHEN len(toks) < 2 THEN []
+        |    ELSE list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')) END)
+        |  FROM tk
+        |  UNION ALL
+        |  SELECT source, 3, unnest(CASE WHEN len(toks) < 3 THEN []
+        |    ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END)
+        |  FROM tk)
+        |SELECT source, n, COUNT(*) AS total_grams,
+        |  COUNT(DISTINCT gram) AS distinct_grams,
+        |  COUNT(DISTINCT gram)::DOUBLE / COUNT(*)::DOUBLE AS distinct_ratio
+        |FROM g GROUP BY source, n ORDER BY source, n""".stripMargin,
+    "q257_merkle_manifest" ->
+      """WITH leaves AS (
+        |  SELECT source, doc_id % 64 AS bucket, COUNT(*) AS n_rows,
+        |    md5(string_agg(md5(doc_id || '|' || text), '' ORDER BY md5(doc_id || '|' || text)))
+        |      AS leaf_hash
+        |  FROM documents GROUP BY source, doc_id % 64)
+        |SELECT source, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+        |  COUNT(*) AS n_leaves,
+        |  md5(string_agg(leaf_hash, '' ORDER BY bucket)) AS merkle_root
+        |FROM leaves GROUP BY source ORDER BY source""".stripMargin,
     "q252_fluency_score" ->
       """WITH toks AS (
         |  SELECT doc_id, source,

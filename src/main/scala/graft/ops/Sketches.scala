@@ -163,4 +163,41 @@ object Sketches {
         sum(h).as("fp_sum"), min(h).as("fp_min"), max(h).as("fp_max"))
     surfaceHiLo(agg, "fp_sum", "fp_min", "fp_max")
   }
+
+  /** Two-level Merkle manifest per group: rows hash into `buckets` leaves by
+    * id, each leaf digests its SORTED row hashes, the root digests the leaf
+    * digests in bucket order. Complements [[fingerprint]]'s flat commutative
+    * digest: when two table versions disagree, the per-leaf digests LOCALIZE
+    * the difference to ~1/`buckets` of the data instead of "somewhere" — the
+    * dataset-versioning / anti-entropy-repair primitive.
+    *
+    * Scale shape: one shuffle on (group, bucket), one on group. The only
+    * collected state is per-leaf row-hash lists — size `rows/buckets` per
+    * group, so `buckets` must scale with the table (rows ÷ target leaf size;
+    * a manifest job knows its row count). Within-leaf sorting makes each leaf
+    * digest independent of partitioning and arrival order; leaf digests
+    * concatenate in bucket-id order, so the root is fully deterministic.
+    */
+  def merkleManifest(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      idCol: Column,
+      canonical: Column,
+      buckets: Int = 64
+  ): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val leaves = df
+      .select(groupCols :+ pmod(idCol, lit(buckets)).as("bucket") :+ md5(canonical).as("rh"): _*)
+      .groupBy(groupCols :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        md5(concat_ws("", array_sort(collect_list(col("rh"))))).as("leaf_hash"))
+    leaves
+      .groupBy(groupCols: _*)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        count(lit(1)).as("n_leaves"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("bucket"), col("leaf_hash")))),
+            x => x("leaf_hash")),
+          "")).as("merkle_root"))
+  }
 }

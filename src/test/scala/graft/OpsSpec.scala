@@ -553,4 +553,37 @@ class OpsSpec extends SparkTestBase {
       .select(col("edit_dist")).as[Int].collect()
     assert(dists.forall(d => d >= 0 && d <= 2), s"bad distances: ${dists.toSet}")
   }
+
+  test("merkleManifest: partition-order free; a one-row edit changes exactly one leaf") {
+    import spark.implicits._
+    val rows = (0L until 200L).map(i => (i, s"group${i % 2}", s"payload-$i"))
+    val df = rows.toDF("id", "g", "s")
+    def manifest(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sketches
+        .merkleManifest(d, Seq(col("g")), col("id"), concat_ws("|", col("id"), col("s")),
+          buckets = 8)
+        .select(col("g"), col("n_rows"), col("n_leaves"), col("merkle_root"))
+        .as[(String, Long, Long, String)].collect().toSet
+    val base = manifest(df)
+    // layout independence: shuffling input partitioning must not move the root
+    assert(manifest(df.repartition(13, col("s"))) == base)
+    assert(manifest(df.orderBy(col("s").desc)) == base)
+    // one edited row ⇒ same counts, different root in exactly that row's group
+    val edited = rows.map { case (i, g, s) => (i, g, if (i == 42L) s + "X" else s) }
+      .toDF("id", "g", "s")
+    val after = manifest(edited)
+    assert(after != base)
+    assert(after.map(r => (r._1, r._2, r._3)) == base.map(r => (r._1, r._2, r._3)))
+    assert(base.filter(_._1 == "group1") == after.filter(_._1 == "group1"),
+      "edit in group0 leaked into group1's root")
+    // ...and the leaf level localizes it: only bucket 42%8=2 differs
+    def leaves(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("g"), pmod(col("id"), lit(8)).cast("int").as("bucket"),
+        md5(concat_ws("|", col("id"), col("s"))).as("rh"))
+      .groupBy(col("g"), col("bucket"))
+      .agg(md5(concat_ws("", array_sort(collect_list(col("rh"))))).as("lh"))
+      .as[(String, Int, String)].collect().toSet
+    val changed = (leaves(edited) -- leaves(df)).map(r => (r._1, r._2))
+    assert(changed == Set(("group0", 2)), s"diff not localized: $changed")
+  }
 }
