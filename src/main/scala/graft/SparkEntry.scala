@@ -5357,6 +5357,62 @@ object SparkEntry {
         .orderBy(col("source"), col("n"))
     }),
 
+    // ---- DSIR-style data-selection weights (Xie et al. 2023 shape, kept
+    // log-free for the hash gate): per token, Laplace unigram probability
+    // under a TARGET domain LM (src0 as the quality proxy) and under the
+    // whole-corpus LM, each as a nonnegative fixed-point integer division;
+    // per doc the two probability means; selection keeps each source's
+    // top-3 docs by (target − corpus) mean — "which documents look most
+    // like the domain we want more of". Two count shuffles + one token
+    // join; no pairwise work. ----
+    "q258_dsir_weights" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(col("doc_id"), col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .localCheckpoint() // corpus counts, target counts, and the score join
+      val cc = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_corpus"))
+      val tc = toks.filter(col("source") === "src0")
+        .groupBy(col("tok")).agg(count(lit(1)).as("c_target"))
+      val scal = cc.agg(sum(col("c_corpus")).as("n_corpus"),
+        count(lit(1)).as("vsize")).crossJoin(
+        toks.filter(col("source") === "src0").agg(count(lit(1)).as("n_target")))
+      val terms = toks.join(cc, Seq("tok")).join(tc, Seq("tok"), "left")
+        .na.fill(0L, Seq("c_target"))
+        .crossJoin(broadcast(scal))
+        .select(col("doc_id"), col("source"),
+          expr("1000000000000 * (c_target + 1) DIV (n_target + vsize)").as("pt"),
+          expr("1000000000000 * (c_corpus + 1) DIV (n_corpus + vsize)").as("pc"))
+      val perDoc = terms.groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("pt")).as("sum_pt"), sum(col("pc")).as("sum_pc"))
+        .withColumn("weight",
+          (col("sum_pt") - col("sum_pc")).cast("double") / col("n_tok").cast("double"))
+      perDoc
+        .withColumn("rk", row_number().over(
+          W.partitionBy(col("source")).orderBy(col("weight").desc, col("doc_id"))))
+        .filter(col("rk") <= 3)
+        .select(col("source"), col("rk"), col("doc_id"), col("n_tok"), col("weight"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
+    // ---- embedding anisotropy audit: dominant direction by two exact
+    // fixed-point power-iteration steps, Gram matrix never materialized
+    // (row-dot + dim-keyed shuffle per step) — the representation-collapse
+    // detector over the embeddings table ----
+    "q259_principal_direction" -> ((s, dir) => {
+      Similarity.dominantDirection(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("dim"))
+    }),
+
+    // ---- exact weighted (multiset) Jaccard near-dup pairs: Σmin/Σmax over
+    // token multiplicities via the sorted-merge native expression on arrays
+    // kept WITH duplicates — the tf-aware twin of q23's set Jaccard ----
+    "q260_weighted_jaccard" -> ((s, dir) => {
+      Dedup.multisetJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.6, maxId = 1000L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- two-level Merkle manifest per source (dataset-versioning device;
     // complements q171's flat commutative fingerprint by LOCALIZING any
     // mismatch to a leaf instead of "somewhere in the table") ----
@@ -8983,6 +9039,73 @@ object SparkEntry {
         |  COUNT(DISTINCT gram) AS distinct_grams,
         |  COUNT(DISTINCT gram)::DOUBLE / COUNT(*)::DOUBLE AS distinct_ratio
         |FROM g GROUP BY source, n ORDER BY source, n""".stripMargin,
+    "q258_dsir_weights" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tok
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |cc AS (SELECT tok, COUNT(*) AS c_corpus FROM tk GROUP BY tok),
+        |tc AS (SELECT tok, COUNT(*) AS c_target FROM tk WHERE source = 'src0' GROUP BY tok),
+        |scal AS (
+        |  SELECT (SELECT CAST(SUM(c_corpus) AS BIGINT) FROM cc) AS n_corpus,
+        |    (SELECT COUNT(*) FROM cc) AS vsize,
+        |    (SELECT COUNT(*) FROM tk WHERE source = 'src0') AS n_target),
+        |terms AS (
+        |  SELECT doc_id, tk.source,
+        |    1000000000000 * (COALESCE(c_target, 0) + 1) // (n_target + vsize) AS pt,
+        |    1000000000000 * (c_corpus + 1) // (n_corpus + vsize) AS pc
+        |  FROM tk JOIN cc USING (tok) LEFT JOIN tc USING (tok) CROSS JOIN scal),
+        |per_doc AS (
+        |  SELECT doc_id, source, COUNT(*) AS n_tok,
+        |    (CAST(SUM(pt) AS BIGINT) - CAST(SUM(pc) AS BIGINT))::DOUBLE / COUNT(*)::DOUBLE
+        |      AS weight
+        |  FROM terms GROUP BY doc_id, source)
+        |SELECT source, rk, doc_id, n_tok, weight FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY weight DESC, doc_id) AS rk
+        |  FROM per_doc) r
+        |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+    "q259_principal_direction" ->
+      """WITH ex AS (
+        |  SELECT vec_id, i - 1 AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)),
+        |s AS (SELECT vec_id, CAST(SUM(q) AS BIGINT) AS s FROM ex GROUP BY vec_id),
+        |v1 AS (
+        |  SELECT dim, SUM(CAST(q AS HUGEINT) * s) AS v
+        |  FROM ex JOIN s USING (vec_id) GROUP BY dim),
+        |u1 AS (
+        |  SELECT dim, CAST(CASE WHEN m = 0 THEN 0
+        |    ELSE sign(v) * ((abs(v) * 1000000) // m) END AS BIGINT) AS u
+        |  FROM v1 CROSS JOIN (SELECT MAX(abs(v)) AS m FROM v1)),
+        |t AS (
+        |  SELECT vec_id, CAST(SUM(q * u) AS BIGINT) AS t
+        |  FROM ex JOIN u1 USING (dim) GROUP BY vec_id),
+        |v2 AS (
+        |  SELECT dim, SUM(CAST(q AS HUGEINT) * t) AS v
+        |  FROM ex JOIN t USING (vec_id) GROUP BY dim)
+        |SELECT dim, CAST(CASE WHEN m = 0 THEN 0
+        |    ELSE sign(v) * ((abs(v) * 1000000) // m) END AS BIGINT) AS direction_fixed
+        |FROM v2 CROSS JOIN (SELECT MAX(abs(v)) AS m FROM v2)
+        |ORDER BY dim""".stripMargin,
+    "q260_weighted_jaccard" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tok
+        |  FROM documents WHERE doc_id < 1000 AND text IS NOT NULL AND length(trim(text)) > 0),
+        |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY doc_id, tok),
+        |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS i
+        |  FROM tc a JOIN tc b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b,
+        |  i::DOUBLE / (ta.n + tb.n - i)::DOUBLE AS wjaccard
+        |FROM inter
+        |JOIN tot ta ON ta.doc_id = id_a
+        |JOIN tot tb ON tb.doc_id = id_b
+        |WHERE i::DOUBLE / (ta.n + tb.n - i)::DOUBLE >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
     "q257_merkle_manifest" ->
       """WITH leaves AS (
         |  SELECT source, doc_id % 64 AS bucket, COUNT(*) AS n_rows,

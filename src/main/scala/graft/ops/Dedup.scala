@@ -112,6 +112,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact WEIGHTED (multiset) Jaccard pairs: Σ_t min(cₐ(t), c_b(t)) /
+    * Σ_t max(cₐ(t), c_b(t)) over token MULTIPLICITIES — the term-frequency-
+    * aware near-dup score that separates "same words, same proportions"
+    * from the set-Jaccard-1.0 case of "same vocabulary, different text".
+    * Reuses the sorted-merge loop of [[jaccardPairs]] verbatim: on sorted
+    * arrays kept WITH duplicates the equal-advance-both merge counts
+    * exactly Σmin, and nx + ny − inter is exactly Σmax, so the one native
+    * expression computes multiset Jaccard by construction. Same bounded
+    * oracle-arm contract and size-ratio prefilter (both remain valid at
+    * multiset granularity: Σmin ≤ min(nₐ, n_b), Σmax ≥ max(nₐ, n_b)).
+    */
+  def multisetJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      maxId: Long
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val ws = docs
+      .filter(col(idCol) < maxId)
+      .select(col(idCol).as("id"),
+        array_sort(TextAnalysis.tokens(col(textCol))).as("ws"))
+      .localCheckpoint()
+    val a = Par.spread(ws, col("id")).select(col("id").as("id_a"), col("ws").as("ws_a"))
+    val b = ws.select(col("id").as("id_b"), col("ws").as("ws_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .filter((size(col("ws_a")) === 0 && size(col("ws_b")) === 0)
+        || least(size(col("ws_a")), size(col("ws_b"))).cast("double")
+          / greatest(size(col("ws_a")), size(col("ws_b"))).cast("double") >= threshold)
+      .withColumn("wjaccard", call_function("graft_sorted_jaccard", col("ws_a"), col("ws_b")))
+      .filter(col("wjaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("wjaccard"))
+  }
+
   /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo 1995): sort
     * each block by a cheap key, compare only rows within `windowSize`
     * rank positions, verify survivors with exact word-set Jaccard. The

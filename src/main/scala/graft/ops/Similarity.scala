@@ -156,6 +156,51 @@ object Similarity {
         .as("overlap_at_k"))
   }
 
+  /** Dominant direction of an embedding collection by two exact fixed-point
+    * power-iteration steps — the anisotropy / representation-collapse audit
+    * (Ethayarajh 2019 shape): embeddings whose mass concentrates on one
+    * direction carry far less usable signal than their dimension suggests,
+    * and the dominant direction is what "all vectors look alike" looks like.
+    *
+    * Never materializes the d×d Gram matrix: (G·v)ᵢ = Σ_rows qᵣᵢ·(qᵣ·v), so
+    * each step is one row-local dot (against the broadcast 64-row previous
+    * vector) plus one shuffle keyed on dim — O(rows·d) work, d-sized state.
+    * Between steps the vector renormalizes to ±10⁶ fixed-point by INTEGER
+    * division of nonnegative operands (sign split off first — Spark `DIV`
+    * truncates where DuckDB `//` floors, they agree only ≥ 0), so every
+    * intermediate stays exact and the next step's products fit DECIMAL(38,0)
+    * at any corpus size. Output: one row per dimension with the normalized
+    * direction component — exact BIGINTs, engine-stable.
+    */
+  def dominantDirection(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val ex = df
+      .select(col(idCol).as("id"), posexplode(fixedPoint(col(embCol))))
+      .toDF("id", "dim", "q")
+      .localCheckpoint() // feeds both iterations + the final projection
+    // step 1: v1 = G·1 without G — row dot against the all-ones vector is
+    // the row SUM, then one dim-keyed shuffle
+    val s = ex.groupBy(col("id")).agg(sum(col("q")).as("s"))
+    val v1 = ex.join(s, Seq("id"))
+      .groupBy(col("dim"))
+      .agg(sum(col("q").cast("decimal(38,0)") * col("s").cast("decimal(38,0)")).as("v"))
+    def normalized(v: DataFrame): DataFrame = {
+      val m = v.agg(max(abs(col("v"))).as("maxabs"))
+      v.crossJoin(broadcast(m))
+        .select(col("dim"),
+          when(col("maxabs") === 0, lit(0L)).otherwise(
+            signum(col("v")).cast("long") *
+              expr("CAST(abs(v) * 1000000 AS DECIMAL(38,0)) DIV maxabs")).as("u"))
+    }
+    val u1 = normalized(v1).localCheckpoint() // broadcast side of step 2
+    // step 2: t_r = q_r · u1 (row-local after the dim join), v2 = Σ q_r·t_r
+    val tr = ex.join(broadcast(u1), Seq("dim"))
+      .groupBy(col("id")).agg(sum(col("q") * col("u")).as("t"))
+    val v2 = ex.join(tr, Seq("id"))
+      .groupBy(col("dim"))
+      .agg(sum(col("q").cast("decimal(38,0)") * col("t").cast("decimal(38,0)")).as("v"))
+    normalized(v2).select(col("dim"), col("u").as("direction_fixed"))
+  }
+
   /** k-NN label audit (the confident-learning move, Northcutt 2021): for
     * each query vector, the label histogram of its k nearest neighbors;
     * a vector whose own label disagrees with the neighborhood majority is

@@ -554,6 +554,55 @@ class OpsSpec extends SparkTestBase {
     assert(dists.forall(d => d >= 0 && d <= 2), s"bad distances: ${dists.toSet}")
   }
 
+  test("dominantDirection: matches explicit Gram power iteration; flags a planted axis") {
+    import spark.implicits._
+    // 40 vectors mostly along dim 1 (with noise on dims 0/2): the dominant
+    // direction must put |component| = 1e6 on dim 1 and small values elsewhere
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array(0.01f * (i % 5), if (i % 2 == 0) 0.9f else -0.9f, 0.02f * (i % 3)))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.dominantDirection(df, "vec_id", "embedding")
+      .orderBy(col("dim")).as[(Int, Long)].collect()
+    assert(got.map(_._1).toSeq == Seq(0, 1, 2))
+    assert(math.abs(got(1)._2) == 1000000L, s"planted axis not dominant: ${got.toSeq}")
+    assert(math.abs(got(0)._2) < 200000L && math.abs(got(2)._2) < 200000L)
+    // differential vs explicit Gram arithmetic (exact integer mirror)
+    val q = vecs.map { case (_, e) => e.map(x => math.round(x.toDouble * 1000000L)) }
+    val d = 3
+    val g = Array.tabulate(d, d)((i, j) => q.map(r => BigInt(r(i)) * BigInt(r(j))).sum)
+    val v1 = Array.tabulate(d)(i => (0 until d).map(j => g(i)(j)).sum)
+    def norm(v: Array[BigInt]): Array[Long] = {
+      val m = v.map(_.abs).max
+      v.map(x => (x.signum * (x.abs * 1000000 / m)).toLong)
+    }
+    val u1 = norm(v1)
+    val t = q.map(r => (0 until d).map(i => BigInt(r(i)) * u1(i)).sum)
+    val v2 = Array.tabulate(d)(i => q.indices.map(r => BigInt(q(r)(i)) * t(r)).sum)
+    assert(got.map(_._2).toSeq == norm(v2).toSeq, "no-Gram formulation diverges from Gram form")
+  }
+
+  test("multisetJaccardPairs: multiplicity-aware — equals brute force, differs from set form") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a a a b"), // vs doc1: same vocab (set jaccard 1.0) but Σmin=2, Σmax=6 → 1/3
+      (1L, "a b b b"),
+      (2L, "a a a b"), // exact dup of 0 -> wj 1.0
+      (3L, "c d")
+    ).toDF("doc_id", "text")
+    val got = Dedup.multisetJaccardPairs(docs, "doc_id", "text", threshold = 0.0, maxId = 10L)
+      .as[(Long, Long, Double)].collect().map(r => ((r._1, r._2), r._3)).toMap
+    assert(got((0L, 2L)) == 1.0)
+    assert(math.abs(got((0L, 1L)) - 2.0 / 6.0) < 1e-12,
+      s"multiset semantics wrong: ${got((0L, 1L))}")
+    assert(got((0L, 3L)) == 0.0)
+    // the set-granularity form scores (0,1) at 1.0 — same vocab; the
+    // multiset form must NOT
+    val setJ = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.9, maxId = 10L)
+      .as[(Long, Long, Double)].collect().map(r => ((r._1, r._2), r._3)).toMap
+    assert(setJ((0L, 1L)) == 1.0 && got((0L, 1L)) < 0.9)
+  }
+
   test("merkleManifest: partition-order free; a one-row edit changes exactly one leaf") {
     import spark.implicits._
     val rows = (0L until 200L).map(i => (i, s"group${i % 2}", s"payload-$i"))
