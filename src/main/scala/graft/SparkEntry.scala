@@ -5413,6 +5413,59 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- image near-dup pairs by perceptual average-hash over REAL BMP
+    // pixel decode (the q86 encode→decode device extended from headers to
+    // PIXELS): 8×8 24bpp thumbnails synthesized from doc_id arithmetic —
+    // groups of 4 docs share a base image, variants perturb one pixel —
+    // then Multimodal.aHash byte-parses the pixel array (bottom-up rows,
+    // stride, channel offset: any decoder slip shifts bits and goes red
+    // against the formula-recomputing oracle), and hamming-≤3 pairs come
+    // from a 4×16-bit band join (pigeonhole: ≤3 flipped bits leave ≥1 of 4
+    // bands exact) with bit_count verify — never an all-pairs scan. The
+    // oracle brute-forces all pairs, so banding recall = 1.0 is GATED, not
+    // assumed. ----
+    "q261_ahash_neardup" -> ((s, dir) => {
+      val header = "424d" + "f6000000" + "00000000" + "36000000" +
+        "28000000" + "08000000" + "08000000" + "0100" + "1800" + ("00" * 24)
+      val gen = t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("doc_id DIV 4").as("g"), expr("doc_id % 4").as("r"))
+        // stored (bottom-up) byte order: stored row s holds logical row 7−s
+        .withColumn("idx", expr("transform(sequence(0, 63), j -> (7 - (j DIV 8)) * 8 + (j % 8))"))
+        .withColumn("pix", expr(
+          "transform(idx, i -> CAST(pmod(g*37 + i*101 + i*i*13 + i*(g % 13)*29" +
+            " + IF(r > 0 AND i = 7*r + 3, 128, 0), 256) AS INT))"))
+        .withColumn("payload", unhex(concat(lit(header), expr(
+          "array_join(transform(pix, v -> concat(format_string('%02x', v)," +
+            " format_string('%02x', v), format_string('%02x', v))), '')"))))
+      val hashed = Multimodal
+        .aHash(gen.select(col("doc_id"), col("payload")), "payload")
+        .select(col("doc_id"), col("ahash_lo"), col("ahash_hi"))
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .localCheckpoint() // both sides of the band self-join
+      val bands = hashed.select(col("doc_id"), col("ahash_lo"), col("ahash_hi"),
+        explode(array(
+          struct(lit(0).as("band"), expr("ahash_lo % 65536").as("key")),
+          struct(lit(1).as("band"), expr("ahash_lo DIV 65536").as("key")),
+          struct(lit(2).as("band"), expr("ahash_hi % 65536").as("key")),
+          struct(lit(3).as("band"), expr("ahash_hi DIV 65536").as("key")))).as("b"))
+        .select(col("doc_id"), col("ahash_lo"), col("ahash_hi"),
+          col("b.band").as("band"), col("b.key").as("key"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.ahash_lo").as("loa"), col("a.ahash_hi").as("hia"),
+          col("b.ahash_lo").as("lob"), col("b.ahash_hi").as("hib"))
+        .distinct() // a pair can match in several bands
+      cand
+        .withColumn("hamming", expr(
+          "CAST(bit_count(loa ^ lob) + bit_count(hia ^ hib) AS INT)"))
+        .filter(col("hamming") <= 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- two-level Merkle manifest per source (dataset-versioning device;
     // complements q171's flat commutative fingerprint by LOCALIZING any
     // mismatch to a leaf instead of "somewhere in the table") ----
@@ -9105,6 +9158,31 @@ object SparkEntry {
         |JOIN tot ta ON ta.doc_id = id_a
         |JOIN tot tb ON tb.doc_id = id_b
         |WHERE i::DOUBLE / (ta.n + tb.n - i)::DOUBLE >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q261_ahash_neardup" ->
+      """WITH px AS (
+        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS r FROM documents),
+        |v AS (
+        |  SELECT doc_id, i,
+        |    (g*37 + i*101 + i*i*13 + i*(g % 13)*29
+        |      + CASE WHEN r > 0 AND i = 7*r + 3 THEN 128 ELSE 0 END) % 256 AS v
+        |  FROM px, LATERAL (SELECT unnest(range(0, 64)) AS i)),
+        |b AS (
+        |  SELECT doc_id, i, v,
+        |    SUM(v) OVER (PARTITION BY doc_id) AS s,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM v),
+        |hs AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN i < 32 AND n*v > s THEN (CAST(1 AS BIGINT) << i)
+        |      ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(SUM(CASE WHEN i >= 32 AND n*v > s THEN (CAST(1 AS BIGINT) << (i - 32))
+        |      ELSE 0 END) AS BIGINT) AS hi
+        |  FROM b GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+        |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
     "q257_merkle_manifest" ->
       """WITH leaves AS (

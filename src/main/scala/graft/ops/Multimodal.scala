@@ -99,6 +99,68 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual average-hash of 24bpp BMP payloads — REAL pixel decode, the
+    * image near-dup signature (aHash: bit i = "pixel i brighter than the
+    * image mean"). Byte-level contract a wrong parser cannot fake past the
+    * oracle: pixel array at the LE32 offset @10, rows stored BOTTOM-UP
+    * (logical row r reads stored row h−1−r), stride padded to 4 bytes,
+    * gray taken from the blue channel (synthetic grayscale: B=G=R). The
+    * mean compare is exact integer cross-multiplication (n·v > Σv — no
+    * float mean), bits pack row-major into two 32-pixel halves carried as
+    * nonnegative LONGs (bit i of the logical image is bit i%32 of half
+    * i/32 — no sign-bit trap at pixel 63).
+    *
+    * Scale shape: row-local map (mapPartitions, one output row per input
+    * row) — the signature stage of an image-dedup pipeline; pair-finding
+    * happens downstream on the 64-bit hash (banding + hamming verify),
+    * never on pixels.
+    */
+  def aHash(df: DataFrame, binCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("ahash_lo", LongType), StructField("ahash_hi", LongType)))
+    val binIdx = inSchema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.getAs[Array[Byte]](binIdx)
+        val hash: Seq[Any] =
+          if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M' ||
+            le16(b, 28) != 24) Seq(null, null)
+          else {
+            val off = le32(b, 10)
+            val w = le32(b, 18)
+            val h = le32(b, 22)
+            val stride = ((w * 3 + 3) / 4) * 4
+            if (w <= 0 || h <= 0 || w.toLong * h > 64 ||
+              off.toLong + h.toLong * stride > b.length) Seq(null, null)
+            else {
+              val n = w * h
+              val v = new Array[Int](n)
+              var i = 0
+              while (i < n) {
+                val row = i / w; val colI = i % w
+                v(i) = b(off + (h - 1 - row) * stride + colI * 3) & 0xff
+                i += 1
+              }
+              var sum = 0L
+              v.foreach(sum += _)
+              var lo = 0L; var hi = 0L
+              i = 0
+              while (i < n) {
+                if (n.toLong * v(i) > sum) {
+                  if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+                }
+                i += 1
+              }
+              Seq(lo, hi)
+            }
+          }
+        Row.fromSeq(r.toSeq ++ hash)
+      }
+    }(enc)
+  }
+
   /** Deterministic frame sampling over chunked payloads: split the binary
     * into fixed-size chunks, keep every `stride`-th chunk ("frame"), and
     * attach a content signature per sampled frame — the shape a video/audio

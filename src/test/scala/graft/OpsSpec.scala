@@ -603,6 +603,30 @@ class OpsSpec extends SparkTestBase {
     assert(setJ((0L, 1L)) == 1.0 && got((0L, 1L)) < 0.9)
   }
 
+  test("aHash: decodes bottom-up rows and stride padding; malformed payloads yield NULL") {
+    import spark.implicits._
+    // hand-built 2x2 24bpp BMP, stride 8 (2*3 -> padded to 8): logical image
+    //   top row:    200 200
+    //   bottom row:  10  10
+    // stored bottom-up: row0=bottom first. mean=105 -> bits: top pixels 1.
+    // logical index: (0,0)=0, (0,1)=1, (1,0)=2, (1,1)=3 -> lo = 0b0011 = 3
+    def le32h(v: Int) = f"${v & 0xff}%02x${(v >> 8) & 0xff}%02x${(v >> 16) & 0xff}%02x${(v >> 24) & 0xff}%02x"
+    def px(v: Int) = f"$v%02x$v%02x$v%02x"
+    val hex = "424d" + le32h(54 + 16) + "00000000" + le32h(54) +
+      le32h(40) + le32h(2) + le32h(2) + "0100" + "1800" + ("00" * 24) +
+      px(10) + px(10) + "0000" + // stored row 0 = logical BOTTOM row + 2 pad bytes
+      px(200) + px(200) + "0000" // stored row 1 = logical TOP row
+    val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val df = Seq((1L, bytes), (2L, Array[Byte](1, 2, 3)), (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val got = Multimodal.aHash(df, "payload")
+      .select(col("id"), col("ahash_lo"), col("ahash_hi"))
+      .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(got(0) == ((1L, Some(3L), Some(0L))),
+      s"orientation/stride decode wrong: ${got(0)} (a top-down reader gets lo=12)")
+    assert(got(1)._2.isEmpty && got(2)._2.isEmpty, "malformed payloads must be NULL, not crash")
+  }
+
   test("merkleManifest: partition-order free; a one-row edit changes exactly one leaf") {
     import spark.implicits._
     val rows = (0L until 200L).map(i => (i, s"group${i % 2}", s"payload-$i"))
