@@ -5466,6 +5466,137 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- corpus preprocessing FUNNEL (the capstone composition): per
+    // source, docs surviving each pipeline stage in sequence — quality
+    // rules (q255's panel, all 5), exact dedup (q22's word-set survivor,
+    // computed WITHIN the quality-passing population), decontamination
+    // (q57's shared-3-gram probe vs the held-out benchmark slice, ≥5
+    // shared grams drops the doc). The number every dataset card leads
+    // with: "X billion docs in, Y out, here is where they went". Stage
+    // flags are row-local over three keyed aggregates; no stage is
+    // pairwise. ----
+    "q262_corpus_funnel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .filter(col("doc_id") % 50 =!= 0) // benchmark slice is NOT corpus (q57)
+        .select(col("doc_id"), col("source"), col("text"))
+        .localCheckpoint() // token stats + signature + gram probe share it
+      val toks = docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val perTok = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      val stats = perTok.groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("n_tok"), count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_cnt"),
+          sum(when(col("tok").isin(TextAnalysis.EnStopwords: _*), col("c"))
+            .otherwise(lit(0L))).cast("long").as("n_stop"))
+      val quality = docs
+        .join(stats, Seq("doc_id"))
+        .withColumn("n_chars_ns",
+          length(regexp_replace(col("text"), "[ \\t\\n\\r]+", "")).cast("long"))
+        .withColumn("pass_quality",
+          col("n_tok") >= 30L &&
+            col("n_chars_ns") >= col("n_tok") * 3L && col("n_chars_ns") <= col("n_tok") * 10L &&
+            col("n_stop") * 50L >= col("n_tok") &&
+            col("top_cnt") * 5L <= col("n_tok") &&
+            col("n_distinct") * 5L >= col("n_tok") * 2L)
+        .select(col("doc_id"), col("source"), col("text"), col("pass_quality"))
+        .localCheckpoint() // survivor window + gram probe + final rollup
+      // exact-dedup survivors among quality passers: min doc_id per signature
+      val W = org.apache.spark.sql.expressions.Window
+      val surv = quality.filter(col("pass_quality"))
+        .withColumn("sig", Dedup.wordSetSignature(col("text")))
+        .withColumn("is_survivor",
+          row_number().over(W.partitionBy(col("sig")).orderBy(col("doc_id"))) === 1)
+        .select(col("doc_id"), col("is_survivor"))
+      // contamination: distinct 3-grams shared with the benchmark slice
+      val grams = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(col("doc_id"), explode(TextAnalysis.ngrams(col("text"), 3)).as("gram"))
+      val benchGrams = grams.filter(col("doc_id") % 50 === 0).select(col("gram")).distinct()
+      val shared = grams.filter(col("doc_id") % 50 =!= 0)
+        .join(benchGrams, Seq("gram"), "left_semi")
+        .groupBy(col("doc_id")).agg(countDistinct(col("gram")).as("n_shared"))
+      val flags = quality
+        .join(surv, Seq("doc_id"), "left").na.fill(false, Seq("is_survivor"))
+        .join(shared, Seq("doc_id"), "left").na.fill(0L, Seq("n_shared"))
+        .withColumn("s1", col("pass_quality"))
+        .withColumn("s2", col("s1") && col("is_survivor"))
+        .withColumn("s3", col("s2") && col("n_shared") < 5L)
+      flags
+        .select(col("source"), explode(array(
+          struct(lit(0).as("stage_idx"), lit("ingested").as("stage"), lit(true).as("pass")),
+          struct(lit(1).as("stage_idx"), lit("quality").as("stage"), col("s1").as("pass")),
+          struct(lit(2).as("stage_idx"), lit("exact_dedup").as("stage"), col("s2").as("pass")),
+          struct(lit(3).as("stage_idx"), lit("decontaminated").as("stage"), col("s3").as("pass"))
+        )).as("v"))
+        .filter(col("v.pass"))
+        .groupBy(col("source"), col("v.stage_idx").as("stage_idx"), col("v.stage").as("stage"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("stage_idx"))
+    }),
+
+    // ---- int8 scalar-quantization audit per embedding dimension (the SQ8
+    // flat-index compression next to q74's PQ): codes and reconstructions
+    // in exact half-up integer rounding (floor((2·255·(q−lo) + span) /
+    // (2·span)) — all operands nonnegative, so Spark DIV and DuckDB //
+    // agree), max/mean absolute reconstruction error per dim in fixed-point
+    // units — "is 4× compression safe for THIS embedding column". ----
+    "q263_sq8_audit" -> ((s, dir) => {
+      val ex = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(Similarity.fixedPoint(col("embedding"))))
+        .toDF("vec_id", "dim", "q")
+        .localCheckpoint() // range pass + error pass
+      val rng = ex.groupBy(col("dim"))
+        .agg(min(col("q")).as("lo"), max(col("q")).as("hi"))
+      ex.join(rng, Seq("dim"))
+        .withColumn("span", col("hi") - col("lo"))
+        .withColumn("code", when(col("span") === 0, lit(0L))
+          .otherwise(expr("(2 * 255 * (q - lo) + span) DIV (2 * span)")))
+        .withColumn("recon", when(col("span") === 0, col("lo"))
+          .otherwise(col("lo") + expr("(2 * code * span + 255) DIV (2 * 255)")))
+        .withColumn("err", abs(col("q") - col("recon")))
+        .groupBy(col("dim"))
+        .agg(min(col("lo")).as("lo_fixed"), min(col("hi")).as("hi_fixed"),
+          max(col("err")).as("max_abs_err"),
+          sum(col("err")).as("sum_err"), count(lit(1)).as("n"))
+        .withColumn("mean_abs_err", col("sum_err").cast("double") / col("n").cast("double"))
+        .select(col("dim"), col("lo_fixed"), col("hi_fixed"),
+          col("max_abs_err"), col("mean_abs_err"))
+        .orderBy(col("dim"))
+    }),
+
+    // ---- incremental JOIN-view maintenance (the join twin of q197's
+    // aggregate merge): Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB, merged at the
+    // aggregate level and gated against the full recompute — the streaming
+    // materialized-view algebra run as a batch proof. Both sides carry
+    // deltas (coprime key slices) so all three delta terms are nonempty. ----
+    "q264_ivm_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          (col("l_orderkey") % 97 === 0).as("d_a"))
+        .localCheckpoint() // old/delta slices + the full recompute
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (col("o_orderkey") % 89 === 0).as("d_b"))
+        .localCheckpoint()
+      def agg(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+        l.join(r, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      val aOld = li.filter(!col("d_a")); val dA = li.filter(col("d_a"))
+      val bOld = o.filter(!col("d_b")); val dB = o.filter(col("d_b"))
+      val merged = Seq(agg(aOld, bOld), agg(dA, bOld), agg(aOld, dB), agg(dA, dB))
+        .reduce(_ unionByName _)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).as("n_merged"), sum(col("cents")).as("cents_merged"))
+      val full = agg(li, o)
+        .withColumnsRenamed(Map("n" -> "n_full", "cents" -> "cents_full"))
+      merged.join(full, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n_full"), col("cents_full"),
+          (col("n_merged") === col("n_full")).as("n_matches"),
+          (col("cents_merged") === col("cents_full")).as("cents_match"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ---- two-level Merkle manifest per source (dataset-versioning device;
     // complements q171's flat commutative fingerprint by LOCALIZING any
     // mismatch to a leaf instead of "somewhere in the table") ----
@@ -9159,6 +9290,112 @@ object SparkEntry {
         |JOIN tot tb ON tb.doc_id = id_b
         |WHERE i::DOUBLE / (ta.n + tb.n - i)::DOUBLE >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
+    "q262_corpus_funnel" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id % 50 <> 0),
+        |tk AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tok
+        |  FROM corpus WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |pc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY doc_id, tok),
+        |st AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok, COUNT(*) AS n_distinct,
+        |    MAX(c) AS top_cnt,
+        |    CAST(SUM(CASE WHEN tok IN ('the','a','an','of','and','to','in','is','it','that','for')
+        |      THEN c ELSE 0 END) AS BIGINT) AS n_stop
+        |  FROM pc GROUP BY doc_id),
+        |q AS (
+        |  SELECT c.doc_id, c.source, c.text,
+        |    (n_tok >= 30
+        |      AND length(regexp_replace(text, '[ \t\n\r]+', '', 'g')) >= n_tok * 3
+        |      AND length(regexp_replace(text, '[ \t\n\r]+', '', 'g')) <= n_tok * 10
+        |      AND n_stop * 50 >= n_tok
+        |      AND top_cnt * 5 <= n_tok
+        |      AND n_distinct * 5 >= n_tok * 2) AS pass_quality
+        |  FROM corpus c JOIN st ON c.doc_id = st.doc_id),
+        |sv AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(
+        |      list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))), ' '))
+        |      ORDER BY doc_id) = 1 AS is_survivor
+        |  FROM q WHERE pass_quality),
+        |g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN []
+        |    ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END)
+        |    AS gram
+        |  FROM (SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS toks
+        |    FROM documents)),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |sh AS (
+        |  SELECT doc_id, COUNT(DISTINCT gram) AS n_shared
+        |  FROM g JOIN bench USING (gram) WHERE doc_id % 50 <> 0 GROUP BY doc_id),
+        |flags AS (
+        |  SELECT q.source, q.pass_quality AS s1,
+        |    q.pass_quality AND COALESCE(sv.is_survivor, FALSE) AS s2,
+        |    q.pass_quality AND COALESCE(sv.is_survivor, FALSE)
+        |      AND COALESCE(sh.n_shared, 0) < 5 AS s3
+        |  FROM q LEFT JOIN sv ON q.doc_id = sv.doc_id LEFT JOIN sh ON q.doc_id = sh.doc_id),
+        |r AS (
+        |  SELECT source, 0 AS stage_idx, 'ingested' AS stage, TRUE AS pass FROM flags
+        |  UNION ALL SELECT source, 1, 'quality', s1 FROM flags
+        |  UNION ALL SELECT source, 2, 'exact_dedup', s2 FROM flags
+        |  UNION ALL SELECT source, 3, 'decontaminated', s3 FROM flags)
+        |SELECT source, stage_idx, stage, COUNT(*) AS n_docs
+        |FROM r WHERE pass GROUP BY source, stage_idx, stage
+        |ORDER BY source, stage_idx""".stripMargin,
+    "q263_sq8_audit" ->
+      """WITH ex AS (
+        |  SELECT vec_id, i - 1 AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)),
+        |rng AS (SELECT dim, MIN(q) AS lo, MAX(q) AS hi FROM ex GROUP BY dim),
+        |e AS (
+        |  SELECT dim, q, lo, hi, hi - lo AS span,
+        |    CASE WHEN hi - lo = 0 THEN 0
+        |      ELSE (2 * 255 * (q - lo) + (hi - lo)) // (2 * (hi - lo)) END AS code
+        |  FROM ex JOIN rng USING (dim)),
+        |r AS (
+        |  SELECT dim, lo, hi,
+        |    abs(q - (CASE WHEN span = 0 THEN lo
+        |      ELSE lo + (2 * code * span + 255) // (2 * 255) END)) AS err
+        |  FROM e)
+        |SELECT dim, MIN(lo) AS lo_fixed, MIN(hi) AS hi_fixed,
+        |  CAST(MAX(err) AS BIGINT) AS max_abs_err,
+        |  CAST(SUM(err) AS BIGINT)::DOUBLE / COUNT(*)::DOUBLE AS mean_abs_err
+        |FROM r GROUP BY dim ORDER BY dim""".stripMargin,
+    "q264_ivm_join" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    l_orderkey % 97 = 0 AS d_a
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT o_orderkey, o_orderpriority, o_orderkey % 89 = 0 AS d_b FROM orders),
+        |parts AS (
+        |  SELECT o_orderpriority, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |  FROM li JOIN o ON l_orderkey = o_orderkey WHERE NOT d_a AND NOT d_b GROUP BY 1
+        |  UNION ALL
+        |  SELECT o_orderpriority, COUNT(*), CAST(SUM(cents) AS BIGINT)
+        |  FROM li JOIN o ON l_orderkey = o_orderkey WHERE d_a AND NOT d_b GROUP BY 1
+        |  UNION ALL
+        |  SELECT o_orderpriority, COUNT(*), CAST(SUM(cents) AS BIGINT)
+        |  FROM li JOIN o ON l_orderkey = o_orderkey WHERE NOT d_a AND d_b GROUP BY 1
+        |  UNION ALL
+        |  SELECT o_orderpriority, COUNT(*), CAST(SUM(cents) AS BIGINT)
+        |  FROM li JOIN o ON l_orderkey = o_orderkey WHERE d_a AND d_b GROUP BY 1),
+        |merged AS (
+        |  SELECT o_orderpriority, CAST(SUM(n) AS BIGINT) AS n_merged,
+        |    CAST(SUM(cents) AS BIGINT) AS cents_merged
+        |  FROM parts GROUP BY 1),
+        |f AS (
+        |  SELECT o_orderpriority, COUNT(*) AS n_full, CAST(SUM(cents) AS BIGINT) AS cents_full
+        |  FROM li JOIN o ON l_orderkey = o_orderkey GROUP BY 1)
+        |SELECT o_orderpriority, n_full, cents_full,
+        |  n_merged = n_full AS n_matches,
+        |  cents_merged = cents_full AS cents_match
+        |FROM merged JOIN f USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
     "q261_ahash_neardup" ->
       """WITH px AS (
         |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS r FROM documents),
