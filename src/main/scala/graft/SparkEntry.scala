@@ -5837,6 +5837,41 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- streaming exactly-once dedup under re-delivery: every 10th event
+    // re-arrives a minute later (jittered timestamp, same id — the at-least-
+    // once delivery shape), `dropDuplicatesWithinWatermark` state drops the
+    // replay; the gate is the strongest possible: the deduped stream must
+    // equal the ORIGINAL batch exactly. Output projects only replay-
+    // invariant columns (which survivor's ts wins is micro-batch order,
+    // not semantics). ----
+    "q272_stream_dedup" -> ((s, dir) => {
+      val ev = Tables.eventsStream(s, dir)
+        .select(col("event_id"), col("event_type"), col("ts"))
+      val redelivered = ev.filter(col("event_id") % 10 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 MINUTE"))
+      val deduped = graft.streaming.StreamOps
+        .dedupEvents(ev.unionAll(redelivered), "event_id")
+        .select(col("event_id"), col("event_type"))
+      graft.streaming.StreamOps.runToMemory(s, deduped, "q272_mem")
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- stream-stream interval join (view → purchase within 30 minutes):
+    // watermarked state on BOTH sides, the fan-in bounded by the skew
+    // window — gated against the batch interval join over the same file ----
+    "q273_stream_join" -> ((s, dir) => {
+      def stream = Tables.eventsStream(s, dir)
+      val views = stream.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("event_id").as("purchase_id"))
+      graft.streaming.StreamOps.runToMemory(s,
+        graft.streaming.StreamOps.streamStreamJoin(views, purchases, key = "user_id",
+          leftTs = "ts", rightTs = "pts", skew = "30 minutes")
+          .select(col("view_id"), col("purchase_id")), "q273_mem")
+        .orderBy(col("view_id"), col("purchase_id"))
+    }),
+
     // ---- two-level Merkle manifest per source (dataset-versioning device;
     // complements q171's flat commutative fingerprint by LOCALIZING any
     // mismatch to a leaf instead of "somewhere in the table") ----
@@ -9690,6 +9725,14 @@ object SparkEntry {
         |  tokens::DOUBLE * LEAST(cap::DOUBLE, lam_num::DOUBLE / lam_den::DOUBLE)
         |    AS alloc_tokens
         |FROM ranked CROSS JOIN lam ORDER BY source""".stripMargin,
+    "q272_stream_dedup" ->
+      """SELECT event_id, event_type FROM events ORDER BY event_id""",
+    "q273_stream_join" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id
+        |FROM events v JOIN events p ON v.user_id = p.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts BETWEEN v.ts AND v.ts + INTERVAL 30 MINUTE
+        |ORDER BY view_id, purchase_id""".stripMargin,
     "q262_corpus_funnel" ->
       """WITH corpus AS (
         |  SELECT doc_id, source, text FROM documents WHERE doc_id % 50 <> 0),

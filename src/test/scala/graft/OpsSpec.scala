@@ -562,7 +562,7 @@ class OpsSpec extends SparkTestBase {
       (i.toLong, Array(0.01f * (i % 5), if (i % 2 == 0) 0.9f else -0.9f, 0.02f * (i % 3)))
     }
     val df = vecs.toDF("vec_id", "embedding")
-    val got = Similarity.dominantDirection(df, "vec_id", "embedding")
+    val got = Similarity.dominantDirection(df, "vec_id", "embedding", dims = 3)
       .orderBy(col("dim")).as[(Int, Long)].collect()
     assert(got.map(_._1).toSeq == Seq(0, 1, 2))
     assert(math.abs(got(1)._2) == 1000000L, s"planted axis not dominant: ${got.toSeq}")

@@ -161,4 +161,30 @@ class PlanSpec extends SparkTestBase {
       p.contains("HashAggregate"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q261 aHash banding pairs on equi-joins, never a pixel-level pair scan") {
+    val p = plan(q("q261_ahash_neardup"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q268 maxsim: the query panel broadcasts, the corpus side never shuffles on pairs") {
+    val p = plan(q("q268_maxsim_retrieval"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // per-slot max and per-doc sum both combine map-side
+    assert(p.contains("partial_max") || p.contains("partial_sum"), p)
+  }
+
+  test("q257 merkle manifest is two hash aggregates, no window, no sort-by-all") {
+    val p = plan(q("q257_merkle_manifest"))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q269 TA merge: refinement join is a semi join on candidate terms") {
+    val p = plan(q("q269_shard_topk_merge"))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
