@@ -5872,6 +5872,68 @@ object SparkEntry {
         .orderBy(col("view_id"), col("purchase_id"))
     }),
 
+    // ---- autocorrelation of the daily revenue series at lags 1 and 7
+    // (the seasonality detector behind q210's indices): Pearson r over
+    // (day, day+k) pairs from a calendar self-join, moments exact DECIMAL
+    // (q146's device), one double division + sqrt at the surface. The
+    // series is calendar-sized — every stage after the daily rollup is
+    // bounded by distinct days, not fact rows. ----
+    "q274_autocorrelation" -> ((s, dir) => {
+      val d0 = DecimalType(38, 0)
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").as("day"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
+        .localCheckpoint() // both sides of each lag join
+      val lags = Seq(1, 7).map { k =>
+        daily.as("a").join(daily.as("b"), expr(s"b.day = date_add(a.day, $k)"))
+          .select(lit(k).as("lag"), col("a.rev").as("x"), col("b.rev").as("y"))
+      }.reduce(_ unionAll _)
+      lags.groupBy(col("lag"))
+        .agg(count(lit(1)).cast(d0).as("nn"),
+          sum(col("x").cast(d0)).as("sx"), sum(col("y").cast(d0)).as("sy"),
+          sum(col("x").cast(d0) * col("x").cast(d0)).as("sxx"),
+          sum(col("y").cast(d0) * col("y").cast(d0)).as("syy"),
+          sum(col("x").cast(d0) * col("y").cast(d0)).as("sxy"))
+        .select(col("lag"), col("nn").cast("long").as("n_pairs"),
+          ((col("nn") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("nn") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * sqrt((col("nn") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("acf"))
+        .orderBy(col("lag"))
+    }),
+
+    // ---- entity-resolution blocking-scheme evaluation (pair completeness
+    // vs reduction ratio — the two numbers every blocking design is judged
+    // by): truth = exact word-set duplicate pairs, scheme = first-2-token
+    // block key. NO pair is ever materialized: all three pair counts are
+    // Σ C(m, 2) over group-size aggregates — a shuffled-bag duplicate
+    // whose leading tokens moved lands in another block, which is exactly
+    // the recall loss this audit exists to measure. ----
+    "q275_blocking_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(col("doc_id"),
+          Dedup.wordSetSignature(col("text")).as("sig"),
+          array_join(slice(TextAnalysis.tokens(col("text")), 1, 2), " ").as("block"))
+        .localCheckpoint() // three group-size aggregates share it
+      val pairsOfM = expr("m * (m - 1) DIV 2")
+      val truePairs = docs.groupBy(col("sig")).agg(count(lit(1)).as("m"))
+        .agg(coalesce(sum(pairsOfM), lit(0L)).as("true_pairs"))
+      val candPairs = docs.groupBy(col("block")).agg(count(lit(1)).as("m"))
+        .agg(coalesce(sum(pairsOfM), lit(0L)).as("candidate_pairs"))
+      val foundPairs = docs.groupBy(col("sig"), col("block")).agg(count(lit(1)).as("m"))
+        .agg(coalesce(sum(pairsOfM), lit(0L)).as("found_pairs"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      n.crossJoin(broadcast(truePairs)).crossJoin(broadcast(candPairs))
+        .crossJoin(broadcast(foundPairs))
+        .withColumn("pair_completeness",
+          when(col("true_pairs") === 0, lit(1.0))
+            .otherwise(col("found_pairs").cast("double") / col("true_pairs").cast("double")))
+        .withColumn("reduction_ratio",
+          lit(1.0) - col("candidate_pairs").cast("double") /
+            expr("(n_docs * (n_docs - 1) DIV 2)").cast("double"))
+    }),
+
     // ---- two-level Merkle manifest per source (dataset-versioning device;
     // complements q171's flat commutative fingerprint by LOCALIZING any
     // mismatch to a leaf instead of "somewhere in the table") ----
@@ -9725,6 +9787,49 @@ object SparkEntry {
         |  tokens::DOUBLE * LEAST(cap::DOUBLE, lam_num::DOUBLE / lam_den::DOUBLE)
         |    AS alloc_tokens
         |FROM ranked CROSS JOIN lam ORDER BY source""".stripMargin,
+    "q274_autocorrelation" ->
+      """WITH daily AS (
+        |  SELECT l_shipdate AS day,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |lp AS (
+        |  SELECT 1 AS lag, a.rev AS x, b.rev AS y
+        |  FROM daily a JOIN daily b ON b.day = a.day + INTERVAL 1 DAY
+        |  UNION ALL
+        |  SELECT 7, a.rev, b.rev
+        |  FROM daily a JOIN daily b ON b.day = a.day + INTERVAL 7 DAY),
+        |m AS (
+        |  SELECT lag, COUNT(*) AS nn,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM lp GROUP BY lag)
+        |SELECT lag, CAST(nn AS BIGINT) AS n_pairs,
+        |  (nn * sxy - sx * sy)::DOUBLE
+        |    / (sqrt((nn * sxx - sx * sx)::DOUBLE) * sqrt((nn * syy - sy * sy)::DOUBLE))
+        |    AS acf
+        |FROM m ORDER BY lag""".stripMargin,
+    "q275_blocking_eval" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))), ' ')) AS sig,
+        |    array_to_string(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> t <> '')[1:2], ' ') AS block
+        |  FROM documents),
+        |tp AS (SELECT COALESCE(CAST(SUM(m * (m - 1) // 2) AS BIGINT), 0) AS true_pairs
+        |  FROM (SELECT COUNT(*) AS m FROM d GROUP BY sig)),
+        |cp AS (SELECT COALESCE(CAST(SUM(m * (m - 1) // 2) AS BIGINT), 0) AS candidate_pairs
+        |  FROM (SELECT COUNT(*) AS m FROM d GROUP BY block)),
+        |fp AS (SELECT COALESCE(CAST(SUM(m * (m - 1) // 2) AS BIGINT), 0) AS found_pairs
+        |  FROM (SELECT COUNT(*) AS m FROM d GROUP BY sig, block)),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM d)
+        |SELECT n_docs, true_pairs, candidate_pairs, found_pairs,
+        |  CASE WHEN true_pairs = 0 THEN 1.0
+        |    ELSE found_pairs::DOUBLE / true_pairs::DOUBLE END AS pair_completeness,
+        |  1.0 - candidate_pairs::DOUBLE / (n_docs * (n_docs - 1) // 2)::DOUBLE
+        |    AS reduction_ratio
+        |FROM nd CROSS JOIN tp CROSS JOIN cp CROSS JOIN fp""".stripMargin,
     "q272_stream_dedup" ->
       """SELECT event_id, event_type FROM events ORDER BY event_id""",
     "q273_stream_join" ->
