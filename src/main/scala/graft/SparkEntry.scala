@@ -5934,6 +5934,108 @@ object SparkEntry {
             expr("(n_docs * (n_docs - 1) DIV 2)").cast("double"))
     }),
 
+    // ---- best consecutive-day revenue run vs baseline (max-subarray by
+    // prefix sums — Kadane without the sequential scan): y_t = n·rev_t − S
+    // (integer, Σy = 0, so "above average" needs no division), best run
+    // ending at t = prefix_t − min(prefix before t, 0). The ordered window
+    // runs over the CALENDAR (distinct ship days — bounded), never fact
+    // rows. Start day resolves by matching the achieving prefix; a zero
+    // target prefers the virtual origin (the LONGEST optimal run). ----
+    "q276_best_run" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").as("day"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
+      val sc = daily.agg(count(lit(1)).as("n"), sum(col("rev")).as("s"))
+      val wOrd = W.orderBy(col("day"))
+      val pre = daily.crossJoin(broadcast(sc))
+        .withColumn("yv", col("n") * col("rev") - col("s"))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("prefix", sum(col("yv")).over(wOrd))
+        .withColumn("minpre", least(
+          coalesce(min(col("prefix")).over(wOrd.rowsBetween(W.unboundedPreceding, -1)),
+            lit(0L)), lit(0L)))
+        .withColumn("runsum", col("prefix") - col("minpre"))
+        .select(col("day"), col("rn"), col("prefix"), col("runsum"))
+        .localCheckpoint() // best row + start resolution + start-day lookup
+      val best = pre.orderBy(col("runsum").desc, col("day")).limit(1)
+        .select(col("rn").as("rn_e"), col("day").as("end_day"),
+          col("runsum").as("best_sum"), (col("prefix") - col("runsum")).as("target_pre"))
+      val rn0 = pre.join(broadcast(best),
+          col("prefix") === col("target_pre") && col("rn") < col("rn_e"))
+        .agg(min(col("rn")).as("rn_match"))
+      val startRn = broadcast(best.crossJoin(broadcast(rn0))
+        .withColumn("rn_s",
+          when(col("target_pre") === 0L, lit(1L)).otherwise(col("rn_match") + 1L)))
+      pre.join(startRn, col("rn") === col("rn_s"))
+        .select(col("day").as("start_day"), col("end_day"), col("best_sum"),
+          (col("rn_e") - col("rn_s") + 1L).cast("long").as("n_days"))
+    }),
+
+    // ---- price–volume decomposition of YoY brand revenue (the Laspeyres
+    // bridge every revenue review runs): ΔRev splits into a volume effect
+    // at base unit price ((q₁−q₀)·r₀/q₀) and the price/mix residual.
+    // Division is one sign-split fixed-point floor per brand (DECIMAL
+    // numerator — cents × 10⁶ exceeds LONG); the residual is defined as
+    // the exact remainder so the two effects sum to ΔRev·10⁶ by
+    // construction. ----
+    "q277_price_volume_decomp" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("yr", year(col("l_shipdate")))
+        .filter(col("yr").isin(1995, 1996))
+        .groupBy(col("p_brand"), col("yr"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
+        .localCheckpoint() // both year slices
+      val y0 = li.filter(col("yr") === 1995)
+        .select(col("p_brand"), col("qty").as("q0"), col("rev").as("r0"))
+      val y1 = li.filter(col("yr") === 1996)
+        .select(col("p_brand"), col("qty").as("q1"), col("rev").as("r1"))
+      y0.join(y1, Seq("p_brand"))
+        .filter(col("q0") > 0L)
+        .withColumn("vol_eff_fixed",
+          signum(col("q1") - col("q0")).cast("long") *
+            expr("CAST(abs(q1 - q0) AS DECIMAL(38,0)) * r0 * 1000000 DIV q0"))
+        .withColumn("delta_fixed",
+          expr("CAST((CAST(r1 AS DECIMAL(38,0)) - r0) * 1000000 AS BIGINT)"))
+        .withColumn("price_eff_fixed", col("delta_fixed") - col("vol_eff_fixed"))
+        .select(col("p_brand"), col("r0"), col("r1"),
+          col("vol_eff_fixed"), col("price_eff_fixed"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // ---- dedup-signal evaluation (the q161 move pointed at SimHash):
+    // precision/recall of the hamming-≤3 SimHash signal against exact
+    // weighted-Jaccard-≥0.8 truth on a bounded panel — "is the cheap
+    // sketch safe to deploy as the first dedup stage". Signal arm is the
+    // banded scalable device; truth arm is the bounded oracle-arm
+    // quadratic; the FULL OUTER pair join classifies TP/FP/FN without
+    // ever materializing non-pairs. ----
+    "q278_dedup_signal_eval" -> ((s, dir) => {
+      val panel = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      val signal = Dedup.simHashNearDups(panel, "doc_id", "text", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), lit(1).as("in_signal"))
+      val truth = Dedup.multisetJaccardPairs(panel, "doc_id", "text",
+          threshold = 0.8, maxId = 1000L)
+        .select(col("id_a"), col("id_b"), lit(1).as("in_truth"))
+      signal.join(truth, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          sum(when(col("in_signal").isNotNull && col("in_truth").isNotNull, 1L)
+            .otherwise(0L)).cast("long").as("tp"),
+          sum(when(col("in_signal").isNotNull && col("in_truth").isNull, 1L)
+            .otherwise(0L)).cast("long").as("fp"),
+          sum(when(col("in_signal").isNull && col("in_truth").isNotNull, 1L)
+            .otherwise(0L)).cast("long").as("fn"))
+        .withColumn("precision",
+          when(col("tp") + col("fp") === 0L, lit(1.0))
+            .otherwise(col("tp").cast("double") / (col("tp") + col("fp")).cast("double")))
+        .withColumn("recall",
+          when(col("tp") + col("fn") === 0L, lit(1.0))
+            .otherwise(col("tp").cast("double") / (col("tp") + col("fn")).cast("double")))
+    }),
+
     // ---- two-level Merkle manifest per source (dataset-versioning device;
     // complements q171's flat commutative fingerprint by LOCALIZING any
     // mismatch to a leaf instead of "somewhere in the table") ----
@@ -9830,6 +9932,113 @@ object SparkEntry {
         |  1.0 - candidate_pairs::DOUBLE / (n_docs * (n_docs - 1) // 2)::DOUBLE
         |    AS reduction_ratio
         |FROM nd CROSS JOIN tp CROSS JOIN cp CROSS JOIN fp""".stripMargin,
+    "q278_dedup_signal_eval" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |    ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS toks
+        |  FROM documents WHERE doc_id < 1000),
+        |tok AS (SELECT doc_id, unnest(toks) AS t FROM toks),
+        |h AS (SELECT doc_id,
+        |    ('0x' || substr(md5(t), 17, 8))::BIGINT AS hi,
+        |    ('0x' || substr(md5(t), 25, 8))::BIGINT AS lo
+        |  FROM tok),
+        |votes AS (
+        |  SELECT doc_id, bits.b AS b,
+        |    SUM(CASE WHEN bits.b < 32
+        |          THEN CASE WHEN (lo >> bits.b) & 1 = 1 THEN 1 ELSE -1 END
+        |          ELSE CASE WHEN (hi >> (bits.b - 32)) & 1 = 1 THEN 1 ELSE -1 END END) AS v
+        |  FROM h, (SELECT unnest(range(64)) AS b) bits
+        |  GROUP BY doc_id, bits.b),
+        |sim AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN v > 0 AND b >= 32 THEN (1::BIGINT << (b - 32)) ELSE 0 END) AS BIGINT) AS hibits,
+        |    CAST(SUM(CASE WHEN v > 0 AND b < 32 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS lobits
+        |  FROM votes GROUP BY doc_id),
+        |simall AS (
+        |  SELECT d.doc_id, COALESCE(s.hibits, 0) AS hi, COALESCE(s.lobits, 0) AS lo
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d
+        |  LEFT JOIN sim s ON d.doc_id = s.doc_id),
+        |sig AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM simall a JOIN simall b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+        |tc AS (SELECT doc_id, t AS tok, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+        |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS i
+        |  FROM tc a JOIN tc b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |tr AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN tot ta ON ta.doc_id = id_a
+        |  JOIN tot tb ON tb.doc_id = id_b
+        |  WHERE i::DOUBLE / (ta.n + tb.n - i)::DOUBLE >= 0.8),
+        |cl AS (
+        |  SELECT COALESCE(s.id_a, t.id_a) AS id_a, COALESCE(s.id_b, t.id_b) AS id_b,
+        |    s.id_a IS NOT NULL AS in_sig, t.id_a IS NOT NULL AS in_tr
+        |  FROM sig s FULL OUTER JOIN tr t ON s.id_a = t.id_a AND s.id_b = t.id_b),
+        |cnt AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN in_sig AND in_tr THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN in_sig AND NOT in_tr THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN NOT in_sig AND in_tr THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM cl)
+        |SELECT tp, fp, fn,
+        |  CASE WHEN tp + fp = 0 THEN 1.0 ELSE tp::DOUBLE / (tp + fp)::DOUBLE END AS precision,
+        |  CASE WHEN tp + fn = 0 THEN 1.0 ELSE tp::DOUBLE / (tp + fn)::DOUBLE END AS recall
+        |FROM cnt""".stripMargin,
+    "q276_best_run" ->
+      """WITH daily AS (
+        |  SELECT l_shipdate AS day,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |sc AS (SELECT COUNT(*) AS n, CAST(SUM(rev) AS BIGINT) AS s FROM daily),
+        |pre1 AS (
+        |  SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+        |    CAST(SUM(n * rev - s) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS prefix
+        |  FROM daily CROSS JOIN sc),
+        |pre2 AS (
+        |  SELECT day, rn, prefix,
+        |    prefix - LEAST(COALESCE(MIN(prefix) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 0) AS runsum
+        |  FROM pre1),
+        |best AS (
+        |  SELECT rn AS rn_e, day AS end_day, runsum AS best_sum,
+        |    prefix - runsum AS target_pre
+        |  FROM pre2 ORDER BY runsum DESC, day LIMIT 1),
+        |rn0 AS (
+        |  SELECT MIN(rn) AS rn_match FROM pre2 CROSS JOIN best
+        |  WHERE prefix = target_pre AND rn < rn_e),
+        |srn AS (
+        |  SELECT CASE WHEN target_pre = 0 THEN 1 ELSE rn_match + 1 END AS rn_s,
+        |    rn_e, end_day, best_sum
+        |  FROM best CROSS JOIN rn0)
+        |SELECT p.day AS start_day, end_day, best_sum,
+        |  CAST(rn_e - rn_s + 1 AS BIGINT) AS n_days
+        |FROM pre2 p JOIN srn ON p.rn = srn.rn_s""".stripMargin,
+    "q277_price_volume_decomp" ->
+      """WITH li AS (
+        |  SELECT p_brand, year(l_shipdate) AS yr,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE year(l_shipdate) IN (1995, 1996)
+        |  GROUP BY p_brand, yr),
+        |j AS (
+        |  SELECT p_brand, y0.q0, y0.r0, y1.q1, y1.r1,
+        |    CAST(sign(y1.q1 - y0.q0) AS BIGINT) *
+        |      CAST((CAST(abs(y1.q1 - y0.q0) AS HUGEINT) * y0.r0 * 1000000) // y0.q0
+        |        AS BIGINT) AS vol_eff_fixed,
+        |    CAST((CAST(y1.r1 AS HUGEINT) - y0.r0) * 1000000 AS BIGINT) AS delta_fixed
+        |  FROM (SELECT p_brand, qty AS q0, rev AS r0 FROM li WHERE yr = 1995) y0
+        |  JOIN (SELECT p_brand, qty AS q1, rev AS r1 FROM li WHERE yr = 1996) y1
+        |    USING (p_brand)
+        |  WHERE y0.q0 > 0)
+        |SELECT p_brand, r0, r1, vol_eff_fixed,
+        |  delta_fixed - vol_eff_fixed AS price_eff_fixed
+        |FROM j ORDER BY p_brand""".stripMargin,
     "q272_stream_dedup" ->
       """SELECT event_id, event_type FROM events ORDER BY event_id""",
     "q273_stream_join" ->
