@@ -6036,6 +6036,64 @@ object SparkEntry {
             .otherwise(col("tp").cast("double") / (col("tp") + col("fn")).cast("double")))
     }),
 
+    // ---- Haar wavelet energy spectrum of daily revenue (which TIME SCALE
+    // carries the variance — the 2ᵏ-day seasonality detector next to
+    // q210/q274): three unnormalized Haar levels as chained pair
+    // sum/difference aggregates over the calendar index (integer-exact:
+    // scaling by √2 deferred into the level label), detail energy Σd² per
+    // level as a DECIMAL accumulator surfaced hi/lo. Everything after the
+    // daily rollup is calendar-sized. ----
+    "q279_haar_energy" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val d0 = DecimalType(38, 0)
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").as("day"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("v"))
+        .withColumn("g", row_number().over(W.orderBy(col("day"))) - 1)
+      def level(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(expr("g DIV 2").as("g2"))
+        .agg(sum(col("v")).as("v"),
+          sum(when(col("g") % 2 === 0, col("v")).otherwise(-col("v"))).as("d"))
+        .withColumnRenamed("g2", "g")
+      val l1 = level(daily.select(col("g"), col("v"))).localCheckpoint()
+      val l2 = level(l1.select(col("g"), col("v"))).localCheckpoint()
+      val l3 = level(l2.select(col("g"), col("v")))
+      def energy(df: org.apache.spark.sql.DataFrame, lev: Int) = df
+        .agg(count(lit(1)).as("n_coeffs"),
+          sum(col("d").cast(d0) * col("d").cast(d0)).as("energy"))
+        .select(lit(lev).as("level"), col("n_coeffs"), col("energy"))
+      graft.ops.Sketches.surfaceHiLo(
+        energy(l1, 1).unionByName(energy(l2, 2)).unionByName(energy(l3, 3)),
+        "energy")
+        .orderBy(col("level"))
+    }),
+
+    // ---- inclusion–exclusion audience algebra over event types: the 7
+    // intersection cardinalities of (view, click, purchase) user sets from
+    // ONE user-collapsing shuffle (per-user presence flags, then a combo
+    // rollup), plus |A∪B∪C| both directly and via the identity — the
+    // self-validating form of multi-set audience accounting. ----
+    "q280_inclusion_exclusion" -> ((s, dir) => {
+      val flags = t(s, dir, "events")
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "view", 1L).otherwise(0L)).as("a"),
+          max(when(col("event_type") === "click", 1L).otherwise(0L)).as("b"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c"))
+      flags.agg(
+        sum(col("a")).cast("long").as("n_view"),
+        sum(col("b")).cast("long").as("n_click"),
+        sum(col("c")).cast("long").as("n_purchase"),
+        sum(col("a") * col("b")).cast("long").as("n_vc"),
+        sum(col("a") * col("c")).cast("long").as("n_vp"),
+        sum(col("b") * col("c")).cast("long").as("n_cp"),
+        sum(col("a") * col("b") * col("c")).cast("long").as("n_vcp"),
+        count(lit(1)).as("n_union"))
+        .withColumn("identity_holds",
+          col("n_union") === col("n_view") + col("n_click") + col("n_purchase")
+            - col("n_vc") - col("n_vp") - col("n_cp") + col("n_vcp"))
+    }),
+
     // ---- two-level Merkle manifest per source (dataset-versioning device;
     // complements q171's flat commutative fingerprint by LOCALIZING any
     // mismatch to a leaf instead of "somewhere in the table") ----
@@ -9988,6 +10046,50 @@ object SparkEntry {
         |  CASE WHEN tp + fp = 0 THEN 1.0 ELSE tp::DOUBLE / (tp + fp)::DOUBLE END AS precision,
         |  CASE WHEN tp + fn = 0 THEN 1.0 ELSE tp::DOUBLE / (tp + fn)::DOUBLE END AS recall
         |FROM cnt""".stripMargin,
+    "q279_haar_energy" ->
+      """WITH daily AS (
+        |  SELECT l_shipdate AS day,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM lineitem GROUP BY 1),
+        |g0 AS (SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS g, v FROM daily),
+        |l1 AS (SELECT g // 2 AS g, CAST(SUM(v) AS BIGINT) AS v,
+        |    CAST(SUM(CASE WHEN g % 2 = 0 THEN v ELSE -v END) AS BIGINT) AS d
+        |  FROM g0 GROUP BY g // 2),
+        |l2 AS (SELECT g // 2 AS g, CAST(SUM(v) AS BIGINT) AS v,
+        |    CAST(SUM(CASE WHEN g % 2 = 0 THEN v ELSE -v END) AS BIGINT) AS d
+        |  FROM l1 GROUP BY g // 2),
+        |l3 AS (SELECT g // 2 AS g, CAST(SUM(v) AS BIGINT) AS v,
+        |    CAST(SUM(CASE WHEN g % 2 = 0 THEN v ELSE -v END) AS BIGINT) AS d
+        |  FROM l2 GROUP BY g // 2),
+        |e AS (
+        |  SELECT 1 AS level, COUNT(*) AS n_coeffs, SUM(CAST(d AS HUGEINT) * d) AS energy
+        |  FROM l1
+        |  UNION ALL SELECT 2, COUNT(*), SUM(CAST(d AS HUGEINT) * d) FROM l2
+        |  UNION ALL SELECT 3, COUNT(*), SUM(CAST(d AS HUGEINT) * d) FROM l3)
+        |SELECT level, n_coeffs,
+        |  CAST(CAST(energy AS HUGEINT) // 1000000000000000000 AS BIGINT) AS energy_hi,
+        |  CAST(CAST(energy AS HUGEINT) % 1000000000000000000 AS BIGINT) AS energy_lo
+        |FROM e ORDER BY level""".stripMargin,
+    "q280_inclusion_exclusion" ->
+      """WITH flags AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS b,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY user_id)
+        |SELECT
+        |  CAST(SUM(a) AS BIGINT) AS n_view,
+        |  CAST(SUM(b) AS BIGINT) AS n_click,
+        |  CAST(SUM(c) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(a * b) AS BIGINT) AS n_vc,
+        |  CAST(SUM(a * c) AS BIGINT) AS n_vp,
+        |  CAST(SUM(b * c) AS BIGINT) AS n_cp,
+        |  CAST(SUM(a * b * c) AS BIGINT) AS n_vcp,
+        |  COUNT(*) AS n_union,
+        |  COUNT(*) = CAST(SUM(a) + SUM(b) + SUM(c) - SUM(a * b) - SUM(a * c)
+        |    - SUM(b * c) + SUM(a * b * c) AS BIGINT) AS identity_holds
+        |FROM flags""".stripMargin,
     "q276_best_run" ->
       """WITH daily AS (
         |  SELECT l_shipdate AS day,
