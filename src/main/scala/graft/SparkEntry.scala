@@ -5689,21 +5689,11 @@ object SparkEntry {
     // The bounded query panel broadcasts (40 vectors); the corpus side
     // streams — cost is queries × corpus vectors, never corpus². ----
     "q268_maxsim_retrieval" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s)
       val W = org.apache.spark.sql.expressions.Window
       val fixed = t(s, dir, "embeddings")
         .select(expr("vec_id DIV 4").as("docv"), expr("vec_id % 4").as("slot"),
           Similarity.fixedPoint(col("embedding")).as("iv"))
-      val qv = fixed.filter(col("docv") < 10)
-        .select(col("docv").as("qdoc"), col("slot").as("qslot"), col("iv").as("qiv"))
-      val dv = graft.ops.Par.spread(fixed, col("docv"))
-      val dots = dv.join(broadcast(qv), col("qdoc") =!= col("docv"))
-        .withColumn("dot", call_function("graft_long_dot", col("qiv"), col("iv")))
-      val maxPerSlot = dots.groupBy(col("qdoc"), col("docv"), col("qslot"))
-        .agg(max(col("dot")).as("m"))
-      val scores = maxPerSlot.groupBy(col("qdoc"), col("docv"))
-        .agg(sum(col("m")).as("maxsim"))
-      scores
+      Similarity.maxSimScores(fixed, panelDocs = 10)
         .withColumn("rank", row_number().over(
           W.partitionBy(col("qdoc")).orderBy(col("maxsim").desc, col("docv"))))
         .filter(col("rank") <= 5)

@@ -40,6 +40,49 @@ case class LongArrayDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** All dot products of one fixed-point vector against a PANEL of vectors in
+  * a single call: returns `array<long>` aligned with the panel index.
+  * Replaces a panel-sized broadcast join plus one interpreted dot per joined
+  * row — the panel×dims loop runs inside one JVM call per corpus row, and
+  * the join fanout materializes only the output longs, never copies of the
+  * input arrays. The panel side is a constant literal in every intended use,
+  * so its nested ArrayData unwraps ONCE per task (lazy cache) instead of per
+  * row. NULL on any dim mismatch (same contract as [[LongArrayDot]]).
+  */
+case class LongArrayPanelDots(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  @transient private lazy val cachedPanel: Array[Array[Long]] = {
+    val pd = right.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(pd.numElements())(j => pd.getArray(j).toLongArray())
+  }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toLongArray()
+    val panel =
+      if (right.foldable) cachedPanel
+      else {
+        val pd = b.asInstanceOf[ArrayData]
+        Array.tabulate(pd.numElements())(j => pd.getArray(j).toLongArray())
+      }
+    val out = new Array[Long](panel.length)
+    var j = 0
+    while (j < panel.length) {
+      val q = panel(j)
+      if (q.length != x.length) return null
+      var acc = 0L
+      var i = 0
+      while (i < x.length) { acc += x(i) * q(i); i += 1 }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class LongArraySqNorm(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   // right is ignored (kept binary for registry simplicity when unused) —
@@ -261,6 +304,8 @@ object GraftFunctions {
       "graft_long_dot", exprs => LongArrayDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_sq_norm", exprs => LongArraySqNorm(exprs(0), exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_panel_dots", exprs => LongArrayPanelDots(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_sorted_jaccard", exprs => SortedStringArrayJaccard(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(

@@ -172,6 +172,42 @@ object Similarity {
     * at any corpus size. Output: one row per dimension with the normalized
     * direction component — exact BIGINTs, engine-stable.
     */
+  /** Late-interaction (ColBERT-style) maxsim scores: multi-vector docs
+    * (`slotsPerDoc` embedding rows per doc id), score(q, d) = Σ_qslot
+    * max_dslot ⟨qᵥ, dᵥ⟩ over exact fixed-point integer dots, for every
+    * (query doc < `panelDocs`, corpus doc) pair. Input contract: columns
+    * (docv, slot, iv) with dense slots 0..slotsPerDoc−1 per doc.
+    *
+    * The whole query panel travels as ONE nested-array literal into the
+    * native [[graft.functions.LongArrayPanelDots]] expression — each corpus
+    * vector computes all panel dots in a single call, so the plan has NO
+    * join before aggregation and the panel×corpus fanout materializes only
+    * output longs (the broadcast-join-plus-interpreted-dot form measured
+    * ~5× slower at 500k vectors from per-joined-row dispatch + GC). The
+    * panel collect is `panelDocs × slotsPerDoc` rows — bounded, the
+    * IVF-codebook precedent.
+    */
+  def maxSimScores(fixed: DataFrame, panelDocs: Long, slotsPerDoc: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(fixed.sparkSession)
+    val panel = fixed.filter(col("docv") < panelDocs)
+      .orderBy(col("docv"), col("slot"))
+      .select(col("iv")).collect()
+      .map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+    require(panel.length == panelDocs * slotsPerDoc,
+      s"panel expects dense slots: got ${panel.length} vectors for $panelDocs docs")
+    val dots = Par.spread(fixed, col("docv"))
+      .select(col("docv"),
+        posexplode(call_function("graft_panel_dots", col("iv"), typedlit(panel))))
+      .toDF("docv", "pi", "dot")
+      .withColumn("qdoc", expr(s"pi DIV $slotsPerDoc"))
+      .withColumn("qslot", expr(s"pi % $slotsPerDoc"))
+      .filter(col("qdoc") =!= col("docv"))
+    dots.groupBy(col("qdoc"), col("docv"), col("qslot"))
+      .agg(max(col("dot")).as("m"))
+      .groupBy(col("qdoc"), col("docv"))
+      .agg(sum(col("m")).as("maxsim"))
+  }
+
   def dominantDirection(
       df: DataFrame,
       idCol: String,

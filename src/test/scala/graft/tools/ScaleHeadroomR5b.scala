@@ -52,20 +52,15 @@ object ScaleHeadroomR5b {
       drop(); dt
     }
 
-    // ---- maxsim: synthetic 64-dim fixed-point vectors, fixed 40-vector panel
+    // ---- maxsim: synthetic 64-dim fixed-point vectors, fixed 40-vector
+    // panel, through the native panel-dots expression (join-free plan)
     def maxsimRun(n: Long): Double = {
       val fixed = spark.range(n).select(
-        (col("id") / 4).as("docv"), (col("id") % 4).as("slot"),
+        expr("id DIV 4").as("docv"), (col("id") % 4).as("slot"),
         expr("transform(sequence(0, 63), d -> pmod(xxhash64(id * 64 + d), 2000) - 1000)")
           .as("iv"))
-      val qv = fixed.filter(col("docv") < 10)
-        .select(col("docv").as("qdoc"), col("slot").as("qslot"), col("iv").as("qiv"))
       val dt = timed {
-        val dots = graft.ops.Par.spread(fixed, col("docv"))
-          .join(broadcast(qv), col("qdoc") =!= col("docv"))
-          .withColumn("dot", call_function("graft_long_dot", col("qiv"), col("iv")))
-        dots.groupBy(col("qdoc"), col("docv"), col("qslot")).agg(max(col("dot")).as("m"))
-          .groupBy(col("qdoc"), col("docv")).agg(sum(col("m")).as("maxsim"))
+        Similarity.maxSimScores(fixed, panelDocs = 10)
           .agg(sum(col("maxsim"))).collect()
       }
       drop(); dt
