@@ -57,6 +57,12 @@ object Similarity {
     * Query side is broadcast; corpus scanned once; one shuffle on query id
     * for the window.
     */
+  /** Cap on the collected query panel: the panel rides as a literal into
+    * [[graft.functions.LongArrayPanelDots]] (the §8.6#10 join-free shape),
+    * so it must stay task-binary-sized — same bound as the PQ codebook.
+    */
+  private val MaxPanel = 4096
+
   def bruteForceTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -66,11 +72,23 @@ object Similarity {
   ): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = spread(withFixed(corpus, idCol, embCol), col("id"))
-    val q = withFixed(queries, idCol, embCol)
-      .withColumnsRenamed(Map("id" -> "query_id", "iv" -> "qiv", "nrm" -> "qnrm"))
+    // bounded panel as ONE nested-array literal: each corpus row computes
+    // every panel dot in a single native call — no join in the plan, no
+    // per-joined-row interpreted dispatch (measured 36× at 500k corpus
+    // vectors on the maxsim twin)
+    val qRows = withFixed(queries, idCol, embCol)
+      .orderBy(col("id")).select(col("id"), col("iv"), col("nrm")).collect()
+    require(qRows.length <= MaxPanel, s"query panel ${qRows.length} exceeds $MaxPanel")
+    val qids = qRows.map(_.getLong(0)).toIndexedSeq
+    val qivs = qRows.map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
+    val qnrms = qRows.map(_.getLong(2)).toIndexedSeq
     val scored = c
-      .join(broadcast(q), col("query_id") =!= col("id"))
-      .withColumn("dot", dot(col("qiv"), col("iv")))
+      .select(col("id"), col("nrm"),
+        posexplode(call_function("graft_panel_dots", col("iv"), typedlit(qivs))))
+      .toDF("id", "nrm", "pi", "dot")
+      .withColumn("query_id", element_at(typedlit(qids), col("pi") + 1))
+      .withColumn("qnrm", element_at(typedlit(qnrms), col("pi") + 1))
+      .filter(col("query_id") =!= col("id"))
       .withColumn("cosine", cosineFromFixed(col("dot"), col("qnrm"), col("nrm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id").asc)
     scored
@@ -101,13 +119,24 @@ object Similarity {
     def fixed(df: DataFrame) = withFixed(df, idCol, embCol)
       .join(df.select(col(idCol).as("id"), col(filterCol).as("tag")), Seq("id"))
     val c = spread(fixed(corpus), col("id"))
-    val q = fixed(queries)
-      .withColumnsRenamed(Map(
-        "id" -> "query_id", "iv" -> "qiv", "nrm" -> "qnrm", "tag" -> "qtag"))
+    // same panel-literal shape as [[bruteForceTopK]]; the metadata predicate
+    // applies right after the explode (dots for non-matching tags are a few
+    // wasted longs, far cheaper than reintroducing the join)
+    val qRows = fixed(queries)
+      .orderBy(col("id")).select(col("id"), col("iv"), col("nrm"), col("tag")).collect()
+    require(qRows.length <= MaxPanel, s"query panel ${qRows.length} exceeds $MaxPanel")
+    val qids = qRows.map(_.getLong(0)).toIndexedSeq
+    val qivs = qRows.map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
+    val qnrms = qRows.map(_.getLong(2)).toIndexedSeq
+    val qtags = qRows.map(r => Option(r.get(3)).map(_.toString).orNull).toIndexedSeq
     val scored = c
-      .join(broadcast(q),
-        col("query_id") =!= col("id") && col("qtag") <=> col("tag"))
-      .withColumn("dot", dot(col("qiv"), col("iv")))
+      .select(col("id"), col("nrm"), col("tag"),
+        posexplode(call_function("graft_panel_dots", col("iv"), typedlit(qivs))))
+      .toDF("id", "nrm", "tag", "pi", "dot")
+      .withColumn("query_id", element_at(typedlit(qids), col("pi") + 1))
+      .withColumn("qnrm", element_at(typedlit(qnrms), col("pi") + 1))
+      .withColumn("qtag", element_at(typedlit(qtags), col("pi") + 1))
+      .filter(col("query_id") =!= col("id") && col("qtag") <=> col("tag").cast("string"))
       .withColumn("cosine", cosineFromFixed(col("dot"), col("qnrm"), col("nrm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id").asc)
     scored
