@@ -151,6 +151,66 @@ class RandomDifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("multiset jaccard ≡ per-token-count brute force across vocab sizes and thresholds") {
+    import spark.implicits._
+    for ((vocab, thr, seed) <- Seq((3, 0.3, 11), (12, 0.5, 12), (60, 0.7, 13))) {
+      val rnd = new scala.util.Random(seed)
+      // small vocabs force heavy multiplicities — the regime where multiset
+      // and set Jaccard diverge hardest
+      val docs = (0 until 80).map { i =>
+        val n = 1 + rnd.nextInt(25)
+        (i.toLong, Seq.fill(n)(s"w${rnd.nextInt(vocab)}").mkString(" "))
+      } :+ ((80L, "")) :+ ((81L, "  "))
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.multisetJaccardPairs(df, "doc_id", "text", thr, maxId = Long.MaxValue)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      // brute force from token multiplicity maps
+      val counts = docs.map { case (id, s) =>
+        id -> s.trim.split("\\s+").filter(_.nonEmpty).groupBy(identity).view.mapValues(_.length).toMap
+      }.toMap
+      val want = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        ca = counts(a); cb = counts(b)
+        inter = (ca.keySet ++ cb.keySet).toSeq
+          .map(t => math.min(ca.getOrElse(t, 0), cb.getOrElse(t, 0))).sum
+        union = ca.values.sum + cb.values.sum - inter
+        wj = if (union == 0) 1.0 else inter.toDouble / union.toDouble
+        if wj >= thr
+      } yield ((a, b), wj)).toMap
+      assert(got == want,
+        s"vocab=$vocab thr=$thr: missed=${(want.keySet -- got.keySet).size} " +
+          s"extra=${(got.keySet -- want.keySet).size}")
+    }
+  }
+
+  test("panel-dots expression ≡ one graft_long_dot per panel vector") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val dims = 16
+    val panel = IndexedSeq.fill(5)(IndexedSeq.fill(dims)(rnd.nextLong() % 1000))
+    val rows = (0 until 200).map(i => (i.toLong, Seq.fill(dims)(rnd.nextLong() % 1000)))
+    val df = rows.toDF("id", "iv")
+    val got = df.select(col("id"),
+        call_function("graft_panel_dots", col("iv"), typedlit(panel)).as("dots"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val single = panel.indices.map { j =>
+      j -> df.select(col("id"),
+          call_function("graft_long_dot", col("iv"), typedlit(panel(j))).as("d"))
+        .as[(Long, Long)].collect().toMap
+    }.toMap
+    rows.foreach { case (id, _) =>
+      panel.indices.foreach { j =>
+        assert(got(id)(j) == single(j)(id), s"row $id panel $j diverges")
+      }
+    }
+    // dim mismatch → NULL, mirroring graft_long_dot's contract
+    val bad = Seq((0L, Seq(1L, 2L))).toDF("id", "iv")
+      .select(call_function("graft_panel_dots", col("iv"), typedlit(panel)).as("dots"))
+      .collect()
+    assert(bad(0).isNullAt(0), "mismatched dims must yield NULL")
+  }
+
   test("editDistance1Pairs ≡ quadratic levenshtein join across alphabets and lengths") {
     import spark.implicits._
     for ((alpha, minLen, maxLen, seed) <- Seq((2, 1, 4, 31), (4, 5, 9, 32), (10, 2, 6, 33))) {
