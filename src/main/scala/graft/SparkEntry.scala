@@ -6084,6 +6084,175 @@ object SparkEntry {
             - col("n_vc") - col("n_vp") - col("n_cp") + col("n_vcp"))
     }),
 
+    // ---- EXACT Shapley channel attribution (the 4th model beside q163
+    // last-touch / q188 linear / q198 decay): coalition value v(S) =
+    // conversions among users whose touched-channel set ⊆ S, over the
+    // fixed 3-channel game {view, click, signup} — so every Shapley
+    // weight is a sixth and φ_c·6N is an exact integer (N = attributed
+    // users). One user-collapsing shuffle to 3-bit masks; everything
+    // after runs on the 8-row coalition table. φ sums to v(C) − v(∅) by
+    // the efficiency axiom — surfaced as the exact numerators plus the
+    // derived double. ----
+    "q281_shapley_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      // only touches BEFORE the first purchase count (the q282 truncation:
+      // post-conversion activity is not attribution evidence) — this is
+      // also what keeps coalition masks heterogeneous
+      val firstBuy = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("fb"))
+      val masks = ev.join(firstBuy, Seq("user_id"), "left")
+        .filter(col("fb").isNull || struct(col("ts"), col("event_id")) < col("fb"))
+        .groupBy(col("user_id"))
+        .agg(
+          (max(when(col("event_type") === "view", 1).otherwise(0))
+            + max(when(col("event_type") === "click", 2).otherwise(0))
+            + max(when(col("event_type") === "signup", 4).otherwise(0))).as("m"),
+          max(when(col("fb").isNotNull, 1L).otherwise(0L)).as("conv"))
+      val byMask = masks.groupBy(col("m"))
+        .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+        .localCheckpoint() // the 8-coalition rollup + N scalar
+      val nTotal = byMask.agg(sum(col("n_users")).as("n_total"))
+      // v(S)·N = conversions with mask ⊆ S: an 8×8 subset rollup
+      val coalitions = (0 to 7).toDF("s_mask")
+      val vtab = coalitions.join(byMask, expr("(m & s_mask) = m"), "left")
+        .groupBy(col("s_mask"))
+        .agg(coalesce(sum(col("n_conv")), lit(0L)).as("vconv"))
+        .localCheckpoint() // joined twice by the Shapley terms
+      // 12 marginal-contribution terms: for channel bit c and S ∌ c,
+      // weight·6 ∈ {2, 1, 1, 2} by |S|
+      val terms = (for {
+        (name, bit) <- Seq(("view", 1), ("click", 2), ("signup", 4))
+        sMask <- 0 to 7 if (sMask & bit) == 0
+      } yield {
+        val size = Integer.bitCount(sMask)
+        val w6 = Seq(2L, 1L, 2L)(size) // 0!·2!, 1!·1!, 2!·0! (×6/3!)
+        (name, sMask, sMask | bit, w6)
+      }).toDF("channel", "s_without", "s_with", "w6")
+      terms
+        .join(vtab.withColumnsRenamed(Map("s_mask" -> "s_with", "vconv" -> "v_with")),
+          Seq("s_with"))
+        .join(vtab.withColumnsRenamed(Map("s_mask" -> "s_without", "vconv" -> "v_without")),
+          Seq("s_without"))
+        .groupBy(col("channel"))
+        .agg(sum(col("w6") * (col("v_with") - col("v_without"))).as("phi_num"))
+        .crossJoin(broadcast(nTotal))
+        .withColumn("phi",
+          col("phi_num").cast("double") / (col("n_total") * 6L).cast("double"))
+        .select(col("channel"), col("phi_num"), col("n_total"), col("phi"))
+        .orderBy(col("channel"))
+    }),
+
+    // ---- Markov removal-effect attribution (Anderl et al. 2016 shape,
+    // the 5th model in the family): user journeys truncate at first
+    // purchase, edge probabilities quantize to 1e-9 by one floor division
+    // each (the ONLY rounding — everything after is exact integer/DECIMAL
+    // arithmetic, so both engines agree bit-for-bit), conversion mass =
+    // Σ paths of length ≤ 3 from the virtual start, and each channel's
+    // effect is the conversion share lost when its node is deleted
+    // (original probabilities kept — lost mass IS the point). The chain
+    // tables are state-dictionary-sized; the only data-scale work is the
+    // one pair-extraction shuffle. ----
+    "q282_markov_removal" -> ((s, dir) => {
+      import s.implicits._
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val wU = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val firstBuy = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("fb"))
+      val kept = ev.join(firstBuy, Seq("user_id"), "left")
+        .filter(col("fb").isNull || struct(col("ts"), col("event_id")) <= col("fb"))
+        .withColumn("rn", row_number().over(wU))
+        .withColumn("prev", lag(col("event_type"), 1).over(wU))
+        .select(col("user_id"), col("rn"),
+          coalesce(col("prev"), lit("start")).as("a"), col("event_type").as("b"))
+      val cnt = kept.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // row totals + 4 chain variants
+      val tot = cnt.groupBy(col("a")).agg(sum(col("c")).as("d"))
+      val trans = cnt.join(tot, Seq("a"))
+        .withColumn("p9", expr("1000000000 * c DIV d"))
+        .select(col("a"), col("b"), col("p9"))
+      val variants = Seq("none", "view", "click", "signup").toDF("removed")
+      val tv = broadcast(variants.join(trans,
+        col("a") =!= col("removed") && col("b") =!= col("removed")))
+      val f1 = tv.filter(col("a") === "start")
+        .select(col("removed"), col("b"), col("p9").as("f1"))
+      val f2 = f1.filter(col("b") =!= "purchase").withColumnRenamed("b", "i1")
+        .join(tv.withColumnRenamed("a", "i1"), Seq("removed", "i1"))
+        .select(col("removed"), col("b"), (col("f1") * col("p9")).as("f2"))
+        .groupBy(col("removed"), col("b")).agg(sum(col("f2")).as("f2"))
+      val f3 = f2.filter(col("b") =!= "purchase").withColumnRenamed("b", "i2")
+        .join(tv.withColumnRenamed("a", "i2"), Seq("removed", "i2"))
+        .select(col("removed"), col("b"),
+          (col("f2").cast("decimal(38,0)") * col("p9")).as("f3"))
+        .groupBy(col("removed"), col("b")).agg(sum(col("f3")).as("f3"))
+      // conversion mass at the common 1e27 scale
+      val conv = variants
+        .join(f1.filter(col("b") === "purchase")
+          .select(col("removed"), col("f1")), Seq("removed"), "left")
+        .join(f2.filter(col("b") === "purchase")
+          .select(col("removed"), col("f2")), Seq("removed"), "left")
+        .join(f3.filter(col("b") === "purchase")
+          .select(col("removed"), col("f3")), Seq("removed"), "left")
+        .select(col("removed"),
+          (coalesce(col("f1"), lit(0L)).cast("decimal(38,0)")
+            * lit(1000000000000000000L)
+            + coalesce(col("f2"), lit(0L)).cast("decimal(38,0)") * lit(1000000000L)
+            + coalesce(col("f3"), lit(0L).cast("decimal(38,0)"))).as("mass"))
+        .localCheckpoint() // full-vs-removed self join
+      val full = conv.filter(col("removed") === "none")
+        .select(col("mass").as("mass_full"))
+      conv.filter(col("removed") =!= "none")
+        .crossJoin(broadcast(full))
+        .select(col("removed").as("channel"),
+          expr("mass_full DIV 1000000000000000000").as("p_conv_e9_full"),
+          expr("mass DIV 1000000000000000000").as("p_conv_e9_removed"),
+          expr("1000000 - (mass * 1000000 DIV mass_full)").as("removal_effect_fixed"))
+        .orderBy(col("channel"))
+    }),
+
+    // ---- Qini/uplift decile curve (the incrementality read-out of an
+    // A/B exposure): deterministic halves (user_id parity), engagement
+    // score = view count with user-id tiebreak, deciles by ntile, then
+    // cumulative treated-vs-control conversion gap and the Qini statistic
+    // per decile — exact integer counts under the doubles. ----
+    "q283_qini_curve" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val users = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .withColumn("treated", (col("user_id") % 2 === 0).cast("int").cast("long"))
+      // deciles via the bucketed global-ntile device (§8.6#4/#5: an
+      // unpartitioned ordered window over USERS grows with the fact table)
+      val ranked = Relational.globalNtile(
+        users.withColumn("neg_score", -col("score")),
+        "neg_score", "user_id", k = 10, outCol = "decile")
+      val byDecile = ranked.groupBy(col("decile"))
+        .agg(sum(col("treated")).as("n_t"),
+          sum(col("treated") * col("conv")).as("conv_t"),
+          sum(lit(1L) - col("treated")).as("n_c"),
+          sum((lit(1L) - col("treated")) * col("conv")).as("conv_c"))
+      val wCum = W.orderBy(col("decile")) // 10-row frame — dictionary-bounded
+      byDecile
+        .withColumn("cum_n_t", sum(col("n_t")).over(wCum))
+        .withColumn("cum_conv_t", sum(col("conv_t")).over(wCum))
+        .withColumn("cum_n_c", sum(col("n_c")).over(wCum))
+        .withColumn("cum_conv_c", sum(col("conv_c")).over(wCum))
+        .withColumn("uplift",
+          col("cum_conv_t").cast("double") / col("cum_n_t").cast("double")
+            - col("cum_conv_c").cast("double") / col("cum_n_c").cast("double"))
+        .withColumn("qini",
+          col("cum_conv_t").cast("double") - col("cum_conv_c").cast("double")
+            * col("cum_n_t").cast("double") / col("cum_n_c").cast("double"))
+        .select(col("decile"), col("cum_n_t"), col("cum_conv_t"),
+          col("cum_n_c"), col("cum_conv_c"), col("uplift"), col("qini"))
+        .orderBy(col("decile"))
+    }),
+
     // ---- two-level Merkle manifest per source (dataset-versioning device;
     // complements q171's flat commutative fingerprint by LOCALIZING any
     // mismatch to a leaf instead of "somewhere in the table") ----
@@ -10080,6 +10249,121 @@ object SparkEntry {
         |  COUNT(*) = CAST(SUM(a) + SUM(b) + SUM(c) - SUM(a * b) - SUM(a * c)
         |    - SUM(b * c) + SUM(a * b * c) AS BIGINT) AS identity_holds
         |FROM flags""".stripMargin,
+    "q281_shapley_attribution" ->
+      """WITH fb AS (
+        |  SELECT user_id, ts AS fts, event_id AS fid FROM (
+        |    SELECT user_id, ts, event_id,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM events WHERE event_type = 'purchase') x WHERE rn = 1),
+        |masks AS (
+        |  SELECT e.user_id,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      + MAX(CASE WHEN event_type = 'click' THEN 2 ELSE 0 END)
+        |      + MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END) AS m,
+        |    MAX(CASE WHEN fb.user_id IS NOT NULL THEN 1 ELSE 0 END) AS conv
+        |  FROM events e LEFT JOIN fb USING (user_id)
+        |  WHERE fb.user_id IS NULL OR (e.ts, e.event_id) < (fts, fid)
+        |  GROUP BY e.user_id),
+        |by_mask AS (
+        |  SELECT m, COUNT(*) AS n_users, CAST(SUM(conv) AS BIGINT) AS n_conv
+        |  FROM masks GROUP BY m),
+        |nt AS (SELECT CAST(SUM(n_users) AS BIGINT) AS n_total FROM by_mask),
+        |vtab AS (
+        |  SELECT s_mask, COALESCE(CAST(SUM(n_conv) AS BIGINT), 0) AS vconv
+        |  FROM (SELECT unnest(range(0, 8)) AS s_mask) s
+        |  LEFT JOIN by_mask ON (m & s_mask) = m
+        |  GROUP BY s_mask),
+        |terms(channel, s_without, s_with, w6) AS (VALUES
+        |  ('view', 0, 1, 2), ('view', 2, 3, 1), ('view', 4, 5, 1), ('view', 6, 7, 2),
+        |  ('click', 0, 2, 2), ('click', 1, 3, 1), ('click', 4, 6, 1), ('click', 5, 7, 2),
+        |  ('signup', 0, 4, 2), ('signup', 1, 5, 1), ('signup', 2, 6, 1), ('signup', 3, 7, 2))
+        |SELECT channel,
+        |  CAST(SUM(w6 * (vw.vconv - vo.vconv)) AS BIGINT) AS phi_num,
+        |  n_total,
+        |  CAST(SUM(w6 * (vw.vconv - vo.vconv)) AS BIGINT)::DOUBLE
+        |    / (n_total * 6)::DOUBLE AS phi
+        |FROM terms
+        |JOIN vtab vw ON vw.s_mask = terms.s_with
+        |JOIN vtab vo ON vo.s_mask = terms.s_without
+        |CROSS JOIN nt
+        |GROUP BY channel, n_total ORDER BY channel""".stripMargin,
+    "q282_markov_removal" ->
+      """WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events),
+        |fb AS (
+        |  SELECT user_id, ts AS fts, event_id AS fid FROM (
+        |    SELECT user_id, ts, event_id,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM ev WHERE event_type = 'purchase') x WHERE rn = 1),
+        |kept AS (
+        |  SELECT e.user_id, e.ts, e.event_id, e.event_type
+        |  FROM ev e LEFT JOIN fb USING (user_id)
+        |  WHERE fb.user_id IS NULL OR (e.ts, e.event_id) <= (fts, fid)),
+        |pairs AS (
+        |  SELECT user_id,
+        |    COALESCE(LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |      'start') AS a,
+        |    event_type AS b
+        |  FROM kept),
+        |cnt AS (SELECT a, b, COUNT(*) AS c FROM pairs GROUP BY a, b),
+        |tot AS (SELECT a, CAST(SUM(c) AS BIGINT) AS d FROM cnt GROUP BY a),
+        |trans AS (SELECT a, b, CAST(1000000000 * c // d AS BIGINT) AS p9
+        |  FROM cnt JOIN tot USING (a)),
+        |variants(removed) AS (VALUES ('none'), ('view'), ('click'), ('signup')),
+        |tv AS (SELECT removed, a, b, p9 FROM variants
+        |  JOIN trans ON a <> removed AND b <> removed),
+        |f1 AS (SELECT removed, b, p9 AS f1 FROM tv WHERE a = 'start'),
+        |f2 AS (
+        |  SELECT t.removed, t.b, CAST(SUM(f.f1 * t.p9) AS BIGINT) AS f2
+        |  FROM f1 f JOIN tv t ON f.removed = t.removed AND t.a = f.b
+        |  WHERE f.b <> 'purchase' GROUP BY t.removed, t.b),
+        |f3 AS (
+        |  SELECT t.removed, t.b, SUM(CAST(f.f2 AS HUGEINT) * t.p9) AS f3
+        |  FROM f2 f JOIN tv t ON f.removed = t.removed AND t.a = f.b
+        |  WHERE f.b <> 'purchase' GROUP BY t.removed, t.b),
+        |conv AS (
+        |  SELECT v.removed,
+        |    CAST(COALESCE((SELECT f1 FROM f1 WHERE removed = v.removed AND b = 'purchase'), 0)
+        |      AS HUGEINT) * 1000000000000000000
+        |    + CAST(COALESCE((SELECT f2 FROM f2 WHERE removed = v.removed AND b = 'purchase'), 0)
+        |      AS HUGEINT) * 1000000000
+        |    + COALESCE((SELECT f3 FROM f3 WHERE removed = v.removed AND b = 'purchase'),
+        |      CAST(0 AS HUGEINT)) AS mass
+        |  FROM variants v),
+        |fm AS (SELECT mass AS mass_full FROM conv WHERE removed = 'none')
+        |SELECT removed AS channel,
+        |  CAST(mass_full // 1000000000000000000 AS BIGINT) AS p_conv_e9_full,
+        |  CAST(mass // 1000000000000000000 AS BIGINT) AS p_conv_e9_removed,
+        |  CAST(1000000 - (mass * 1000000 // mass_full) AS BIGINT) AS removal_effect_fixed
+        |FROM conv CROSS JOIN fm WHERE removed <> 'none' ORDER BY channel""".stripMargin,
+    "q283_qini_curve" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS score,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv,
+        |    CAST(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS treated
+        |  FROM events GROUP BY user_id),
+        |ranked AS (
+        |  SELECT *, NTILE(10) OVER (ORDER BY -score, user_id) AS decile FROM users),
+        |bd AS (
+        |  SELECT decile,
+        |    CAST(SUM(treated) AS BIGINT) AS n_t,
+        |    CAST(SUM(treated * conv) AS BIGINT) AS conv_t,
+        |    CAST(SUM(1 - treated) AS BIGINT) AS n_c,
+        |    CAST(SUM((1 - treated) * conv) AS BIGINT) AS conv_c
+        |  FROM ranked GROUP BY decile),
+        |cum AS (
+        |  SELECT decile,
+        |    CAST(SUM(n_t) OVER w AS BIGINT) AS cum_n_t,
+        |    CAST(SUM(conv_t) OVER w AS BIGINT) AS cum_conv_t,
+        |    CAST(SUM(n_c) OVER w AS BIGINT) AS cum_n_c,
+        |    CAST(SUM(conv_c) OVER w AS BIGINT) AS cum_conv_c
+        |  FROM bd WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING))
+        |SELECT decile, cum_n_t, cum_conv_t, cum_n_c, cum_conv_c,
+        |  cum_conv_t::DOUBLE / cum_n_t::DOUBLE - cum_conv_c::DOUBLE / cum_n_c::DOUBLE
+        |    AS uplift,
+        |  cum_conv_t::DOUBLE - cum_conv_c::DOUBLE * cum_n_t::DOUBLE / cum_n_c::DOUBLE
+        |    AS qini
+        |FROM cum ORDER BY decile""".stripMargin,
     "q276_best_run" ->
       """WITH daily AS (
         |  SELECT l_shipdate AS day,

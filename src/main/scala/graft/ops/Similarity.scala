@@ -166,15 +166,31 @@ object Similarity {
       .withColumn("ivp", slice(col("iv"), 1, prefixDims))
       .withColumn("nrmp", sqNorm(col("ivp")))
     val c = spread(fixed(corpus), col("id"))
-    val q = fixed(queries)
-      .withColumnsRenamed(Map("id" -> "query_id", "iv" -> "qiv", "nrm" -> "qnrm",
-        "ivp" -> "qivp", "nrmp" -> "qnrmp"))
+    // both rankings ride the same join-free panel-literal shape as
+    // [[bruteForceTopK]] — full-dim and prefix-dim panels are two literals
+    val qRows = fixed(queries)
+      .orderBy(col("id"))
+      .select(col("id"), col("iv"), col("nrm"), col("ivp"), col("nrmp")).collect()
+    require(qRows.length <= MaxPanel, s"query panel ${qRows.length} exceeds $MaxPanel")
+    val qids = qRows.map(_.getLong(0)).toIndexedSeq
+    val qivs = qRows.map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
+    val qnrms = qRows.map(_.getLong(2)).toIndexedSeq
+    val qivps = qRows.map(_.getSeq[Long](3).toIndexedSeq).toIndexedSeq
+    val qnrmps = qRows.map(_.getLong(4)).toIndexedSeq
     val scored = c
-      .join(broadcast(q), col("query_id") =!= col("id"))
-      .withColumn("cos_full",
-        cosineFromFixed(dot(col("qiv"), col("iv")), col("qnrm"), col("nrm")))
-      .withColumn("cos_pre",
-        cosineFromFixed(dot(col("qivp"), col("ivp")), col("qnrmp"), col("nrmp")))
+      .select(col("id"), col("nrm"), col("nrmp"),
+        posexplode(arrays_zip(
+          call_function("graft_panel_dots", col("iv"), typedlit(qivs)),
+          call_function("graft_panel_dots", col("ivp"), typedlit(qivps)))))
+      .toDF("id", "nrm", "nrmp", "pi", "dots")
+      .select(col("id"), col("nrm"), col("nrmp"), col("pi"),
+        col("dots.0").as("dot_full"), col("dots.1").as("dot_pre"))
+      .withColumn("query_id", element_at(typedlit(qids), col("pi") + 1))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("cos_full", cosineFromFixed(col("dot_full"),
+        element_at(typedlit(qnrms), col("pi") + 1), col("nrm")))
+      .withColumn("cos_pre", cosineFromFixed(col("dot_pre"),
+        element_at(typedlit(qnrmps), col("pi") + 1), col("nrmp")))
     val wF = Window.partitionBy(col("query_id")).orderBy(col("cos_full").desc, col("id").asc)
     val wP = Window.partitionBy(col("query_id")).orderBy(col("cos_pre").desc, col("id").asc)
     scored
