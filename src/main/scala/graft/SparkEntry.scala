@@ -6253,6 +6253,70 @@ object SparkEntry {
         .orderBy(col("decile"))
     }),
 
+    // ---- watermark-lateness accounting (the "what would δ drop" sizing
+    // run every streaming deployment does first): arrival order = event_id
+    // (the deterministic batch stand-in), per-USER running max of event
+    // time (per-key watermarks — the frame is a user's own stream, never
+    // the fact table), lateness = watermark − own ts, dropped-at-δ counts
+    // for δ ∈ {1 m, 10 m, 1 h}. ----
+    "q284_watermark_lateness" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val wArr = W.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      val late = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("wm", max(col("ts")).over(wArr))
+        .withColumn("late_sec",
+          greatest(unix_timestamp(col("wm")) - unix_timestamp(col("ts")), lit(0L)))
+      late.agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("late_sec") > 60L, 1L).otherwise(0L)).cast("long").as("dropped_1m"),
+        sum(when(col("late_sec") > 600L, 1L).otherwise(0L)).cast("long").as("dropped_10m"),
+        sum(when(col("late_sec") > 3600L, 1L).otherwise(0L)).cast("long").as("dropped_1h"),
+        max(col("late_sec")).as("max_late_sec"))
+        .withColumn("drop_rate_10m",
+          col("dropped_10m").cast("double") / col("n_events").cast("double"))
+    }),
+
+    // ---- SCD2 as-of enrichment: each order joins the ONE customer-history
+    // version valid on its order date (versions derived deterministically:
+    // a customer's balance re-versions each calendar year it orders in,
+    // q66's range device). Equi-join on custkey carries the range predicate
+    // as a residual filter — versions-per-customer is small and bounded, so
+    // this is NOT a range-join problem; the audit column proves exactly-one
+    // match per order. ----
+    "q285_scd2_asof_join" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val wC = W.partitionBy(col("c_custkey")).orderBy(col("vyear"))
+      val versions = t(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"), year(col("o_orderdate")).as("vyear"))
+        .distinct()
+        .withColumn("valid_to_year",
+          coalesce(lead(col("vyear"), 1).over(wC), lit(9999)))
+        .withColumn("version_bal_cents",
+          col("c_custkey") * 100L + col("vyear")) // deterministic version payload
+        .localCheckpoint() // match join + the audit count
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("oyear"))
+      val matched = orders.join(versions,
+          col("o_custkey") === col("c_custkey")
+            && col("oyear") >= col("vyear") && col("oyear") < col("valid_to_year"))
+      val audit = matched.groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_versions"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("n_versions") === 1L, 1L).otherwise(0L)).cast("long")
+            .as("n_exactly_one"))
+      val sample = matched
+        .select(col("o_orderkey"), col("o_custkey"), col("oyear"),
+          col("vyear"), col("version_bal_cents"))
+        .orderBy(col("o_orderkey")).limit(20)
+      sample.crossJoin(broadcast(audit))
+        .withColumn("all_exactly_one", col("n_orders") === col("n_exactly_one"))
+        .select(col("o_orderkey"), col("o_custkey"), col("oyear"), col("vyear"),
+          col("version_bal_cents"), col("all_exactly_one"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- two-level Merkle manifest per source (dataset-versioning device;
     // complements q171's flat commutative fingerprint by LOCALIZING any
     // mismatch to a leaf instead of "somewhere in the table") ----
@@ -10249,6 +10313,46 @@ object SparkEntry {
         |  COUNT(*) = CAST(SUM(a) + SUM(b) + SUM(c) - SUM(a * b) - SUM(a * c)
         |    - SUM(b * c) + SUM(a * b * c) AS BIGINT) AS identity_holds
         |FROM flags""".stripMargin,
+    "q284_watermark_lateness" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, ts,
+        |    MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+        |  FROM events),
+        |late AS (
+        |  SELECT GREATEST(CAST(epoch(wm) AS BIGINT) - CAST(epoch(ts) AS BIGINT), 0)
+        |    AS late_sec
+        |  FROM l)
+        |SELECT COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN late_sec > 60 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_1m,
+        |  CAST(SUM(CASE WHEN late_sec > 600 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_10m,
+        |  CAST(SUM(CASE WHEN late_sec > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_1h,
+        |  CAST(MAX(late_sec) AS BIGINT) AS max_late_sec,
+        |  SUM(CASE WHEN late_sec > 600 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE
+        |    AS drop_rate_10m
+        |FROM late""".stripMargin,
+    "q285_scd2_asof_join" ->
+      """WITH versions AS (
+        |  SELECT c_custkey, vyear,
+        |    COALESCE(LEAD(vyear) OVER (PARTITION BY c_custkey ORDER BY vyear), 9999)
+        |      AS valid_to_year,
+        |    c_custkey * 100 + vyear AS version_bal_cents
+        |  FROM (SELECT DISTINCT o_custkey AS c_custkey, year(o_orderdate) AS vyear
+        |        FROM orders)),
+        |o AS (SELECT o_orderkey, o_custkey, year(o_orderdate) AS oyear FROM orders),
+        |matched AS (
+        |  SELECT o_orderkey, o_custkey, oyear, vyear, version_bal_cents
+        |  FROM o JOIN versions ON o_custkey = c_custkey
+        |    AND oyear >= vyear AND oyear < valid_to_year),
+        |audit AS (
+        |  SELECT COUNT(*) AS n_orders,
+        |    CAST(SUM(CASE WHEN n_versions = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_exactly_one
+        |  FROM (SELECT o_orderkey, COUNT(*) AS n_versions FROM matched GROUP BY 1))
+        |SELECT o_orderkey, o_custkey, oyear, vyear, version_bal_cents,
+        |  n_orders = n_exactly_one AS all_exactly_one
+        |FROM (SELECT * FROM matched ORDER BY o_orderkey LIMIT 20) m CROSS JOIN audit
+        |ORDER BY o_orderkey""".stripMargin,
     "q281_shapley_attribution" ->
       """WITH fb AS (
         |  SELECT user_id, ts AS fts, event_id AS fid FROM (
