@@ -6317,6 +6317,80 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- maximal verbatim-copy SPANS (the span-level device behind Lee
+    // et al. substring dedup, at gram granularity): positions whose
+    // 10-gram occurs ≥2 times in the corpus merge into maximal runs by
+    // the gap-and-island trick (pos − row_number is constant inside a
+    // run), each island spanning [start, end + n − 1] tokens — the ranges
+    // a span-removal pass would actually cut, not just "how much is
+    // duplicated". Island windows partition by doc (doc-length-bounded);
+    // the gram table shuffles twice, O(total grams), no pairs. ----
+    "q286_verbatim_spans" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val W = org.apache.spark.sql.expressions.Window
+      val n = 10
+      val grams = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(col("doc_id"), col("source"),
+          posexplode(call_function("graft_ngrams",
+            TextAnalysis.tokens(col("text")), lit(n))))
+        .toDF("doc_id", "source", "pos", "gram")
+        .localCheckpoint() // occurrence counts + the join back
+      val occ = grams.groupBy(col("gram")).agg(count(lit(1)).as("occ"))
+      val dupPos = grams.join(occ.filter(col("occ") >= 2), Seq("gram"), "left_semi")
+        .select(col("doc_id"), col("source"), col("pos"))
+      val wDoc = W.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val spans = dupPos
+        .withColumn("grp", col("pos") - row_number().over(wDoc))
+        .groupBy(col("doc_id"), col("source"), col("grp"))
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + lit(n - 1)).as("span_end"))
+        .withColumn("span_len", col("span_end") - col("span_start") + 1L)
+      val tok = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("total_tokens"))
+      spans.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_len")).cast("long").as("dup_token_mass"),
+          max(col("span_len")).cast("long").as("longest_span"))
+        .join(tok, Seq("source"), "right")
+        .na.fill(0L, Seq("n_spans", "dup_token_mass", "longest_span"))
+        .withColumn("dup_mass_ratio",
+          col("dup_token_mass").cast("double") / col("total_tokens").cast("double"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- l-diversity audit (the layer k-anonymity misses: a class of 50
+    // identical quasi-identifiers is still exposed if everyone shares the
+    // SAME sensitive value): q250's QI classes scored by the count of
+    // DISTINCT sensitive values (each customer's modal order priority,
+    // deterministic tiebreak) — reports the min l and the share of rows in
+    // classes below l = 2. ----
+    "q287_l_diversity" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val prio = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("o_custkey")).orderBy(col("n").desc, col("o_orderpriority"))))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey").as("c_custkey"), col("o_orderpriority").as("sensitive"))
+      val qid = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          expr("(CAST(round(c_acctbal) AS BIGINT) + 10000) DIV 1000").as("bal_band"))
+        .join(prio, Seq("c_custkey")) // customers with no orders carry no sensitive value
+      val cls = qid.groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+        .agg(count(lit(1)).as("cls_size"), countDistinct(col("sensitive")).as("l"))
+      cls.agg(count(lit(1)).as("n_classes"),
+          min(col("l")).as("min_l"),
+          sum(when(col("l") < 2, 1L).otherwise(0L)).cast("long").as("n_homogeneous"),
+          sum(when(col("l") < 2, col("cls_size")).otherwise(0L)).cast("long")
+            .as("n_exposed"),
+          sum(col("cls_size")).cast("long").as("n_rows"))
+        .withColumn("exposed_share",
+          col("n_exposed").cast("double") / col("n_rows").cast("double"))
+    }),
+
     // ---- two-level Merkle manifest per source (dataset-versioning device;
     // complements q171's flat commutative fingerprint by LOCALIZING any
     // mismatch to a leaf instead of "somewhere in the table") ----
@@ -10313,6 +10387,66 @@ object SparkEntry {
         |  COUNT(*) = CAST(SUM(a) + SUM(b) + SUM(c) - SUM(a * b) - SUM(a * c)
         |    - SUM(b * c) + SUM(a * b * c) AS BIGINT) AS identity_holds
         |FROM flags""".stripMargin,
+    "q286_verbatim_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, i - 1 AS pos,
+        |    array_to_string(toks[i:i+9], ' ') AS gram
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks) - 9)) AS i)),
+        |occ AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        |dp AS (
+        |  SELECT doc_id, source, pos,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM g SEMI JOIN occ USING (gram)),
+        |spans AS (
+        |  SELECT doc_id, source, grp, MIN(pos) AS span_start,
+        |    MAX(pos) + 9 AS span_end,
+        |    MAX(pos) + 9 - MIN(pos) + 1 AS span_len
+        |  FROM dp GROUP BY doc_id, source, grp),
+        |tok AS (SELECT source, CAST(SUM(len(toks)) AS BIGINT) AS total_tokens
+        |  FROM tk GROUP BY source),
+        |agg AS (
+        |  SELECT source, COUNT(*) AS n_spans,
+        |    CAST(SUM(span_len) AS BIGINT) AS dup_token_mass,
+        |    CAST(MAX(span_len) AS BIGINT) AS longest_span
+        |  FROM spans GROUP BY source)
+        |SELECT t.source,
+        |  COALESCE(n_spans, 0) AS n_spans,
+        |  COALESCE(dup_token_mass, 0) AS dup_token_mass,
+        |  COALESCE(longest_span, 0) AS longest_span,
+        |  t.total_tokens,
+        |  COALESCE(dup_token_mass, 0)::DOUBLE / t.total_tokens::DOUBLE AS dup_mass_ratio
+        |FROM tok t LEFT JOIN agg USING (source)
+        |ORDER BY t.source""".stripMargin,
+    "q287_l_diversity" ->
+      """WITH prio AS (
+        |  SELECT o_custkey AS c_custkey, o_orderpriority AS sensitive FROM (
+        |    SELECT o_custkey, o_orderpriority,
+        |      ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |        ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+        |    FROM orders GROUP BY o_custkey, o_orderpriority) x
+        |  WHERE rn = 1),
+        |qid AS (
+        |  SELECT c.c_custkey, c_nationkey, c_mktsegment,
+        |    (CAST(round(c_acctbal) AS BIGINT) + 10000) // 1000 AS bal_band,
+        |    sensitive
+        |  FROM customer c JOIN prio ON c.c_custkey = prio.c_custkey),
+        |cls AS (
+        |  SELECT c_nationkey, c_mktsegment, bal_band,
+        |    COUNT(*) AS cls_size, COUNT(DISTINCT sensitive) AS l
+        |  FROM qid GROUP BY c_nationkey, c_mktsegment, bal_band)
+        |SELECT COUNT(*) AS n_classes,
+        |  MIN(l) AS min_l,
+        |  CAST(SUM(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_homogeneous,
+        |  CAST(SUM(CASE WHEN l < 2 THEN cls_size ELSE 0 END) AS BIGINT) AS n_exposed,
+        |  CAST(SUM(cls_size) AS BIGINT) AS n_rows,
+        |  SUM(CASE WHEN l < 2 THEN cls_size ELSE 0 END)::DOUBLE
+        |    / SUM(cls_size)::DOUBLE AS exposed_share
+        |FROM cls""".stripMargin,
     "q284_watermark_lateness" ->
       """WITH l AS (
         |  SELECT user_id, event_id, ts,
