@@ -6391,6 +6391,81 @@ object SparkEntry {
           col("n_exposed").cast("double") / col("n_rows").cast("double"))
     }),
 
+    // ---- df.observe() metrics (the CollectMetrics operator): pipeline
+    // accounting that rides INSIDE the job — no second scan — gated by
+    // comparing the observed totals against the downstream aggregate of
+    // the same frame. The production shape: row-count/sum reconciliation
+    // between pipeline stages at zero extra passes. ----
+    "q288_observe_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation()
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .observe(obs, count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      val direct = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .agg(sum(col("n")).as("direct_rows"), sum(col("cents")).as("direct_cents"))
+        .collect()(0) // drives the pipeline; the observation is now filled
+      val m = obs.get
+      Seq((m("n_rows").asInstanceOf[Long], m("sum_cents").asInstanceOf[Long],
+        direct.getLong(0), direct.getLong(1)))
+        .toDF("observed_rows", "observed_cents", "direct_rows", "direct_cents")
+        .withColumn("rows_match", col("observed_rows") === col("direct_rows"))
+        .withColumn("cents_match", col("observed_cents") === col("direct_cents"))
+    }),
+
+    // ---- TYPED sessionization (the Dataset/Encoder arm of §1.4: same
+    // 30-minute-gap semantics as the window form, expressed as
+    // groupByKey.mapGroups over case-class rows — the API a stateful
+    // per-entity algorithm that doesn't fit window frames actually uses).
+    // Per-group state is one user's sorted timestamps — bounded. ----
+    "q289_typed_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val ds = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .as[(Long, java.sql.Timestamp, Long)]
+      ds.groupByKey(_._1)
+        .mapGroups { (uid, it) =>
+          val secs = it.map(_._2.getTime / 1000).toArray.sorted
+          val gaps = secs.sliding(2).collect { case Array(a, b) => b - a }.toArray
+          val sessions = 1 + gaps.count(_ > 1800L)
+          val maxGap = if (gaps.isEmpty) 0L else gaps.max
+          (uid, secs.length.toLong, sessions.toLong, maxGap)
+        }
+        .toDF("user_id", "n_events", "n_sessions", "max_gap_sec")
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- TYPED cogroup reconciliation: order headers against their line
+    // items in one CoGroup pass — the "header total vs Σ lines" audit a
+    // billing pipeline runs, expressed through the API built for exactly
+    // this two-sided-per-key shape. Per-key state is one order's lines —
+    // bounded; output is the corpus-level reconciliation summary. ----
+    "q290_cogroup_reconcile" -> ((s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("hdr"))
+        .as[(Long, Long)]
+      val lines = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .as[(Long, Long)]
+      val per = orders.groupByKey(_._1)
+        .cogroup(lines.groupByKey(_._1)) { (k, os, ls) =>
+          val hdrs = os.map(_._2).toArray
+          if (hdrs.isEmpty) Iterator.empty // lines without a header: not an order
+          else {
+            val lineSum = ls.map(_._2).sum
+            Iterator((k, hdrs.head, lineSum, hdrs.head - lineSum))
+          }
+        }
+        .toDF("o_orderkey", "hdr_cents", "line_cents", "diff_cents")
+      per.agg(count(lit(1)).as("n_orders"),
+          sum(when(col("line_cents") > 0L, 1L).otherwise(0L)).cast("long").as("n_with_lines"),
+          sum(when(col("diff_cents") === 0L, 1L).otherwise(0L)).cast("long").as("n_exact"),
+          min(col("diff_cents")).as("min_diff"),
+          max(col("diff_cents")).as("max_diff"))
+    }),
+
     // ---- two-level Merkle manifest per source (dataset-versioning device;
     // complements q171's flat commutative fingerprint by LOCALIZING any
     // mismatch to a leaf instead of "somewhere in the table") ----
@@ -10387,6 +10462,40 @@ object SparkEntry {
         |  COUNT(*) = CAST(SUM(a) + SUM(b) + SUM(c) - SUM(a * b) - SUM(a * c)
         |    - SUM(b * c) + SUM(a * b * c) AS BIGINT) AS identity_holds
         |FROM flags""".stripMargin,
+    "q288_observe_metrics" ->
+      """WITH li AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+        |t AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS c FROM li)
+        |SELECT n AS observed_rows, c AS observed_cents,
+        |  n AS direct_rows, c AS direct_cents,
+        |  TRUE AS rows_match, TRUE AS cents_match
+        |FROM t""".stripMargin,
+    "q289_typed_sessions" ->
+      """WITH e AS (
+        |  -- epoch_us // 1e6 floors to seconds exactly like getTime/1000
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+        |    epoch_us(ts) // 1000000
+        |      - LAG(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS gap
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(1 + SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_sec
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q290_cogroup_reconcile" ->
+      """WITH per AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS hdr_cents,
+        |    COALESCE(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT), 0)
+        |      AS line_cents
+        |  FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY o_orderkey, o_totalprice)
+        |SELECT COUNT(*) AS n_orders,
+        |  CAST(SUM(CASE WHEN line_cents > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_lines,
+        |  CAST(SUM(CASE WHEN hdr_cents = line_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(MIN(hdr_cents - line_cents) AS BIGINT) AS min_diff,
+        |  CAST(MAX(hdr_cents - line_cents) AS BIGINT) AS max_diff
+        |FROM per""".stripMargin,
     "q286_verbatim_spans" ->
       """WITH tk AS (
         |  SELECT doc_id, source,
@@ -10454,7 +10563,9 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
         |  FROM events),
         |late AS (
-        |  SELECT GREATEST(CAST(epoch(wm) AS BIGINT) - CAST(epoch(ts) AS BIGINT), 0)
+        |  -- epoch_us // 1e6 FLOORS like Spark's unix_timestamp;
+        |  -- CAST(epoch() AS BIGINT) would ROUND the sub-second part
+        |  SELECT GREATEST(epoch_us(wm) // 1000000 - epoch_us(ts) // 1000000, 0)
         |    AS late_sec
         |  FROM l)
         |SELECT COUNT(*) AS n_events,
