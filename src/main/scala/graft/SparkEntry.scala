@@ -6466,6 +6466,75 @@ object SparkEntry {
           max(col("diff_cents")).as("max_diff"))
     }),
 
+    // ---- Neyman allocation of a labeling budget (survey-sampling optimal
+    // stratified design): 1000 annotation slots across doc-length quintiles
+    // ∝ N_h·σ_h, exact DECIMAL moments under the σ, quota integerized by
+    // the largest-remainder method (floor + top-up by remainder rank, both
+    // engines ranking identical IEEE doubles with a stratum tiebreak) so
+    // the quotas sum to the budget EXACTLY. Strata from the bucketed
+    // globalNtile; everything after runs on 5 rows. ----
+    "q291_neyman_allocation" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val d0 = DecimalType(38, 0)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("x"))
+      val strata = Relational.globalNtile(docs, "x", "doc_id", k = 5, outCol = "stratum")
+      val mom = strata.groupBy(col("stratum"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("x").cast(d0)).as("sx"),
+          sum(col("x").cast(d0) * col("x").cast(d0)).as("sxx"))
+        .withColumn("sd_len", sqrt(
+          ((col("n_docs").cast(d0) * col("sxx") - col("sx") * col("sx")).cast("double"))
+            / (col("n_docs") * (col("n_docs") - 1L)).cast("double")))
+        .withColumn("w", col("n_docs").cast("double") * col("sd_len"))
+      val totw = mom.agg(sum(col("w")).as("tw"))
+      val raw = mom.crossJoin(broadcast(totw))
+        .withColumn("alloc_raw", lit(1000.0) * col("w") / col("tw"))
+        .withColumn("base", floor(col("alloc_raw")).cast("long"))
+        .withColumn("rem", col("alloc_raw") - col("base").cast("double"))
+      val leftover = raw.agg((lit(1000L) - sum(col("base"))).as("lo"))
+      raw.crossJoin(broadcast(leftover))
+        .withColumn("rk", row_number().over(W.orderBy(col("rem").desc, col("stratum"))))
+        .withColumn("alloc", col("base") + when(col("rk") <= col("lo"), 1L).otherwise(0L))
+        .select(col("stratum"), col("n_docs"), col("sd_len"), col("alloc"))
+        .orderBy(col("stratum"))
+    }),
+
+    // ---- Krippendorff's alpha, nominal, 3 raters (the inter-annotator
+    // metric that generalizes q142's two-rater kappa): raters synthesized
+    // as deterministic corruptions of the lang label (rater 2 defaults to
+    // 'en' every 7th doc, rater 3 cycles the label every 11th), observed
+    // and expected disagreement both as exact integer coincidence counts,
+    // one double division at the surface. ----
+    "q292_krippendorff_alpha" -> ((s, dir) => {
+      val langs = Seq("en", "es", "de", "fr", "zh", "und")
+      val next = map(langs.zip(langs.tail :+ langs.head)
+        .flatMap { case (a, b) => Seq(lit(a), lit(b)) }: _*)
+      val base = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val vals = base.select(col("doc_id"), col("lang").as("label"))
+        .unionAll(base.select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, lit("en")).otherwise(col("lang")).as("label")))
+        .unionAll(base.select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, element_at(next, col("lang")))
+            .otherwise(col("lang")).as("label")))
+      val ouc = vals.groupBy(col("doc_id"), col("label")).agg(count(lit(1)).as("o"))
+      val doNum = ouc.agg(sum(col("o") * (lit(3L) - col("o"))).cast("long").as("do_num"),
+        countDistinct(col("doc_id")).as("n_units"))
+      val marg = ouc.groupBy(col("label")).agg(sum(col("o")).as("nc"))
+      val ntot = marg.agg(sum(col("nc")).cast("long").as("ntot"))
+      val deNum = marg.crossJoin(broadcast(ntot))
+        .agg(sum(col("nc") * (col("ntot") - col("nc"))).cast("long").as("de_num"),
+          max(col("ntot")).as("ntot"))
+      doNum.crossJoin(broadcast(deNum))
+        .withColumn("d_o", col("do_num").cast("double")
+          / (col("n_units") * 3L * 2L).cast("double"))
+        .withColumn("d_e", col("de_num").cast("double")
+          / (col("ntot") * (col("ntot") - 1L)).cast("double"))
+        .withColumn("alpha", lit(1.0) - col("d_o") / col("d_e"))
+        .select(col("n_units"), col("do_num"), col("de_num"), col("ntot"),
+          col("d_o"), col("d_e"), col("alpha"))
+    }),
+
     // ---- two-level Merkle manifest per source (dataset-versioning device;
     // complements q171's flat commutative fingerprint by LOCALIZING any
     // mismatch to a leaf instead of "somewhere in the table") ----
@@ -10462,6 +10531,57 @@ object SparkEntry {
         |  COUNT(*) = CAST(SUM(a) + SUM(b) + SUM(c) - SUM(a * b) - SUM(a * c)
         |    - SUM(b * c) + SUM(a * b * c) AS BIGINT) AS identity_holds
         |FROM flags""".stripMargin,
+    "q291_neyman_allocation" ->
+      """WITH docs AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x FROM documents),
+        |st AS (SELECT doc_id, x, NTILE(5) OVER (ORDER BY x, doc_id) AS stratum FROM docs),
+        |mom AS (
+        |  SELECT stratum, COUNT(*) AS n_docs,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM st GROUP BY stratum),
+        |m2 AS (
+        |  SELECT stratum, n_docs,
+        |    sqrt((n_docs * sxx - sx * sx)::DOUBLE / (n_docs * (n_docs - 1))::DOUBLE)
+        |      AS sd_len
+        |  FROM mom),
+        |w AS (SELECT *, n_docs::DOUBLE * sd_len AS w FROM m2),
+        |tw AS (SELECT SUM(w) AS tw FROM w),
+        |raw AS (
+        |  SELECT stratum, n_docs, sd_len,
+        |    CAST(floor(1000.0 * w / tw) AS BIGINT) AS base,
+        |    1000.0 * w / tw - floor(1000.0 * w / tw) AS rem
+        |  FROM w CROSS JOIN tw),
+        |lo AS (SELECT 1000 - CAST(SUM(base) AS BIGINT) AS lo FROM raw),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, stratum) AS rk FROM raw)
+        |SELECT stratum, n_docs, sd_len,
+        |  base + CASE WHEN rk <= lo THEN 1 ELSE 0 END AS alloc
+        |FROM rk CROSS JOIN lo ORDER BY stratum""".stripMargin,
+    "q292_krippendorff_alpha" ->
+      """WITH base AS (SELECT doc_id, lang FROM documents),
+        |nx(a, b) AS (VALUES ('en','es'), ('es','de'), ('de','fr'), ('fr','zh'),
+        |  ('zh','und'), ('und','en')),
+        |vals AS (
+        |  SELECT doc_id, lang AS label FROM base
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END FROM base
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN b ELSE lang END
+        |  FROM base JOIN nx ON a = lang),
+        |ouc AS (SELECT doc_id, label, COUNT(*) AS o FROM vals GROUP BY doc_id, label),
+        |dn AS (
+        |  SELECT CAST(SUM(o * (3 - o)) AS BIGINT) AS do_num,
+        |    COUNT(DISTINCT doc_id) AS n_units
+        |  FROM ouc),
+        |marg AS (SELECT label, CAST(SUM(o) AS BIGINT) AS nc FROM ouc GROUP BY label),
+        |nt AS (SELECT CAST(SUM(nc) AS BIGINT) AS ntot FROM marg),
+        |de AS (
+        |  SELECT CAST(SUM(nc * (ntot - nc)) AS BIGINT) AS de_num, MAX(ntot) AS ntot
+        |  FROM marg CROSS JOIN nt)
+        |SELECT n_units, do_num, de_num, ntot,
+        |  do_num::DOUBLE / (n_units * 6)::DOUBLE AS d_o,
+        |  de_num::DOUBLE / (ntot * (ntot - 1))::DOUBLE AS d_e,
+        |  1.0 - (do_num::DOUBLE / (n_units * 6)::DOUBLE)
+        |    / (de_num::DOUBLE / (ntot * (ntot - 1))::DOUBLE) AS alpha
+        |FROM dn CROSS JOIN de""".stripMargin,
     "q288_observe_metrics" ->
       """WITH li AS (
         |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
