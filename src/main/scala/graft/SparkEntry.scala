@@ -6535,6 +6535,36 @@ object SparkEntry {
           col("d_o"), col("d_e"), col("alpha"))
     }),
 
+    // ---- exact two-sample Kolmogorov–Smirnov statistic (the continuous-
+    // distribution drift test beside q116's binned χ²): D = max |F_A − F_R|
+    // over return-flag price distributions, computed as max |cum_A·n_R −
+    // cum_R·n_A| on INTEGER cross-multiplied ranks so the max is taken
+    // over exact values (one division at the surface). CDFs via the
+    // bucketed global prefix sum — distinct prices grow with the fact
+    // table, so no ordered window may span them (§8.6#5). ----
+    "q293_ks_statistic" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select(col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val perVal = li.groupBy(col("cents"))
+        .agg(sum(when(col("flag") === "A", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("flag") === "R", 1L).otherwise(0L)).as("cr"))
+        .localCheckpoint() // two prefix passes + the totals scalar
+      val cumA = Relational.globalPrefixSum(perVal, "cents", "cents", "ca", "cum_a")
+        .select(col("cents"), col("cum_a"))
+      val cumR = Relational.globalPrefixSum(perVal, "cents", "cents", "cr", "cum_r")
+        .select(col("cents"), col("cum_r"))
+      val tot = perVal.agg(sum(col("ca")).as("na"), sum(col("cr")).as("nr"))
+      cumA.join(cumR, Seq("cents"))
+        .crossJoin(broadcast(tot))
+        .withColumn("gap_num", abs(col("cum_a") * col("nr") - col("cum_r") * col("na")))
+        .agg(max(col("gap_num")).as("d_num"), max(col("na")).as("n_a"),
+          max(col("nr")).as("n_r"))
+        .withColumn("ks_d",
+          col("d_num").cast("double") / (col("n_a") * col("n_r")).cast("double"))
+    }),
+
     // ---- two-level Merkle manifest per source (dataset-versioning device;
     // complements q171's flat commutative fingerprint by LOCALIZING any
     // mismatch to a leaf instead of "somewhere in the table") ----
@@ -10531,6 +10561,25 @@ object SparkEntry {
         |  COUNT(*) = CAST(SUM(a) + SUM(b) + SUM(c) - SUM(a * b) - SUM(a * c)
         |    - SUM(b * c) + SUM(a * b * c) AS BIGINT) AS identity_holds
         |FROM flags""".stripMargin,
+    "q293_ks_statistic" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |pv AS (
+        |  SELECT cents,
+        |    CAST(SUM(CASE WHEN flag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+        |  FROM li GROUP BY cents),
+        |cum AS (
+        |  SELECT cents,
+        |    CAST(SUM(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+        |    CAST(SUM(cr) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_r
+        |  FROM pv),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cr) AS BIGINT) AS nr FROM pv)
+        |SELECT CAST(MAX(abs(cum_a * nr - cum_r * na)) AS BIGINT) AS d_num,
+        |  na AS n_a, nr AS n_r,
+        |  MAX(abs(cum_a * nr - cum_r * na))::DOUBLE / (na * nr)::DOUBLE AS ks_d
+        |FROM cum CROSS JOIN tot GROUP BY na, nr""".stripMargin,
     "q291_neyman_allocation" ->
       """WITH docs AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x FROM documents),
         |st AS (SELECT doc_id, x, NTILE(5) OVER (ORDER BY x, doc_id) AS stratum FROM docs),
