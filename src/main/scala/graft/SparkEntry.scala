@@ -6565,6 +6565,76 @@ object SparkEntry {
           col("d_num").cast("double") / (col("n_a") * col("n_r")).cast("double"))
     }),
 
+    // ---- posting-list compression planning (the search-index sizing
+    // estimate): per token, doc-id postings delta-encode to gaps whose
+    // varint width is an exact CASE ladder (log-free), rolled up by
+    // doc-frequency magnitude bucket — "what does the inverted index cost
+    // on disk, and where does delta+varint pay". Per-token gap windows are
+    // posting-list-local (a production indexer shards hot terms; here the
+    // corpus bounds df). ----
+    "q294_posting_compression" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val posts = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(col("doc_id"), explode(array_distinct(TextAnalysis.tokens(col("text"))))
+          .as("tok"))
+      val wTok = W.partitionBy(col("tok")).orderBy(col("doc_id"))
+      val gaps = posts
+        .withColumn("gap", col("doc_id") - coalesce(lag(col("doc_id"), 1).over(wTok), lit(0L)))
+        .withColumn("vbytes",
+          when(col("gap") < 128L, 1L).when(col("gap") < 16384L, 2L)
+            .when(col("gap") < 2097152L, 3L).when(col("gap") < 268435456L, 4L)
+            .otherwise(5L))
+      val perTok = gaps.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"), sum(col("vbytes")).as("vb"))
+      perTok
+        .withColumn("df_bucket",
+          when(col("df") < 10L, lit("1-9")).when(col("df") < 100L, lit("10-99"))
+            .when(col("df") < 1000L, lit("100-999")).otherwise(lit("1000+")))
+        .groupBy(col("df_bucket"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("df")).cast("long").as("total_postings"),
+          (sum(col("df")) * 8L).cast("long").as("raw_bytes"),
+          sum(col("vb")).cast("long").as("varint_bytes"))
+        .withColumn("compression_ratio",
+          col("raw_bytes").cast("double") / col("varint_bytes").cast("double"))
+        .orderBy(col("df_bucket"))
+    }),
+
+    // ---- Merkle-localized repair costing (q257's manifest earning its
+    // keep): against a deterministically mutated copy (every 101st doc's
+    // text flips), leaf-level digests locate the damage and the repair
+    // bill is ONLY the rows in differing leaves — reported next to the
+    // full-table cost a flat fingerprint mismatch would imply. ----
+    "q295_merkle_repair" -> ((s, dir) => {
+      def leaves(mutate: Boolean) = {
+        val d = t(s, dir, "documents")
+        val txt = if (mutate)
+          when(col("doc_id") % 101 === 0, concat(col("text"), lit(" CORRUPT")))
+            .otherwise(col("text"))
+        else col("text")
+        d.select(col("source"), pmod(col("doc_id"), lit(64)).as("bucket"),
+            md5(concat_ws("|", col("doc_id"), txt)).as("rh"))
+          .groupBy(col("source"), col("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            md5(concat_ws("", array_sort(collect_list(col("rh"))))).as("leaf"))
+      }
+      val a = leaves(mutate = false)
+      val b = leaves(mutate = true)
+        .withColumnsRenamed(Map("n_rows" -> "n_rows_b", "leaf" -> "leaf_b"))
+      a.join(b, Seq("source", "bucket"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_leaves"),
+          sum(when(col("leaf") =!= col("leaf_b"), 1L).otherwise(0L)).cast("long")
+            .as("dirty_leaves"),
+          sum(col("n_rows")).cast("long").as("total_rows"),
+          sum(when(col("leaf") =!= col("leaf_b"), col("n_rows")).otherwise(0L))
+            .cast("long").as("repair_rows"))
+        .withColumn("repair_share",
+          col("repair_rows").cast("double") / col("total_rows").cast("double"))
+        .orderBy(col("source"))
+    }),
+
     // ---- two-level Merkle manifest per source (dataset-versioning device;
     // complements q171's flat commutative fingerprint by LOCALIZING any
     // mismatch to a leaf instead of "somewhere in the table") ----
@@ -10561,6 +10631,56 @@ object SparkEntry {
         |  COUNT(*) = CAST(SUM(a) + SUM(b) + SUM(c) - SUM(a * b) - SUM(a * c)
         |    - SUM(b * c) + SUM(a * b * c) AS BIGINT) AS identity_holds
         |FROM flags""".stripMargin,
+    "q294_posting_compression" ->
+      """WITH posts AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tok
+        |    FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0)),
+        |gaps AS (
+        |  SELECT tok,
+        |    doc_id - COALESCE(LAG(doc_id) OVER (PARTITION BY tok ORDER BY doc_id), 0) AS gap
+        |  FROM posts),
+        |vb AS (
+        |  SELECT tok,
+        |    CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+        |      WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4 ELSE 5 END AS vbytes
+        |  FROM gaps),
+        |pt AS (SELECT tok, COUNT(*) AS df, CAST(SUM(vbytes) AS BIGINT) AS vbt
+        |  FROM vb GROUP BY tok)
+        |SELECT
+        |  CASE WHEN df < 10 THEN '1-9' WHEN df < 100 THEN '10-99'
+        |    WHEN df < 1000 THEN '100-999' ELSE '1000+' END AS df_bucket,
+        |  COUNT(*) AS n_tokens,
+        |  CAST(SUM(df) AS BIGINT) AS total_postings,
+        |  CAST(SUM(df) * 8 AS BIGINT) AS raw_bytes,
+        |  CAST(SUM(vbt) AS BIGINT) AS varint_bytes,
+        |  (CAST(SUM(df) AS BIGINT) * 8)::DOUBLE / CAST(SUM(vbt) AS BIGINT)::DOUBLE
+        |    AS compression_ratio
+        |FROM pt GROUP BY 1 ORDER BY df_bucket""".stripMargin,
+    "q295_merkle_repair" ->
+      """WITH a AS (
+        |  SELECT source, doc_id % 64 AS bucket, COUNT(*) AS n_rows,
+        |    md5(string_agg(md5(doc_id || '|' || text), ''
+        |      ORDER BY md5(doc_id || '|' || text))) AS leaf
+        |  FROM documents GROUP BY source, doc_id % 64),
+        |b AS (
+        |  SELECT source, doc_id % 64 AS bucket,
+        |    md5(string_agg(md5(doc_id || '|' || txt), ''
+        |      ORDER BY md5(doc_id || '|' || txt))) AS leaf_b
+        |  FROM (SELECT source, doc_id,
+        |      CASE WHEN doc_id % 101 = 0 THEN text || ' CORRUPT' ELSE text END AS txt
+        |    FROM documents)
+        |  GROUP BY source, doc_id % 64)
+        |SELECT source, COUNT(*) AS n_leaves,
+        |  CAST(SUM(CASE WHEN leaf <> leaf_b THEN 1 ELSE 0 END) AS BIGINT) AS dirty_leaves,
+        |  CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+        |  CAST(SUM(CASE WHEN leaf <> leaf_b THEN n_rows ELSE 0 END) AS BIGINT)
+        |    AS repair_rows,
+        |  SUM(CASE WHEN leaf <> leaf_b THEN n_rows ELSE 0 END)::DOUBLE
+        |    / SUM(n_rows)::DOUBLE AS repair_share
+        |FROM a JOIN b USING (source, bucket)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q293_ks_statistic" ->
       """WITH li AS (
         |  SELECT l_returnflag AS flag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
