@@ -6635,6 +6635,24 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- VARIANT semi-structured path (Spark 4's shredded JSON type — the
+    // open-table-format answer to schemaless props columns) + parameterized
+    // SQL: props parse ONCE to VARIANT, typed variant_get extraction, and
+    // the rollup runs through sql() with a named parameter (no string
+    // interpolation of values into query text). ----
+    "q296_variant_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .withColumn("k", expr("variant_get(v, '$.k', 'long')"))
+        .createOrReplaceTempView("v_props_q296")
+      s.sql(
+        """SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_with_k,
+          |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+          |  CAST(SUM(CASE WHEN k >= :thresh THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_thresh
+          |FROM v_props_q296 GROUP BY event_type ORDER BY event_type""".stripMargin,
+        Map("thresh" -> 50))
+    }),
+
     // ---- two-level Merkle manifest per source (dataset-versioning device;
     // complements q171's flat commutative fingerprint by LOCALIZING any
     // mismatch to a leaf instead of "somewhere in the table") ----
@@ -10631,6 +10649,15 @@ object SparkEntry {
         |  COUNT(*) = CAST(SUM(a) + SUM(b) + SUM(c) - SUM(a * b) - SUM(a * c)
         |    - SUM(b * c) + SUM(a * b * c) AS BIGINT) AS identity_holds
         |FROM flags""".stripMargin,
+    "q296_variant_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  COUNT(CAST(props->>'k' AS BIGINT)) AS n_with_k,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+        |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
+        |  CAST(SUM(CASE WHEN CAST(props->>'k' AS BIGINT) >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ge_thresh
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q294_posting_compression" ->
       """WITH posts AS (
         |  SELECT DISTINCT doc_id, tok FROM (
