@@ -288,7 +288,7 @@ object Similarity {
     val u1 = normalized(collectVec(col("s").cast("decimal(38,0)")))
     // step 2: weight t_r = q_r · u1, a row-local native dot against the
     // broadcast-literal direction
-    val u1Col = array(u1.map(lit(_)): _*)
+    val u1Col = array(u1.toIndexedSeq.map(lit): _*)
     val t = call_function("graft_long_dot", col("iv"), u1Col).cast("decimal(38,0)")
     val v2 = normalized(collectVec(t))
     val spark = df.sparkSession
