@@ -6653,6 +6653,26 @@ object SparkEntry {
         Map("thresh" -> 50))
     }),
 
+    // ---- NATIVE session_window aggregation (Spark's built-in session
+    // operator, batch mode — the declarative twin of q92's custom-state
+    // streaming sessions and q289's typed mapGroups): a new session opens
+    // when the gap reaches 30 minutes EXACTLY (≥, the operator's closed
+    // lower bound — the oracle mirrors it in integer microseconds, where
+    // sub-second timestamps make > vs ≥ a real difference). Per user:
+    // session count, events, and the longest wall-clock session span. ----
+    "q297_session_window_native" -> ((s, dir) => {
+      val sw = t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("span_us",
+          expr("unix_micros(session_window.end) - unix_micros(session_window.start)"))
+      sw.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).cast("long").as("n_events"),
+          max(col("span_us")).as("max_span_us"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- two-level Merkle manifest per source (dataset-versioning device;
     // complements q171's flat commutative fingerprint by LOCALIZING any
     // mismatch to a leaf instead of "somewhere in the table") ----
@@ -10649,6 +10669,25 @@ object SparkEntry {
         |  COUNT(*) = CAST(SUM(a) + SUM(b) + SUM(c) - SUM(a * b) - SUM(a * c)
         |    - SUM(b * c) + SUM(a * b * c) AS BIGINT) AS identity_holds
         |FROM flags""".stripMargin,
+    "q297_session_window_native" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1
+        |      WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000 THEN 1
+        |      ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e),
+        |ses AS (
+        |  SELECT user_id, sid, COUNT(*) AS n_events,
+        |    MAX(us) + 1800000000 - MIN(us) AS span_us
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |  CAST(MAX(span_us) AS BIGINT) AS max_span_us
+        |FROM ses GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q296_variant_props" ->
       """SELECT event_type, COUNT(*) AS n,
         |  COUNT(CAST(props->>'k' AS BIGINT)) AS n_with_k,
