@@ -10,10 +10,15 @@ columns, and compares values cell by cell (exact; floats compared exactly
 since both sides should be bit-deterministic by construction).
 """
 import json
+import functools
 import math
 import sys
 
 import duckdb
+
+# stream results through pipes: a full-registry sweep runs heavy oracles for
+# many minutes, and block-buffered stdout hides which query is in flight
+print = functools.partial(print, flush=True)
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
