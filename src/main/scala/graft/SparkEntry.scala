@@ -6673,6 +6673,18 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ---- exact cross-doc substring dedup (Lee et al. 2021 ExactSubstr,
+    // the span-REMOVAL transform q286 only measures): positions whose
+    // 8-gram occurs in ≥ 2 DISTINCT docs merge into maximal runs, runs
+    // union into disjoint token spans, every covered token is cut; output
+    // is the cleaned corpus row-for-row. Distributed gram index — no
+    // suffix array, no pairs; oracle rebuilds the same spans and cleaned
+    // strings from unnest+window SQL. ----
+    "q298_remove_shared_spans" -> ((s, dir) =>
+      graft.ops.Dedup.removeSharedSpans(
+          t(s, dir, "documents"), "doc_id", "text", n = 8, minDocs = 2)
+        .orderBy(col("doc_id"))),
+
     // ---- two-level Merkle manifest per source (dataset-versioning device;
     // complements q171's flat commutative fingerprint by LOCALIZING any
     // mismatch to a leaf instead of "somewhere in the table") ----
@@ -10669,6 +10681,55 @@ object SparkEntry {
         |  COUNT(*) = CAST(SUM(a) + SUM(b) + SUM(c) - SUM(a * b) - SUM(a * c)
         |    - SUM(b * c) + SUM(a * b * c) AS BIGINT) AS identity_holds
         |FROM flags""".stripMargin,
+    "q298_remove_shared_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i)),
+        |shared AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dp AS (
+        |  SELECT doc_id, pos,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM g SEMI JOIN shared USING (gram)),
+        |runs AS (
+        |  SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + 7 AS e
+        |  FROM dp GROUP BY doc_id, grp),
+        |mr AS (
+        |  SELECT doc_id, s, e,
+        |    MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM runs),
+        |sp AS (
+        |  SELECT doc_id, span_id, MIN(s) AS s, MAX(e) AS e
+        |  FROM (SELECT doc_id, s, e,
+        |          SUM(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY s
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        |        FROM mr) x
+        |  GROUP BY doc_id, span_id),
+        |cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS idx FROM sp),
+        |tok AS (
+        |  SELECT doc_id, toks[i] AS tok, i - 1 AS idx
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+        |kept AS (
+        |  SELECT t.doc_id, t.tok, t.idx
+        |  FROM tok t ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.idx = c.idx),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    COALESCE(string_agg(tok, ' ' ORDER BY idx), '') AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |ns AS (SELECT doc_id, COUNT(*) AS n_spans FROM sp GROUP BY doc_id)
+        |SELECT tk.doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(ns.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(len(toks) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(agg.clean_text, '') AS clean_text
+        |FROM tk LEFT JOIN ns USING (doc_id) LEFT JOIN agg USING (doc_id)
+        |ORDER BY tk.doc_id""".stripMargin,
     "q297_session_window_native" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us,

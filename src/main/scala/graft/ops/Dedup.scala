@@ -783,4 +783,90 @@ object Dedup {
         levenshtein(col("s_a"), col("s_b"), k).as("edit_dist"))
       .filter(col("edit_dist") >= 0)
   }
+
+  /** Exact cross-document substring dedup at gram granularity — the Lee et
+    * al. 2021 ExactSubstr transform (arXiv:2107.06499 §4.1; their reference
+    * tool builds a monolithic suffix array — here the same maximal shared
+    * runs fall out of a DISTRIBUTED gram-position index, which is the form
+    * that scales past one machine). A token position is DUPLICATED when the
+    * n-gram starting there occurs in at least `minDocs` DISTINCT documents;
+    * consecutive duplicated positions merge into maximal runs (the
+    * gap-and-island trick: pos − row_number is constant inside a run), each
+    * run covering tokens [start, end + n − 1]; runs whose covered ranges
+    * overlap or touch (island gap < n) merge into disjoint removal spans
+    * via a prefix-max interval union; every covered token is then cut from
+    * its document. ALL occurrences are removed — keeping "the first copy"
+    * would need a global document order and make the output
+    * order-dependent; removing every copy is symmetric, engine-stable, and
+    * what the reference tool does by default. Within-doc repeats do NOT
+    * trigger removal (distinct-DOC counting) — that signal is
+    * [[dupGramStats]]'s; this operator is the cross-doc span-removal step
+    * a pretraining pipeline runs corpus-wide.
+    *
+    * Scale shape: the gram-position table is O(total tokens) and shuffles
+    * on the gram string (doc-frequency aggregate + semi-join back) and on
+    * doc_id (island/union windows — doc-length-bounded partitions, never
+    * global); per-doc removal spans collect into one doc-bounded array and
+    * apply as a codegen'd exists-filter over the token array. No pairwise
+    * comparisons, no suffix array, no driver state — every stage is
+    * key-partitioned, so the plan survives a 1000-executor corpus run.
+    *
+    * Output: one row per input document —
+    * (doc_id, n_tokens, n_spans, n_removed, clean_text), clean_text the
+    * surviving tokens re-joined with single spaces; docs shorter than n
+    * tokens or with no cross-doc grams pass through with n_spans = 0.
+    */
+  def removeSharedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 10,
+      minDocs: Int = 2
+  ): DataFrame = {
+    require(n >= 2 && n <= 64, s"gram width must be in [2,64]: $n")
+    require(minDocs >= 2, s"minDocs must be >= 2 (cross-doc counting): $minDocs")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val W = org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    val grams = base
+      .select(col("doc_id"),
+        posexplode(call_function("graft_ngrams", col("toks"), lit(n))))
+      .toDF("doc_id", "pos", "gram")
+      .localCheckpoint() // feeds the doc-frequency aggregate AND the semi-join
+    val shared = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("gram"))
+    val dup = grams.join(shared, Seq("gram"), "left_semi")
+    val wPos = W.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = dup
+      .withColumn("grp", col("pos") - row_number().over(wPos))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(n - 1)).as("e"))
+    // interval union: a run starting at or before prev-max-end + 1 continues
+    // the same removal span (touching ranges are one contiguous cut)
+    val wRun = W.partitionBy(col("doc_id")).orderBy(col("s"))
+    val merged = runs
+      .withColumn("pmax",
+        max(col("e")).over(wRun.rowsBetween(W.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("s") > col("pmax") + 1, 1L).otherwise(0L))
+      .withColumn("span_id",
+        sum(col("brk")).over(wRun.rowsBetween(W.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val perDoc = merged.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"),
+        count(lit(1)).as("n_spans"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("spans").isNull, col("toks")).otherwise(
+          expr("filter(toks, (t, i) -> NOT exists(spans, sp -> i >= sp.s AND i <= sp.e))")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
 }

@@ -11,6 +11,95 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Loop-scoped shuffle sizing for the iterative operators — the
+    * [[Dedup.connectedComponents]] device (ops/Dedup.scala), ported with a
+    * MEASURED threshold revision. CC's win (4.4 s of a 9 s cascade) came
+    * from graphs of a few thousand near-dup edges, where every round is
+    * microseconds of real work under milliseconds of task scheduling; there
+    * narrowing to ~1 task and disabling AQE's per-job re-planning is pure
+    * profit. Re-measuring on the 241k-edge co-supply graph showed the
+    * opposite: applying the same narrowing + AQE-off to mid-size graphs
+    * made SSSP/k-core/k-hop 10–25% SLOWER (5.25→5.89 s, 2.36→2.90 s,
+    * 2.81→3.68 s at sf0.1) — at that size the rounds have enough real work
+    * that width and AQE's post-shuffle coalescing pay for themselves. So
+    * the scope only narrows genuinely tiny loops (< 200k measured rows:
+    * every round fits one task's worth of work) and leaves everything
+    * else — including the 100 TB case — completely untouched; the round
+    * joins are instead kept shuffle-free by [[hinted]] broadcasts, which
+    * is where the mid-size win actually was. Conf is scoped to the loop
+    * and restored in `finally`; every round's ACTION (localCheckpoint
+    * materialization, witness count) runs inside the scope and picks the
+    * narrow width up.
+    */
+  private def withRoundConf[T](
+      sess: org.apache.spark.sql.SparkSession, nRows: Long)(body: => T): T = {
+    if (nRows >= 200000L) body
+    else {
+      val shuffleKey = "spark.sql.shuffle.partitions"
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val prevShuffle = sess.conf.get(shuffleKey)
+      val prevAqe = sess.conf.get(aqeKey)
+      val roundParts = math.max(1, math.min(
+        sess.sessionState.conf.numShufflePartitions, (nRows / 100000L).toInt + 1))
+      sess.conf.set(shuffleKey, roundParts.toString)
+      sess.conf.set(aqeKey, "false")
+      try body
+      finally {
+        sess.conf.set(shuffleKey, prevShuffle)
+        sess.conf.set(aqeKey, prevAqe)
+      }
+    }
+  }
+
+  /** Broadcast the per-round small side iff its MEASURED row count is under
+    * the hint bound. The iterative loops materialize every round, so the
+    * frontier/keep-list size is a known number, not an estimate — a
+    * measured hint beats AQE's runtime conversion here because AQE only
+    * switches join strategy BETWEEN stages: the big side's shuffle files
+    * are already written by the time it decides, while an explicit hint
+    * never shuffles the edge table at all (and [[withRoundConf]] turns AQE
+    * off for small graphs anyway). 4M rows of (long, long) ≈ 64 MB — inside
+    * every practical driver/executor budget; a billion-node graph fails the
+    * bound and falls back to the plain shuffle join, which is the correct
+    * 100 TB plan.
+    */
+  private val BcastRows = 4000000L
+  private def hinted(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= BcastRows) broadcast(df) else df
+
+  /** Per-round checkpoint hygiene for fixed-point loops (the other half of
+    * the CC device): every round's `localCheckpoint(eager)` pins its blocks
+    * until the ContextCleaner happens to GC the dropped frame — on a large
+    * driver heap that can be never, and N rounds of graph-sized frames
+    * accumulate in the block manager (measured: repeated cascade runs in one
+    * session degraded 10× from exactly this). `ckpt` eagerly materializes
+    * the new round and then frees the PREVIOUS round's blocks — safe because
+    * the new checkpoint fully consumed them — so at any moment at most one
+    * round (plus the adjacency list) is pinned. The final round stays
+    * pinned: its blocks ARE the result (a localCheckpoint cannot be
+    * recomputed). `free` releases the adjacency list once the loop no
+    * longer references it.
+    */
+  private final class RoundChain(sc: org.apache.spark.SparkContext) {
+    private var liveIds: Set[Int] = Set.empty
+    def ckpt(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(true)
+      val added = sc.getPersistentRDDs.keySet.toSet -- before
+      free()
+      liveIds = added
+      out
+    }
+    /** Detach the chain from its current round WITHOUT freeing it — used on
+      * the final round, whose blocks back the returned frame. */
+    def keep(): Unit = liveIds = Set.empty
+    def free(): Unit = {
+      sc.getPersistentRDDs.filter(kv => liveIds.contains(kv._1)).values
+        .foreach(_.unpersist(blocking = false))
+      liveIds = Set.empty
+    }
+  }
+
   /** Fixed-iteration PageRank in SCALED INTEGER arithmetic — every operation
     * is integer floor-division/multiply/sum, so the result is bit-identical
     * on any engine, partitioning, or summation order (double-based PageRank
@@ -145,7 +234,9 @@ object Graph {
     * against an unrolled-rounds oracle: any two engines that both reach
     * convergence agree exactly. Each round is one degree aggregation and
     * two semi-joins; `localCheckpoint` per round keeps the plan
-    * constant-size (the q58/q85 CC lesson). Throws if not converged in
+    * constant-size (the q58/q85 CC lesson), round shuffles are sized from
+    * the measured edge count and previous rounds' blocks freed eagerly
+    * ([[withRoundConf]]/[[RoundChain]]). Throws if not converged in
     * `maxIters` — a silent partial peel would LOOK like a valid core.
     * Input contract matches [[triangleCounts]]: first two columns are
     * endpoints of canonical u < v edges. Output: (node, core_deg) for
@@ -157,26 +248,33 @@ object Graph {
     def degrees(e: DataFrame): DataFrame = e
       .select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
-    var cur = edges.select(col(uName).as("u"), col(vName).as("v")).localCheckpoint(true)
+    val sess = edges.sparkSession
+    val chain = new RoundChain(sess.sparkContext)
+    var cur = chain.ckpt(edges.select(col(uName).as("u"), col(vName).as("v")))
     var nEdges = cur.count()
-    var converged = false
-    var it = 0
-    while (!converged && it < maxIters) {
-      val keep = degrees(cur).filter(col("core_deg") >= k).select(col("node"))
-      val next = cur
-        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v"))
-        .localCheckpoint(true)
-      val n = next.count()
-      converged = n == nEdges
-      cur = next
-      nEdges = n
-      it += 1
+    withRoundConf(sess, nEdges) {
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIters) {
+        // keep-list ≤ node count ≤ 2 × current edges — a measured bound,
+        // so the broadcast decision is safe, not an estimate
+        val keep = hinted(
+          degrees(cur).filter(col("core_deg") >= k).select(col("node")), 2 * nEdges)
+        val next = chain.ckpt(cur
+          .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+          .select(col("u"), col("v")))
+        val n = next.count()
+        converged = n == nEdges
+        cur = next
+        nEdges = n
+        it += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(s"kCore(k=$k) did not converge in $maxIters rounds")
+      chain.keep()
+      degrees(cur)
     }
-    if (!converged)
-      throw new IllegalStateException(s"kCore(k=$k) did not converge in $maxIters rounds")
-    degrees(cur)
   }
 
   /** k-hop reachability counts for a seed panel: |{v : dist(seed, v) ≤ k}|
@@ -194,21 +292,36 @@ object Graph {
   def kHopCounts(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
     require(k >= 1 && k <= 8, s"k must be in [1,8]: $k")
     val Seq(uName, vName) = edges.columns.take(2).toSeq
-    val sym = edges
+    val sess = edges.sparkSession
+    val adjChain = new RoundChain(sess.sparkContext)
+    val sym = adjChain.ckpt(edges
       .select(col(uName).as("src"), col(vName).as("dst"))
-      .unionAll(edges.select(col(vName).as("src"), col(uName).as("dst")))
-      .localCheckpoint()
+      .unionAll(edges.select(col(vName).as("src"), col(uName).as("dst"))))
+    val nEdges = sym.count()
+    val chain = new RoundChain(sess.sparkContext)
     val seedCol = seeds.columns.head
-    var reached = seeds.select(col(seedCol).as("seed"), col(seedCol).as("node"))
-      .localCheckpoint(true)
-    for (_ <- 1 to k) {
-      reached = reached
-        .unionAll(reached
-          .join(sym, reached("node") === sym("src"))
-          .select(col("seed"), col("dst").as("node")))
-        .distinct()
-        .localCheckpoint(true)
+    var reached = chain.ckpt(
+      seeds.select(col(seedCol).as("seed"), col(seedCol).as("node")))
+    var nReached = reached.count()
+    withRoundConf(sess, nEdges) {
+      for (_ <- 1 to k) {
+        // the reached set was just materialized, so its row count is exact —
+        // broadcast it into the expansion join while it fits (the edge
+        // table then never shuffles); past the bound this is the plain
+        // shuffle join, the correct plan for huge frontiers
+        val r = hinted(reached, nReached)
+        reached = chain.ckpt(r
+          .unionAll(r
+            .join(sym, r("node") === sym("src"))
+            .select(col("seed"), col("dst").as("node")))
+          .distinct())
+        nReached = reached.count()
+      }
     }
+    // the final round is a LogicalRDD — nothing downstream reads the
+    // adjacency list, so its blocks can go now instead of at GC time
+    adjChain.free()
+    chain.keep()
     reached.groupBy(col("seed")).agg(count(lit(1)).as(s"n_within_$k"))
   }
 
@@ -279,8 +392,10 @@ object Graph {
     * than `maxRounds` rounds the caller's oracle (unrolled to the same
     * bound) would silently disagree — fail loudly instead. Unreached nodes
     * are absent from the output (no ∞ sentinel). Each round is one
-    * hash-join + one min-groupBy at full width; the frontier frame is
-    * checkpointed per round (constant-depth plan, the CC lesson).
+    * hash-join + one min-groupBy; the frontier frame is checkpointed per
+    * round (constant-depth plan, the CC lesson), round shuffles are sized
+    * from the measured edge count and previous rounds' blocks freed
+    * eagerly ([[withRoundConf]]/[[RoundChain]]).
     */
   def shortestPathsInt(
       edges: DataFrame,
@@ -289,14 +404,17 @@ object Graph {
   ): DataFrame = {
     require(maxRounds >= 1 && maxRounds <= 32, s"maxRounds must be in [1,32]: $maxRounds")
     val Seq(uName, vName, wName) = edges.columns.take(3).toSeq
-    val sym = edges
+    val sess = edges.sparkSession
+    val adjChain = new RoundChain(sess.sparkContext)
+    val sym = adjChain.ckpt(edges
       .select(col(uName).as("src"), col(vName).as("dst"), col(wName).cast("long").as("w"))
       .unionAll(edges.select(col(vName).as("src"), col(uName).as("dst"),
-        col(wName).cast("long").as("w")))
-      .localCheckpoint()
+        col(wName).cast("long").as("w"))))
+    val nEdges = sym.count()
+    val chain = new RoundChain(sess.sparkContext)
     val seedCol = sources.columns.head
-    var dist = sources.select(col(seedCol).as("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var dist = chain.ckpt(sources.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L)))
     // convergence witness: distances only ever DECREASE and the node set
     // only ever GROWS under min-plus relaxation, so a round improved
     // something iff the (node count, Σdist) pair moved — one single-row
@@ -306,25 +424,35 @@ object Graph {
       val r = d.agg(count(lit(1)), sum(col("dist").cast("decimal(38,0)"))).head()
       (r.getLong(0), r.getDecimal(1))
     }
-    var w0 = witness(dist)
-    var converged = false
-    var round = 0
-    while (!converged && round < maxRounds) {
-      val relaxed = dist.join(sym, dist("node") === sym("src"))
-        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      val next = dist.unionAll(relaxed)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
-      val w1 = witness(next)
-      dist = next
-      converged = w1 == w0
-      w0 = w1
-      round += 1
+    withRoundConf(sess, nEdges) {
+      var w0 = witness(dist)
+      var converged = false
+      var round = 0
+      while (!converged && round < maxRounds) {
+        // the distance table was just materialized — w0 carries its exact
+        // row count, so the relaxation join broadcasts it while it fits
+        // and the edge table never shuffles; huge graphs fail the bound
+        // and keep the shuffle join
+        val d = hinted(dist, w0._1)
+        val relaxed = d.join(sym, d("node") === sym("src"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        val next = chain.ckpt(dist.unionAll(relaxed)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist")))
+        val w1 = witness(next)
+        dist = next
+        converged = w1 == w0
+        w0 = w1
+        round += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"shortestPathsInt did not reach its fixed point in $maxRounds rounds — " +
+            "an unrolled-rounds oracle at this bound would disagree; raise maxRounds")
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"shortestPathsInt did not reach its fixed point in $maxRounds rounds — " +
-          "an unrolled-rounds oracle at this bound would disagree; raise maxRounds")
+    // the fixed point is a LogicalRDD — the adjacency list is no longer
+    // referenced by anything downstream; free it now, keep only the result
+    adjChain.free()
+    chain.keep()
     dist
   }
 

@@ -659,4 +659,28 @@ class OpsSpec extends SparkTestBase {
     val changed = (leaves(edited) -- leaves(df)).map(r => (r._1, r._2))
     assert(changed == Set(("group0", 2)), s"diff not localized: $changed")
   }
+
+  test("removeSharedSpans: cross-doc spans cut, islands merge, within-doc repeats survive") {
+    import spark.implicits._
+    val docs6 = Seq(
+      (1L, "a b c d e f"),          // shares "a b c" with doc 2 at pos 0
+      (2L, "x y a b c z"),          // ... at pos 2
+      (3L, "p q r s t u v w"),      // shares "p q r s" and "t u v w" with doc 4:
+      (4L, "p q r s 1 2 t u v w 3"),// two islands whose ranges touch -> ONE span in doc 3
+      (5L, "k m"),                  // shorter than n: passthrough
+      (6L, "h i j h i j")           // within-doc repeat only: NOT removed (minDocs=2 is cross-doc)
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeSharedSpans(docs6, "doc_id", "text", n = 3, minDocs = 2)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got(0) == ((1L, 6L, 1L, 3L, "d e f")), s"doc1: ${got(0)}")
+    assert(got(1) == ((2L, 6L, 1L, 3L, "x y z")), s"doc2: ${got(1)}")
+    // doc 3: dup gram starts {0,1,4,5} -> runs [0,3] and [4,7], touching -> merged
+    assert(got(2) == ((3L, 8L, 1L, 8L, "")), s"doc3: ${got(2)}")
+    assert(got(3)._1 == 4L && got(3)._3 >= 1L && got(3)._5.nonEmpty, s"doc4: ${got(3)}")
+    assert(got(4) == ((5L, 2L, 0L, 0L, "k m")), s"doc5: ${got(4)}")
+    assert(got(5) == ((6L, 6L, 0L, 0L, "h i j h i j")), s"doc6: ${got(5)}")
+    // conservation: removed + kept token counts always reconcile
+    assert(got.forall(r => r._4 == r._2 - (if (r._5.isEmpty) 0 else r._5.split(" ").length)))
+  }
 }
