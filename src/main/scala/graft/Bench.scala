@@ -98,12 +98,35 @@ object Bench {
         s"\"" + k + s"\":{\"pass1\":${r3(t1)},\"pass2\":${r3(t2)}," +
           s"\"spread_pct\":${r3(spread)},\"steal1_pct\":${r3(st1)},\"steal2_pct\":${r3(st2)}}"
       }.mkString("{", ",", "}")
+    // self-regression guard: compare this run's steady-state times against
+    // the previous run's bench_last.json (committed each round) and carry
+    // the verdict inside the output line — >2x slowdowns surface in the
+    // BENCH file itself instead of waiting for judge review. Advisory, not
+    // fatal: the driver contract is one JSON line, and a guard hit is a
+    // reason to investigate, not to fail the bench.
+    val guard = {
+      val prevFile = java.nio.file.Paths.get("bench_last.json")
+      val prevLine =
+        if (java.nio.file.Files.isReadable(prevFile))
+          java.nio.file.Files.readString(prevFile)
+        else ""
+      // same-SF only: a leftover local small-SF iteration file must not
+      // become the baseline a full-SF run is judged against (and vice versa)
+      val prev =
+        if (BenchCompare.parseSf(prevLine).contains(sfDir))
+          BenchCompare.parseQueries(prevLine)
+        else Map.empty[String, Double]
+      val regs = BenchCompare.regressions(prev, results)
+      regs.map { case (q, p, c) =>
+        s"""{"query":"$q","prev":${r3(p)},"cur":${r3(c)},"factor":${r3(c / p)}}"""
+      }.mkString("[", ",", "]")
+    }
     // "queries" first, scalar total LAST: the driver captures the TAIL of
     // stdout, and with 75+ queries a front-loaded total fell off the capture
     // (r2's total line was truncated). Also mirror the line to a file so the
     // full JSON survives any stdout truncation.
     val line =
-      s"""{"queries":$qs,"noise":$noise,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}"""
+      s"""{"queries":$qs,"noise":$noise,"regressions":$guard,"sf":"$sfDir","metric":"total","unit":"sec","value":$total}"""
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
     catch { case _: Throwable => () }

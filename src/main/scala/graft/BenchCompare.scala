@@ -1,0 +1,64 @@
+package graft
+
+/** Self-regression gate for the bench harness: compares the current
+  * per-query steady-state times against the previous run's
+  * `bench_last.json` and surfaces every query that got more than `factor`
+  * slower. Promotes the judge-review-time "no >2x regressions" check into
+  * the harness itself — the guard block rides inside Bench's one-line JSON
+  * output, so every round's BENCH file carries its own verdict.
+  *
+  * Noise discipline: Bench reports min-of-two-passes per query, which
+  * already excludes the cold-JIT first-touch that produced r4/r5's large
+  * pass1/pass2 spreads, so the guard compares steady state to steady
+  * state. Two floors keep scheduler jitter out: the current time must
+  * exceed `floorSec` (sub-300 ms queries swing multiples on task
+  * scheduling alone) and the previous time must be a real measurement
+  * (> 50 ms, and not the -1 failure sentinel).
+  */
+object BenchCompare {
+
+  /** Extract the `"queries":{...}` map from a Bench output line. The bench
+    * format is machine-written (quoted keys, plain numeric values, no
+    * nesting inside the object), so a delimiter scan is exact here — no
+    * JSON library needed.
+    */
+  def parseQueries(json: String): Map[String, Double] = {
+    val m = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(json)
+    m.map(_.group(1)).getOrElse("").split(",").filter(_.nonEmpty).toSeq.flatMap { kv =>
+      kv.split(":") match {
+        case Array(k, v) =>
+          try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble)
+          catch { case _: NumberFormatException => None }
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** The scale-factor directory a bench line ran against — regression
+    * comparison is only meaningful same-SF vs same-SF (a local sf0.001
+    * iteration run must not become the baseline a driver sf0.1 run is
+    * judged against).
+    */
+  def parseSf(json: String): Option[String] =
+    """"sf":"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
+
+  /** Queries whose current steady-state time exceeds `factor` x the
+    * previous run's, as (query, prevSec, curSec), slowest first. Failed
+    * queries (-1 sentinel) never match on either side — a failure is a
+    * correctness problem, not a regression measurement.
+    */
+  def regressions(
+      prev: Map[String, Double],
+      cur: Map[String, Double],
+      factor: Double = 2.0,
+      floorSec: Double = 0.3
+  ): Seq[(String, Double, Double)] =
+    cur.toSeq
+      .flatMap { case (q, t) =>
+        prev.get(q) match {
+          case Some(p) if p > 0.05 && t > floorSec && t > factor * p => Some((q, p, t))
+          case _ => None
+        }
+      }
+      .sortBy(-_._3)
+}

@@ -1176,6 +1176,10 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // ---- rank-family window statistics per priority class: ntile(4),
+    // percent_rank, cume_dist partitioned by o_orderpriority — the
+    // partitioned analytic-window shape (no global order-by; each
+    // partition sorts independently) ----
     "q59_window_stats" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("o_orderpriority"))
@@ -1536,6 +1540,9 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ---- streaming sessionization (30-min gap sessions over the events
+    // stream, StreamOps.sessionCounts), run to completion into a memory
+    // sink and gated against the batch lag+running-sum session oracle ----
     "q92_stream_sessions" -> ((s, dir) => {
       val ev = Tables.eventsStream(s, dir)
       graft.streaming.StreamOps
@@ -6698,7 +6705,8 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
-    // type tags — chained codegen'd regexp_replace, one row-local map pass
+    // ---- PII redaction: emails, urls, and digit runs masked with type
+    // tags — chained codegen'd regexp_replace, one row-local map pass
     // (the pre-training scrub every corpus pipeline runs) ----
     "q76_pii_redaction" -> ((s, dir) => {
       t(s, dir, "documents")

@@ -221,6 +221,16 @@ object MiniYaml {
   private final case class Line(indent: Int, isItem: Boolean, content: String)
 
   def parse(text: String): Node = {
+    // fail LOUDLY on the YAML features outside the subset: silently
+    // mis-parsing an anchor or a second document into strange keys is the
+    // failure mode a config parser must not have — a user bringing full
+    // YAML gets told exactly what is unsupported instead of a wrong config
+    text.split("\n", -1).map(_.trim).foreach { t =>
+      if (t == "---" || t.startsWith("--- ") || t == "...")
+        throw new IllegalArgumentException(
+          s"MiniYaml: multi-document markers ('---'/'...') are not supported — " +
+            "pass a single bare document (line: '" + t + "')")
+    }
     val lines = text
       .split("\n", -1)
       .toList
@@ -258,6 +268,22 @@ object MiniYaml {
     b.result()
   }
 
+  /** Reject scalar syntax the subset would otherwise mis-read as a plain
+    * string: unquoted `&anchor` / `*alias` references and block-scalar
+    * headers (`|` / `>`). Quoted values pass — a quoted "*glob*" is a
+    * legitimate string, and quoting is also the documented escape hatch.
+    */
+  private def rejectUnsupportedScalar(raw: String): Unit = {
+    val t = raw.trim
+    if (t.nonEmpty && (t.head == '&' || t.head == '*'))
+      throw new IllegalArgumentException(
+        s"MiniYaml: anchors/aliases are not supported (found '$t') — " +
+          "inline the shared value, or quote it if a literal &/* string is meant")
+    if (Set("|", "|-", "|+", ">", ">-", ">+").contains(t))
+      throw new IllegalArgumentException(
+        s"MiniYaml: block scalars ('$t') are not supported — use a quoted single-line value")
+  }
+
   private def unquote(s: String): String = {
     val t = s.trim
     if (t.length >= 2 && ((t.head == '\'' && t.last == '\'') || (t.head == '"' && t.last == '"')))
@@ -290,6 +316,7 @@ object MiniYaml {
         val (node, _) = parseMap(body, indent + 2)
         items += node
       } else {
+        rejectUnsupportedScalar(head.content)
         items += Scalar(unquote(head.content))
         rest = rest.tail
       }
@@ -306,11 +333,17 @@ object MiniYaml {
       if (ci < 0) { rest = rest.tail } // malformed; skip
       else {
         val key = unquote(head.content.substring(0, ci))
+        if (key == "<<")
+          throw new IllegalArgumentException(
+            "MiniYaml: merge keys ('<<') are not supported — inline the shared mapping")
         val value = head.content.substring(ci + 1).trim
         rest = rest.tail
         if (value == "[]") entries(key) = ListNode(Nil)
         else if (value == "{}") entries(key) = MapNode(Map.empty)
-        else if (value.nonEmpty) entries(key) = Scalar(unquote(value))
+        else if (value.nonEmpty) {
+          rejectUnsupportedScalar(value)
+          entries(key) = Scalar(unquote(value))
+        }
         else {
           // nested block: next lines with greater indent (or list items at same/greater indent)
           if (

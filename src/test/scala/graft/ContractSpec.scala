@@ -23,6 +23,27 @@ class ContractSpec extends SparkTestBase {
     assert(dups.isEmpty, s"duplicate query numbers: $dups")
   }
 
+  test("CATALOG.md stays in sync with the registry") {
+    // the user-facing catalog is generated (scripts/gen_catalog.py); a new
+    // query without a regen — or a hand edit that drops a row — fails here
+    val f = new java.io.File("CATALOG.md")
+    assert(f.isFile, "CATALOG.md missing — run scripts/gen_catalog.py")
+    // explicit charset: the catalog carries UTF-8 em-dashes from the
+    // contract comments, and the CI JVM's default charset is POSIX/ASCII
+    val rows = scala.io.Source.fromFile(f, "UTF-8")
+    val listed =
+      try rows.getLines().collect {
+        case l if l.startsWith("| q") && !l.startsWith("| query") =>
+          l.drop(2).takeWhile(_ != ' ')
+      }.toSet
+      finally rows.close()
+    val q = SparkEntry.queries.keySet
+    assert((q -- listed).isEmpty,
+      s"queries missing from CATALOG.md (run scripts/gen_catalog.py): ${(q -- listed).toSeq.sorted}")
+    assert((listed -- q).isEmpty,
+      s"CATALOG.md rows with no registered query: ${(listed -- q).toSeq.sorted}")
+  }
+
   test("entry() produces rows on the smoke scale factor") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

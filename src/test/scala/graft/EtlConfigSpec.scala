@@ -80,4 +80,25 @@ class EtlConfigSpec extends AnyFunSuite {
     assert(reloaded == updated)
     Files.deleteIfExists(f)
   }
+
+  test("MiniYaml rejects anchors, aliases, merge keys, block scalars, multi-doc loudly") {
+    import graft.config.MiniYaml
+    def rejects(yaml: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] { MiniYaml.parse(yaml) }
+      assert(e.getMessage.contains(needle), s"message '${e.getMessage}' lacks '$needle'")
+    }
+    rejects("a: &shared 5\nb: 2", "anchors/aliases")
+    rejects("a: 5\nb: *shared", "anchors/aliases")
+    rejects("items:\n- *shared", "anchors/aliases")
+    rejects("base:\n  x: 1\nchild:\n  <<: *base", "merge keys")
+    rejects("text: |\n  line one\n  line two", "block scalars")
+    rejects("text: >-\n  folded", "block scalars")
+    rejects("---\na: 1\n---\na: 2", "multi-document")
+    rejects("a: 1\n...", "multi-document")
+    // the escape hatch: QUOTED &/* are plain strings and still parse
+    val ok = MiniYaml.parse("glob: '*.csv'\nref: \"&literal\"")
+    assert(ok.str("glob").contains("*.csv") && ok.str("ref").contains("&literal"))
+    // and the reference-shaped config is untouched by the guards
+    assert(EtlConfig.fromYaml(referenceShapedYaml).isRight)
+  }
 }
