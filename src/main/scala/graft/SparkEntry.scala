@@ -6692,6 +6692,39 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text", n = 8, minDocs = 2)
         .orderBy(col("doc_id"))),
 
+    // ---- stream-stream LEFT OUTER interval join (q273's inner form plus
+    // watermark-driven null emission): views with no purchase within 30
+    // minutes surface ONCE with null purchase_id when the watermark passes
+    // their match window — the "which impressions never converted" stream.
+    // Gate: matched rows always emit; unmatched rows emit iff their window
+    // closed under the end-of-input watermark (min of the two streams'
+    // max event times, integer microseconds — the q92 deterministic-subset
+    // device applied to outer joins) ----
+    "q300_stream_outer_join" -> ((s, dir) => {
+      def stream = Tables.eventsStream(s, dir)
+      val views = stream.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("event_id").as("purchase_id"))
+      graft.streaming.StreamOps.runToMemory(s,
+        graft.streaming.StreamOps.streamStreamJoin(views, purchases, key = "user_id",
+          leftTs = "ts", rightTs = "pts", skew = "30 minutes",
+          watermark = "0 seconds", joinType = "left_outer")
+          .select(col("view_id"), col("purchase_id")), "q300_mem")
+        .orderBy(col("view_id"), col("purchase_id"))
+    }),
+
+    // ---- keep-one-copy substring dedup (q298's remove-all flipped to the
+    // canonical-owner policy): each shared 8-gram keeps its copy in the
+    // minimum doc_id and is cut everywhere else — one surviving copy per
+    // shared run corpus-wide, deterministic because min(doc_id) is a
+    // canonical order (no scan-order dependence) ----
+    "q299_keep_owner_spans" -> ((s, dir) =>
+      graft.ops.Dedup.removeSharedSpans(
+          t(s, dir, "documents"), "doc_id", "text", n = 8, minDocs = 2,
+          keepMinOwner = true)
+        .orderBy(col("doc_id"))),
+
     // ---- two-level Merkle manifest per source (dataset-versioning device;
     // complements q171's flat commutative fingerprint by LOCALIZING any
     // mismatch to a leaf instead of "somewhere in the table") ----
@@ -10689,6 +10722,76 @@ object SparkEntry {
         |  COUNT(*) = CAST(SUM(a) + SUM(b) + SUM(c) - SUM(a * b) - SUM(a * c)
         |    - SUM(b * c) + SUM(a * b * c) AS BIGINT) AS identity_holds
         |FROM flags""".stripMargin,
+    "q300_stream_outer_join" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(ts) AS vus, event_id AS view_id
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS pus, event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |mx AS (SELECT LEAST(
+        |  (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'view'),
+        |  (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'purchase'))
+        |  AS wmus),
+        |m AS (
+        |  SELECT v.view_id, p.purchase_id, v.vus
+        |  FROM v LEFT JOIN p ON v.user_id = p.user_id
+        |    AND p.pus BETWEEN v.vus AND v.vus + 1800000000)
+        |SELECT view_id, purchase_id FROM m, mx
+        |WHERE purchase_id IS NOT NULL OR vus + 1800000000 < wmus
+        |ORDER BY view_id, purchase_id""".stripMargin,
+    "q299_keep_owner_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7)) AS i)),
+        |shared AS (
+        |  SELECT gram, MIN(doc_id) AS own FROM g GROUP BY gram
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dp AS (
+        |  SELECT doc_id, pos,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM (SELECT g.doc_id, g.pos FROM g JOIN shared USING (gram)
+        |        WHERE g.doc_id <> shared.own) marked),
+        |runs AS (
+        |  SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + 7 AS e
+        |  FROM dp GROUP BY doc_id, grp),
+        |mr AS (
+        |  SELECT doc_id, s, e,
+        |    MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM runs),
+        |sp AS (
+        |  SELECT doc_id, span_id, MIN(s) AS s, MAX(e) AS e
+        |  FROM (SELECT doc_id, s, e,
+        |          SUM(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY s
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        |        FROM mr) x
+        |  GROUP BY doc_id, span_id),
+        |cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS idx FROM sp),
+        |tok AS (
+        |  SELECT doc_id, toks[i] AS tok, i - 1 AS idx
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+        |kept AS (
+        |  SELECT t.doc_id, t.tok, t.idx
+        |  FROM tok t ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.idx = c.idx),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    COALESCE(string_agg(tok, ' ' ORDER BY idx), '') AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |ns AS (SELECT doc_id, COUNT(*) AS n_spans FROM sp GROUP BY doc_id)
+        |SELECT tk.doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(ns.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(len(toks) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(agg.clean_text, '') AS clean_text
+        |FROM tk LEFT JOIN ns USING (doc_id) LEFT JOIN agg USING (doc_id)
+        |ORDER BY tk.doc_id""".stripMargin,
     "q298_remove_shared_spans" ->
       """WITH tk AS (
         |  SELECT doc_id,

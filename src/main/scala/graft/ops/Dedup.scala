@@ -795,10 +795,14 @@ object Dedup {
     * run covering tokens [start, end + n − 1]; runs whose covered ranges
     * overlap or touch (island gap < n) merge into disjoint removal spans
     * via a prefix-max interval union; every covered token is then cut from
-    * its document. ALL occurrences are removed — keeping "the first copy"
-    * would need a global document order and make the output
-    * order-dependent; removing every copy is symmetric, engine-stable, and
-    * what the reference tool does by default. Within-doc repeats do NOT
+    * its document. By default ALL occurrences are removed (symmetric,
+    * engine-stable, what the reference tool does by default);
+    * `keepMinOwner = true` is the keep-one-copy variant — each shared gram
+    * designates its minimum doc_id as the canonical owner, and positions
+    * are only removed in NON-owner documents, so one copy of every shared
+    * run survives the corpus. min(doc_id) is a deterministic canonical
+    * order, which is what makes keep-one hash-gateable (a "first seen"
+    * rule would depend on scan order). Within-doc repeats do NOT
     * trigger removal (distinct-DOC counting) — that signal is
     * [[dupGramStats]]'s; this operator is the cross-doc span-removal step
     * a pretraining pipeline runs corpus-wide.
@@ -821,7 +825,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 10,
-      minDocs: Int = 2
+      minDocs: Int = 2,
+      keepMinOwner: Boolean = false
   ): DataFrame = {
     require(n >= 2 && n <= 64, s"gram width must be in [2,64]: $n")
     require(minDocs >= 2, s"minDocs must be >= 2 (cross-doc counting): $minDocs")
@@ -835,10 +840,16 @@ object Dedup {
       .toDF("doc_id", "pos", "gram")
       .localCheckpoint() // feeds the doc-frequency aggregate AND the semi-join
     val shared = grams.groupBy(col("gram"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("own"))
       .filter(col("nd") >= minDocs)
-      .select(col("gram"))
-    val dup = grams.join(shared, Seq("gram"), "left_semi")
+      .select(col("gram"), col("own"))
+    val dup =
+      if (keepMinOwner)
+        // inner join attaches the canonical owner; the owner doc keeps its
+        // copy, every other doc's position is marked for removal
+        grams.join(shared, Seq("gram")).filter(col("doc_id") =!= col("own"))
+          .select(col("doc_id"), col("pos"))
+      else grams.join(shared.select(col("gram")), Seq("gram"), "left_semi")
     val wPos = W.partitionBy(col("doc_id")).orderBy(col("pos"))
     val runs = dup
       .withColumn("grp", col("pos") - row_number().over(wPos))

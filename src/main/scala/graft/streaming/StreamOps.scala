@@ -221,10 +221,20 @@ object StreamOps {
       .join(broadcast(static), events(eventKey) === static(staticKey), "left")
       .drop(static(staticKey))
 
-  /** Stream-stream inner join: match events from two streams on a key within
+  /** Stream-stream join: match events from two streams on a key within
     * a bounded event-time skew. Both sides are watermarked so the join state
     * is bounded — without the time-range condition the state would grow
     * forever. The classic use: joining impressions to clicks.
+    *
+    * `joinType = "left_outer"` is the attribution-completeness form: a left
+    * row with no match inside its skew window is emitted ONCE with nulls
+    * when the watermark passes the end of its match window (leftTs + skew)
+    * and its state is evicted — the "which impressions never converted"
+    * stream. Matched rows emit immediately in both modes; the held-back
+    * tail (left rows whose window the watermark has not yet closed at
+    * end-of-input) is the same deterministic-subset contract as
+    * [[sessionCounts]]: the gate's oracle filters identically on
+    * integer-microsecond event time.
     */
   def streamStreamJoin(
       left: DataFrame,
@@ -233,7 +243,8 @@ object StreamOps {
       leftTs: String = "ts",
       rightTs: String = "ts",
       skew: String = "10 minutes",
-      watermark: String = "1 hour"
+      watermark: String = "1 hour",
+      joinType: String = "inner"
   ): DataFrame = {
     // de-collide right-side column names that the left also has (key and,
     // with default args, ts) — duplicate names would make the output
@@ -248,7 +259,7 @@ object StreamOps {
         r,
         col(key) === col(rKey) &&
           col(rTs).between(col(leftTs), col(leftTs) + expr(s"INTERVAL $skew")),
-        "inner")
+        joinType)
       .drop(rKey)
   }
 

@@ -683,4 +683,25 @@ class OpsSpec extends SparkTestBase {
     // conservation: removed + kept token counts always reconcile
     assert(got.forall(r => r._4 == r._2 - (if (r._5.isEmpty) 0 else r._5.split(" ").length)))
   }
+
+  test("removeSharedSpans keepMinOwner: the canonical owner keeps its copy, others lose it") {
+    import spark.implicits._
+    val docs6 = Seq(
+      (1L, "a b c d e f"), (2L, "x y a b c z"),
+      (3L, "p q r s t u v w"), (4L, "p q r s 1 2 t u v w 3"),
+      (5L, "k m"), (6L, "h i j h i j")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeSharedSpans(docs6, "doc_id", "text", n = 3, minDocs = 2,
+        keepMinOwner = true)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    // owners (min doc_id per shared gram) are untouched
+    assert(got(0) == ((1L, 6L, 0L, 0L, "a b c d e f")), s"doc1: ${got(0)}")
+    assert(got(2) == ((3L, 8L, 0L, 0L, "p q r s t u v w")), s"doc3: ${got(2)}")
+    // non-owners lose exactly the shared runs
+    assert(got(1) == ((2L, 6L, 1L, 3L, "x y z")), s"doc2: ${got(1)}")
+    // doc4 dup gram starts {0,1,6,7} -> spans [0,3] and [6,9] (gap 4 < 6: disjoint)
+    assert(got(3) == ((4L, 11L, 2L, 8L, "1 2 3")), s"doc4: ${got(3)}")
+    assert(got(4)._5 == "k m" && got(5)._5 == "h i j h i j")
+  }
 }

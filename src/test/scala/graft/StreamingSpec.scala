@@ -174,6 +174,44 @@ class StreamingSpec extends SparkTestBase {
     assert(got.except(want).count() == 0)
   }
 
+  test("stream-stream LEFT OUTER join: nulls for closed windows, tail held back") {
+    val dir = eventsDir
+    def stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
+    val views = stream.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id").as("purchase_id"))
+    val joined = StreamOps.streamStreamJoin(
+      views, purchases, key = "user_id", leftTs = "ts", rightTs = "pts",
+      skew = "30 minutes", watermark = "0 seconds", joinType = "left_outer")
+      .select(col("view_id"), col("purchase_id"))
+    val got = StreamOps.runToMemory(spark, joined, "vp_outer")
+
+    // batch reference: matched rows always; unmatched views only when the
+    // end-of-input watermark (min of the two streams' max ts) closed their
+    // 30-minute window
+    val ev = Tables(spark, sf(), "events")
+    val bviews = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    val bpurch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("ts").as("pts"), col("event_id").as("purchase_id"))
+    val wm = math.min(
+      bviews.agg(max(unix_micros(col("ts")))).head().getLong(0),
+      bpurch.agg(max(unix_micros(col("pts")))).head().getLong(0))
+    val want = bviews.join(bpurch,
+        col("user_id") === col("u2") &&
+          col("pts").between(col("ts"), col("ts") + expr("INTERVAL 30 MINUTES")),
+        "left")
+      .filter(col("purchase_id").isNotNull
+        || unix_micros(col("ts")) + 1800000000L < wm)
+      .select(col("view_id"), col("purchase_id"))
+    assert(got.count() == want.count(), s"stream ${got.count()} vs batch ${want.count()}")
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    // the outer form must emit strictly more rows than the inner (the nulls)
+    val inner = want.filter(col("purchase_id").isNotNull).count()
+    assert(got.count() > inner, "no null rows emitted - outer semantics missing")
+  }
+
   test("flatMapGroupsWithState running totals reach the batch totals") {
     val dir = eventsDir
     val stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
