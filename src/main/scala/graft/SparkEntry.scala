@@ -2327,6 +2327,27 @@ object SparkEntry {
         .select(col("node").as("p_partkey"), col("core_deg"))
         .orderBy(col("p_partkey"))),
 
+    // ---- community detection by DETERMINISTIC synchronous label
+    // propagation (Raghavan 2007): each node adopts its neighbors' most
+    // frequent label, ties to the MINIMUM label, for a FIXED 4 rounds — a
+    // pure function of (edges, rounds), so the iterative Spark loop and a
+    // 4-times-unrolled CTE oracle agree cell-for-cell (the q103/q130
+    // device; async LPA's order-dependence is exactly what it gives up) ----
+    "q301_label_propagation" -> ((s, dir) =>
+      Graph.labelPropagation(coSupplyEdges(s, dir), rounds = 4)
+        .select(col("node").as("p_partkey"), col("label").as("community"))
+        .orderBy(col("p_partkey"))),
+
+    // ---- Newman modularity of the q301 partition: Q = intra/m −
+    // ΣD_c²/(2m)² against the degree-preserving null model — exact integer
+    // moments (DECIMAL(38,0) Σ of squared community degree sums) with ONE
+    // double division at the surface (the q218 device), so a quality score
+    // computed over an iterative algorithm's output still hash-gates ----
+    "q302_modularity" -> ((s, dir) => {
+      val e = coSupplyEdges(s, dir).localCheckpoint()
+      Graph.modularity(e, Graph.labelPropagation(e, rounds = 4))
+    }),
+
     // ---- embedding-level dedup keep-list: connected components over the
     // exact cosine near-dup pairs (q28's edge set), keep the min vec_id per
     // component — the semantic-dedup step of a training pipeline, composed
@@ -6811,6 +6832,40 @@ object SparkEntry {
     (Seq(head) ++ rounds_).mkString(",\n") + "\n" + tail
   }
 
+  /** Shared CTE chain for the q301/q302 oracles: co-supply edges → symmetric
+    * adjacency → label rounds l0..l{rounds}, each round voting by neighbor
+    * label frequency with ties to the minimum label (ROW_NUMBER ordered
+    * (c DESC, label) mirrors Spark's `max_by(label, (c, −label))`). Every
+    * CTE is MATERIALIZED — the kCoreOracleSql lesson: DuckDB inlines plain
+    * CTEs per use site and a round referenced twice would double the
+    * expansion each round.
+    */
+  private def lpaOracleCtes(rounds: Int): String = {
+    val head =
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |sym AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v AS src, u AS dst FROM e0),
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM sym)""".stripMargin
+    val rounds_ = (1 to rounds).flatMap { i =>
+      Seq(
+        s"""v$i AS MATERIALIZED (
+           |  SELECT s.src, l.label, COUNT(*) AS c
+           |  FROM sym s JOIN l${i - 1} l ON s.dst = l.node
+           |  GROUP BY s.src, l.label)""".stripMargin,
+        s"""l$i AS MATERIALIZED (
+           |  SELECT src AS node, label FROM (
+           |    SELECT src, label,
+           |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn
+           |    FROM v$i) WHERE rn = 1)""".stripMargin)
+    }
+    (Seq(head) ++ rounds_).mkString(",\n")
+  }
+
   private def pageRankOracleSql(iters: Int): String = {
     val head =
       """WITH li AS (
@@ -7691,6 +7746,25 @@ object SparkEntry {
         |  (n2 * sxy - sx * sx)::DOUBLE / (n2 * sxx - sx * sx)::DOUBLE AS assortativity
         |FROM s""".stripMargin,
     "q130_kcore" -> kCoreOracleSql(k = 8, rounds = 8),
+    "q301_label_propagation" -> (lpaOracleCtes(rounds = 4) +
+      "\nSELECT node AS p_partkey, label AS community FROM l4 ORDER BY p_partkey"),
+    "q302_modularity" -> (lpaOracleCtes(rounds = 4) +
+      """,
+        |deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src),
+        |dc AS (
+        |  SELECT l.label, SUM(d.deg) AS dcsum
+        |  FROM deg d JOIN l4 l ON d.node = l.node GROUP BY l.label),
+        |s1 AS (
+        |  SELECT COUNT(*)::BIGINT AS n_communities,
+        |    SUM(dcsum * dcsum) AS sum_d2 FROM dc),
+        |s2 AS (
+        |  SELECT COUNT(*)::BIGINT AS m,
+        |    SUM(CASE WHEN lu.label = lv.label THEN 1 ELSE 0 END)::BIGINT AS intra_edges
+        |  FROM e0 e JOIN l4 lu ON e.u = lu.node JOIN l4 lv ON e.v = lv.node)
+        |SELECT n_communities, intra_edges, m,
+        |  CAST(4 * CAST(m AS HUGEINT) * intra_edges - sum_d2 AS DOUBLE)
+        |    / CAST(4 * CAST(m AS HUGEINT) * m AS DOUBLE) AS modularity
+        |FROM s1, s2""".stripMargin),
     "q131_link_prediction" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

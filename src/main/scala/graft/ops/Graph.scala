@@ -509,6 +509,112 @@ object Graph {
     cand.join(e, cand("u") === e("u") && cand("w") === e("v"), "left_anti")
   }
 
+  /** Community detection by synchronous label propagation (Raghavan,
+    * Albert & Kumara 2007), made DETERMINISTIC: every node starts with its
+    * own id as label and each round adopts the most frequent label among
+    * its neighbors, ties broken by MINIMUM label. The canonical async LPA
+    * is order-dependent (its selling point is speed, not stability); the
+    * synchronous fixed-round variant here is a pure function of
+    * (edges, rounds) — the same device that makes [[pageRankIntFixed]] and
+    * [[kCore]] hash-gateable against an unrolled-rounds SQL oracle. A fixed
+    * round count also sidesteps synchronous LPA's known 2-cycle
+    * oscillations (bipartite-ish regions flip forever, so "run to
+    * convergence" is not even well-defined).
+    *
+    * Scale shape: per round, one broadcast-or-shuffle join attaching the
+    * node-sized label frame to the adjacency list (the edge table never
+    * shuffles while the label frame fits [[BcastRows]]) and one
+    * (src, label) vote count whose partial aggregation combines map-side —
+    * vote rows ≤ 2·|E| before combine, ≤ distinct (node, neighbor-label)
+    * after. The arg-max per node is `max_by(label, (count, −label))`, a
+    * single aggregate with no per-node window. Rounds are checkpointed and
+    * previous rounds' blocks freed eagerly ([[RoundChain]]); round shuffles
+    * are sized from the measured edge count ([[withRoundConf]]). Input
+    * contract matches [[triangleCounts]]: first two columns are canonical
+    * u < v endpoints, treated as undirected. Output: (node, community)
+    * for every node with ≥ 1 edge.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16]: $rounds")
+    val Seq(uName, vName) = edges.columns.take(2).toSeq
+    val sess = edges.sparkSession
+    val adjChain = new RoundChain(sess.sparkContext)
+    val sym = adjChain.ckpt(edges
+      .select(col(uName).as("src"), col(vName).as("dst"))
+      .unionAll(edges.select(col(vName).as("src"), col(uName).as("dst"))))
+    val nEdges = sym.count()
+    val chain = new RoundChain(sess.sparkContext)
+    var labels = chain.ckpt(sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")))
+    // every node has >= 1 neighbor (labels came from the edge list), so the
+    // node set — and with it this measured broadcast bound — is invariant
+    // across rounds
+    val nNodes = labels.count()
+    withRoundConf(sess, nEdges) {
+      for (_ <- 1 to rounds) {
+        val l = hinted(labels, nNodes)
+        val votes = sym.join(l, sym("dst") === l("node"))
+          .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
+        labels = chain.ckpt(votes
+          .groupBy(col("src"))
+          .agg(max_by(col("label"),
+            struct(col("c"), (-col("label")).as("nl"))).as("label"))
+          .select(col("src").as("node"), col("label")))
+      }
+    }
+    adjChain.free()
+    chain.keep()
+    labels
+  }
+
+  /** Newman modularity of a node partition: Q = intra/m − Σ_c D_c²/(2m)²,
+    * where m = |edges|, intra = edges inside a community and D_c = total
+    * degree of community c — the standard "is this partition better than
+    * the degree-preserving null model" score (Newman & Girvan 2004),
+    * typically fed by [[labelPropagation]]. Both terms are EXACT integer
+    * moments (counts and a Σ of squared degree sums in DECIMAL(38,0), so
+    * 100× the edges cannot overflow) with ONE double division at the
+    * surface — the [[degreeAssortativity]] / q218 determinism device, which
+    * is what lets a quality score over an iterative algorithm's output be
+    * hash-gated cell-for-cell. Cost: two node-frame joins to attach labels
+    * to edge endpoints, one degree aggregation, two scalar aggregates
+    * joined as broadcast 1-row frames (no cartesian risk). Input contracts:
+    * `edges` first two columns canonical u < v endpoints; `labels` first
+    * two columns (node, community). Output one row:
+    * (n_communities, intra_edges, m, modularity).
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d0 = DecimalType(38, 0)
+    val Seq(uName, vName) = edges.columns.take(2).toSeq
+    val Seq(nName, lName) = labels.columns.take(2).toSeq
+    val e = edges.select(col(uName).as("u"), col(vName).as("v"))
+    val lab = labels.select(col(nName).as("node"), col(lName).as("label"))
+    val intra = e
+      .join(lab.select(col("node").as("u"), col("label").as("lu")), Seq("u"))
+      .join(lab.select(col("node").as("v"), col("label").as("lv")), Seq("v"))
+      .agg(
+        count(lit(1)).as("m"),
+        sum(when(col("lu") === col("lv"), 1L).otherwise(0L)).as("intra_edges"))
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val sums = deg.join(lab, Seq("node"))
+      .groupBy(col("label")).agg(sum(col("deg")).as("dcsum"))
+      .agg(
+        count(lit(1)).as("n_communities"),
+        sum(col("dcsum").cast(d0) * col("dcsum").cast(d0)).as("sum_d2"))
+    intra.crossJoin(broadcast(sums)) // 1 row × 1 row
+      .select(
+        col("n_communities"),
+        col("intra_edges"),
+        col("m"),
+        ((lit(4).cast(d0) * col("m").cast(d0) * col("intra_edges").cast(d0)
+          - col("sum_d2")).cast("double")
+          / (lit(4).cast(d0) * col("m").cast(d0) * col("m").cast(d0)).cast("double"))
+          .as("modularity"))
+  }
+
   /** Degree assortativity (Newman 2002): Pearson correlation between the
     * endpoint degrees of every DIRECTED edge of an undirected graph — do
     * hubs link to hubs (r > 0) or to leaves (r < 0)? Because the directed

@@ -193,4 +193,37 @@ class GraphSpec extends SparkTestBase {
     assert(got(1L) == 1L && got(20L) == 1L)
     assert((2L until 20L).forall(got(_) == 2L), s"ring interior: $got")
   }
+
+  test("labelPropagation: two triangles bridged by one edge split into two communities") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4; hand-unrolled rounds:
+    //   r1: 1->2 2->1 3->1 4->3 5->4 6->4
+    //   r2: 1->1 2->1 3->1 4->4 5->3 6->3
+    //   r3: 1->1 2->1 3->1 4->3 5->3 6->3   (stable from here)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("u", "v")
+    val got = Graph.labelPropagation(e, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L),
+      s"communities: $got")
+    // determinism probe: a second run is identical (no async order-dependence)
+    val again = Graph.labelPropagation(e, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again == got)
+  }
+
+  test("modularity: exact rational on the bridged-triangles partition") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("u", "v")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 3L), (5L, 3L), (6L, 3L))
+      .toDF("node", "label")
+    // m = 7, intra = 6, D_c = 7 each -> Q = (4*7*6 - 98) / (4*49) = 70/196
+    val r = Graph.modularity(e, labels).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L && r.getLong(2) == 7L, s"$r")
+    assert(r.getDouble(3) == 70.0 / 196.0, s"Q = ${r.getDouble(3)}")
+    // one-community partition: Q = intra/m - 1 = 0 - ... = (4*7*7 - 196)/196 = 0
+    val one = Seq(1L, 2L, 3L, 4L, 5L, 6L).map((_, 9L)).toDF("node", "label")
+    assert(Graph.modularity(e, one).head().getDouble(3) == 0.0)
+  }
 }
