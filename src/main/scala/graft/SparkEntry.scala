@@ -6735,6 +6735,17 @@ object SparkEntry {
         .orderBy(col("view_id"), col("purchase_id"))
     }),
 
+    // ---- per-user per-type running counts via Spark 4's transformWithState
+    // (stateful v2): MapState[event_type → count] per user under the
+    // RocksDB state store provider (required by the v2 API; also the
+    // at-scale answer — state off-heap, spilling to disk). Single-batch
+    // feed ⇒ every emitted row is final: counts equal the batch GROUP BY
+    // twin, n_types the user's distinct-type cardinality read off the
+    // map's key set ----
+    "q303_transform_with_state" -> ((s, dir) =>
+      graft.streaming.StreamOps.typeCountsV2(s, Tables.eventsStream(s, dir))
+        .orderBy(col("user_id"), col("event_type"))),
+
     // ---- keep-one-copy substring dedup (q298's remove-all flipped to the
     // canonical-owner policy): each shared 8-gram keeps its copy in the
     // minimum doc_id and is cut everywhere else — one surviving copy per
@@ -10796,6 +10807,14 @@ object SparkEntry {
         |  COUNT(*) = CAST(SUM(a) + SUM(b) + SUM(c) - SUM(a * b) - SUM(a * c)
         |    - SUM(b * c) + SUM(a * b * c) AS BIGINT) AS identity_holds
         |FROM flags""".stripMargin,
+    "q303_transform_with_state" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY user_id, event_type),
+        |t AS (SELECT user_id, COUNT(*) AS n_types FROM c GROUP BY user_id)
+        |SELECT c.user_id, c.event_type, c.n, t.n_types
+        |FROM c JOIN t USING (user_id)
+        |ORDER BY user_id, event_type""".stripMargin,
     "q300_stream_outer_join" ->
       """WITH v AS (
         |  SELECT user_id, epoch_us(ts) AS vus, event_id AS view_id

@@ -122,6 +122,73 @@ object StreamOps {
       .toDF()
   }
 
+  final case class UserTypeCount(user_id: Long, event_type: String, n: Long, n_types: Long)
+
+  /** Stateful-v2 processor behind [[typeCountsV2]]: a keyed
+    * `transformWithState` machine holding one `MapState[event_type → count]`
+    * per user — the arbitrary-state API Spark 4 ships as the successor to
+    * `flatMapGroupsWithState` (typed state VARIABLES instead of one opaque
+    * state object; the map's per-key point updates land in the state store
+    * without rewriting the whole user's state, which is the scale win once
+    * per-key state is wide). Emits one row per (user, type touched this
+    * batch) carrying the post-batch count and the user's distinct-type
+    * cardinality — the latter read straight off the map's key set, state
+    * that `GroupState` would have forced into a hand-rolled case class.
+    * Count increments are commutative, so emitted totals are independent
+    * of arrival order and partitioning — the [[runningUserTotalsExact]]
+    * discipline that makes the operator batch-equivalence-gateable.
+    */
+  private final class TypeCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventC, UserTypeCount] {
+    import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues, TTLConfig}
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "type_counts", org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[EventC], tv: TimerValues): Iterator[UserTypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { e =>
+        val cur = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, cur + 1L)
+        touched += e.event_type
+      }
+      val nTypes = counts.keys().size.toLong
+      touched.iterator.map(t => UserTypeCount(key, t, counts.getValue(t), nTypes))
+    }
+  }
+
+  /** Per-user per-event-type running counts via Spark 4's
+    * `transformWithState` (stateful v2) — see [[TypeCountProcessor]]. The
+    * operator REQUIRES the RocksDB state store provider (the HDFS-backed
+    * default refuses stateful v2), so the provider conf is scoped to this
+    * call and restored in `finally`; RocksDB is also the right answer at
+    * scale — state lives off-heap and spills to disk instead of growing
+    * the executor heap with one map per user. With a single micro-batch
+    * (the gate's feed) every emitted row is final, so the output equals
+    * the batch GROUP BY user_id, event_type twin plus the per-user
+    * distinct-type count.
+    */
+  def typeCountsV2(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = events
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          (col("value") * 100).cast("long").as("cents"))
+        .as[EventC]
+        .groupByKey(_.user_id)
+        .transformWithState(new TypeCountProcessor, TimeMode.None(), OutputMode.Append())
+        .toDF()
+      runToMemory(spark, out, "type_counts_v2")
+    } finally spark.conf.set(key, prev)
+  }
+
   final case class CdcChange(key: Long, name: String, cents: Long, version: Long, op: String)
 
   /** Streaming CDC latest-state store: a keyed `flatMapGroupsWithState`

@@ -212,6 +212,23 @@ class StreamingSpec extends SparkTestBase {
     assert(got.count() > inner, "no null rows emitted - outer semantics missing")
   }
 
+  test("transformWithState (stateful v2) type counts equal the batch GROUP BY twin") {
+    val dir = eventsDir
+    val stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.get(confKey)
+    val got = StreamOps.typeCountsV2(spark, stream)
+    // the RocksDB provider conf is scoped to the call and restored
+    assert(spark.conf.get(confKey) == before, "state store provider conf leaked")
+    val ev = Tables(spark, sf(), "events")
+    val counts = ev.groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n"))
+    val types = counts.groupBy(col("user_id")).agg(count(lit(1)).as("n_types"))
+    val want = counts.join(types, Seq("user_id"))
+      .select(col("user_id"), col("event_type"), col("n"), col("n_types"))
+    assert(got.count() == want.count(), s"stream ${got.count()} vs batch ${want.count()}")
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
+
   test("flatMapGroupsWithState running totals reach the batch totals") {
     val dir = eventsDir
     val stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
