@@ -6735,6 +6735,24 @@ object SparkEntry {
         .orderBy(col("view_id"), col("purchase_id"))
     }),
 
+    // ---- gap sessions via transformWithState EVENT-TIME TIMERS (stateful
+    // v2): in-batch closes emit immediately, the open tail parks in
+    // ValueState under a timer at end+gap and is flushed when the
+    // end-of-input watermark passes it — q92's session semantics rebuilt
+    // on the v2 timer API, same deterministic-subset gate ----
+    "q304_tws_timers" -> ((s, dir) =>
+      graft.streaming.StreamOps.sessionsV2(s, Tables.eventsStream(s, dir),
+          gapMinutes = 30, watermark = "0 seconds")
+        .orderBy(col("user_id"), col("start_us"))),
+
+    // ---- first-k events per user via transformWithState ListState: keep
+    // the k smallest (ts, event_id) — a commutative idempotent fold, so
+    // the final ranked list equals the batch ROW_NUMBER()<=k twin exactly
+    // regardless of arrival order or batch boundaries ----
+    "q305_tws_firstk" -> ((s, dir) =>
+      graft.streaming.StreamOps.firstKV2(s, Tables.eventsStream(s, dir), k = 3)
+        .orderBy(col("user_id"), col("rank"))),
+
     // ---- per-user per-type running counts via Spark 4's transformWithState
     // (stateful v2): MapState[event_type → count] per user under the
     // RocksDB state store provider (required by the v2 API; also the
@@ -10807,6 +10825,32 @@ object SparkEntry {
         |  COUNT(*) = CAST(SUM(a) + SUM(b) + SUM(c) - SUM(a * b) - SUM(a * c)
         |    - SUM(b * c) + SUM(a * b * c) AS BIGINT) AS identity_holds
         |FROM flags""".stripMargin,
+    "q304_tws_timers" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800 * 1000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+        |    COUNT(*) AS n_events
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id, start_us, end_us, n_events FROM sess
+        |WHERE end_us + 1800 * 1000000 <= (SELECT MAX(epoch_us(ts)) FROM events)
+        |ORDER BY user_id, start_us""".stripMargin,
+    "q305_tws_firstk" ->
+      """SELECT user_id, rank, event_id, event_type, cents FROM (
+        |  SELECT user_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rank,
+        |    event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events) WHERE rank <= 3
+        |ORDER BY user_id, rank""".stripMargin,
     "q303_transform_with_state" ->
       """WITH c AS (
         |  SELECT user_id, event_type, COUNT(*) AS n

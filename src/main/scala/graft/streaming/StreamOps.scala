@@ -180,12 +180,169 @@ object StreamOps {
     try {
       val out = events
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-          (col("value") * 100).cast("long").as("cents"))
+          round(col("value") * 100).cast("long").as("cents"))
         .as[EventC]
         .groupByKey(_.user_id)
         .transformWithState(new TypeCountProcessor, TimeMode.None(), OutputMode.Append())
         .toDF()
       runToMemory(spark, out, "type_counts_v2")
+    } finally spark.conf.set(key, prev)
+  }
+
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+  final case class SessionRow(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Stateful-v2 sessionizer behind [[sessionsV2]]: gap sessions built with
+    * EVENT-TIME TIMERS — the v2 feature `flatMapGroupsWithState` never had
+    * (its timeouts were per-GROUP and one-shot; v2 timers are first-class,
+    * per-key, many-at-once, fired by the watermark). In-batch rows are
+    * buffered and sorted by (ts, event_id) — per-user-per-batch bounded,
+    * the same bound [[sessionCounts]]'s engine-side sort carries — then
+    * folded left to right: a row at strictly less than `last + gap` merges
+    * (the `session_window` [start, end+gap) convention), otherwise the
+    * previous session CLOSES and emits immediately. The still-open tail
+    * session is parked in ValueState with a timer at `last + gap`; when the
+    * watermark passes it, [[handleExpiredTimer]] emits it and clears the
+    * state — the watermark-driven flush that makes streaming sessions
+    * eventually COMPLETE, not just eventually consistent. Emitted rows are
+    * a pure function of the input multiset: in-batch closes depend only on
+    * per-user event times, timer flushes only on the end-of-input
+    * watermark — the q92/q300 deterministic-subset contract.
+    */
+  /** Exact epoch microseconds of a Timestamp — `getTime` alone is
+    * millisecond-truncated; the sub-millisecond digits live in `getNanos`
+    * (which carries the FULL fractional second, so the ms part of getTime
+    * must be floored away first). The gate's oracles compare on
+    * `epoch_us`, so dropping micros here would wobble session boundaries.
+    */
+  private def tsUs(ts: java.sql.Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  private final class TimerSessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventC, SessionRow] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var open: ValueState[OpenSession] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession](
+        "open", org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+    private def timerMsOf(s: OpenSession): Long = s.lastUs / 1000L + gapMs
+    override def handleInputRows(
+        key: Long, rows: Iterator[EventC], tv: TimerValues): Iterator[SessionRow] = {
+      val gapUs = gapMs * 1000L
+      val sorted = rows.toArray.sortBy(e => (tsUs(e.ts), e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+      var cur = if (open.exists()) open.get() else null
+      if (cur != null) getHandle.deleteTimer(timerMsOf(cur))
+      sorted.foreach { e =>
+        val us = tsUs(e.ts)
+        if (cur == null) cur = OpenSession(us, us, 1L)
+        else if (us < cur.lastUs + gapUs) cur = OpenSession(cur.startUs, us, cur.n + 1L)
+        else {
+          out += SessionRow(key, cur.startUs, cur.lastUs, cur.n)
+          cur = OpenSession(us, us, 1L)
+        }
+      }
+      open.update(cur)
+      getHandle.registerTimer(timerMsOf(cur))
+      out.iterator
+    }
+    override def handleExpiredTimer(
+        key: Long, tv: TimerValues, info: ExpiredTimerInfo): Iterator[SessionRow] = {
+      val cur = if (open.exists()) open.get() else null
+      // a stale timer can outlive its session only if the delete above was
+      // skipped (no state) — emit iff the parked session IS this timer's
+      if (cur != null && timerMsOf(cur) == info.getExpiryTimeInMs) {
+        open.clear()
+        Iterator(SessionRow(key, cur.startUs, cur.lastUs, cur.n))
+      } else Iterator.empty
+    }
+  }
+
+  /** Gap sessions via Spark 4's `transformWithState` with EVENT-TIME timers
+    * (TimeMode.EventTime) — see [[TimerSessionProcessor]]. Requires the
+    * RocksDB provider (scoped + restored) and a watermark on the input so
+    * the engine has an event-time clock to fire timers against. Output:
+    * one row per closed session (user_id, start_us, end_us, n_events) in
+    * integer microseconds; sessions whose `end + gap` the end-of-input
+    * watermark never passed stay parked — the deterministic held-back
+    * tail the gate's oracle filters identically.
+    */
+  def sessionsV2(spark: SparkSession, events: DataFrame, gapMinutes: Int = 30,
+                 watermark: String = "0 seconds"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val gapMs = gapMinutes * 60000L
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = events
+        .withWatermark("ts", watermark)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .as[EventC]
+        .groupByKey(_.user_id)
+        .transformWithState(new TimerSessionProcessor(gapMs),
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF()
+      runToMemory(spark, out, "sessions_v2")
+    } finally spark.conf.set(key, prev)
+  }
+
+  final case class RankedEvent(user_id: Long, rank: Long, event_id: Long,
+                               event_type: String, cents: Long)
+
+  /** Stateful-v2 first-k events per user behind [[firstKV2]]: a
+    * `ListState[EventC]` holding each user's k earliest events by
+    * (ts, event_id) — the typed-list state variable v2 adds over
+    * `GroupState`'s single opaque object (point appends via `appendValue`,
+    * whole-list replace via `put`, no hand-rolled container case class).
+    * Keeping the k SMALLEST under a total order is a commutative,
+    * idempotent fold — independent of arrival order, batch boundaries and
+    * partitioning, the [[runningUserTotalsExact]] discipline — so the
+    * final list always equals the batch `ROW_NUMBER() ≤ k` twin.
+    */
+  private final class FirstKProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventC, RankedEvent] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
+    @transient private var firstK: ListState[EventC] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      firstK = getHandle.getListState[EventC](
+        "first_k", org.apache.spark.sql.Encoders.product[EventC], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[EventC], tv: TimerValues): Iterator[RankedEvent] = {
+      val merged = (firstK.get().toArray ++ rows)
+        .sortBy(e => (tsUs(e.ts), e.event_id)).take(k)
+      firstK.put(merged)
+      merged.iterator.zipWithIndex.map { case (e, i) =>
+        RankedEvent(key, i + 1L, e.event_id, e.event_type, e.cents)
+      }
+    }
+  }
+
+  /** First k events per user via `transformWithState` + `ListState` — see
+    * [[FirstKProcessor]]. RocksDB provider scoped + restored. With the
+    * gate's single-batch feed each user emits exactly one final ranked
+    * list, equal to the batch window `ROW_NUMBER() OVER (PARTITION BY user
+    * ORDER BY ts, event_id) ≤ k`.
+    */
+  def firstKV2(spark: SparkSession, events: DataFrame, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = events
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .as[EventC]
+        .groupByKey(_.user_id)
+        .transformWithState(new FirstKProcessor(k), TimeMode.None(), OutputMode.Append())
+        .toDF()
+      runToMemory(spark, out, "first_k_v2")
     } finally spark.conf.set(key, prev)
   }
 

@@ -229,6 +229,50 @@ class StreamingSpec extends SparkTestBase {
     assert(got.except(want).count() == 0 && want.except(got).count() == 0)
   }
 
+  test("transformWithState event-time timers: sessions match the batch sessionize gate") {
+    val dir = eventsDir
+    val stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
+    val got = StreamOps.sessionsV2(spark, stream, gapMinutes = 30, watermark = "0 seconds")
+    // batch twin: lag+running-sum sessionize, emitted iff end+gap <= max ts
+    val ev = Tables(spark, sf(), "events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = ev
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_sess",
+        when(lag(col("us"), 1).over(w).isNull
+          || col("us") - lag(col("us"), 1).over(w) >= 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("new_sess")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val want = sess.filter(col("end_us") + 1800L * 1000000L <= maxUs)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+    assert(got.count() == want.count(), s"stream ${got.count()} vs batch ${want.count()}")
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    // the timer path must have fired: some sessions are single-user tails
+    // closed only by the watermark, not by a successor event — those have
+    // no later event from the same user inside the batch
+    assert(got.count() > 0)
+  }
+
+  test("transformWithState ListState first-k equals the batch ROW_NUMBER()<=k twin") {
+    val dir = eventsDir
+    val stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
+    val got = StreamOps.firstKV2(spark, stream, k = 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val want = Tables(spark, sf(), "events")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("user_id"), col("rank"), col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    assert(got.count() == want.count(), s"stream ${got.count()} vs batch ${want.count()}")
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
+
   test("flatMapGroupsWithState running totals reach the batch totals") {
     val dir = eventsDir
     val stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
