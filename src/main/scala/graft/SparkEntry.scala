@@ -6735,6 +6735,17 @@ object SparkEntry {
         .orderBy(col("view_id"), col("purchase_id"))
     }),
 
+    // ---- warm-started streaming balances via transformWithState INITIAL
+    // STATE (stateful v2): per-user state seeded from the customer acctbal
+    // snapshot BEFORE the first batch, purchase cents folded on top — the
+    // batch-to-streaming migration shape; two ValueStates (immutable
+    // snapshot, running balance) per key ----
+    "q306_tws_initial_state" -> ((s, dir) =>
+      graft.streaming.StreamOps.balancesV2(s, Tables.eventsStream(s, dir),
+          t(s, dir, "customer").select(col("c_custkey"),
+            round(col("c_acctbal") * 100).cast("long").as("start_cents")))
+        .orderBy(col("user_id"))),
+
     // ---- gap sessions via transformWithState EVENT-TIME TIMERS (stateful
     // v2): in-batch closes emit immediately, the open tail parks in
     // ValueState under a timer at end+gap and is flushed when the
@@ -10825,6 +10836,20 @@ object SparkEntry {
         |  COUNT(*) = CAST(SUM(a) + SUM(b) + SUM(c) - SUM(a * b) - SUM(a * c)
         |    - SUM(b * c) + SUM(a * b * c) AS BIGINT) AS identity_holds
         |FROM flags""".stripMargin,
+    "q306_tws_initial_state" ->
+      """WITH p AS (
+        |  SELECT user_id, COUNT(*) AS n_purchases,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS stream_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |c AS (
+        |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS start_cents
+        |  FROM customer)
+        |SELECT p.user_id,
+        |  CAST(COALESCE(c.start_cents, 0) AS BIGINT) AS start_cents,
+        |  CAST(COALESCE(c.start_cents, 0) + p.stream_cents AS BIGINT) AS end_cents,
+        |  p.n_purchases
+        |FROM p LEFT JOIN c ON p.user_id = c.c_custkey
+        |ORDER BY user_id""".stripMargin,
     "q304_tws_timers" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,

@@ -273,6 +273,27 @@ class StreamingSpec extends SparkTestBase {
     assert(got.except(want).count() == 0 && want.except(got).count() == 0)
   }
 
+  test("transformWithState initial state: snapshot seeds the fold, absent users start at 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-warm").toString
+    // users 1,2 purchase; user 3 only views (never emits); user 2 missing
+    // from the snapshot (starts at 0); snapshot user 9 has no stream rows
+    Seq(
+      (1L, "2024-01-01 00:00:00.000001", 1L, "purchase", 2.5),
+      (2L, "2024-01-01 00:10:00.000001", 1L, "purchase", 1.0),
+      (3L, "2024-01-01 00:20:00.000001", 2L, "purchase", 10.0),
+      (4L, "2024-01-01 00:30:00.000001", 3L, "view", 99.0)
+    ).toDF("event_id", "tss", "user_id", "event_type", "value")
+      .select(col("event_id"), col("tss").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(dir)
+    val snapshot = Seq((1L, 100L), (9L, 500L)).toDF("user_id", "start_cents")
+    val stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
+    val got = StreamOps.balancesV2(spark, stream, snapshot)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L, 100L + 350L, 2L), (2L, 0L, 1000L, 1L)), s"$got")
+  }
+
   test("flatMapGroupsWithState running totals reach the batch totals") {
     val dir = eventsDir
     val stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)

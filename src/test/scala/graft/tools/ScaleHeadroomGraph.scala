@@ -100,6 +100,16 @@ object ScaleHeadroomGraph {
     sweep("kCore k=8")(e => Graph.kCore(e.select("u", "v"), k = 8))
     sweep("shortestPathsInt r<=16")(e => Graph.shortestPathsInt(e, seedsOf(e), maxRounds = 16))
     sweep("kHopCounts k=3")(e => Graph.kHopCounts(e.select("u", "v"), seedsOf(e), k = 3))
+    sweep("labelPropagation r=4")(e => Graph.labelPropagation(e.select("u", "v"), rounds = 4))
+    // modularity output is one row regardless of scale, so the rows-10x
+    // check does not apply; time it separately over precomputed labels
+    for (factor <- Seq(1, 10)) {
+      val e = inflate(factor)
+      val labels = Graph.labelPropagation(e.select("u", "v"), rounds = 4).localCheckpoint()
+      val (_, dt) = timed { Graph.modularity(e.select("u", "v"), labels).count() }
+      println(f"[modularity over precomputed labels] ${factor}x: $dt%.2f s")
+      drop()
+    }
     spark.stop()
   }
 }
