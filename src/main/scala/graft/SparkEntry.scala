@@ -2327,6 +2327,19 @@ object SparkEntry {
         .select(col("node").as("p_partkey"), col("core_deg"))
         .orderBy(col("p_partkey"))),
 
+    // ---- FULL core decomposition (coreness per node) by the Montresor
+    // h-index fixed point: c0 = deg, each round replaces a node's estimate
+    // with the h-index of its neighbors' — runs to convergence (REFUSES a
+    // partial result) with 4 algorithm rounds chained per materialized
+    // job since round COUNT, not round volume, is the cost driver here.
+    // Unique fixed point ⇒ gateable against an oracle unrolled to ANY
+    // bound ≥ the graph's convergence rounds (measured ≤32 at sf0.1;
+    // oracle unrolls 40) ----
+    "q307_coreness" -> ((s, dir) =>
+      Graph.coreness(coSupplyEdges(s, dir))
+        .select(col("node").as("p_partkey"), col("coreness"))
+        .orderBy(col("p_partkey"))),
+
     // ---- community detection by DETERMINISTIC synchronous label
     // propagation (Raghavan 2007): each node adopts its neighbors' most
     // frequent label, ties to the MINIMUM label, for a FIXED 4 rounds — a
@@ -2337,6 +2350,30 @@ object SparkEntry {
       Graph.labelPropagation(coSupplyEdges(s, dir), rounds = 4)
         .select(col("node").as("p_partkey"), col("label").as("community"))
         .orderBy(col("p_partkey"))),
+
+    // ---- WEIGHTED label propagation: q301's deterministic synchronous
+    // LPA with each neighbor's vote multiplied by the edge weight
+    // (shared-urgent-order multiplicity, q219's build) — exact integer
+    // vote sums keep the winner engine-stable; same fixed 4 rounds,
+    // min-label ties, 4×-unrolled weighted oracle ----
+    "q308_weighted_lpa" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"))
+      val op = t(s, dir, "lineitem")
+        .join(urgent, Seq("l_orderkey"), "left_semi")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .distinct()
+      val we = op.as("a")
+        .join(op.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("w"))
+      Graph.labelPropagation(we, rounds = 4, weighted = true)
+        .select(col("node").as("p_partkey"), col("label").as("community"))
+        .orderBy(col("p_partkey"))
+    }),
 
     // ---- Newman modularity of the q301 partition: Q = intra/m −
     // ΣD_c²/(2m)² against the degree-preserving null model — exact integer
@@ -6872,15 +6909,14 @@ object SparkEntry {
     (Seq(head) ++ rounds_).mkString(",\n") + "\n" + tail
   }
 
-  /** Shared CTE chain for the q301/q302 oracles: co-supply edges → symmetric
-    * adjacency → label rounds l0..l{rounds}, each round voting by neighbor
-    * label frequency with ties to the minimum label (ROW_NUMBER ordered
-    * (c DESC, label) mirrors Spark's `max_by(label, (c, −label))`). Every
-    * CTE is MATERIALIZED — the kCoreOracleSql lesson: DuckDB inlines plain
-    * CTEs per use site and a round referenced twice would double the
-    * expansion each round.
+  /** q307's oracle, generated: c⁰ = degree, each round the per-node h-index
+    * of neighbor estimates (ROW_NUMBER over value DESC, MAX(LEAST(value,
+    * rank)) — the multiset h-index, tie-order invariant). Unrolled past the
+    * measured convergence bound: extra rounds are identity at the fixed
+    * point, so any unroll ≥ convergence matches the run-to-convergence
+    * Spark loop. Every CTE MATERIALIZED (the kCoreOracleSql lesson).
     */
-  private def lpaOracleCtes(rounds: Int): String = {
+  private def corenessOracleSql(rounds: Int): String = {
     val head =
       """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -6890,11 +6926,54 @@ object SparkEntry {
         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
         |sym AS MATERIALIZED (
         |  SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v AS src, u AS dst FROM e0),
-        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM sym)""".stripMargin
+        |c0 AS MATERIALIZED (SELECT src AS node, COUNT(*) AS c FROM sym GROUP BY src)""".stripMargin
+    val rounds_ = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT dst AS node, MAX(LEAST(cval, rn)) AS c FROM (
+         |    SELECT s.dst, l.c AS cval,
+         |      ROW_NUMBER() OVER (PARTITION BY s.dst ORDER BY l.c DESC) AS rn
+         |    FROM sym s JOIN c${i - 1} l ON s.src = l.node) GROUP BY dst)""".stripMargin
+    }
+    (Seq(head) ++ rounds_).mkString(",\n") +
+      s"\nSELECT node AS p_partkey, CAST(c AS BIGINT) AS coreness FROM c$rounds ORDER BY p_partkey"
+  }
+
+  /** Shared CTE chain for the q301/q302 oracles: co-supply edges → symmetric
+    * adjacency → label rounds l0..l{rounds}, each round voting by neighbor
+    * label frequency with ties to the minimum label (ROW_NUMBER ordered
+    * (c DESC, label) mirrors Spark's `max_by(label, (c, −label))`). Every
+    * CTE is MATERIALIZED — the kCoreOracleSql lesson: DuckDB inlines plain
+    * CTEs per use site and a round referenced twice would double the
+    * expansion each round.
+    */
+  private def lpaOracleCtes(rounds: Int, weighted: Boolean = false): String = {
+    val head =
+      if (weighted)
+        """WITH li AS MATERIALIZED (
+          |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+          |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+          |e0 AS MATERIALIZED (
+          |  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+          |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY a.l_partkey, b.l_partkey),
+          |sym AS MATERIALIZED (
+          |  SELECT u AS src, v AS dst, w FROM e0 UNION ALL SELECT v AS src, u AS dst, w FROM e0),
+          |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM sym)""".stripMargin
+      else
+        """WITH li AS MATERIALIZED (
+          |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+          |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+          |e0 AS MATERIALIZED (
+          |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+          |sym AS MATERIALIZED (
+          |  SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v AS src, u AS dst FROM e0),
+          |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM sym)""".stripMargin
+    val vote = if (weighted) "SUM(s.w)" else "COUNT(*)"
     val rounds_ = (1 to rounds).flatMap { i =>
       Seq(
         s"""v$i AS MATERIALIZED (
-           |  SELECT s.src, l.label, COUNT(*) AS c
+           |  SELECT s.src, l.label, $vote AS c
            |  FROM sym s JOIN l${i - 1} l ON s.dst = l.node
            |  GROUP BY s.src, l.label)""".stripMargin,
         s"""l$i AS MATERIALIZED (
@@ -7786,7 +7865,10 @@ object SparkEntry {
         |  (n2 * sxy - sx * sx)::DOUBLE / (n2 * sxx - sx * sx)::DOUBLE AS assortativity
         |FROM s""".stripMargin,
     "q130_kcore" -> kCoreOracleSql(k = 8, rounds = 8),
+    "q307_coreness" -> corenessOracleSql(rounds = 40),
     "q301_label_propagation" -> (lpaOracleCtes(rounds = 4) +
+      "\nSELECT node AS p_partkey, label AS community FROM l4 ORDER BY p_partkey"),
+    "q308_weighted_lpa" -> (lpaOracleCtes(rounds = 4, weighted = true) +
       "\nSELECT node AS p_partkey, label AS community FROM l4 ORDER BY p_partkey"),
     "q302_modularity" -> (lpaOracleCtes(rounds = 4) +
       """,

@@ -194,6 +194,30 @@ class GraphSpec extends SparkTestBase {
     assert((2L until 20L).forall(got(_) == 2L), s"ring interior: $got")
   }
 
+  test("coreness: cliques, pendants, and the bowtie all get their exact core numbers") {
+    import spark.implicits._
+    // K4 {1..4} + pendant 5 off node 1: clique coreness 3, pendant 1
+    val k4p = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (1L, 5L))
+    val got = Graph.coreness(k4p.toDF("u", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L), s"$got")
+    // bowtie: two triangles sharing node 10 -> everyone coreness 2
+    val bow = Seq((10L, 11L), (10L, 12L), (11L, 12L), (10L, 13L), (10L, 14L), (13L, 14L))
+    val gotB = Graph.coreness(bow.toDF("u", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotB.values.toSet == Set(2L), s"$gotB")
+    // long path: every node coreness 1 (slow-convergence shape for h-index)
+    val path = (1L until 12L).map(i => (i, i + 1))
+    val gotP = Graph.coreness(path.toDF("u", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotP.values.toSet == Set(1L), s"$gotP")
+    // refusal contract: a bound below the needed rounds throws, never
+    // returns a mid-iteration estimate
+    intercept[IllegalStateException] {
+      Graph.coreness(path.toDF("u", "v"), maxRounds = 1, stepsPerCheckpoint = 1).count()
+    }
+  }
+
   test("labelPropagation: two triangles bridged by one edge split into two communities") {
     import spark.implicits._
     // triangles {1,2,3} and {4,5,6} bridged by 3-4; hand-unrolled rounds:
@@ -210,6 +234,21 @@ class GraphSpec extends SparkTestBase {
     val again = Graph.labelPropagation(e, rounds = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(again == got)
+  }
+
+  test("weighted labelPropagation: a heavy edge outvotes a plural neighborhood") {
+    import spark.implicits._
+    // node 3 has two unit-weight neighbors in triangle {1,2,3} and one
+    // weight-5 edge to 4: unweighted r1 sends 3 -> min(1,2,4) = 1; weighted
+    // r1 sends 3 -> 4 (5 > 1+1 separate labels; votes are per-label sums)
+    val we = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L), (3L, 4L, 5L))
+      .toDF("u", "v", "w")
+    val r1w = Graph.labelPropagation(we, rounds = 1, weighted = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r1w(3L) == 4L, s"weighted round 1: $r1w")
+    val r1u = Graph.labelPropagation(we.select(col("u"), col("v")), rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r1u(3L) == 1L, s"unweighted round 1: $r1u")
   }
 
   test("modularity: exact rational on the bridged-triangles partition") {

@@ -101,6 +101,7 @@ object ScaleHeadroomGraph {
     sweep("shortestPathsInt r<=16")(e => Graph.shortestPathsInt(e, seedsOf(e), maxRounds = 16))
     sweep("kHopCounts k=3")(e => Graph.kHopCounts(e.select("u", "v"), seedsOf(e), k = 3))
     sweep("labelPropagation r=4")(e => Graph.labelPropagation(e.select("u", "v"), rounds = 4))
+    sweep("coreness")(e => Graph.coreness(e.select("u", "v")))
     // modularity output is one row regardless of scale, so the rows-10x
     // check does not apply; time it separately over precomputed labels
     for (factor <- Seq(1, 10)) {
