@@ -6772,6 +6772,27 @@ object SparkEntry {
         .orderBy(col("view_id"), col("purchase_id"))
     }),
 
+    // ---- STREAMING near-dup detection ("dedupe while crawling"): minhash
+    // bands on the document stream, a stateful-v2 ListState bucket machine
+    // emitting each arrival's candidate pairs against everything already
+    // seen, then the batch exact verify — at the 16×6 recall-1.0 band
+    // config the verified output EQUALS exact all-pairs Jaccard (the
+    // q24/q85 gate device), so the oracle is the plain all-pairs edge set ----
+    "q309_stream_neardup" -> ((s, dir) => {
+      val cand = graft.streaming.StreamOps.streamingNearDupCandidates(
+        s, Tables.documentsStream(s, dir), "doc_id", "text",
+        numHashes = 96, bands = 16)
+      // exact verify through the cascade's own machinery: hashed word sets
+      // (8-byte tokens — string arrays per pair OOM'd a 1g driver at
+      // sf0.1's 190k-pair families), size-ratio prefilter, native sorted
+      // long merge, shuffle attach (no broadcast of the set table)
+      val ws = Dedup.hashedWordSets(t(s, dir, "documents"), "doc_id", "text")
+        .localCheckpoint()
+      Dedup.verifyCandidatePairs(cand, ws, threshold = 0.95, broadcastAttach = false)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- warm-started streaming balances via transformWithState INITIAL
     // STATE (stateful v2): per-user state seeded from the customer acctbal
     // snapshot BEFORE the first batch, purchase cents folded on top — the
@@ -10918,6 +10939,17 @@ object SparkEntry {
         |  COUNT(*) = CAST(SUM(a) + SUM(b) + SUM(c) - SUM(a * b) - SUM(a * c)
         |    - SUM(b * c) + SUM(a * b * c) AS BIGINT) AS identity_holds
         |FROM flags""".stripMargin,
+    "q309_stream_neardup" ->
+      """WITH ws AS (
+        |  SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |    ELSE list_distinct(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) END AS ws
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+        |WHERE (CASE WHEN len(list_distinct(list_concat(a.ws, b.ws))) = 0 THEN 1.0
+        |  ELSE len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |    len(list_distinct(list_concat(a.ws, b.ws)))::DOUBLE END) >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
     "q306_tws_initial_state" ->
       """WITH p AS (
         |  SELECT user_id, COUNT(*) AS n_purchases,

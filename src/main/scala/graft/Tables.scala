@@ -49,6 +49,16 @@ object Tables {
     conv.fold(df)(c => df.withColumn("ts", c))
   }
 
+  /** Streaming read of the documents table (file source over the single
+    * parquet under the scale-factor dir; schema from the footer). The feed
+    * for the streaming dedup/near-dup operators.
+    */
+  def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema: StructType = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+  }
+
   /** Streaming read of the events table with the same `ts` normalization as
     * the batch path. The file source needs a user schema, so the parquet
     * footer is read (cheap, schema-only) to match whichever encoding this

@@ -370,7 +370,7 @@ object Dedup {
     * by every exact-Jaccard pipeline here (equal to string-set jaccard up to
     * negligible xxh64 collisions).
     */
-  private[ops] def hashedWordSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  private[graft] def hashedWordSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       col(idCol).as("id"),
       array_sort(transform(array_distinct(TextAnalysis.tokens(col(textCol))), t => xxhash64(t)))
@@ -384,7 +384,7 @@ object Dedup {
     * collapses them first so they don't ride every join. `ws` should be
     * materialized by the caller (it feeds two joins).
     */
-  private[ops] def verifyCandidatePairs(
+  private[graft] def verifyCandidatePairs(
       rawPairs: DataFrame,
       ws: DataFrame,
       threshold: Double,

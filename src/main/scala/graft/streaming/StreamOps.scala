@@ -423,6 +423,97 @@ object StreamOps {
     } finally spark.conf.set(key, prev)
   }
 
+  final case class BandDoc(band: Int, bhash: Long, id: Long)
+  final case class BucketRow(band: Int, bhash: Long, members: Array[Long])
+
+  /** Stateful-v2 LSH index maintainer behind [[streamingNearDupCandidates]]:
+    * keyed by (band, band-hash), a `ListState[Long]` accumulates every doc
+    * id the bucket has ever seen, and each batch that touches a bucket
+    * emits ONE row with the bucket's post-batch membership. Emitting the
+    * compact index instead of per-bucket pairs is the load-bearing choice:
+    * a near-dup FAMILY (sf0.1 carries one ~2k docs wide) puts C(n,2) pairs
+    * in each of its buckets — 26.7M emissions measured at sf0.1, which
+    * OOMs a default-heap local run when pushed through the streaming sink —
+    * while its index rows total Σ|bucket| = docs × bands (80k cells). Pair
+    * expansion then happens batch-side as a spillable self-join, exactly
+    * where the batch cascade pays the same cost. The membership multiset is
+    * a pure function of the input (bucket assignment ignores order); the
+    * single-batch gate feed makes the emitted row the bucket's final state.
+    */
+  private final class BucketIndexProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, Long), BandDoc, BucketRow] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
+    @transient private var members: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[Long](
+        "members", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        key: (Int, Long), rows: Iterator[BandDoc], tv: TimerValues): Iterator[BucketRow] = {
+      rows.foreach(r => members.appendValue(r.id))
+      Iterator(BucketRow(key._1, key._2, members.get().toArray.sorted))
+    }
+  }
+
+  /** Streaming LSH near-dup CANDIDATE pairs: minhash-sign each arriving
+    * document (the same native one-pass `graft_minhash` expression as the
+    * batch cascade), explode its bands, maintain the (band, band-hash)
+    * bucket index incrementally in [[BucketIndexProcessor]] — "index while
+    * crawling": a new document pays only its own bands' bucket updates,
+    * never a corpus rescan — then expand colliding pairs from the emitted
+    * index with a batch self-join (spillable; the in-stream pair form
+    * OOM'd on clique-shaped corpora, see the processor doc). Output is the
+    * DISTINCT band-collision pair set, identical to the batch
+    * `minHashCandidates`; like it, callers must exact-verify pairs (at
+    * the recall-1.0 band config the verified output equals exact all-pairs
+    * Jaccard — the q24/q85 gate device). RocksDB provider scoped +
+    * restored.
+    */
+  def streamingNearDupCandidates(spark: SparkSession, docs: DataFrame,
+                                 idCol: String, textCol: String,
+                                 numHashes: Int = 96, bands: Int = 16,
+                                 seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
+    graft.functions.GraftFunctions.register(spark)
+    val rowsPerBand = numHashes / bands
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val index =
+      try {
+        val banded = docs
+          .select(col(idCol).cast("long").as("id"),
+            graft.ops.Dedup.minHashSignature(
+              array_distinct(graft.ops.TextAnalysis.tokens(col(textCol))),
+              numHashes, seed).as("sig"))
+          .select(col("id"), explode(transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => struct(b.cast("int").as("band"),
+              xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bhash"))))
+            .as("bb"))
+          .select(col("bb.band").as("band"), col("bb.bhash").as("bhash"), col("id"))
+          .as[BandDoc]
+        val buckets = banded.groupByKey(r => (r.band, r.bhash))
+          .transformWithState(new BucketIndexProcessor, TimeMode.None(), OutputMode.Append())
+        runToMemory(spark, buckets.toDF(), "stream_neardup_index")
+      } finally spark.conf.set(key, prev)
+    // batch-side pair expansion: posexplode the index rows back to
+    // (bucket, id) and self-join — 26.7M collision rows at sf0.1 flow
+    // through a shuffle join that spills, instead of through stream state
+    val m = index
+      .select(col("band"), col("bhash"), explode(col("members")).as("id"))
+    // both sides descend from the same memory-table view, so qualified
+    // aliases stay ambiguous (identical attribute ids) — rename one side
+    val m2 = m.toDF("band2", "bhash2", "id2")
+    m.join(m2,
+        col("band") === col("band2") && col("bhash") === col("bhash2")
+          && col("id") < col("id2"))
+      .select(col("id").as("id_a"), col("id2").as("id_b"))
+      .distinct()
+  }
+
   final case class CdcChange(key: Long, name: String, cents: Long, version: Long, op: String)
 
   /** Streaming CDC latest-state store: a keyed `flatMapGroupsWithState`

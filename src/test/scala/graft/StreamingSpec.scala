@@ -294,6 +294,28 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set((1L, 100L, 100L + 350L, 2L), (2L, 0L, 1000L, 1L)), s"$got")
   }
 
+  test("streaming LSH index finds the near-dup pair and skips the dissimilar doc") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 19).map(i => s"tok$i").mkString(" ") // J = 19/20 = 0.95
+    val far = (100 to 120).map(i => s"w$i").mkString(" ")
+    Seq((1L, base), (2L, near), (3L, far), (4L, base))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(dir)
+    val cand = StreamOps.streamingNearDupCandidates(spark, stream, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    // exact dups (1,4) and the J=0.95 pair collide; doc 3 shares no band
+    assert(cand.contains((1L, 4L)) && cand.contains((1L, 2L)), s"$cand")
+    assert(!cand.exists(p => p._1 == 3L || p._2 == 3L), s"doc 3 must not collide: $cand")
+  }
+
   test("flatMapGroupsWithState running totals reach the batch totals") {
     val dir = eventsDir
     val stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
