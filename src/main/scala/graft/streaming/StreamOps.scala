@@ -501,9 +501,17 @@ object StreamOps {
       } finally spark.conf.set(key, prev)
     // batch-side pair expansion: posexplode the index rows back to
     // (bucket, id) and self-join — 26.7M collision rows at sf0.1 flow
-    // through a shuffle join that spills, instead of through stream state
+    // through a shuffle join that spills, instead of through stream state.
+    // The coalesce bounds CONCURRENT sorter-page pressure: the memory
+    // table parallelizes to defaultParallelism (32 here), and 32 tasks
+    // each expanding ~1/32 of the collisions allocate a 32 MB shuffle
+    // sort page apiece — ~1 GB of simultaneous humongous allocations,
+    // which (with RocksDB's JNI criticals pinning the GCLocker) OOM'd one
+    // full-registry bench run on a default 1g heap. 8 tasks × 80k input
+    // rows is still instant, with a quarter the peak pages.
     val m = index
       .select(col("band"), col("bhash"), explode(col("members")).as("id"))
+      .coalesce(8)
     // both sides descend from the same memory-table view, so qualified
     // aliases stay ambiguous (identical attribute ids) — rename one side
     val m2 = m.toDF("band2", "bhash2", "id2")
