@@ -6779,16 +6779,17 @@ object SparkEntry {
     // config the verified output EQUALS exact all-pairs Jaccard (the
     // q24/q85 gate device), so the oracle is the plain all-pairs edge set ----
     "q309_stream_neardup" -> ((s, dir) => {
-      val cand = graft.streaming.StreamOps.streamingNearDupCandidates(
-        s, Tables.documentsStream(s, dir), "doc_id", "text",
-        numHashes = 96, bands = 16)
-      // exact verify through the cascade's own machinery: hashed word sets
-      // (8-byte tokens — string arrays per pair OOM'd a 1g driver at
-      // sf0.1's 190k-pair families), size-ratio prefilter, native sorted
-      // long merge, shuffle attach (no broadcast of the set table)
-      val ws = Dedup.hashedWordSets(t(s, dir, "documents"), "doc_id", "text")
-        .localCheckpoint()
-      Dedup.verifyCandidatePairs(cand, ws, threshold = 0.95, broadcastAttach = false)
+      // fused stream→verify path: the index carries (fsig, set size) per
+      // member, so exact-duplicate cliques expand from band 0 only and the
+      // size-ratio prefilter runs INSIDE the expansion join — no candidate
+      // distinct is ever materialized (the verify's shuffle arm dedups the
+      // ratio survivors). Verify itself is the cascade's machinery: hashed
+      // word sets (8-byte tokens — string arrays per pair OOM'd a 1g
+      // driver at sf0.1's 190k-pair families), native sorted long merge,
+      // shuffle attach (no broadcast of the set table).
+      graft.streaming.StreamOps.streamingVerifiedNearDups(
+          s, Tables.documentsStream(s, dir), t(s, dir, "documents"),
+          "doc_id", "text", threshold = 0.95, numHashes = 96, bands = 16)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     }),

@@ -423,8 +423,11 @@ object StreamOps {
     } finally spark.conf.set(key, prev)
   }
 
-  final case class BandDoc(band: Int, bhash: Long, id: Long)
-  final case class BucketRow(band: Int, bhash: Long, members: Array[Long])
+  final case class BandDoc(band: Int, bhash: Long, id: Long, fsig: Long, sz: Int)
+  final case class BucketMember(id: Long, fsig: Long, sz: Int)
+  final case class BucketRow(band: Int, bhash: Long,
+                             members: Array[Long], fsigs: Array[Long],
+                             szs: Array[Int])
 
   /** Stateful-v2 LSH index maintainer behind [[streamingNearDupCandidates]]:
     * keyed by (band, band-hash), a `ListState[Long]` accumulates every doc
@@ -443,14 +446,16 @@ object StreamOps {
   private final class BucketIndexProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, Long), BandDoc, BucketRow] {
     import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
-    @transient private var members: ListState[Long] = _
+    @transient private var members: ListState[BucketMember] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      members = getHandle.getListState[Long](
-        "members", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      members = getHandle.getListState[BucketMember](
+        "members", org.apache.spark.sql.Encoders.product[BucketMember], TTLConfig.NONE)
     override def handleInputRows(
         key: (Int, Long), rows: Iterator[BandDoc], tv: TimerValues): Iterator[BucketRow] = {
-      rows.foreach(r => members.appendValue(r.id))
-      Iterator(BucketRow(key._1, key._2, members.get().toArray.sorted))
+      rows.foreach(r => members.appendValue(BucketMember(r.id, r.fsig, r.sz)))
+      val sorted = members.get().toArray.sortBy(_.id)
+      Iterator(BucketRow(key._1, key._2,
+        sorted.map(_.id), sorted.map(_.fsig), sorted.map(_.sz)))
     }
   }
 
@@ -468,10 +473,10 @@ object StreamOps {
     * Jaccard — the q24/q85 gate device). RocksDB provider scoped +
     * restored.
     */
-  def streamingNearDupCandidates(spark: SparkSession, docs: DataFrame,
-                                 idCol: String, textCol: String,
-                                 numHashes: Int = 96, bands: Int = 16,
-                                 seed: Long = 42L): DataFrame = {
+  def streamingNearDupIndex(spark: SparkSession, docs: DataFrame,
+                            idCol: String, textCol: String,
+                            numHashes: Int = 96, bands: Int = 16,
+                            seed: Long = 42L): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.TimeMode
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
@@ -481,45 +486,121 @@ object StreamOps {
     val prev = spark.conf.get(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val index =
-      try {
-        val banded = docs
-          .select(col(idCol).cast("long").as("id"),
-            graft.ops.Dedup.minHashSignature(
-              array_distinct(graft.ops.TextAnalysis.tokens(col(textCol))),
-              numHashes, seed).as("sig"))
-          .select(col("id"), explode(transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => struct(b.cast("int").as("band"),
-              xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bhash"))))
-            .as("bb"))
-          .select(col("bb.band").as("band"), col("bb.bhash").as("bhash"), col("id"))
-          .as[BandDoc]
-        val buckets = banded.groupByKey(r => (r.band, r.bhash))
-          .transformWithState(new BucketIndexProcessor, TimeMode.None(), OutputMode.Append())
-        runToMemory(spark, buckets.toDF(), "stream_neardup_index")
-      } finally spark.conf.set(key, prev)
-    // batch-side pair expansion: posexplode the index rows back to
-    // (bucket, id) and self-join — 26.7M collision rows at sf0.1 flow
-    // through a shuffle join that spills, instead of through stream state.
-    // The coalesce bounds CONCURRENT sorter-page pressure: the memory
-    // table parallelizes to defaultParallelism (32 here), and 32 tasks
-    // each expanding ~1/32 of the collisions allocate a 32 MB shuffle
-    // sort page apiece — ~1 GB of simultaneous humongous allocations,
-    // which (with RocksDB's JNI criticals pinning the GCLocker) OOM'd one
-    // full-registry bench run on a default 1g heap. 8 tasks × 80k input
-    // rows is still instant, with a quarter the peak pages.
+    try {
+      val banded = docs
+        .select(col(idCol).cast("long").as("id"),
+          array_distinct(graft.ops.TextAnalysis.tokens(col(textCol))).as("toks"))
+        .select(col("id"), size(col("toks")).as("sz"),
+          graft.ops.Dedup.minHashSignature(col("toks"), numHashes, seed).as("sig"))
+        .select(col("id"), col("sz"), xxhash64(col("sig")).as("fsig"), explode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => struct(b.cast("int").as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bhash"))))
+          .as("bb"))
+        .select(col("bb.band").as("band"), col("bb.bhash").as("bhash"),
+          col("id"), col("fsig"), col("sz"))
+        .as[BandDoc]
+      val buckets = banded.groupByKey(r => (r.band, r.bhash))
+        .transformWithState(new BucketIndexProcessor, TimeMode.None(), OutputMode.Append())
+      runToMemory(spark, buckets.toDF(), "stream_neardup_index")
+    } finally spark.conf.set(key, prev)
+  }
+
+  /** Pair expansion over the emitted bucket index. Three measured devices:
+    *
+    * 1. **Identical-full-signature pairs expand from band 0 only** (the
+    *    batch cascade's fsig rule, `Dedup.minHashCandidatesRaw`): an
+    *    exact-duplicate clique has ONE minhash signature, so it collides in
+    *    every band and would otherwise be expanded `bands`× over — at sf0.1
+    *    that rule alone cuts raw collision volume 27.5M → a few M. fsig
+    *    rides the index (a parallel array in each bucket row, ~8 B/cell in
+    *    RocksDB state); recall is unchanged because equal signatures
+    *    ALWAYS collide in band 0.
+    * 2. **Join-form expansion, not a per-row tail-explode** (measured 2.4×
+    *    slower end-to-end despite being join-free): one wide clique's
+    *    C(n,2) output all descends from ONE bucket row, and a generator
+    *    chain pins that expansion to a single task.
+    * 3. **The probe side is broadcast while the MEASURED cell count allows
+    *    it**: a shuffled sort-merge join serializes each bucket's C(n,2)
+    *    expansion into the one task that owns its key — AQE's skew split
+    *    can't help, because skew detection reads shuffle-file INPUT sizes
+    *    and a 2k-member clique is only 2k tiny input rows; the quadratic
+    *    blowup is on the OUTPUT side the planner never sees. With a
+    *    broadcast probe, expansion parallelism is the build side's
+    *    partition count, independent of key skew. Past the 4M-cell bound
+    *    the join falls back to shuffle form (the broadcast would not fit)
+    *    and relies on bucket-size capping upstream.
+    *
+    * The coalesce bounds CONCURRENT sorter-page pressure (32 tasks × 32 MB
+    * sort pages OOM'd a default 1g heap once under RocksDB's pinned JNI
+    * criticals). Both join sides descend from the same memory-table view,
+    * so qualified aliases stay ambiguous (identical attribute ids) — hence
+    * the toDF rename.
+    */
+  def expandBucketPairs(index: DataFrame): DataFrame =
+    expandBucketPairsRaw(index, sizeRatio = None).distinct()
+
+  /** Raw (possibly duplicated) collision pairs from the index, with an
+    * OPTIONAL inline size-ratio prefilter: when `sizeRatio = Some(t)` the
+    * join condition also requires min(sz)/max(sz) ≥ t, which is implied by
+    * jaccard ≥ t — so for a verify-bound consumer it drops no true pair
+    * but kills most false collisions BEFORE they reach any shuffle
+    * (~69% at sf0.1, the same ratio the batch verify measures). The
+    * member's token-set size rides the index as a third parallel array.
+    */
+  private[graft] def expandBucketPairsRaw(
+      index: DataFrame, sizeRatio: Option[Double]): DataFrame = {
     val m = index
-      .select(col("band"), col("bhash"), explode(col("members")).as("id"))
+      .select(col("band"), col("bhash"),
+        explode(arrays_zip(col("members"), col("fsigs"), col("szs"))).as("mf"))
+      .select(col("band"), col("bhash"), col("mf.members").as("id"),
+        col("mf.fsigs").as("fsig"), col("mf.szs").as("sz"))
       .coalesce(8)
-    // both sides descend from the same memory-table view, so qualified
-    // aliases stay ambiguous (identical attribute ids) — rename one side
-    val m2 = m.toDF("band2", "bhash2", "id2")
-    m.join(m2,
-        col("band") === col("band2") && col("bhash") === col("bhash2")
-          && col("id") < col("id2"))
-      .select(col("id").as("id_a"), col("id2").as("id_b"))
-      .distinct()
+    val m2 = m.toDF("band2", "bhash2", "id2", "fsig2", "sz2")
+    val cells = index.select(sum(size(col("members")))).first.getLong(0)
+    val probe = if (cells <= 4_000_000L) broadcast(m2) else m2
+    val base = col("band") === col("band2") && col("bhash") === col("bhash2") &&
+      col("id") < col("id2") &&
+      (col("fsig") =!= col("fsig2") || col("band") === 0)
+    val cond = sizeRatio match {
+      case Some(t) => base &&
+        ((col("sz") === 0 && col("sz2") === 0) ||
+          least(col("sz"), col("sz2")).cast("double") /
+            greatest(col("sz"), col("sz2")).cast("double") >= t)
+      case None => base
+    }
+    m.join(probe, cond).select(col("id").as("id_a"), col("id2").as("id_b"))
+  }
+
+  def streamingNearDupCandidates(spark: SparkSession, docs: DataFrame,
+                                 idCol: String, textCol: String,
+                                 numHashes: Int = 96, bands: Int = 16,
+                                 seed: Long = 42L): DataFrame =
+    expandBucketPairs(
+      streamingNearDupIndex(spark, docs, idCol, textCol, numHashes, bands, seed))
+
+  /** End-to-end "dedupe while crawling": streaming bucket index → inline
+    * size-prefiltered raw pair expansion → exact-Jaccard verify. The fusion
+    * skips the candidate-set distinct entirely (the verify's shuffle arm
+    * dedups internally, so materializing a distinct pair set first would
+    * pay the same shuffle twice) and the inline size filter means the
+    * distinct that DOES run sees only ratio-surviving pairs. At the
+    * recall-1.0 band config the output equals exact all-pairs Jaccard ≥
+    * threshold — the q24/q85 gate device.
+    */
+  def streamingVerifiedNearDups(spark: SparkSession, docs: DataFrame,
+                                verifyDocs: DataFrame,
+                                idCol: String, textCol: String,
+                                threshold: Double,
+                                numHashes: Int = 96, bands: Int = 16,
+                                seed: Long = 42L): DataFrame = {
+    val index = streamingNearDupIndex(spark, docs, idCol, textCol, numHashes, bands, seed)
+    val raw = expandBucketPairsRaw(index, sizeRatio = Some(threshold))
+    // verify-side token sets come from the BATCH document store (`docs` is
+    // a stream and can't be re-scanned); in a crawl this is the same
+    // landed corpus the stream indexed
+    val ws = graft.ops.Dedup.hashedWordSets(verifyDocs, idCol, textCol).localCheckpoint()
+    graft.ops.Dedup.verifyCandidatePairs(raw, ws, threshold, broadcastAttach = false)
   }
 
   final case class CdcChange(key: Long, name: String, cents: Long, version: Long, op: String)

@@ -314,6 +314,22 @@ class StreamingSpec extends SparkTestBase {
     // exact dups (1,4) and the J=0.95 pair collide; doc 3 shares no band
     assert(cand.contains((1L, 4L)) && cand.contains((1L, 2L)), s"$cand")
     assert(!cand.exists(p => p._1 == 3L || p._2 == 3L), s"doc 3 must not collide: $cand")
+
+    // fused stream→verify path: only the pairs with true J ≥ 0.95 survive
+    // ((1,2) J=0.95 boundary-inclusive, (1,4)/(2,4)... (2,4): J=19/20=0.95
+    // via exact-dup 4≡1; (3,*) never verified)
+    val stream2 = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(dir)
+    val batch = spark.read.parquet(dir)
+    val ver = StreamOps.streamingVerifiedNearDups(
+        spark, stream2, batch, "doc_id", "text", threshold = 0.95)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(ver == Set((1L, 2L), (1L, 4L), (2L, 4L)), s"$ver")
   }
 
   test("flatMapGroupsWithState running totals reach the batch totals") {
