@@ -2340,6 +2340,17 @@ object SparkEntry {
         .select(col("node").as("p_partkey"), col("coreness"))
         .orderBy(col("p_partkey"))),
 
+    // ---- deterministic maximal independent set (derandomized Luby): fixed
+    // md5-string priorities, iterated local minima — equals the sequential
+    // greedy MIS in priority order, so the iterative loop and a
+    // round-unrolled CTE oracle agree cell-for-cell; `round` is the round
+    // each winner entered (conflict-free scheduling / landmark selection
+    // over the co-supply graph) ----
+    "q310_luby_mis" -> ((s, dir) =>
+      Graph.maximalIndependentSet(coSupplyEdges(s, dir))
+        .select(col("node").as("p_partkey"), col("round"))
+        .orderBy(col("p_partkey"))),
+
     // ---- community detection by DETERMINISTIC synchronous label
     // propagation (Raghavan 2007): each node adopts its neighbors' most
     // frequent label, ties to the MINIMUM label, for a FIXED 4 rounds — a
@@ -6938,6 +6949,45 @@ object SparkEntry {
     * point, so any unroll ≥ convergence matches the run-to-convergence
     * Spark loop. Every CTE MATERIALIZED (the kCoreOracleSql lesson).
     */
+  /** Round-unrolled oracle for q310: a_i = still-active nodes after round
+    * i, m_i = round-i MIS winners (local priority minima among active
+    * neighbors; a node with no active neighbor wins by default). Rounds
+    * past convergence have empty a/m CTEs — harmless, so the unroll bound
+    * only needs to be ≥ the measured convergence at the largest SF.
+    */
+  private def misOracleSql(rounds: Int): String = {
+    val head =
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |sym AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v AS src, u AS dst FROM e0),
+        |a0 AS MATERIALIZED (
+        |  SELECT DISTINCT src AS node, md5(CAST(src AS VARCHAR)) AS pri FROM sym)""".stripMargin
+    val rounds_ = (1 to rounds).flatMap { i =>
+      Seq(
+        s"""m$i AS MATERIALIZED (
+           |  SELECT a.node FROM a${i - 1} a LEFT JOIN (
+           |    SELECT s.dst AS node, MIN(p.pri) AS minp
+           |    FROM sym s JOIN a${i - 1} p ON s.src = p.node
+           |    JOIN a${i - 1} q ON s.dst = q.node
+           |    GROUP BY s.dst) n ON a.node = n.node
+           |  WHERE n.minp IS NULL OR a.pri < n.minp)""".stripMargin,
+        s"""a$i AS MATERIALIZED (
+           |  SELECT a.node, a.pri FROM a${i - 1} a
+           |  WHERE a.node NOT IN (SELECT node FROM m$i)
+           |    AND a.node NOT IN (SELECT s.dst FROM sym s JOIN m$i m ON s.src = m.node))""".stripMargin)
+    }
+    val unions = (1 to rounds)
+      .map(i => s"SELECT node, CAST($i AS INT) AS round FROM m$i")
+      .mkString(" UNION ALL ")
+    (Seq(head) ++ rounds_).mkString(",\n") +
+      s"\nSELECT node AS p_partkey, round FROM ($unions) ORDER BY p_partkey"
+  }
+
   private def corenessOracleSql(rounds: Int): String = {
     val head =
       """WITH li AS MATERIALIZED (
@@ -7888,6 +7938,7 @@ object SparkEntry {
         |FROM s""".stripMargin,
     "q130_kcore" -> kCoreOracleSql(k = 8, rounds = 8),
     "q307_coreness" -> corenessOracleSql(rounds = 40),
+    "q310_luby_mis" -> misOracleSql(rounds = 24),
     "q301_label_propagation" -> (lpaOracleCtes(rounds = 4) +
       "\nSELECT node AS p_partkey, label AS community FROM l4 ORDER BY p_partkey"),
     "q308_weighted_lpa" -> (lpaOracleCtes(rounds = 4, weighted = true) +

@@ -759,4 +759,88 @@ object Graph {
           / (col("n2").cast(d0) * col("sxx") - col("sx") * col("sx")).cast("double"))
           .as("assortativity"))
   }
+
+  /** Deterministic maximal independent set by iterated LOCAL MINIMA over a
+    * fixed content-derived priority (the derandomized shape of Luby's MIS,
+    * Luby SICOMP'86): every node gets priority md5(node) — a hex STRING, so
+    * both engines compare it with plain lexicographic order and no
+    * integer-width coordination — and each round every still-active node
+    * whose priority is a strict minimum among its active neighbors joins
+    * the MIS; the joined nodes and their neighborhoods deactivate. The
+    * result is exactly the sequential greedy MIS in global priority order
+    * (a node is picked iff no earlier-priority neighbor was picked — the
+    * round schedule only parallelizes independent decisions), so the
+    * output is a unique pure function of the edge set: hash-gateable
+    * against a round-unrolled SQL oracle, no randomness anywhere. md5
+    * ties would need adjacent equal digests (~2⁻¹²⁸) — ignored.
+    *
+    * Rounds are O(log n) w.h.p. for hash-uniform priorities; the loop
+    * REFUSES past `maxRounds` (an unrolled oracle at a lower bound would
+    * disagree). Scale shape per round: one broadcast-or-shuffle attach of
+    * the node-sized active frame onto the adjacency list (the edge table
+    * never shuffles while the active frame fits [[BcastRows]]), one
+    * per-node min, one anti-join; the active set shrinks geometrically,
+    * every round materializes through [[RoundChain]], shuffles sized by
+    * [[withRoundConf]]. Output: (node, round) for MIS members, round =
+    * the 1-based round the node entered.
+    */
+  def maximalIndependentSet(edges: DataFrame, maxRounds: Int = 40): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 128, s"maxRounds must be in [1,128]: $maxRounds")
+    val Seq(uName, vName) = edges.columns.take(2).toSeq
+    val sess = edges.sparkSession
+    val adjChain = new RoundChain(sess.sparkContext)
+    val sym = adjChain.ckpt(edges
+      .select(col(uName).as("src"), col(vName).as("dst"))
+      .unionAll(edges.select(col(vName).as("src"), col(uName).as("dst"))))
+    val nEdges = sym.count()
+    val activeChain = new RoundChain(sess.sparkContext)
+    val misChain = new RoundChain(sess.sparkContext)
+    var active = activeChain.ckpt(sym.select(col("src").as("node")).distinct()
+      .withColumn("pri", md5(col("node").cast("string"))))
+    var nActive = active.count()
+    var misAcc = misChain.ckpt(
+      sess.emptyDataFrame.select(lit(0L).as("node"), lit(0).as("round")).limit(0))
+    withRoundConf(sess, nEdges) {
+      var round = 0
+      while (nActive > 0 && round < maxRounds) {
+        round += 1
+        val act = hinted(active, nActive)
+        // min active-neighbor priority per active node: edges with BOTH
+        // endpoints active contribute the src side's priority to the dst
+        val nbrMin = sym
+          .join(act.select(col("node").as("adst")), col("dst") === col("adst"), "left_semi")
+          .join(act.select(col("node").as("asrc"), col("pri").as("spri")),
+            col("src") === col("asrc"))
+          .groupBy(col("dst").as("mnode")).agg(min(col("spri")).as("minp"))
+        val nextMis = misChain.ckpt(misAcc.unionAll(active
+          .join(nbrMin, col("node") === col("mnode"), "left")
+          .filter(col("minp").isNull || col("pri") < col("minp"))
+          .select(col("node").cast("long").as("node"), lit(round).as("round"))))
+        // re-read this round's winners from the checkpoint — they feed two
+        // consumers (removal + accumulator) and would otherwise recompute
+        // the edge-sized nbrMin aggregate twice
+        val misRound = nextMis.filter(col("round") === round).select(col("node"))
+        val removed = misRound
+          .unionAll(sym
+            .join(hinted(misRound.select(col("node").as("wnode")), nActive),
+              col("src") === col("wnode"))
+            .select(col("dst").cast("long").as("node")))
+          .distinct()
+        val nextActive = activeChain.ckpt(
+          active.join(removed.select(col("node").as("rnode")),
+            col("node") === col("rnode"), "left_anti"))
+        misAcc = nextMis
+        active = nextActive
+        nActive = active.count()
+      }
+      if (nActive > 0)
+        throw new IllegalStateException(
+          s"maximalIndependentSet did not converge in $maxRounds rounds — " +
+            "a round-unrolled oracle at this bound would disagree; raise maxRounds")
+    }
+    adjChain.free()
+    activeChain.free()
+    misChain.keep()
+    misAcc
+  }
 }

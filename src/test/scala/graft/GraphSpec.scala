@@ -251,6 +251,29 @@ class GraphSpec extends SparkTestBase {
     assert(r1u(3L) == 1L, s"unweighted round 1: $r1u")
   }
 
+  test("maximalIndependentSet: independent, maximal, and deterministic") {
+    import spark.implicits._
+    // bowtie (two triangles sharing node 3) + a pendant chain 7-8-9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 3L),
+      (7L, 8L), (8L, 9L)).toDF("u", "v")
+    val mis = Graph.maximalIndependentSet(edges)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val nodes = mis.map(_._1).toSet
+    val sym = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 3L),
+      (7L, 8L), (8L, 9L)).flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    // independence: no edge inside the set
+    assert(!sym.exists(e => nodes.contains(e._1) && nodes.contains(e._2)), s"$nodes")
+    // maximality: every non-member has a member neighbor
+    val all = sym.map(_._1).toSet
+    (all -- nodes).foreach { v =>
+      assert(sym.exists(e => e._1 == v && nodes.contains(e._2)), s"node $v uncovered by $nodes")
+    }
+    // deterministic: a second run returns the identical (node, round) set
+    val again = Graph.maximalIndependentSet(edges)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(mis.toSet == again.toSet)
+  }
+
   test("modularity: exact rational on the bridged-triangles partition") {
     import spark.implicits._
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
