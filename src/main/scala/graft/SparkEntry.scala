@@ -2351,6 +2351,16 @@ object SparkEntry {
         .select(col("node").as("p_partkey"), col("round"))
         .orderBy(col("p_partkey"))),
 
+    // ---- deterministic random-walk corpus (DeepWalk/node2vec input): one
+    // walk per node, next hop = sorted-neighbor[md5(start:step:cur) mod
+    // deg] — replayable uniform choice, so the whole corpus hash-gates
+    // against a step-unrolled CTE oracle computing the same md5 indexing;
+    // the walk frame chains 8 measured-broadcast adjacency joins in one
+    // linear plan and explodes the carried path array once ----
+    "q311_walk_corpus" -> ((s, dir) =>
+      Graph.deterministicWalks(coSupplyEdges(s, dir), steps = 8)
+        .orderBy(col("start_node"), col("step"))),
+
     // ---- community detection by DETERMINISTIC synchronous label
     // propagation (Raghavan 2007): each node adopts its neighbors' most
     // frequent label, ties to the MINIMUM label, for a FIXED 4 rounds — a
@@ -6988,6 +6998,38 @@ object SparkEntry {
       s"\nSELECT node AS p_partkey, round FROM ($unions) ORDER BY p_partkey"
   }
 
+  /** Step-unrolled oracle for q311: w_t = each walk's position after t
+    * hops; the md5-mod-degree index arithmetic mirrors the Spark side
+    * digit for digit (15 hex chars → 60-bit positive BIGINT, % deg).
+    */
+  private def walkOracleSql(steps: Int): String = {
+    val head =
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |sym AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v AS src, u AS dst FROM e0),
+        |adj AS MATERIALIZED (
+        |  SELECT src AS anode, list(dst ORDER BY dst) AS nbrs, COUNT(*) AS deg
+        |  FROM sym GROUP BY src),
+        |w0 AS MATERIALIZED (SELECT anode AS start, anode AS cur FROM adj)""".stripMargin
+    val steps_ = (1 to steps).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT w.start, a.nbrs[CAST(
+         |    ('0x' || substr(md5(CAST(w.start AS VARCHAR) || ':$t:' || CAST(w.cur AS VARCHAR)), 1, 15))::BIGINT
+         |      % a.deg AS INT) + 1] AS cur
+         |  FROM w${t - 1} w JOIN adj a ON w.cur = a.anode)""".stripMargin
+    }
+    val unions = (0 to steps)
+      .map(t => s"SELECT start, CAST($t AS INT) AS step, cur AS node FROM w$t")
+      .mkString(" UNION ALL ")
+    (Seq(head) ++ steps_).mkString(",\n") +
+      s"\nSELECT start AS start_node, step, node FROM ($unions) ORDER BY start_node, step"
+  }
+
   private def corenessOracleSql(rounds: Int): String = {
     val head =
       """WITH li AS MATERIALIZED (
@@ -7939,6 +7981,7 @@ object SparkEntry {
     "q130_kcore" -> kCoreOracleSql(k = 8, rounds = 8),
     "q307_coreness" -> corenessOracleSql(rounds = 40),
     "q310_luby_mis" -> misOracleSql(rounds = 24),
+    "q311_walk_corpus" -> walkOracleSql(steps = 8),
     "q301_label_propagation" -> (lpaOracleCtes(rounds = 4) +
       "\nSELECT node AS p_partkey, label AS community FROM l4 ORDER BY p_partkey"),
     "q308_weighted_lpa" -> (lpaOracleCtes(rounds = 4, weighted = true) +

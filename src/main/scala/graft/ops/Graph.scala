@@ -760,6 +760,55 @@ object Graph {
           .as("assortativity"))
   }
 
+  /** Deterministic "random" walks — the node2vec/DeepWalk corpus-generation
+    * step (Perozzi et al. KDD'14, Grover & Leskovec KDD'16) made
+    * hash-gateable: one walk starts at EVERY node and at step t moves from
+    * node c to its sorted-neighbor array at index
+    * md5(start:t:c) mod deg(c) — a pure function of (edges, steps), no RNG
+    * state, so the full walk corpus is reproducible on any engine and
+    * verifiable against a step-unrolled SQL oracle computing the same md5
+    * arithmetic. (Uniform-at-random neighbor choice is exactly what the
+    * embedding-training corpus needs; a content-derived hash IS a uniform
+    * choice, just a replayable one.)
+    *
+    * Scale shape: the adjacency table (node → sorted neighbors) attaches to
+    * the walk frontier by a measured-broadcast join per step ([[hinted]] —
+    * the walk frame never shuffles while the adjacency fits); all `steps`
+    * joins CHAIN in one linear plan (each step references its predecessor
+    * once — contrast the coreness frontier lesson) carrying the path as an
+    * array column, exploded once at the end. Output: (start_node, step,
+    * node), step 0 = the start itself; every node has degree ≥ 1 by
+    * construction (the node set comes from the edge list) so walks never
+    * dead-end on an undirected graph.
+    */
+  def deterministicWalks(edges: DataFrame, steps: Int = 8): DataFrame = {
+    require(steps >= 1 && steps <= 16, s"steps must be in [1,16]: $steps")
+    val Seq(uName, vName) = edges.columns.take(2).toSeq
+    val sym = edges
+      .select(col(uName).as("src"), col(vName).as("dst"))
+      .unionAll(edges.select(col(vName).as("src"), col(uName).as("dst")))
+    val adj = sym.groupBy(col("src").as("anode"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"),
+        count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val nNodes = adj.count()
+    var walks = adj.select(col("anode").as("start"),
+      col("anode").as("cur"), array(col("anode")).as("path"))
+    (1 to steps).foreach { t =>
+      val idx = pmod(
+        conv(substring(md5(concat_ws(":",
+          col("start").cast("string"), lit(t.toString), col("cur").cast("string"))),
+          1, 15), 16, 10).cast("long"),
+        col("deg")).cast("int")
+      walks = walks.join(hinted(adj, nNodes), col("cur") === col("anode"))
+        .select(col("start"),
+          element_at(col("nbrs"), idx + 1).as("cur"),
+          array_append(col("path"), element_at(col("nbrs"), idx + 1)).as("path"))
+    }
+    walks.select(col("start").as("start_node"),
+        posexplode(col("path")).as(Seq("step", "node")))
+  }
+
   /** Deterministic maximal independent set by iterated LOCAL MINIMA over a
     * fixed content-derived priority (the derandomized shape of Luby's MIS,
     * Luby SICOMP'86): every node gets priority md5(node) — a hex STRING, so

@@ -274,6 +274,28 @@ class GraphSpec extends SparkTestBase {
     assert(mis.toSet == again.toSet)
   }
 
+  test("deterministicWalks: hops follow edges, start at step 0, replay identically") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val sym = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val w = Graph.deterministicWalks(edges, steps = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // one walk per node, steps 0..6 each
+    assert(w.length == 5 * 7, s"${w.length}")
+    w.filter(_._2 == 0).foreach { case (s, _, n) => assert(s == n) }
+    // every consecutive (step t -> t+1) pair is a real edge
+    w.groupBy(_._1).values.foreach { walk =>
+      walk.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, a), (_, _, b)) => assert(sym.contains((a, b)), s"$a->$b not an edge")
+        case _ =>
+      }
+    }
+    val again = Graph.deterministicWalks(edges, steps = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(w.sortBy(x => (x._1, x._2)).toSeq == again.sortBy(x => (x._1, x._2)).toSeq)
+  }
+
   test("modularity: exact rational on the bridged-triangles partition") {
     import spark.implicits._
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
