@@ -652,6 +652,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- REAL PCM sample decode + per-frame audio stats: a canonical
+    // 44-byte WAV (mono 16-bit PCM) with 64 deterministic int16 samples
+    // per doc is built byte-for-byte, chunk-walked and decoded back by
+    // Multimodal.pcmFrames, and each 16-sample frame reports exact
+    // integer energy / peak / zero-crossings — the oracle regenerates
+    // the samples arithmetically, so the formula → LE-bytes → parse →
+    // int16 → stats round-trip is what the hash gate tests ----
+    "q312_audio_frames" -> ((s, dir) => {
+      val header = "52494646" + "a4000000" + "57415645" + "666d7420" +
+        "10000000" + "0100" + "0100" + "401f0000" + "803e0000" + "0200" +
+        "1000" + "64617461" + "80000000"
+      val sampleHex = array_join(
+        transform(sequence(lit(0), lit(63)), i => {
+          val v = pmod(col("doc_id") * 31 + i * i * 7 + i * 17, lit(4096)) - lit(2048)
+          format_string("%02x%02x",
+            v.bitwiseAND(lit(255)), shiftright(v, 8).bitwiseAND(lit(255)))
+        }), "")
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), unhex(concat(lit(header), sampleHex)).as("payload"))
+      Multimodal.pcmFrames(withBin, "payload", frameSamples = 16)
+        .select(col("doc_id"), col("frame_idx"), col("n_samples"),
+          col("energy"), col("peak"), col("zero_crossings"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // ---- cohort retention matrix: first-active-day cohorts × day offset.
     // One corpus shuffle (distinct user,day), then user-keyed window min,
     // then a calendar²-sized rollup ----
@@ -7982,6 +8007,21 @@ object SparkEntry {
     "q307_coreness" -> corenessOracleSql(rounds = 40),
     "q310_luby_mis" -> misOracleSql(rounds = 24),
     "q311_walk_corpus" -> walkOracleSql(steps = 8),
+    "q312_audio_frames" ->
+      """WITH s AS (
+        |  SELECT d.doc_id, t.i,
+        |    CAST((d.doc_id * 31 + t.i * t.i * 7 + t.i * 17) % 4096 - 2048 AS BIGINT) AS v
+        |  FROM documents d, generate_series(0, 63) t(i)),
+        |g AS (
+        |  SELECT doc_id, CAST(i // 16 AS INT) AS frame_idx, i, v,
+        |    LAG(v) OVER (PARTITION BY doc_id, i // 16 ORDER BY i) AS pv
+        |  FROM s)
+        |SELECT doc_id, frame_idx, CAST(COUNT(*) AS INT) AS n_samples,
+        |  CAST(SUM(v * v) AS BIGINT) AS energy,
+        |  CAST(MAX(ABS(v)) AS INT) AS peak,
+        |  CAST(COUNT(*) FILTER (WHERE pv * v < 0) AS INT) AS zero_crossings
+        |FROM g GROUP BY doc_id, frame_idx
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q301_label_propagation" -> (lpaOracleCtes(rounds = 4) +
       "\nSELECT node AS p_partkey, label AS community FROM l4 ORDER BY p_partkey"),
     "q308_weighted_lpa" -> (lpaOracleCtes(rounds = 4, weighted = true) +

@@ -161,6 +161,94 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL PCM WAV sample decode + per-frame signal statistics — the audio
+    * half of the multimodal decode story (the image half is [[aHash]]).
+    * Walks the RIFF chunk list (not fixed offsets: fmt/data located by
+    * chunk id, odd-size padding honored), requires uncompressed mono
+    * 16-bit PCM, decodes the data chunk as little-endian SIGNED int16,
+    * splits into frames of `frameSamples`, and emits per frame the exact
+    * integer statistics a VAD/segmentation pipeline starts from:
+    * energy = Σs² (long), peak = max|s|, zero_crossings = #{i : sᵢ₋₁·sᵢ<0
+    * within the frame}. All-integer outputs, so the DuckDB oracle can
+    * regenerate the same samples arithmetically and the byte round-trip
+    * (formula → LE bytes → chunk walk → int16 decode → stats) is what the
+    * hash gate actually tests. Malformed/non-PCM payloads yield no rows
+    * (corrupt blobs are data, not errors).
+    *
+    * Scale shape: row-local map (mapPartitions, ≤ samples/frameSamples + 1
+    * output rows per input row) — no shuffle; downstream aggregation
+    * happens on the small per-frame stats, never on raw samples.
+    */
+  def pcmFrames(df: DataFrame, binCol: String, frameSamples: Int = 16): DataFrame = {
+    require(frameSamples > 0, s"frameSamples must be positive, got $frameSamples")
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("frame_idx", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("energy", LongType),
+      StructField("peak", IntegerType),
+      StructField("zero_crossings", IntegerType)))
+    val binIdx = inSchema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val b = r.getAs[Array[Byte]](binIdx)
+        val frames: Seq[Seq[Any]] =
+          if (b == null || b.length < 12 ||
+            !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
+            !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) Nil
+          else {
+            // chunk walk: [id:4][size:LE32][payload:size][pad to even]
+            var off = 12
+            var fmtOk = false
+            var dataOff = -1
+            var dataLen = 0
+            while (off + 8 <= b.length) {
+              val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+              val size = le32(b, off + 4)
+              if (size < 0 || off + 8 + size > b.length) { off = b.length }
+              else {
+                if (id == "fmt " && size >= 16)
+                  fmtOk = le16(b, off + 8) == 1 && le16(b, off + 10) == 1 &&
+                    le16(b, off + 22) == 16
+                else if (id == "data") { dataOff = off + 8; dataLen = size }
+                off += 8 + size + (size & 1)
+              }
+            }
+            if (!fmtOk || dataOff < 0) Nil
+            else {
+              val n = dataLen / 2
+              val s = new Array[Int](n)
+              var i = 0
+              while (i < n) {
+                s(i) = (((b(dataOff + 2 * i + 1) & 0xff) << 8) |
+                  (b(dataOff + 2 * i) & 0xff)).toShort.toInt
+                i += 1
+              }
+              (0 until n by frameSamples).map { start =>
+                val end = math.min(start + frameSamples, n)
+                var energy = 0L; var peak = 0; var zcr = 0
+                var j = start
+                while (j < end) {
+                  val v = s(j)
+                  energy += v.toLong * v
+                  if (math.abs(v) > peak) peak = math.abs(v)
+                  if (j > start && s(j - 1).toLong * v < 0) zcr += 1
+                  j += 1
+                }
+                // Seq[Any] annotation is load-bearing: an unannotated Seq
+                // of mixed Int/Long elements infers Seq[Long] (numeric
+                // widening to the LUB), which boxes the INT fields as
+                // java.lang.Long and fails the Row encoder
+                Seq[Any](start / frameSamples, end - start, energy, peak, zcr)
+              }
+            }
+          }
+        frames.map(f => Row.fromSeq(r.toSeq ++ f))
+      }
+    }(enc)
+  }
+
   /** Deterministic frame sampling over chunked payloads: split the binary
     * into fixed-size chunks, keep every `stride`-th chunk ("frame"), and
     * attach a content signature per sampled frame — the shape a video/audio

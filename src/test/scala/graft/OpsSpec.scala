@@ -627,6 +627,39 @@ class OpsSpec extends SparkTestBase {
     assert(got(1)._2.isEmpty && got(2)._2.isEmpty, "malformed payloads must be NULL, not crash")
   }
 
+  test("pcmFrames: chunk walk, signed int16, partial frame; non-PCM yields no rows") {
+    import spark.implicits._
+    def le32h(v: Int) = f"${v & 0xff}%02x${(v >> 8) & 0xff}%02x${(v >> 16) & 0xff}%02x${(v >> 24) & 0xff}%02x"
+    def le16h(v: Int) = f"${v & 0xff}%02x${(v >> 8) & 0xff}%02x"
+    def s16(v: Int) = le16h(v & 0xffff)
+    // 5 samples: [100, -100, 50, -2048, 0] → frames of 2:
+    //   f0: [100,-100]  energy 20000, peak 100, zcr 1
+    //   f1: [50,-2048]  energy 2500+4194304, peak 2048, zcr 1
+    //   f2: [0]         energy 0, peak 0, zcr 0 (partial frame, n=1)
+    val data = s16(100) + s16(-100) + s16(50) + s16(-2048) + s16(0)
+    // an ODD-size junk chunk before fmt exercises the pad-to-even walk
+    val junk = "6a756e6b" + le32h(3) + "aabbcc" + "00"
+    val fmt = "666d7420" + le32h(16) + le16h(1) + le16h(1) + le32h(8000) +
+      le32h(16000) + le16h(2) + le16h(16)
+    val dataCk = "64617461" + le32h(10) + data
+    def riff(body: String) = "52494646" + le32h(4 + body.length / 2) + "57415645" + body
+    val good = riff(junk + fmt + dataCk)
+    // stereo (channels=2) must be rejected
+    val stereo = riff("666d7420" + le32h(16) + le16h(1) + le16h(2) + le32h(8000) +
+      le32h(32000) + le16h(4) + le16h(16) + dataCk)
+    def bytes(hex: String) = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val df = Seq((1L, bytes(good)), (2L, bytes(stereo)),
+      (3L, Array[Byte](1, 2)), (4L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val got = Multimodal.pcmFrames(df, "payload", frameSamples = 2)
+      .select(col("id"), col("frame_idx"), col("n_samples"), col("energy"),
+        col("peak"), col("zero_crossings"))
+      .as[(Long, Int, Int, Long, Int, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 0, 2, 20000L, 100, 1),
+      (1L, 1, 2, 4196804L, 2048, 1),
+      (1L, 2, 1, 0L, 0, 0)), s"$got")
+  }
+
   test("merkleManifest: partition-order free; a one-row edit changes exactly one leaf") {
     import spark.implicits._
     val rows = (0L until 200L).map(i => (i, s"group${i % 2}", s"payload-$i"))
