@@ -6804,6 +6804,34 @@ object SparkEntry {
     // closed under the end-of-input watermark (min of the two streams'
     // max event times, integer microseconds — the q92 deterministic-subset
     // device applied to outer joins) ----
+    // ---- FULL-outer stream-stream join: q300's attribution-completeness
+    // form extended to BOTH sides — unmatched views null-pad when the
+    // watermark passes the end of their match window (vus+skew), unmatched
+    // purchases when it passes their own event time (a purchase can match
+    // any future view until the watermark reaches it); matched rows emit
+    // immediately. Same deterministic-subset gate: the oracle filters the
+    // two null-padded arms on integer-microsecond event time (the q300
+    // left-outer contract comment above applies to the view side) ----
+    "q313_stream_full_outer_join" -> ((s, dir) => {
+      def stream = Tables.eventsStream(s, dir)
+      val views = stream.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("event_id").as("purchase_id"))
+      graft.streaming.StreamOps.runToMemory(s,
+        graft.streaming.StreamOps.streamStreamJoin(views, purchases, key = "user_id",
+          leftTs = "ts", rightTs = "pts", skew = "30 minutes",
+          watermark = "0 seconds", joinType = "full_outer")
+          .select(col("view_id"), col("purchase_id")), "q313_mem")
+        .orderBy(col("view_id"), col("purchase_id"))
+    }),
+
+    // ---- LEFT-outer stream-stream join (attribution completeness,
+    // watermark-driven null emission): views with no purchase within 30
+    // minutes surface ONCE with null purchase_id when the watermark passes
+    // their match window — the "which impressions never converted" stream;
+    // unmatched rows gate iff their window closed under the end-of-input
+    // watermark (min of the two streams' max event times) ----
     "q300_stream_outer_join" -> ((s, dir) => {
       def stream = Tables.eventsStream(s, dir)
       val views = stream.filter(col("event_type") === "view")
@@ -11133,6 +11161,26 @@ object SparkEntry {
         |SELECT c.user_id, c.event_type, c.n, t.n_types
         |FROM c JOIN t USING (user_id)
         |ORDER BY user_id, event_type""".stripMargin,
+    "q313_stream_full_outer_join" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(ts) AS vus, event_id AS view_id
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS pus, event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |mx AS (SELECT LEAST(
+        |  (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'view'),
+        |  (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'purchase'))
+        |  AS wmus),
+        |m AS (
+        |  SELECT v.view_id, p.purchase_id, v.vus, p.pus
+        |  FROM v FULL JOIN p ON v.user_id = p.user_id
+        |    AND p.pus BETWEEN v.vus AND v.vus + 1800000000)
+        |SELECT view_id, purchase_id FROM m, mx
+        |WHERE (view_id IS NOT NULL AND purchase_id IS NOT NULL)
+        |   OR (purchase_id IS NULL AND vus + 1800000000 < wmus)
+        |   OR (view_id IS NULL AND pus < wmus)
+        |ORDER BY view_id, purchase_id""".stripMargin,
     "q300_stream_outer_join" ->
       """WITH v AS (
         |  SELECT user_id, epoch_us(ts) AS vus, event_id AS view_id

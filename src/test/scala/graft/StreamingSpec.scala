@@ -212,6 +212,44 @@ class StreamingSpec extends SparkTestBase {
     assert(got.count() > inner, "no null rows emitted - outer semantics missing")
   }
 
+  test("stream-stream FULL OUTER join: both null arms on their own watermark boundaries") {
+    val dir = eventsDir
+    def stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
+    val views = stream.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id").as("purchase_id"))
+    val joined = StreamOps.streamStreamJoin(
+      views, purchases, key = "user_id", leftTs = "ts", rightTs = "pts",
+      skew = "30 minutes", watermark = "0 seconds", joinType = "full_outer")
+      .select(col("view_id"), col("purchase_id"))
+    val got = StreamOps.runToMemory(spark, joined, "vp_full_outer")
+
+    // batch reference: matched always; unmatched views when the watermark
+    // passed vus+skew; unmatched purchases when it passed their own ts
+    val ev = Tables(spark, sf(), "events")
+    val bviews = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    val bpurch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("ts").as("pts"), col("event_id").as("purchase_id"))
+    val wm = math.min(
+      bviews.agg(max(unix_micros(col("ts")))).head().getLong(0),
+      bpurch.agg(max(unix_micros(col("pts")))).head().getLong(0))
+    val want = bviews.join(bpurch,
+        col("user_id") === col("u2") &&
+          col("pts").between(col("ts"), col("ts") + expr("INTERVAL 30 MINUTES")),
+        "full")
+      .filter((col("view_id").isNotNull && col("purchase_id").isNotNull)
+        || (col("purchase_id").isNull && unix_micros(col("ts")) + 1800000000L < wm)
+        || (col("view_id").isNull && unix_micros(col("pts")) < wm))
+      .select(col("view_id"), col("purchase_id"))
+    assert(got.count() == want.count(), s"stream ${got.count()} vs batch ${want.count()}")
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    // both null arms must be present
+    assert(got.filter(col("purchase_id").isNull).count() > 0, "no unmatched views")
+    assert(got.filter(col("view_id").isNull).count() > 0, "no unmatched purchases")
+  }
+
   test("transformWithState (stateful v2) type counts equal the batch GROUP BY twin") {
     val dir = eventsDir
     val stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
