@@ -2376,6 +2376,17 @@ object SparkEntry {
         .select(col("node").as("p_partkey"), col("round"))
         .orderBy(col("p_partkey"))),
 
+    // ---- Weisfeiler-Lehman color refinement (1-WL, the GNN-expressiveness
+    // ceiling): degree seed, 3 rounds of md5(own color | sorted neighbor
+    // colors) — after k rounds equal colors ⟺ isomorphic k-hop trees, the
+    // structural fingerprint for graph dedup / role discovery; md5-string
+    // colors make the refinement engine-neutral and the unrolled CTE
+    // oracle exact ----
+    "q314_wl_colors" -> ((s, dir) =>
+      Graph.wlColors(coSupplyEdges(s, dir), rounds = 3)
+        .select(col("node").as("p_partkey"), col("color").as("wl_color"))
+        .orderBy(col("p_partkey"))),
+
     // ---- deterministic random-walk corpus (DeepWalk/node2vec input): one
     // walk per node, next hop = sorted-neighbor[md5(start:step:cur) mod
     // deg] — replayable uniform choice, so the whole corpus hash-gates
@@ -7083,6 +7094,35 @@ object SparkEntry {
       s"\nSELECT start AS start_node, step, node FROM ($unions) ORDER BY start_node, step"
   }
 
+  /** Round-unrolled oracle for q314: c_r = per-node WL color after r
+    * refinements; string_agg(ORDER BY color) mirrors Spark's
+    * concat_ws(sort_array(collect_list)) on ASCII hex strings.
+    */
+  private def wlOracleSql(rounds: Int): String = {
+    val head =
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |sym AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v AS src, u AS dst FROM e0),
+        |c0 AS MATERIALIZED (
+        |  SELECT src AS node, md5(CAST(COUNT(*) AS VARCHAR)) AS color FROM sym GROUP BY src)""".stripMargin
+    val rounds_ = (1 to rounds).flatMap { r =>
+      Seq(
+        s"""n$r AS MATERIALIZED (
+           |  SELECT s.dst AS node, string_agg(c.color, ',' ORDER BY c.color) AS sig
+           |  FROM sym s JOIN c${r - 1} c ON s.src = c.node GROUP BY s.dst)""".stripMargin,
+        s"""c$r AS MATERIALIZED (
+           |  SELECT c.node, md5(c.color || '|' || n.sig) AS color
+           |  FROM c${r - 1} c JOIN n$r n ON c.node = n.node)""".stripMargin)
+    }
+    (Seq(head) ++ rounds_).mkString(",\n") +
+      s"\nSELECT node AS p_partkey, color AS wl_color FROM c$rounds ORDER BY p_partkey"
+  }
+
   private def corenessOracleSql(rounds: Int): String = {
     val head =
       """WITH li AS MATERIALIZED (
@@ -8035,6 +8075,7 @@ object SparkEntry {
     "q307_coreness" -> corenessOracleSql(rounds = 40),
     "q310_luby_mis" -> misOracleSql(rounds = 24),
     "q311_walk_corpus" -> walkOracleSql(steps = 8),
+    "q314_wl_colors" -> wlOracleSql(rounds = 3),
     "q312_audio_frames" ->
       """WITH s AS (
         |  SELECT d.doc_id, t.i,

@@ -760,6 +760,57 @@ object Graph {
           .as("assortativity"))
   }
 
+  /** Weisfeiler–Lehman color refinement (Weisfeiler & Leman 1968; the
+    * 1-WL test, also the theoretical ceiling of message-passing GNNs —
+    * Xu et al. ICLR'19): every node starts colored by its DEGREE and each
+    * round recolors to md5(own color || '|' || comma-joined SORTED
+    * multiset of neighbor colors). After k rounds two nodes share a color
+    * iff their k-hop neighborhood trees are isomorphic — the standard
+    * structural fingerprint for graph dedup, role discovery, and GNN
+    * feature hashing. Colors are md5 hex STRINGS, so the sort order and
+    * the hash arithmetic are engine-neutral and the whole refinement
+    * gates against a round-unrolled SQL oracle cell-for-cell.
+    *
+    * Scale shape per round: one measured-broadcast attach of the
+    * node-sized color frame onto the adjacency list ([[hinted]] — the
+    * edge table never shuffles while colors fit [[BcastRows]]), one
+    * per-node sorted collect, one self-color join; rounds materialize
+    * through [[RoundChain]] (each round references its predecessor twice
+    * — self color + neighbor colors — so CHAINING would square the plan
+    * per round: the coreness frontier lesson). The sorted neighbor-color
+    * list is degree-bounded per node; super-hub concatenations are the
+    * known 1-WL cost and stay row-local.
+    */
+  def wlColors(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds must be in [1,8]: $rounds")
+    val Seq(uName, vName) = edges.columns.take(2).toSeq
+    val sess = edges.sparkSession
+    val adjChain = new RoundChain(sess.sparkContext)
+    val sym = adjChain.ckpt(edges
+      .select(col(uName).as("src"), col(vName).as("dst"))
+      .unionAll(edges.select(col(vName).as("src"), col(uName).as("dst"))))
+    val nEdges = sym.count()
+    val chain = new RoundChain(sess.sparkContext)
+    var colors = chain.ckpt(sym.groupBy(col("src").as("node"))
+      .agg(md5(count(lit(1)).cast("string")).as("color")))
+    val nNodes = colors.count()
+    withRoundConf(sess, nEdges) {
+      (1 to rounds).foreach { _ =>
+        val nbr = sym
+          .join(hinted(colors.select(col("node").as("cnode"), col("color").as("ncolor")),
+            nNodes), col("src") === col("cnode"))
+          .groupBy(col("dst").as("gnode"))
+          .agg(concat_ws(",", sort_array(collect_list(col("ncolor")))).as("sig"))
+        colors = chain.ckpt(colors
+          .join(nbr, col("node") === col("gnode"))
+          .select(col("node"), md5(concat(col("color"), lit("|"), col("sig"))).as("color")))
+      }
+    }
+    adjChain.free()
+    chain.keep()
+    colors
+  }
+
   /** Deterministic "random" walks — the node2vec/DeepWalk corpus-generation
     * step (Perozzi et al. KDD'14, Grover & Leskovec KDD'16) made
     * hash-gateable: one walk starts at EVERY node and at step t moves from

@@ -274,6 +274,22 @@ class GraphSpec extends SparkTestBase {
     assert(mis.toSet == again.toSet)
   }
 
+  test("wlColors: symmetric nodes share colors, structurally distinct nodes differ") {
+    import spark.implicits._
+    // path 1-2-3-4-5: ends {1,5} symmetric, {2,4} symmetric, center 3 alone
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val c = Graph.wlColors(path, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(c(1L) == c(5L) && c(2L) == c(4L), s"$c")
+    assert(Set(c(1L), c(2L), c(3L)).size == 3, s"ends/mid/center must differ: $c")
+    // triangle nodes are all equivalent; a triangle node differs from a path node
+    val tri = Seq((10L, 11L), (11L, 12L), (12L, 10L)).toDF("u", "v")
+    val ct = Graph.wlColors(tri, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(ct.values.toSet.size == 1, s"$ct")
+    assert(!c.values.toSet.contains(ct(10L)), "triangle color must differ from path colors")
+  }
+
   test("deterministicWalks: hops follow edges, start at step 0, replay identically") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)).toDF("u", "v")
