@@ -2376,6 +2376,18 @@ object SparkEntry {
         .select(col("node").as("p_partkey"), col("round"))
         .orderBy(col("p_partkey"))),
 
+    // ---- EXACT isotonic calibration (PAVA closed form): quantity-bucket →
+    // return-rate fit via fit(i) = max_{j≤i} min_{k≥i} mean(j..k) — the
+    // parallel minimax form of the weighted L2 isotonic fit over the
+    // dictionary-sized bucket cube; integer prefix sums, one deterministic
+    // double division per interval ----
+    "q315_isotonic_calibration" -> ((s, dir) =>
+      Relational.isotonicRates(
+          t(s, dir, "lineitem").select(col("l_quantity").cast("int").as("q"),
+            (col("l_returnflag") === "R").cast("int").as("hit")),
+          "q", "hit")
+        .orderBy(col("bucket"))),
+
     // ---- Weisfeiler-Lehman color refinement (1-WL, the GNN-expressiveness
     // ceiling): degree seed, 3 rounds of md5(own color | sorted neighbor
     // colors) — after k rounds equal colors ⟺ isomorphic k-hop trees, the
@@ -8076,6 +8088,30 @@ object SparkEntry {
     "q310_luby_mis" -> misOracleSql(rounds = 24),
     "q311_walk_corpus" -> walkOracleSql(steps = 8),
     "q314_wl_colors" -> wlOracleSql(rounds = 3),
+    "q315_isotonic_calibration" ->
+      """WITH b AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS bucket,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |    COUNT(*) AS n
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+        |pre AS (
+        |  SELECT bucket, hits, n,
+        |    SUM(hits) OVER (ORDER BY bucket) AS cy,
+        |    SUM(n) OVER (ORDER BY bucket) AS cw
+        |  FROM b),
+        |iv AS (
+        |  SELECT j.bucket AS bj, k.bucket AS bk,
+        |    CAST(k.cy - (j.cy - j.hits) AS DOUBLE) / CAST(k.cw - (j.cw - j.n) AS DOUBLE) AS m
+        |  FROM pre j JOIN pre k ON j.bucket <= k.bucket),
+        |f AS (
+        |  SELECT i.bucket AS bi, iv.bj, MIN(iv.m) AS inner_m
+        |  FROM iv JOIN b i ON iv.bj <= i.bucket AND iv.bk >= i.bucket
+        |  GROUP BY 1, 2),
+        |fit AS (SELECT bi, MAX(inner_m) AS rate_iso FROM f GROUP BY bi)
+        |SELECT b.bucket, b.n, b.hits,
+        |  CAST(b.hits AS DOUBLE) / CAST(b.n AS DOUBLE) AS rate_raw, fit.rate_iso
+        |FROM b JOIN fit ON b.bucket = fit.bi
+        |ORDER BY b.bucket""".stripMargin,
     "q312_audio_frames" ->
       """WITH s AS (
         |  SELECT d.doc_id, t.i,

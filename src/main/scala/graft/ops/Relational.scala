@@ -1176,4 +1176,56 @@ object Relational {
         col(xmax) === col(yCol).cast("long"))
       .drop(b, pfx, wmax, xmax)
   }
+
+  /** EXACT isotonic regression (PAVA) over bucket-aggregated rates — the
+    * probability-calibration fit (score bucket → monotone nondecreasing
+    * hit rate, Zadrozny & Elkan KDD'02's isotonic arm). Instead of the
+    * sequential pool-adjacent-violators sweep — order-dependent and
+    * unparallelizable — this computes the CLOSED FORM of the weighted L2
+    * isotonic fit (Barlow et al. 1972):
+    *
+    *   fit(i) = max_{j ≤ i} min_{k ≥ i} mean(y over buckets j..k)
+    *
+    * which is embarrassingly parallel over the O(B³) (i, j, k) triples of
+    * the BUCKET dictionary — B is dictionary-sized (a score histogram),
+    * never corpus-sized, so the cube is thousands of rows while the
+    * corpus-sized work remains one exact-integer groupBy. Interval means
+    * come from integer prefix sums (one double division per interval —
+    * deterministic IEEE, no sum-order wobble), min/max over doubles are
+    * order-free, so the fit is engine-stable and hash-gateable.
+    *
+    * Input: one row per observation with an integer-ish bucket column and
+    * a 0/1 hit column. Output per bucket: n, hits, rate_raw, rate_iso
+    * (the monotone calibrated rate).
+    */
+  def isotonicRates(df: DataFrame, bucketCol: String, hitCol: String): DataFrame = {
+    val b = df
+      .filter(col(bucketCol).isNotNull)
+      .groupBy(col(bucketCol).cast("long").as("bucket"))
+      .agg(sum(col(hitCol).cast("long")).as("hits"), count(lit(1)).as("n"))
+      .localCheckpoint() // dictionary-sized; feeds prefix, intervals, and output
+    val pre = b
+      .withColumn("cy", sum(col("hits")).over(
+        Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cw", sum(col("n")).over(
+        Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("bucket"), col("cy"), col("cw"),
+        (col("cy") - col("hits")).as("py"), (col("cw") - col("n")).as("pw"))
+    // interval means over the dictionary cross-square (j ≤ k)
+    val iv = pre.select(col("bucket").as("bj"), col("py"), col("pw"))
+      .join(broadcast(pre.select(col("bucket").as("bk"), col("cy"), col("cw"))),
+        col("bj") <= col("bk"))
+      .select(col("bj"), col("bk"),
+        ((col("cy") - col("py")).cast("double") /
+          (col("cw") - col("pw")).cast("double")).as("m"))
+    val fit = iv
+      .join(broadcast(b.select(col("bucket").as("bi"))),
+        col("bj") <= col("bi") && col("bk") >= col("bi"))
+      .groupBy(col("bi"), col("bj")).agg(min(col("m")).as("inner"))
+      .groupBy(col("bi")).agg(max(col("inner")).as("rate_iso"))
+    b.join(fit, col("bucket") === col("bi"))
+      .select(col("bucket"), col("n"), col("hits"),
+        (col("hits").cast("double") / col("n").cast("double")).as("rate_raw"),
+        col("rate_iso"))
+  }
 }

@@ -660,6 +660,24 @@ class OpsSpec extends SparkTestBase {
       (1L, 2, 1, 0L, 0, 0)), s"$got")
   }
 
+  test("isotonicRates: pools violators exactly, stays monotone, preserves weighted mass") {
+    import spark.implicits._
+    // buckets 1..4 with rates 0.2, 0.8, 0.4, 1.0 (weights 5,5,10,2):
+    // PAVA pools {2,3}: (4+4)/(5+10) = 8/15; final: 0.2, 8/15, 8/15, 1.0
+    val rows =
+      Seq.fill(1)((1, 1)) ++ Seq.fill(4)((1, 0)) ++
+        Seq.fill(4)((2, 1)) ++ Seq.fill(1)((2, 0)) ++
+        Seq.fill(4)((3, 1)) ++ Seq.fill(6)((3, 0)) ++
+        Seq.fill(2)((4, 1))
+    val got = Relational.isotonicRates(rows.toDF("q", "hit"), "q", "hit")
+      .orderBy(col("bucket"))
+      .select(col("bucket"), col("rate_iso"))
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 0.2), (2L, 8.0 / 15), (3L, 8.0 / 15), (4L, 1.0)), s"$got")
+    // monotone by construction
+    assert(got.map(_._2) == got.map(_._2).sorted)
+  }
+
   test("merkleManifest: partition-order free; a one-row edit changes exactly one leaf") {
     import spark.implicits._
     val rows = (0L until 200L).map(i => (i, s"group${i % 2}", s"payload-$i"))
