@@ -2376,6 +2376,17 @@ object SparkEntry {
         .select(col("node").as("p_partkey"), col("round"))
         .orderBy(col("p_partkey"))),
 
+    // ---- greedy k-center coreset (Gonzalez farthest-point traversal):
+    // diversity selection over the embedding corpus — seed at min id, then
+    // 7× pick the point farthest from its nearest chosen center, ties →
+    // min id; distances are exact integers on fixed-point vectors (d² =
+    // |a|²+|b|²−2a·b via the native dot/norm), so the whole selection
+    // trajectory hash-gates against a k-unrolled oracle; the corpus never
+    // shuffles (one map-only pass per round against the newest center) ----
+    "q316_kcenter_coreset" -> ((s, dir) =>
+      Similarity.kCenterCoreset(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+        .orderBy(col("pick_rank"))),
+
     // ---- EXACT isotonic calibration (PAVA closed form): quantity-bucket →
     // return-rate fit via fit(i) = max_{j≤i} min_{k≥i} mean(j..k) — the
     // parallel minimax form of the weighted L2 isotonic fit over the
@@ -7135,6 +7146,39 @@ object SparkEntry {
       s"\nSELECT node AS p_partkey, color AS wl_color FROM c$rounds ORDER BY p_partkey"
   }
 
+  /** k-unrolled oracle for q316: d_r carries each remaining point's exact
+    * integer min-distance to the first r centers; c_r picks the next
+    * center (max dmin, ties → min id). All arithmetic on the same
+    * 1e6-scaled integer vectors as the Spark side.
+    */
+  private def kcenterOracleSql(k: Int): String = {
+    val head =
+      """WITH v AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+        |  FROM embeddings),
+        |c1 AS MATERIALIZED (SELECT vec_id, iv FROM v ORDER BY vec_id LIMIT 1),
+        |d1 AS MATERIALIZED (
+        |  SELECT v.vec_id, v.iv,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (v.iv[i] - c.iv[i]) * (v.iv[i] - c.iv[i]))) AS BIGINT) AS dmin
+        |  FROM v, c1 c WHERE v.vec_id <> c.vec_id)""".stripMargin
+    val rounds_ = (2 to k).flatMap { r =>
+      Seq(
+        s"""c$r AS MATERIALIZED (
+           |  SELECT vec_id, iv, dmin FROM d${r - 1} ORDER BY dmin DESC, vec_id LIMIT 1)""".stripMargin,
+        s"""d$r AS MATERIALIZED (
+           |  SELECT d.vec_id, d.iv,
+           |    LEAST(d.dmin, CAST(list_sum(list_transform(range(1, 65),
+           |      i -> (d.iv[i] - c.iv[i]) * (d.iv[i] - c.iv[i]))) AS BIGINT)) AS dmin
+           |  FROM d${r - 1} d, c$r c WHERE d.vec_id <> c.vec_id)""".stripMargin)
+    }
+    val unions = (s"SELECT 1 AS pick_rank, vec_id, CAST(NULL AS BIGINT) AS d2 FROM c1" +:
+      (2 to k).map(r => s"SELECT $r AS pick_rank, vec_id, dmin AS d2 FROM c$r")).mkString(" UNION ALL ")
+    (Seq(head) ++ rounds_).mkString(",\n") +
+      s"\nSELECT CAST(pick_rank AS INT) AS pick_rank, vec_id, d2 FROM ($unions) ORDER BY pick_rank"
+  }
+
   private def corenessOracleSql(rounds: Int): String = {
     val head =
       """WITH li AS MATERIALIZED (
@@ -8088,6 +8132,7 @@ object SparkEntry {
     "q310_luby_mis" -> misOracleSql(rounds = 24),
     "q311_walk_corpus" -> walkOracleSql(steps = 8),
     "q314_wl_colors" -> wlOracleSql(rounds = 3),
+    "q316_kcenter_coreset" -> kcenterOracleSql(k = 8),
     "q315_isotonic_calibration" ->
       """WITH b AS (
         |  SELECT CAST(l_quantity AS BIGINT) AS bucket,

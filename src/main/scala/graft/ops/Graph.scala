@@ -81,7 +81,7 @@ object Graph {
     * recomputed). `free` releases the adjacency list once the loop no
     * longer references it.
     */
-  private final class RoundChain(sc: org.apache.spark.SparkContext) {
+  private[ops] final class RoundChain(sc: org.apache.spark.SparkContext) {
     private var liveIds: Set[Int] = Set.empty
     def ckpt(df: DataFrame): DataFrame = {
       val before = sc.getPersistentRDDs.keySet.toSet

@@ -63,6 +63,61 @@ object Similarity {
     */
   private val MaxPanel = 4096
 
+  /** Greedy k-center coreset (farthest-point traversal, Gonzalez 1985 —
+    * the 2-approximation that underpins diversity/coverage selection of
+    * training data): seed with the MINIMUM id, then k−1 times pick the
+    * point FARTHEST from its nearest chosen center (ties → min id).
+    * Distances are exact integers on the fixed-point vectors
+    * (d² = |a|² + |b|² − 2a·b via the native dot/norm expressions), so
+    * every comparison — and therefore the whole selection trajectory — is
+    * engine-exact and hash-gateable against a k-unrolled SQL oracle; no
+    * doubles anywhere.
+    *
+    * Scale shape: the canonical k-pass sweep — per round ONE map-only scan
+    * updates the running min-distance against just the NEWEST center (a
+    * 64-long literal in the task binary, not a join) and one partial-
+    * aggregated arg-max picks the next center; the corpus never shuffles.
+    * Driver-side state is k rows of (id, vector) — bounded and documented,
+    * like the panel literal. Rounds localCheckpoint with eager release of
+    * the previous round's blocks. Output: (pick_rank, vec_id, d2) where d2
+    * is the selection-time distance to the nearest earlier center (NULL
+    * for the seed) — the coverage-radius sequence.
+    */
+  def kCenterCoreset(df: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1,64]: $k")
+    val sess = df.sparkSession
+    graft.functions.GraftFunctions.register(sess)
+    val seedChain = new Graph.RoundChain(sess.sparkContext)
+    val fixed = seedChain.ckpt(withFixed(spread(df, col(idCol)), idCol, embCol))
+    val seed = fixed.orderBy(col("id")).limit(1).collect()(0)
+    var centers = List[(Int, Long, Option[Long])]((1, seed.getLong(0), None))
+    var cVec = seed.getSeq[Long](1).toArray
+    var cNrm = seed.getLong(2)
+    def d2ToCenter: Column =
+      col("nrm") + lit(cNrm) - lit(2L) * dot(col("iv"), typedLit(cVec))
+    val chain = new Graph.RoundChain(sess.sparkContext)
+    var cur = chain.ckpt(fixed.filter(col("id") =!= seed.getLong(0))
+      .withColumn("dmin", d2ToCenter))
+    seedChain.free()
+    (2 to k).foreach { r =>
+      if (!cur.isEmpty) {
+        val top = cur
+          .agg(max_by(
+            struct(col("id"), col("iv"), col("nrm"), col("dmin")),
+            struct(col("dmin"), -col("id"))).as("t"))
+          .select(col("t.*")).collect()(0)
+        centers ::= ((r, top.getLong(0), Some(top.getLong(3))))
+        cVec = top.getSeq[Long](1).toArray
+        cNrm = top.getLong(2)
+        cur = chain.ckpt(cur.filter(col("id") =!= top.getLong(0))
+          .withColumn("dmin", least(col("dmin"), d2ToCenter)))
+      }
+    }
+    chain.free()
+    import sess.implicits._
+    centers.reverse.toDF("pick_rank", "vec_id", "d2")
+  }
+
   def bruteForceTopK(
       corpus: DataFrame,
       queries: DataFrame,

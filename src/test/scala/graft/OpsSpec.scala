@@ -660,6 +660,26 @@ class OpsSpec extends SparkTestBase {
       (1L, 2, 1, 0L, 0, 0)), s"$got")
   }
 
+  test("kCenterCoreset: farthest-point order on a line, ties to min id, seed has null d2") {
+    import spark.implicits._
+    // 1-D points embedded at x = 0, 1, 10, 21 (ids 1..4), 64-dim padded.
+    // seed = id 1 (x=0); pick 2: farthest = x=21 (id 4, d2 = 441e12);
+    // pick 3: dmin = (100, 121) for x=10 vs (1, 400) for x=1 → x=10 (id 3,
+    // d2 = 100e12); pick 4: id 2, d2 = 1e12.
+    def v(x: Double) = Array.fill(64)(0.0f).updated(0, x.toFloat)
+    val df = Seq((1L, v(0)), (2L, v(1)), (3L, v(10)), (4L, v(21)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterCoreset(df, "vec_id", "embedding", k = 4)
+      .orderBy(col("pick_rank"))
+      .as[(Int, Long, Option[Long])].collect().toSeq
+    val M = 1000000L
+    assert(got == Seq(
+      (1, 1L, None),
+      (2, 4L, Some(441L * M * M)),
+      (3, 3L, Some(100L * M * M)),
+      (4, 2L, Some(1L * M * M))), s"$got")
+  }
+
   test("isotonicRates: pools violators exactly, stays monotone, preserves weighted mass") {
     import spark.implicits._
     // buckets 1..4 with rates 0.2, 0.8, 0.4, 1.0 (weights 5,5,10,2):
