@@ -2410,6 +2410,17 @@ object SparkEntry {
         .select(col("node").as("p_partkey"), col("color").as("wl_color"))
         .orderBy(col("p_partkey"))),
 
+    // ---- deterministic greedy maximal matching (derandomized Israeli-Itai,
+    // = MIS on the implicit line graph): each round an edge wins iff its
+    // md5 priority is the minimum among all active edges sharing either
+    // endpoint; winners' endpoints deactivate their whole neighborhoods.
+    // One-to-one pair assignment over the co-supply graph, gateable
+    // against a round-unrolled CTE oracle ----
+    "q317_greedy_matching" -> ((s, dir) =>
+      Graph.greedyMatching(coSupplyEdges(s, dir))
+        .select(col("u").as("part_a"), col("v").as("part_b"), col("round"))
+        .orderBy(col("part_a"))),
+
     // ---- deterministic random-walk corpus (DeepWalk/node2vec input): one
     // walk per node, next hop = sorted-neighbor[md5(start:step:cur) mod
     // deg] — replayable uniform choice, so the whole corpus hash-gates
@@ -7179,6 +7190,43 @@ object SparkEntry {
       s"\nSELECT CAST(pick_rank AS INT) AS pick_rank, vec_id, d2 FROM ($unions) ORDER BY pick_rank"
   }
 
+  /** Round-unrolled oracle for q317: a_r = still-active edges, m_r = the
+    * round-r matching winners (strict minimum at BOTH endpoints' incident
+    * minima), taken_r = their endpoints.
+    */
+  private def matchingOracleSql(rounds: Int): String = {
+    val head =
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |a0 AS MATERIALIZED (
+        |  SELECT u, v, md5(CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)) AS pri FROM e0)""".stripMargin
+    val rounds_ = (1 to rounds).flatMap { r =>
+      Seq(
+        s"""nm$r AS MATERIALIZED (
+           |  SELECT node, MIN(pri) AS mp FROM (
+           |    SELECT u AS node, pri FROM a${r - 1}
+           |    UNION ALL SELECT v AS node, pri FROM a${r - 1})
+           |  GROUP BY node)""".stripMargin,
+        s"""m$r AS MATERIALIZED (
+           |  SELECT e.u, e.v FROM a${r - 1} e
+           |  JOIN nm$r x ON e.u = x.node JOIN nm$r y ON e.v = y.node
+           |  WHERE e.pri = x.mp AND e.pri = y.mp)""".stripMargin,
+        s"""a$r AS MATERIALIZED (
+           |  SELECT e.* FROM a${r - 1} e
+           |  WHERE e.u NOT IN (SELECT u FROM m$r UNION ALL SELECT v FROM m$r)
+           |    AND e.v NOT IN (SELECT u FROM m$r UNION ALL SELECT v FROM m$r))""".stripMargin)
+    }
+    val unions = (1 to rounds)
+      .map(r => s"SELECT u, v, CAST($r AS INT) AS round FROM m$r")
+      .mkString(" UNION ALL ")
+    (Seq(head) ++ rounds_).mkString(",\n") +
+      s"\nSELECT u AS part_a, v AS part_b, round FROM ($unions) ORDER BY part_a"
+  }
+
   private def corenessOracleSql(rounds: Int): String = {
     val head =
       """WITH li AS MATERIALIZED (
@@ -8132,6 +8180,7 @@ object SparkEntry {
     "q310_luby_mis" -> misOracleSql(rounds = 24),
     "q311_walk_corpus" -> walkOracleSql(steps = 8),
     "q314_wl_colors" -> wlOracleSql(rounds = 3),
+    "q317_greedy_matching" -> matchingOracleSql(rounds = 24),
     "q316_kcenter_coreset" -> kcenterOracleSql(k = 8),
     "q315_isotonic_calibration" ->
       """WITH b AS (

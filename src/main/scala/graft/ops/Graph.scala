@@ -760,6 +760,72 @@ object Graph {
           .as("assortativity"))
   }
 
+  /** Deterministic greedy MAXIMAL MATCHING by iterated local minima over a
+    * fixed edge priority — [[maximalIndependentSet]] run on the implicit
+    * LINE GRAPH without materializing it (Israeli & Itai 1986's parallel
+    * matching, derandomized): every edge gets priority md5(u:v) and each
+    * round an edge joins the matching iff its priority is the minimum
+    * among ALL active edges sharing either endpoint; matched endpoints
+    * deactivate every edge touching them. Equals the sequential greedy
+    * matching in global priority order — a unique pure function of the
+    * edge set, gateable against a round-unrolled oracle. The use: one-to-
+    * one pair assignment (merge scheduling, resource pairing) where no
+    * entity may appear twice.
+    *
+    * Scale shape per round: the incident-priority node minimum is ONE
+    * union + groupBy over active edges (never the O(Σdeg²) line graph),
+    * then two node-keyed joins pick winners and an anti-join deactivates;
+    * the active set shrinks geometrically, rounds via [[RoundChain]] /
+    * [[withRoundConf]]. Output: (u, v, round).
+    */
+  def greedyMatching(edges: DataFrame, maxRounds: Int = 40): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 128, s"maxRounds must be in [1,128]: $maxRounds")
+    val Seq(uName, vName) = edges.columns.take(2).toSeq
+    val sess = edges.sparkSession
+    val chain = new RoundChain(sess.sparkContext)
+    val matchChain = new RoundChain(sess.sparkContext)
+    var active = chain.ckpt(edges
+      .select(col(uName).as("u"), col(vName).as("v"))
+      .withColumn("pri", md5(concat_ws(":", col("u").cast("string"), col("v").cast("string")))))
+    var nActive = active.count()
+    val nEdges = nActive
+    var matched = matchChain.ckpt(sess.emptyDataFrame
+      .select(lit(0L).as("u"), lit(0L).as("v"), lit(0).as("round")).limit(0))
+    withRoundConf(sess, nEdges) {
+      var round = 0
+      while (nActive > 0 && round < maxRounds) {
+        round += 1
+        val nodeMin = active.select(col("u").as("node"), col("pri"))
+          .unionAll(active.select(col("v").as("node"), col("pri")))
+          .groupBy(col("node")).agg(min(col("pri")).as("mp"))
+        val nm = hinted(nodeMin, 2 * nActive)
+        val nextMatched = matchChain.ckpt(matched.unionAll(active
+          .join(nm.select(col("node").as("nu"), col("mp").as("mpu")), col("u") === col("nu"))
+          .join(nm.select(col("node").as("nv"), col("mp").as("mpv")), col("v") === col("nv"))
+          .filter(col("pri") === col("mpu") && col("pri") === col("mpv"))
+          .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"),
+            lit(round).as("round"))))
+        val mRound = nextMatched.filter(col("round") === round)
+        val taken = mRound.select(col("u").as("node"))
+          .unionAll(mRound.select(col("v").as("node")))
+        val tk = hinted(taken, nActive)
+        val nextActive = chain.ckpt(active
+          .join(tk.select(col("node").as("t1")), col("u") === col("t1"), "left_anti")
+          .join(tk.select(col("node").as("t2")), col("v") === col("t2"), "left_anti"))
+        matched = nextMatched
+        active = nextActive
+        nActive = active.count()
+      }
+      if (nActive > 0)
+        throw new IllegalStateException(
+          s"greedyMatching did not converge in $maxRounds rounds — " +
+            "a round-unrolled oracle at this bound would disagree; raise maxRounds")
+    }
+    chain.free()
+    matchChain.keep()
+    matched
+  }
+
   /** Weisfeiler–Lehman color refinement (Weisfeiler & Leman 1968; the
     * 1-WL test, also the theoretical ceiling of message-passing GNNs —
     * Xu et al. ICLR'19): every node starts colored by its DEGREE and each

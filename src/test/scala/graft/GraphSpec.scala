@@ -274,6 +274,28 @@ class GraphSpec extends SparkTestBase {
     assert(mis.toSet == again.toSet)
   }
 
+  test("greedyMatching: a valid maximal matching, deterministic across runs") {
+    import spark.implicits._
+    // two triangles + a bridge: any maximal matching here has 2-3 edges
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 4L))
+      .toDF("u", "v")
+    val m = Graph.greedyMatching(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // matching: no node appears twice
+    val nodes = m.toSeq.flatMap(e => Seq(e._1, e._2))
+    assert(nodes.distinct.size == nodes.size, s"node reused: $m")
+    // maximality: every unmatched edge touches a matched node
+    val edgeSet = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 4L))
+    val matchedNodes = nodes.toSet
+    edgeSet.filterNot(m.contains).foreach { e =>
+      assert(matchedNodes.contains(e._1) || matchedNodes.contains(e._2),
+        s"edge $e unmatched but addable to $m")
+    }
+    val again = Graph.greedyMatching(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m == again)
+  }
+
   test("wlColors: symmetric nodes share colors, structurally distinct nodes differ") {
     import spark.implicits._
     // path 1-2-3-4-5: ends {1,5} symmetric, {2,4} symmetric, center 3 alone
