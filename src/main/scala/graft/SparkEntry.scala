@@ -677,6 +677,29 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // ---- REAL MP4/ISO-BMFF box walk (the video modality): per doc a
+    // minimal ftyp + free + moov(mvhd v0) container is built byte-for-byte
+    // — BIG-endian sizes, nested boxes, a skip-me free box — and
+    // Multimodal.mp4Meta walks it back out; the oracle regenerates
+    // timescale/duration arithmetically, so the box walk and BE32 decode
+    // are what the gate tests ----
+    "q318_mp4_meta" -> ((s, dir) => {
+      val ts = lit(600) + pmod(col("doc_id"), lit(5)) * 100
+      val dur = pmod(col("doc_id"), lit(100000)) * 3 + lit(600)
+      val hex = concat(
+        lit("00000014" + "66747970" + "69736f6d" + "00000200" + "6d703431"),
+        lit("0000000c" + "66726565" + "deadbeef"),
+        lit("00000024" + "6d6f6f76" + "0000001c" + "6d766864" +
+          "00000000" + "00000000" + "00000000"),
+        format_string("%08x", ts), format_string("%08x", dur))
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), unhex(hex).as("payload"))
+      Multimodal.mp4Meta(withBin, "payload")
+        .select(col("doc_id"), col("major_brand"), col("n_top_boxes"),
+          col("timescale"), col("duration"), col("duration_s"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- cohort retention matrix: first-active-day cohorts × day offset.
     // One corpus shuffle (distinct user,day), then user-keyed window min,
     // then a calendar²-sized rollup ----
@@ -8181,6 +8204,13 @@ object SparkEntry {
     "q311_walk_corpus" -> walkOracleSql(steps = 8),
     "q314_wl_colors" -> wlOracleSql(rounds = 3),
     "q317_greedy_matching" -> matchingOracleSql(rounds = 24),
+    "q318_mp4_meta" ->
+      """SELECT doc_id, 'isom' AS major_brand, CAST(3 AS INT) AS n_top_boxes,
+        |  CAST(600 + (doc_id % 5) * 100 AS BIGINT) AS timescale,
+        |  CAST((doc_id % 100000) * 3 + 600 AS BIGINT) AS duration,
+        |  CAST((doc_id % 100000) * 3 + 600 AS DOUBLE)
+        |    / CAST(600 + (doc_id % 5) * 100 AS DOUBLE) AS duration_s
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q316_kcenter_coreset" -> kcenterOracleSql(k = 8),
     "q315_isotonic_calibration" ->
       """WITH b AS (

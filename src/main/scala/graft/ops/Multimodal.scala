@@ -249,6 +249,84 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL MP4/ISO-BMFF box walk — the video third of the decode story
+    * (image = [[aHash]], audio = [[pcmFrames]]). ISO boxes are
+    * [size:BE32][type:4][payload], NESTED (moov contains mvhd) and
+    * BIG-endian — deliberately the opposite endianness of the RIFF/WAV
+    * walk, so both byte orders are exercised against the oracle. Walks the
+    * top-level box list, descends into `moov`, parses `mvhd` v0
+    * (timescale BE32 @12, duration BE32 @16 of the payload) and reports
+    * (major_brand, n_top_boxes, timescale, duration, duration_s) with
+    * duration_s the single double division at the surface. Unknown boxes
+    * are skipped by size — the defining property of the format; malformed
+    * payloads yield NULL fields.
+    *
+    * Scale shape: row-local map, no shuffle — container metadata
+    * extraction at ingest.
+    */
+  def mp4Meta(df: DataFrame, binCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("major_brand", StringType),
+      StructField("n_top_boxes", IntegerType),
+      StructField("timescale", LongType),
+      StructField("duration", LongType),
+      StructField("duration_s", DoubleType)))
+    val binIdx = inSchema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    def be32(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.getAs[Array[Byte]](binIdx)
+        var brand: String = null
+        var nTop = 0
+        var ts: java.lang.Long = null
+        var dur: java.lang.Long = null
+        if (b != null && b.length >= 8) {
+          var off = 0
+          var ok = true
+          while (ok && off + 8 <= b.length) {
+            val size = be32(b, off)
+            val tpe = new String(b, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+            if (size < 8 || off + size > b.length) ok = false
+            else {
+              nTop += 1
+              if (tpe == "ftyp" && size >= 16)
+                brand = new String(b, off + 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
+              else if (tpe == "moov") {
+                // child walk inside moov's payload
+                var c = off + 8
+                val end = off + size.toInt
+                while (c + 8 <= end) {
+                  val cs = be32(b, c)
+                  val ct = new String(b, c + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+                  if (cs < 8 || c + cs > end) { c = end }
+                  else {
+                    // mvhd v0 payload: ver/flags(4) ctime(4) mtime(4)
+                    // timescale(4) duration(4)
+                    if (ct == "mvhd" && cs >= 28 && b(c + 8) == 0) {
+                      ts = be32(b, c + 20)
+                      dur = be32(b, c + 24)
+                    }
+                    c += cs.toInt
+                  }
+                }
+              }
+              off += size.toInt
+            }
+          }
+        }
+        val durS: java.lang.Double =
+          if (ts != null && dur != null && ts.longValue() != 0L)
+            dur.doubleValue() / ts.doubleValue()
+          else null
+        Row.fromSeq(r.toSeq ++ Seq(brand, nTop, ts, dur, durS))
+      }
+    }(enc)
+  }
+
   /** Deterministic frame sampling over chunked payloads: split the binary
     * into fixed-size chunks, keep every `stride`-th chunk ("frame"), and
     * attach a content signature per sampled frame — the shape a video/audio

@@ -660,6 +660,32 @@ class OpsSpec extends SparkTestBase {
       (1L, 2, 1, 0L, 0, 0)), s"$got")
   }
 
+  test("mp4Meta: BE box walk, nested moov, skip-unknown; malformed yields NULLs") {
+    import spark.implicits._
+    def be32h(v: Int) = f"$v%08x"
+    def fourcc(s: String) = s.getBytes("US-ASCII").map(b => f"$b%02x").mkString
+    val ftyp = be32h(20) + fourcc("ftyp") + fourcc("avc1") + be32h(0) + fourcc("mp42")
+    val junk = be32h(16) + fourcc("skip") + "00" * 8
+    val mvhd = be32h(28) + fourcc("mvhd") + be32h(0) + be32h(0) + be32h(0) +
+      be32h(1000) + be32h(44100)
+    val moov = be32h(8 + 28) + fourcc("moov") + mvhd
+    def bytes(hex: String) = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val df = Seq(
+      (1L, bytes(ftyp + junk + moov)),
+      (2L, bytes(ftyp)), // no moov → null timescale
+      (3L, Array[Byte](1, 2, 3)),
+      (4L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val got = graft.ops.Multimodal.mp4Meta(df, "payload")
+      .select(col("id"), col("major_brand"), col("n_top_boxes"),
+        col("timescale"), col("duration"), col("duration_s"))
+      .as[(Long, Option[String], Int, Option[Long], Option[Long], Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, Some("avc1"), 3, Some(1000L), Some(44100L), Some(44.1))), s"${got(0)}")
+    assert(got(1) == ((2L, Some("avc1"), 1, None, None, None)), s"${got(1)}")
+    assert(got(2)._3 == 0 && got(2)._2.isEmpty)
+    assert(got(3)._3 == 0 && got(3)._4.isEmpty)
+  }
+
   test("kCenterCoreset: farthest-point order on a line, ties to min id, seed has null d2") {
     import spark.implicits._
     // 1-D points embedded at x = 0, 1, 10, 21 (ids 1..4), 64-dim padded.
