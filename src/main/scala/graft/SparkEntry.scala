@@ -2399,6 +2399,42 @@ object SparkEntry {
         .select(col("node").as("p_partkey"), col("round"))
         .orderBy(col("p_partkey"))),
 
+    // ---- exact 1-D Wasserstein-1 drift (earth mover's distance): the
+    // q293 KS device extended from max to INTEGRAL — W1 = ∫|F_A−F_B|dx
+    // over the merged support, every term an exact integer
+    // |cumA·nB − cumB·nA|·gap accumulated in DECIMAL(38,0), ONE double
+    // division at the surface. Prefix CDFs via the bucketed
+    // globalPrefixSum (no single-reducer window); the next-support-value
+    // gap comes from a global-rank shift join, not LEAD over everything ----
+    "q319_wasserstein_drift" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val o = t(s, dir, "orders").select(
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("u"))
+      val pv = o.groupBy(col("cents"))
+        .agg(sum(col("u")).as("cu"), sum(lit(1L) - col("u")).as("cn"))
+        .localCheckpoint() // two prefix passes + the totals scalar
+      val cumU = Relational.globalPrefixSum(pv, "cents", "cents", "cu", "cumu")
+        .select(col("cents"), col("cumu"))
+      val cumN = Relational
+        .globalPrefixSum(pv, "cents", "cents", "cn", "cumn", rankCol = Some("rk"))
+        .select(col("cents"), col("cumn"), col("rk"))
+      val nxt = cumN.select((col("rk") - 1).as("rk"), col("cents").as("nxt_cents"))
+      val tot = pv.agg(sum(col("cu")).as("nu"), sum(col("cn")).as("nn"))
+      cumU.join(cumN, Seq("cents"))
+        .join(nxt, Seq("rk"))
+        .crossJoin(broadcast(tot))
+        .withColumn("term",
+          abs(dec(col("cumu")) * dec(col("nn")) - dec(col("cumn")) * dec(col("nu"))) *
+            dec(col("nxt_cents") - col("cents")))
+        .agg(sum(col("term")).as("num"),
+          max(col("nu")).as("n_urgent"), max(col("nn")).as("n_other"))
+        .select(col("n_urgent"), col("n_other"),
+          (col("num").cast("double") /
+            (col("n_urgent").cast("double") * col("n_other").cast("double")))
+            .as("w1_cents"))
+    }),
+
     // ---- greedy k-center coreset (Gonzalez farthest-point traversal):
     // diversity selection over the embedding corpus — seed at min id, then
     // 7× pick the point farthest from its nearest chosen center, ties →
@@ -8204,6 +8240,25 @@ object SparkEntry {
     "q311_walk_corpus" -> walkOracleSql(steps = 8),
     "q314_wl_colors" -> wlOracleSql(rounds = 3),
     "q317_greedy_matching" -> matchingOracleSql(rounds = 24),
+    "q319_wasserstein_drift" ->
+      """WITH o AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS u
+        |  FROM orders),
+        |pv AS (
+        |  SELECT cents, SUM(u) AS cu, SUM(1 - u) AS cn FROM o GROUP BY cents),
+        |c AS (
+        |  SELECT cents,
+        |    SUM(cu) OVER (ORDER BY cents) AS cumu,
+        |    SUM(cn) OVER (ORDER BY cents) AS cumn,
+        |    LEAD(cents) OVER (ORDER BY cents) AS nxt
+        |  FROM pv),
+        |t AS (SELECT SUM(cu) AS nu, SUM(cn) AS nn FROM pv)
+        |SELECT CAST(t.nu AS BIGINT) AS n_urgent, CAST(t.nn AS BIGINT) AS n_other,
+        |  CAST(SUM(ABS(c.cumu * t.nn - c.cumn * t.nu) * (c.nxt - c.cents)) AS DOUBLE)
+        |    / (CAST(t.nu AS DOUBLE) * CAST(t.nn AS DOUBLE)) AS w1_cents
+        |FROM c, t WHERE c.nxt IS NOT NULL
+        |GROUP BY t.nu, t.nn""".stripMargin,
     "q318_mp4_meta" ->
       """SELECT doc_id, 'isom' AS major_brand, CAST(3 AS INT) AS n_top_boxes,
         |  CAST(600 + (doc_id % 5) * 100 AS BIGINT) AS timescale,
