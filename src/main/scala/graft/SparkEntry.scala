@@ -6875,6 +6875,30 @@ object SparkEntry {
     // lower bound — the oracle mirrors it in integer microseconds, where
     // sub-second timestamps make > vs ≥ a real difference). Per user:
     // session count, events, and the longest wall-clock session span. ----
+    // ---- DYNAMIC-gap native session windows (q297's sibling): the gap is
+    // a per-event EXPRESSION (views 20 min, everything else 40 min), so a
+    // session's end is max(ts+gap) over its merged events — the
+    // engagement-dependent timeout shape. Oracle mirrors the merge rule
+    // with a running max of (us+gap) per user: a new session starts iff
+    // the event lands at-or-after every previous event's window end ----
+    "q320_dynamic_session_window" -> ((s, dir) => {
+      val gap = when(col("event_type") === "view", lit("20 minutes"))
+        .otherwise(lit("40 minutes"))
+      val sw = t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), gap))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("span_us",
+          expr("unix_micros(session_window.end) - unix_micros(session_window.start)"))
+      sw.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).cast("long").as("n_events"),
+          max(col("span_us")).as("max_span_us"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- NATIVE session_window in batch mode (fixed 30-min gap): Spark's
+    // own session operator gated against the LAG-gap island oracle —
+    // per-user session counts, event totals, and the widest span ----
     "q297_session_window_native" -> ((s, dir) => {
       val sw = t(s, dir, "events")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -11556,6 +11580,29 @@ object SparkEntry {
         |  COALESCE(agg.clean_text, '') AS clean_text
         |FROM tk LEFT JOIN ns USING (doc_id) LEFT JOIN agg USING (doc_id)
         |ORDER BY tk.doc_id""".stripMargin,
+    "q320_dynamic_session_window" ->
+      """WITH e0 AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN event_type = 'view' THEN 1200000000 ELSE 2400000000 END AS g
+        |  FROM events),
+        |e AS (
+        |  SELECT user_id, us, g,
+        |    CASE WHEN MAX(us + g) OVER w IS NULL THEN 1
+        |      WHEN us >= MAX(us + g) OVER w THEN 1 ELSE 0 END AS brk
+        |  FROM e0 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s AS (
+        |  SELECT user_id, us, g,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e),
+        |ses AS (
+        |  SELECT user_id, sid, COUNT(*) AS n_events,
+        |    MAX(us + g) - MIN(us) AS span_us
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |  CAST(MAX(span_us) AS BIGINT) AS max_span_us
+        |FROM ses GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q297_session_window_native" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us,
