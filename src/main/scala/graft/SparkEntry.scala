@@ -2469,6 +2469,17 @@ object SparkEntry {
         .select(col("node").as("p_partkey"), col("color").as("wl_color"))
         .orderBy(col("p_partkey"))),
 
+    // ---- truncated Katz centrality in exact integers: katz·2⁴ =
+    // 8·walks₁ + 4·walks₂ + 2·walks₃ + walks₄ (attenuation 1/2, horizon
+    // 4) — dyadic weights keep every term integer, so there is no float
+    // power, no normalizing division, and the unrolled oracle matches
+    // digit-for-digit; the "influence within K steps" centrality between
+    // degree and eigenvector ----
+    "q321_katz_centrality" -> ((s, dir) =>
+      Graph.katzCentrality(coSupplyEdges(s, dir), horizon = 4)
+        .select(col("node").as("p_partkey"), col("walks_4"), col("katz_scaled"))
+        .orderBy(col("p_partkey"))),
+
     // ---- deterministic greedy maximal matching (derandomized Israeli-Itai,
     // = MIS on the implicit line graph): each round an edge wins iff its
     // md5 priority is the minimum among all active edges sharing either
@@ -8264,6 +8275,27 @@ object SparkEntry {
     "q311_walk_corpus" -> walkOracleSql(steps = 8),
     "q314_wl_colors" -> wlOracleSql(rounds = 3),
     "q317_greedy_matching" -> matchingOracleSql(rounds = 24),
+    "q321_katz_centrality" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |sym AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v AS src, u AS dst FROM e0),
+        |w1 AS MATERIALIZED (SELECT src AS node, COUNT(*) AS w FROM sym GROUP BY src),
+        |w2 AS MATERIALIZED (
+        |  SELECT s.src AS node, SUM(w.w) AS w FROM sym s JOIN w1 w ON s.dst = w.node GROUP BY s.src),
+        |w3 AS MATERIALIZED (
+        |  SELECT s.src AS node, SUM(w.w) AS w FROM sym s JOIN w2 w ON s.dst = w.node GROUP BY s.src),
+        |w4 AS MATERIALIZED (
+        |  SELECT s.src AS node, SUM(w.w) AS w FROM sym s JOIN w3 w ON s.dst = w.node GROUP BY s.src)
+        |SELECT w1.node AS p_partkey, CAST(w4.w AS BIGINT) AS walks_4,
+        |  CAST(8 * w1.w + 4 * w2.w + 2 * w3.w + w4.w AS BIGINT) AS katz_scaled
+        |FROM w1 JOIN w2 ON w1.node = w2.node JOIN w3 ON w1.node = w3.node
+        |  JOIN w4 ON w1.node = w4.node
+        |ORDER BY p_partkey""".stripMargin,
     "q319_wasserstein_drift" ->
       """WITH o AS (
         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

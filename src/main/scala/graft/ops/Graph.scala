@@ -760,6 +760,58 @@ object Graph {
           .as("assortativity"))
   }
 
+  /** Truncated Katz centrality in EXACT integers (Katz 1953, attenuation
+    * α = 1/2, horizon K): katz·2^K = Σ_{k=1..K} 2^(K−k) · walks_k(v),
+    * where walks_k(v) = (Aᵏ·1)(v) counts length-k walks leaving v. The
+    * dyadic attenuation makes every term — and the ranking — an exact
+    * integer, so no float powers, no normalizing division, no libm; the
+    * unrolled SQL oracle reproduces it digit-for-digit (the
+    * pageRankIntFixed discipline without even the floor-division bias).
+    * Horizon-K Katz is the standard "influence within K steps" centrality
+    * between degree (K=1) and eigenvector (K→∞).
+    *
+    * Scale shape: K iterations of one measured-broadcast attach of the
+    * node-sized walk frame onto the adjacency list + one partial-combined
+    * groupBy — the edge table never shuffles while the frame fits
+    * [[BcastRows]]. Overflow bound: walks_K ≤ maxDeg^K — K=4 at maxDeg
+    * 10⁴ stays inside int64; callers pick K accordingly.
+    */
+  def katzCentrality(edges: DataFrame, horizon: Int = 4): DataFrame = {
+    require(horizon >= 1 && horizon <= 8, s"horizon must be in [1,8]: $horizon")
+    val Seq(uName, vName) = edges.columns.take(2).toSeq
+    val sess = edges.sparkSession
+    val adjChain = new RoundChain(sess.sparkContext)
+    val sym = adjChain.ckpt(edges
+      .select(col(uName).as("src"), col(vName).as("dst"))
+      .unionAll(edges.select(col(vName).as("src"), col(uName).as("dst"))))
+    sym.count()
+    val wChain = new RoundChain(sess.sparkContext)
+    val kChain = new RoundChain(sess.sparkContext)
+    var walks = wChain.ckpt(sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("w")))
+    val nNodes = walks.count()
+    var katz = kChain.ckpt(walks
+      .select(col("node"), (col("w") * lit(1L << (horizon - 1))).as("katz")))
+    (2 to horizon).foreach { k =>
+      walks = wChain.ckpt(sym
+        .join(hinted(walks.select(col("node").as("jnode"), col("w")), nNodes),
+          col("dst") === col("jnode"))
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("w")).as("w")))
+      // every node has degree ≥ 1, so walks_k covers every node and the
+      // inner join loses no rows
+      katz = kChain.ckpt(katz
+        .join(walks.select(col("node").as("wnode"), col("w")), col("node") === col("wnode"))
+        .select(col("node"),
+          (col("katz") + col("w") * lit(1L << (horizon - k))).as("katz")))
+    }
+    adjChain.free()
+    wChain.keep()
+    kChain.keep()
+    katz.join(walks.select(col("node").as("wnode"), col("w")), col("node") === col("wnode"))
+      .select(col("node"), col("w").as(s"walks_$horizon"), col("katz").as("katz_scaled"))
+  }
+
   /** Deterministic greedy MAXIMAL MATCHING by iterated local minima over a
     * fixed edge priority — [[maximalIndependentSet]] run on the implicit
     * LINE GRAPH without materializing it (Israeli & Itai 1986's parallel

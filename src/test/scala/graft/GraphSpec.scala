@@ -274,6 +274,22 @@ class GraphSpec extends SparkTestBase {
     assert(mis.toSet == again.toSet)
   }
 
+  test("katzCentrality: exact dyadic walk sums on a path") {
+    import spark.implicits._
+    // path 1-2-3: walks from 2: w1=2, w2=2 (2->1->2, 2->3->2), w3=4, w4=4... wait
+    // compute: w1 = deg. w_k(v) = sum of neighbors' w_{k-1}.
+    // nodes: 1,3 (deg 1), 2 (deg 2).
+    // w1: 1->1, 2->2, 3->1
+    // w2: w2(1)=w1(2)=2; w2(2)=w1(1)+w1(3)=2; w2(3)=2
+    // w3: w3(1)=w2(2)=2; w3(2)=w2(1)+w2(3)=4; w3(3)=2
+    // w4: w4(1)=w3(2)=4; w4(2)=w3(1)+w3(3)=4; w4(3)=4
+    // katz*16(1) = 8*1+4*2+2*2+4 = 24; (2) = 8*2+4*2+2*4+4 = 36; (3) = 24
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val got = Graph.katzCentrality(edges, horizon = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 4L, 24L), (2L, 4L, 36L), (3L, 4L, 24L)), s"$got")
+  }
+
   test("greedyMatching: a valid maximal matching, deterministic across runs") {
     import spark.implicits._
     // two triangles + a bridge: any maximal matching here has 2-3 edges
