@@ -85,6 +85,7 @@ object ScaleHeadroomR6 {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       .localCheckpoint()
+    keepIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     for (factor <- Seq(1, 1, 10)) {
       val df =
         if (factor == 1) emb
