@@ -677,6 +677,31 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // ---- Unicode NFC normalization audit (native graft_nfc expression,
+    // java.text.Normalizer): each doc's text is decorated with one of
+    // three arms — a DECOMPOSED sequence (e + COMBINING ACUTE U+0301), its
+    // precomposed form (é), or plain ASCII — and the audit reports whether
+    // the text is already NFC plus codepoint lengths before/after. Byte-
+    // different-but-canonically-equal text silently splits token stats,
+    // dedup grams, and tokenizer vocabularies; this is the ingest gate
+    // against that. Oracle uses DuckDB's nfc_normalize — two independent
+    // Unicode implementations must agree ----
+    "q322_unicode_nfc_audit" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val deco = concat(col("text"), lit(" "),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("cafe\u0301"))
+          .when(pmod(col("doc_id"), lit(3)) === 1, lit("caf\u00e9"))
+          .otherwise(lit("abc")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(3)).cast("int").as("arm"),
+          deco.as("t"))
+        .select(col("doc_id"), col("arm"),
+          (col("t") === call_function("graft_nfc", col("t"))).as("is_nfc"),
+          length(col("t")).as("raw_len"),
+          length(call_function("graft_nfc", col("t"))).as("nfc_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- REAL MP4/ISO-BMFF box walk (the video modality): per doc a
     // minimal ftyp + free + moov(mvhd v0) container is built byte-for-byte
     // — BIG-endian sizes, nested boxes, a skip-me free box — and
@@ -8275,6 +8300,16 @@ object SparkEntry {
     "q311_walk_corpus" -> walkOracleSql(steps = 8),
     "q314_wl_colors" -> wlOracleSql(rounds = 3),
     "q317_greedy_matching" -> matchingOracleSql(rounds = 24),
+    "q322_unicode_nfc_audit" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS arm,
+        |    text || ' ' || CASE WHEN doc_id % 3 = 0 THEN 'caf' || chr(101) || chr(769)
+        |      WHEN doc_id % 3 = 1 THEN 'caf' || chr(233) ELSE 'abc' END AS t
+        |  FROM documents)
+        |SELECT doc_id, arm, t = nfc_normalize(t) AS is_nfc,
+        |  CAST(length(t) AS INT) AS raw_len,
+        |  CAST(length(nfc_normalize(t)) AS INT) AS nfc_len
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q321_katz_centrality" ->
       """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -293,6 +293,24 @@ case class TokenNGrams(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Unicode NFC normalization (canonical composition) as a native
+  * expression — Spark has no built-in normalizer, and a corpus-quality
+  * pipeline needs one: decomposed sequences (e + COMBINING ACUTE) and
+  * their precomposed forms (é) are byte-different but canonically equal,
+  * which silently splits token statistics, dedup grams, and tokenizer
+  * vocabularies. Wraps `java.text.Normalizer` (ICU-equivalent for NFC);
+  * `text = graft_nfc(text)` is the standard "is already normalized"
+  * audit. Row-local, NULL-propagating.
+  */
+case class UnicodeNfc(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullSafeEval(s: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object GraftFunctions {
 
   /** Idempotently register the graft_* functions on a session. */
@@ -318,6 +336,8 @@ object GraftFunctions {
       "graft_count_in_set", exprs => CountInSet(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_sorted_long_jaccard", exprs => SortedLongArrayJaccard(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_nfc", exprs => UnicodeNfc(exprs(0)), "built-in")
     // Spark's internal Bloom-filter expressions (runtime-filter machinery),
     // exposed for sketch-based semi-join pruning (ops.Sketches)
     reg.createOrReplaceTempFunction(

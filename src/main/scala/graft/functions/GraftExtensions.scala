@@ -67,6 +67,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_fingerprint"),
       info("graft_fingerprint", "rolling min-window fingerprint of a token array"),
       SketchFunctions.fingerprintBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "Unicode NFC canonical composition of a string"),
+      (exprs: Seq[Expression]) => UnicodeNfc(exprs.head)))
     e.injectOptimizerRule(_ => SimplifySelfSimilarity)
     e.injectOptimizerRule(_ => graft.plans.RewriteMarkedTopK)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

@@ -660,6 +660,22 @@ class OpsSpec extends SparkTestBase {
       (1L, 2, 1, 0L, 0, 0)), s"$got")
   }
 
+  test("graft_nfc: recomposes decomposed sequences, identity on NFC text, null-safe") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "cafe\u0301"),   // decomposed: e + combining acute
+      (2L, "caf\u00e9"),    // precomposed
+      (3L, "plain ascii"),
+      (4L, null.asInstanceOf[String])).toDF("id", "t")
+    val got = df.select(col("id"), call_function("graft_nfc", col("t")).as("n"))
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got(0)._2.contains("caf\u00e9"), s"${got(0)}")
+    assert(got(1)._2.contains("caf\u00e9"))
+    assert(got(2)._2.contains("plain ascii"))
+    assert(got(3)._2.isEmpty)
+  }
+
   test("mp4Meta: BE box walk, nested moov, skip-unknown; malformed yields NULLs") {
     import spark.implicits._
     def be32h(v: Int) = f"$v%08x"
