@@ -2494,6 +2494,42 @@ object SparkEntry {
         .select(col("node").as("p_partkey"), col("color").as("wl_color"))
         .orderBy(col("p_partkey"))),
 
+    // ---- sketch-based JOIN-SIZE estimation audit (the optimizer/resource-
+    // planning primitive at 100 TB: estimate |A⋈B| from two tiny sketches
+    // before paying the join): CountMin inner product — est = min over 4
+    // hash rows of Σ_b cmA[r][b]·cmB[r][b] — with md5-derived buckets so
+    // BOTH engines build the identical sketch; est ≥ exact always (CM
+    // inner-product guarantee), and the audit reports exact, estimate and
+    // relative error. Sketch state is 4×4096 cells per side regardless of
+    // input size ----
+    "q323_join_size_sketch" -> ((s, dir) => {
+      val depth = 4; val width = 4096
+      def buckets(df: DataFrame, keyCol: String): DataFrame = df
+        .select(col(keyCol).cast("long").as("k"))
+        .select(explode(sequence(lit(0), lit(depth - 1))).as("r"), col("k"))
+        .select(col("r"),
+          pmod(conv(substring(md5(concat_ws(":",
+            col("r").cast("string"), col("k").cast("string"))), 1, 8), 16, 10)
+            .cast("long"), lit(width)).as("b"))
+        .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+      val cmA = buckets(t(s, dir, "lineitem"), "l_orderkey")
+      val cmB = buckets(urgent, "o_orderkey")
+      val est = cmA.join(cmB.withColumnsRenamed(Map("c" -> "c2")), Seq("r", "b"))
+        .groupBy(col("r"))
+        .agg(sum(col("c") * col("c2")).as("ip"))
+        .agg(min(col("ip")).as("est_n"))
+      val exact = t(s, dir, "lineitem")
+        .join(urgent.withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"),
+          "left_semi")
+        .agg(count(lit(1)).as("exact_n"))
+      exact.crossJoin(broadcast(est))
+        .select(col("exact_n"), col("est_n"),
+          ((col("est_n") - col("exact_n")).cast("double") /
+            col("exact_n").cast("double")).as("rel_err"))
+    }),
+
     // ---- truncated Katz centrality in exact integers: katz·2⁴ =
     // 8·walks₁ + 4·walks₂ + 2·walks₃ + walks₄ (attenuation 1/2, horizon
     // 4) — dyadic weights keep every term integer, so there is no float
@@ -8300,6 +8336,26 @@ object SparkEntry {
     "q311_walk_corpus" -> walkOracleSql(steps = 8),
     "q314_wl_colors" -> wlOracleSql(rounds = 3),
     "q317_greedy_matching" -> matchingOracleSql(rounds = 24),
+    "q323_join_size_sketch" ->
+      """WITH a AS (
+        |  SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT % 4096 AS b,
+        |    COUNT(*) AS c
+        |  FROM lineitem, generate_series(0, 3) t(r) GROUP BY 1, 2),
+        |u AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |bb AS (
+        |  SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 4096 AS b,
+        |    COUNT(*) AS c
+        |  FROM u, generate_series(0, 3) t(r) GROUP BY 1, 2),
+        |ip AS (
+        |  SELECT a.r, SUM(a.c * bb.c) AS ip FROM a JOIN bb ON a.r = bb.r AND a.b = bb.b
+        |  GROUP BY a.r),
+        |est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_n FROM ip),
+        |ex AS (
+        |  SELECT COUNT(*) AS exact_n FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM u))
+        |SELECT ex.exact_n, est.est_n,
+        |  CAST(est.est_n - ex.exact_n AS DOUBLE) / CAST(ex.exact_n AS DOUBLE) AS rel_err
+        |FROM ex, est""".stripMargin,
     "q322_unicode_nfc_audit" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS arm,
