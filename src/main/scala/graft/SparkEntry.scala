@@ -2494,6 +2494,17 @@ object SparkEntry {
         .select(col("node").as("p_partkey"), col("color").as("wl_color"))
         .orderBy(col("p_partkey"))),
 
+    // ---- exact matrix profile per user (UCR motif discovery): the pair of
+    // non-overlapping 7-day windows of each user's events-per-day series
+    // with minimum squared L2 distance — "the most repeated weekly
+    // pattern". Exact integer distances on exact counts, (dist,i,j)
+    // lexicographic argmin; the series is calendar-bounded so the O(span²)
+    // pair scan is constant per user ----
+    "q324_matrix_profile" -> ((s, dir) =>
+      graft.ops.Events.matrixProfileDaily(t(s, dir, "events"),
+          col("user_id"), col("ts"), window = 7, exclusion = 4)
+        .orderBy(col("user_id"))),
+
     // ---- sketch-based JOIN-SIZE estimation audit (the optimizer/resource-
     // planning primitive at 100 TB: estimate |A⋈B| from two tiny sketches
     // before paying the join): CountMin inner product — est = min over 4
@@ -8336,6 +8347,35 @@ object SparkEntry {
     "q311_walk_corpus" -> walkOracleSql(steps = 8),
     "q314_wl_colors" -> wlOracleSql(rounds = 3),
     "q317_greedy_matching" -> matchingOracleSql(rounds = 24),
+    "q324_matrix_profile" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |b AS (SELECT MIN(day) AS d0, date_diff('day', MIN(day), MAX(day)) AS sp FROM ev),
+        |daily AS (
+        |  SELECT user_id, date_diff('day', b.d0, ev.day) AS di, COUNT(*) AS c
+        |  FROM ev, b GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT u.user_id, unnest(generate_series(0, b.sp)) AS di
+        |  FROM (SELECT DISTINCT user_id FROM ev) u, b),
+        |series AS (
+        |  SELECT g.user_id, list(COALESCE(daily.c, 0) ORDER BY g.di) AS cnts
+        |  FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.di = daily.di
+        |  GROUP BY g.user_id),
+        |istarts AS (SELECT unnest(generate_series(0, b.sp + 1 - 7)) AS i FROM b),
+        |p AS (
+        |  SELECT s.user_id, s.cnts, i.i, j.i AS j
+        |  FROM series s, istarts i, istarts j
+        |  WHERE j.i >= i.i + 4),
+        |d AS (
+        |  SELECT user_id, i, j,
+        |    list_sum(list_transform(generate_series(1, 7), t ->
+        |      (cnts[i + t] - cnts[j + t]) * (cnts[i + t] - cnts[j + t]))) AS dist
+        |  FROM p)
+        |SELECT user_id, CAST(i AS INT) AS motif_a, CAST(j AS INT) AS motif_b,
+        |  CAST(dist AS BIGINT) AS d2
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dist, i, j) AS rn
+        |      FROM d)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q323_join_size_sketch" ->
       """WITH a AS (
         |  SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT % 4096 AS b,

@@ -152,4 +152,61 @@ object Events {
     }
     out
   }
+
+  /** EXACT matrix profile over each user's daily activity series (the UCR
+    * time-series motif primitive, Yeh et al. ICDM'16): for every user, the
+    * pair of non-overlapping `window`-day subsequences of their
+    * events-per-day series with minimum squared L2 distance — "this user's
+    * most repeated weekly pattern". Distances are exact integers on exact
+    * counts, argmin ties break (dist, i, j) lexicographically, so the
+    * motif pair is a pure function of the data and hash-gates against a
+    * pair-expanded SQL oracle. The trivial-match exclusion zone
+    * (j ≥ i + exclusion) is the standard half-window rule.
+    *
+    * Scale shape: the series length is CALENDAR-bounded (≈ the corpus's
+    * day span), so the per-user O(span²·window) pair scan is a constant
+    * ×|users| — the corpus-sized work is one (user, day) count; everything
+    * after groups per user. Spark-side the pair expansion is two chained
+    * sequence-explodes (empty sequences drop users whose span can't fit
+    * two windows) and the distance an integer fold — no joins at all
+    * after the daily aggregate.
+    */
+  def matrixProfileDaily(events: DataFrame, userCol: Column, tsCol: Column,
+                         window: Int = 7, exclusion: Int = 4): DataFrame = {
+    require(window >= 2 && window <= 64, s"window must be in [2,64]: $window")
+    require(exclusion >= 1, s"exclusion must be positive: $exclusion")
+    val ev = events.select(userCol.as("user_id"), to_date(tsCol).as("day"))
+    val bounds = ev.agg(min(col("day")).as("d0"),
+      datediff(max(col("day")), min(col("day"))).as("sp"))
+    val daily = ev.crossJoin(broadcast(bounds))
+      .select(col("user_id"), datediff(col("day"), col("d0")).as("di"), col("sp"))
+      .groupBy(col("user_id"), col("sp"), col("di")).agg(count(lit(1)).as("c"))
+    val series = daily
+      .groupBy(col("user_id"), col("sp"))
+      .agg(map_from_entries(collect_list(struct(col("di"), col("c")))).as("m"))
+      .select(col("user_id"),
+        transform(sequence(lit(0), col("sp")),
+          d => coalesce(element_at(col("m"), d), lit(0L))).as("cnts"),
+        (col("sp") + 1).as("len"))
+    val pairs = series
+      .select(col("user_id"), col("cnts"),
+        explode(when(col("len") >= window + exclusion,
+          sequence(lit(0), col("len") - window)).otherwise(array().cast("array<int>")))
+          .as("i"), col("len"))
+      .select(col("user_id"), col("cnts"), col("i"),
+        explode(when(col("i") + exclusion <= col("len") - window,
+          sequence(col("i") + exclusion, col("len") - window))
+          .otherwise(array().cast("array<int>"))).as("j"))
+      .withColumn("dist", aggregate(sequence(lit(0), lit(window - 1)), lit(0L),
+        (acc, t) => {
+          val d = element_at(col("cnts"), col("i") + t + 1) -
+            element_at(col("cnts"), col("j") + t + 1)
+          acc + d * d
+        }))
+    pairs.groupBy(col("user_id"))
+      .agg(min_by(struct(col("i"), col("j"), col("dist")),
+        struct(col("dist"), col("i"), col("j"))).as("m"))
+      .select(col("user_id"), col("m.i").as("motif_a"), col("m.j").as("motif_b"),
+        col("m.dist").as("d2"))
+  }
 }

@@ -660,6 +660,24 @@ class OpsSpec extends SparkTestBase {
       (1L, 2, 1, 0L, 0, 0)), s"$got")
   }
 
+  test("matrixProfileDaily: finds the repeated weekly pattern, excludes trivial matches") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // one user, 21 days: days 0-6 and 14-20 carry the identical pattern
+    // (1,2,3,1,2,3,1); days 7-13 are flat 9s. With window=7, exclusion=4
+    // the motif must be (0, 14) with d2 = 0 — (0,7)/(7,14) are far.
+    val pat = Seq(1, 2, 3, 1, 2, 3, 1)
+    val counts = pat ++ Seq.fill(7)(9) ++ pat
+    val rows = for {
+      (n, d) <- counts.zipWithIndex
+      k <- 0 until n
+    } yield (42L, Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:${k % 60}%02d:00"))
+    val got = graft.ops.Events.matrixProfileDaily(
+        rows.toDF("user_id", "ts"), col("user_id"), col("ts"))
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    assert(got == Seq((42L, 0, 14, 0L)), s"$got")
+  }
+
   test("graft_nfc: recomposes decomposed sequences, identity on NFC text, null-safe") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
