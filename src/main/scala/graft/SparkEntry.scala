@@ -2505,6 +2505,168 @@ object SparkEntry {
           col("user_id"), col("ts"), window = 7, exclusion = 4)
         .orderBy(col("user_id"))),
 
+    // ---- t-closeness audit (Li et al. ICDE'07 — the third leg of the
+    // privacy trio after q250 k-anonymity and q287 l-diversity): each QI
+    // equivalence class's distribution of the ORDERED sensitive attribute
+    // (modal order-priority rank 1..5) must sit within EMD t of the global
+    // distribution. EMD over an ordered domain is the mean absolute
+    // cumulative gap — computed in exact integers via the q319 Wasserstein
+    // device (|cumc_i·N − cumg_i·n_c| summed over the 4 interior cut
+    // points), one double division at the end. Corpus-sized work is one
+    // (class, rank) count; everything after is dictionary-sized ----
+    "q325_t_closeness" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val prio = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("o_custkey")).orderBy(col("n").desc, col("o_orderpriority"))))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey").as("c_custkey"),
+          substring(col("o_orderpriority"), 1, 1).cast("int").as("r"))
+      val cnt = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          expr("(CAST(round(c_acctbal) AS BIGINT) + 10000) DIV 1000").as("bal_band"))
+        .join(prio, Seq("c_custkey"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"), col("r"))
+        .agg(count(lit(1)).as("c"))
+      // dictionary-sized from here: classes × the 4 interior cut points
+      val cls = cnt
+        .select(col("c_nationkey"), col("c_mktsegment"), col("bal_band"), col("r"),
+          col("c"), explode(sequence(lit(1), lit(4))).as("i"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"), col("i"))
+        .agg(sum(when(col("r") <= col("i"), col("c")).otherwise(0L)).as("cumc"),
+          sum(col("c")).as("n_c"))
+      val gi = cls.groupBy(col("i")).agg(sum(col("cumc")).as("cumg"))
+      val tot = cnt.agg(sum(col("c")).as("nn"))
+      val emd = cls.join(broadcast(gi), Seq("i")).crossJoin(broadcast(tot))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"),
+          col("n_c"), col("nn"))
+        .agg(sum(abs(col("cumc") * col("nn") - col("cumg") * col("n_c")))
+          .as("emd_num"))
+        .withColumn("emd", col("emd_num").cast("double") /
+          (lit(4.0) * col("n_c") * col("nn")))
+      emd.agg(count(lit(1)).as("n_classes"),
+          sum(col("n_c")).as("n_rows"),
+          max(col("emd")).as("max_emd"),
+          sum(when(col("emd") > 0.2, 1L).otherwise(0L)).as("n_violating"),
+          sum(when(col("emd") > 0.2, col("n_c")).otherwise(0L)).as("n_exposed"))
+        .withColumn("exposed_share",
+          col("n_exposed").cast("double") / col("n_rows").cast("double"))
+    }),
+
+    // ---- Brier score decomposition (Murphy 1973 — the probabilistic-
+    // forecast calibration audit): a deterministic md5-bucketed forecast
+    // p_k = k/8 (k = 0..8) against the urgent-order outcome, decomposed
+    // per bin into reliability n_k(p_k−ō_k)² and resolution n_k(ō_k−ō)².
+    // The per-bin Brier numerator Σ(8p−8y)² = k²n_k − 16·k·s_k + 64·s_k is
+    // an EXACT integer (scale 64·N); reliability's numerator
+    // (k·n_k − 8·s_k)² likewise. Doubles appear only in the final
+    // divisions, mirrored operation-for-operation in the oracle ----
+    "q326_brier_decomposition" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        pmod(conv(substring(md5(concat(lit("brier:"),
+          col("o_orderkey").cast("string"))), 1, 8), 16, 10).cast("long"),
+          lit(9)).as("k"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("y"))
+      val bins = o.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_k"), sum(col("y")).as("s_k"))
+      val tot = bins.agg(sum(col("n_k")).as("nn"), sum(col("s_k")).as("ss"))
+      bins.crossJoin(broadcast(tot))
+        .select(col("k"), col("n_k"), col("s_k"),
+          (col("k") * col("k") * col("n_k") - lit(16L) * col("k") * col("s_k")
+            + lit(64L) * col("s_k")).as("brier_num"),
+          (col("k") * col("n_k") - lit(8L) * col("s_k")).as("rel_root"),
+          col("nn"), col("ss"))
+        .withColumn("rel_num", col("rel_root") * col("rel_root"))
+        .withColumn("rel_term", col("rel_num").cast("double") /
+          (lit(64.0) * col("n_k") * col("nn")))
+        .withColumn("res_term", {
+          val d = col("s_k").cast("double") / col("n_k") -
+            col("ss").cast("double") / col("nn")
+          col("n_k") * (d * d) / col("nn")
+        })
+        .select(col("k"), col("n_k"), col("s_k"), col("brier_num"),
+          col("rel_num"), col("rel_term"), col("res_term"))
+        .orderBy(col("k"))
+    }),
+
+    // ---- SAX symbolic discretization (Lin et al. DMKD'07, the time-series
+    // indexing alphabet): each user's 30-day activity series → 10 frames of
+    // exact 3-day PAA sums → a 4-letter alphabet assigned by GLOBAL
+    // equi-frequency rank (symbol = ⌊4·(rank−1)/n⌋ — the engine-neutral
+    // ntile form). The global rank rides [[Relational.globalRank]]'s
+    // bucketed device, not a single-reducer window, because the frame
+    // table scales with |users|; ties break on the unique (user, frame)
+    // key so both engines assign identical letters ----
+    "q327_sax_symbols" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val b = ev.agg(min(col("day")).as("d0"))
+      val paa = ev.crossJoin(broadcast(b))
+        .select(col("user_id"), datediff(col("day"), col("d0")).as("di"))
+        .filter(col("di").between(0, 29))
+        .select(col("user_id"), expr("di DIV 3").as("w"))
+        .groupBy(col("user_id"), col("w")).agg(count(lit(1)).as("c"))
+      val grid = ev.select(col("user_id")).distinct()
+        .select(col("user_id"), explode(sequence(lit(0), lit(9))).as("w"))
+      val frames = grid.join(paa, Seq("user_id", "w"), "left")
+        .select(col("user_id"), col("w"),
+          coalesce(col("c"), lit(0L)).as("c"),
+          (col("user_id") * 16 + col("w")).as("tie"))
+      val ranked = graft.ops.Relational.globalRank(frames, "c", "tie", "rnk")
+      val n = frames.agg(count(lit(1)).as("nn"))
+      ranked.crossJoin(broadcast(n))
+        .withColumn("ch", expr("chr(97 + CAST((4 * (rnk - 1)) DIV nn AS INT))"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(collect_list(struct(col("w"), col("ch")))).as("m"))
+        .select(col("user_id"),
+          concat_ws("", transform(sequence(lit(0), lit(9)),
+            w => element_at(col("m"), w)).cast("array<string>")).as("sax"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- Z-order data-layout pruning audit (the 100 TB file-skipping
+    // lever: multi-dimensional clustering so a 2-D range predicate touches
+    // few files): interleave 8+8 bits of (custkey mod 256, order-day mod
+    // 256) into a Morton key, assign rows to 1000-row files under (a) the
+    // Z-order sort and (b) the natural key sort, and report how many files
+    // a rectangle query touches under each — the measured min/max-pruning
+    // win Z-ordering buys. Both global sorts ride the bucketed
+    // globalRank device; the bit interleave is a closed-form integer sum,
+    // identical in both engines ----
+    "q328_zorder_layout" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          pmod(col("o_custkey"), lit(256)).as("x"),
+          pmod(datediff(to_date(col("o_orderdate")),
+            to_date(lit("1995-01-01"))), lit(256)).as("y"))
+      val z = (0 until 8).map { i =>
+        expr(s"(shiftright(x, $i) & 1) * ${1L << (2 * i)}" +
+          s" + (shiftright(y, $i) & 1) * ${1L << (2 * i + 1)}")
+      }.reduce(_ + _)
+      val keyed = o.withColumn("z", z)
+      val rz = graft.ops.Relational.globalRank(
+        keyed.select(col("o_orderkey"), col("x"), col("y"), col("z")),
+        "z", "o_orderkey", "rz")
+      val rn = graft.ops.Relational.globalRank(
+        keyed.select(col("o_orderkey")), "o_orderkey", "o_orderkey", "rn")
+      val files = rz.join(rn, Seq("o_orderkey"))
+        .select(col("x"), col("y"),
+          expr("(rz - 1) DIV 1000").as("fz"), expr("(rn - 1) DIV 1000").as("fn"))
+      val tot = files.agg(count(lit(1)).as("n_rows"),
+        (max(col("fn")) + 1).as("files_total"))
+      files.filter(col("x").between(64, 127) && col("y").between(32, 95))
+        .agg(count(lit(1)).as("rows_matched"),
+          countDistinct(col("fz")).as("files_z"),
+          countDistinct(col("fn")).as("files_nat"))
+        .crossJoin(broadcast(tot))
+        .withColumn("touch_z",
+          col("files_z").cast("double") / col("files_total").cast("double"))
+        .withColumn("touch_nat",
+          col("files_nat").cast("double") / col("files_total").cast("double"))
+    }),
+
     // ---- sketch-based JOIN-SIZE estimation audit (the optimizer/resource-
     // planning primitive at 100 TB: estimate |A⋈B| from two tiny sketches
     // before paying the join): CountMin inner product — est = min over 4
@@ -8347,6 +8509,113 @@ object SparkEntry {
     "q311_walk_corpus" -> walkOracleSql(steps = 8),
     "q314_wl_colors" -> wlOracleSql(rounds = 3),
     "q317_greedy_matching" -> matchingOracleSql(rounds = 24),
+    "q327_sax_symbols" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |b AS (SELECT MIN(day) AS d0 FROM ev),
+        |paa AS (
+        |  SELECT user_id, date_diff('day', b.d0, ev.day) // 3 AS w, COUNT(*) AS c
+        |  FROM ev, b WHERE date_diff('day', b.d0, ev.day) BETWEEN 0 AND 29
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT u.user_id, t.w
+        |  FROM (SELECT DISTINCT user_id FROM ev) u, generate_series(0, 9) t(w)),
+        |frames AS (
+        |  SELECT g.user_id, g.w, COALESCE(paa.c, 0) AS c
+        |  FROM grid g LEFT JOIN paa ON g.user_id = paa.user_id AND g.w = paa.w),
+        |r AS (
+        |  SELECT user_id, w,
+        |    ROW_NUMBER() OVER (ORDER BY c, user_id, w) AS rnk,
+        |    COUNT(*) OVER () AS nn
+        |  FROM frames),
+        |sym AS (
+        |  SELECT user_id, w, chr(97 + CAST((4 * (rnk - 1)) // nn AS INT)) AS ch
+        |  FROM r)
+        |SELECT user_id, string_agg(ch, '' ORDER BY w) AS sax
+        |FROM sym GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q328_zorder_layout" ->
+      ("""WITH o AS (
+        |  SELECT o_orderkey, o_custkey % 256 AS x,
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 256 AS y
+        |  FROM orders),
+        |keyed AS (
+        |  SELECT o_orderkey, x, y, """.stripMargin +
+        (0 until 8).map(i =>
+          s"((x >> $i) & 1) * ${1L << (2 * i)} + ((y >> $i) & 1) * ${1L << (2 * i + 1)}")
+          .mkString(" + ") +
+        """ AS z
+        |  FROM o),
+        |ranked AS (
+        |  SELECT x, y,
+        |    ROW_NUMBER() OVER (ORDER BY z, o_orderkey) AS rz,
+        |    ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+        |  FROM keyed),
+        |files AS (
+        |  SELECT x, y, (rz - 1) // 1000 AS fz, (rn - 1) // 1000 AS fn
+        |  FROM ranked),
+        |tot AS (
+        |  SELECT COUNT(*) AS n_rows, MAX(fn) + 1 AS files_total FROM files)
+        |SELECT COUNT(*) AS rows_matched,
+        |  COUNT(DISTINCT fz) AS files_z,
+        |  COUNT(DISTINCT fn) AS files_nat,
+        |  tot.n_rows, tot.files_total,
+        |  CAST(COUNT(DISTINCT fz) AS DOUBLE) / CAST(tot.files_total AS DOUBLE)
+        |    AS touch_z,
+        |  CAST(COUNT(DISTINCT fn) AS DOUBLE) / CAST(tot.files_total AS DOUBLE)
+        |    AS touch_nat
+        |FROM files, tot
+        |WHERE x BETWEEN 64 AND 127 AND y BETWEEN 32 AND 95
+        |GROUP BY tot.n_rows, tot.files_total""".stripMargin),
+    "q325_t_closeness" ->
+      """WITH prio AS (
+        |  SELECT c_custkey, CAST(substr(sensitive, 1, 1) AS INT) AS r FROM (
+        |    SELECT o_custkey AS c_custkey, o_orderpriority AS sensitive,
+        |      ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |        ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+        |    FROM orders GROUP BY o_custkey, o_orderpriority)
+        |  WHERE rn = 1),
+        |cnt AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    (CAST(round(c_acctbal) AS BIGINT) + 10000) // 1000 AS bal_band,
+        |    r, COUNT(*) AS c
+        |  FROM customer JOIN prio USING (c_custkey)
+        |  GROUP BY 1, 2, 3, 4),
+        |cls AS (
+        |  SELECT c_nationkey, c_mktsegment, bal_band, t.i,
+        |    SUM(CASE WHEN r <= t.i THEN c ELSE 0 END) AS cumc,
+        |    SUM(c) AS n_c
+        |  FROM cnt, generate_series(1, 4) t(i)
+        |  GROUP BY 1, 2, 3, 4),
+        |gi AS (SELECT i, SUM(cumc) AS cumg FROM cls GROUP BY i),
+        |tot AS (SELECT SUM(c) AS nn FROM cnt),
+        |emd AS (
+        |  SELECT c_nationkey, c_mktsegment, bal_band, n_c, nn,
+        |    SUM(ABS(cumc * nn - cumg * n_c)) AS emd_num,
+        |    CAST(SUM(ABS(cumc * nn - cumg * n_c)) AS DOUBLE)
+        |      / (4.0 * n_c * nn) AS emd
+        |  FROM cls JOIN gi USING (i), tot
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT COUNT(*) AS n_classes, CAST(SUM(n_c) AS BIGINT) AS n_rows,
+        |  MAX(emd) AS max_emd,
+        |  CAST(SUM(CASE WHEN emd > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |  CAST(SUM(CASE WHEN emd > 0.2 THEN n_c ELSE 0 END) AS BIGINT) AS n_exposed,
+        |  CAST(SUM(CASE WHEN emd > 0.2 THEN n_c ELSE 0 END) AS BIGINT)::DOUBLE
+        |    / CAST(SUM(n_c) AS BIGINT)::DOUBLE AS exposed_share
+        |FROM emd""".stripMargin,
+    "q326_brier_decomposition" ->
+      """WITH o AS (
+        |  SELECT ('0x' || substr(md5('brier:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 9 AS k,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |bins AS (SELECT k, COUNT(*) AS n_k, SUM(y) AS s_k FROM o GROUP BY k),
+        |tot AS (SELECT SUM(n_k) AS nn, SUM(s_k) AS ss FROM bins)
+        |SELECT k, n_k, CAST(s_k AS BIGINT) AS s_k,
+        |  CAST(k * k * n_k - 16 * k * s_k + 64 * s_k AS BIGINT) AS brier_num,
+        |  CAST((k * n_k - 8 * s_k) * (k * n_k - 8 * s_k) AS BIGINT) AS rel_num,
+        |  CAST((k * n_k - 8 * s_k) * (k * n_k - 8 * s_k) AS DOUBLE)
+        |    / (64.0 * n_k * nn) AS rel_term,
+        |  n_k * ((CAST(s_k AS DOUBLE) / n_k - CAST(ss AS DOUBLE) / nn)
+        |    * (CAST(s_k AS DOUBLE) / n_k - CAST(ss AS DOUBLE) / nn)) / nn AS res_term
+        |FROM bins, tot ORDER BY k""".stripMargin,
     "q324_matrix_profile" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
