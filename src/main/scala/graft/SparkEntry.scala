@@ -2667,6 +2667,53 @@ object SparkEntry {
           col("files_nat").cast("double") / col("files_total").cast("double"))
     }),
 
+    // ---- LogLog/HLL distinct-sketch audit (Flajolet et al. '07 — the
+    // mergeable COUNT DISTINCT at 100 TB: 1024 registers regardless of
+    // input): md5-derived 32-bit hash → top-10 bits pick the register,
+    // rho = leading-zero rank of the low 22 bits via the bin/lpad/instr
+    // string device (the repo-wide no-log() rule), register state is an
+    // exact integer MAX. Empty registers contribute 2^25 to the dyadic
+    // harmonic sum in closed form, so no register grid materializes; the
+    // raw-estimator double appears once, from the identical e-notation
+    // expression in both engines. Reports exact vs estimate vs error —
+    // the production accuracy-monitoring shape, like q323 ----
+    "q329_loglog_audit" -> ((s, dir) => {
+      val keys = t(s, dir, "events").select(col("user_id")).distinct()
+      val reg = keys
+        .select(conv(substring(md5(concat(lit("hll:"),
+          col("user_id").cast("string"))), 1, 8), 16, 10).cast("long").as("h"))
+        .select(expr("h DIV 4194304").as("b"), pmod(col("h"), lit(4194304L)).as("w"))
+        .withColumn("rho", when(col("w") === 0, lit(23))
+          .otherwise(expr("instr(lpad(bin(w), 22, '0'), '1')").cast("int")))
+        .groupBy(col("b")).agg(max(col("rho")).as("mrho"))
+      val sums = reg.agg(count(lit(1)).as("m_hit"),
+        sum(expr("CAST(shiftleft(1, 25 - mrho) AS BIGINT)")).as("sum_hit"))
+      val exact = keys.agg(count(lit(1)).as("exact_distinct"))
+      exact.crossJoin(broadcast(sums))
+        .withColumn("sum_scaled",
+          col("sum_hit") + (lit(1024L) - col("m_hit")) * lit(33554432L))
+        .withColumn("est", expr(
+          "0.7213e0 / (1.0e0 + 1.079e0 / 1024.0e0) * 1048576.0e0 * 33554432.0e0" +
+            " / CAST(sum_scaled AS DOUBLE)"))
+        .withColumn("rel_err",
+          (col("est") - col("exact_distinct").cast("double")) /
+            col("exact_distinct").cast("double"))
+        .select(col("exact_distinct"), col("m_hit"), col("sum_scaled"),
+          col("est"), col("rel_err"))
+    }),
+
+    // ---- exact DTW self-drift (Sakoe–Chiba DP as a shift probe): per
+    // user, the L1 dynamic-time-warping distance between the first and
+    // second halves of their 30-day series (five 3-day PAA frames each) —
+    // phase-tolerant drift, where a spike that moved a day warps to ~0
+    // instead of reading as change. The 5×5 DP unrolls as 25 projection
+    // columns in anti-diagonal order (one codegen chain, no joins) and
+    // the oracle unrolls the same cells as chained CTE layers ----
+    "q330_dtw_drift" -> ((s, dir) =>
+      graft.ops.Events.dtwHalfDrift(t(s, dir, "events"),
+          col("user_id"), col("ts"), frameDays = 3, frames = 10)
+        .orderBy(col("user_id"))),
+
     // ---- sketch-based JOIN-SIZE estimation audit (the optimizer/resource-
     // planning primitive at 100 TB: estimate |A⋈B| from two tiny sketches
     // before paying the join): CountMin inner product — est = min over 4
@@ -7385,6 +7432,51 @@ object SparkEntry {
     * point, so any unroll ≥ convergence matches the run-to-convergence
     * Spark loop. Every CTE MATERIALIZED (the kCoreOracleSql lesson).
     */
+  /** Anti-diagonal-unrolled DTW oracle for q330: pivot each user's series
+    * to `frames` PAA-sum columns, then chain one CTE layer per DP
+    * anti-diagonal so every cell's three predecessors are defined in an
+    * earlier layer — the same cell order the Spark column unroll uses.
+    */
+  private def dtwOracleSql(frameDays: Int, frames: Int): String = {
+    val half = frames / 2
+    val span = frameDays * frames - 1
+    val pivotCols = (0 until frames).map(k =>
+      s"    SUM(CASE WHEN w = $k THEN c ELSE 0 END) AS f$k").mkString(",\n")
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         |b AS (SELECT MIN(day) AS d0 FROM ev),
+         |paa AS (
+         |  SELECT user_id, date_diff('day', b.d0, ev.day) // $frameDays AS w,
+         |    COUNT(*) AS c
+         |  FROM ev, b WHERE date_diff('day', b.d0, ev.day) BETWEEN 0 AND $span
+         |  GROUP BY 1, 2),
+         |piv AS (
+         |  SELECT u.user_id,
+         |$pivotCols
+         |  FROM (SELECT DISTINCT user_id FROM ev) u
+         |  LEFT JOIN paa ON u.user_id = paa.user_id
+         |  GROUP BY u.user_id)""".stripMargin)
+    var prev = "piv"
+    for (d <- 2 to 2 * half) {
+      val layer = s"l$d"
+      val cells = (for (i <- 1 to half; j = d - i; if j >= 1 && j <= half) yield {
+        val c = s"ABS(f${i - 1} - f${half + j - 1})"
+        if (i == 1 && j == 1) s"$c AS d_1_1"
+        else if (i == 1) s"$c + d_1_${j - 1} AS d_1_$j"
+        else if (j == 1) s"$c + d_${i - 1}_1 AS d_${i}_1"
+        else s"$c + LEAST(d_${i - 1}_$j, d_${i}_${j - 1}, d_${i - 1}_${j - 1})" +
+          s" AS d_${i}_$j"
+      }).mkString(", ")
+      sb.append(s",\n$layer AS (SELECT *, $cells FROM $prev)")
+      prev = layer
+    }
+    sb.append(
+      s"\nSELECT user_id, CAST(d_${half}_$half AS BIGINT) AS dtw FROM $prev" +
+        " ORDER BY user_id")
+    sb.toString
+  }
+
   /** Round-unrolled oracle for q310: a_i = still-active nodes after round
     * i, m_i = round-i MIS winners (local priority minima among active
     * neighbors; a node with no active neighbor wins by default). Rounds
@@ -8509,6 +8601,32 @@ object SparkEntry {
     "q311_walk_corpus" -> walkOracleSql(steps = 8),
     "q314_wl_colors" -> wlOracleSql(rounds = 3),
     "q317_greedy_matching" -> matchingOracleSql(rounds = 24),
+    "q330_dtw_drift" -> dtwOracleSql(frameDays = 3, frames = 10),
+    "q329_loglog_audit" ->
+      """WITH keys AS (SELECT DISTINCT user_id FROM events),
+        |h AS (
+        |  SELECT ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM keys),
+        |reg AS (
+        |  SELECT h // 4194304 AS b,
+        |    CASE WHEN h % 4194304 = 0 THEN 23
+        |      ELSE instr(lpad(bin(h % 4194304), 22, '0'), '1') END AS rho
+        |  FROM h),
+        |mx AS (SELECT b, MAX(rho) AS mrho FROM reg GROUP BY b),
+        |sums AS (
+        |  SELECT COUNT(*) AS m_hit,
+        |    CAST(SUM(CAST(1 AS BIGINT) << (25 - mrho)) AS BIGINT) AS sum_hit
+        |  FROM mx),
+        |ex AS (SELECT COUNT(*) AS exact_distinct FROM keys)
+        |SELECT ex.exact_distinct, sums.m_hit,
+        |  sums.sum_hit + (1024 - sums.m_hit) * 33554432 AS sum_scaled,
+        |  0.7213e0 / (1.0e0 + 1.079e0 / 1024.0e0) * 1048576.0e0 * 33554432.0e0
+        |    / CAST(sums.sum_hit + (1024 - sums.m_hit) * 33554432 AS DOUBLE) AS est,
+        |  (0.7213e0 / (1.0e0 + 1.079e0 / 1024.0e0) * 1048576.0e0 * 33554432.0e0
+        |    / CAST(sums.sum_hit + (1024 - sums.m_hit) * 33554432 AS DOUBLE)
+        |    - CAST(ex.exact_distinct AS DOUBLE)) / CAST(ex.exact_distinct AS DOUBLE)
+        |    AS rel_err
+        |FROM ex, sums""".stripMargin,
     "q327_sax_symbols" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |b AS (SELECT MIN(day) AS d0 FROM ev),

@@ -209,4 +209,55 @@ object Events {
       .select(col("user_id"), col("m.i").as("motif_a"), col("m.j").as("motif_b"),
         col("m.dist").as("d2"))
   }
+
+  /** EXACT Dynamic Time Warping self-drift (Sakoe–Chiba '78 applied as a
+    * distribution-shift probe): per user, the L1 DTW distance between the
+    * FIRST and SECOND halves of their activity series — `frames` PAA
+    * frames of `frameDays`-day exact event counts, split half/half. DTW
+    * absorbs phase shifts that a pointwise L1 would misread as drift
+    * (a user whose Tuesday spike moved to Wednesday warps to cost ~0),
+    * which is exactly why it, not Euclidean, is the standard series
+    * distance. Costs are |Σcount − Σcount| integers, so the full DP table
+    * is exact and the unrolled anti-diagonal oracle matches
+    * digit-for-digit.
+    *
+    * Scale shape: the corpus-sized work is one (user, frame) count; the
+    * DP is (frames/2)² cells UNROLLED AS COLUMNS over the per-user pivot
+    * row — no joins, no explosion, whole-stage codegen keeps all 25 cells
+    * in one projection chain. Frames are calendar-bounded constants, so
+    * the per-user cost is O(1) at any corpus size.
+    */
+  def dtwHalfDrift(events: DataFrame, userCol: Column, tsCol: Column,
+                   frameDays: Int = 3, frames: Int = 10): DataFrame = {
+    require(frames >= 4 && frames % 2 == 0, s"frames must be even >= 4: $frames")
+    require(frameDays >= 1, s"frameDays must be positive: $frameDays")
+    val half = frames / 2
+    val ev = events.select(userCol.as("user_id"), to_date(tsCol).as("day"))
+    val b = ev.agg(min(col("day")).as("d0"))
+    val paa = ev.crossJoin(broadcast(b))
+      .select(col("user_id"), datediff(col("day"), col("d0")).as("di"))
+      .filter(col("di").between(0, frameDays * frames - 1))
+      .select(col("user_id"), expr(s"di DIV $frameDays").as("w"))
+      .groupBy(col("user_id"), col("w")).agg(count(lit(1)).as("c"))
+    val aggs = (0 until frames).map(k =>
+      sum(when(col("w") === k, col("c")).otherwise(0L)).as(s"f$k"))
+    var df = ev.select(col("user_id")).distinct()
+      .join(paa, Seq("user_id"), "left")
+      .groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+    def cost(i: Int, j: Int) = abs(col(s"f${i - 1}") - col(s"f${half + j - 1}"))
+    // anti-diagonal order: every cell's three predecessors are already
+    // materialized columns when the cell is defined
+    for (d <- 2 to 2 * half; i <- 1 to half; j = d - i; if j >= 1 && j <= half) {
+      val c = cost(i, j)
+      val v =
+        if (i == 1 && j == 1) c
+        else if (i == 1) c + col(s"d_1_${j - 1}")
+        else if (j == 1) c + col(s"d_${i - 1}_1")
+        else c + least(col(s"d_${i - 1}_$j"), col(s"d_${i}_${j - 1}"),
+          col(s"d_${i - 1}_${j - 1}"))
+      df = df.withColumn(s"d_${i}_$j", v)
+    }
+    df.select(col("user_id"), col(s"d_${half}_$half").as("dtw"))
+  }
 }

@@ -236,4 +236,25 @@ class EventsSpec extends SparkTestBase {
       .collect().map(r => (r.getDouble(1), r.getLong(3)))
     assert(got.toSeq == Seq((2.0, 0L)))
   }
+
+  test("dtwHalfDrift: identical halves warp to 0; anti-phase halves pay the DP cost") {
+    import spark.implicits._
+    // frames=4 x frameDays=1 => halves are 2-frame series over days 0..3.
+    // user 1: (3,1) vs (3,1)  -> DTW 0 (identical)
+    // user 2: (2,0) vs (0,2)  -> d11=2 d12=2 d21=4 d22=|0-2|+min(2,4,2)=4
+    // user 3: no events inside the window -> (0,0) vs (0,0) -> 0
+    val rows =
+      Seq.fill(3)((1L, ts("2024-01-01 10:00:00"))) ++
+        Seq((1L, ts("2024-01-02 10:00:00"))) ++
+        Seq.fill(3)((1L, ts("2024-01-03 10:00:00"))) ++
+        Seq((1L, ts("2024-01-04 10:00:00"))) ++
+        Seq.fill(2)((2L, ts("2024-01-01 12:00:00"))) ++
+        Seq.fill(2)((2L, ts("2024-01-04 12:00:00"))) ++
+        Seq((3L, ts("2024-01-20 00:00:00")))
+    val got = Events.dtwHalfDrift(rows.toDF("user_id", "ts"),
+        col("user_id"), col("ts"), frameDays = 1, frames = 4)
+      .orderBy(col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 0L), (2L, 4L), (3L, 0L)))
+  }
 }
