@@ -2714,6 +2714,22 @@ object SparkEntry {
           col("user_id"), col("ts"), frameDays = 3, frames = 10)
         .orderBy(col("user_id"))),
 
+    // ---- bounded-hop HARMONIC centrality (exact LCM-scaled integers) over
+    // the co-supply graph, same 50-part seed panel as q150: Σ 6/d for
+    // d(s,v) ≤ 3 — the disconnected-graph-safe closeness, truncated so it
+    // gates against a 3×-unrolled min-dist CTE oracle. BFS min-dist rounds
+    // reuse the kHop machinery (measured-broadcast frontier, checkpoint
+    // per round); lcm(1..3)=6 makes every 1/d term an exact integer ----
+    "q331_harmonic_centrality" -> ((s, dir) => {
+      val e = coSupplyEdges(s, dir)
+      val seeds = e.select(col("u").as("seed"))
+        .unionAll(e.select(col("v").as("seed")))
+        .distinct().filter(col("seed") < 50)
+      Graph.harmonicCentralityInt(e, seeds, k = 3)
+        .withColumnRenamed("seed", "p_partkey")
+        .orderBy(col("p_partkey"))
+    }),
+
     // ---- sketch-based JOIN-SIZE estimation audit (the optimizer/resource-
     // planning primitive at 100 TB: estimate |A⋈B| from two tiny sketches
     // before paying the join): CountMin inner product — est = min over 4
@@ -8602,6 +8618,39 @@ object SparkEntry {
     "q314_wl_colors" -> wlOracleSql(rounds = 3),
     "q317_greedy_matching" -> matchingOracleSql(rounds = 24),
     "q330_dtw_drift" -> dtwOracleSql(frameDays = 3, frames = 10),
+    "q331_harmonic_centrality" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |sym AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
+        |r0 AS MATERIALIZED (
+        |  SELECT node AS seed, node, 0 AS dist FROM (
+        |    SELECT u AS node FROM edges UNION SELECT v FROM edges) n
+        |  WHERE node < 50),
+        |r1 AS MATERIALIZED (
+        |  SELECT seed, node, MIN(dist) AS dist FROM (
+        |    SELECT seed, node, dist FROM r0
+        |    UNION ALL SELECT r0.seed, s.dst, r0.dist + 1 FROM r0 JOIN sym s ON r0.node = s.src) x
+        |  GROUP BY seed, node),
+        |r2 AS MATERIALIZED (
+        |  SELECT seed, node, MIN(dist) AS dist FROM (
+        |    SELECT seed, node, dist FROM r1
+        |    UNION ALL SELECT r1.seed, s.dst, r1.dist + 1 FROM r1 JOIN sym s ON r1.node = s.src) x
+        |  GROUP BY seed, node),
+        |r3 AS MATERIALIZED (
+        |  SELECT seed, node, MIN(dist) AS dist FROM (
+        |    SELECT seed, node, dist FROM r2
+        |    UNION ALL SELECT r2.seed, s.dst, r2.dist + 1 FROM r2 JOIN sym s ON r2.node = s.src) x
+        |  GROUP BY seed, node)
+        |SELECT seed AS p_partkey,
+        |  CAST(SUM(6 // dist) AS BIGINT) AS harmonic_lcm,
+        |  COUNT(*) AS n_within
+        |FROM r3 WHERE dist >= 1
+        |GROUP BY seed ORDER BY p_partkey""".stripMargin,
     "q329_loglog_audit" ->
       """WITH keys AS (SELECT DISTINCT user_id FROM events),
         |h AS (

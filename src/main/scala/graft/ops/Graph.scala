@@ -1061,4 +1061,60 @@ object Graph {
     misChain.keep()
     misAcc
   }
+
+  /** Bounded-hop HARMONIC centrality for a seed panel, in exact LCM-scaled
+    * integers: H_K(s) = Σ_{v : 1 ≤ d(s,v) ≤ K} lcm(1..K)/d(s,v) — the
+    * classic closeness variant that handles disconnected graphs (unreached
+    * nodes contribute 0, no ∞ arm), truncated at K hops so the operator is
+    * a pure function of (edges, seeds, K) and gates against a K-times
+    * unrolled oracle (the [[kHopCounts]] contract). Scaling by lcm(1..K)
+    * (K=3 → 6: contributions 6, 3, 2) keeps every term an exact integer —
+    * no 1/3 rounding for the engines to disagree on (the q218/q302 exact-
+    * moments device). BFS with min-dist tracking: each round unions the
+    * frontier expansion at dist+1 and takes MIN(dist) per (seed, node) —
+    * in an unweighted graph a node's first-discovery round IS its
+    * distance, and the min-aggregate makes re-expansion idempotent, so the
+    * round body matches the oracle's unrolled CTE exactly. Scale shape:
+    * K shuffles (the min-dist groupBy), the reached frame broadcast into
+    * the adjacency join while its measured count fits ([[hinted]]) so the
+    * edge table never shuffles; checkpoint per round ([[RoundChain]]).
+    * Output: (seed, harmonic_lcm, n_within) — the scaled centrality and
+    * the plain reach count it refines.
+    */
+  def harmonicCentralityInt(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 6, s"k must be in [1,6]: $k")
+    val lcmK: Long = (1 to k).foldLeft(1L)((a, b) => a / gcd(a, b) * b)
+    val Seq(uName, vName) = edges.columns.take(2).toSeq
+    val sess = edges.sparkSession
+    val adjChain = new RoundChain(sess.sparkContext)
+    val sym = adjChain.ckpt(edges
+      .select(col(uName).as("src"), col(vName).as("dst"))
+      .unionAll(edges.select(col(vName).as("src"), col(uName).as("dst"))))
+    val nEdges = sym.count()
+    val chain = new RoundChain(sess.sparkContext)
+    val seedCol = seeds.columns.head
+    var reached = chain.ckpt(seeds.select(
+      col(seedCol).as("seed"), col(seedCol).as("node"), lit(0L).as("dist")))
+    var nReached = reached.count()
+    withRoundConf(sess, nEdges) {
+      for (_ <- 1 to k) {
+        val r = hinted(reached, nReached)
+        reached = chain.ckpt(r
+          .unionAll(r
+            .join(sym, r("node") === sym("src"))
+            .select(col("seed"), col("dst").as("node"), (col("dist") + 1L).as("dist")))
+          .groupBy(col("seed"), col("node"))
+          .agg(min(col("dist")).as("dist")))
+        nReached = reached.count()
+      }
+    }
+    adjChain.free()
+    chain.keep()
+    reached.filter(col("dist") >= 1L)
+      .groupBy(col("seed"))
+      .agg(sum(expr(s"$lcmK div dist")).cast("long").as("harmonic_lcm"),
+        count(lit(1)).as("n_within"))
+  }
+
+  private def gcd(a: Long, b: Long): Long = if (b == 0L) a else gcd(b, a % b)
 }

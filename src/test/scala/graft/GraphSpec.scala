@@ -364,4 +364,19 @@ class GraphSpec extends SparkTestBase {
     val one = Seq(1L, 2L, 3L, 4L, 5L, 6L).map((_, 9L)).toDF("node", "label")
     assert(Graph.modularity(e, one).head().getDouble(3) == 0.0)
   }
+
+  test("harmonicCentralityInt: exact LCM-scaled sums on a path, truncation, disconnection") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus an isolated edge 8-9; seeds 1, 3, 8
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L)).toDF("u", "v")
+    val seeds = Seq(1L, 3L, 8L).toDF("seed")
+    val rows = Graph.harmonicCentralityInt(e, seeds, k = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // seed 1: d(2)=1, d(3)=2, d(4)=3 -> 6 + 3 + 2 = 11 over 3 nodes (5 is 4 hops: truncated)
+    assert(rows(1L) == (11L, 3L), s"seed 1: ${rows(1L)}")
+    // seed 3 (center): d=1 to 2,4; d=2 to 1,5 -> 6+6+3+3 = 18 over 4 nodes
+    assert(rows(3L) == (18L, 4L), s"seed 3: ${rows(3L)}")
+    // seed 8: only 9 at d=1 -> 6; the other component contributes nothing
+    assert(rows(8L) == (6L, 1L), s"seed 8: ${rows(8L)}")
+  }
 }
