@@ -2714,6 +2714,23 @@ object SparkEntry {
           col("user_id"), col("ts"), frameDays = 3, frames = 10)
         .orderBy(col("user_id"))),
 
+    // ---- deterministic grid-DBSCAN over per-user activity points
+    // (x = events, y = active days): density modes + outliers, Chebyshev
+    // eps=1, minPts=10. Grid-blocked candidate join (cell side = eps, 3x3
+    // probe — never all-pairs), clusters = CC of the core-core adjacency
+    // (min-label ⇒ cluster id = min core id), border points join the
+    // MINIMUM neighbor component so the classic order-dependent border
+    // assignment becomes a pure function of the data and hash-gates ----
+    "q332_grid_dbscan" -> ((s, dir) => {
+      val pts = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("x"), countDistinct(to_date(col("ts"))).as("y"))
+      graft.ops.Clustering.gridDbscan(
+          pts.select(col("user_id"), col("x"), col("y")), eps = 1L, minPts = 10L)
+        .withColumnRenamed("id", "user_id")
+        .orderBy(col("user_id"))
+    }),
+
     // ---- bounded-hop HARMONIC centrality (exact LCM-scaled integers) over
     // the co-supply graph, same 50-part seed panel as q150: Σ 6/d for
     // d(s,v) ≤ 3 — the disconnected-graph-safe closeness, truncated so it
@@ -8618,6 +8635,43 @@ object SparkEntry {
     "q314_wl_colors" -> wlOracleSql(rounds = 3),
     "q317_greedy_matching" -> matchingOracleSql(rounds = 24),
     "q330_dtw_drift" -> dtwOracleSql(frameDays = 3, frames = 10),
+    "q332_grid_dbscan" ->
+      """WITH RECURSIVE
+        |pts AS MATERIALIZED (
+        |  SELECT user_id AS id, COUNT(*) AS x, COUNT(DISTINCT CAST(ts AS DATE)) AS y
+        |  FROM events GROUP BY user_id),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.id AS ida, b.id AS idb
+        |  FROM pts a JOIN pts b ON b.id <> a.id
+        |    AND abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1),
+        |ncnt AS MATERIALIZED (
+        |  SELECT p.id, 1 + COALESCE(c.n, 0) AS n
+        |  FROM pts p LEFT JOIN (SELECT ida, COUNT(*) AS n FROM pairs GROUP BY ida) c
+        |    ON p.id = c.ida),
+        |core AS MATERIALIZED (SELECT id FROM ncnt WHERE n >= 10),
+        |edges AS MATERIALIZED (
+        |  SELECT ida, idb FROM pairs
+        |  WHERE ida < idb AND ida IN (SELECT id FROM core) AND idb IN (SELECT id FROM core)),
+        |sym AS MATERIALIZED (
+        |  SELECT ida AS src, idb AS dst FROM edges UNION ALL SELECT idb, ida FROM edges),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM core
+        |  UNION
+        |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+        |comp AS MATERIALIZED (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a),
+        |border AS MATERIALIZED (
+        |  SELECT p.ida AS id, MIN(c.component) AS cluster
+        |  FROM pairs p JOIN comp c ON p.idb = c.id
+        |  WHERE p.ida NOT IN (SELECT id FROM core)
+        |  GROUP BY p.ida)
+        |SELECT p.id AS user_id, p.x, p.y,
+        |  CASE WHEN cm.id IS NOT NULL THEN 'core'
+        |       WHEN b.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+        |  COALESCE(cm.component, b.cluster) AS cluster
+        |FROM pts p
+        |LEFT JOIN comp cm ON p.id = cm.id
+        |LEFT JOIN border b ON p.id = b.id
+        |ORDER BY user_id""".stripMargin,
     "q331_harmonic_centrality" ->
       """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
