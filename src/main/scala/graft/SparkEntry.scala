@@ -2731,6 +2731,14 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ---- graph diameter lower bound by double-sweep BFS: start at the
+    // md5-min node, BFS, re-BFS from the farthest node (md5 tie-break) —
+    // exact on trees, empirically tight generally, two BFS runs instead of
+    // all-pairs O(n*m). Every choice is md5-priority (§8.7#12) so the full
+    // trajectory gates against a rounds-unrolled BFS oracle ----
+    "q333_diameter_sweep" -> ((s, dir) =>
+      Graph.diameterSweep(coSupplyEdges(s, dir), maxRounds = 12)),
+
     // ---- bounded-hop HARMONIC centrality (exact LCM-scaled integers) over
     // the co-supply graph, same 50-part seed panel as q150: Σ 6/d for
     // d(s,v) ≤ 3 — the disconnected-graph-safe closeness, truncated so it
@@ -7680,6 +7688,53 @@ object SparkEntry {
       s"\nSELECT u AS part_a, v AS part_b, round FROM ($unions) ORDER BY part_a"
   }
 
+  /** q333's oracle, generated: md5-min start node, `rounds`-unrolled
+    * min-dist BFS (extra rounds past the eccentricity are identity, the
+    * q307 unroll-invariance device), farthest node with md5 tie-break,
+    * second unrolled BFS — the double-sweep trajectory cell-for-cell.
+    */
+  private def diameterOracleSql(rounds: Int): String = {
+    val head =
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |sym AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v AS src, u AS dst FROM e0),
+        |s1 AS MATERIALIZED (
+        |  SELECT node FROM (SELECT DISTINCT src AS node FROM sym) n
+        |  ORDER BY md5('dia:' || CAST(node AS VARCHAR)) LIMIT 1),
+        |a0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM s1)""".stripMargin
+    def bfs(pre: String, i: Int) =
+      s"""$pre$i AS MATERIALIZED (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM $pre${i - 1}
+         |    UNION ALL SELECT s.dst, p.dist + 1 FROM $pre${i - 1} p JOIN sym s ON p.node = s.src) x
+         |  GROUP BY node)""".stripMargin
+    val sweep1 = (1 to rounds).map(bfs("a", _))
+    val mid =
+      s"""e1 AS MATERIALIZED (SELECT MAX(dist) AS ecc FROM a$rounds),
+         |s2 AS MATERIALIZED (
+         |  SELECT node FROM a$rounds, e1 WHERE dist = ecc
+         |  ORDER BY md5('dia:' || CAST(node AS VARCHAR)) LIMIT 1),
+         |b0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM s2)""".stripMargin
+    val sweep2 = (1 to rounds).map(bfs("b", _))
+    val tail =
+      s"""e2 AS MATERIALIZED (SELECT MAX(dist) AS ecc FROM b$rounds),
+         |tn AS MATERIALIZED (
+         |  SELECT node FROM b$rounds, e2 WHERE dist = ecc
+         |  ORDER BY md5('dia:' || CAST(node AS VARCHAR)) LIMIT 1)
+         |SELECT (SELECT node FROM s1) AS start_node,
+         |  (SELECT ecc FROM e1) AS ecc_start,
+         |  (SELECT node FROM s2) AS peripheral_node,
+         |  (SELECT ecc FROM e2) AS diameter_lb,
+         |  (SELECT node FROM tn) AS far_node,
+         |  (SELECT COUNT(*) FROM b$rounds) AS n_reached""".stripMargin
+    (Seq(head) ++ sweep1 ++ Seq(mid) ++ sweep2).mkString(",\n") + ",\n" + tail
+  }
+
   private def corenessOracleSql(rounds: Int): String = {
     val head =
       """WITH li AS MATERIALIZED (
@@ -8672,6 +8727,7 @@ object SparkEntry {
         |LEFT JOIN comp cm ON p.id = cm.id
         |LEFT JOIN border b ON p.id = b.id
         |ORDER BY user_id""".stripMargin,
+    "q333_diameter_sweep" -> diameterOracleSql(rounds = 8),
     "q331_harmonic_centrality" ->
       """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -1117,4 +1117,49 @@ object Graph {
   }
 
   private def gcd(a: Long, b: Long): Long = if (b == 0L) a else gcd(b, a % b)
+
+  /** Graph diameter LOWER BOUND by the classic double-sweep (Magnien,
+    * Latapy & Habib 2009): BFS from a start node, then BFS again from the
+    * farthest node found — the second eccentricity is a lower bound that
+    * is exact on trees and empirically tight on real graphs, at the cost
+    * of TWO BFS runs instead of the all-pairs O(n·m) exact diameter. Both
+    * "pick a node" steps use the md5-string-priority device (§8.7#12):
+    * the start is the node with the MINIMUM md5('dia:'||id) (uniform
+    * enough, and a pure function of the data), and the farthest-node
+    * tie-break is the same md5 minimum among the argmax-distance set — so
+    * the whole trajectory (start, both eccentricities, the peripheral
+    * pair) hash-gates against an unrolled-BFS oracle. BFS = [[
+    * shortestPathsInt]] with unit weights (min-plus relaxation, measured-
+    * broadcast frontier, refusal past maxRounds). The four driver-side
+    * reads are single-row aggregates (start id, eccentricity ×2, argmax) —
+    * the same bounded control-flow collects the convergence witnesses use.
+    * Disconnected graphs: the sweep covers the start node's component
+    * (n_reached reports its size); diameter of the whole graph is then
+    * per-component by construction. Output (one row): (start_node,
+    * ecc_start, peripheral_node, diameter_lb, far_node, n_reached).
+    */
+  def diameterSweep(edges: DataFrame, maxRounds: Int = 12): DataFrame = {
+    val Seq(uName, vName) = edges.columns.take(2).toSeq
+    val unit = edges.select(col(uName).as("u"), col(vName).as("v"), lit(1L).as("w"))
+    val nodes = unit.select(col("u").as("node"))
+      .unionAll(unit.select(col("v").as("node"))).distinct()
+    def prio(c: org.apache.spark.sql.Column) =
+      md5(concat(lit("dia:"), c.cast("string")))
+    val sess = edges.sparkSession
+    import sess.implicits._
+    val start = nodes.agg(min_by(col("node"), prio(col("node")))).as[Long].head()
+    def sweep(seed: Long): (DataFrame, Long, Long) = {
+      val d = shortestPathsInt(unit, Seq(seed).toDF("node"), maxRounds)
+      val ecc = d.agg(max(col("dist"))).as[Long].head()
+      val far = d.filter(col("dist") === ecc)
+        .agg(min_by(col("node"), prio(col("node")))).as[Long].head()
+      (d, ecc, far)
+    }
+    val (_, ecc1, s2) = sweep(start)
+    val (d2, ecc2, t) = sweep(s2)
+    val nReached = d2.count()
+    Seq((start, ecc1, s2, ecc2, t, nReached)).toDF(
+      "start_node", "ecc_start", "peripheral_node", "diameter_lb",
+      "far_node", "n_reached")
+  }
 }

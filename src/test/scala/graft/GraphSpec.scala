@@ -379,4 +379,22 @@ class GraphSpec extends SparkTestBase {
     // seed 8: only 9 at d=1 -> 6; the other component contributes nothing
     assert(rows(8L) == (6L, 1L), s"seed 8: ${rows(8L)}")
   }
+
+  test("diameterSweep: exact on a path, tight on a star, deterministic") {
+    import spark.implicits._
+    // path 1-2-3-4-5: double sweep is EXACT on trees -> diameter 4
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val r = Graph.diameterSweep(path).head()
+    assert(r.getLong(3) == 4L, s"path diameter_lb: $r")
+    assert(r.getLong(5) == 5L, s"path n_reached: $r")
+    // the second sweep starts at an endpoint (1 or 5) and ends at the other
+    assert(Set(1L, 5L).contains(r.getLong(2)) && Set(1L, 5L).contains(r.getLong(4)))
+    // star: center 10, leaves 11..15 -> diameter 2 (leaf to leaf)
+    val star = (11L to 15L).map((10L, _)).toDF("u", "v")
+    val rs = Graph.diameterSweep(star).head()
+    assert(rs.getLong(3) == 2L && rs.getLong(5) == 6L, s"star: $rs")
+    // replay: identical trajectory
+    val again = Graph.diameterSweep(path).head()
+    assert(r.toSeq == again.toSeq)
+  }
 }
