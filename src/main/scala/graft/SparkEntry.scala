@@ -2739,6 +2739,22 @@ object SparkEntry {
     "q333_diameter_sweep" -> ((s, dir) =>
       Graph.diameterSweep(coSupplyEdges(s, dir), maxRounds = 12)),
 
+    // ---- personalized-PageRank seed expansion (exact scaled integers):
+    // all teleport mass returns to the q150 seed panel, 5 fixed
+    // iterations — the corpus-curation primitive (start from known-good
+    // seeds, harvest where the walk concentrates mass). Gates against the
+    // q103 oracle chain with a seed-masked teleport term ----
+    "q334_ppr_seed_expansion" -> ((s, dir) => {
+      val e = coSupplyEdges(s, dir)
+      val seeds = e.select(col("u").as("seed"))
+        .unionAll(e.select(col("v").as("seed")))
+        .distinct().filter(col("seed") < 50)
+      Graph.personalizedPageRankInt(e, seeds, iters = 5)
+        .withColumnRenamed("node", "p_partkey")
+        .withColumnRenamed("rank", "ppr")
+        .orderBy(col("p_partkey"))
+    }),
+
     // ---- bounded-hop HARMONIC centrality (exact LCM-scaled integers) over
     // the co-supply graph, same 50-part seed panel as q150: Σ 6/d for
     // d(s,v) ≤ 3 — the disconnected-graph-safe closeness, truncated so it
@@ -7831,6 +7847,42 @@ object SparkEntry {
     head + its + s"\nSELECT node AS p_partkey, rank FROM it$iters ORDER BY p_partkey"
   }
 
+  /** q334's oracle, generated: the q103 PageRank chain with the teleport
+    * term masked to the seed set (src < 50) and r0 mass concentrated there —
+    * the personalized variant, exact integer floors cell-for-cell.
+    */
+  private def pprOracleSql(iters: Int): String = {
+    val head =
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |sym AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v AS src, u AS dst FROM edges),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+        |params AS (SELECT COUNT(*)::BIGINT AS ns FROM deg WHERE src < 50),
+        |r0 AS (
+        |  SELECT d.src AS node,
+        |    (CASE WHEN d.src < 50 THEN 1000000000000 // ns ELSE 0 END)::BIGINT AS rank
+        |  FROM deg d, params)""".stripMargin
+    val its = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"it${i - 1}"
+      s""",
+         |it$i AS (
+         |  SELECT d.src AS node,
+         |    ((CASE WHEN d.src < 50 THEN (3 * 1000000000000) // (20 * p.ns) ELSE 0 END)
+         |     + ((17 * COALESCE(m.in_mass, 0)) // 20))::BIGINT AS rank
+         |  FROM deg d CROSS JOIN params p
+         |  LEFT JOIN (
+         |    SELECT s.dst, SUM(r.rank // dg.deg) AS in_mass
+         |    FROM $prev r JOIN deg dg ON r.node = dg.src JOIN sym s ON s.src = r.node
+         |    GROUP BY s.dst) m ON m.dst = d.src)""".stripMargin
+    }.mkString
+    head + its +
+      s"\nSELECT node AS p_partkey, rank AS ppr FROM it$iters WHERE rank > 0 ORDER BY p_partkey"
+  }
+
   /** q218's oracle, generated: the q103 PageRank CTE chain re-used (same
     * head/iterations, different tail) — ranks by (score, node) via
     * ROW_NUMBER on both the PageRank scores and the symmetric degrees, then
@@ -8728,6 +8780,7 @@ object SparkEntry {
         |LEFT JOIN border b ON p.id = b.id
         |ORDER BY user_id""".stripMargin,
     "q333_diameter_sweep" -> diameterOracleSql(rounds = 8),
+    "q334_ppr_seed_expansion" -> pprOracleSql(iters = 5),
     "q331_harmonic_centrality" ->
       """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

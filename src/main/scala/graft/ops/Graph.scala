@@ -170,6 +170,70 @@ object Graph {
     rank
   }
 
+  /** PERSONALIZED PageRank from a seed set, in the same scaled-integer
+    * arithmetic as [[pageRankIntFixed]] — the seed-expansion primitive of
+    * corpus curation (Gopher/DSIR-style: start from known-good domains or
+    * documents, walk the link/similarity graph, harvest what the walk
+    * concentrates mass on). Identical recurrence, except ALL teleport mass
+    * returns to the seeds:
+    *
+    *   r⁰(v)   = ⌊scale / |S|⌋ · [v ∈ S]
+    *   rᵏ⁺¹(v) = ⌊(dampDen−dampNum)·scale / (dampDen·|S|)⌋ · [v ∈ S]
+    *           + ⌊dampNum · Σ_{u→v} ⌊rᵏ(u)/deg(u)⌋ / dampDen⌋
+    *
+    * Exact integer floors end to end, so the result hash-gates against an
+    * iters-unrolled oracle like the global variant. Fixed iteration count;
+    * nodes with zero mass after the last round are dropped (they are
+    * exactly the nodes the truncated walk cannot reach). One shuffle per
+    * iteration (contributions groupBy dst) — the seed membership flag
+    * rides the degree table, no extra join.
+    */
+  def personalizedPageRankInt(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int = 5,
+      scale: Long = 1000000000000L,
+      dampNum: Long = 17,
+      dampDen: Long = 20
+  ): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50]: $iters")
+    require(dampNum > 0 && dampNum < dampDen, s"damping must be in (0,1): $dampNum/$dampDen")
+    val Seq(uName, vName) = edges.columns.take(2).toSeq
+    val sym = edges
+      .filter(col(uName).isNotNull && col(vName).isNotNull && col(uName) =!= col(vName))
+      .select(least(col(uName), col(vName)).as("u"), greatest(col(uName), col(vName)).as("v"))
+      .distinct()
+      .select(explode(array(struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+      .localCheckpoint()
+    val seedCol = seeds.columns.head
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .join(seeds.select(col(seedCol).as("src")).distinct()
+        .withColumn("is_seed", lit(true)), Seq("src"), "left")
+      .select(col("src"), col("deg"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint()
+    val nSeeds = deg.filter(col("is_seed")).count()
+    require(nSeeds > 0, "personalizedPageRankInt needs at least one seed present in the graph")
+    val teleport = ((dampDen - dampNum) * scale) / (dampDen * nSeeds)
+    var rank = deg.select(col("src").as("node"),
+      when(col("is_seed"), lit(scale / nSeeds)).otherwise(lit(0L)).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = rank
+        .join(deg.select(col("src"), col("deg")), rank("node") === col("src"))
+        .select(col("src"), expr("rank div deg").as("c"))
+        .join(sym, "src")
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      rank = deg.select(col("src").as("node"), col("is_seed"))
+        .join(contribs.withColumnsRenamed(Map("dst" -> "node")), Seq("node"), "left")
+        .withColumn("__pr_in", coalesce(col("in_mass"), lit(0L)))
+        .select(col("node"),
+          (when(col("is_seed"), lit(teleport)).otherwise(lit(0L))
+            + expr(s"($dampNum * __pr_in) div $dampDen")).as("rank"))
+    }
+    rank.filter(col("rank") > 0L)
+  }
+
   /** Per-node triangle participation counts by DEGREE-ORDERED ORIENTATION
     * (the compact-forward / node-iterator+ algorithm, Schank & Wagner 2005):
     * orient every undirected edge from its (degree, id)-smaller endpoint to

@@ -380,6 +380,25 @@ class GraphSpec extends SparkTestBase {
     assert(rows(8L) == (6L, 1L), s"seed 8: ${rows(8L)}")
   }
 
+  test("personalizedPageRankInt: exact integer trajectory on a path from one seed") {
+    import spark.implicits._
+    // path 1-2-3, seed {1}, 2 iterations, default scale/damping (17/20)
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val got = Graph.personalizedPageRankInt(e, Seq(1L).toDF("seed"), iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // teleport = 3e12/20 = 1.5e11 (seed only)
+    // it1: r(1) = 1.5e11; r(2) = (17 * 1e12) div 20 = 8.5e11; r(3) = 0
+    // it2: in(1) = 8.5e11 div 2 = 4.25e11 -> r(1) = 1.5e11 + (17*4.25e11) div 20
+    //      in(2) = 1.5e11             -> r(2) = (17*1.5e11) div 20
+    //      in(3) = 4.25e11            -> r(3) = (17*4.25e11) div 20
+    assert(got == Map(
+      1L -> 511250000000L, 2L -> 127500000000L, 3L -> 361250000000L), s"$got")
+    // a seed absent from the graph is refused
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRankInt(e, Seq(99L).toDF("seed"), iters = 1)
+    }
+  }
+
   test("diameterSweep: exact on a path, tight on a star, deterministic") {
     import spark.implicits._
     // path 1-2-3-4-5: double sweep is EXACT on trees -> diameter 4
