@@ -2739,6 +2739,16 @@ object SparkEntry {
     "q333_diameter_sweep" -> ((s, dir) =>
       Graph.diameterSweep(coSupplyEdges(s, dir), maxRounds = 12)),
 
+    // ---- k-truss membership (k=5) over the co-supply graph: iteratively
+    // peel edges with < k-2 triangles of support until stable — the
+    // edge-grained cohesive-subgraph extractor that is immune to k-core's
+    // star-spammer failure mode. Edge set only shrinks, so extra oracle
+    // rounds are identity; refusal past maxRounds (the kCore contract) ----
+    "q335_ktruss" -> ((s, dir) =>
+      Graph.kTruss(coSupplyEdges(s, dir), k = 5, maxRounds = 12)
+        .withColumnRenamed("u", "part_a").withColumnRenamed("v", "part_b")
+        .orderBy(col("part_a"), col("part_b"))),
+
     // ---- personalized-PageRank seed expansion (exact scaled integers):
     // all teleport mass returns to the q150 seed panel, 5 fixed
     // iterations — the corpus-curation primitive (start from known-good
@@ -7847,6 +7857,51 @@ object SparkEntry {
     head + its + s"\nSELECT node AS p_partkey, rank FROM it$iters ORDER BY p_partkey"
   }
 
+  /** q335's oracle, generated: `rounds`-unrolled support-peel. Each round
+    * recomputes per-edge triangle support on the previous round's edge set
+    * (the q100 orientation device, credited to all three edges) and keeps
+    * support ≥ k−2; the edge set only shrinks, so rounds past the measured
+    * fixpoint (≤5 on the test graphs) are identity. Final SELECT
+    * recomputes support on the converged set — matching the operator's
+    * output contract (u, v, in-truss support).
+    */
+  private def kTrussOracleSql(k: Int, rounds: Int): String = {
+    val head =
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""".stripMargin
+    def supCte(src: String, name: String) =
+      s"""$name AS MATERIALIZED (
+         |  WITH deg AS (SELECT node, count(*) AS d
+         |    FROM (SELECT u AS node FROM $src UNION ALL SELECT v FROM $src) GROUP BY node),
+         |  ori AS (
+         |    SELECT CASE WHEN (du.d, x.u) < (dv.d, x.v) THEN x.u ELSE x.v END AS src,
+         |           CASE WHEN (du.d, x.u) < (dv.d, x.v) THEN x.v ELSE x.u END AS dst,
+         |           CASE WHEN (du.d, x.u) < (dv.d, x.v) THEN dv.d ELSE du.d END AS dst_d
+         |    FROM $src x JOIN deg du ON x.u = du.node JOIN deg dv ON x.v = dv.node),
+         |  tri AS (
+         |    SELECT t1.src AS a, t1.dst AS b, t2.dst AS c
+         |    FROM ori t1
+         |    JOIN ori t2 ON t1.src = t2.src AND (t1.dst_d, t1.dst) < (t2.dst_d, t2.dst)
+         |    JOIN ori t3 ON t3.src = t1.dst AND t3.dst = t2.dst)
+         |  SELECT LEAST(a,b) AS u, GREATEST(a,b) AS v, COUNT(*) AS s FROM (
+         |    SELECT a, b FROM tri UNION ALL SELECT a, c FROM tri UNION ALL SELECT b, c FROM tri)
+         |    t(a,b) GROUP BY 1, 2)""".stripMargin
+    val rounds_ = (1 to rounds).flatMap { i =>
+      Seq(supCte(s"e${i - 1}", s"s$i"),
+        s"""e$i AS MATERIALIZED (
+           |  SELECT e.u, e.v FROM e${i - 1} e
+           |  JOIN s$i ON e.u = s$i.u AND e.v = s$i.v WHERE s$i.s >= ${k - 2})""".stripMargin)
+    }
+    (Seq(head) ++ rounds_ ++ Seq(supCte(s"e$rounds", "sfin"))).mkString(",\n") +
+      s"""\nSELECT e.u AS part_a, e.v AS part_b, sfin.s AS support
+         |FROM e$rounds e JOIN sfin ON e.u = sfin.u AND e.v = sfin.v
+         |ORDER BY part_a, part_b""".stripMargin
+  }
+
   /** q334's oracle, generated: the q103 PageRank chain with the teleport
     * term masked to the seed set (src < 50) and r0 mass concentrated there —
     * the personalized variant, exact integer floors cell-for-cell.
@@ -8781,6 +8836,7 @@ object SparkEntry {
         |ORDER BY user_id""".stripMargin,
     "q333_diameter_sweep" -> diameterOracleSql(rounds = 8),
     "q334_ppr_seed_expansion" -> pprOracleSql(iters = 5),
+    "q335_ktruss" -> kTrussOracleSql(k = 5, rounds = 7),
     "q331_harmonic_centrality" ->
       """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

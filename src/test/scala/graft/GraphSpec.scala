@@ -380,6 +380,27 @@ class GraphSpec extends SparkTestBase {
     assert(rows(8L) == (6L, 1L), s"seed 8: ${rows(8L)}")
   }
 
+  test("kTruss: K4 survives at k=4, pendants drop at k=3, shared-edge cascade empties") {
+    import spark.implicits._
+    // K4: every edge sits in exactly 2 triangles -> the whole graph is a
+    // 4-truss, all 6 edges survive with support 2
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    val got4 = Graph.kTruss(k4, k = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got4.size == 6 && got4.values.forall(_ == 2L), s"$got4")
+    // triangle 1-2-3 with pendant 3-9: k=3 keeps the triangle (support 1
+    // each), drops the pendant (support 0)
+    val tp = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 9L)).toDF("u", "v")
+    val got3 = Graph.kTruss(tp, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got3 == Set((1L, 2L), (2L, 3L), (1L, 3L)), s"$got3")
+    // two triangles sharing edge 2-3: at k=4 the four rim edges (support 1)
+    // peel in round 1, then the shared edge (now support 0) peels in round
+    // 2 — the cascade must run to the EMPTY fixpoint, not stop mid-peel
+    val two = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    assert(Graph.kTruss(two, k = 4).count() == 0)
+  }
+
   test("personalizedPageRankInt: exact integer trajectory on a path from one seed") {
     import spark.implicits._
     // path 1-2-3, seed {1}, 2 iterations, default scale/damping (17/20)
