@@ -2739,6 +2739,31 @@ object SparkEntry {
     "q333_diameter_sweep" -> ((s, dir) =>
       Graph.diameterSweep(coSupplyEdges(s, dir), maxRounds = 12)),
 
+    // ---- STREAMING LogLog distinct sketch (q329's audit made
+    // incremental): per event_type, a transformWithState MapState holds
+    // the 1024 max-rho registers — ~8 KB of RocksDB state per key no
+    // matter how many billion users pass — and the post-batch summary
+    // joins the batch exact count for the estimate audit. Max-folds are
+    // idempotent+commutative, so the sketch is arrival-order invariant
+    // and gates under the single-batch device ----
+    "q336_stream_loglog" -> ((s, dir) => {
+      val sketch = graft.streaming.StreamOps.streamingLogLog(s, Tables.eventsStream(s, dir))
+      val exact = t(s, dir, "events").groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      exact.join(sketch, Seq("event_type"))
+        .withColumn("sum_scaled",
+          col("sum_hit") + (lit(1024L) - col("m_hit")) * lit(33554432L))
+        .withColumn("est", expr(
+          "0.7213e0 / (1.0e0 + 1.079e0 / 1024.0e0) * 1048576.0e0 * 33554432.0e0" +
+            " / CAST(sum_scaled AS DOUBLE)"))
+        .withColumn("rel_err",
+          (col("est") - col("exact_distinct").cast("double")) /
+            col("exact_distinct").cast("double"))
+        .select(col("event_type"), col("exact_distinct"), col("m_hit"),
+          col("sum_scaled"), col("est"), col("rel_err"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- k-truss membership (k=5) over the co-supply graph: iteratively
     // peel edges with < k-2 triangles of support until stable — the
     // edge-grained cohesive-subgraph extractor that is immune to k-core's
@@ -8837,6 +8862,34 @@ object SparkEntry {
     "q333_diameter_sweep" -> diameterOracleSql(rounds = 8),
     "q334_ppr_seed_expansion" -> pprOracleSql(iters = 5),
     "q335_ktruss" -> kTrussOracleSql(k = 5, rounds = 7),
+    "q336_stream_loglog" ->
+      """WITH keys AS (SELECT DISTINCT event_type, user_id FROM events),
+        |h AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM keys),
+        |reg AS (
+        |  SELECT event_type, h // 4194304 AS b,
+        |    CASE WHEN h % 4194304 = 0 THEN 23
+        |      ELSE instr(lpad(bin(h % 4194304), 22, '0'), '1') END AS rho
+        |  FROM h),
+        |mx AS (SELECT event_type, b, MAX(rho) AS mrho FROM reg GROUP BY 1, 2),
+        |sums AS (
+        |  SELECT event_type, COUNT(*) AS m_hit,
+        |    CAST(SUM(CAST(1 AS BIGINT) << (25 - mrho)) AS BIGINT) AS sum_hit
+        |  FROM mx GROUP BY event_type),
+        |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+        |  FROM events GROUP BY event_type)
+        |SELECT ex.event_type, ex.exact_distinct, sums.m_hit,
+        |  sums.sum_hit + (1024 - sums.m_hit) * 33554432 AS sum_scaled,
+        |  0.7213e0 / (1.0e0 + 1.079e0 / 1024.0e0) * 1048576.0e0 * 33554432.0e0
+        |    / CAST(sums.sum_hit + (1024 - sums.m_hit) * 33554432 AS DOUBLE) AS est,
+        |  (0.7213e0 / (1.0e0 + 1.079e0 / 1024.0e0) * 1048576.0e0 * 33554432.0e0
+        |    / CAST(sums.sum_hit + (1024 - sums.m_hit) * 33554432 AS DOUBLE)
+        |    - CAST(ex.exact_distinct AS DOUBLE)) / CAST(ex.exact_distinct AS DOUBLE)
+        |    AS rel_err
+        |FROM ex JOIN sums ON ex.event_type = sums.event_type
+        |ORDER BY ex.event_type""".stripMargin,
     "q331_harmonic_centrality" ->
       """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -781,6 +781,79 @@ object StreamOps {
     * of files and return the materialized result (memory sink) — the local
     * smoke harness for the streaming ops.
     */
+  final case class HllRow(event_type: String, b: Long, rho: Int)
+  final case class TypeSketch(event_type: String, m_hit: Long, sum_hit: Long)
+
+  /** Stateful-v2 processor behind [[streamingLogLog]]: one
+    * `MapState[bucket → max ρ]` per event_type — the INCREMENTAL form of
+    * the q329 LogLog distinct sketch. Register updates are max-folds
+    * (idempotent, commutative), so the post-batch sketch is independent of
+    * arrival order, duplication, and partitioning — the property that
+    * makes a STREAMING cardinality estimate batch-equivalence-gateable.
+    * Emits the per-key summary (touched-bucket count, Σ 2^(25−ρ_max))
+    * after each batch: state is ≤ 1024 registers per key — ~8 KB of
+    * RocksDB state per event_type no matter how many billion users pass
+    * through, which is the whole point of sketching the stream instead of
+    * retaining it.
+    */
+  private final class LogLogProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, HllRow, TypeSketch] {
+    import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues, TTLConfig}
+    @transient private var regs: MapState[Long, Int] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      regs = getHandle.getMapState[Long, Int](
+        "registers", org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaInt, TTLConfig.NONE)
+    override def handleInputRows(
+        key: String, rows: Iterator[HllRow], tv: TimerValues): Iterator[TypeSketch] = {
+      rows.foreach { r =>
+        val cur = if (regs.containsKey(r.b)) regs.getValue(r.b) else 0
+        if (r.rho > cur) regs.updateValue(r.b, r.rho)
+      }
+      var m = 0L
+      var sum = 0L
+      regs.keys().foreach { b =>
+        m += 1L
+        sum += 1L << (25 - regs.getValue(b))
+      }
+      Iterator.single(TypeSketch(key, m, sum))
+    }
+  }
+
+  /** Per-event-type streaming distinct-user LogLog sketch via
+    * `transformWithState` — see [[LogLogProcessor]]. The md5 bucket/ρ
+    * derivation (identical to the batch q329 audit: 32-bit md5 prefix,
+    * 2¹⁰ buckets, 22-bit ρ domain) runs as row expressions BEFORE the
+    * keyed state machine, so the processor only max-folds integers.
+    * RocksDB provider scoped + restored (stateful v2 refuses the default
+    * HDFS-backed store). With a single micro-batch every emitted summary
+    * is final — the single-batch gate device.
+    */
+  def streamingLogLog(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = events
+        .select(col("event_type"),
+          conv(substring(md5(concat(lit("hll:"),
+            col("user_id").cast("string"))), 1, 8), 16, 10).cast("long").as("h"))
+        .select(col("event_type"), expr("h DIV 4194304").as("b"),
+          pmod(col("h"), lit(4194304L)).as("w"))
+        .select(col("event_type"), col("b"),
+          when(col("w") === 0, lit(23))
+            .otherwise(expr("instr(lpad(bin(w), 22, '0'), '1')")).cast("int").as("rho"))
+        .as[HllRow]
+        .groupByKey(_.event_type)
+        .transformWithState(new LogLogProcessor, TimeMode.None(), OutputMode.Append())
+        .toDF()
+      runToMemory(spark, rows, "stream_loglog")
+    } finally spark.conf.set(key, prev)
+  }
+
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
                   mode: OutputMode = OutputMode.Append): DataFrame = {
     val q = stream.writeStream

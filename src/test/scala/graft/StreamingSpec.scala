@@ -267,6 +267,44 @@ class StreamingSpec extends SparkTestBase {
     assert(got.except(want).count() == 0 && want.except(got).count() == 0)
   }
 
+  test("streaming LogLog registers accumulate across micro-batches") {
+    // two parquet files + maxFilesPerTrigger=1 -> two micro-batches; the
+    // processor emits one sketch summary per (type, batch). Whatever the
+    // file order, the FINAL emission per type must equal the all-data batch
+    // twin (registers accumulated across batches), and no emission may
+    // exceed it (max-folds are monotone in the touched-bucket count).
+    val dir = java.nio.file.Files.createTempDirectory("graft-loglog").toString
+    val ev = Tables(spark, sf(), "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/f0.parquet")
+    ev.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$dir/f1.parquet")
+    val stream = spark.readStream.schema(StreamOps.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*.parquet")
+    val got = StreamOps.streamingLogLog(spark, stream)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+    // batch twin: the q329 register derivation per event_type
+    val twin = ev.select(col("event_type"),
+        conv(substring(md5(concat(lit("hll:"),
+          col("user_id").cast("string"))), 1, 8), 16, 10).cast("long").as("h"))
+      .select(col("event_type"), expr("h DIV 4194304").as("b"),
+        pmod(col("h"), lit(4194304L)).as("w"))
+      .withColumn("rho", when(col("w") === 0, lit(23))
+        .otherwise(expr("instr(lpad(bin(w), 22, '0'), '1')")).cast("int"))
+      .groupBy(col("event_type"), col("b")).agg(max(col("rho")).as("mrho"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("m"), sum(expr("CAST(shiftleft(1, 25 - mrho) AS BIGINT)")).as("s"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val byType = got.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(byType.keySet == twin.keySet)
+    for ((t, emissions) <- byType) {
+      assert(emissions.size == 2, s"$t: expected one emission per batch, got $emissions")
+      assert(emissions.contains(twin(t)),
+        s"$t: final sketch ${twin(t)} not among emissions $emissions")
+      assert(emissions.forall(_._1 <= twin(t)._1),
+        s"$t: an emission exceeds the all-data bucket count")
+    }
+  }
+
   test("transformWithState event-time timers: sessions match the batch sessionize gate") {
     val dir = eventsDir
     val stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
