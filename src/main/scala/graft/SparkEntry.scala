@@ -2739,6 +2739,15 @@ object SparkEntry {
     "q333_diameter_sweep" -> ((s, dir) =>
       Graph.diameterSweep(coSupplyEdges(s, dir), maxRounds = 12)),
 
+    // ---- rich-club coefficient at a degree-threshold panel: phi(k) =
+    // 2*E_k / (N_k*(N_k-1)) over nodes of degree > k — do the co-supply
+    // hubs preferentially wire to each other? Exact integer moments, one
+    // double division; the panel is a literal explode so the edge list is
+    // scanned once, not per threshold ----
+    "q337_rich_club" -> ((s, dir) =>
+      Graph.richClub(coSupplyEdges(s, dir), thresholds = Seq(8, 16, 32, 64, 96))
+        .orderBy(col("k"))),
+
     // ---- STREAMING LogLog distinct sketch (q329's audit made
     // incremental): per event_type, a transformWithState MapState holds
     // the 1024 max-rho registers — ~8 KB of RocksDB state per key no
@@ -8862,6 +8871,28 @@ object SparkEntry {
     "q333_diameter_sweep" -> diameterOracleSql(rounds = 8),
     "q334_ppr_seed_expansion" -> pprOracleSql(iters = 5),
     "q335_ktruss" -> kTrussOracleSql(k = 5, rounds = 7),
+    "q337_rich_club" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, COUNT(*) AS d
+        |  FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) GROUP BY node),
+        |wd AS (
+        |  SELECT LEAST(du.d, dv.d) AS min_d
+        |  FROM edges e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+        |ks AS (SELECT UNNEST([8, 16, 32, 64, 96]) AS k),
+        |nn AS (SELECT k, COUNT(*) AS n_nodes FROM ks JOIN deg ON d > k GROUP BY k),
+        |ne AS (SELECT k, COUNT(*) AS n_edges FROM ks JOIN wd ON min_d > k GROUP BY k)
+        |SELECT nn.k, nn.n_nodes, COALESCE(ne.n_edges, 0) AS n_edges,
+        |  CASE WHEN nn.n_nodes >= 2 THEN
+        |    CAST(2 * COALESCE(ne.n_edges, 0) AS DOUBLE)
+        |      / CAST(nn.n_nodes * (nn.n_nodes - 1) AS DOUBLE)
+        |  END AS phi
+        |FROM nn LEFT JOIN ne ON nn.k = ne.k
+        |ORDER BY nn.k""".stripMargin,
     "q336_stream_loglog" ->
       """WITH keys AS (SELECT DISTINCT event_type, user_id FROM events),
         |h AS (

@@ -170,6 +170,44 @@ object Graph {
     rank
   }
 
+  /** RICH-CLUB coefficient (Zhou & Mondragón 2004) at a panel of degree
+    * thresholds: φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k counts nodes of
+    * degree > k and E_k the edges with BOTH endpoints above — "do the hubs
+    * preferentially wire to each other?", the structural question behind
+    * hub-domination failure modes in similarity/link graphs. All moments
+    * exact integers (the q218/q302 discipline), ONE double division at the
+    * surface. Single pass: the degree table joins onto both edge
+    * endpoints once; each threshold then reads the same frame (the
+    * threshold panel is a literal explode — dictionary-sized, no per-k
+    * scan of the edge list). Output: (k, n_nodes, n_edges, phi) per
+    * threshold, rows with N_k < 2 reporting phi NULL (undefined, not 0).
+    */
+  def richClub(edges: DataFrame, thresholds: Seq[Int]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(_ >= 0), "thresholds must be >= 0")
+    val Seq(uName, vName) = edges.columns.take(2).toSeq
+    val e = edges.select(col(uName).as("u"), col(vName).as("v"))
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .select(least(col("du"), col("dv")).as("min_d"))
+    val ks = explode(array(thresholds.map(k => lit(k)): _*)).as("k")
+    val nNodes = deg.select(ks, col("d"))
+      .filter(col("d") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_nodes"))
+    val nEdges = withDeg.select(ks, col("min_d"))
+      .filter(col("min_d") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_edges"))
+    nNodes.join(nEdges, Seq("k"), "left")
+      .select(col("k"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        when(col("n_nodes") >= 2,
+          (lit(2L) * coalesce(col("n_edges"), lit(0L))).cast("double")
+            / (col("n_nodes") * (col("n_nodes") - 1L)).cast("double"))
+          .as("phi"))
+  }
+
   /** k-TRUSS decomposition membership (Cohen 2008): iteratively delete
     * every edge supported by fewer than k−2 triangles until stable — the
     * edge-grained cousin of [[kCore]], and the standard "cohesive

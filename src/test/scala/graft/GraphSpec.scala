@@ -380,6 +380,23 @@ class GraphSpec extends SparkTestBase {
     assert(rows(8L) == (6L, 1L), s"seed 8: ${rows(8L)}")
   }
 
+  test("richClub: exact phi on a hub clique with pendant leaves") {
+    import spark.implicits._
+    // triangle of hubs 1-2-3, each hub with 2 pendant leaves -> hub degree
+    // 4, leaf degree 1. At k=1: N=3 hubs, E=3 hub-hub edges, phi = 6/6 = 1
+    // (a perfect rich club); at k=0: N=9, E=9, phi = 18/72 = 0.25
+    val hubs = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val leaves = for { h <- 1L to 3L; i <- 0L to 1L } yield (h, 10L * h + i)
+    val e = (hubs ++ leaves).toDF("u", "v")
+    val got = Graph.richClub(e, thresholds = Seq(0, 1, 4))
+      .collect().map(r => (r.getInt(0),
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+    assert(got(0) == (9L, 9L, 0.25), s"k=0: ${got(0)}")
+    assert(got(1) == (3L, 3L, 1.0), s"k=1: ${got(1)}")
+    // k=4: no node has degree > 4 -> the threshold row vanishes entirely
+    assert(!got.contains(4), s"$got")
+  }
+
   test("kTruss: K4 survives at k=4, pendants drop at k=3, shared-edge cascade empties") {
     import spark.implicits._
     // K4: every edge sits in exactly 2 triangles -> the whole graph is a
