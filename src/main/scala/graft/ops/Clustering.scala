@@ -86,11 +86,11 @@ object Clustering {
         .join(core.withColumnRenamed("id", "idb"), Seq("idb"), "left_semi")
         .select(col("ida"), col("idb"))
       // a spatial core graph is path-shaped, not clique-shaped: its diameter
-      // is O(coordinate-span / eps), not the 1-2 of near-dup cliques — so
-      // the label-propagation round bound must scale with the span, and at
-      // genuinely huge spans the right CC is the large-star/small-star
-      // (log-diameter) variant CC's doc already points to
-      val comp = Dedup.connectedComponents(core, coreEdges, maxIters = 128)
+      // is O(coordinate-span / eps), not the 1-2 of near-dup cliques. CC's
+      // path-halving (engages from round 3) makes convergence log-diameter,
+      // so 40 rounds covers spans to ~2^36 cells; the bound still scales
+      // with log(span), not 1
+      val comp = Dedup.connectedComponents(core, coreEdges, maxIters = 40)
         .select(col("id"), col("component"))
       val borderCluster = pairs
         .join(core.withColumnRenamed("id", "ida"), Seq("ida"), "left_anti")

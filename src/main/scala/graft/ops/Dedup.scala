@@ -683,11 +683,36 @@ object Dedup {
           .join(labels, sym("dst") === labels("id"))
           .select(col("src").as("id"), col("component"),
             lit(null).cast(compType).as("prev"))
-        val (next, nextIds) = ckpt(
+        var (next, nextIds) = ckpt(
           labels.select(col("id"), col("component"), col("component").as("prev"))
             .unionAll(nbr)
             .groupBy(col("id"))
             .agg(min(col("component")).as("component"), max(col("prev")).as("prev")))
+        // PATH-HALVING from round 3 on: component := label(component) — the
+        // Shiloach–Vishkin shortcut that turns diameter-bound convergence
+        // into log-diameter. Near-dup cliques (diameter 1–2) converge before
+        // this engages and keep the one-shuffle round; high-diameter graphs
+        // (grid/spatial adjacency: diameter = O(span), measured ~50 rounds
+        // for q332's core blob) compress their label chains instead of
+        // walking them one hop per round. Sound because a label is always
+        // an id INSIDE its component (own id initially; neighbor mins and
+        // chain hops stay inside), labels only decrease, and the fixpoint
+        // check below compares the post-shortcut table against the
+        // pre-round labels — changed==0 still certifies the min-neighbor
+        // fixpoint (the shortcut can only decrease further, so no-change
+        // subsumes it). The shortcut reads the CHECKPOINTED round twice
+        // (self-join) — a LogicalRDD, so no recompute and no plan doubling.
+        if (it >= 3) {
+          val parent = next.select(col("id").as("pid"), col("component").as("pcomp"))
+          val (halved, halvedIds) = ckpt(next
+            .join(parent, next("component") === col("pid"), "left")
+            .select(next("id"),
+              coalesce(col("pcomp"), next("component")).as("component"),
+              next("prev")))
+          free(nextIds)
+          next = halved
+          nextIds = halvedIds
+        }
         // null-safe inequality: an edge endpoint absent from `nodes` enters
         // via propagation with NULL prev — it must count as changed (plain
         // =!= is NULL there and would let the loop stop before its label
