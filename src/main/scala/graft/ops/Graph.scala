@@ -265,16 +265,25 @@ object Graph {
         greatest(col(uName), col(vName)).as("v"))
       .distinct())
     var nEdges = cur.count()
+    val supChain = new RoundChain(sess.sparkContext)
     withRoundConf(sess, nEdges) {
       var converged = false
       var it = 0
+      var lastSupport: DataFrame = null
       while (!converged && it < maxRounds) {
+        // checkpoint the round's support: the converged round's support
+        // frame IS the final answer (computed on an edge set the filter
+        // then leaves unchanged), so keeping it saves a whole extra
+        // triangle enumeration after the loop — the single most expensive
+        // stage of the operator
+        val sup = supChain.ckpt(support(cur))
         val next = chain.ckpt(cur
-          .join(support(cur).filter(col("support") >= k - 2), Seq("u", "v"), "left_semi"))
+          .join(sup.filter(col("support") >= k - 2), Seq("u", "v"), "left_semi"))
         val n = next.count()
         converged = n == nEdges
         cur = next
         nEdges = n
+        lastSupport = sup
         it += 1
       }
       if (!converged)
@@ -282,7 +291,8 @@ object Graph {
           s"kTruss(k=$k) did not converge in $maxRounds rounds — a " +
             "rounds-unrolled oracle at this bound would disagree; raise maxRounds")
       chain.keep()
-      cur.join(support(cur), Seq("u", "v"))
+      supChain.keep()
+      cur.join(lastSupport, Seq("u", "v"))
     }
   }
 
@@ -1319,25 +1329,58 @@ object Graph {
     * ecc_start, peripheral_node, diameter_lb, far_node, n_reached).
     */
   def diameterSweep(edges: DataFrame, maxRounds: Int = 12): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 32, s"maxRounds must be in [1,32]: $maxRounds")
     val Seq(uName, vName) = edges.columns.take(2).toSeq
-    val unit = edges.select(col(uName).as("u"), col(vName).as("v"), lit(1L).as("w"))
-    val nodes = unit.select(col("u").as("node"))
-      .unionAll(unit.select(col("v").as("node"))).distinct()
-    def prio(c: org.apache.spark.sql.Column) =
-      md5(concat(lit("dia:"), c.cast("string")))
     val sess = edges.sparkSession
     import sess.implicits._
-    val start = nodes.agg(min_by(col("node"), prio(col("node")))).as[Long].head()
-    def sweep(seed: Long): (DataFrame, Long, Long) = {
-      val d = shortestPathsInt(unit, Seq(seed).toDF("node"), maxRounds)
-      val ecc = d.agg(max(col("dist"))).as[Long].head()
-      val far = d.filter(col("dist") === ecc)
+    // ONE symmetric adjacency shared by both sweeps (calling
+    // shortestPathsInt twice would rebuild + re-checkpoint it per sweep —
+    // measured ~1.5 s of the operator's 8 s at sf0.1)
+    val adjChain = new RoundChain(sess.sparkContext)
+    val sym = adjChain.ckpt(edges
+      .select(col(uName).as("src"), col(vName).as("dst"))
+      .unionAll(edges.select(col(vName).as("src"), col(uName).as("dst"))))
+    val nEdges = sym.count()
+    def prio(c: org.apache.spark.sql.Column) =
+      md5(concat(lit("dia:"), c.cast("string")))
+    val start = sym.select(col("src").as("node")).distinct()
+      .agg(min_by(col("node"), prio(col("node")))).as[Long].head()
+    // unweighted BFS: a node's distance is final at first discovery, so
+    // convergence is just "no new nodes this round" — a count witness, no
+    // Σdist needed (min-plus generality is shortestPathsInt's job)
+    def sweep(seed: Long): (Long, Long, Long) = {
+      val chain = new RoundChain(sess.sparkContext)
+      var dist = chain.ckpt(Seq((seed, 0L)).toDF("node", "dist"))
+      var nReached = 1L
+      withRoundConf(sess, nEdges) {
+        var converged = false
+        var round = 0
+        while (!converged && round < maxRounds) {
+          val d = hinted(dist, nReached)
+          val next = chain.ckpt(dist.unionAll(
+              d.join(sym, d("node") === sym("src"))
+                .select(col("dst").as("node"), (col("dist") + 1L).as("dist")))
+            .groupBy(col("node")).agg(min(col("dist")).as("dist")))
+          val n = next.count()
+          converged = n == nReached
+          dist = next
+          nReached = n
+          round += 1
+        }
+        if (!converged)
+          throw new IllegalStateException(
+            s"diameterSweep BFS did not converge in $maxRounds rounds — " +
+              "an unrolled-rounds oracle at this bound would disagree; raise maxRounds")
+      }
+      val ecc = dist.agg(max(col("dist"))).as[Long].head()
+      val far = dist.filter(col("dist") === ecc)
         .agg(min_by(col("node"), prio(col("node")))).as[Long].head()
-      (d, ecc, far)
+      chain.free()
+      (ecc, far, nReached)
     }
-    val (_, ecc1, s2) = sweep(start)
-    val (d2, ecc2, t) = sweep(s2)
-    val nReached = d2.count()
+    val (ecc1, s2, _) = sweep(start)
+    val (ecc2, t, nReached) = sweep(s2)
+    adjChain.free()
     Seq((start, ecc1, s2, ecc2, t, nReached)).toDF(
       "start_node", "ecc_start", "peripheral_node", "diameter_lb",
       "far_node", "n_reached")
