@@ -2739,6 +2739,26 @@ object SparkEntry {
     "q333_diameter_sweep" -> ((s, dir) =>
       Graph.diameterSweep(coSupplyEdges(s, dir), maxRounds = 12)),
 
+    // ---- readability panel (Flesch–Kincaid grade with deterministic
+    // vowel-group syllables): words / sentence-terminator runs (floor 1 —
+    // the synthetic corpus is punctuation-free; real corpora aren't) /
+    // vowel-group count as the engine-neutral syllable proxy, then the FK
+    // affine form computed in ONE double expression shape on both engines.
+    // The standard doc-quality feature the Gopher panel (q255) lacks ----
+    "q338_readability" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long").as("n_words"),
+          size(expr("regexp_extract_all(text, '[aeiouy]+', 0)")).cast("long").as("n_syllables"),
+          greatest(lit(1L),
+            size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long")).as("n_sentences"))
+        .filter(col("n_words") > 0L)
+        .withColumn("fk_grade",
+          lit(0.39e0) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+            + lit(11.8e0) * (col("n_syllables").cast("double") / col("n_words").cast("double"))
+            - lit(15.59e0))
+        .orderBy(col("doc_id"))),
+
     // ---- rich-club coefficient at a degree-threshold panel: phi(k) =
     // 2*E_k / (N_k*(N_k-1)) over nodes of degree > k — do the co-supply
     // hubs preferentially wire to each other? Exact integer moments, one
@@ -8871,6 +8891,20 @@ object SparkEntry {
     "q333_diameter_sweep" -> diameterOracleSql(rounds = 8),
     "q334_ppr_seed_expansion" -> pprOracleSql(iters = 5),
     "q335_ktruss" -> kTrussOracleSql(k = 5, rounds = 7),
+    "q338_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[a-z]+')) AS n_words,
+        |    len(regexp_extract_all(text, '[aeiouy]+')) AS n_syllables,
+        |    GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_syllables AS BIGINT) AS n_syllables,
+        |  CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  0.39e0 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    + 11.8e0 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |    - 15.59e0 AS fk_grade
+        |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
     "q337_rich_club" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
