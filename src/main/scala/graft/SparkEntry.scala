@@ -2739,6 +2739,24 @@ object SparkEntry {
     "q333_diameter_sweep" -> ((s, dir) =>
       Graph.diameterSweep(coSupplyEdges(s, dir), maxRounds = 12)),
 
+    // ---- deterministic epoch shuffle: the reproducible-training-order
+    // primitive — every epoch's order is a pure function of (epoch,
+    // doc_id) via md5, and the global position comes from the BUCKETED
+    // rank machinery (range-bucket offsets + per-bucket row_number), not
+    // a single-reducer window — the 100 TB global sort shape. Re-running
+    // an epoch replays the identical order; different epochs decorrelate ----
+    "q339_epoch_shuffle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      Seq(0, 1).map { e =>
+        val hashed = docs.select(lit(e).as("epoch"), col("doc_id"),
+          conv(substring(md5(concat(lit(s"ep$e:"),
+            col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long").as("h"))
+        graft.ops.Relational.globalRank(hashed, "h", "doc_id", "pos")
+      }.reduce(_ unionAll _)
+        .select(col("epoch"), col("doc_id"), col("pos"))
+        .orderBy(col("epoch"), col("pos"))
+    }),
+
     // ---- readability panel (Flesch–Kincaid grade with deterministic
     // vowel-group syllables): words / sentence-terminator runs (floor 1 —
     // the synthetic corpus is punctuation-free; real corpora aren't) /
@@ -8891,6 +8909,16 @@ object SparkEntry {
     "q333_diameter_sweep" -> diameterOracleSql(rounds = 8),
     "q334_ppr_seed_expansion" -> pprOracleSql(iters = 5),
     "q335_ktruss" -> kTrussOracleSql(k = 5, rounds = 7),
+    "q339_epoch_shuffle" ->
+      """WITH e AS (SELECT UNNEST([0, 1]) AS epoch),
+        |h AS (
+        |  SELECT e.epoch, d.doc_id,
+        |    ('0x' || substr(md5('ep' || CAST(e.epoch AS VARCHAR) || ':'
+        |      || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM e, documents d)
+        |SELECT epoch, doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY epoch, pos""".stripMargin,
     "q338_readability" ->
       """WITH c AS (
         |  SELECT doc_id,
