@@ -2863,13 +2863,16 @@ object SparkEntry {
     // input size ----
     "q323_join_size_sketch" -> ((s, dir) => {
       val depth = 4; val width = 4096
+      // ONE md5 per key, the 4 hash rows sliced from its 32 hex chars
+      // (8 chars = 32 independent bits per row) — measured 2× over
+      // hashing per (row, key): the md5 is the whole cost of the build
       def buckets(df: DataFrame, keyCol: String): DataFrame = df
-        .select(col(keyCol).cast("long").as("k"))
-        .select(explode(sequence(lit(0), lit(depth - 1))).as("r"), col("k"))
-        .select(col("r"),
-          pmod(conv(substring(md5(concat_ws(":",
-            col("r").cast("string"), col("k").cast("string"))), 1, 8), 16, 10)
-            .cast("long"), lit(width)).as("b"))
+        .select(md5(concat(lit("cm:"), col(keyCol).cast("long").cast("string"))).as("h"))
+        .select(explode(array((0 until depth).map(r =>
+          struct(lit(r).as("r"),
+            pmod(conv(substring(col("h"), 1 + 8 * r, 8), 16, 10).cast("long"),
+              lit(width)).as("b"))): _*)).as("e"))
+        .select(col("e.r"), col("e.b"))
         .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
       val urgent = t(s, dir, "orders")
         .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
@@ -9179,12 +9182,12 @@ object SparkEntry {
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q323_join_size_sketch" ->
       """WITH a AS (
-        |  SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT % 4096 AS b,
+        |  SELECT r, ('0x' || substr(md5('cm:' || CAST(l_orderkey AS VARCHAR)), 1 + 8 * r, 8))::BIGINT % 4096 AS b,
         |    COUNT(*) AS c
         |  FROM lineitem, generate_series(0, 3) t(r) GROUP BY 1, 2),
         |u AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
         |bb AS (
-        |  SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 4096 AS b,
+        |  SELECT r, ('0x' || substr(md5('cm:' || CAST(o_orderkey AS VARCHAR)), 1 + 8 * r, 8))::BIGINT % 4096 AS b,
         |    COUNT(*) AS c
         |  FROM u, generate_series(0, 3) t(r) GROUP BY 1, 2),
         |ip AS (
