@@ -228,4 +228,83 @@ class RandomDifferentialSpec extends SparkTestBase {
       assert(got == brute, s"seed=$seed: extra=${got -- brute} missing=${brute -- got}")
     }
   }
+
+  test("gridDbscan ≡ in-memory reference DBSCAN across densities and parameters") {
+    import spark.implicits._
+    for ((n, span, eps, minPts, seed) <- Seq(
+      (60, 8, 1L, 4L, 11),    // dense blob: mostly core
+      (80, 40, 2L, 5L, 12),   // sparse: mixed roles
+      (50, 100, 3L, 3L, 13),  // very sparse: mostly noise
+      (70, 12, 1L, 20L, 14))) // minPts too high: all noise
+    {
+      val rnd = new scala.util.Random(seed)
+      val pts = (0 until n).map(i =>
+        (i.toLong, rnd.nextInt(span).toLong, rnd.nextInt(span).toLong))
+      // in-memory reference: direct definition, no grid, no CC machinery
+      val byId = pts.map(p => p._1 -> p).toMap
+      def cheb(a: (Long, Long, Long), b: (Long, Long, Long)) =
+        math.max(math.abs(a._2 - b._2), math.abs(a._3 - b._3))
+      val nbrs = pts.map(p =>
+        p._1 -> pts.filter(q => q._1 != p._1 && cheb(p, q) <= eps).map(_._1)).toMap
+      val core = pts.filter(p => nbrs(p._1).size + 1 >= minPts).map(_._1).toSet
+      // cluster = min core id reachable through core-core eps-adjacency
+      val comp = scala.collection.mutable.Map[Long, Long](core.map(c => c -> c).toSeq: _*)
+      var changed = true
+      while (changed) {
+        changed = false
+        for (c <- core; d <- nbrs(c) if core(d)) {
+          val m = math.min(comp(c), comp(d))
+          if (comp(c) != m) { comp(c) = m; changed = true }
+          if (comp(d) != m) { comp(d) = m; changed = true }
+        }
+      }
+      val want = pts.map { p =>
+        if (core(p._1)) (p._1, "core", comp(p._1))
+        else {
+          val coreNbrs = nbrs(p._1).filter(core)
+          if (coreNbrs.nonEmpty) (p._1, "border", coreNbrs.map(comp).min)
+          else (p._1, "noise", -1L)
+        }
+      }.toSet
+      val got = graft.ops.Clustering.gridDbscan(pts.toDF("id", "x", "y"), eps, minPts)
+        .collect().map(r => (r.getLong(0), r.getString(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+      assert(got == want,
+        s"seed=$seed eps=$eps minPts=$minPts: extra=${got -- want} missing=${want -- got}")
+    }
+  }
+
+  test("harmonicCentralityInt ≡ in-memory BFS reference across graph shapes") {
+    import spark.implicits._
+    for ((n, m, k, seed) <- Seq((30, 40, 3, 21), (50, 60, 2, 22), (40, 200, 4, 23))) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (0 until m).map { _ =>
+        val u = rnd.nextInt(n).toLong; val v = rnd.nextInt(n).toLong
+        (math.min(u, v), math.max(u, v))
+      }.filter(e => e._1 != e._2).distinct
+      val adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val lcm = (1 to k).foldLeft(1L)((a, b) => a / BigInt(a).gcd(b).toLong * b)
+      val nodes = adj.keySet
+      val seeds = nodes.filter(_ < 10)
+      val want = seeds.flatMap { s =>
+        // BFS to depth k
+        var dist = Map(s -> 0L)
+        var frontier = Set(s)
+        for (d <- 1 to k) {
+          val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+          dist ++= next.map(_ -> d.toLong)
+          frontier = next
+        }
+        val within = dist.filter(_._2 >= 1)
+        if (within.isEmpty) None
+        else Some((s, within.values.map(lcm / _).sum, within.size.toLong))
+      }
+      val got = graft.ops.Graph.harmonicCentralityInt(
+          edges.toDF("u", "v"), seeds.toSeq.toDF("seed"), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want.toSet,
+        s"seed=$seed k=$k: extra=${got -- want} missing=${want -- got}")
+    }
+  }
 }
