@@ -2739,6 +2739,32 @@ object SparkEntry {
     "q333_diameter_sweep" -> ((s, dir) =>
       Graph.diameterSweep(coSupplyEdges(s, dir), maxRounds = 12)),
 
+    // ---- block-mean image RESIZE over real BMP pixel decode (q261's
+    // byte contract: LE32 offset, bottom-up rows, padded stride): every
+    // 2x2 block of the synthetic 8x8 grayscale becomes one cell with
+    // EXACT pixel count + gray sum and one surface division — the
+    // thumbnail stage that feeds perceptual hashing at production sizes.
+    // The oracle regenerates pixels arithmetically; the byte round-trip
+    // (formula -> BMP bytes -> decode -> pool) is what the gate tests ----
+    "q340_media_resize" -> ((s, dir) => {
+      val header = "424d" + "f6000000" + "00000000" + "36000000" +
+        "28000000" + "08000000" + "08000000" + "0100" + "1800" + ("00" * 24)
+      val gen = t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("doc_id DIV 4").as("g"), expr("doc_id % 4").as("r"))
+        .withColumn("idx", expr("transform(sequence(0, 63), j -> (7 - (j DIV 8)) * 8 + (j % 8))"))
+        .withColumn("pix", expr(
+          "transform(idx, i -> CAST(pmod(g*37 + i*101 + i*i*13 + i*(g % 13)*29" +
+            " + IF(r > 0 AND i = 7*r + 3, 128, 0), 256) AS INT))"))
+        .withColumn("payload", unhex(concat(lit(header), expr(
+          "array_join(transform(pix, v -> concat(format_string('%02x', v)," +
+            " format_string('%02x', v), format_string('%02x', v))), '')"))))
+      Multimodal.blockMeanResize(gen.select(col("doc_id"), col("payload")), "payload", 2)
+        .select(col("doc_id"), col("cy"), col("cx"), col("n_px"),
+          col("sum_gray"), col("mean_gray"))
+        .orderBy(col("doc_id"), col("cy"), col("cx"))
+    }),
+
     // ---- deterministic epoch shuffle: the reproducible-training-order
     // primitive — every epoch's order is a pure function of (epoch,
     // doc_id) via md5, and the global position comes from the BUCKETED
@@ -8912,6 +8938,19 @@ object SparkEntry {
     "q333_diameter_sweep" -> diameterOracleSql(rounds = 8),
     "q334_ppr_seed_expansion" -> pprOracleSql(iters = 5),
     "q335_ktruss" -> kTrussOracleSql(k = 5, rounds = 7),
+    "q340_media_resize" ->
+      """WITH px AS (
+        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS r FROM documents),
+        |v AS (
+        |  SELECT doc_id, i,
+        |    (g*37 + i*101 + i*i*13 + i*(g % 13)*29
+        |      + CASE WHEN r > 0 AND i = 7*r + 3 THEN 128 ELSE 0 END) % 256 AS v
+        |  FROM px, LATERAL (SELECT unnest(range(0, 64)) AS i))
+        |SELECT doc_id,
+        |  CAST((i // 8) // 2 AS INT) AS cy, CAST((i % 8) // 2 AS INT) AS cx,
+        |  COUNT(*) AS n_px, CAST(SUM(v) AS BIGINT) AS sum_gray,
+        |  CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_gray
+        |FROM v GROUP BY 1, 2, 3 ORDER BY doc_id, cy, cx""".stripMargin,
     "q339_epoch_shuffle" ->
       """WITH e AS (SELECT UNNEST([0, 1]) AS epoch),
         |h AS (

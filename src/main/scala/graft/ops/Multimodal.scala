@@ -161,6 +161,75 @@ object Multimodal {
     }(enc)
   }
 
+  /** Block-mean RESIZE of 24bpp BMP payloads — the downsampling verb of the
+    * image pipeline, on the same byte-level decode contract as [[aHash]]
+    * (pixel array at LE32 @10, rows bottom-up, stride padded to 4, gray =
+    * blue channel). Each `factor`×`factor` block of the logical image
+    * becomes one output cell carrying EXACT integers — pixel count and
+    * gray sum — plus the mean as one double division at the surface, so a
+    * SQL oracle regenerating the pixels arithmetically matches
+    * cell-for-cell (float resampling kernels could never hash-gate).
+    * Ragged edges are real cells with smaller counts, not dropped. The
+    * thumbnail grid this emits is what feeds [[aHash]]-style signatures
+    * at production sizes (hash the 8×8 resize of a megapixel image, not
+    * the image).
+    *
+    * Scale shape: row-local flatMap (mapPartitions, ⌈w/f⌉·⌈h/f⌉ output
+    * rows per image) — no shuffle; malformed/non-BMP payloads yield no
+    * rows (corrupt blobs are data, not errors).
+    */
+  def blockMeanResize(df: DataFrame, binCol: String, factor: Int,
+                      maxPixels: Long = 1 << 22): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1: $factor")
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("cy", IntegerType), StructField("cx", IntegerType),
+      StructField("n_px", LongType), StructField("sum_gray", LongType),
+      StructField("mean_gray", DoubleType)))
+    val binIdx = inSchema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val b = r.getAs[Array[Byte]](binIdx)
+        if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M' ||
+          le16(b, 28) != 24) Iterator.empty
+        else {
+          val off = le32(b, 10)
+          val w = le32(b, 18)
+          val h = le32(b, 22)
+          val stride = ((w * 3 + 3) / 4) * 4
+          if (w <= 0 || h <= 0 || w.toLong * h > maxPixels ||
+            off.toLong + h.toLong * stride > b.length) Iterator.empty
+          else {
+            val cw = (w + factor - 1) / factor
+            val ch = (h + factor - 1) / factor
+            val cnt = new Array[Long](cw * ch)
+            val sum = new Array[Long](cw * ch)
+            var row = 0
+            while (row < h) {
+              var colI = 0
+              val base = off + (h - 1 - row) * stride
+              val cellRow = (row / factor) * cw
+              while (colI < w) {
+                val c = cellRow + colI / factor
+                cnt(c) += 1L
+                sum(c) += (b(base + colI * 3) & 0xff).toLong
+                colI += 1
+              }
+              row += 1
+            }
+            (0 until cw * ch).iterator.map { c =>
+              // Seq[Any]: a plain Seq would numerically WIDEN the Int cell
+              // coords to Double to unify with mean_gray
+              Row.fromSeq(r.toSeq ++ Seq[Any](c / cw, c % cw, cnt(c), sum(c),
+                sum(c).toDouble / cnt(c).toDouble))
+            }
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** REAL PCM WAV sample decode + per-frame signal statistics — the audio
     * half of the multimodal decode story (the image half is [[aHash]]).
     * Walks the RIFF chunk list (not fixed offsets: fmt/data located by

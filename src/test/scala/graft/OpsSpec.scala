@@ -627,6 +627,30 @@ class OpsSpec extends SparkTestBase {
     assert(got(1)._2.isEmpty && got(2)._2.isEmpty, "malformed payloads must be NULL, not crash")
   }
 
+  test("blockMeanResize: exact ragged-edge pooling on a bottom-up 3x3 BMP") {
+    import spark.implicits._
+    // 3x3 24bpp BMP, stride 12 (3*3=9 -> padded to 12). Logical image
+    // (top to bottom): [1 2 3] / [4 5 6] / [7 8 9] — stored bottom-up.
+    def le32h(v: Int) = f"${v & 0xff}%02x${(v >> 8) & 0xff}%02x${(v >> 16) & 0xff}%02x${(v >> 24) & 0xff}%02x"
+    def px(v: Int) = f"$v%02x$v%02x$v%02x"
+    def row(a: Int, b: Int, c: Int) = px(a) + px(b) + px(c) + "000000"
+    val hex = "424d" + le32h(54 + 36) + "00000000" + le32h(54) +
+      le32h(40) + le32h(3) + le32h(3) + "0100" + "1800" + ("00" * 24) +
+      row(7, 8, 9) + row(4, 5, 6) + row(1, 2, 3) // bottom-up storage
+    val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val df = Seq((1L, bytes), (2L, Array[Byte](1, 2))).toDF("id", "payload")
+    val got = Multimodal.blockMeanResize(df, "payload", factor = 2)
+      .select(col("id"), col("cy"), col("cx"), col("n_px"), col("sum_gray"))
+      .collect().map(r => ((r.getInt(1), r.getInt(2)), (r.getLong(3), r.getLong(4)))).toMap
+    // factor 2 on 3x3 -> 2x2 cells with ragged edges:
+    // (0,0)={1,2,4,5}=12/4  (0,1)={3,6}=9/2  (1,0)={7,8}=15/2  (1,1)={9}=9/1
+    assert(got == Map((0, 0) -> (4L, 12L), (0, 1) -> (2L, 9L),
+      (1, 0) -> (2L, 15L), (1, 1) -> (1L, 9L)), s"$got")
+    // malformed payload yields no rows (id 2 absent entirely)
+    assert(Multimodal.blockMeanResize(df, "payload", 2)
+      .filter(col("id") === 2L).count() == 0)
+  }
+
   test("pcmFrames: chunk walk, signed int16, partial frame; non-PCM yields no rows") {
     import spark.implicits._
     def le32h(v: Int) = f"${v & 0xff}%02x${(v >> 8) & 0xff}%02x${(v >> 16) & 0xff}%02x${(v >> 24) & 0xff}%02x"
