@@ -274,6 +274,72 @@ class RandomDifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("kTruss ≡ in-memory peel reference across densities and k") {
+    import spark.implicits._
+    for ((n, m, k, seed) <- Seq((20, 60, 3, 31), (30, 120, 4, 32), (25, 200, 5, 33),
+      (40, 80, 4, 34))) {
+      val rnd = new scala.util.Random(seed)
+      val edges0 = (0 until m).map { _ =>
+        val u = rnd.nextInt(n).toLong; val v = rnd.nextInt(n).toLong
+        (math.min(u, v), math.max(u, v))
+      }.filter(e => e._1 != e._2).distinct
+      // in-memory peel: recompute per-edge triangle support, drop < k-2,
+      // repeat to fixpoint
+      def supports(es: Set[(Long, Long)]): Map[(Long, Long), Int] = {
+        val adj = es.toSeq.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+          .view.mapValues(_.map(_._2).toSet).toMap
+        es.toSeq.map { case (u, v) =>
+          (u, v) -> (adj(u) & adj(v)).size
+        }.toMap
+      }
+      var cur = edges0.toSet
+      var stable = false
+      while (!stable) {
+        val sup = supports(cur)
+        val next = cur.filter(e => sup(e) >= k - 2)
+        stable = next == cur
+        cur = next
+      }
+      val want = supports(cur).map { case (e, s) => (e._1, e._2, s.toLong) }.toSet
+      val got = graft.ops.Graph.kTruss(edges0.toDF("u", "v"), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"seed=$seed k=$k: extra=${got -- want} missing=${want -- got}")
+    }
+  }
+
+  test("personalizedPageRankInt ≡ in-memory integer iteration") {
+    import spark.implicits._
+    for ((n, m, iters, seed) <- Seq((15, 30, 3, 41), (25, 60, 5, 42))) {
+      val rnd = new scala.util.Random(seed)
+      val edges0 = (0 until m).map { _ =>
+        val u = rnd.nextInt(n).toLong; val v = rnd.nextInt(n).toLong
+        (math.min(u, v), math.max(u, v))
+      }.filter(e => e._1 != e._2).distinct
+      val adj = edges0.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2)).toMap
+      val nodes = adj.keySet.toSeq.sorted
+      val seedSet = nodes.filter(_ < 5).toSet
+      if (seedSet.nonEmpty) {
+        val scale = 1000000000000L
+        val teleport = (3L * scale) / (20L * seedSet.size)
+        var rank = nodes.map(v =>
+          v -> (if (seedSet(v)) scale / seedSet.size else 0L)).toMap
+        for (_ <- 1 to iters) {
+          val contrib = nodes.map(v => v -> rank(v) / adj(v).size).toMap
+          rank = nodes.map { v =>
+            val in = adj(v).map(contrib).sum
+            v -> ((if (seedSet(v)) teleport else 0L) + (17L * in) / 20L)
+          }.toMap
+        }
+        val want = rank.filter(_._2 > 0L).map { case (v, r) => (v, r) }.toSet
+        val got = graft.ops.Graph.personalizedPageRankInt(
+            edges0.toDF("u", "v"), seedSet.toSeq.toDF("seed"), iters)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == want, s"seed=$seed: extra=${got -- want} missing=${want -- got}")
+      }
+    }
+  }
+
   test("harmonicCentralityInt ≡ in-memory BFS reference across graph shapes") {
     import spark.implicits._
     for ((n, m, k, seed) <- Seq((30, 40, 3, 21), (50, 60, 2, 22), (40, 200, 4, 23))) {
