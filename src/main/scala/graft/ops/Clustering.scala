@@ -46,9 +46,14 @@ object Clustering {
     * @return (id, x, y, role, cluster) — cluster is the component id for
     *         core/border rows, NULL for noise
     */
-  def gridDbscan(points: DataFrame, eps: Long, minPts: Long): DataFrame = {
-    require(eps >= 1, s"eps must be >= 1: $eps")
-    require(minPts >= 1, s"minPts must be >= 1: $minPts")
+  /** The grid-blocked candidate join on its own (exposed for plan
+    * assertions): each point probes its 3×3 cell block via an equi-join on
+    * (cx, cy) — a hash-partitionable shuffle, never a cartesian — then the
+    * exact Chebyshev filter. Each unordered pair appears in both
+    * directions (ida, idb) and (idb, ida), which is what the neighbor
+    * COUNT semantics need.
+    */
+  private[graft] def candidatePairs(points: DataFrame, eps: Long): DataFrame = {
     val Seq(idName, xName, yName) = points.columns.take(3).toSeq
     val pts = points.select(
       col(idName).as("id"), col(xName).cast("long").as("x"),
@@ -66,13 +71,22 @@ object Clustering {
           struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy")))): _*))
           .as("cell"))
       .select(col("ida"), col("xa"), col("ya"), col("cell.cx"), col("cell.cy"))
-    val pairs = probes
+    probes
       .join(withCell.select(col("id").as("idb"), col("x").as("xb"),
         col("y").as("yb"), col("cx"), col("cy")), Seq("cx", "cy"))
       .filter(col("ida") =!= col("idb") &&
         greatest(abs(col("xa") - col("xb")), abs(col("ya") - col("yb"))) <= eps)
       .select(col("ida"), col("idb"))
-      .persist()
+  }
+
+  def gridDbscan(points: DataFrame, eps: Long, minPts: Long): DataFrame = {
+    require(eps >= 1, s"eps must be >= 1: $eps")
+    require(minPts >= 1, s"minPts must be >= 1: $minPts")
+    val Seq(idName, xName, yName) = points.columns.take(3).toSeq
+    val pts = points.select(
+      col(idName).as("id"), col(xName).cast("long").as("x"),
+      col(yName).cast("long").as("y"))
+    val pairs = candidatePairs(points, eps).persist()
     try {
       val ncnt = pts.join(
         pairs.groupBy(col("ida").as("id")).agg(count(lit(1)).as("nnbr")),

@@ -162,6 +162,22 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("gridDbscan candidate join is an equi-join on cells, never a cartesian") {
+    import spark.implicits._
+    val pts = (0L until 100L).map(i => (i, i % 17, i % 13)).toDF("id", "x", "y")
+    val p = plan(graft.ops.Clustering.candidatePairs(pts, eps = 2L))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q337 rich-club: the threshold panel is an explode, no join at all") {
+    val p = plan(q("q337_rich_club"))
+    // the panel rides as a literal explode per row; the only joins are the
+    // degree attaches and the final nNodes-by-nEdges threshold-key attach
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q261 aHash banding pairs on equi-joins, never a pixel-level pair scan") {
     val p = plan(q("q261_ahash_neardup"))
     assert(!p.contains("CartesianProduct"), p)
