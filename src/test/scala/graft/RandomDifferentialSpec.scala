@@ -340,6 +340,44 @@ class RandomDifferentialSpec extends SparkTestBase {
     }
   }
 
+  test("diameterSweep ≡ in-memory double sweep with the same md5 choices") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    for ((n, m, seed) <- Seq((20, 25, 51), (40, 50, 52), (30, 200, 53))) {
+      val rnd = new scala.util.Random(seed)
+      val edges0 = (0 until m).map { _ =>
+        val u = rnd.nextInt(n).toLong; val v = rnd.nextInt(n).toLong
+        (math.min(u, v), math.max(u, v))
+      }.filter(e => e._1 != e._2).distinct
+      val adj = edges0.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      def bfs(s: Long): Map[Long, Long] = {
+        var dist = Map(s -> 0L); var frontier = Set(s); var d = 0L
+        while (frontier.nonEmpty) {
+          d += 1
+          val next = frontier.flatMap(adj(_)) -- dist.keySet
+          dist ++= next.map(_ -> d); frontier = next
+        }
+        dist
+      }
+      def prio(v: Long) = md5hex(s"dia:$v")
+      val start = adj.keySet.minBy(prio)
+      def sweep(s: Long): (Long, Long, Long) = {
+        val dist = bfs(s)
+        val ecc = dist.values.max
+        val far = dist.filter(_._2 == ecc).keys.minBy(prio)
+        (ecc, far, dist.size.toLong)
+      }
+      val (ecc1, s2, _) = sweep(start)
+      val (ecc2, t, nReached) = sweep(s2)
+      val got = graft.ops.Graph.diameterSweep(edges0.toDF("u", "v"), maxRounds = 32).head()
+      assert(got.toSeq == Seq(start, ecc1, s2, ecc2, t, nReached),
+        s"seed=$seed: got ${got.toSeq}, want ${Seq(start, ecc1, s2, ecc2, t, nReached)}")
+    }
+  }
+
   test("harmonicCentralityInt ≡ in-memory BFS reference across graph shapes") {
     import spark.implicits._
     for ((n, m, k, seed) <- Seq((30, 40, 3, 21), (50, 60, 2, 22), (40, 200, 4, 23))) {
