@@ -2739,6 +2739,14 @@ object SparkEntry {
     "q333_diameter_sweep" -> ((s, dir) =>
       Graph.diameterSweep(coSupplyEdges(s, dir), maxRounds = 12)),
 
+    // ---- exact rectangle (4-cycle) census via the diagonal identity:
+    // #C4 = sum over pairs of C(common-neighbors, 2) / 2 — the cycle
+    // census after triangles, catching bipartite-ish co-occurrence that
+    // triangle counting is blind to. One wedge self-join + one pair
+    // groupBy, all exact integers ----
+    "q341_rectangle_census" -> ((s, dir) =>
+      Graph.rectangleCensus(coSupplyEdges(s, dir))),
+
     // ---- block-mean image RESIZE over real BMP pixel decode (q261's
     // byte contract: LE32 offset, bottom-up rows, padded stride): every
     // 2x2 block of the synthetic 8x8 grayscale becomes one cell with
@@ -8938,6 +8946,22 @@ object SparkEntry {
     "q333_diameter_sweep" -> diameterOracleSql(rounds = 8),
     "q334_ppr_seed_expansion" -> pprOracleSql(iters = 5),
     "q335_ktruss" -> kTrussOracleSql(k = 5, rounds = 7),
+    "q341_rectangle_census" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |sym AS (SELECT u AS z, v AS n FROM edges UNION ALL SELECT v, u FROM edges),
+        |lam AS (
+        |  SELECT a.n AS nu, b.n AS nw, COUNT(*) AS lambda
+        |  FROM sym a JOIN sym b ON a.z = b.z AND a.n < b.n
+        |  GROUP BY 1, 2)
+        |SELECT CAST(SUM(lambda) AS BIGINT) AS n_wedges,
+        |  CAST(SUM(CASE WHEN lambda >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cocited_pairs,
+        |  CAST(SUM((lambda * (lambda - 1)) // 2) // 2 AS BIGINT) AS n_rectangles
+        |FROM lam""".stripMargin,
     "q340_media_resize" ->
       """WITH px AS (
         |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS r FROM documents),

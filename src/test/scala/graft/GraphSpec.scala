@@ -380,6 +380,22 @@ class GraphSpec extends SparkTestBase {
     assert(rows(8L) == (6L, 1L), s"seed 8: ${rows(8L)}")
   }
 
+  test("rectangleCensus: square, K4, and a triangle with no rectangles") {
+    import spark.implicits._
+    // a plain square 1-2-3-4-1: exactly one 4-cycle
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    val r1 = Graph.rectangleCensus(sq).head()
+    assert(r1.getLong(2) == 1L, s"square: $r1")
+    // K4: 3 distinct 4-cycles (one per perfect matching of diagonals)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    val r2 = Graph.rectangleCensus(k4).head()
+    assert(r2.getLong(2) == 3L, s"K4: $r2")
+    // a triangle has wedges but no rectangles
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    val r3 = Graph.rectangleCensus(tri).head()
+    assert(r3.getLong(0) == 3L && r3.getLong(2) == 0L, s"triangle: $r3")
+  }
+
   test("richClub: exact phi on a hub clique with pendant leaves") {
     import spark.implicits._
     // triangle of hubs 1-2-3, each hub with 2 pendant leaves -> hub degree
