@@ -2739,6 +2739,15 @@ object SparkEntry {
     "q333_diameter_sweep" -> ((s, dir) =>
       Graph.diameterSweep(coSupplyEdges(s, dir), maxRounds = 12)),
 
+    // ---- densest-subgraph peel trajectory (Charikar greedy in the
+    // Bahmani all-at-once parallel form): each round drops every node
+    // with degree <= average (exact d*n > 2*m cross-multiplication) and
+    // records the snapshot; the max-density row is the 2-approx densest
+    // subgraph. Full trajectory emitted so every row gates exactly ----
+    "q342_densest_peel" -> ((s, dir) =>
+      Graph.densestSubgraphPeel(coSupplyEdges(s, dir), maxRounds = 24)
+        .orderBy(col("round"))),
+
     // ---- exact rectangle (4-cycle) census via the diagonal identity:
     // #C4 = sum over pairs of C(common-neighbors, 2) / 2 — the cycle
     // census after triangles, catching bipartite-ish co-occurrence that
@@ -7966,6 +7975,41 @@ object SparkEntry {
     head + its + s"\nSELECT node AS p_partkey, rank FROM it$iters ORDER BY p_partkey"
   }
 
+  /** q342's oracle, generated: `rounds`-unrolled average-degree peel. Per
+    * round, a snapshot row (round, n, m) while the graph is nonempty, and
+    * the next edge set keeps only endpoints with d·n > 2·m (exact integer
+    * cross-multiply). Rounds past the empty graph contribute no rows, so
+    * any unroll ≥ the measured round count (≤ 10 on the test graphs)
+    * gates.
+    */
+  private def densestPeelOracleSql(rounds: Int): String = {
+    val head =
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""".stripMargin
+    val per = (0 until rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, COUNT(*) AS d FROM (
+         |    SELECT u AS node FROM e$i UNION ALL SELECT v FROM e$i) GROUP BY node),
+         |st$i AS MATERIALIZED (
+         |  SELECT COUNT(*) AS n, COALESCE(SUM(d), 0) // 2 AS m FROM d$i),
+         |e${i + 1} AS MATERIALIZED (
+         |  SELECT u, v FROM e$i
+         |  WHERE u IN (SELECT node FROM d$i, st$i WHERE d * n > 2 * m)
+         |    AND v IN (SELECT node FROM d$i, st$i WHERE d * n > 2 * m))""".stripMargin
+    }
+    val rows = (0 until rounds).map { i =>
+      s"""SELECT $i AS round, CAST(n AS BIGINT) AS n_nodes, CAST(m AS BIGINT) AS n_edges,
+         |  CAST(m AS DOUBLE) / CAST(n AS DOUBLE) AS density
+         |FROM st$i WHERE n > 0""".stripMargin
+    }
+    (Seq(head) ++ per).mkString(",\n") + "\n" +
+      rows.mkString("\nUNION ALL\n") + "\nORDER BY round"
+  }
+
   /** q335's oracle, generated: `rounds`-unrolled support-peel. Each round
     * recomputes per-edge triangle support on the previous round's edge set
     * (the q100 orientation device, credited to all three edges) and keeps
@@ -8946,6 +8990,7 @@ object SparkEntry {
     "q333_diameter_sweep" -> diameterOracleSql(rounds = 8),
     "q334_ppr_seed_expansion" -> pprOracleSql(iters = 5),
     "q335_ktruss" -> kTrussOracleSql(k = 5, rounds = 7),
+    "q342_densest_peel" -> densestPeelOracleSql(rounds = 14),
     "q341_rectangle_census" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

