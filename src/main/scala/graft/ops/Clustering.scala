@@ -58,10 +58,13 @@ object Clustering {
     val pts = points.select(
       col(idName).as("id"), col(xName).cast("long").as("x"),
       col(yName).cast("long").as("y"))
-    // floor division via pmod (exact for negative coordinates too — `div`
-    // truncates toward zero, which would merge cells -1 and 0)
+    // floor division via pmod (exact for negative coordinates too — bare
+    // `div` truncates toward zero, which would merge cells -1 and 0). The
+    // pmod-adjusted numerator is exactly divisible by eps, so integer `div`
+    // is exact at any magnitude — `/` would detour through double and lose
+    // cell ids past 2^53
     def cellOf(c: String): org.apache.spark.sql.Column =
-      ((col(c) - pmod(col(c), lit(eps))) / lit(eps)).cast("long")
+      expr(s"($c - pmod($c, ${eps}L)) div ${eps}L")
     val withCell = pts.select(col("id"), col("x"), col("y"),
       cellOf("x").as("cx"), cellOf("y").as("cy"))
     val offsets = Seq(-1L, 0L, 1L)

@@ -32,7 +32,7 @@ object Graph {
     * materialization, witness count) runs inside the scope and picks the
     * narrow width up.
     */
-  private def withRoundConf[T](
+  private[ops] def withRoundConf[T](
       sess: org.apache.spark.sql.SparkSession, nRows: Long)(body: => T): T = {
     if (nRows >= 200000L) body
     else {
@@ -67,6 +67,25 @@ object Graph {
   private val BcastRows = 4000000L
   private def hinted(df: DataFrame, rows: Long): DataFrame =
     if (rows <= BcastRows) broadcast(df) else df
+
+  /** Checkpoint with the child's hash partitioning PRESERVED: Spark's
+    * `localCheckpoint` copies the executed plan's outputPartitioning into
+    * the resulting LogicalRDD, but under AQE the executed plan is an
+    * AdaptiveSparkPlan that reports UnknownPartitioning at checkpoint-build
+    * time — so the partitioning is silently lost and every downstream
+    * operator that needed it re-exchanges (measured: this was the entire
+    * per-round exchange cost of the round-6 coreness loop). Scoping AQE off
+    * around just the checkpoint build keeps the one up-front repartition
+    * visible to every later round. The narrow scope costs nothing: the
+    * checkpointed plan is a single exchange AQE had nothing to improve.
+    */
+  private[ops] def ckptKeepPartitioning(chain: RoundChain, df: DataFrame): DataFrame = {
+    val sess = df.sparkSession
+    val k = "spark.sql.adaptive.enabled"
+    val prev = sess.conf.get(k)
+    sess.conf.set(k, "false")
+    try chain.ckpt(df) finally sess.conf.set(k, prev)
+  }
 
   /** Per-round checkpoint hygiene for fixed-point loops (the other half of
     * the CC device): every round's `localCheckpoint(eager)` pins its blocks
@@ -184,10 +203,15 @@ object Graph {
     * the oracle), and the consumer reads the best round off the table.
     * A minimum-degree node always fails the strict keep test, so every
     * round removes at least one node and the loop terminates at the
-    * empty graph (measured ≤ 10 rounds on the test graphs — the
-    * O(log n) the ε-form guarantees); REFUSES past maxRounds. One
-    * degree aggregate + two semi joins per round, checkpoint hygiene as
-    * everywhere ([[RoundChain]]/[[withRoundConf]]).
+    * empty graph; REFUSES past maxRounds. NOTE the round bound: the
+    * O(log n) termination guarantee belongs to the (1+ε)-slack BKV
+    * variant (keep iff d > 2(1+ε)·m/n); this exact-average ε=0 form is
+    * Θ(n) rounds worst-case on path-like sparse graphs (each round can
+    * peel only the degree-1 fringe), though it measures ≤ 10 rounds on
+    * the heavy-tailed test graphs. On a legitimately path-shaped input
+    * the refusal fires by design — raise maxRounds or accept the ε
+    * slack. One degree aggregate + two semi joins per round, checkpoint
+    * hygiene as everywhere ([[RoundChain]]/[[withRoundConf]]).
     */
   def densestSubgraphPeel(edges: DataFrame, maxRounds: Int = 32): DataFrame = {
     require(maxRounds >= 1 && maxRounds <= 64, s"maxRounds must be in [1,64]: $maxRounds")
@@ -205,7 +229,9 @@ object Graph {
     withRoundConf(sess, nEdges0) {
       var round = 0
       var done = false
-      while (!done && round <= maxRounds) {
+      // `<` not `<=`: exactly maxRounds peel rounds, matching both the other
+      // operators' loop convention and the refusal message's bound
+      while (!done && round < maxRounds) {
         val deg = cur.select(explode(array(col("u"), col("v"))).as("node"))
           .groupBy(col("node")).agg(count(lit(1)).as("d"))
         val st = deg.agg(count(lit(1)), coalesce(sum(col("d")), lit(0L))).head()
@@ -809,17 +835,26 @@ object Graph {
     * node feature — one number per node, vs [[kCore]]'s single-k
     * membership test.
     *
-    * Scale shape per round: the node-sized estimate frame broadcasts into
-    * the adjacency join while its measured count fits ([[hinted]] — the
-    * edge table never shuffles), then ONE shuffle keyed by dst computes
-    * the h-index: rank neighbor values descending per node and take
-    * max(min(value, rank)) — the multiset h-index, invariant to tie
-    * order, so no tie-break column is needed. The groupBy reuses the
-    * window's hash partitioning (no second exchange). Convergence is a
-    * single-row (count, Σc) witness on the checkpointed round — Σc is
-    * strictly monotone under any change. Input contract matches
-    * [[triangleCounts]]: canonical u < v endpoints, undirected. Output:
-    * (node, coreness).
+    * Scale shape per round (the round-7 EXCHANGE-FREE plan, measured 2×
+    * over the round-6 ranked form — 4.7–5.1 s vs 10.2–10.5 s at sf0.1,
+    * fixed points bit-identical): the adjacency is checkpointed ONCE
+    * pre-partitioned by dst with AQE scoped off around the checkpoint
+    * ([[ckptKeepPartitioning]] — with AQE on, the adaptive plan reports
+    * UnknownPartitioning at checkpoint-build time and the partitioning is
+    * silently lost, re-inserting an Exchange above every round's window;
+    * this was the actual round-6 bottleneck, measured 7 exchanges per
+    * 4-step block vs 0 after the fix). Each chained step then broadcasts
+    * the node-sized estimate frame (gated at [[BcastRows]] measured rows)
+    * into a BHJ that PRESERVES the dst partitioning, and the h-index is
+    * extracted per node with zero exchanges as
+    * h = max(min(sorted_desc(votes)[i], i+1)) over a collect_list array —
+    * a codegen'd zip_with, no partition-wide window sort. Past the
+    * broadcast bound the loop falls back to the shuffle form (SMJ join +
+    * per-node window rank), the correct plan once per-round real work
+    * dwarfs stage overhead. Convergence is a single-row (count, Σc)
+    * witness on the checkpointed round — Σc is strictly monotone under
+    * any change. Input contract matches [[triangleCounts]]: canonical
+    * u < v endpoints, undirected. Output: (node, coreness).
     */
   def coreness(edges: DataFrame, maxRounds: Int = 64,
                stepsPerCheckpoint: Int = 4): DataFrame = {
@@ -829,12 +864,22 @@ object Graph {
     val Seq(uName, vName) = edges.columns.take(2).toSeq
     val sess = edges.sparkSession
     val adjChain = new RoundChain(sess.sparkContext)
-    val sym = adjChain.ckpt(edges
+    val sym0 = adjChain.ckpt(edges
       .select(col(uName).as("src"), col(vName).as("dst"))
       .unionAll(edges.select(col(vName).as("src"), col(uName).as("dst"))))
-    val nEdges = sym.count()
+    val nEdges = sym0.count()
+    // dst-partitioned adjacency, partitioning PRESERVED through the
+    // checkpoint (AQE scoped off) — every exchange-free round below rides
+    // this one up-front shuffle. Width follows the withRoundConf sizing so
+    // small graphs keep narrow rounds.
+    val nParts = math.max(1, math.min(
+      sess.sessionState.conf.numShufflePartitions, (nEdges / 100000L).toInt + 1))
+    val sym = ckptKeepPartitioning(adjChain, sym0.repartition(nParts, col("dst")))
     val chain = new RoundChain(sess.sparkContext)
-    var cur = chain.ckpt(sym.groupBy(col("src").as("node"))
+    // degree via dst (not src): sym holds both directions, so the counts
+    // are identical — but grouping by dst reuses the adjacency partitioning
+    // and the init is exchange-free too
+    var cur = chain.ckpt(sym.groupBy(col("dst").as("node"))
       .agg(count(lit(1)).as("c")))
     def witness(d: DataFrame): (Long, java.math.BigDecimal) = {
       val r = d.agg(count(lit(1)), sum(col("c").cast("decimal(38,0)"))).head()
@@ -851,14 +896,30 @@ object Graph {
     // was a no-op, i.e. the fixed point — extra steps past convergence
     // are identity by the same invariance that lets the oracle unroll a
     // LARGER round count than the graph needs.
-    // Ranking raw neighbor rows beat the histogram rewrite (pre-aggregate
-    // per (dst, value), h from a running count over the collapsed
-    // histogram): alternated same-session passes at sf0.1 measured
-    // 9.7-10.2 s ranked vs 12.8-13.2 s histogram — the histogram's extra
-    // exchange costs more than its smaller window saves at 482k vote
-    // rows. (Step chaining was the real win: 13.5 s at 1 step/checkpoint
-    // to 9.7 s at 4.)
-    def step(l: DataFrame): DataFrame =
+    //
+    // Exchange-free step (node frame fits BcastRows): BHJ keeps sym's dst
+    // partitioning; groupBy(dst) and the array h-index run in the SAME
+    // stage — the only per-step job is the broadcast build, which nests
+    // linearly (each BroadcastExchange in the chained plan materializes
+    // exactly once). Within whole-stage codegen the h-index is
+    // max(min(v_desc[i], i+1)) over the node's own sorted vote array —
+    // Σ d·log d total sort work instead of a partition-wide N·log N sort.
+    def stepBcast(l: DataFrame): DataFrame =
+      sym.join(broadcast(l), sym("src") === l("node"))
+        .select(col("dst"), col("c").as("cval"))
+        .groupBy(col("dst").as("node"))
+        .agg(reverse(array_sort(collect_list(col("cval")))).as("vs"))
+        .select(col("node"),
+          array_max(zip_with(col("vs"),
+            sequence(lit(1L), size(col("vs")).cast("long")),
+            (v, i) => least(v, i))).as("c"))
+    // shuffle fallback past the broadcast bound: SMJ vote join + per-node
+    // window rank (the round-6 plan — measured best among the shuffle
+    // forms; the capped-vote histogram rewrite was re-tested this round
+    // under both shuffle and exchange-free regimes and LOST both times:
+    // 22 s shuffle / 10 s exchange-free vs 10 s / 4.8 s, the extra
+    // per-step exchange-or-broadcast outweighing the smaller window)
+    def stepRanked(l: DataFrame): DataFrame =
       sym.join(l, sym("src") === l("node"))
         .select(col("dst"), col("c").as("cval"))
         .withColumn("rn", row_number().over(wPerNode))
@@ -869,12 +930,13 @@ object Graph {
       var converged = false
       var rounds = 0
       while (!converged && rounds < maxRounds) {
-        // only the first step's node-frame join gets the measured
-        // broadcast hint; the chained steps' inputs are unmaterialized
-        // (no measured count) but node-sized, and AQE converts them.
-        // (Measured: hinting EVERY chained step is a small LOSS — 13.0 vs
-        // 12.2 s same-session — because each broadcast build re-executes
-        // the unmaterialized chain prefix on the build thread.)
+        // the fold seed is the materialized round (measured broadcast
+        // hint); chained steps broadcast internally in the exchange-free
+        // form, while the shuffle fallback leaves them to the planner
+        // (hinting every chained step measured as a loss there — each
+        // broadcast build re-executes the unmaterialized chain prefix).
+        val step: DataFrame => DataFrame =
+          if (w0._1 <= BcastRows) stepBcast else stepRanked
         val next = chain.ckpt(
           (1 to stepsPerCheckpoint).foldLeft(hinted(cur, w0._1))((d, _) => step(d)))
         val w1 = witness(next)
@@ -1249,7 +1311,13 @@ object Graph {
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"),
         count(lit(1)).as("deg"))
       .localCheckpoint()
-    val nNodes = adj.count()
+    // bound the broadcast by the PAYLOAD size, not the row count: each adj
+    // row carries its full neighbor array, so broadcast bytes scale with
+    // Σdeg = 2|E| (a 4M-node graph with 500M edges would pass a row-count
+    // bound yet ship a multi-GB broadcast). Σdeg is exact off the
+    // checkpointed frame; past the bound the walk frame shuffles instead —
+    // the correct 100 TB plan
+    val nCells = adj.agg(coalesce(sum(col("deg")), lit(0L))).head().getLong(0)
     var walks = adj.select(col("anode").as("start"),
       col("anode").as("cur"), array(col("anode")).as("path"))
     (1 to steps).foreach { t =>
@@ -1258,7 +1326,7 @@ object Graph {
           col("start").cast("string"), lit(t.toString), col("cur").cast("string"))),
           1, 15), 16, 10).cast("long"),
         col("deg")).cast("int")
-      walks = walks.join(hinted(adj, nNodes), col("cur") === col("anode"))
+      walks = walks.join(hinted(adj, nCells), col("cur") === col("anode"))
         .select(col("start"),
           element_at(col("nbrs"), idx + 1).as("cur"),
           array_append(col("path"), element_at(col("nbrs"), idx + 1)).as("path"))

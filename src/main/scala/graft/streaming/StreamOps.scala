@@ -236,7 +236,12 @@ object StreamOps {
       sorted.foreach { e =>
         val us = tsUs(e.ts)
         if (cur == null) cur = OpenSession(us, us, 1L)
-        else if (us < cur.lastUs + gapUs) cur = OpenSession(cur.startUs, us, cur.n + 1L)
+        // min/max, not (startUs, us): a later BATCH can deliver an event
+        // older than the parked session's start (the engine only filters
+        // below the watermark) — taking `us` as the new end would corrupt
+        // both boundaries of the emitted session
+        else if (us < cur.lastUs + gapUs)
+          cur = OpenSession(math.min(cur.startUs, us), math.max(cur.lastUs, us), cur.n + 1L)
         else {
           out += SessionRow(key, cur.startUs, cur.lastUs, cur.n)
           cur = OpenSession(us, us, 1L)
@@ -557,7 +562,11 @@ object StreamOps {
         col("mf.fsigs").as("fsig"), col("mf.szs").as("sz"))
       .coalesce(8)
     val m2 = m.toDF("band2", "bhash2", "id2", "fsig2", "sz2")
-    val cells = index.select(sum(size(col("members")))).first.getLong(0)
+    // coalesce: sum() over an EMPTY index is NULL, and an empty stream is a
+    // legitimate input — getLong on the bare sum would NPE instead of
+    // producing the empty pair set
+    val cells = index
+      .select(coalesce(sum(size(col("members"))), lit(0L))).first.getLong(0)
     val probe = if (cells <= 4_000_000L) broadcast(m2) else m2
     val base = col("band") === col("band2") && col("bhash") === col("bhash2") &&
       col("id") < col("id2") &&

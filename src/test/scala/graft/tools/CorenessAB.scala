@@ -3,8 +3,10 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** A/B for q307 coreness at sf0.1: stepsPerCheckpoint 4 vs 8, alternated
-  * same-session so ambient drift cancels. Also prints round counts.
+/** A/B for q307 coreness at sf0.1: ranked raw votes (round-6 form) vs the
+  * capped-vote histogram (round-7 form), alternated same-session so ambient
+  * drift cancels. Also asserts the two fixed points are bit-identical
+  * (md5 of the sorted result set).
   *
   * Run: sbt "Test/runMain graft.tools.CorenessAB"
   */
@@ -30,18 +32,32 @@ object CorenessAB {
       .distinct().localCheckpoint()
     println(s"edges: ${edges.count()}")
 
-    // warm
-    graft.ops.Graph.coreness(edges, 64, 4).count()
+    def fingerprint(df: org.apache.spark.sql.DataFrame): String =
+      df.select(md5(concat_ws(":", col("node"), col("coreness"))).as("h"))
+        .agg(md5(concat_ws("", collect_list(col("h")))))
+        .head().getString(0)
 
-    def run(steps: Int): Double = {
+    // identical fixed points (cheap check once, warm for both forms):
+    // shipped exchange-free coreness vs the lab's round-6 ranked form
+    val fpShipped = fingerprint(
+      graft.ops.Graph.coreness(edges, 64, 4).orderBy("node"))
+    val fpRanked = fingerprint(
+      graft.ops.CorenessLab.run(edges, "ranked").orderBy("node"))
+    println(s"fixed points identical: ${fpShipped == fpRanked}  ($fpShipped)")
+    require(fpShipped == fpRanked, "shipped vs ranked coreness fixed points differ")
+
+    def run(tag: String, f: () => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val n = graft.ops.Graph.coreness(edges, 64, steps).count()
+      val n = f().count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[steps=$steps] $dt%.2f s  nodes=$n")
+      println(f"[$tag] $dt%.2f s  nodes=$n")
       dt
     }
     // alternate to cancel drift
-    (1 to 3).foreach { _ => run(4); run(8) }
+    (1 to 3).foreach { _ =>
+      run("ranked ", () => graft.ops.CorenessLab.run(edges, "ranked"))
+      run("shipped", () => graft.ops.Graph.coreness(edges, 64, 4))
+    }
     spark.stop()
   }
 }
