@@ -154,39 +154,102 @@ object Graph {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50]: $iters")
     require(dampNum > 0 && dampNum < dampDen, s"damping must be in (0,1): $dampNum/$dampDen")
     val Seq(uName, vName) = edges.columns.take(2).toSeq
-    val sym = edges
-      .filter(col(uName).isNotNull && col(vName).isNotNull && col(uName) =!= col(vName))
-      .select(least(col(uName), col(vName)).as("u"), greatest(col(uName), col(vName)).as("v"))
-      .distinct()
+    prDiffusion(edges.filter(col(uName).isNotNull && col(vName).isNotNull
+        && col(uName) =!= col(vName))
+        .select(least(col(uName), col(vName)).as("u"),
+          greatest(col(uName), col(vName)).as("v")).distinct(),
+      seedFilter = None, iters, scale, dampNum, dampDen)
+  }
+
+  /** Shared integer-PageRank diffusion chain behind [[pageRankIntFixed]]
+    * and [[personalizedPageRankInt]] — the round-7 EXCHANGE-FREE shape.
+    * The adjacency is checkpointed ONCE, dst-partitioned with the
+    * partitioning preserved ([[ckptKeepPartitioning]]); each iteration
+    * broadcasts the node-sized (node, rank div deg) frame into a BHJ and
+    * folds rank' = tele + ⌊dampNum·Σc / dampDen⌋ in one dst-keyed
+    * aggregate that reuses the adjacency partitioning, then re-attaches
+    * (deg, tele) by broadcasting the materialized degree table — zero
+    * exchanges per iteration. The old per-iter LEFT JOIN for
+    * teleport-only nodes is unnecessary on an UNDIRECTED graph: every
+    * node has ≥ 1 in-neighbor, so the dst aggregate covers all nodes
+    * (zero-rank in-neighbors still produce rows, summing to 0). The
+    * whole `iters` chain is linear (each iteration references its
+    * predecessor once) and lazy — broadcast builds nest and materialize
+    * once each. Past [[BcastRows]] nodes the loop falls back to the
+    * round-6 shuffle form, the correct >4M-node plan. Fixed points are
+    * bit-identical by construction: the integer arithmetic is unchanged,
+    * only the plan moved.
+    */
+  private def prDiffusion(canon: DataFrame, seedFilter: Option[DataFrame],
+      iters: Int, scale: Long, dampNum: Long, dampDen: Long): DataFrame = {
+    val sess = canon.sparkSession
+    val adjChain = new RoundChain(sess.sparkContext)
+    val exploded = canon
       .select(explode(array(struct(col("u").as("src"), col("v").as("dst")),
         struct(col("v").as("src"), col("u").as("dst")))).as("e"))
       .select(col("e.src"), col("e.dst"))
-      // every iteration joins this list — materialize once, like
-      // [[Dedup.connectedComponents]] does
-      .localCheckpoint()
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    // dst-partitioned from birth — ONE edge checkpoint total, same count
+    // as the round-6 plan; width is the ambient conf (the iterations never
+    // shuffle, so partition count only sets per-stage task count)
+    val sym = ckptKeepPartitioning(adjChain, exploded.repartition(col("dst")))
+    val degBase = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val deg = (seedFilter match {
+      case Some(seeds) => degBase
+        .join(seeds.withColumn("is_seed", lit(true)), Seq("src"), "left")
+        .select(col("src"), col("deg"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      case None => degBase.withColumn("is_seed", lit(true))
+    }).localCheckpoint()
     val n = deg.count()
-    require(n > 0, "pageRankIntFixed needs a non-empty edge list")
-    val teleport = ((dampDen - dampNum) * scale) / (dampDen * n)
-    var rank = deg.select(col("src").as("node"), lit(scale / n).as("rank"))
-    for (_ <- 1 to iters) {
-      // `div` is EXACT integer division (the `/` operator would detour
-      // through double and round, and double→long casts truncate in Spark
-      // but round in DuckDB — `div` here and `//` in the oracle are both
-      // exact rational floors, so they agree unconditionally)
-      val contribs = rank
-        .join(deg, rank("node") === deg("src"))
-        .select(col("src"), expr("rank div deg").as("c"))
-        .join(sym, "src")
-        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
-      // left join: a node whose in-neighbors all rank 0 still gets teleport
-      rank = deg.select(col("src").as("node"))
-        .join(contribs.withColumnsRenamed(Map("dst" -> "node")), Seq("node"), "left")
-        .withColumn("__pr_in", coalesce(col("in_mass"), lit(0L)))
-        .select(col("node"),
-          (lit(teleport) + expr(s"($dampNum * __pr_in) div $dampDen")).as("rank"))
+    require(n > 0, "pageRank needs a non-empty edge list")
+    val nTele = seedFilter match {
+      case Some(_) =>
+        val s = deg.filter(col("is_seed")).count()
+        require(s > 0, "personalizedPageRankInt needs at least one seed present in the graph")
+        s
+      case None => n
     }
-    rank
+    val teleport = ((dampDen - dampNum) * scale) / (dampDen * nTele)
+    val init0 = seedFilter match {
+      case Some(_) => when(col("is_seed"), lit(scale / nTele)).otherwise(lit(0L))
+      case None    => lit(scale / n)
+    }
+    val teleCol = when(col("is_seed"), lit(teleport)).otherwise(lit(0L))
+    if (n <= BcastRows) {
+      val degB = deg.select(col("src").as("dnode"), col("deg"), teleCol.as("tele"))
+      var rank = deg.select(col("src").as("node"), init0.as("rank"), col("deg"))
+      for (_ <- 1 to iters) {
+        // `div` is EXACT integer division (the `/` operator would detour
+        // through double and round, and double→long casts truncate in
+        // Spark but round in DuckDB — `div` and `//` are both exact
+        // rational floors, so they agree unconditionally)
+        val cb = broadcast(rank.select(col("node").as("cnode"),
+          expr("rank div deg").as("c")))
+        rank = sym.join(cb, sym("src") === cb("cnode"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("c")).as("in_mass"))
+          .join(broadcast(degB), col("node") === col("dnode"))
+          .select(col("node"),
+            (col("tele") + expr(s"($dampNum * in_mass) div $dampDen")).as("rank"),
+            col("deg"))
+      }
+      rank.select(col("node"), col("rank"))
+    } else {
+      var rank = deg.select(col("src").as("node"), init0.as("rank"))
+      for (_ <- 1 to iters) {
+        val contribs = rank
+          .join(deg.select(col("src"), col("deg")), rank("node") === col("src"))
+          .select(col("src"), expr("rank div deg").as("c"))
+          .join(sym, "src")
+          .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+        // left join kept in the shuffle form: cheap insurance at this size
+        rank = deg.select(col("src").as("node"), col("is_seed"))
+          .join(contribs.withColumnsRenamed(Map("dst" -> "node")), Seq("node"), "left")
+          .withColumn("__pr_in", coalesce(col("in_mass"), lit(0L)))
+          .select(col("node"),
+            (teleCol + expr(s"($dampNum * __pr_in) div $dampDen")).as("rank"))
+      }
+      rank
+    }
   }
 
   /** DENSEST-SUBGRAPH peel trajectory (Charikar 2000 greedy, in the
@@ -447,39 +510,14 @@ object Graph {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50]: $iters")
     require(dampNum > 0 && dampNum < dampDen, s"damping must be in (0,1): $dampNum/$dampDen")
     val Seq(uName, vName) = edges.columns.take(2).toSeq
-    val sym = edges
-      .filter(col(uName).isNotNull && col(vName).isNotNull && col(uName) =!= col(vName))
-      .select(least(col(uName), col(vName)).as("u"), greatest(col(uName), col(vName)).as("v"))
-      .distinct()
-      .select(explode(array(struct(col("u").as("src"), col("v").as("dst")),
-        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
-      .select(col("e.src"), col("e.dst"))
-      .localCheckpoint()
     val seedCol = seeds.columns.head
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .join(seeds.select(col(seedCol).as("src")).distinct()
-        .withColumn("is_seed", lit(true)), Seq("src"), "left")
-      .select(col("src"), col("deg"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
-      .localCheckpoint()
-    val nSeeds = deg.filter(col("is_seed")).count()
-    require(nSeeds > 0, "personalizedPageRankInt needs at least one seed present in the graph")
-    val teleport = ((dampDen - dampNum) * scale) / (dampDen * nSeeds)
-    var rank = deg.select(col("src").as("node"),
-      when(col("is_seed"), lit(scale / nSeeds)).otherwise(lit(0L)).as("rank"))
-    for (_ <- 1 to iters) {
-      val contribs = rank
-        .join(deg.select(col("src"), col("deg")), rank("node") === col("src"))
-        .select(col("src"), expr("rank div deg").as("c"))
-        .join(sym, "src")
-        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
-      rank = deg.select(col("src").as("node"), col("is_seed"))
-        .join(contribs.withColumnsRenamed(Map("dst" -> "node")), Seq("node"), "left")
-        .withColumn("__pr_in", coalesce(col("in_mass"), lit(0L)))
-        .select(col("node"),
-          (when(col("is_seed"), lit(teleport)).otherwise(lit(0L))
-            + expr(s"($dampNum * __pr_in) div $dampDen")).as("rank"))
-    }
-    rank.filter(col("rank") > 0L)
+    prDiffusion(edges.filter(col(uName).isNotNull && col(vName).isNotNull
+        && col(uName) =!= col(vName))
+        .select(least(col(uName), col(vName)).as("u"),
+          greatest(col(uName), col(vName)).as("v")).distinct(),
+      seedFilter = Some(seeds.select(col(seedCol).as("src")).distinct()),
+      iters, scale, dampNum, dampDen)
+      .filter(col("rank") > 0L)
   }
 
   /** Per-node triangle participation counts by DEGREE-ORDERED ORIENTATION
@@ -719,11 +757,27 @@ object Graph {
     val Seq(uName, vName, wName) = edges.columns.take(3).toSeq
     val sess = edges.sparkSession
     val adjChain = new RoundChain(sess.sparkContext)
-    val sym = adjChain.ckpt(edges
+    val sym0 = adjChain.ckpt(edges
       .select(col(uName).as("src"), col(vName).as("dst"), col(wName).cast("long").as("w"))
       .unionAll(edges.select(col(vName).as("src"), col(uName).as("dst"),
         col(wName).cast("long").as("w"))))
-    val nEdges = sym.count()
+    val nEdges = sym0.count()
+    // round-7 exchange-free round shape (the coreness device): the
+    // adjacency is AUGMENTED with a weight-0 self-loop per node — so
+    // min(dist, relax) is ONE relaxation over sym' (the self-loop arm
+    // reproduces the carried distance exactly) instead of
+    // union(dist, relax) whose Union discards partitioning and forces an
+    // edge-sized exchange every round — then checkpointed dst-partitioned
+    // with the partitioning PRESERVED ([[ckptKeepPartitioning]]). With the
+    // distance frame broadcast (measured rows ≤ [[BcastRows]]) a round is
+    // a BHJ + in-place min: zero exchanges. Past the bound the planner
+    // falls back to the shuffle join — the >4M-frontier plan.
+    val nParts = math.max(1, math.min(
+      sess.sessionState.conf.numShufflePartitions, (nEdges / 100000L).toInt + 1))
+    val sym = ckptKeepPartitioning(adjChain, sym0
+      .unionAll(sym0.select(col("dst")).distinct()
+        .select(col("dst").as("src"), col("dst"), lit(0L).as("w")))
+      .repartition(nParts, col("dst")))
     val chain = new RoundChain(sess.sparkContext)
     val seedCol = sources.columns.head
     var dist = chain.ckpt(sources.select(col(seedCol).as("node")).distinct()
@@ -747,10 +801,9 @@ object Graph {
         // and the edge table never shuffles; huge graphs fail the bound
         // and keep the shuffle join
         val d = hinted(dist, w0._1)
-        val relaxed = d.join(sym, d("node") === sym("src"))
-          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-        val next = chain.ckpt(dist.unionAll(relaxed)
-          .groupBy(col("node")).agg(min(col("dist")).as("dist")))
+        val next = chain.ckpt(d.join(sym, d("node") === sym("src"))
+          .select(col("dst"), (col("dist") + col("w")).as("reached"))
+          .groupBy(col("dst").as("node")).agg(min(col("reached")).as("dist")))
         val w1 = witness(next)
         dist = next
         converged = w1 == w0
