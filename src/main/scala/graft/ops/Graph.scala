@@ -596,25 +596,33 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, maxIters: Int = 30): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val Seq(uName, vName) = edges.columns.take(2).toSeq
-    def degrees(e: DataFrame): DataFrame = e
-      .select(explode(array(col("u"), col("v"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
     val sess = edges.sparkSession
     val chain = new RoundChain(sess.sparkContext)
-    var cur = chain.ckpt(edges.select(col(uName).as("u"), col(vName).as("v")))
+    // SYMMETRIC representation, dst-partitioned + preserved across every
+    // round's checkpoint (round-7 device): the per-round degree groupBy
+    // (dst) reuses the one up-front shuffle, the keep-list broadcasts, and
+    // the two semi joins preserve the partitioning through the next
+    // checkpoint — zero per-round exchanges. deg(node) = rows per dst is
+    // exact because sym carries both directions.
+    def degrees(e: DataFrame): DataFrame = e
+      .groupBy(col("dst").as("node")).agg(count(lit(1)).as("core_deg"))
+    var cur = ckptKeepPartitioning(chain, edges
+      .select(col(uName).as("src"), col(vName).as("dst"))
+      .unionAll(edges.select(col(vName).as("src"), col(uName).as("dst")))
+      .repartition(col("dst")))
     var nEdges = cur.count()
     withRoundConf(sess, nEdges) {
       var converged = false
       var it = 0
       while (!converged && it < maxIters) {
-        // keep-list ≤ node count ≤ 2 × current edges — a measured bound,
+        // keep-list ≤ node count ≤ current sym rows — a measured bound,
         // so the broadcast decision is safe, not an estimate
         val keep = hinted(
-          degrees(cur).filter(col("core_deg") >= k).select(col("node")), 2 * nEdges)
-        val next = chain.ckpt(cur
-          .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-          .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-          .select(col("u"), col("v")))
+          degrees(cur).filter(col("core_deg") >= k).select(col("node")), nEdges)
+        val next = ckptKeepPartitioning(chain, cur
+          .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")))
         val n = next.count()
         converged = n == nEdges
         cur = next
@@ -645,12 +653,22 @@ object Graph {
     val Seq(uName, vName) = edges.columns.take(2).toSeq
     val sess = edges.sparkSession
     val adjChain = new RoundChain(sess.sparkContext)
-    val sym = adjChain.ckpt(edges
+    val seedCol = seeds.columns.head
+    // self-loops make carry+expand ONE join (no Union to discard
+    // partitioning); the loop arm covers graph nodes AND seed nodes, so a
+    // seed absent from the graph still carries its own reached row (the
+    // old union semantics) — then dst-partitioned + preserved so the
+    // per-round distinct reuses the one up-front shuffle
+    val sym0 = adjChain.ckpt(edges
       .select(col(uName).as("src"), col(vName).as("dst"))
       .unionAll(edges.select(col(vName).as("src"), col(uName).as("dst"))))
-    val nEdges = sym.count()
+    val nEdges = sym0.count()
+    val sym = ckptKeepPartitioning(adjChain, sym0
+      .unionAll(sym0.select(col("dst"))
+        .unionAll(seeds.select(col(seedCol).as("dst"))).distinct()
+        .select(col("dst").as("src"), col("dst")))
+      .repartition(col("dst")))
     val chain = new RoundChain(sess.sparkContext)
-    val seedCol = seeds.columns.head
     var reached = chain.ckpt(
       seeds.select(col(seedCol).as("seed"), col(seedCol).as("node")))
     var nReached = reached.count()
@@ -662,9 +680,8 @@ object Graph {
         // shuffle join, the correct plan for huge frontiers
         val r = hinted(reached, nReached)
         reached = chain.ckpt(r
-          .unionAll(r
-            .join(sym, r("node") === sym("src"))
-            .select(col("seed"), col("dst").as("node")))
+          .join(sym, r("node") === sym("src"))
+          .select(col("seed"), col("dst").as("node"))
           .distinct())
         nReached = reached.count()
       }
@@ -702,12 +719,20 @@ object Graph {
       .select(least(col(uName), col(vName)).as("u"),
         greatest(col(uName), col(vName)).as("v"), col(wName).cast("long").as("w"))
       .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
-    val sym = und
+    val sess = edges.sparkSession
+    val adjChain = new RoundChain(sess.sparkContext)
+    // dst-partitioned + preserved (the prDiffusion round-7 shape): each
+    // iteration broadcasts the node-sized (node, rank, wout) frame, the
+    // per-edge contribution (rank·w) div wout computes edge-side, and the
+    // dst aggregate reuses the one up-front shuffle — zero exchanges per
+    // iteration; undirected ⇒ the aggregate covers every node, so no
+    // teleport left join
+    val sym = ckptKeepPartitioning(adjChain, und
       .select(explode(array(
         struct(col("u").as("src"), col("v").as("dst"), col("w")),
         struct(col("v").as("src"), col("u").as("dst"), col("w")))).as("e"))
       .select(col("e.src"), col("e.dst"), col("e.w"))
-      .localCheckpoint()
+      .repartition(col("dst")))
     val wBound = sym.agg(max(col("w"))).head().getLong(0)
     require(wBound <= maxWeight,
       s"edge weight $wBound exceeds the rank·w overflow bound $maxWeight — lower scale")
@@ -715,21 +740,38 @@ object Graph {
     val n = wout.count()
     require(n > 0, "pageRankWeightedIntFixed needs a non-empty edge list")
     val teleport = ((dampDen - dampNum) * scale) / (dampDen * n)
-    var rank = wout.select(col("src").as("node"), lit(scale / n).as("rank"))
-    for (_ <- 1 to iters) {
-      val contribs = rank
-        .join(wout, rank("node") === wout("src"))
-        .select(col("src"), col("rank"), col("wout"))
-        .join(sym, "src")
-        .select(col("dst"), expr("(rank * w) div wout").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
-      rank = wout.select(col("src").as("node"))
-        .join(contribs.withColumnsRenamed(Map("dst" -> "node")), Seq("node"), "left")
-        .withColumn("__pr_in", coalesce(col("in_mass"), lit(0L)))
-        .select(col("node"),
-          (lit(teleport) + expr(s"($dampNum * __pr_in) div $dampDen")).as("rank"))
+    if (n <= BcastRows) {
+      val woutB = wout.select(col("src").as("dnode"), col("wout"))
+      var rank = wout.select(col("src").as("node"), lit(scale / n).as("rank"), col("wout"))
+      for (_ <- 1 to iters) {
+        val cb = broadcast(rank.select(col("node").as("cnode"),
+          col("rank").as("crank"), col("wout").as("cwout")))
+        rank = sym.join(cb, sym("src") === cb("cnode"))
+          .select(col("dst"), expr("(crank * w) div cwout").as("c"))
+          .groupBy(col("dst").as("node")).agg(sum(col("c")).as("in_mass"))
+          .join(broadcast(woutB), col("node") === col("dnode"))
+          .select(col("node"),
+            (lit(teleport) + expr(s"($dampNum * in_mass) div $dampDen")).as("rank"),
+            col("wout"))
+      }
+      rank.select(col("node"), col("rank"))
+    } else {
+      var rank = wout.select(col("src").as("node"), lit(scale / n).as("rank"))
+      for (_ <- 1 to iters) {
+        val contribs = rank
+          .join(wout, rank("node") === wout("src"))
+          .select(col("src"), col("rank"), col("wout"))
+          .join(sym, "src")
+          .select(col("dst"), expr("(rank * w) div wout").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+        rank = wout.select(col("src").as("node"))
+          .join(contribs.withColumnsRenamed(Map("dst" -> "node")), Seq("node"), "left")
+          .withColumn("__pr_in", coalesce(col("in_mass"), lit(0L)))
+          .select(col("node"),
+            (lit(teleport) + expr(s"($dampNum * __pr_in) div $dampDen")).as("rank"))
+      }
+      rank
     }
-    rank
   }
 
   /** Multi-source shortest paths with non-negative INTEGER edge weights by
@@ -1048,9 +1090,15 @@ object Graph {
     // keep the vote sums exact, so the winner (and with it the whole
     // fixed-round trajectory) stays engine-stable; unweighted is w = 1
     val wCol = if (weighted) col(cols(2)).cast("long") else lit(1L)
-    val sym = adjChain.ckpt(edges
+    // src-partitioned, partitioning preserved ([[ckptKeepPartitioning]]):
+    // with the label frame broadcast, the per-round vote count groupBy
+    // (src, label) and the arg-max groupBy (src) both reuse this one
+    // up-front shuffle — zero exchanges per round (the round-7 coreness
+    // device; HashPartitioning(src) satisfies the (src, label) clustering)
+    val sym = ckptKeepPartitioning(adjChain, edges
       .select(col(uName).as("src"), col(vName).as("dst"), wCol.as("w"))
-      .unionAll(edges.select(col(vName).as("src"), col(uName).as("dst"), wCol.as("w"))))
+      .unionAll(edges.select(col(vName).as("src"), col(uName).as("dst"), wCol.as("w")))
+      .repartition(col("src")))
     val nEdges = sym.count()
     val chain = new RoundChain(sess.sparkContext)
     var labels = chain.ckpt(sym.select(col("src").as("node")).distinct()
@@ -1185,9 +1233,12 @@ object Graph {
     val Seq(uName, vName) = edges.columns.take(2).toSeq
     val sess = edges.sparkSession
     val adjChain = new RoundChain(sess.sparkContext)
-    val sym = adjChain.ckpt(edges
+    // src-partitioned + preserved: each round's walk-count groupBy (src)
+    // reuses this shuffle under the broadcast walk frame
+    val sym = ckptKeepPartitioning(adjChain, edges
       .select(col(uName).as("src"), col(vName).as("dst"))
-      .unionAll(edges.select(col(vName).as("src"), col(uName).as("dst"))))
+      .unionAll(edges.select(col(vName).as("src"), col(uName).as("dst")))
+      .repartition(col("src")))
     sym.count()
     val wChain = new RoundChain(sess.sparkContext)
     val kChain = new RoundChain(sess.sparkContext)
@@ -1308,12 +1359,17 @@ object Graph {
     val Seq(uName, vName) = edges.columns.take(2).toSeq
     val sess = edges.sparkSession
     val adjChain = new RoundChain(sess.sparkContext)
-    val sym = adjChain.ckpt(edges
+    // dst-partitioned + preserved; the per-round neighbor-signature groupBy
+    // (dst) reuses this shuffle, and the self-color attach keeps the
+    // aggregate side as the STREAM (colors broadcast) so the round is
+    // exchange-free
+    val sym = ckptKeepPartitioning(adjChain, edges
       .select(col(uName).as("src"), col(vName).as("dst"))
-      .unionAll(edges.select(col(vName).as("src"), col(uName).as("dst"))))
+      .unionAll(edges.select(col(vName).as("src"), col(uName).as("dst")))
+      .repartition(col("dst")))
     val nEdges = sym.count()
     val chain = new RoundChain(sess.sparkContext)
-    var colors = chain.ckpt(sym.groupBy(col("src").as("node"))
+    var colors = chain.ckpt(sym.groupBy(col("dst").as("node"))
       .agg(md5(count(lit(1)).cast("string")).as("color")))
     val nNodes = colors.count()
     withRoundConf(sess, nEdges) {
@@ -1323,8 +1379,8 @@ object Graph {
             nNodes), col("src") === col("cnode"))
           .groupBy(col("dst").as("gnode"))
           .agg(concat_ws(",", sort_array(collect_list(col("ncolor")))).as("sig"))
-        colors = chain.ckpt(colors
-          .join(nbr, col("node") === col("gnode"))
+        colors = chain.ckpt(nbr
+          .join(hinted(colors, nNodes), col("gnode") === col("node"))
           .select(col("node"), md5(concat(col("color"), lit("|"), col("sig"))).as("color")))
       }
     }
@@ -1417,9 +1473,12 @@ object Graph {
     val Seq(uName, vName) = edges.columns.take(2).toSeq
     val sess = edges.sparkSession
     val adjChain = new RoundChain(sess.sparkContext)
-    val sym = adjChain.ckpt(edges
+    // dst-partitioned + preserved: the per-round neighbor-minimum groupBy
+    // (dst) reuses this shuffle under the broadcast active/winner frames
+    val sym = ckptKeepPartitioning(adjChain, edges
       .select(col(uName).as("src"), col(vName).as("dst"))
-      .unionAll(edges.select(col(vName).as("src"), col(uName).as("dst"))))
+      .unionAll(edges.select(col(vName).as("src"), col(uName).as("dst")))
+      .repartition(col("dst")))
     val nEdges = sym.count()
     val activeChain = new RoundChain(sess.sparkContext)
     val misChain = new RoundChain(sess.sparkContext)
@@ -1497,10 +1556,20 @@ object Graph {
     val Seq(uName, vName) = edges.columns.take(2).toSeq
     val sess = edges.sparkSession
     val adjChain = new RoundChain(sess.sparkContext)
-    val sym = adjChain.ckpt(edges
+    // SSSP's round-7 shape: weight-0 self-loops make carry+expand ONE
+    // relaxation over the augmented adjacency (no Union to discard
+    // partitioning), checkpointed dst-partitioned + preserved so the
+    // (seed, node) min groupBy reuses the one up-front shuffle
+    // (HashPartitioning(dst) satisfies the (seed, dst) clustering)
+    val sym0 = adjChain.ckpt(edges
       .select(col(uName).as("src"), col(vName).as("dst"))
       .unionAll(edges.select(col(vName).as("src"), col(uName).as("dst"))))
-    val nEdges = sym.count()
+    val nEdges = sym0.count()
+    val sym = ckptKeepPartitioning(adjChain, sym0
+      .select(col("src"), col("dst"), lit(1L).as("w"))
+      .unionAll(sym0.select(col("dst")).distinct()
+        .select(col("dst").as("src"), col("dst"), lit(0L).as("w")))
+      .repartition(col("dst")))
     val chain = new RoundChain(sess.sparkContext)
     val seedCol = seeds.columns.head
     var reached = chain.ckpt(seeds.select(
@@ -1510,11 +1579,10 @@ object Graph {
       for (_ <- 1 to k) {
         val r = hinted(reached, nReached)
         reached = chain.ckpt(r
-          .unionAll(r
-            .join(sym, r("node") === sym("src"))
-            .select(col("seed"), col("dst").as("node"), (col("dist") + 1L).as("dist")))
-          .groupBy(col("seed"), col("node"))
-          .agg(min(col("dist")).as("dist")))
+          .join(sym, r("node") === sym("src"))
+          .select(col("seed"), col("dst"), (col("dist") + col("w")).as("reached_dist"))
+          .groupBy(col("seed"), col("dst").as("node"))
+          .agg(min(col("reached_dist")).as("dist")))
         nReached = reached.count()
       }
     }
@@ -1557,10 +1625,18 @@ object Graph {
     // shortestPathsInt twice would rebuild + re-checkpoint it per sweep —
     // measured ~1.5 s of the operator's 8 s at sf0.1)
     val adjChain = new RoundChain(sess.sparkContext)
-    val sym = adjChain.ckpt(edges
+    // weight-0 self-loops + dst-partitioned preserved checkpoint (the SSSP
+    // round-7 shape): each BFS round is one broadcast-probe BHJ + an
+    // in-place min — zero exchanges
+    val sym0 = adjChain.ckpt(edges
       .select(col(uName).as("src"), col(vName).as("dst"))
       .unionAll(edges.select(col(vName).as("src"), col(uName).as("dst"))))
-    val nEdges = sym.count()
+    val nEdges = sym0.count()
+    val sym = ckptKeepPartitioning(adjChain, sym0
+      .select(col("src"), col("dst"), lit(1L).as("w"))
+      .unionAll(sym0.select(col("dst")).distinct()
+        .select(col("dst").as("src"), col("dst"), lit(0L).as("w")))
+      .repartition(col("dst")))
     def prio(c: org.apache.spark.sql.Column) =
       md5(concat(lit("dia:"), c.cast("string")))
     val start = sym.select(col("src").as("node")).distinct()
@@ -1577,10 +1653,10 @@ object Graph {
         var round = 0
         while (!converged && round < maxRounds) {
           val d = hinted(dist, nReached)
-          val next = chain.ckpt(dist.unionAll(
-              d.join(sym, d("node") === sym("src"))
-                .select(col("dst").as("node"), (col("dist") + 1L).as("dist")))
-            .groupBy(col("node")).agg(min(col("dist")).as("dist")))
+          val next = chain.ckpt(
+            d.join(sym, d("node") === sym("src"))
+              .select(col("dst"), (col("dist") + col("w")).as("reached_dist"))
+              .groupBy(col("dst").as("node")).agg(min(col("reached_dist")).as("dist")))
           val n = next.count()
           converged = n == nReached
           dist = next
