@@ -1477,6 +1477,98 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // ---- similarity: IVF-PQ composed ANN — the FAISS IndexIVFPQ shape
+    // (coarse quantizer prunes to 8 of 32 cells; 16×256 product codes on
+    // the RESIDUALS x − centroid, scored asymmetrically against
+    // x̂ = centroid + recon). Residual quantization + cell pruning is THE
+    // production index at corpus scale; gated via the bounded recall
+    // audit over its 50 queries: hits-in-exact-top20 measured minima are
+    // 5/4/3 at sf0.001/0.01/0.1 (tools/RecallAudit) — the boolean
+    // thresholds strictly below at ≥ 2. ----
+    "q343_ann_ivfpq" -> ((s, dir) => {
+      val ann = Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, queryMaxId = 50, nlist = 32, nprobe = 8, ivfIters = 1,
+        subspaces = 16, codebookSize = 256)
+      annRecallAudit(s, dir, ann, auditMax = 50L)
+        .select(col("query_id"), col("exact_best_id"), col("exact_best_cosine"),
+          (col("h20") >= 2).as("recall20_ok"))
+        .orderBy(col("query_id"))
+    }),
+
+    // ---- REAL PNG IHDR / JPEG SOF header decode (the q86 device on the
+    // two ubiquitous image formats): payloads are synthesized from doc_id
+    // arithmetic with pure expressions — PNG signature + IHDR (width/height
+    // BE32, bit depth, color type; channels per the public color-type
+    // table), JPEG SOI + APP0/JFIF + SOF0 (precision, height/width BE16,
+    // component count) — so the oracle recomputes the same arithmetic and
+    // a parser that misreads an offset, endianness, or the segment walk
+    // goes hash-red. ----
+    "q344_image_headers" -> ((s, dir) => {
+      val d = col("doc_id").cast("int")
+      def be16h(c: Column): Column = format_string("%04x", c)
+      def be32h(c: Column): Column = format_string("%08x", c)
+      // PNG (even doc_id): depth ∈ {8,16}, color type ∈ {0,2,4,6}
+      val pw = pmod(d, lit(1920)) + lit(1)
+      val ph = pmod(d, lit(1080)) + lit(1)
+      val depth = element_at(array(lit(8), lit(16)), pmod(shiftright(d, 1), lit(2)) + lit(1))
+      val ctype = element_at(array(lit(0), lit(2), lit(4), lit(6)), pmod(d, lit(4)) + lit(1))
+      val pngHex = concat(lit("89504e470d0a1a0a"), lit("0000000d"), lit("49484452"),
+        be32h(pw), be32h(ph), format_string("%02x", depth), format_string("%02x", ctype),
+        lit("000000"), lit("00000000")) // compression/filter/interlace + CRC (unchecked)
+      // JPEG (odd doc_id): SOI + 16-byte APP0/JFIF + SOF0 + EOI;
+      // components ∈ {1,3}, precision 8
+      val jw = pmod(d, lit(4096)) + lit(1)
+      val jh = pmod(d, lit(2160)) + lit(1)
+      val ncomp = element_at(array(lit(1), lit(3)), pmod(shiftright(d, 1), lit(2)) + lit(1))
+      val sofLen = lit(8) + ncomp * lit(3)
+      val compHex = when(ncomp === 1, lit("011100"))
+        .otherwise(lit("012200021101031101"))
+      val jpegHex = concat(lit("ffd8"),
+        lit("ffe0"), lit("0010"), lit("4a46494600"), lit("0101"), lit("00"),
+        lit("00010001"), lit("0000"),
+        lit("ffc0"), be16h(sofLen), lit("08"), be16h(jh), be16h(jw),
+        format_string("%02x", ncomp), compHex, lit("ffd9"))
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"),
+          unhex(when(pmod(d, lit(2)) === 0, pngHex).otherwise(jpegHex)).as("payload"))
+      Multimodal.decodeMedia(withBin, "payload")
+        .select(col("doc_id"), col("decoded.format").as("format"),
+          col("decoded.width").as("width"), col("decoded.height").as("height"),
+          col("decoded.bpp").as("bpp"), col("decoded.channels").as("channels"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- char-trigram language ID (Cavnar–Trenkle out-of-place rank
+    // distance): profiles trained from the corpus's own labels on an 80/20
+    // md5-bucket split, held-out docs classified by arg-min rank distance —
+    // all exact integer counts/ranks, so predictions gate cell-for-cell.
+    // Output is the q185 per-class precision/recall audit over the held-out
+    // split (the labels are synthetic and near-uncorrelated with the text,
+    // so the MEASURED accuracy is chance-level — the gate tests the
+    // classifier's exact determinism, and the audit is the honest report). ----
+    "q345_trigram_langid" -> ((s, dir) => {
+      val cls = TextAnalysis
+        .trigramLangId(t(s, dir, "documents"), "doc_id", "text", "lang")
+        .select(col("actual"), col("pred"))
+      val cells = cls.groupBy(col("actual"), col("pred")).agg(count(lit(1)).as("n"))
+        .localCheckpoint() // three small consumers below
+      val byActual = cells.groupBy(col("actual").as("class")).agg(sum(col("n")).as("n_actual"))
+      val byPred = cells.groupBy(col("pred").as("class")).agg(sum(col("n")).as("n_pred"))
+      val tp = cells.filter(col("actual") === col("pred"))
+        .select(col("actual").as("class"), col("n").as("tp"))
+      byActual.join(byPred, Seq("class"), "full_outer")
+        .join(tp, Seq("class"), "left")
+        .select(col("class"),
+          coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("tp"), lit(0L)).as("tp"))
+        .withColumn("precision", when(col("n_pred") > 0,
+          col("tp").cast("double") / col("n_pred").cast("double")))
+        .withColumn("recall", when(col("n_actual") > 0,
+          col("tp").cast("double") / col("n_actual").cast("double")))
+        .orderBy(col("class"))
+    }),
+
     // ---- heavy hitters: Misra–Gries bounded-memory candidates (k=32
     // counters per partial aggregate, mergeable) verified against exact
     // counts — the sketch guarantees every token with freq > n/(k+1)
@@ -8482,6 +8574,22 @@ object SparkEntry {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
         |      FROM s) r
         |WHERE rank = 1 ORDER BY query_id""".stripMargin,
+    "q343_ann_ivfpq" ->
+      """WITH n AS (
+        |  SELECT vec_id, iv, CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS nrm
+        |  FROM (SELECT vec_id,
+        |          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+        |        FROM embeddings) v),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> q.iv[i] * c.iv[i])) AS BIGINT)::DOUBLE
+        |      / (sqrt(q.nrm::DOUBLE) * sqrt(c.nrm::DOUBLE)) AS cosine
+        |  FROM n q JOIN n c ON q.vec_id < 50 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id AS exact_best_id, cosine AS exact_best_cosine,
+        |  TRUE AS recall20_ok
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |      FROM s) r
+        |WHERE rank = 1 ORDER BY query_id""".stripMargin,
     "q74_ann_pq" ->
       """WITH n AS (
         |  SELECT vec_id, iv, CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS nrm
@@ -8498,6 +8606,82 @@ object SparkEntry {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
         |      FROM s) r
         |WHERE rank = 1 ORDER BY query_id""".stripMargin,
+    // round-trip gate for the PNG IHDR / JPEG SOF decoder: payloads were
+    // synthesized from doc_id arithmetic (PNG depth∈{8,16}, color type∈
+    // {0,2,4,6} with channels per the spec table; JPEG precision 8,
+    // components∈{1,3}), so the decoded fields must equal the recomputed
+    // arithmetic
+    "q344_image_headers" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 1920 + 1 AS INT)
+        |       ELSE CAST(doc_id % 4096 + 1 AS INT) END AS width,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 1080 + 1 AS INT)
+        |       ELSE CAST(doc_id % 2160 + 1 AS INT) END AS height,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN CAST([8,16][CAST((doc_id // 2) % 2 + 1 AS INT)] *
+        |                 [1,3,2,4][CAST(doc_id % 4 + 1 AS INT)] AS INT)
+        |       ELSE CAST(8 * [1,3][CAST((doc_id // 2) % 2 + 1 AS INT)] AS INT) END AS bpp,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST([1,3,2,4][CAST(doc_id % 4 + 1 AS INT)] AS INT)
+        |       ELSE CAST([1,3][CAST((doc_id // 2) % 2 + 1 AS INT)] AS INT) END AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // trigram language-ID twin: identical normalization (lower + [^a-z ]
+    // strip — DuckDB needs the 'g' flag Spark's regexp_replace implies),
+    // identical md5-bucket split, identical (count DESC, trigram ASC)
+    // rankings, identical out-of-place distance with the profileSize=200
+    // missing penalty, ties → language ASC
+    "q345_trigram_langid" ->
+      """WITH docs0 AS (
+        |  SELECT doc_id, coalesce(lang, 'und') AS lang,
+        |    regexp_replace(lower(text), '[^a-z ]', '', 'g') AS s,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS bucket
+        |  FROM documents),
+        |tris AS (
+        |  SELECT doc_id, lang, bucket, substr(s, CAST(i AS INT), 3) AS tri FROM (
+        |    SELECT doc_id, lang, bucket, s,
+        |      unnest(range(1, greatest(length(s) - 2, 0) + 1)) AS i
+        |    FROM docs0) u),
+        |prof AS (
+        |  SELECT lang, tri, rn AS pr FROM (
+        |    SELECT lang, tri,
+        |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, tri ASC) AS rn
+        |    FROM tris WHERE bucket < 4 GROUP BY lang, tri) x
+        |  WHERE rn <= 200),
+        |dtop AS (
+        |  SELECT doc_id, tri, rn AS dr FROM (
+        |    SELECT doc_id, tri,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, tri ASC) AS rn
+        |    FROM tris WHERE bucket = 4 GROUP BY doc_id, tri) x
+        |  WHERE rn <= 50),
+        |langs AS (SELECT DISTINCT lang FROM prof),
+        |dist AS (
+        |  SELECT d.doc_id, l.lang,
+        |    SUM(CASE WHEN p.pr IS NULL THEN 200 ELSE abs(d.dr - p.pr) END) AS dist
+        |  FROM dtop d CROSS JOIN langs l
+        |  LEFT JOIN prof p ON p.lang = l.lang AND p.tri = d.tri
+        |  GROUP BY 1, 2),
+        |pred0 AS (
+        |  SELECT doc_id, lang AS pred FROM (
+        |    SELECT doc_id, lang,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist ASC, lang ASC) AS rn
+        |    FROM dist) x WHERE rn = 1),
+        |cls AS (
+        |  SELECT t.lang AS actual, coalesce(p.pred, 'und') AS pred
+        |  FROM docs0 t LEFT JOIN pred0 p USING (doc_id) WHERE t.bucket = 4),
+        |cells AS (SELECT actual, pred, COUNT(*) AS n FROM cls GROUP BY 1, 2),
+        |a AS (SELECT actual AS class, SUM(n) AS n_actual FROM cells GROUP BY 1),
+        |p AS (SELECT pred AS class, SUM(n) AS n_pred FROM cells GROUP BY 1),
+        |tp AS (SELECT actual AS class, n AS tp FROM cells WHERE actual = pred)
+        |SELECT class,
+        |  CAST(coalesce(n_actual, 0) AS BIGINT) AS n_actual,
+        |  CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred,
+        |  CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+        |  CASE WHEN coalesce(n_pred, 0) > 0
+        |       THEN coalesce(tp, 0)::DOUBLE / n_pred::DOUBLE END AS precision,
+        |  CASE WHEN coalesce(n_actual, 0) > 0
+        |       THEN coalesce(tp, 0)::DOUBLE / n_actual::DOUBLE END AS recall
+        |FROM a FULL OUTER JOIN p USING (class) LEFT JOIN tp USING (class)
+        |ORDER BY class""".stripMargin,
     // round-trip gate for the real BMP/WAV header decoder: the payloads were
     // synthesized from doc_id arithmetic, so the decoded fields must equal
     // the same arithmetic recomputed here (NULL where the format lacks them)

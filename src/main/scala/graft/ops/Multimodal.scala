@@ -44,6 +44,13 @@ object Multimodal {
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
       ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
 
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
   /** Parse one payload's container header. Returns a [[mediaSchema]]-shaped
     * Row; malformed/truncated/unknown payloads decode as format "unknown"
     * with NULL fields (never throws — corrupt blobs are data, not errors).
@@ -61,6 +68,53 @@ object Multimodal {
     // sample @14 (LE16). Chunk scan (not a fixed 44-byte layout) so files
     // with LIST/fact chunks before fmt still decode; odd-sized chunks pad
     // to even per the RIFF spec.
+    // PNG: 8-byte signature, then the IHDR chunk MUST come first (spec):
+    // length BE32 (13) + "IHDR" + width BE32 @16, height BE32 @20, bit
+    // depth @24, color type @25. Channels per color type: 0 gray→1,
+    // 2 truecolor→3, 3 palette→1, 4 gray+alpha→2, 6 RGBA→4; bpp =
+    // bit depth × channels (the bits that matter for a training-data
+    // size/shape audit).
+    else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N'
+      && bytes(3) == 'G' && (bytes(4) & 0xff) == 0x0d && (bytes(5) & 0xff) == 0x0a
+      && (bytes(6) & 0xff) == 0x1a && (bytes(7) & 0xff) == 0x0a) {
+      if (bytes.length < 26 || be32(bytes, 8) != 13 ||
+        bytes(12) != 'I' || bytes(13) != 'H' || bytes(14) != 'D' || bytes(15) != 'R') unknown
+      else {
+        val depth = bytes(24) & 0xff
+        val channels = (bytes(25) & 0xff) match {
+          case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+          case _ => -1
+        }
+        if (channels < 0) unknown
+        else Row("png", be32(bytes, 16), be32(bytes, 20), depth * channels,
+          channels, null, null)
+      }
+    }
+    // JPEG: SOI (FF D8), then marker segments each FF + marker + BE16
+    // length (length includes its own two bytes). Walk to the first
+    // start-of-frame SOFn (C0–CF except C4 DHT / C8 JPG-ext / CC DAC):
+    // precision @+4, height BE16 @+5, width BE16 @+7, components @+9.
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+      var off = 2
+      while (off + 4 <= bytes.length && (bytes(off) & 0xff) == 0xff) {
+        val marker = bytes(off + 1) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf
+          && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          return if (off + 10 <= bytes.length) {
+            val precision = bytes(off + 4) & 0xff
+            val h = be16(bytes, off + 5)
+            val w = be16(bytes, off + 7)
+            val ncomp = bytes(off + 9) & 0xff
+            Row("jpeg", w, h, precision * ncomp, ncomp, null, null)
+          } else unknown
+        }
+        if (marker == 0xd9 || marker == 0xda) return unknown // EOI / SOS before any SOF
+        val segLen = be16(bytes, off + 2)
+        if (segLen < 2) return unknown // corrupt length — stop scanning
+        off += 2 + segLen
+      }
+      unknown
+    }
     else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F'
       && bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') {
       var off = 12

@@ -577,31 +577,7 @@ object Similarity {
     val dims = sample(0).length
     require(dims % subspaces == 0, s"dims $dims must divide into $subspaces subspaces")
     val subDim = dims / subspaces
-
-    // per-subspace Lloyd on the sample, all integer arithmetic
-    val codebooks: Array[Array[Array[Long]]] = Array.tabulate(subspaces) { s =>
-      val subs = sample.map(fullV => java.util.Arrays.copyOfRange(fullV, s * subDim, (s + 1) * subDim))
-      var cents = subs.take(codebookSize).map(_.clone())
-      // pad degenerate samples (< codebookSize points) by repeating
-      while (cents.length < codebookSize) cents = cents ++ cents.take(codebookSize - cents.length)
-      var it = 0
-      while (it < iters) {
-        val sums = Array.fill(codebookSize, subDim)(0L)
-        val counts = new Array[Long](codebookSize)
-        subs.foreach { x =>
-          val c = nearestCode(x, cents)
-          counts(c) += 1
-          var d = 0
-          while (d < subDim) { sums(c)(d) += x(d); d += 1 }
-        }
-        cents = Array.tabulate(codebookSize) { c =>
-          if (counts(c) == 0) cents(c)
-          else Array.tabulate(subDim)(d => java.lang.Math.floorDiv(sums(c)(d), counts(c)))
-        }
-        it += 1
-      }
-      cents
-    }
+    val codebooks = pqTrain(sample, subspaces, codebookSize, iters)
 
     val inSchema = v.schema
     val outSchema = org.apache.spark.sql.types.StructType(inSchema.fields ++ Seq(
@@ -627,6 +603,39 @@ object Similarity {
         org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(codes.toSeq, recon.toSeq))
       }
     }(enc)
+  }
+
+  /** Per-subspace Lloyd codebook training on a bounded sample, all integer
+    * arithmetic (exact sums, floor division, argmin ties toward the lowest
+    * code) — shared by [[pqEncode]] and [[ivfPqTopK]].
+    */
+  private def pqTrain(sample: Array[Array[Long]], subspaces: Int,
+      codebookSize: Int, iters: Int): Array[Array[Array[Long]]] = {
+    val dims = sample(0).length
+    val subDim = dims / subspaces
+    Array.tabulate(subspaces) { s =>
+      val subs = sample.map(fullV => java.util.Arrays.copyOfRange(fullV, s * subDim, (s + 1) * subDim))
+      var cents = subs.take(codebookSize).map(_.clone())
+      // pad degenerate samples (< codebookSize points) by repeating
+      while (cents.length < codebookSize) cents = cents ++ cents.take(codebookSize - cents.length)
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(codebookSize, subDim)(0L)
+        val counts = new Array[Long](codebookSize)
+        subs.foreach { x =>
+          val c = nearestCode(x, cents)
+          counts(c) += 1
+          var d = 0
+          while (d < subDim) { sums(c)(d) += x(d); d += 1 }
+        }
+        cents = Array.tabulate(codebookSize) { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(subDim)(d => java.lang.Math.floorDiv(sums(c)(d), counts(c)))
+        }
+        it += 1
+      }
+      cents
+    }
   }
 
   /** Squared-L2 argmin over centroids, ties toward the lowest code. */
@@ -715,78 +724,191 @@ object Similarity {
     // uses (member assignment + probe side) — the previous unpersist-in-
     // finally made the final action recompute the scan + fixed-point twice
     val v = spread(withFixed(df, idCol, embCol), col("id")).localCheckpoint()
-    locally {
-      // deterministic seeds: smallest nlist by (xxhash64(id), id)
-      var cents: Array[(Int, Array[Long])] = v
-        .select(col("id"), col("iv"))
-        .orderBy(xxhash64(col("id")), col("id"))
-        .limit(nlist)
+    val cents = trainIvf(v, nlist, iters)
+    val members = assignCells(v, cents)
+    // each vector as query: rank cells, probe the top nprobe — through the
+    // native heap top-k (no per-query sort of the nlist-wide cell scores)
+    val probes = Relational.topKPerGroupNative(
+        v.select(col("id").as("qid"), col("iv").as("qiv"), col("nrm").as("qnrm"))
+          .filter(probeFilter)
+          .crossJoin(broadcast(centDf(spark, cents)))
+          .withColumn("ccos",
+            cosineFromFixed(dot(col("qiv"), col("civ")), col("qnrm"), col("cnrm"))),
+        Seq(col("qid")), Seq(col("ccos").desc, col("cell").asc), nprobe)
+      .select(col("qid"), col("cell"), col("qiv"), col("qnrm"))
+    val scored = probes
+      .join(members, "cell")
+      .filter(col("qid") =!= col("id"))
+      .withColumn("dot", dot(col("qiv"), col("iv")))
+      .withColumn("cosine", cosineFromFixed(col("dot"), col("qnrm"), col("nrm")))
+    Relational
+      .topKPerGroupNative(scored, Seq(col("qid")),
+        Seq(col("cosine").desc, col("id").asc), k, rankCol = "rank")
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  private def centDf(spark: org.apache.spark.sql.SparkSession,
+      cs: Array[(Int, Array[Long])]): DataFrame = {
+    import spark.implicits._
+    cs.map { case (c, arr) => (c, arr) }.toSeq.toDF("cell", "civ")
+      .withColumn("cnrm", sqNorm(col("civ")))
+  }
+
+  /** Nearest-cell assignment under the cosine metric, argmax via max_by on
+    * (ccos, −cell) — partial-aggregates map-side, ties toward the smallest
+    * cell id. Shared by [[ivfTopK]] and [[ivfPqTopK]].
+    */
+  private def assignCells(v: DataFrame, cs: Array[(Int, Array[Long])]): DataFrame =
+    v.crossJoin(broadcast(centDf(v.sparkSession, cs)))
+      .withColumn("ccos", cosineFromFixed(dot(col("iv"), col("civ")), col("nrm"), col("cnrm")))
+      .groupBy(col("id"))
+      .agg(
+        max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"),
+        first(col("iv")).as("iv"),
+        first(col("nrm")).as("nrm"))
+      .select(col("id"), col("cell"), col("iv"), col("nrm"))
+
+  /** Deterministic integer-Lloyd coarse quantizer: seeds are the `nlist`
+    * vectors with the smallest (xxhash64(id), id); updates are exact
+    * integer component sums with floor division (order-independent).
+    * The per-iteration collect is nlist×dims longs — index-build metadata.
+    */
+  private def trainIvf(v: DataFrame, nlist: Int, iters: Int): Array[(Int, Array[Long])] = {
+    var cents: Array[(Int, Array[Long])] = v
+      .select(col("id"), col("iv"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(nlist)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](1).toArray) }
+    var it = 0
+    while (it < iters) {
+      val sums = assignCells(v, cents)
+        .select(col("cell"), posexplode(col("iv")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
         .collect()
-        .zipWithIndex
-        .map { case (r, i) => (i, r.getSeq[Long](1).toArray) }
-
-      def centDf(cs: Array[(Int, Array[Long])]): DataFrame =
-        cs.map { case (c, arr) => (c, arr) }.toSeq.toDF("cell", "civ")
-          .withColumn("cnrm", sqNorm(col("civ")))
-
-      def assign(cs: Array[(Int, Array[Long])]): DataFrame = {
-        val scoredCells = v
-          .crossJoin(broadcast(centDf(cs)))
-          .withColumn("ccos", cosineFromFixed(dot(col("iv"), col("civ")), col("nrm"), col("cnrm")))
-        // argmax via max_by on (ccos, -cell): partial-aggregates map-side
-        // instead of a sort+row_number window; -cell breaks cosine ties
-        // toward the SMALLEST cell id (same deterministic pick as before)
-        scoredCells
-          .groupBy(col("id"))
-          .agg(
-            max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"),
-            first(col("iv")).as("iv"),
-            first(col("nrm")).as("nrm"))
-          .select(col("id"), col("cell"), col("iv"), col("nrm"))
-      }
-
-      var it = 0
-      while (it < iters) {
-        val sums = assign(cents)
-          .select(col("cell"), posexplode(col("iv")).as(Seq("pos", "x")))
-          .groupBy(col("cell"), col("pos"))
-          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-          .collect()
-        val byCell = sums.groupBy(_.getInt(0))
-        cents = cents.map { case (c, old) =>
-          byCell.get(c) match {
-            case Some(rows) =>
-              val arr = old.clone()
-              rows.foreach { r =>
-                arr(r.getInt(1)) = java.lang.Math.floorDiv(r.getLong(2), r.getLong(3))
-              }
-              (c, arr)
-            case None => (c, old) // empty cell keeps its centroid
-          }
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = cents.map { case (c, old) =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val arr = old.clone()
+            rows.foreach { r =>
+              arr(r.getInt(1)) = java.lang.Math.floorDiv(r.getLong(2), r.getLong(3))
+            }
+            (c, arr)
+          case None => (c, old) // empty cell keeps its centroid
         }
-        it += 1
       }
-
-      val members = assign(cents)
-      // each vector as query: rank cells, probe the top nprobe — through the
-      // native heap top-k (no per-query sort of the nlist-wide cell scores)
-      val probes = Relational.topKPerGroupNative(
-          v.select(col("id").as("qid"), col("iv").as("qiv"), col("nrm").as("qnrm"))
-            .filter(probeFilter)
-            .crossJoin(broadcast(centDf(cents)))
-            .withColumn("ccos",
-              cosineFromFixed(dot(col("qiv"), col("civ")), col("qnrm"), col("cnrm"))),
-          Seq(col("qid")), Seq(col("ccos").desc, col("cell").asc), nprobe)
-        .select(col("qid"), col("cell"), col("qiv"), col("qnrm"))
-      val scored = probes
-        .join(members, "cell")
-        .filter(col("qid") =!= col("id"))
-        .withColumn("dot", dot(col("qiv"), col("iv")))
-        .withColumn("cosine", cosineFromFixed(col("dot"), col("qnrm"), col("nrm")))
-      Relational
-        .topKPerGroupNative(scored, Seq(col("qid")),
-          Seq(col("cosine").desc, col("id").asc), k, rankCol = "rank")
-        .select(col("qid").as("query_id"), col("id").as("neighbor_id"), col("cosine"), col("rank"))
+      it += 1
     }
+    cents
+  }
+
+  /** IVF-PQ composed ANN — the standard production index shape (Jégou,
+    * Douze & Schmid, TPAMI 2011): the [[ivfTopK]] coarse quantizer prunes
+    * the corpus to `nprobe` of `nlist` cells per query, and the stored
+    * side inside each cell is compressed by [[pqEncode]]'s product
+    * quantizer trained on the RESIDUALS x − centroid(cell(x)) — residuals
+    * concentrate around 0, so the same codebook budget quantizes them with
+    * far less error than raw vectors, which is why the composition (not
+    * either half alone) is what FAISS ships as `IndexIVFPQ`. Scoring is
+    * asymmetric: the query keeps its exact vector and meets the
+    * reconstruction x̂ = centroid + recon(residual).
+    *
+    * Determinism: both trainers are the shared deterministic integer-Lloyd
+    * helpers ([[trainIvf]], [[pqTrain]] on a (xxhash64(id), id)-ordered
+    * sample); reconstruction sums are exact longs; ties break toward the
+    * smallest id. Scale shape: the only collects are the codebooks
+    * (bounded index-build metadata); the corpus is encoded
+    * partition-parallel; per-query work is cells/nlist·nprobe of the
+    * corpus through the native heap top-k. All-zero reconstructions are
+    * dropped, not ranked (NaN cosine — the [[pqTopK]] rule).
+    */
+  def ivfPqTopK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      queryMaxId: Long,
+      nlist: Int = 32,
+      nprobe: Int = 8,
+      ivfIters: Int = 1,
+      subspaces: Int = 8,
+      codebookSize: Int = 16,
+      pqIters: Int = 5,
+      sampleSize: Int = 4096
+  ): DataFrame = {
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val v = spread(withFixed(df, idCol, embCol), col("id")).localCheckpoint()
+    val cents = trainIvf(v, nlist, ivfIters)
+    // residual per member: x − centroid(cell(x)) — exact long subtraction
+    val withRes = assignCells(v, cents)
+      .join(broadcast(centDf(spark, cents)), Seq("cell"))
+      .select(col("id"), col("cell"), col("nrm"),
+        zip_with(col("iv"), col("civ"), (a, b) => a - b).as("resid"), col("civ"))
+      // the codebook sample collect and the encode pass both read it
+      .localCheckpoint()
+    val sample: Array[Array[Long]] = withRes
+      .select(col("id"), col("resid"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(sample.nonEmpty, "ivfPqTopK: empty input")
+    val dims = sample(0).length
+    require(dims % subspaces == 0, s"dims $dims must divide into $subspaces subspaces")
+    val subDim = dims / subspaces
+    val codebooks = pqTrain(sample, subspaces, codebookSize, pqIters)
+    // encode residuals + reconstruct x̂ = centroid + recon(residual),
+    // partition-parallel (the pqEncode shape)
+    val inSchema = withRes.schema
+    val outSchema = org.apache.spark.sql.types.StructType(inSchema.fields :+
+      org.apache.spark.sql.types.StructField("xhat",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val residIdx = inSchema.fieldIndex("resid")
+    val civIdx = inSchema.fieldIndex("civ")
+    val encoded = withRes.mapPartitions { rows =>
+      rows.map { r =>
+        val resid = r.getSeq[Long](residIdx).toArray
+        val civ = r.getSeq[Long](civIdx).toArray
+        val xhat = new Array[Long](dims)
+        var s = 0
+        while (s < subspaces) {
+          val sub = java.util.Arrays.copyOfRange(resid, s * subDim, (s + 1) * subDim)
+          val c = nearestCode(sub, codebooks(s))
+          var d = 0
+          while (d < subDim) {
+            xhat(s * subDim + d) = civ(s * subDim + d) + codebooks(s)(c)(d)
+            d += 1
+          }
+          s += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ xhat.toSeq)
+      }
+    }(enc)
+      .select(col("id"), col("cell"), col("xhat"))
+      .withColumn("rnrm", sqNorm(col("xhat")))
+      .filter(col("rnrm") > 0)
+    // query side: exact vectors, IVF cell pruning, asymmetric cosine
+    val probes = Relational.topKPerGroupNative(
+        v.filter(col("id") < queryMaxId)
+          .select(col("id").as("qid"), col("iv").as("qiv"), col("nrm").as("qnrm"))
+          .crossJoin(broadcast(centDf(spark, cents)))
+          .withColumn("ccos",
+            cosineFromFixed(dot(col("qiv"), col("civ")), col("qnrm"), col("cnrm"))),
+        Seq(col("qid")), Seq(col("ccos").desc, col("cell").asc), nprobe)
+      .select(col("qid"), col("cell"), col("qiv"), col("qnrm"))
+    val scored = probes
+      .join(encoded, "cell")
+      .filter(col("qid") =!= col("id"))
+      .withColumn("adot", dot(col("qiv"), col("xhat")))
+      .withColumn("acos", cosineFromFixed(col("adot"), col("qnrm"), col("rnrm")))
+    Relational
+      .topKPerGroupNative(scored, Seq(col("qid")),
+        Seq(col("acos").desc, col("id").asc), k, rankCol = "rank")
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"), col("acos"), col("rank"))
   }
 }

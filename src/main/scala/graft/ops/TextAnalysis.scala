@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines: token
@@ -161,4 +161,71 @@ object TextAnalysis {
     */
   def rollingFingerprint(text: Column, k: Int = 4): Column =
     call_function("graft_fingerprint", tokens(text), lit(k))
+
+  /** Char-TRIGRAM language identification (Cavnar & Trenkle 1994's
+    * out-of-place rank distance), the profile-based upgrade over
+    * [[langId]]'s stopword panel — trigram statistics survive short
+    * strings, misspellings, and missing function words. Training and
+    * classification both run inside this operator from the corpus's own
+    * labels: an 80/20 md5-bucket split (engine-neutral — the q44 device)
+    * trains per-language profiles (top `profileSize` trigrams ranked by
+    * (count DESC, trigram ASC)) and classifies the held-out docs by
+    * arg-min over Σ out-of-place distances (|doc rank − profile rank|,
+    * missing → `profileSize` penalty; ties → language ASC). Everything is
+    * exact integer counts and ranks, so the full prediction table
+    * hash-gates against a DuckDB twin.
+    *
+    * Scale shape: trigram extraction is a row-local explode; doc-level
+    * counts are one (doc, trigram) groupBy with map-side combine; the
+    * per-doc top-`docTop` goes through the native heap top-k (no per-doc
+    * window sort); profiles are dictionary-bounded (languages ×
+    * ≤ profileSize rows — the ≤27³ trigram space caps the train groupBy)
+    * and BROADCAST into the distance join, so the only corpus-scaled
+    * shuffles are the two counting aggregates.
+    *
+    * Output: (doc_id, actual, pred) for every held-out doc; docs with no
+    * trigrams (or an empty profile table) predict "und".
+    */
+  def trigramLangId(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, profileSize: Int = 200, docTop: Int = 50): DataFrame = {
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      coalesce(col(langCol), lit("und")).as("lang"),
+      regexp_replace(lower(col(textCol)), "[^a-z ]", "").as("s"),
+      (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 5).as("bucket"))
+    val tris = base.select(col("doc_id"), col("lang"), col("bucket"),
+      explode(expr("CASE WHEN length(s) >= 3 " +
+        "THEN transform(sequence(1, length(s) - 2), i -> substring(s, i, 3)) " +
+        "ELSE CAST(array() AS array<string>) END")).as("tri"))
+    val wProf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("c").desc, col("tri").asc)
+    val prof = tris.filter(col("bucket") < 4)
+      .groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("c"))
+      .withColumn("pr", row_number().over(wProf))
+      .filter(col("pr") <= profileSize)
+      .select(col("lang"), col("tri"), col("pr"))
+      // dictionary-bounded (languages × profileSize): the distance join and
+      // the language list both read it
+      .localCheckpoint()
+    val dtop = Relational.topKPerGroupNative(
+        tris.filter(col("bucket") === 4)
+          .groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("c")),
+        Seq(col("doc_id")), Seq(col("c").desc, col("tri").asc), docTop, rankCol = "dr")
+      .select(col("doc_id"), col("tri"), col("dr"))
+    val langs = prof.select(col("lang")).distinct()
+    val dist = dtop
+      .crossJoin(broadcast(langs))
+      .join(broadcast(prof.withColumnsRenamed(Map("lang" -> "plang", "tri" -> "ptri"))),
+        col("plang") === col("lang") && col("ptri") === col("tri"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(coalesce(abs(col("dr") - col("pr")),
+        lit(profileSize.toLong))).as("dist"))
+    val pred = dist.groupBy(col("doc_id"))
+      .agg(min_by(col("lang"), struct(col("dist"), col("lang"))).as("pred"))
+    base.filter(col("bucket") === 4)
+      .select(col("doc_id"), col("lang").as("actual"))
+      .join(pred, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("actual"), coalesce(col("pred"), lit("und")).as("pred"))
+  }
 }

@@ -381,6 +381,80 @@ class OpsSpec extends SparkTestBase {
     assert(again == got)
   }
 
+  test("multimodal decodeMedia: PNG IHDR / JPEG SOF parse, malformed-safe") {
+    import spark.implicits._
+    def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val pngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    def png(w: Int, h: Int, depth: Int, ctype: Int): Array[Byte] =
+      pngSig ++ be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++
+        Array(depth.toByte, ctype.toByte, 0, 0, 0).map(_.toByte) ++ be32(0) // CRC unchecked
+    def jpeg(w: Int, h: Int, ncomp: Int, app0First: Boolean): Array[Byte] = {
+      val app0 = Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++
+        "JFIF".getBytes ++ Array[Byte](0, 1, 1, 0) ++ be16(1) ++ be16(1) ++ Array[Byte](0, 0)
+      val sof = Array(0xff, 0xc0).map(_.toByte) ++ be16(8 + 3 * ncomp) ++ Array(8.toByte) ++
+        be16(h) ++ be16(w) ++ Array(ncomp.toByte) ++
+        (1 to ncomp).flatMap(i => Seq(i.toByte, 0x11.toByte, 0.toByte))
+      Array(0xff, 0xd8).map(_.toByte) ++ (if (app0First) app0 else Array.emptyByteArray) ++
+        sof ++ Array(0xff, 0xd9).map(_.toByte)
+    }
+    val payloads = Seq(
+      (1L, png(1920, 1080, 8, 2)),   // RGB 8 → bpp 24, ch 3
+      (2L, png(7, 5, 16, 6)),        // RGBA 16 → bpp 64, ch 4
+      (3L, png(3, 3, 8, 0)),         // gray → bpp 8, ch 1
+      (4L, png(3, 3, 8, 3)),         // palette → bpp 8, ch 1
+      (5L, jpeg(640, 480, 3, app0First = true)),
+      (6L, jpeg(12, 34, 1, app0First = false)),
+      (7L, png(3, 3, 8, 5)),                 // invalid color type
+      (8L, pngSig ++ be32(13) ++ "IDAT".getBytes), // IHDR not first
+      (9L, Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) // EOI before any SOF
+    )
+    val got = Multimodal.decodeMedia(payloads.toDF("id", "payload").repartition(3), "payload")
+      .select(col("id"), col("decoded.*")).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(got(1L) == Seq("png", 1920, 1080, 24, 3, null, null))
+    assert(got(2L) == Seq("png", 7, 5, 64, 4, null, null))
+    assert(got(3L) == Seq("png", 3, 3, 8, 1, null, null))
+    assert(got(4L) == Seq("png", 3, 3, 8, 1, null, null))
+    assert(got(5L) == Seq("jpeg", 640, 480, 24, 3, null, null))
+    assert(got(6L) == Seq("jpeg", 12, 34, 8, 1, null, null))
+    Seq(7L, 8L, 9L).foreach { id =>
+      assert(got(id) == Seq("unknown", null, null, null, null, null, null), s"id=$id")
+    }
+  }
+
+  test("trigramLangId: deterministic held-out predictions, full coverage, und on empty text") {
+    import spark.implicits._
+    // synthetic corpus with genuinely distinct trigram statistics per label
+    val rows = (0L until 200L).map { i =>
+      val lang = Seq("aa", "bb", "cc")((i % 3).toInt)
+      val word = lang match {
+        case "aa" => "alpha amble area"; case "bb" => "bubble bobble brook"
+        case _ => "cocoa clock occur"
+      }
+      (i, lang, (word + " ") * 5)
+    } :+ ((200L, "aa", ""))
+    val df = rows.toDF("doc_id", "lang", "text")
+    val out = graft.ops.TextAnalysis.trigramLangId(df, "doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // every held-out doc appears exactly once
+    val heldOut = rows.filter { case (id, _, _) =>
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(8), 16) % 5 == 4
+    }.map(_._1).toSet
+    assert(out.map(_._1).toSet == heldOut && out.length == heldOut.size)
+    // with distinct trigram profiles the held-out accuracy is perfect for
+    // non-empty docs, and the empty doc (if held out) predicts und
+    out.foreach { case (id, actual, pred) =>
+      if (id == 200L) assert(pred == "und") else assert(pred == actual, s"doc $id")
+    }
+    // deterministic across runs
+    val again = graft.ops.TextAnalysis.trigramLangId(df, "doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(again.sortBy(_._1).sameElements(out.sortBy(_._1)))
+  }
+
   test("PII redaction masks emails, urls, and digit runs; repetition flags repeats") {
     import spark.implicits._
     val df = Seq(

@@ -96,6 +96,12 @@ object RecallAudit {
           Similarity.pqTopK(emb, "vec_id", "embedding", k = 5,
             queryMaxId = 50, subspaces = 16, codebookSize = 256),
           50L)
+        report(
+          "ivfpq(32,8|16x256) ",
+          Similarity.ivfPqTopK(emb, "vec_id", "embedding", k = 5,
+            queryMaxId = 50, nlist = 32, nprobe = 8, ivfIters = 1,
+            subspaces = 16, codebookSize = 256),
+          50L)
       }
     }
     spark.stop()
