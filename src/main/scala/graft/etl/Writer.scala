@@ -259,43 +259,105 @@ object Writer {
     * readers; older ones are GC'd.
     *
     * Tradeoff vs [[replaceWhere]]: the table is read through [[readCurrent]]
-    * (the root dir is not itself a valid parquet table), and single-writer is
-    * still assumed (two concurrent writers would race the same next version —
-    * Delta arbitrates that with its log; out of scope here).
+    * (the root dir is not itself a valid parquet table).
+    *
+    * CONCURRENT WRITERS (round-7): the naive protocol loses updates — two
+    * writers that both read pointer v race the same v+1: both merge from v,
+    * the slower pointer write wins, and the faster writer's rows silently
+    * vanish (WriterSpec proves the interleaving). Version numbers are
+    * therefore CLAIMED before any merge: a writer must atomically RENAME a
+    * unique temp file onto `v-<n>.claim` (Hadoop's rename contract fails
+    * when the destination exists — one winner per version) before it may
+    * read its base, write `v-<n>`, and move the pointer. A loser re-reads
+    * the pointer — which now (or soon) names the winner's commit — and
+    * re-merges from THAT version, so no committed row is ever lost; the
+    * bounded retry loop turns concurrent writers into a serial schedule.
+    * Liveness caveat, documented not hidden: a claimant that CRASHES
+    * between claim and commit leaves a stale `v-<n>.claim` that blocks all
+    * writers — after `maxAttempts` the writer fails loudly naming the
+    * claim file (operator confirms no writer is alive, deletes the claim
+    * and any orphaned `v-<n>` dir). Real Delta arbitrates the same race
+    * with its transaction log plus timeouts; this is the minimal
+    * rename-as-commit form of the same idea.
     */
   def replaceWhereVersioned(
       spark: SparkSession,
       df: DataFrame,
       path: String,
       partitionCols: Seq[String],
-      predicate: Column
+      predicate: Column,
+      maxAttempts: Int = 20,
+      claimRetryMs: Long = 200L
   ): Unit = {
     val root = new HPath(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
-    val cur = readPointer(fs, root)
-    val next = cur.getOrElse(-1L) + 1L
-    val merged = cur match {
-      case None => df
-      case Some(v) =>
-        val existing = spark.read.parquet(versionDir(path, v).toString)
-        existing.filter(!coalesce(predicate, lit(false)))
-          .unionByName(df.select(existing.columns.map(col).toIndexedSeq: _*))
-    }
-    val target = versionDir(path, next)
-    fs.delete(target, true) // clear any orphaned attempt at this version
-    val w = merged.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(target.toString)
-    writePointer(fs, root, next) // ← the commit
-    // GC: keep current + previous, drop anything older (best effort)
-    fs.listStatus(root).foreach { st =>
-      val name = st.getPath.getName
-      if (st.isDirectory && name.startsWith("v-")) {
-        val v = name.stripPrefix("v-").toLongOption
-        if (v.exists(_ < next - 1)) { fs.delete(st.getPath, true); () }
+    var attempt = 0
+    var committed = false
+    var lastClaim: HPath = null
+    while (!committed && attempt < maxAttempts) {
+      attempt += 1
+      val cur = readPointer(fs, root)
+      val next = cur.getOrElse(-1L) + 1L
+      val claim = new HPath(root, s"v-$next.claim")
+      lastClaim = claim
+      if (claimVersion(fs, root, claim)) {
+        // we own version `next`: nobody else can commit it, and `cur` is
+        // committed (the pointer only ever names completed versions), so
+        // merging from `cur` cannot lose a concurrent writer's rows
+        val merged = cur match {
+          case None => df
+          case Some(v) =>
+            val existing = spark.read.parquet(versionDir(path, v).toString)
+            existing.filter(!coalesce(predicate, lit(false)))
+              .unionByName(df.select(existing.columns.map(col).toIndexedSeq: _*))
+        }
+        val target = versionDir(path, next)
+        fs.delete(target, true) // clear any orphaned attempt at this version
+        val w = merged.write.mode("overwrite")
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(target.toString)
+        writePointer(fs, root, next) // ← the commit
+        committed = true
+        // GC: keep current + previous, drop anything older (best effort),
+        // claims alongside their versions
+        fs.listStatus(root).foreach { st =>
+          val name = st.getPath.getName
+          val vOpt =
+            if (st.isDirectory && name.startsWith("v-")) name.stripPrefix("v-").toLongOption
+            else if (name.startsWith("v-") && name.endsWith(".claim"))
+              name.stripPrefix("v-").stripSuffix(".claim").toLongOption
+            else None
+          if (vOpt.exists(_ < next - 1)) { fs.delete(st.getPath, true); () }
+        }
+      } else {
+        // version already claimed: its writer has committed (pointer moved —
+        // next read re-merges from it) or is in flight (wait) or crashed
+        // (the bounded loop fails loudly below)
+        Thread.sleep(claimRetryMs)
       }
     }
+    if (!committed)
+      throw new IllegalStateException(
+        s"replaceWhereVersioned could not claim a version after $maxAttempts attempts — " +
+          s"a concurrent writer is running, or a crashed writer left a stale claim " +
+          s"($lastClaim); if no writer is alive, delete the claim file and the " +
+          "orphaned version directory it guards, then retry")
+  }
+
+  /** Atomically claim a version: write a unique temp object, RENAME it onto
+    * the claim path. Hadoop's `FileSystem.rename` contract fails when the
+    * destination exists, so exactly one concurrent claimant wins.
+    */
+  private def claimVersion(fs: FileSystem, root: HPath, claim: HPath): Boolean = {
+    if (fs.exists(claim)) return false
+    val tmp = new HPath(root, s".claim-${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(claim.getName.getBytes("UTF-8"))
+    finally out.close()
+    val won = try fs.rename(tmp, claim) catch { case _: java.io.IOException => false }
+    if (!won) { fs.delete(tmp, true); () }
+    won
   }
 
   private def cleanupStale(

@@ -73,7 +73,56 @@ class WriterSpec extends SparkTestBase {
     assert(cur2.filter(col("pais") === "PE").collect().head.getAs[Double]("v") == 4.0)
 
     // GC: after v-2 commits, only current and previous versions remain
-    val vs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("v-")).sorted
+    // (plus the current/previous claim markers the protocol leaves behind)
+    val vs = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(n => n.startsWith("v-") && !n.endsWith(".claim")).sorted
     assert(vs.toSeq == Seq("v-1", "v-2"), vs.mkString(","))
+  }
+
+  test("versioned replaceWhere: two interleaved writers both land (claim CAS serializes)") {
+    val dir = Files.createTempDirectory("graft-wvc").toString + "/t"
+    def pred(c: String) = col("pais") === c
+    // base version both racers will read
+    Writer.replaceWhereVersioned(spark, mk(Seq(("EC", "2025-01-01", 1.0),
+      ("PE", "2025-01-01", 2.0), ("CO", "2025-01-01", 3.0))), dir, Seq.empty, pred("EC"))
+
+    // the lost-update interleaving: A and B both observe v-0 and race v-1.
+    // Without the claim CAS, both merge from v-0 and the second pointer
+    // write silently drops the first writer's rows; with it, the loser's
+    // claim of v-1 fails, it re-reads the pointer and re-merges from the
+    // winner's v-1 — both updates must land.
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val tA = new Thread(() =>
+      try Writer.replaceWhereVersioned(spark, mk(Seq(("EC", "2025-02-01", 10.0))),
+        dir, Seq.empty, pred("EC"))
+      catch { case e: Throwable => errs.add(e); () })
+    val tB = new Thread(() =>
+      try Writer.replaceWhereVersioned(spark, mk(Seq(("PE", "2025-02-01", 20.0))),
+        dir, Seq.empty, pred("PE"))
+      catch { case e: Throwable => errs.add(e); () })
+    tA.start(); tB.start(); tA.join(120000); tB.join(120000)
+    assert(errs.isEmpty, errs.toArray.mkString("; "))
+    val cur = Writer.readCurrent(spark, dir)
+    assert(cur.count() == 3)
+    assert(cur.filter(col("pais") === "EC").collect().head.getAs[Double]("v") == 10.0)
+    assert(cur.filter(col("pais") === "PE").collect().head.getAs[Double]("v") == 20.0)
+    assert(cur.filter(col("pais") === "CO").collect().head.getAs[Double]("v") == 3.0)
+    // serialized: two commits happened, pointer at v-2
+    assert(Writer.readCurrent(spark, dir).inputFiles.head.contains("/v-2/"))
+
+    // stale claim from a crashed writer blocks and fails LOUDLY (bounded
+    // retry, message names the claim) instead of silently double-committing
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/v-3.claim"), "stale")
+    val ex = intercept[IllegalStateException] {
+      Writer.replaceWhereVersioned(spark, mk(Seq(("EC", "2025-03-01", 99.0))),
+        dir, Seq.empty, pred("EC"), maxAttempts = 2, claimRetryMs = 10L)
+    }
+    assert(ex.getMessage.contains("v-3.claim"))
+    // operator recovery: delete the stale claim, retry succeeds
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/v-3.claim"))
+    Writer.replaceWhereVersioned(spark, mk(Seq(("EC", "2025-03-01", 99.0))),
+      dir, Seq.empty, pred("EC"))
+    assert(Writer.readCurrent(spark, dir)
+      .filter(col("pais") === "EC").collect().head.getAs[Double]("v") == 99.0)
   }
 }
