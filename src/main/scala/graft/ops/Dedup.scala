@@ -639,8 +639,7 @@ object Dedup {
     val aqeKey = "spark.sql.adaptive.enabled"
     val prevShuffle = sess.conf.get(shuffleKey)
     val prevAqe = sess.conf.get(aqeKey)
-    val roundParts = math.max(1, math.min(
-      sess.sessionState.conf.numShufflePartitions, (nEdges / 100000L).toInt + 1))
+    val roundParts = Par.roundParts(sess, nEdges)
     // below ~1M edges the rounds are already known-narrow, and AQE's
     // per-job re-optimization is pure overhead (measured: 3.3 s → 2.2 s
     // for the sf0.1 cascade's CC); large graphs keep AQE for skew/coalesce

@@ -40,8 +40,7 @@ object Graph {
       val aqeKey = "spark.sql.adaptive.enabled"
       val prevShuffle = sess.conf.get(shuffleKey)
       val prevAqe = sess.conf.get(aqeKey)
-      val roundParts = math.max(1, math.min(
-        sess.sessionState.conf.numShufflePartitions, (nRows / 100000L).toInt + 1))
+      val roundParts = Par.roundParts(sess, nRows)
       sess.conf.set(shuffleKey, roundParts.toString)
       sess.conf.set(aqeKey, "false")
       try body
@@ -814,8 +813,7 @@ object Graph {
     // distance frame broadcast (measured rows ≤ [[BcastRows]]) a round is
     // a BHJ + in-place min: zero exchanges. Past the bound the planner
     // falls back to the shuffle join — the >4M-frontier plan.
-    val nParts = math.max(1, math.min(
-      sess.sessionState.conf.numShufflePartitions, (nEdges / 100000L).toInt + 1))
+    val nParts = Par.roundParts(sess, nEdges)
     val sym = ckptKeepPartitioning(adjChain, sym0
       .unionAll(sym0.select(col("dst")).distinct()
         .select(col("dst").as("src"), col("dst"), lit(0L).as("w")))
@@ -967,8 +965,7 @@ object Graph {
     // checkpoint (AQE scoped off) — every exchange-free round below rides
     // this one up-front shuffle. Width follows the withRoundConf sizing so
     // small graphs keep narrow rounds.
-    val nParts = math.max(1, math.min(
-      sess.sessionState.conf.numShufflePartitions, (nEdges / 100000L).toInt + 1))
+    val nParts = Par.roundParts(sess, nEdges)
     val sym = ckptKeepPartitioning(adjChain, sym0.repartition(nParts, col("dst")))
     val chain = new RoundChain(sess.sparkContext)
     // degree via dst (not src): sym holds both directions, so the counts
