@@ -1037,6 +1037,82 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // ---- Heaps-law vocabulary-growth curve: distinct-vocabulary size vs
+    // corpus size at ten doc-id-order checkpoints — the corpus-curation
+    // diagnostic for "is this corpus still adding new language or just
+    // repeating itself". The trick that makes it ONE pass instead of ten:
+    // a token's contribution to every checkpoint is determined by its
+    // FIRST-occurrence doc (min doc_id), so vocab_p = |{tokens: first_doc
+    // ≤ cutoff_p}| — the checkpoint panel is a dictionary-sized literal
+    // exploded over the token-first-occurrence table, never a rescan ----
+    "q346_vocab_growth" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val firstDoc = toks.groupBy(col("token")).agg(min(col("doc_id")).as("fd"))
+      val docLens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val panel = s.range(1, 11).toDF("decile")
+        .crossJoin(broadcast(t(s, dir, "documents").agg(max(col("doc_id")).as("maxd"))))
+        .select(col("decile"), expr("(maxd * decile) div 10").as("cutoff"))
+      val vocab = firstDoc.crossJoin(broadcast(panel))
+        .filter(col("fd") <= col("cutoff"))
+        .groupBy(col("decile"), col("cutoff")).agg(count(lit(1)).as("vocab"))
+      val corpus = docLens.crossJoin(broadcast(panel))
+        .filter(col("doc_id") <= col("cutoff"))
+        .groupBy(col("decile").as("d2")).agg(sum(col("n")).as("n_tokens"))
+      vocab.join(corpus, col("decile") === col("d2"))
+        .select(col("decile"), col("cutoff"), col("n_tokens"), col("vocab"),
+          (col("vocab").cast("double") / col("n_tokens").cast("double")).as("ttr"))
+        .orderBy(col("decile"))
+    }),
+
+    // ---- token frequency-of-frequencies spectrum with the Good–Turing
+    // adjusted count r* = (r+1)·n_{r+1}/n_r — the input table for every
+    // smoothing/unseen-mass estimate (how much probability mass belongs
+    // to tokens we have NOT seen ≈ n_1/N). Two integer aggregates + one
+    // shifted self-join on the dictionary-sized spectrum ----
+    "q347_freq_spectrum" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      val spectrum = counts.groupBy(col("tf").as("freq"))
+        .agg(count(lit(1)).as("n_types"))
+        .localCheckpoint() // both sides of the shifted self-join below
+      spectrum
+        .join(spectrum.select((col("freq") - 1L).as("freq"), col("n_types").as("n_next")),
+          Seq("freq"), "left")
+        .select(col("freq"), col("n_types"),
+          ((col("freq") + 1L).cast("double") * col("n_next").cast("double")
+            / col("n_types").cast("double")).as("r_star"))
+        .orderBy(col("freq"))
+    }),
+
+    // ---- corpus coverage curve: what fraction of all token occurrences
+    // the top-k most frequent types cover, at a k panel — the "how
+    // head-heavy is this corpus" read behind vocabulary pruning and
+    // tokenizer budgeting. Global ranking via the native single-group
+    // heap top-k (bounded k, no full sort of the vocabulary) ----
+    "q348_coverage_curve" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // ranked arm + total arm
+      val ranked = Relational.topKPerGroupNative(
+        counts.withColumn("g", lit(1)), Seq(col("g")),
+        Seq(col("tf").desc, col("token").asc), 10000, rankCol = "rank")
+      val panel = Seq(10, 100, 1000, 10000)
+      ranked
+        .crossJoin(broadcast(s.createDataFrame(panel.map(Tuple1(_))).toDF("k")))
+        .filter(col("rank") <= col("k"))
+        .groupBy(col("k")).agg(sum(col("tf")).as("covered_tf"))
+        .crossJoin(broadcast(counts.agg(sum(col("tf")).as("total_tf"))))
+        .select(col("k"), col("covered_tf"), col("total_tf"),
+          (col("covered_tf").cast("double") / col("total_tf").cast("double")).as("coverage"))
+        .orderBy(col("k"))
+    }),
+
     // ---- full outer join: daily order starts vs daily shipments (both
     // sides pre-aggregated, so the outer join is tiny-on-tiny) ----
     "q48_outer_join" -> ((s, dir) => {
@@ -11855,6 +11931,52 @@ object SparkEntry {
         |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END) AS token
         |  FROM documents) x
         |GROUP BY token ORDER BY token""".stripMargin,
+    "q346_vocab_growth" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END) AS token
+        |  FROM documents),
+        |maxd AS (SELECT MAX(doc_id) AS maxd FROM documents),
+        |panel AS (SELECT CAST(d AS BIGINT) AS decile, (maxd * d) // 10 AS cutoff
+        |          FROM range(1, 11) r(d), maxd),
+        |fd AS (SELECT token, MIN(doc_id) AS fd FROM toks GROUP BY token),
+        |vocab AS (SELECT decile, cutoff, COUNT(*) AS vocab
+        |          FROM fd, panel WHERE fd <= cutoff GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+        |corpus AS (SELECT decile, SUM(n) AS n_tokens
+        |           FROM lens, panel WHERE doc_id <= cutoff GROUP BY 1)
+        |SELECT v.decile, v.cutoff, CAST(c.n_tokens AS BIGINT) AS n_tokens, v.vocab,
+        |  v.vocab::DOUBLE / c.n_tokens::DOUBLE AS ttr
+        |FROM vocab v JOIN corpus c USING (decile) ORDER BY decile""".stripMargin,
+    "q347_freq_spectrum" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END) AS token
+        |  FROM documents),
+        |counts AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY token),
+        |spectrum AS (SELECT tf AS freq, COUNT(*) AS n_types FROM counts GROUP BY tf)
+        |SELECT s.freq, s.n_types,
+        |  (s.freq + 1)::DOUBLE * n2.n_types::DOUBLE / s.n_types::DOUBLE AS r_star
+        |FROM spectrum s LEFT JOIN spectrum n2 ON n2.freq = s.freq + 1
+        |ORDER BY s.freq""".stripMargin,
+    "q348_coverage_curve" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END) AS token
+        |  FROM documents),
+        |counts AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY token),
+        |ranked AS (SELECT token, tf,
+        |    ROW_NUMBER() OVER (ORDER BY tf DESC, token ASC) AS rank FROM counts),
+        |total AS (SELECT SUM(tf) AS total_tf FROM counts),
+        |panel AS (SELECT CAST(k AS INT) AS k FROM (VALUES (10),(100),(1000),(10000)) p(k))
+        |SELECT p.k, CAST(SUM(r.tf) AS BIGINT) AS covered_tf,
+        |  CAST(t.total_tf AS BIGINT) AS total_tf,
+        |  SUM(r.tf)::DOUBLE / t.total_tf::DOUBLE AS coverage
+        |FROM ranked r JOIN panel p ON r.rank <= p.k CROSS JOIN total t
+        |GROUP BY p.k, t.total_tf ORDER BY p.k""".stripMargin,
     "q50_edit_distance" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64)) AS edit_dist
