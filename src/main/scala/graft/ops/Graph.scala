@@ -416,7 +416,25 @@ object Graph {
     val Seq(uName, vName) = edges.columns.take(2).toSeq
     val sess = edges.sparkSession
     val chain = new RoundChain(sess.sparkContext)
-    def support(e: DataFrame): DataFrame = {
+    var cur = chain.ckpt(edges
+      .filter(col(uName).isNotNull && col(vName).isNotNull && col(uName) =!= col(vName))
+      .select(least(col(uName), col(vName)).as("u"),
+        greatest(col(uName), col(vName)).as("v"))
+      .distinct())
+    var nEdges = cur.count()
+    // ONE triangle enumeration (round-7): peeling only SHRINKS the edge
+    // set, and every triangle of a subgraph is a triangle of the original
+    // graph — so the degree-ordered-orientation wedge join (the operator's
+    // dominant stage) runs exactly once, and each round's in-truss support
+    // is "triangles whose three edges all survive": three measured-
+    // broadcast semi joins over the materialized triangle list + one
+    // explode/groupBy, instead of rebuilding degrees + orientation +
+    // wedges + closure per round. Past [[BcastRows]] edges the semi joins
+    // fall back to shuffles over the triangle list — still cheaper than a
+    // wedge rebuild, whose volume bounds the triangle count from above.
+    val triChain = new RoundChain(sess.sparkContext)
+    val tri = triChain.ckpt {
+      val e = cur
       val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("d"))
       val ori = e
@@ -433,22 +451,29 @@ object Graph {
       val e2 = ori.select(col("src"), col("dst").as("c"), col("dst_d").as("cd"))
       val wedges = e1.join(e2, Seq("src"))
         .filter(struct(col("bd"), col("b")) < struct(col("cd"), col("c")))
-      val tri = wedges
+      wedges
         .join(ori.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
-        .select(col("src").as("a"), col("b"), col("c"))
-      tri.select(explode(array(
-          struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")),
-          struct(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v")),
-          struct(least(col("b"), col("c")).as("u"), greatest(col("b"), col("c")).as("v"))))
-          .as("e"))
+        .select(
+          least(col("src"), col("b")).as("u1"), greatest(col("src"), col("b")).as("v1"),
+          least(col("src"), col("c")).as("u2"), greatest(col("src"), col("c")).as("v2"),
+          least(col("b"), col("c")).as("u3"), greatest(col("b"), col("c")).as("v3"))
+    }
+    def support(e: DataFrame, rows: Long, firstRound: Boolean): DataFrame = {
+      val alive =
+        if (firstRound) tri // round 1: cur IS the enumeration's edge set
+        else {
+          val h = hinted(e, rows)
+          tri
+            .join(h.select(col("u").as("u1"), col("v").as("v1")), Seq("u1", "v1"), "left_semi")
+            .join(h.select(col("u").as("u2"), col("v").as("v2")), Seq("u2", "v2"), "left_semi")
+            .join(h.select(col("u").as("u3"), col("v").as("v3")), Seq("u3", "v3"), "left_semi")
+        }
+      alive.select(explode(array(
+          struct(col("u1").as("u"), col("v1").as("v")),
+          struct(col("u2").as("u"), col("v2").as("v")),
+          struct(col("u3").as("u"), col("v3").as("v")))).as("e"))
         .groupBy(col("e.u"), col("e.v")).agg(count(lit(1)).as("support"))
     }
-    var cur = chain.ckpt(edges
-      .filter(col(uName).isNotNull && col(vName).isNotNull && col(uName) =!= col(vName))
-      .select(least(col(uName), col(vName)).as("u"),
-        greatest(col(uName), col(vName)).as("v"))
-      .distinct())
-    var nEdges = cur.count()
     val supChain = new RoundChain(sess.sparkContext)
     withRoundConf(sess, nEdges) {
       var converged = false
@@ -457,10 +482,8 @@ object Graph {
       while (!converged && it < maxRounds) {
         // checkpoint the round's support: the converged round's support
         // frame IS the final answer (computed on an edge set the filter
-        // then leaves unchanged), so keeping it saves a whole extra
-        // triangle enumeration after the loop — the single most expensive
-        // stage of the operator
-        val sup = supChain.ckpt(support(cur))
+        // then leaves unchanged)
+        val sup = supChain.ckpt(support(cur, nEdges, it == 0))
         val next = chain.ckpt(cur
           .join(sup.filter(col("support") >= k - 2), Seq("u", "v"), "left_semi"))
         val n = next.count()
@@ -474,6 +497,7 @@ object Graph {
         throw new IllegalStateException(
           s"kTruss(k=$k) did not converge in $maxRounds rounds — a " +
             "rounds-unrolled oracle at this bound would disagree; raise maxRounds")
+      triChain.free()
       chain.keep()
       supChain.keep()
       cur.join(lastSupport, Seq("u", "v"))
