@@ -1113,6 +1113,57 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    // ---- overlapping token-window CHUNKING (the RAG / context-window prep
+    // step): windows of 64 tokens at stride 48 (16-token overlap), one
+    // output row per chunk with its exact span and an md5 signature of the
+    // rejoined text — row-local explode over a per-doc chunk-index
+    // sequence, no shuffle beyond the source spread; chunk count per doc is
+    // ⌊(n−1)/stride⌋+1, so the fan-out is bounded by corpus tokens/stride ----
+    "q349_token_chunks" -> ((s, dir) => {
+      val win = 64
+      val stride = 48
+      val d = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+        .filter(col("n") > 0)
+      d.select(col("doc_id"), col("toks"), col("n"),
+          // `div`, not `/`: the chunk count is an exact integer floor
+          explode(sequence(lit(0L),
+            expr(s"CAST((n - 1) div $stride AS BIGINT)"))).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * stride).as("start_tok"),
+          least(lit(win.toLong), col("n") - col("chunk_idx") * stride).as("n_tok"),
+          md5(array_join(slice(col("toks"),
+            (col("chunk_idx") * stride + 1).cast("int"), lit(win)), " ")).as("chunk_sig"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // ---- SEQUENCE PACKING by ranked round-robin (the training-batch prep
+    // step after chunking: distribute documents across fixed bins so no
+    // bin is token-starved): global size-descending rank (bucketed
+    // two-pass globalRank — no single-reducer window) and bin =
+    // (rank−1) mod 32, the parallel-friendly deterministic stand-in for
+    // first-fit-decreasing; size-desc round-robin bounds the bin spread
+    // by the largest document. Output: per-bin doc count, token mass,
+    // and the min/max document sizes it received ----
+    "q350_sequence_packing" -> ((s, dir) => {
+      val nBins = 32
+      val sizes = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        // rank ASC of the negated count = size-DESC with doc_id ties
+        .withColumn("neg", -col("n_tokens"))
+      Relational.globalRank(sizes, "neg", "doc_id", "rank")
+        .select(col("doc_id"), col("n_tokens"),
+          pmod(col("rank") - 1L, lit(nBins.toLong)).as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+          min(col("n_tokens")).as("min_doc"), max(col("n_tokens")).as("max_doc"))
+        .orderBy(col("bin"))
+    }),
+
     // ---- full outer join: daily order starts vs daily shipments (both
     // sides pre-aggregated, so the outer join is tiny-on-tiny) ----
     "q48_outer_join" -> ((s, dir) => {
@@ -11931,6 +11982,33 @@ object SparkEntry {
         |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END) AS token
         |  FROM documents) x
         |GROUP BY token ORDER BY token""".stripMargin,
+    "q349_token_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END AS toks
+        |  FROM documents),
+        |dd AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks, n,
+        |        unnest(range(0, (n - 1) // 48 + 1)) AS chunk_idx FROM dd)
+        |SELECT doc_id, chunk_idx, chunk_idx * 48 AS start_tok,
+        |  least(64, n - chunk_idx * 48) AS n_tok,
+        |  md5(array_to_string(
+        |    toks[(chunk_idx * 48 + 1):least(chunk_idx * 48 + 64, n)], ' ')) AS chunk_sig
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q350_sequence_packing" ->
+      """WITH sizes AS (
+        |  SELECT doc_id, len(
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |      ELSE list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') END) AS n_tokens
+        |  FROM documents),
+        |ranked AS (SELECT doc_id, n_tokens,
+        |  ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rank FROM sizes)
+        |SELECT (rank - 1) % 32 AS bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(MIN(n_tokens) AS BIGINT) AS min_doc,
+        |  CAST(MAX(n_tokens) AS BIGINT) AS max_doc
+        |FROM ranked GROUP BY 1 ORDER BY bin""".stripMargin,
     "q346_vocab_growth" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(
