@@ -670,23 +670,62 @@ object Dedup {
       nodes.select(col(idName).as("id"), col(idName).as("component")), col("id")))
     sess.conf.set(shuffleKey, roundParts.toString)
     if (smallGraph) sess.conf.set(aqeKey, "false")
+    var symB: DataFrame = null
     try {
       val compType = labels.schema("component").dataType
       var converged = false
       var it = 0
+      // LAZY exchange-free rounds (round-7; the coreness device applied
+      // only where it pays): near-dup cliques converge by round 3 in the
+      // union form and must not pay any setup, but a run still unconverged
+      // at round 5 is a HIGH-DIAMETER graph with many rounds ahead — so at
+      // that point, if the label table is broadcastable (measured count),
+      // the adjacency is augmented once with one self-loop per labeled id
+      // and re-partitioned by src: each further round is one BHJ
+      // (broadcast labels) + one src-keyed aggregate reusing the cached
+      // partitioning, the self-loop row carrying the node's own previous
+      // label (dst = src picks it) — no Union, no label-table exchange.
+      // (Shipping this form UNCONDITIONALLY measured ~0.3 s SLOWER on the
+      // clique-shaped gates — §8.8#11a; the lazy switch keeps them intact.)
+      def bcastStep(): (DataFrame, Set[Int]) = {
+        if (symB == null) {
+          // self-loops over labels ∪ ALL endpoints: an id can still ENTER
+          // the labeling after the switch (a chain of endpoints outside
+          // `nodes` walks in one hop per round), and without its self-loop
+          // its own label would not self-propagate — min over neighbors
+          // alone could regress. One distinct at switch time buys the
+          // invariant for every possible later id.
+          val loops = labels.select(col("id"))
+            .unionAll(sym.select(col("dst").as("id"))).distinct()
+            .select(col("id").as("src"), col("id").as("dst"))
+          symB = sym.select(col("src"), col("dst")).unionAll(loops)
+            .transform(Par.spread(_, col("src"))).persist()
+          symB.count()
+          ()
+        }
+        val l = broadcast(labels)
+        ckpt(symB.join(l, symB("dst") === l("id"))
+          .groupBy(symB("src").as("id"))
+          .agg(min(col("component")).as("component"),
+            max(when(col("dst") === col("src"), col("component"))).as("prev")))
+      }
       while (!converged && it < maxIters) {
         // carry the previous label through the aggregation (max over one
         // non-null + nulls) so convergence is a cheap scan of the
         // checkpointed round instead of an extra join+shuffle per round
-        val nbr = sym
-          .join(labels, sym("dst") === labels("id"))
-          .select(col("src").as("id"), col("component"),
-            lit(null).cast(compType).as("prev"))
-        var (next, nextIds) = ckpt(
-          labels.select(col("id"), col("component"), col("component").as("prev"))
-            .unionAll(nbr)
-            .groupBy(col("id"))
-            .agg(min(col("component")).as("component"), max(col("prev")).as("prev")))
+        def unionStep(): (DataFrame, Set[Int]) = {
+          val nbr = sym
+            .join(labels, sym("dst") === labels("id"))
+            .select(col("src").as("id"), col("component"),
+              lit(null).cast(compType).as("prev"))
+          ckpt(
+            labels.select(col("id"), col("component"), col("component").as("prev"))
+              .unionAll(nbr)
+              .groupBy(col("id"))
+              .agg(min(col("component")).as("component"), max(col("prev")).as("prev")))
+        }
+        val useBcast = it >= 5 && (symB != null || labels.count() + nEdges <= 4000000L)
+        var (next, nextIds) = if (useBcast) bcastStep() else unionStep()
         // PATH-HALVING from round 3 on: component := label(component) — the
         // Shiloach–Vishkin shortcut that turns diameter-bound convergence
         // into log-diameter. Near-dup cliques (diameter 1–2) converge before
@@ -734,6 +773,7 @@ object Dedup {
       sess.conf.set(shuffleKey, prevShuffle)
       sess.conf.set(aqeKey, prevAqe)
       sym.unpersist()
+      if (symB != null) { symB.unpersist(); () }
       ()
     }
   }
