@@ -687,7 +687,7 @@ object Dedup {
       // label (dst = src picks it) — no Union, no label-table exchange.
       // (Shipping this form UNCONDITIONALLY measured ~0.3 s SLOWER on the
       // clique-shaped gates — §8.8#11a; the lazy switch keeps them intact.)
-      def bcastStep(): (DataFrame, Set[Int]) = {
+      def bcastStep(): DataFrame = {
         if (symB == null) {
           // self-loops over labels ∪ ALL endpoints: an id can still ENTER
           // the labeling after the switch (a chain of endpoints outside
@@ -704,59 +704,86 @@ object Dedup {
           ()
         }
         val l = broadcast(labels)
-        ckpt(symB.join(l, symB("dst") === l("id"))
+        symB.join(l, symB("dst") === l("id"))
           .groupBy(symB("src").as("id"))
           .agg(min(col("component")).as("component"),
-            max(when(col("dst") === col("src"), col("component"))).as("prev")))
+            max(when(col("dst") === col("src"), col("component"))).as("prev"))
       }
+      // broadcast-bound probe, decided ONCE: the r7 form re-ran
+      // `labels.count()` as an extra Spark action every round ≥5 until the
+      // switch fired (or forever, if the bound failed). One count of the
+      // round-5 checkpoint (a LogicalRDD — no recompute) decides for good:
+      // the final label table is bounded by that count + nEdges (any id
+      // entering later is an endpoint of `sym`), so the decision stays
+      // valid for every later round.
+      var bcastProbed = false
+      var bcastOk = false
       while (!converged && it < maxIters) {
         // carry the previous label through the aggregation (max over one
         // non-null + nulls) so convergence is a cheap scan of the
         // checkpointed round instead of an extra join+shuffle per round
-        def unionStep(): (DataFrame, Set[Int]) = {
+        def unionStep(): DataFrame = {
           val nbr = sym
             .join(labels, sym("dst") === labels("id"))
             .select(col("src").as("id"), col("component"),
               lit(null).cast(compType).as("prev"))
-          ckpt(
-            labels.select(col("id"), col("component"), col("component").as("prev"))
-              .unionAll(nbr)
-              .groupBy(col("id"))
-              .agg(min(col("component")).as("component"), max(col("prev")).as("prev")))
+          labels.select(col("id"), col("component"), col("component").as("prev"))
+            .unionAll(nbr)
+            .groupBy(col("id"))
+            .agg(min(col("component")).as("component"), max(col("prev")).as("prev"))
         }
-        val useBcast = it >= 5 && (symB != null || labels.count() + nEdges <= 4000000L)
-        var (next, nextIds) = if (useBcast) bcastStep() else unionStep()
-        // PATH-HALVING from round 3 on: component := label(component) — the
-        // Shiloach–Vishkin shortcut that turns diameter-bound convergence
-        // into log-diameter. Near-dup cliques (diameter 1–2) converge before
-        // this engages and keep the one-shuffle round; high-diameter graphs
-        // (grid/spatial adjacency: diameter = O(span), measured ~50 rounds
-        // for q332's core blob) compress their label chains instead of
-        // walking them one hop per round. Sound because a label is always
-        // an id INSIDE its component (own id initially; neighbor mins and
-        // chain hops stay inside), labels only decrease, and the fixpoint
-        // check below compares the post-shortcut table against the
-        // pre-round labels — changed==0 still certifies the min-neighbor
-        // fixpoint (the shortcut can only decrease further, so no-change
-        // subsumes it). The shortcut reads the CHECKPOINTED round twice
-        // (self-join) — a LogicalRDD, so no recompute and no plan doubling.
-        if (it >= 3) {
-          val parent = next.select(col("id").as("pid"), col("component").as("pcomp"))
-          val (halved, halvedIds) = ckpt(next
-            .join(parent, next("component") === col("pid"), "left")
-            .select(next("id"),
-              coalesce(col("pcomp"), next("component")).as("component"),
-              next("prev")))
-          free(nextIds)
-          next = halved
-          nextIds = halvedIds
-        }
-        // null-safe inequality: an edge endpoint absent from `nodes` enters
-        // via propagation with NULL prev — it must count as changed (plain
-        // =!= is NULL there and would let the loop stop before its label
-        // transits through), and it stays in the labeling (the graph adopts
-        // edge endpoints as nodes).
-        val changed = next.filter(!(col("component") <=> col("prev"))).count()
+        val useBcast = it >= 5 && (symB != null || {
+          if (!bcastProbed) {
+            bcastProbed = true
+            bcastOk = labels.count() + nEdges <= 4000000L
+          }
+          bcastOk
+        })
+        val agg = if (useBcast) bcastStep() else unionStep()
+        // PATH-HALVING from round 3 on, FUSED into the round plan:
+        // component := prevLabel(component) — the Shiloach–Vishkin shortcut
+        // that turns diameter-bound convergence into log-diameter. Near-dup
+        // cliques (diameter 1–2) converge before this engages and keep the
+        // one-shuffle round; high-diameter graphs (grid/spatial adjacency:
+        // diameter = O(span), measured ~50 rounds for q332's core blob)
+        // compress their label chains instead of walking them one hop per
+        // round. The shortcut joins the PREVIOUS checkpointed round (a
+        // LogicalRDD — no recompute, no plan doubling), not the current
+        // aggregate: one hop lagged, but it fuses into the SAME checkpoint
+        // job instead of paying a second materialization per round (the r7
+        // form's extra ckpt was ~0.1 s/round of pure job overhead on small
+        // graphs). Sound because a label is always an id INSIDE its
+        // component (own id initially; neighbor mins and chain hops stay
+        // inside), labels only decrease, and every component value present
+        // at round N was some node's id-row in round N-1 (label rows never
+        // leave the table), so the left join covers it; coalesce keeps the
+        // value when it doesn't.
+        val halved =
+          if (it >= 3) {
+            val parent =
+              labels.select(col("id").as("pid"), col("component").as("pcomp"))
+            agg.join(parent, agg("component") === col("pid"), "left")
+              .select(agg("id"),
+                coalesce(col("pcomp"), agg("component")).as("component"),
+                agg("prev"))
+          } else agg
+        // convergence count FUSED into the checkpoint job via observe():
+        // the metric accumulates while the checkpoint materializes, so each
+        // round is ONE job instead of ckpt + a separate filter-count scan
+        // (measured: the separate count was ~40% of small-graph round
+        // cost). null-safe inequality: an edge endpoint absent from `nodes`
+        // enters via propagation with NULL prev — it must count as changed
+        // (plain =!= is NULL there and would let the loop stop before its
+        // label transits through), and it stays in the labeling (the graph
+        // adopts edge endpoints as nodes). changed==0 still certifies the
+        // min-neighbor fixpoint: at the fixpoint the shortcut is the
+        // identity (every component value is a root labeling itself).
+        val obs = org.apache.spark.sql.Observation(s"graft_cc_round_$it")
+        val (next, nextIds) = ckpt(halved.observe(
+          obs, count(when(!(col("component") <=> col("prev")), lit(1))).as("changed")))
+        val changed = obs.get("changed").asInstanceOf[Long]
+        if (sys.env.contains("GRAFT_CC_TRACE"))
+          System.err.println(s"CC-TRACE it=$it changed=$changed bcast=$useBcast")
         free(labelIds) // previous round: fully consumed by `next`'s checkpoint
         labels = next.select(col("id"), col("component"))
         labelIds = nextIds
