@@ -61,4 +61,25 @@ object BenchCompare {
         }
       }
       .sortBy(-_._3)
+
+  /** JSON array of guard hits, each SELF-ADJUDICATED: `soloMeasure` re-runs
+    * the flagged query alone (state-dropped, outside the sweep) and the
+    * entry carries both the in-sweep factor and the solo one — the figure
+    * that separates "the plan moved" from "the machine moved" lands in the
+    * bench artifact itself instead of needing a post-hoc isolation rerun
+    * (r7: the only flagged regression was 2.44× in-sweep, 1.36× solo).
+    */
+  def regressionJson(
+      prev: Map[String, Double],
+      cur: Map[String, Double],
+      soloMeasure: String => Double,
+      factor: Double = 2.0,
+      floorSec: Double = 0.3
+  ): String = {
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
+    regressions(prev, cur, factor, floorSec).map { case (q, p, c) =>
+      val solo = soloMeasure(q)
+      s"""{"query":"$q","prev":${r3(p)},"cur":${r3(c)},"factor":${r3(c / p)},"solo":${r3(solo)},"solo_factor":${r3(solo / p)}}"""
+    }.mkString("[", ",", "]")
+  }
 }

@@ -265,9 +265,9 @@ object Writer {
     * writers that both read pointer v race the same v+1: both merge from v,
     * the slower pointer write wins, and the faster writer's rows silently
     * vanish (WriterSpec proves the interleaving). Version numbers are
-    * therefore CLAIMED before any merge: a writer must atomically RENAME a
-    * unique temp file onto `v-<n>.claim` (Hadoop's rename contract fails
-    * when the destination exists — one winner per version) before it may
+    * therefore CLAIMED before any merge: a writer must RENAME a unique temp
+    * file onto `v-<n>.claim` via `FileContext.rename(…, Rename.NONE)`
+    * (fail-if-destination-exists — one winner per version) before it may
     * read its base, write `v-<n>`, and move the pointer. A loser re-reads
     * the pointer — which now (or soon) names the winner's commit — and
     * re-merges from THAT version, so no committed row is ever lost; the
@@ -279,6 +279,17 @@ object Writer {
     * and any orphaned `v-<n>` dir). Real Delta arbitrates the same race
     * with its transaction log plus timeouts; this is the minimal
     * rename-as-commit form of the same idea.
+    *
+    * STORE SEMANTICS caveat, documented not hidden: the mutual exclusion is
+    * only as strong as the store's fail-if-destination-exists rename. HDFS
+    * and ABFS implement it atomically server-side — the guarantee holds.
+    * The raw local filesystem and S3A do NOT have an atomic conditional
+    * rename (POSIX rename overwrites; S3A renames are copy+delete), so
+    * there `Rename.NONE` degrades to check-then-act: the race window
+    * shrinks to microseconds but does not close. On S3-class stores, run
+    * single-writer, or arbitrate versions externally (a real transaction
+    * log / DynamoDB-style conditional put) — exactly why Delta Lake ships
+    * LogStore implementations per store.
     */
   def replaceWhereVersioned(
       spark: SparkSession,
@@ -345,9 +356,13 @@ object Writer {
           "orphaned version directory it guards, then retry")
   }
 
-  /** Atomically claim a version: write a unique temp object, RENAME it onto
-    * the claim path. Hadoop's `FileSystem.rename` contract fails when the
-    * destination exists, so exactly one concurrent claimant wins.
+  /** Claim a version: write a unique temp object, rename it onto the claim
+    * path with `FileContext.rename(…, Rename.NONE)` — the Hadoop API whose
+    * contract is fail-if-destination-exists, unlike `FileSystem.rename`,
+    * whose local implementation is POSIX rename (silently overwrites, so
+    * two claimants could both "win"). Atomic on HDFS/ABFS; check-then-act
+    * on raw-local/S3A — see [[replaceWhereVersioned]]'s store-semantics
+    * caveat.
     */
   private def claimVersion(fs: FileSystem, root: HPath, claim: HPath): Boolean = {
     if (fs.exists(claim)) return false
@@ -355,7 +370,16 @@ object Writer {
     val out = fs.create(tmp, true)
     try out.write(claim.getName.getBytes("UTF-8"))
     finally out.close()
-    val won = try fs.rename(tmp, claim) catch { case _: java.io.IOException => false }
+    val won =
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          root.toUri, fs.getConf)
+        fc.rename(tmp, claim, org.apache.hadoop.fs.Options.Rename.NONE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
     if (!won) { fs.delete(tmp, true); () }
     won
   }

@@ -274,8 +274,14 @@ object Graph {
     * the refusal fires by design — raise maxRounds or accept the ε
     * slack. One degree aggregate + two semi joins per round, checkpoint
     * hygiene as everywhere ([[RoundChain]]/[[withRoundConf]]).
+    *
+    * BEHAVIOR NOTE (r7→r8): the loop bound was aligned to the repo-wide
+    * `< maxRounds` convention, which runs exactly `maxRounds` peel rounds
+    * where the earlier `<=` form ran one more; the default is bumped
+    * 32→33 so any input that previously converged at the old default's
+    * last round still converges at the new one.
     */
-  def densestSubgraphPeel(edges: DataFrame, maxRounds: Int = 32): DataFrame = {
+  def densestSubgraphPeel(edges: DataFrame, maxRounds: Int = 33): DataFrame = {
     require(maxRounds >= 1 && maxRounds <= 64, s"maxRounds must be in [1,64]: $maxRounds")
     val Seq(uName, vName) = edges.columns.take(2).toSeq
     val sess = edges.sparkSession
@@ -838,12 +844,18 @@ object Graph {
     // a BHJ + in-place min: zero exchanges. Past the bound the planner
     // falls back to the shuffle join — the >4M-frontier plan.
     val nParts = Par.roundParts(sess, nEdges)
-    val sym = ckptKeepPartitioning(adjChain, sym0
-      .unionAll(sym0.select(col("dst")).distinct()
-        .select(col("dst").as("src"), col("dst"), lit(0L).as("w")))
-      .repartition(nParts, col("dst")))
     val chain = new RoundChain(sess.sparkContext)
     val seedCol = sources.columns.head
+    // self-loops over edge endpoints ∪ SOURCES: a source absent from the
+    // edge list has no sym row at all, so without its own self-loop its
+    // (node, dist=0) row would vanish after round 1 — the old unionAll
+    // form kept it implicitly, and kHopCounts unions its seeds the same
+    // way (the isolated-seed row is part of the answer: dist 0 to itself)
+    val sym = ckptKeepPartitioning(adjChain, sym0
+      .unionAll(sym0.select(col("dst"))
+        .unionAll(sources.select(col(seedCol).as("dst"))).distinct()
+        .select(col("dst").as("src"), col("dst"), lit(0L).as("w")))
+      .repartition(nParts, col("dst")))
     var dist = chain.ckpt(sources.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0L)))
     // convergence witness: distances only ever DECREASE and the node set

@@ -97,6 +97,11 @@ object Multimodal {
     else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
       var off = 2
       while (off + 4 <= bytes.length && (bytes(off) & 0xff) == 0xff) {
+        // FF fill bytes are legal padding between segments (ITU T.81
+        // §B.1.1.2): skip runs of them rather than reading the next FF as
+        // a marker's length field
+        if ((bytes(off + 1) & 0xff) == 0xff) { off += 1 }
+        else {
         val marker = bytes(off + 1) & 0xff
         if (marker >= 0xc0 && marker <= 0xcf
           && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
@@ -109,9 +114,17 @@ object Multimodal {
           } else unknown
         }
         if (marker == 0xd9 || marker == 0xda) return unknown // EOI / SOS before any SOF
-        val segLen = be16(bytes, off + 2)
-        if (segLen < 2) return unknown // corrupt length — stop scanning
-        off += 2 + segLen
+        // standalone markers carry NO length field (TEM 0x01, RST0–7
+        // 0xD0–0xD7): advance past the 2-byte marker itself, or the walk
+        // would read arbitrary entropy bytes as a BE16 length and could
+        // land on a garbage SOF and report wrong dimensions
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) off += 2
+        else {
+          val segLen = be16(bytes, off + 2)
+          if (segLen < 2) return unknown // corrupt length — stop scanning
+          off += 2 + segLen
+        }
+        }
       }
       unknown
     }

@@ -48,6 +48,22 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(BenchCompare.regressions(prev, Map("q999_new" -> 60.0)).isEmpty)
   }
 
+  test("guard hits self-adjudicate: the entry carries a solo re-measure") {
+    val prev = BenchCompare.parseQueries(prevLine)
+    val slow = Map("q85_cascade" -> 12.3, "q01_agg" -> 0.6)
+    var soloRuns = List.empty[String]
+    val json = BenchCompare.regressionJson(prev, slow, q => { soloRuns ::= q; 4.5 })
+    // only the flagged query was re-measured, and both factors are in-file
+    assert(soloRuns == List("q85_cascade"))
+    assert(json ==
+      """[{"query":"q85_cascade","prev":4.1,"cur":12.3,"factor":3.0,"solo":4.5,"solo_factor":1.098}]""")
+    // a clean run emits an empty array and never invokes the solo pass
+    var ran = false
+    assert(BenchCompare.regressionJson(prev, Map("q01_agg" -> 0.6),
+      _ => { ran = true; 0.0 }) == "[]")
+    assert(!ran)
+  }
+
   test("cross-SF baselines are detected via the sf field") {
     assert(BenchCompare.parseSf(prevLine).contains("/x"))
     assert(BenchCompare.parseSf("{}").isEmpty)

@@ -394,6 +394,19 @@ class GraphSpec extends SparkTestBase {
     assert(got.maxBy(_._4)._1 == 1)
   }
 
+  test("shortestPathsInt: distances, and an isolated source keeps its dist-0 row") {
+    import spark.implicits._
+    // path 1-2-3 (weights 5, 7) plus node 99 absent from the edge list
+    // entirely: its (99, 0) row must survive the rounds — the self-loop
+    // arm unions the seeds exactly so an isolated source is not dropped
+    // after round 1 (r8 advice fix)
+    val e = Seq((1L, 2L, 5L), (2L, 3L, 7L)).toDF("u", "v", "w")
+    val seeds = Seq(1L, 99L).toDF("node")
+    val got = Graph.shortestPathsInt(e, seeds, maxRounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 12L, 99L -> 0L), s"$got")
+  }
+
   test("rectangleCensus: square, K4, and a triangle with no rectangles") {
     import spark.implicits._
     // a plain square 1-2-3-4-1: exactly one 4-cycle

@@ -408,7 +408,15 @@ class OpsSpec extends SparkTestBase {
       (6L, jpeg(12, 34, 1, app0First = false)),
       (7L, png(3, 3, 8, 5)),                 // invalid color type
       (8L, pngSig ++ be32(13) ++ "IDAT".getBytes), // IHDR not first
-      (9L, Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) // EOI before any SOF
+      (9L, Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)), // EOI before any SOF
+      // FF fill-byte padding before a segment marker (ITU T.81 §B.1.1.2):
+      // the padding bytes must be skipped, not read as a length field
+      (10L, Array(0xff, 0xd8, 0xff, 0xff, 0xff).map(_.toByte) ++
+        jpeg(64, 32, 3, app0First = true).drop(2)),
+      // standalone markers (TEM 0x01, RST4 0xD4) carry NO length — the
+      // walk must advance 2 bytes, not parse the next bytes as BE16 length
+      (11L, Array(0xff, 0xd8, 0xff, 0x01, 0xff, 0xd4).map(_.toByte) ++
+        jpeg(48, 24, 1, app0First = false).drop(2))
     )
     val got = Multimodal.decodeMedia(payloads.toDF("id", "payload").repartition(3), "payload")
       .select(col("id"), col("decoded.*")).collect()
@@ -422,6 +430,8 @@ class OpsSpec extends SparkTestBase {
     Seq(7L, 8L, 9L).foreach { id =>
       assert(got(id) == Seq("unknown", null, null, null, null, null, null), s"id=$id")
     }
+    assert(got(10L) == Seq("jpeg", 64, 32, 24, 3, null, null))
+    assert(got(11L) == Seq("jpeg", 48, 24, 8, 1, null, null))
   }
 
   test("trigramLangId: deterministic held-out predictions, full coverage, und on empty text") {
