@@ -68,6 +68,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_fingerprint", "rolling min-window fingerprint of a token array"),
       SketchFunctions.fingerprintBuilder))
     e.injectFunction((
+      FunctionIdentifier("graft_char_ngrams"),
+      info("graft_char_ngrams", "character n-grams of a string"),
+      (exprs: Seq[Expression]) => CharNGrams(exprs(0), exprs(1))))
+    e.injectFunction((
       FunctionIdentifier("graft_nfc"),
       info("graft_nfc", "Unicode NFC canonical composition of a string"),
       (exprs: Seq[Expression]) => UnicodeNfc(exprs.head)))

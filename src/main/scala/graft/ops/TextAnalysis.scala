@@ -132,6 +132,15 @@ object TextAnalysis {
     // dispatch + array copy per gram and dominated every shingle query
     call_function("graft_ngrams", tokens(text), lit(n))
 
+  /** Character n-grams of a text column (empty array below n chars) — the
+    * char-mode sibling of [[ngrams]], same registration caveat. Native
+    * one-pass construction (graft.functions.CharNGrams); the HOF
+    * `transform(sequence(...), i -> substring(s, i, n))` shape is banned
+    * from hot loops by measurement (§8.4#6, re-measured on q345).
+    */
+  def charNgrams(text: Column, n: Int): Column =
+    call_function("graft_char_ngrams", text, lit(n))
+
   def ngramRepetition(text: Column, n: Int = 2): Column = {
     val grams = ngrams(text, n)
     when(size(grams) > 0,
@@ -194,10 +203,9 @@ object TextAnalysis {
       regexp_replace(lower(col(textCol)), "[^a-z ]", "").as("s"),
       (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
         .cast("long") % 5).as("bucket"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val tris = base.select(col("doc_id"), col("lang"), col("bucket"),
-      explode(expr("CASE WHEN length(s) >= 3 " +
-        "THEN transform(sequence(1, length(s) - 2), i -> substring(s, i, 3)) " +
-        "ELSE CAST(array() AS array<string>) END")).as("tri"))
+      explode(charNgrams(col("s"), 3)).as("tri"))
     val wProf = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("c").desc, col("tri").asc)
     val prof = tris.filter(col("bucket") < 4)

@@ -434,6 +434,31 @@ class OpsSpec extends SparkTestBase {
     assert(got(11L) == Seq("jpeg", 48, 24, 8, 1, null, null))
   }
 
+  test("charNgrams: native expression is differential-equal to the HOF form") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // ASCII, multi-byte (é, 汉), shorter-than-n, exactly-n, empty, null
+    val rows = Seq(
+      (1L, "the quick brown fox"), (2L, "héllo wörld"), (3L, "汉字漢字 test"),
+      (4L, "ab"), (5L, "abc"), (6L, ""), (7L, null)
+    ).toDF("id", "s")
+    for (n <- Seq(2, 3, 5)) {
+      val hof = expr(s"CASE WHEN length(s) >= $n THEN " +
+        s"transform(sequence(1, length(s) - ${n - 1}), i -> substring(s, i, $n)) " +
+        "ELSE CAST(array() AS array<string>) END")
+      // NULL is the one designed divergence: the native expression
+      // NULL-propagates (like every graft_* expression) where the HOF's
+      // CASE falls through to the empty array — explode() erases the
+      // difference at every call site
+      val diff = rows.filter(col("s").isNotNull).select(col("id"),
+        graft.ops.TextAnalysis.charNgrams(col("s"), n).as("native"), hof.as("hof"))
+        .filter(!(col("native") <=> col("hof")))
+      assert(diff.count() == 0, s"n=$n: ${diff.collect().mkString(";")}")
+      assert(rows.filter(col("id") === 7L)
+        .select(graft.ops.TextAnalysis.charNgrams(col("s"), n)).head().isNullAt(0))
+    }
+  }
+
   test("trigramLangId: deterministic held-out predictions, full coverage, und on empty text") {
     import spark.implicits._
     // synthetic corpus with genuinely distinct trigram statistics per label
