@@ -1820,15 +1820,22 @@ object SparkEntry {
     // output equals the batch aggregate cell-for-cell (the FMGWS path's
     // batch-equivalence proof — q77/q92's pattern for custom state). ----
     "q118_stream_totals" -> ((s, dir) => {
-      val ev = Tables.eventsStream(s, dir)
+      // MULTI-BATCH feed (md5 mod 3): users span batches, so the running
+      // state hands off across >=2 batch boundaries; each touched batch
+      // emits the user's running total, and the final state is the
+      // max-n_events emission (n_events is monotone per key) — which must
+      // equal the batch aggregate, same oracle as the single-batch gate
+      val ev = Tables.eventsStreamBatched(s, dir, mode = "hash")
         .withColumn("cents", round(col("value") * 100).cast("long"))
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("cents"))
       graft.streaming.StreamOps
         .runToMemory(s,
           graft.streaming.StreamOps.runningUserTotalsExact(s, ev),
           "q118_mem", org.apache.spark.sql.streaming.OutputMode.Append())
-        .select(col("user_id"), col("n_events"),
-          (col("cents").cast("double") / lit(100.0)).as("total_value"))
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          (max_by(col("cents"), col("n_events")).cast("double") / lit(100.0))
+            .as("total_value"))
         .orderBy(col("user_id"))
     }),
 
@@ -1836,7 +1843,12 @@ object SparkEntry {
     // stream, StreamOps.sessionCounts), run to completion into a memory
     // sink and gated against the batch lag+running-sum session oracle ----
     "q92_stream_sessions" -> ((s, dir) => {
-      val ev = Tables.eventsStream(s, dir)
+      // MULTI-BATCH feed (time-split thirds): the watermark ADVANCES between
+      // batches, sessions straddling a cut accumulate across a state
+      // handoff, and nothing is late (later batches sit strictly above the
+      // earlier watermark) — the emitted set is still exactly the sessions
+      // with end+gap <= final watermark, so the oracle is unchanged
+      val ev = Tables.eventsStreamBatched(s, dir, mode = "time")
       graft.streaming.StreamOps
         .runToMemory(s,
           graft.streaming.StreamOps.sessionCounts(ev, "30 minutes", watermark = "0 seconds"),
@@ -3369,7 +3381,10 @@ object SparkEntry {
     // selection is order-free, so stream and batch must agree exactly).
     // The batch-side merge runs on the memory-sink result. ----
     "q137_stream_cdc" -> ((s, dir) => {
-      val changes = Tables.eventsStream(s, dir)
+      // MULTI-BATCH feed (md5 mod 3): a key's changes span batches, so the
+      // latest-wins state hands off; each touched batch emits the running
+      // latest, and the final state is the max-version emission per key
+      val changes = Tables.eventsStreamBatched(s, dir, mode = "hash")
         .filter(col("event_type").isin("purchase", "signup", "error"))
         .select(col("user_id").as("key"),
           concat(lit("cdc#"), col("event_id").cast("string")).as("name"),
@@ -3381,8 +3396,10 @@ object SparkEntry {
       val latest = graft.streaming.StreamOps
         .runToMemory(s, graft.streaming.StreamOps.cdcLatest(s, changes),
           "q137_mem", org.apache.spark.sql.streaming.OutputMode.Append())
-        .select(col("key").as("c_custkey"), col("name").as("c_name"),
-          col("cents").as("acctbal_cents"), col("op"))
+        .groupBy(col("key"))
+        .agg(max_by(struct(col("name"), col("cents"), col("op")), col("version")).as("x"))
+        .select(col("key").as("c_custkey"), col("x.name").as("c_name"),
+          col("x.cents").as("acctbal_cents"), col("x.op").as("op"))
       val base = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_name"),
           round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
@@ -7685,8 +7702,12 @@ object SparkEntry {
       // word sets (8-byte tokens — string arrays per pair OOM'd a 1g
       // driver at sf0.1's 190k-pair families), native sorted long merge,
       // shuffle attach (no broadcast of the set table).
+      // MULTI-BATCH feed (md5 mod 3): buckets grow across batches ("index
+      // while crawling" for real); the expansion collapses each bucket to
+      // its LATEST membership row, so pair volume stays single-batch-sized
       graft.streaming.StreamOps.streamingVerifiedNearDups(
-          s, Tables.documentsStream(s, dir), t(s, dir, "documents"),
+          s, Tables.documentsStreamBatched(s, dir, mode = "hash"),
+          t(s, dir, "documents"),
           "doc_id", "text", threshold = 0.95, numHashes = 96, bands = 16)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
@@ -7698,9 +7719,17 @@ object SparkEntry {
     // batch-to-streaming migration shape; two ValueStates (immutable
     // snapshot, running balance) per key ----
     "q306_tws_initial_state" -> ((s, dir) =>
-      graft.streaming.StreamOps.balancesV2(s, Tables.eventsStream(s, dir),
+      // MULTI-BATCH feed (md5 mod 3): the warm-started balance folds across
+      // >=2 state handoffs; n_purchases is cumulative, so the final state
+      // is the max-n emission per user — same oracle as single-batch
+      graft.streaming.StreamOps.balancesV2(s,
+          Tables.eventsStreamBatched(s, dir, mode = "hash"),
           t(s, dir, "customer").select(col("c_custkey"),
             round(col("c_acctbal") * 100).cast("long").as("start_cents")))
+        .groupBy(col("user_id"))
+        .agg(max_by(col("start_cents"), col("n_purchases")).as("start_cents"),
+          max_by(col("end_cents"), col("n_purchases")).as("end_cents"),
+          max(col("n_purchases")).as("n_purchases"))
         .orderBy(col("user_id"))),
 
     // ---- gap sessions via transformWithState EVENT-TIME TIMERS (stateful
@@ -7709,7 +7738,13 @@ object SparkEntry {
     // end-of-input watermark passes it — q92's session semantics rebuilt
     // on the v2 timer API, same deterministic-subset gate ----
     "q304_tws_timers" -> ((s, dir) =>
-      graft.streaming.StreamOps.sessionsV2(s, Tables.eventsStream(s, dir),
+      // MULTI-BATCH feed (time-split thirds): timers registered in one
+      // batch fire when a LATER batch advances the watermark — the v2
+      // timer path the single-batch feed could only exercise at end-of-
+      // input. Sessions straddling a cut extend parked state (the
+      // min/max merge); the emitted set is unchanged, same oracle.
+      graft.streaming.StreamOps.sessionsV2(s,
+          Tables.eventsStreamBatched(s, dir, mode = "time"),
           gapMinutes = 30, watermark = "0 seconds")
         .orderBy(col("user_id"), col("start_us"))),
 
@@ -7717,9 +7752,19 @@ object SparkEntry {
     // the k smallest (ts, event_id) — a commutative idempotent fold, so
     // the final ranked list equals the batch ROW_NUMBER()<=k twin exactly
     // regardless of arrival order or batch boundaries ----
-    "q305_tws_firstk" -> ((s, dir) =>
-      graft.streaming.StreamOps.firstKV2(s, Tables.eventsStream(s, dir), k = 3)
-        .orderBy(col("user_id"), col("rank"))),
+    "q305_tws_firstk" -> ((s, dir) => {
+      // MULTI-BATCH feed (md5 mod 3): the ListState top-k merges across
+      // handoffs; every emission is stamped with the key's monotone row
+      // count, and the final ranked list is the max-n_seen emission
+      val raw = graft.streaming.StreamOps
+        .firstKV2(s, Tables.eventsStreamBatched(s, dir, mode = "hash"), k = 3)
+      val last = raw.groupBy(col("user_id").as("u"))
+        .agg(max(col("n_seen")).as("n_seen"))
+      raw.join(last, raw("user_id") === col("u") && raw("n_seen") === last("n_seen"))
+        .select(raw("user_id"), col("rank"), col("event_id"),
+          col("event_type"), col("cents"))
+        .orderBy(col("user_id"), col("rank"))
+    }),
 
     // ---- per-user per-type running counts via Spark 4's transformWithState
     // (stateful v2): MapState[event_type → count] per user under the
@@ -7728,9 +7773,24 @@ object SparkEntry {
     // feed ⇒ every emitted row is final: counts equal the batch GROUP BY
     // twin, n_types the user's distinct-type cardinality read off the
     // map's key set ----
-    "q303_transform_with_state" -> ((s, dir) =>
-      graft.streaming.StreamOps.typeCountsV2(s, Tables.eventsStream(s, dir))
-        .orderBy(col("user_id"), col("event_type"))),
+    "q303_transform_with_state" -> ((s, dir) => {
+      // MULTI-BATCH feed (md5 mod 3): MapState counts accumulate across
+      // handoffs. Per (user, type) the final count is the max emission
+      // (counts are monotone); n_types is per-USER monotone, so it is
+      // finalized separately — a type untouched after the user's map grew
+      // would otherwise carry its stale cardinality
+      val raw = graft.streaming.StreamOps
+        .typeCountsV2(s, Tables.eventsStreamBatched(s, dir, mode = "hash"))
+      val counts = raw.groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("n")).as("n"))
+      // toDF rename: both aggregates descend from the same memory-table
+      // view, so qualified access stays ambiguous (identical attribute ids)
+      val ntypes = raw.toDF("u2", "t2", "n2", "nt2")
+        .groupBy(col("u2")).agg(max(col("nt2")).as("n_types"))
+      counts.join(ntypes, counts("user_id") === col("u2"))
+        .select(col("user_id"), col("event_type"), col("n"), col("n_types"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
 
     // ---- keep-one-copy substring dedup (q298's remove-all flipped to the
     // canonical-owner policy): each shared 8-gram keeps its copy in the

@@ -49,6 +49,98 @@ object Tables {
     conv.fold(df)(c => df.withColumn("ts", c))
   }
 
+  /** MULTI-BATCH stream feeds (round-8): the single-file gate feed delivers
+    * everything in ONE microbatch, which never exercises state handoff,
+    * watermark advance, or timer firing BETWEEN batches — the paths real
+    * streaming jobs live on. These split a table into `n` single-file
+    * parquet splits in a deterministic temp dir (built once per
+    * (sfDir, table, mode), reused across queries and passes) and read them
+    * back with `maxFilesPerTrigger = 1`, mtime-ordered — exactly `n`
+    * microbatches, deterministic content and order.
+    *
+    * Two split modes, chosen per operator semantics:
+    *  - `"time"`: batch k = the k-th span of event time (exact-quantile
+    *    cutoffs, ties to the earlier batch). For EVENT-TIME operators
+    *    (watermarked sessions, timers): the watermark advances between
+    *    batches, and because every later-batch row is strictly above the
+    *    earlier batches' max event time, nothing is ever late-dropped — the
+    *    deterministic-subset gate contract is unchanged.
+    *  - `"hash"`: batch k = md5(id) mod n (the registry's deterministic
+    *    split device). For TimeMode.None running-state operators: keys
+    *    deliberately span batches, so every gate crosses a state handoff.
+    */
+  def eventsStreamBatched(spark: SparkSession, sfDir: String,
+                          mode: String, n: Int = 3): DataFrame =
+    batchedStream(spark, apply(spark, sfDir, "events"), "event_id",
+      s"$sfDir-events", mode, n)
+
+  def documentsStreamBatched(spark: SparkSession, sfDir: String,
+                             mode: String, n: Int = 3): DataFrame =
+    batchedStream(spark, apply(spark, sfDir, "documents"), "doc_id",
+      s"$sfDir-documents", mode, n)
+
+  private val splitLock = new Object
+
+  private def batchedStream(spark: SparkSession, base: DataFrame, idCol: String,
+                            tag: String, splitMode: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(splitMode == "time" || splitMode == "hash",
+      s"split mode must be time|hash: $splitMode")
+    require(n >= 2 && n <= 16, s"n must be in [2,16]: $n")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$tag|$splitMode|$n".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val dir = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-batched-$key")
+    val done = new java.io.File(dir, "_SPLIT_DONE")
+    splitLock.synchronized {
+      if (!done.exists()) {
+        dir.mkdirs()
+        val withB = splitMode match {
+          case "hash" =>
+            base.withColumn("__b", pmod(
+              conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"),
+              lit(n.toLong)).cast("int"))
+          case "time" =>
+            // exact quantiles (relativeError 0) of event time: the cutoffs
+            // are data values, so `ts <= cut` puts every tie in the earlier
+            // batch and later batches sit strictly above the watermark the
+            // earlier ones advanced to
+            val cuts = base.withColumn("__tsd", col("ts").cast("double"))
+              .stat.approxQuantile("__tsd", (1 until n).map(_.toDouble / n).toArray, 0.0)
+            base.withColumn("__b", cuts.foldLeft(lit(0)) { (acc, c) =>
+              acc + when(col("ts").cast("double") > c, 1).otherwise(0)
+            })
+        }
+        (0 until n).foreach { k =>
+          val tmp = new java.io.File(dir, s".tmp-$k")
+          withB.filter(col("__b") === k).drop("__b")
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Option(tmp.listFiles()).getOrElse(Array.empty)
+            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"batchedStream: split $k of $tag produced no part file " +
+              "(empty split — the table is too small for this n)"))
+          val dst = new java.io.File(dir, f"b$k%03d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // distinct ascending mtimes: the file source processes
+          // oldest-first, which makes the batch ORDER deterministic
+          dst.setLastModified(1600000000000L + k * 600000L)
+          tmp.listFiles().foreach(_.delete()); tmp.delete()
+          ()
+        }
+        done.createNewFile()
+        ()
+      }
+    }
+    val schema: StructType =
+      spark.read.parquet(new java.io.File(dir, "b000.parquet").toString).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .option("pathGlobFilter", "b*.parquet")
+      .parquet(dir.toString)
+  }
+
   /** Streaming read of the documents table (file source over the single
     * parquet under the scale-factor dir; schema from the footer). The feed
     * for the streaming dedup/near-dup operators.

@@ -185,6 +185,11 @@ object StreamOps {
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
       "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" -> "false")
+    // changelog checkpointing re-A/B'd under the r8 MULTI-batch feeds
+    // (3 state commits per run instead of 1): still no win — q303
+    // 3.06→3.45 s, q306 3.19→3.37 s, q304 flat — because local-FS
+    // checkpoints make the per-batch snapshot upload nearly free and the
+    // changelog adds its own bookkeeping. Left OFF, matching the r7 A/B.
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try body
@@ -312,7 +317,8 @@ object StreamOps {
   }
 
   final case class RankedEvent(user_id: Long, rank: Long, event_id: Long,
-                               event_type: String, cents: Long)
+                               event_type: String, cents: Long,
+                               n_seen: Long) // rows seen so far by this key — monotone
 
   /** Stateful-v2 first-k events per user behind [[firstKV2]]: a
     * `ListState[EventC]` holding each user's k earliest events by
@@ -326,18 +332,30 @@ object StreamOps {
     */
   private final class FirstKProcessor(k: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventC, RankedEvent] {
-    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig, ValueState}
     @transient private var firstK: ListState[EventC] = _
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    @transient private var seen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       firstK = getHandle.getListState[EventC](
         "first_k", org.apache.spark.sql.Encoders.product[EventC], TTLConfig.NONE)
+      seen = getHandle.getValueState[Long](
+        "seen", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
     override def handleInputRows(
         key: Long, rows: Iterator[EventC], tv: TimerValues): Iterator[RankedEvent] = {
-      val merged = (firstK.get().toArray ++ rows)
+      var nSeen = if (seen.exists()) seen.get() else 0L
+      val batch = rows.toArray
+      nSeen += batch.length
+      seen.update(nSeen)
+      val merged = (firstK.get().toArray ++ batch)
         .sortBy(e => (tsUs(e.ts), e.event_id)).take(k)
       firstK.put(merged)
+      // n_seen stamps every emission with the key's MONOTONE row count, so
+      // a multi-batch consumer selects the final ranked list as the
+      // max-n_seen emission (the per-batch lists are true prefixes of the
+      // fold, not the final answer)
       merged.iterator.zipWithIndex.map { case (e, i) =>
-        RankedEvent(key, i + 1L, e.event_id, e.event_type, e.cents)
+        RankedEvent(key, i + 1L, e.event_id, e.event_type, e.cents, nSeen)
       }
     }
   }
@@ -365,7 +383,7 @@ object StreamOps {
 
   final case class BalanceSnapshot(user_id: Long, start_cents: Long)
   final case class BalanceOut(user_id: Long, start_cents: Long, end_cents: Long,
-                              n_purchases: Long)
+                              n_purchases: Long) // n_purchases is CUMULATIVE (monotone per key)
 
   /** Stateful-v2 warm start behind [[balancesV2]]: a
     * `StatefulProcessorWithInitialState` whose state is SEEDED from a batch
@@ -386,11 +404,14 @@ object StreamOps {
     import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
     @transient private var start: ValueState[Long] = _
     @transient private var balance: ValueState[Long] = _
+    @transient private var nTotal: ValueState[Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       start = getHandle.getValueState[Long](
         "start", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
       balance = getHandle.getValueState[Long](
         "balance", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      nTotal = getHandle.getValueState[Long](
+        "n_total", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
     }
     override def handleInitialState(
         key: Long, snap: BalanceSnapshot, tv: TimerValues): Unit = {
@@ -400,9 +421,14 @@ object StreamOps {
     override def handleInputRows(
         key: Long, rows: Iterator[EventC], tv: TimerValues): Iterator[BalanceOut] = {
       var bal = if (balance.exists()) balance.get() else 0L
-      var n = 0L
+      // n_purchases is the RUNNING total, not this batch's count: monotone
+      // per key, so a multi-batch consumer reads the final state as the
+      // max-n emission (single-batch output is unchanged — cumulative and
+      // per-batch coincide)
+      var n = if (nTotal.exists()) nTotal.get() else 0L
       rows.foreach { e => bal += e.cents; n += 1L }
       balance.update(bal)
+      nTotal.update(n)
       Iterator(BalanceOut(key, if (start.exists()) start.get() else 0L, bal, n))
     }
   }
@@ -558,7 +584,20 @@ object StreamOps {
     * member's token-set size rides the index as a third parallel array.
     */
   private[graft] def expandBucketPairsRaw(
-      index: DataFrame, sizeRatio: Option[Double]): DataFrame = {
+      rawIndex: DataFrame, sizeRatio: Option[Double]): DataFrame = {
+    // LATEST emission per bucket: under a multi-batch feed a bucket touched
+    // in b batches emits b membership rows, each a strict superset of the
+    // last (the processor appends, never removes) — expanding them all
+    // would re-derive every earlier pair O(batches²) times. Memberships
+    // strictly grow per touch, so max-by-size IS the final state; under the
+    // single-batch feed this collapse is a no-op (one row per bucket).
+    val index = rawIndex
+      .groupBy(col("band"), col("bhash"))
+      .agg(max_by(struct(col("members"), col("fsigs"), col("szs")),
+        size(col("members"))).as("x"))
+      .select(col("band"), col("bhash"),
+        col("x.members").as("members"), col("x.fsigs").as("fsigs"),
+        col("x.szs").as("szs"))
     val m = index
       .select(col("band"), col("bhash"),
         explode(arrays_zip(col("members"), col("fsigs"), col("szs"))).as("mf"))
@@ -864,7 +903,21 @@ object StreamOps {
   }
 
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
-                  mode: OutputMode = OutputMode.Append): DataFrame = {
+                  mode: OutputMode = OutputMode.Append): DataFrame =
+    runToMemoryCounting(spark, stream, name, mode)._1
+
+  /** Data-microbatch count of the most recent [[runToMemory]] run in this
+    * JVM — the multi-batch gates' spec witness (every streaming op funnels
+    * through runToMemory, so a spec can drive the public op and then assert
+    * its feed really crossed ≥ n−1 batch boundaries).
+    */
+  @volatile var lastRunBatches: Long = -1L
+
+  /** [[runToMemory]] plus the number of DATA microbatches the run executed
+    * (no-data watermark-flush batches excluded).
+    */
+  def runToMemoryCounting(spark: SparkSession, stream: DataFrame, name: String,
+                          mode: OutputMode = OutputMode.Append): (DataFrame, Long) = {
     val q = stream.writeStream
       .outputMode(mode)
       .format("memory")
@@ -872,6 +925,8 @@ object StreamOps {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.table(name)
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0).toLong
+    lastRunBatches = dataBatches
+    (spark.table(name), dataBatches)
   }
 }
