@@ -1200,6 +1200,56 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // ---- REAL PNG pixel decode (round-8): gray-8 PNGs are generated
+    // ARITHMETICALLY in SQL expressions — stored-mode zlib (BTYPE=00) with
+    // the Adler-32 computed in closed form (s1 = 1+Σd, s2 = n+Σdᵢ·(n−i),
+    // mod 65521), rows cycling through PNG filters 0/1/2 (None/Sub/Up, the
+    // filtered deltas also computed in SQL) — then decoded for real:
+    // Inflater (Adler verified), per-row unfilter, exact-integer block
+    // means. The oracle regenerates the pixel VALUES arithmetically, so a
+    // hash match verifies the whole byte chain offset-by-offset: hex
+    // assembly → chunk walk → inflate → unfilter → block fold. Chunk CRCs
+    // are zeroed and not verified (documented decoder divergence); the
+    // Adler-32 over the decompressed stream IS verified — that is the
+    // check that guards the pixels. Compressed-deflate IDATs and filters
+    // 3/4 are spec-gated differentially vs JDK ImageIO (OpsSpec). ----
+    "q352_png_pixels" -> ((s, dir) => {
+      val gen = t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("doc_id DIV 4").as("g"), expr("doc_id % 4").as("r"))
+        .withColumn("pix", expr(
+          "transform(sequence(0, 63), i -> CAST(pmod(g*37 + i*101 + i*i*13" +
+            " + i*(g % 13)*29 + IF(r > 0 AND i = 7*r + 3, 128, 0), 256) AS INT))"))
+        // per-row filter = row % 3: 0 = None (raw), 1 = Sub (minus left,
+        // x=0 predicts 0), 2 = Up (minus the row above; rows 2,5 only, so
+        // a previous row always exists) — deltas mod 256, RFC 2083 §6
+        .withColumn("raw", expr(
+          "flatten(transform(sequence(0, 7), rw -> concat(" +
+            "array(CAST(pmod(rw, 3) AS INT)), " +
+            "transform(sequence(0, 7), x -> CASE pmod(rw, 3) " +
+            "WHEN 0 THEN pix[rw*8+x] " +
+            "WHEN 1 THEN CAST(pmod(pix[rw*8+x] - IF(x > 0, pix[rw*8+x-1], 0), 256) AS INT) " +
+            "ELSE CAST(pmod(pix[rw*8+x] - pix[(rw-1)*8+x], 256) AS INT) END))))"))
+        .withColumn("s1", expr("pmod(1 + aggregate(raw, 0, (a, x) -> a + x), 65521)"))
+        .withColumn("s2", expr(
+          "pmod(72 + aggregate(zip_with(raw, sequence(0, 71)," +
+            " (d, i) -> d * CAST(72 - i AS INT)), 0, (a, x) -> a + x), 65521)"))
+        .withColumn("payload", unhex(concat(
+          lit("89504e470d0a1a0a"), // signature
+          lit("0000000d" + "49484452" + "00000008" + "00000008" +
+            "08" + "00" + "00" + "00" + "00" + "00000000"), // IHDR 8×8 gray-8
+          lit("00000053" + "49444154"), // IDAT, len = 2+5+72+4 = 83
+          lit("7801" + "01" + "4800" + "b7ff"), // zlib hdr + stored-final block, LEN/NLEN LE
+          expr("array_join(transform(raw, v -> format_string('%02x', v)), '')"),
+          expr("format_string('%08x', CAST(s2 AS BIGINT) * 65536 + CAST(s1 AS BIGINT))"),
+          lit("00000000"), // IDAT CRC (zeroed; not verified)
+          lit("00000000" + "49454e44" + "00000000")))) // IEND
+      Multimodal.pngBlockMean(gen.select(col("doc_id"), col("payload")), "payload", 2)
+        .select(col("doc_id"), col("cy"), col("cx"), col("n_px"),
+          col("sum_gray"), col("mean_gray"))
+        .orderBy(col("doc_id"), col("cy"), col("cx"))
+    }),
+
     // ---- full outer join: daily order starts vs daily shipments (both
     // sides pre-aggregated, so the outer join is tiny-on-tiny) ----
     "q48_outer_join" -> ((s, dir) => {
@@ -9430,6 +9480,19 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN lambda >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cocited_pairs,
         |  CAST(SUM((lambda * (lambda - 1)) // 2) // 2 AS BIGINT) AS n_rectangles
         |FROM lam""".stripMargin,
+    "q352_png_pixels" ->
+      """WITH px AS (
+        |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS r FROM documents),
+        |v AS (
+        |  SELECT doc_id, i,
+        |    (g*37 + i*101 + i*i*13 + i*(g % 13)*29
+        |      + CASE WHEN r > 0 AND i = 7*r + 3 THEN 128 ELSE 0 END) % 256 AS v
+        |  FROM px, LATERAL (SELECT unnest(range(0, 64)) AS i))
+        |SELECT doc_id,
+        |  CAST((i // 8) // 2 AS INT) AS cy, CAST((i % 8) // 2 AS INT) AS cx,
+        |  COUNT(*) AS n_px, CAST(SUM(v) AS BIGINT) AS sum_gray,
+        |  CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_gray
+        |FROM v GROUP BY 1, 2, 3 ORDER BY doc_id, cy, cx""".stripMargin,
     "q340_media_resize" ->
       """WITH px AS (
         |  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS r FROM documents),

@@ -297,6 +297,149 @@ object Multimodal {
     }(enc)
   }
 
+  /** Grayscale-8 PNG pixel decode (round-8): the one honest step beyond
+    * header parsing available dependency-free — IDAT is a zlib stream and
+    * `java.util.zip.Inflater` IS zlib, so the full decode chain (chunk
+    * walk → IDAT concat → inflate with Adler-32 verified → per-row
+    * unfilter, all five filter types 0–4) runs row-local with no library
+    * beyond the JDK. Scope is bit-depth 8, color type 0 (grayscale),
+    * non-interlaced — the thumbnail/signature shape the [[aHash]] /
+    * [[blockMeanResize]] pipeline consumes; anything else returns None
+    * (corrupt blobs are data, not errors). Chunk CRC-32s are NOT verified
+    * (documented divergence, same contract as [[parseHeader]]'s
+    * "CRC unchecked" — the zlib Adler-32 over the decompressed stream is
+    * verified by the Inflater, which is the integrity check that guards
+    * the PIXELS).
+    */
+  private[ops] def pngGray8Pixels(
+      b: Array[Byte], maxPixels: Long): Option[(Int, Int, Array[Int])] = {
+    if (b == null || b.length < 45) return None
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    var i = 0
+    while (i < 8) { if (b(i) != sig(i)) return None; i += 1 }
+    if (be32(b, 8) != 13 ||
+      b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R') return None
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    val depth = b(24) & 0xff
+    val ctype = b(25) & 0xff
+    val interlace = b(28) & 0xff
+    if (w <= 0 || h <= 0 || w.toLong * h > maxPixels ||
+      depth != 8 || ctype != 0 || interlace != 0) return None
+    // chunk walk: concatenate every IDAT's data (a PNG may split the zlib
+    // stream across chunks at arbitrary byte boundaries)
+    var off = 8 + 25 // signature + IHDR chunk (len+type+13+crc)
+    val idat = new java.io.ByteArrayOutputStream()
+    var ended = false
+    while (!ended && off + 8 <= b.length) {
+      val len = be32(b, off)
+      if (len < 0 || off + 12L + len > b.length) return None
+      if (b(off + 4) == 'I' && b(off + 5) == 'D' && b(off + 6) == 'A' && b(off + 7) == 'T')
+        idat.write(b, off + 8, len)
+      else if (b(off + 4) == 'I' && b(off + 5) == 'E' && b(off + 6) == 'N' && b(off + 7) == 'D')
+        ended = true
+      off += 12 + len
+    }
+    val comp = idat.toByteArray
+    if (comp.isEmpty) return None
+    // inflate exactly h·(1+w) bytes: one filter byte + w gray bytes per row
+    val raw = new Array[Byte](h * (1 + w))
+    val inf = new java.util.zip.Inflater() // zlib mode: Adler-32 verified at finish
+    try {
+      inf.setInput(comp)
+      var got = 0
+      while (got < raw.length) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0) return None // truncated / needs-dictionary / corrupt
+        got += n
+      }
+      // drain to the end of the zlib stream so the Adler check actually runs
+      val sink = new Array[Byte](64)
+      while (!inf.finished() && inf.inflate(sink) > 0) ()
+      if (!inf.finished()) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    // unfilter (bpp = 1 for gray-8): RFC 2083 §6, all five filter types
+    val out = new Array[Int](w * h)
+    var row = 0
+    while (row < h) {
+      val rb = row * (1 + w)
+      val f = raw(rb) & 0xff
+      var x = 0
+      while (x < w) {
+        val cur = raw(rb + 1 + x) & 0xff
+        val left = if (x > 0) out(row * w + x - 1) else 0
+        val up = if (row > 0) out((row - 1) * w + x) else 0
+        val ul = if (x > 0 && row > 0) out((row - 1) * w + x - 1) else 0
+        val rec = f match {
+          case 0 => cur
+          case 1 => (cur + left) & 0xff
+          case 2 => (cur + up) & 0xff
+          case 3 => (cur + ((left + up) >> 1)) & 0xff
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+            (cur + pred) & 0xff
+          case _ => return None
+        }
+        out(row * w + x) = rec
+        x += 1
+      }
+      row += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** [[blockMeanResize]] over REAL PNG payloads: gray-8 PNG pixels via
+    * [[pngGray8Pixels]] (Inflater decode, filters unapplied), then the
+    * same exact-integer block-mean cells — (cy, cx, n_px, sum_gray,
+    * mean_gray), ragged edges as real smaller cells. PNG rows are
+    * TOP-DOWN (no BMP bottom-up flip). Row-local flatMap, no shuffle;
+    * non-PNG / non-gray8 / corrupt payloads yield no rows.
+    */
+  def pngBlockMean(df: DataFrame, binCol: String, factor: Int,
+                   maxPixels: Long = 1 << 22): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1: $factor")
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("cy", IntegerType), StructField("cx", IntegerType),
+      StructField("n_px", LongType), StructField("sum_gray", LongType),
+      StructField("mean_gray", DoubleType)))
+    val binIdx = inSchema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        pngGray8Pixels(r.getAs[Array[Byte]](binIdx), maxPixels) match {
+          case None => Iterator.empty
+          case Some((w, h, px)) =>
+            val cw = (w + factor - 1) / factor
+            val ch = (h + factor - 1) / factor
+            val cnt = new Array[Long](cw * ch)
+            val sum = new Array[Long](cw * ch)
+            var row = 0
+            while (row < h) {
+              var colI = 0
+              val cellRow = (row / factor) * cw
+              while (colI < w) {
+                val c = cellRow + colI / factor
+                cnt(c) += 1L
+                sum(c) += px(row * w + colI).toLong
+                colI += 1
+              }
+              row += 1
+            }
+            (0 until cw * ch).iterator.map { c =>
+              Row.fromSeq(r.toSeq ++ Seq[Any](c / cw, c % cw, cnt(c), sum(c),
+                sum(c).toDouble / cnt(c).toDouble))
+            }
+        }
+      }
+    }(enc)
+  }
+
   /** REAL PCM WAV sample decode + per-frame signal statistics — the audio
     * half of the multimodal decode story (the image half is [[aHash]]).
     * Walks the RIFF chunk list (not fixed offsets: fmt/data located by
