@@ -50,11 +50,24 @@ object ScaleLadderR8 {
         .filter(kv => !keepIds.contains(kv._1))
         .values.foreach(_.unpersist(blocking = false))
     }
+    // hypervisor-steal sampling around each measurement (the Bench.scala
+    // device): this box is shared, and an r8 rerun of one rung measured
+    // 3× swings with unchanged code — a ledger line without its ambient
+    // annotation cannot be adjudicated later
+    def stealTotal(): (Long, Long) = {
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat")
+        val cols = try f.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        finally f.close()
+        (cols.lift(7).getOrElse(0L), cols.sum)
+      } catch { case _: Throwable => (0L, 1L) }
+    }
     def ledger(q: String, scale: String)(body: => Long): Unit =
       if (only.isEmpty || only(q)) {
         drop()
         Thread.sleep(300)
         totalShuffle.set(0L); maxStageShuffle.set(0L)
+        val (s0, j0) = stealTotal()
         val t0 = System.nanoTime()
         val rows = try body catch {
           case e: Throwable =>
@@ -63,8 +76,10 @@ object ScaleLadderR8 {
             return
         }
         val wall = (System.nanoTime() - t0) / 1e9
+        val (s1, j1) = stealTotal()
+        val stealPct = 100.0 * (s1 - s0) / math.max(1L, j1 - j0)
         Thread.sleep(500)
-        println(f"LEDGER|$q|$scale|$wall%.2f|$rows|${totalShuffle.get / 1048576.0}%.1f|${maxStageShuffle.get / 1048576.0}%.1f")
+        println(f"LEDGER|$q|$scale|$wall%.2f|$rows|${totalShuffle.get / 1048576.0}%.1f|${maxStageShuffle.get / 1048576.0}%.1f|steal=$stealPct%.2f%%")
         drop()
       }
 
@@ -103,7 +118,9 @@ object ScaleLadderR8 {
             filter(split(trim(col("text")), "\\s+"), x => x =!= ""),
             x => concat(x, lit("_"), col("i"))), " ").as("text"))
 
-    for (f <- Seq(30, 100)) {
+    val scales = sys.env.get("GRAFT_LADDER_SCALES")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(30, 100))
+    for (f <- scales) {
       val tag = s"${f}x"
       val e = edgesAt(f).localCheckpoint()
       keepIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
