@@ -718,7 +718,12 @@ object Dedup {
       // valid for every later round.
       var bcastProbed = false
       var bcastOk = false
+      // label-table row count of the last materialized round, read off the
+      // same observe() metrics as the convergence count — zero extra
+      // actions; -1 until the first round lands
+      var lastLabelCount = -1L
       while (!converged && it < maxIters) {
+        val roundT0 = System.nanoTime()
         // carry the previous label through the aggregation (max over one
         // non-null + nulls) so convergence is a cheap scan of the
         // checkpointed round instead of an extra join+shuffle per round
@@ -735,7 +740,11 @@ object Dedup {
         val useBcast = it >= 5 && (symB != null || {
           if (!bcastProbed) {
             bcastProbed = true
-            bcastOk = labels.count() + nEdges <= 4000000L
+            // the previous round's observed row count — ZERO extra actions
+            // (r7 re-ran labels.count() every round past 5); the final
+            // table is bounded by this + nEdges since any later entrant is
+            // a sym endpoint, so deciding once stays sound
+            bcastOk = lastLabelCount >= 0 && lastLabelCount + nEdges <= 4000000L
           }
           bcastOk
         })
@@ -758,11 +767,25 @@ object Dedup {
         // at round N was some node's id-row in round N-1 (label rows never
         // leave the table), so the left join covers it; coalesce keeps the
         // value when it doesn't.
+        // engage at round 3 as measured in r7 — or one round EARLIER when
+        // the previous round's label table is broadcast-small: the fused
+        // shortcut is then one BHJ inside the same job (near-free), and on
+        // clique-tail graphs like q58's it converges one round sooner
+        val halveNow =
+          it >= 3 || (it >= 2 && lastLabelCount >= 0 && lastLabelCount <= 4000000L)
         val halved =
-          if (it >= 3) {
+          if (halveNow) {
+            // a LogicalRDD reports no stats (defaultSizeInBytes = huge), so
+            // without the hint this join never broadcasts and each halving
+            // round paid an exchange (measured +0.1 s/round on small
+            // graphs); the previous round's observed row count makes the
+            // decision measured, not guessed — big label tables keep the
+            // shuffle join
             val parent =
               labels.select(col("id").as("pid"), col("component").as("pcomp"))
-            agg.join(parent, agg("component") === col("pid"), "left")
+            val p = if (lastLabelCount >= 0 && lastLabelCount <= 4000000L)
+              broadcast(parent) else parent
+            agg.join(p, agg("component") === col("pid"), "left")
               .select(agg("id"),
                 coalesce(col("pcomp"), agg("component")).as("component"),
                 agg("prev"))
@@ -780,10 +803,14 @@ object Dedup {
         // identity (every component value is a root labeling itself).
         val obs = org.apache.spark.sql.Observation(s"graft_cc_round_$it")
         val (next, nextIds) = ckpt(halved.observe(
-          obs, count(when(!(col("component") <=> col("prev")), lit(1))).as("changed")))
+          obs,
+          count(when(!(col("component") <=> col("prev")), lit(1))).as("changed"),
+          count(lit(1)).as("cnt")))
         val changed = obs.get("changed").asInstanceOf[Long]
+        lastLabelCount = obs.get("cnt").asInstanceOf[Long]
         if (sys.env.contains("GRAFT_CC_TRACE"))
-          System.err.println(s"CC-TRACE it=$it changed=$changed bcast=$useBcast")
+          System.err.println(f"CC-TRACE it=$it changed=$changed bcast=$useBcast " +
+            f"wall=${(System.nanoTime() - roundT0) / 1e9}%.3f")
         free(labelIds) // previous round: fully consumed by `next`'s checkpoint
         labels = next.select(col("id"), col("component"))
         labelIds = nextIds

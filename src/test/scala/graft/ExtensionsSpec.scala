@@ -70,11 +70,13 @@ class ExtensionsSpec extends AnyFunSuite {
     val r = spark.sql(
       """SELECT graft_ngrams(split(x, ' '), 2) AS gx,
         |  graft_sorted_intersect(array_sort(split(x, ' ')), array_sort(split(y, ' '))) AS si,
-        |  graft_sorted_long_intersect(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS sl
+        |  graft_sorted_long_intersect(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS sl,
+        |  graft_char_ngrams('abcd', 3) AS cg
         |FROM v_ng""".stripMargin).collect()(0)
     assert(r.getSeq[String](0) == Seq("a b", "b c", "c d"))
     assert(r.getInt(1) == 3) // b, c, d
     assert(r.getInt(2) == 2) // 3, 5
+    assert(r.getSeq[String](3) == Seq("abc", "bcd"))
   }
 
   test("the extensions route also installs the native top-k rule + strategy") {
