@@ -1883,8 +1883,10 @@ object SparkEntry {
     // independent) — the gate proof that the engine's operators carry over
     // to streams unchanged. Oracle = q18's oracle. ----
     "q77_stream_hourly" -> ((s, dir) => {
-      // schema-adaptive events stream (footer-derived schema, ts normalized)
-      val ev = Tables.eventsStream(s, dir)
+      // MULTI-BATCH feed (time-split thirds): Complete mode re-emits the
+      // full aggregate per batch and the memory sink REPLACES, so the read
+      // table is the final aggregate - oracle unchanged
+      val ev = Tables.eventsStreamBatched(s, dir, mode = "time")
       graft.streaming.StreamOps
         .runToMemory(s, graft.streaming.StreamOps.hourlyCounts(ev),
           "q77_mem", org.apache.spark.sql.streaming.OutputMode.Complete())
@@ -3154,7 +3156,11 @@ object SparkEntry {
     // idempotent+commutative, so the sketch is arrival-order invariant
     // and gates under the single-batch device ----
     "q336_stream_loglog" -> ((s, dir) => {
-      val sketch = graft.streaming.StreamOps.streamingLogLog(s, Tables.eventsStream(s, dir))
+      // MULTI-BATCH feed (md5 mod 3): register max-folds cross batch
+      // handoffs; streamingLogLog internally selects the final (max-n_seen)
+      // summary per type, so the consumer contract is unchanged
+      val sketch = graft.streaming.StreamOps.streamingLogLog(
+        s, Tables.eventsStreamBatched(s, dir, mode = "hash"))
       val exact = t(s, dir, "events").groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("exact_distinct"))
       exact.join(sketch, Seq("event_type"))
@@ -6849,7 +6855,11 @@ object SparkEntry {
     // invariant columns (which survivor's ts wins is micro-batch order,
     // not semantics). ----
     "q272_stream_dedup" -> ((s, dir) => {
-      val ev = Tables.eventsStream(s, dir)
+      // MULTI-BATCH feed (time-split thirds): a re-delivery can land in a
+      // LATER batch than its original - the dedup state crosses the
+      // boundary (the 1h horizon keeps originals in state; nothing is
+      // late, so the emitted first-occurrence set is unchanged)
+      val ev = Tables.eventsStreamBatched(s, dir, mode = "time")
         .select(col("event_id"), col("event_type"), col("ts"))
       val redelivered = ev.filter(col("event_id") % 10 === 0)
         .withColumn("ts", col("ts") + expr("INTERVAL 1 MINUTE"))
@@ -6864,7 +6874,10 @@ object SparkEntry {
     // watermarked state on BOTH sides, the fan-in bounded by the skew
     // window — gated against the batch interval join over the same file ----
     "q273_stream_join" -> ((s, dir) => {
-      def stream = Tables.eventsStream(s, dir)
+      // MULTI-BATCH feed (time-split thirds): a view in batch k matches a
+      // purchase in batch k+1 - BOTH sides' join state crosses the
+      // boundary; nothing late, same closed-window match set
+      def stream = Tables.eventsStreamBatched(s, dir, mode = "time")
       val views = stream.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
       val purchases = stream.filter(col("event_type") === "purchase")
@@ -7740,7 +7753,11 @@ object SparkEntry {
     // two null-padded arms on integer-microsecond event time (the q300
     // left-outer contract comment above applies to the view side) ----
     "q313_stream_full_outer_join" -> ((s, dir) => {
-      def stream = Tables.eventsStream(s, dir)
+      // MULTI-BATCH feed (time-split thirds): null arms for batch-k rows
+      // can emit when batch k+1 advances the watermark - the mid-stream
+      // outer-emission path; the FINAL emitted set still equals the
+      // end-of-input closed-window set, same oracle
+      def stream = Tables.eventsStreamBatched(s, dir, mode = "time")
       val views = stream.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
       val purchases = stream.filter(col("event_type") === "purchase")
@@ -7760,7 +7777,8 @@ object SparkEntry {
     // unmatched rows gate iff their window closed under the end-of-input
     // watermark (min of the two streams' max event times) ----
     "q300_stream_outer_join" -> ((s, dir) => {
-      def stream = Tables.eventsStream(s, dir)
+      // MULTI-BATCH feed (time-split thirds) - see q313's note
+      def stream = Tables.eventsStreamBatched(s, dir, mode = "time")
       val views = stream.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
       val purchases = stream.filter(col("event_type") === "purchase")

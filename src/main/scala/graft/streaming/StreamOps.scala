@@ -834,7 +834,8 @@ object StreamOps {
     * smoke harness for the streaming ops.
     */
   final case class HllRow(event_type: String, b: Long, rho: Int)
-  final case class TypeSketch(event_type: String, m_hit: Long, sum_hit: Long)
+  final case class TypeSketch(event_type: String, m_hit: Long, sum_hit: Long,
+                              n_seen: Long) // rows folded so far — monotone per key
 
   /** Stateful-v2 processor behind [[streamingLogLog]]: one
     * `MapState[bucket → max ρ]` per event_type — the INCREMENTAL form of
@@ -850,25 +851,36 @@ object StreamOps {
     */
   private final class LogLogProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, HllRow, TypeSketch] {
-    import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues, TTLConfig, ValueState}
     @transient private var regs: MapState[Long, Int] = _
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    @transient private var seen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       regs = getHandle.getMapState[Long, Int](
         "registers", org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.scalaInt, TTLConfig.NONE)
+      seen = getHandle.getValueState[Long](
+        "seen", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
     override def handleInputRows(
         key: String, rows: Iterator[HllRow], tv: TimerValues): Iterator[TypeSketch] = {
+      var n = if (seen.exists()) seen.get() else 0L
       rows.foreach { r =>
+        n += 1L
         val cur = if (regs.containsKey(r.b)) regs.getValue(r.b) else 0
         if (r.rho > cur) regs.updateValue(r.b, r.rho)
       }
+      seen.update(n)
       var m = 0L
       var sum = 0L
       regs.keys().foreach { b =>
         m += 1L
         sum += 1L << (25 - regs.getValue(b))
       }
-      Iterator.single(TypeSketch(key, m, sum))
+      // n_seen stamps the emission with the key's monotone row count: the
+      // per-batch summary is NOT monotone itself (new buckets add terms,
+      // deeper ρ shrinks them), so a multi-batch consumer needs the stamp
+      // to pick the final state
+      Iterator.single(TypeSketch(key, m, sum, n))
     }
   }
 
@@ -898,7 +910,13 @@ object StreamOps {
         .groupByKey(_.event_type)
         .transformWithState(new LogLogProcessor, TimeMode.None(), OutputMode.Append())
         .toDF()
+      // final state per key = the max-n_seen emission (a multi-batch feed
+      // emits one summary per touched batch); single-batch output unchanged
       runToMemory(spark, rows, "stream_loglog")
+        .groupBy(col("event_type"))
+        .agg(max_by(struct(col("m_hit"), col("sum_hit")), col("n_seen")).as("x"))
+        .select(col("event_type"),
+          col("x.m_hit").as("m_hit"), col("x.sum_hit").as("sum_hit"))
     }
   }
 

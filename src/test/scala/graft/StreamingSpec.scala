@@ -90,6 +90,44 @@ class StreamingSpec extends SparkTestBase {
     StreamOps.streamingNearDupIndex(spark,
       Tables.documentsStreamBatched(spark, sf(), mode = "hash"), "doc_id", "text")
     assert(batches() >= 3, s"q309 feed ran ${batches()} data batches")
+
+    // stream-stream join (q273/q300/q313's op): cross-batch matches — a
+    // view in one batch joined to a purchase in a later one — prove the
+    // join state itself crosses the boundary; the multi-batch match set
+    // equals the single-batch one
+    def sides(src: org.apache.spark.sql.DataFrame) = (
+      src.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id")),
+      src.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("event_id").as("purchase_id")))
+    val (vM, pM) = sides(evTime)
+    val mbJoin = StreamOps.runToMemory(spark,
+      StreamOps.streamStreamJoin(vM, pM, key = "user_id", leftTs = "ts",
+        rightTs = "pts", skew = "30 minutes", watermark = "0 seconds")
+        .select(col("view_id"), col("purchase_id")), "mb_ssjoin")
+    assert(batches() >= 3, s"join feed ran ${batches()} data batches")
+    val (vS, pS) = sides(
+      spark.readStream.schema(StreamOps.eventSchema).parquet(eventsDir))
+    val sbJoin = StreamOps.runToMemory(spark,
+      StreamOps.streamStreamJoin(vS, pS, key = "user_id", leftTs = "ts",
+        rightTs = "pts", skew = "30 minutes", watermark = "0 seconds")
+        .select(col("view_id"), col("purchase_id")), "sb_ssjoin")
+    assert(mbJoin.count() == sbJoin.count() &&
+      mbJoin.exceptAll(sbJoin).count() == 0,
+      "multi-batch stream-stream match set must equal the single-batch one")
+
+    // watermark dedup (q272's op) and the LogLog sketch (q336's): batch
+    // counts witnessed; loglog's internal final-state selection returns
+    // one row per type whatever the batch count
+    StreamOps.runToMemory(spark,
+      StreamOps.dedupEvents(evTime.select(col("event_id"), col("event_type"),
+        col("ts")), "event_id"), "mb_dedup")
+    assert(batches() >= 3, s"q272 feed ran ${batches()} data batches")
+    val ll = StreamOps.streamingLogLog(spark,
+      Tables.eventsStreamBatched(spark, sf(), mode = "hash"))
+    assert(batches() >= 3, s"q336 feed ran ${batches()} data batches")
+    assert(ll.groupBy(col("event_type")).count().filter(col("count") > 1).count() == 0,
+      "loglog must collapse to one final summary per type")
   }
 
   test("streaming hourly counts == batch hourly counts") {
@@ -366,14 +404,16 @@ class StreamingSpec extends SparkTestBase {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("m"), sum(expr("CAST(shiftleft(1, 25 - mrho) AS BIGINT)")).as("s"))
       .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    // streamingLogLog now collapses to the FINAL (max-n_seen) summary per
+    // type (the r8 multi-batch contract): exactly one row per type, equal
+    // to the all-data batch twin — which can only hold if the registers
+    // really accumulated across both micro-batches
     val byType = got.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     assert(byType.keySet == twin.keySet)
     for ((t, emissions) <- byType) {
-      assert(emissions.size == 2, s"$t: expected one emission per batch, got $emissions")
-      assert(emissions.contains(twin(t)),
-        s"$t: final sketch ${twin(t)} not among emissions $emissions")
-      assert(emissions.forall(_._1 <= twin(t)._1),
-        s"$t: an emission exceeds the all-data bucket count")
+      assert(emissions.size == 1, s"$t: expected one final summary, got $emissions")
+      assert(emissions.head == twin(t),
+        s"$t: final sketch ${emissions.head} != batch twin ${twin(t)}")
     }
   }
 
