@@ -72,12 +72,22 @@ object Tables {
   def eventsStreamBatched(spark: SparkSession, sfDir: String,
                           mode: String, n: Int = 3): DataFrame =
     batchedStream(spark, apply(spark, sfDir, "events"), "event_id",
-      s"$sfDir-events", mode, n)
+      s"${srcStamp(sfDir, "events")}-events", mode, n)
 
   def documentsStreamBatched(spark: SparkSession, sfDir: String,
                              mode: String, n: Int = 3): DataFrame =
     batchedStream(spark, apply(spark, sfDir, "documents"), "doc_id",
-      s"$sfDir-documents", mode, n)
+      s"${srcStamp(sfDir, "documents")}-documents", mode, n)
+
+  /** Split-cache key component tied to the SOURCE file's identity (path +
+    * size + mtime): a regenerated testdata drop must invalidate any split
+    * dir a previous run left in the temp dir, or a stale split would
+    * silently feed old data to the multi-batch gates.
+    */
+  private def srcStamp(sfDir: String, table: String): String = {
+    val f = new java.io.File(s"$sfDir/$table.parquet")
+    s"$sfDir|${f.length()}|${f.lastModified()}"
+  }
 
   private val splitLock = new Object
 
