@@ -199,20 +199,48 @@ object StreamOps {
     }
   }
 
-  def typeCountsV2(spark: SparkSession, events: DataFrame): DataFrame = {
+  private def typeCountsTransformed(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.TimeMode
-    withRocksDb(spark) {
-      val out = events
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-          round(col("value") * 100).cast("long").as("cents"))
-        .as[EventC]
-        .groupByKey(_.user_id)
-        .transformWithState(new TypeCountProcessor, TimeMode.None(), OutputMode.Append())
-        .toDF()
-      runToMemory(spark, out, "type_counts_v2")
-    }
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[EventC]
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF()
   }
+
+  def typeCountsV2(spark: SparkSession, events: DataFrame): DataFrame =
+    withRocksDb(spark) {
+      runToMemory(spark, typeCountsTransformed(spark, events), "type_counts_v2")
+    }
+
+  /** [[typeCountsV2]] through a RECOVERABLE sink: parquet output + a real
+    * checkpoint (the memory sink REFUSES checkpoint recovery — Spark
+    * treats it as non-fault-tolerant). A later call pointing at the same
+    * (outDir, checkpoint) restores the RocksDB snapshots, the watermark,
+    * and the source's processed-file log, and continues from the next
+    * unprocessed input — the production restart path, spec-gated by
+    * StreamingSpec's RESTART case. Returns the number of data microbatches
+    * THIS run executed (a restart that re-processed old files would show
+    * more than the newly-landed count).
+    */
+  def typeCountsV2ToParquet(spark: SparkSession, events: DataFrame,
+                            outDir: String, checkpoint: String): Long =
+    withRocksDb(spark) {
+      val q = typeCountsTransformed(spark, events).writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val n = q.recentProgress.count(_.numInputRows > 0).toLong
+      lastRunBatches = n
+      n
+    }
 
   final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
   final case class SessionRow(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
@@ -932,15 +960,20 @@ object StreamOps {
   @volatile var lastRunBatches: Long = -1L
 
   /** [[runToMemory]] plus the number of DATA microbatches the run executed
-    * (no-data watermark-flush batches excluded).
+    * (no-data watermark-flush batches excluded). With `checkpoint` set the
+    * query is RESUMABLE: a later run pointing at the same location restores
+    * operator state (RocksDB snapshots, watermark, processed-file log) and
+    * continues from the next unprocessed input — the production failure-
+    * recovery path, spec-gated by StreamingSpec's restart case.
     */
   def runToMemoryCounting(spark: SparkSession, stream: DataFrame, name: String,
-                          mode: OutputMode = OutputMode.Append): (DataFrame, Long) = {
-    val q = stream.writeStream
+                          mode: OutputMode = OutputMode.Append,
+                          checkpoint: Option[String] = None): (DataFrame, Long) = {
+    val w0 = stream.writeStream
       .outputMode(mode)
       .format("memory")
       .queryName(name)
-      .start()
+    val q = checkpoint.fold(w0)(c => w0.option("checkpointLocation", c)).start()
     try q.processAllAvailable()
     finally q.stop()
     val dataBatches = q.recentProgress.count(_.numInputRows > 0).toLong

@@ -130,6 +130,52 @@ class StreamingSpec extends SparkTestBase {
       "loglog must collapse to one final summary per type")
   }
 
+  test("stateful-v2 RocksDB state survives a query RESTART from its checkpoint") {
+    // the production failure path the multi-batch gates don't cover: state
+    // restored across a query RESTART, not just across batches within one
+    // run. Run 1 processes two of three input files against a checkpoint;
+    // a brand-new query over the same checkpoint then sees only the third
+    // file — its emissions must carry counts INCLUDING the first two
+    // batches, which is only possible if the RocksDB snapshots (and the
+    // source's processed-file log) were restored.
+    val dir = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-restart-ckpt").toString
+    val ev = Tables(spark, sf(), "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    def writeSplit(k: Int): Unit = {
+      ev.filter(pmod(col("event_id"), lit(3)) === k).coalesce(1)
+        .write.parquet(s"$dir/f$k.parquet")
+      ()
+    }
+    val outDir = java.nio.file.Files.createTempDirectory("graft-restart-out").toString
+    writeSplit(0); writeSplit(1)
+    def stream = spark.readStream.schema(StreamOps.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*.parquet")
+    val b1 = StreamOps.typeCountsV2ToParquet(spark, stream, outDir, ckpt)
+    assert(b1 >= 2, s"run 1 must process both staged files, ran $b1")
+    // simulate the restart: a NEW query, same checkpoint, third file landed
+    writeSplit(2)
+    val b2 = StreamOps.typeCountsV2ToParquet(spark, stream, outDir, ckpt)
+    assert(b2 == 1,
+      s"run 2 must process ONLY the new file (processed-file log restored), ran $b2")
+    // counts are monotone per (user, type), so the final state in the
+    // accumulated output is the max emission; for every (user, type)
+    // touched by file 2 it must equal the ALL-FILES batch twin — possible
+    // only if run 2 started from the restored RocksDB state
+    val finalCounts = spark.read.parquet(outDir)
+      .groupBy(col("user_id"), col("event_type")).agg(max(col("n")).as("n"))
+    val twin = Tables(spark, sf(), "events")
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("tn"))
+    val touched = ev.filter(pmod(col("event_id"), lit(3)) === 2)
+      .select(col("user_id"), col("event_type")).distinct()
+    val checked = finalCounts.join(touched, Seq("user_id", "event_type"))
+      .join(twin, Seq("user_id", "event_type"))
+    assert(checked.count() == touched.count(),
+      "every touched (user, type) must appear in the accumulated output")
+    assert(checked.filter(col("n") =!= col("tn")).count() == 0,
+      "post-restart counts must include the pre-restart batches (state restored)")
+  }
+
   test("streaming hourly counts == batch hourly counts") {
     val dir = eventsDir
     val stream = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
