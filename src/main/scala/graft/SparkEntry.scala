@@ -1250,6 +1250,42 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("cy"), col("cx"))
     }),
 
+    // ---- STREAMING RESTART RECOVERY, driver-gated (round-8): the
+    // per-user-per-type MapState machine run as TWO separate queries over
+    // ONE checkpoint — run 1 sees two thirds of the input, run 2 (a
+    // brand-new query restored from the checkpoint) sees only the
+    // later-landed third — through a RECOVERABLE parquet sink (the memory
+    // sink refuses checkpoint recovery). Counts are monotone per key, so
+    // max over the accumulated emissions is the final state, and it can
+    // equal the batch GROUP BY twin ONLY if the RocksDB snapshots and the
+    // source's processed-file log both survived the restart. Work dirs
+    // are per-invocation so every bench/verify run restarts from scratch;
+    // output VALUES are deterministic (exact integer counts). ----
+    "q353_restart_recovery" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-q353").toString
+      val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ckpt"
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      def put(k: Int): Unit = {
+        ev.filter(pmod(col("event_id"), lit(3)) === k)
+          .coalesce(1).write.mode("append").parquet(in)
+        ()
+      }
+      put(0); put(1)
+      val schema = s.read.parquet(in).schema
+      def stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      graft.streaming.StreamOps.typeCountsV2ToParquet(s, stream, out, ck)
+      put(2) // "lands" after the first query stopped
+      graft.streaming.StreamOps.typeCountsV2ToParquet(s, stream, out, ck)
+      s.read.parquet(out)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("n")).as("n_events"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // ---- full outer join: daily order starts vs daily shipments (both
     // sides pre-aggregated, so the outer join is tiny-on-tiny) ----
     "q48_outer_join" -> ((s, dir) => {
@@ -8865,6 +8901,9 @@ object SparkEntry {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
         |      FROM s) r
         |WHERE rank = 1 ORDER BY query_id""".stripMargin,
+    "q353_restart_recovery" ->
+      """SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
     "q351_ivf_append" ->
       """WITH n AS (
         |  SELECT vec_id, iv, CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS nrm
