@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
 
@@ -84,6 +84,28 @@ object Graph {
     val prev = sess.conf.get(k)
     sess.conf.set(k, "false")
     try chain.ckpt(df) finally sess.conf.set(k, prev)
+  }
+
+  private val obsId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Checkpoint with aggregate METRICS fused into the materialization job
+    * via `observe()`: the convergence quantities a fixed-point loop reads
+    * per round (row count, monotone sums) accumulate WHILE the checkpoint
+    * materializes, deleting the separate per-round scan action — the CC
+    * device (SURVEY §8.9#1) applied family-wide; on narrow small-graph
+    * rounds that scan was a full extra job of pure scheduling overhead.
+    * Metrics must be named (`.as("n")`) — read them from the returned map.
+    */
+  private[ops] def ckptObserved(
+      chain: RoundChain, df: DataFrame, metrics: Seq[Column],
+      keepPartitioning: Boolean = false): (DataFrame, Map[String, Any]) = {
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_round_${obsId.incrementAndGet()}")
+    val observed = df.observe(obs, metrics.head, metrics.tail: _*)
+    val out =
+      if (keepPartitioning) ckptKeepPartitioning(chain, observed)
+      else chain.ckpt(observed)
+    (out, obs.get)
   }
 
   /** Per-round checkpoint hygiene for fixed-point loops (the other half of
@@ -490,9 +512,10 @@ object Graph {
         // frame IS the final answer (computed on an edge set the filter
         // then leaves unchanged)
         val sup = supChain.ckpt(support(cur, nEdges, it == 0))
-        val next = chain.ckpt(cur
-          .join(sup.filter(col("support") >= k - 2), Seq("u", "v"), "left_semi"))
-        val n = next.count()
+        val (next, m) = ckptObserved(chain, cur
+          .join(sup.filter(col("support") >= k - 2), Seq("u", "v"), "left_semi"),
+          Seq(count(lit(1)).as("n")))
+        val n = m("n").asInstanceOf[Long]
         converged = n == nEdges
         cur = next
         nEdges = n
@@ -648,11 +671,12 @@ object Graph {
         // so the broadcast decision is safe, not an estimate
         val keep = hinted(
           degrees(cur).filter(col("core_deg") >= k).select(col("node")), nEdges)
-        val next = ckptKeepPartitioning(chain, cur
+        val (next, m) = ckptObserved(chain, cur
           .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
           .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-          .select(col("src"), col("dst")))
-        val n = next.count()
+          .select(col("src"), col("dst")),
+          Seq(count(lit(1)).as("n")), keepPartitioning = true)
+        val n = m("n").asInstanceOf[Long]
         converged = n == nEdges
         cur = next
         nEdges = n
@@ -708,11 +732,13 @@ object Graph {
         // table then never shuffles); past the bound this is the plain
         // shuffle join, the correct plan for huge frontiers
         val r = hinted(reached, nReached)
-        reached = chain.ckpt(r
+        val (nr, m) = ckptObserved(chain, r
           .join(sym, r("node") === sym("src"))
           .select(col("seed"), col("dst").as("node"))
-          .distinct())
-        nReached = reached.count()
+          .distinct(),
+          Seq(count(lit(1)).as("n")))
+        reached = nr
+        nReached = m("n").asInstanceOf[Long]
       }
     }
     // the final round is a LogicalRDD — nothing downstream reads the
@@ -877,10 +903,16 @@ object Graph {
         // and the edge table never shuffles; huge graphs fail the bound
         // and keep the shuffle join
         val d = hinted(dist, w0._1)
-        val next = chain.ckpt(d.join(sym, d("node") === sym("src"))
-          .select(col("dst"), (col("dist") + col("w")).as("reached"))
-          .groupBy(col("dst").as("node")).agg(min(col("reached")).as("dist")))
-        val w1 = witness(next)
+        // witness FUSED into the checkpoint job (ckptObserved): one job
+        // per round instead of materialize + a separate single-row scan
+        val (next, m) = ckptObserved(chain,
+          d.join(sym, d("node") === sym("src"))
+            .select(col("dst"), (col("dist") + col("w")).as("reached"))
+            .groupBy(col("dst").as("node")).agg(min(col("reached")).as("dist")),
+          Seq(count(lit(1)).as("wn"),
+            sum(col("dist").cast("decimal(38,0)")).as("ws")))
+        val w1 = (m("wn").asInstanceOf[Long],
+          m("ws").asInstanceOf[java.math.BigDecimal])
         dist = next
         converged = w1 == w0
         w0 = w1
@@ -1065,9 +1097,12 @@ object Graph {
         // broadcast build re-executes the unmaterialized chain prefix).
         val step: DataFrame => DataFrame =
           if (w0._1 <= BcastRows) stepBcast else stepRanked
-        val next = chain.ckpt(
-          (1 to stepsPerCheckpoint).foldLeft(hinted(cur, w0._1))((d, _) => step(d)))
-        val w1 = witness(next)
+        val (next, m) = ckptObserved(chain,
+          (1 to stepsPerCheckpoint).foldLeft(hinted(cur, w0._1))((d, _) => step(d)),
+          Seq(count(lit(1)).as("wn"),
+            sum(col("c").cast("decimal(38,0)")).as("ws")))
+        val w1 = (m("wn").asInstanceOf[Long],
+          m("ws").asInstanceOf[java.math.BigDecimal])
         cur = next
         converged = w1 == w0
         w0 = w1
@@ -1349,12 +1384,13 @@ object Graph {
         val taken = mRound.select(col("u").as("node"))
           .unionAll(mRound.select(col("v").as("node")))
         val tk = hinted(taken, nActive)
-        val nextActive = chain.ckpt(active
+        val (nextActive, m) = ckptObserved(chain, active
           .join(tk.select(col("node").as("t1")), col("u") === col("t1"), "left_anti")
-          .join(tk.select(col("node").as("t2")), col("v") === col("t2"), "left_anti"))
+          .join(tk.select(col("node").as("t2")), col("v") === col("t2"), "left_anti"),
+          Seq(count(lit(1)).as("n")))
         matched = nextMatched
         active = nextActive
-        nActive = active.count()
+        nActive = m("n").asInstanceOf[Long]
       }
       if (nActive > 0)
         throw new IllegalStateException(
@@ -1546,12 +1582,13 @@ object Graph {
               col("src") === col("wnode"))
             .select(col("dst").cast("long").as("node")))
           .distinct()
-        val nextActive = activeChain.ckpt(
+        val (nextActive, m) = ckptObserved(activeChain,
           active.join(removed.select(col("node").as("rnode")),
-            col("node") === col("rnode"), "left_anti"))
+            col("node") === col("rnode"), "left_anti"),
+          Seq(count(lit(1)).as("n")))
         misAcc = nextMis
         active = nextActive
-        nActive = active.count()
+        nActive = m("n").asInstanceOf[Long]
       }
       if (nActive > 0)
         throw new IllegalStateException(
@@ -1686,11 +1723,12 @@ object Graph {
         var round = 0
         while (!converged && round < maxRounds) {
           val d = hinted(dist, nReached)
-          val next = chain.ckpt(
+          val (next, m) = ckptObserved(chain,
             d.join(sym, d("node") === sym("src"))
               .select(col("dst"), (col("dist") + col("w")).as("reached_dist"))
-              .groupBy(col("dst").as("node")).agg(min(col("reached_dist")).as("dist")))
-          val n = next.count()
+              .groupBy(col("dst").as("node")).agg(min(col("reached_dist")).as("dist")),
+            Seq(count(lit(1)).as("n")))
+          val n = m("n").asInstanceOf[Long]
           converged = n == nReached
           dist = next
           nReached = n
