@@ -1648,12 +1648,14 @@ object Graph {
     withRoundConf(sess, nEdges) {
       for (_ <- 1 to k) {
         val r = hinted(reached, nReached)
-        reached = chain.ckpt(r
+        val (nr, m) = ckptObserved(chain, r
           .join(sym, r("node") === sym("src"))
           .select(col("seed"), col("dst"), (col("dist") + col("w")).as("reached_dist"))
           .groupBy(col("seed"), col("dst").as("node"))
-          .agg(min(col("reached_dist")).as("dist")))
-        nReached = reached.count()
+          .agg(min(col("reached_dist")).as("dist")),
+          Seq(count(lit(1)).as("n")))
+        reached = nr
+        nReached = m("n").asInstanceOf[Long]
       }
     }
     adjChain.free()
