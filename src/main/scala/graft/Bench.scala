@@ -22,6 +22,7 @@ object Bench {
     val builder = SparkSession.builder()
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -120,15 +121,22 @@ object Bench {
       // cache pressure and scheduler noise — re-run each flagged query
       // alone, state-dropped, twice, min (the third-pass isolation figure
       // the r7 judge had to measure by hand lands in the artifact itself).
-      def soloMeasure(q: String): Double =
-        (1 to 2).map { _ =>
+      // A failed solo pass yields None, not its time-to-failure: both
+      // passes must COMPLETE for the min to mean anything (a fast crash
+      // would otherwise fake a small solo_factor and self-adjudicate a
+      // real regression as noise).
+      def soloMeasure(q: String): Option[Double] = {
+        val times = (1 to 2).flatMap { _ =>
           val t0 = System.nanoTime()
-          try { SparkEntry.queries(q)(spark, sfDir).count(); () }
-          catch { case _: Throwable => () }
+          val ok =
+            try { SparkEntry.queries(q)(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
           val dt = (System.nanoTime() - t0) / 1e9
           dropQueryState()
-          dt
-        }.min
+          if (ok) Some(dt) else None
+        }
+        if (times.size == 2) Some(times.min) else None
+      }
       BenchCompare.regressionJson(prev, results, soloMeasure)
     }
     // "queries" first, scalar total LAST: the driver captures the TAIL of

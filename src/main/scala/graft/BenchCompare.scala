@@ -72,14 +72,21 @@ object BenchCompare {
   def regressionJson(
       prev: Map[String, Double],
       cur: Map[String, Double],
-      soloMeasure: String => Double,
+      soloMeasure: String => Option[Double],
       factor: Double = 2.0,
       floorSec: Double = 0.3
   ): String = {
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
     regressions(prev, cur, factor, floorSec).map { case (q, p, c) =>
-      val solo = soloMeasure(q)
-      s"""{"query":"$q","prev":${r3(p)},"cur":${r3(c)},"factor":${r3(c / p)},"solo":${r3(solo)},"solo_factor":${r3(solo / p)}}"""
+      // A solo re-run that CRASHES must not masquerade as a timing: its
+      // time-to-failure can be fast, and a small solo_factor would read as
+      // "machine noise, self-adjudicated" when the truth is "the query is
+      // broken". None → "solo":null + an explicit error flag.
+      val soloPart = soloMeasure(q) match {
+        case Some(t) => s""""solo":${r3(t)},"solo_factor":${r3(t / p)}"""
+        case None    => s""""solo":null,"solo_factor":null,"solo_error":true"""
+      }
+      s"""{"query":"$q","prev":${r3(p)},"cur":${r3(c)},"factor":${r3(c / p)},$soloPart}"""
     }.mkString("[", ",", "]")
   }
 }

@@ -1262,8 +1262,21 @@ object SparkEntry {
     // are per-invocation so every bench/verify run restarts from scratch;
     // output VALUES are deterministic (exact integer counts). ----
     "q353_restart_recovery" -> ((s, dir) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-q353").toString
+      // Deterministic work dir, WIPED at invocation start: each run still
+      // restarts from a blank checkpoint (the semantics under test), but
+      // repeated bench/verify passes reuse one directory instead of
+      // leaking an events-sized copy into java.io.tmpdir per invocation.
+      // Wiping at START (not after) keeps the returned DataFrame lazy-safe
+      // — it reads the out/ parquet when the caller finally acts on it.
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val base = new java.io.File(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-q353-$key")
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+        f.delete(); ()
+      }
+      wipe(base); base.mkdirs()
       val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ckpt"
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"),
@@ -1284,6 +1297,47 @@ object SparkEntry {
         .groupBy(col("user_id"), col("event_type"))
         .agg(max(col("n")).as("n_events"))
         .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // ---- file-level data skipping (round-9): per-file min/max stats
+    // manifest + predicate-pruning reader, over a date-sorted 16-file
+    // lineitem layout. The prune is an IMPLEMENTATION DETAIL under gate:
+    // the result must hash-match the plain-filter oracle (the reader
+    // re-applies the full predicate after the pruned scan, so a bad skip
+    // decision could only cost performance, never rows), and the require
+    // proves the manifest actually ENGAGED — no silent full-scan fallback
+    // passing itself off as pruning. Files-touched (≤¼ on this window) is
+    // asserted in SkippingSpec. ----
+    "q355_skipping_daterange" -> ((s, dir) => {
+      val root = Tables.skippingLayout(s, dir, "date")
+      val pr = graft.etl.Skipping.readPrunedDetailed(s, root,
+        "l_shipdate_d >= DATE '1995-06-01' AND l_shipdate_d < DATE '1995-09-01'")
+      require(pr.fallback.isEmpty,
+        s"skipping manifest did not engage: ${pr.fallback}")
+      pr.df.groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast(d2)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(d2)).cast("double").as("sum_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- data skipping on a Z-ORDERED layout (round-9): keys are
+    // quantile-bucketed (width_bucket 256) then bit-interleaved — Delta's
+    // OPTIMIZE ZORDER shape — so 16 range-files form a 4×4 grid over
+    // (l_partkey, l_suppkey) and a conjunctive range predicate on both
+    // keys prunes to ~1 file. Same gate contract as q355. ----
+    "q356_skipping_zorder" -> ((s, dir) => {
+      val root = Tables.skippingLayout(s, dir, "zorder")
+      val pr = graft.etl.Skipping.readPrunedDetailed(s, root,
+        "l_partkey <= 500 AND l_suppkey <= 25 AND l_quantity IS NOT NULL")
+      require(pr.fallback.isEmpty,
+        s"skipping manifest did not engage: ${pr.fallback}")
+      pr.df.groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast(d2)).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
     }),
 
     // ---- full outer join: daily order starts vs daily shipments (both
@@ -8904,6 +8958,22 @@ object SparkEntry {
     "q353_restart_recovery" ->
       """SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+    "q355_skipping_daterange" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1995-06-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1995-09-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q356_skipping_zorder" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_partkey <= 500 AND l_suppkey <= 25 AND l_quantity IS NOT NULL
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q351_ivf_append" ->
       """WITH n AS (
         |  SELECT vec_id, iv, CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS nrm

@@ -98,6 +98,12 @@ object Schemas {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // INT96 (the legacy default) is deprecated, bigger on disk, and —
+      // decisive at 100 TB — carries NO usable min/max statistics, so
+      // neither parquet row-group pruning nor the file-level skipping
+      // manifest (graft.etl.Skipping) can prune on a timestamp written
+      // that way. INT64 micros is what the modern lakehouse writes.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

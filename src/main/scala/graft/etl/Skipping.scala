@@ -1,0 +1,518 @@
+package graft.etl
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.jdk.CollectionConverters._
+
+/** File-level data skipping: a per-file min/max/null-count stats manifest
+  * written at sink time, and a reader that prunes files against a predicate
+  * BEFORE the scan — the biggest scan-cost lever a 100 TB table has after
+  * partition pruning. The reference delegates this to Delta
+  * (`notebooks/ETL_Entregas_Base.ipynb:502-507` `USING DELTA` implies
+  * stats-based skipping on Databricks); this is the same `stats`-per-file
+  * idea in its minimal manifest form.
+  *
+  * Design rules, in order of importance:
+  *
+  *  1. '''Pruning is never load-bearing for correctness.''' [[readPruned]]
+  *     re-applies the full predicate as an ordinary `.filter` after the
+  *     (possibly pruned) scan, so a too-conservative OR buggy skip decision
+  *     can only cost performance, never rows — the Delta contract. Every
+  *     "can't decide" path below answers "the file may match" (keep it).
+  *  2. '''Stats come from parquet footers, not a re-scan.''' The writer
+  *     already paid to compute chunk statistics; [[writeManifest]] harvests
+  *     them with a DISTRIBUTED footer read (one Spark job over the file
+  *     list — at 100k files of a 100 TB table the driver never reads a
+  *     footer itself), merges row groups, and writes one JSON object.
+  *  3. '''Staleness is rejected loudly.''' The manifest records every data
+  *     file's (relative path, size); [[readPruned]] re-lists and requires
+  *     set equality before trusting a single stat. Any drift — a file
+  *     added, replaced, or resized behind the manifest's back — falls back
+  *     to a FULL scan with a warning and a machine-readable reason in the
+  *     returned [[Pruned]] (spec-gated).
+  *
+  * Predicates are SQL strings (the `replaceWhere` shape), parsed with
+  * Spark's own parser; the skip evaluator understands conjunctions /
+  * disjunctions of `col op literal` comparisons, `IN`, `BETWEEN` (the
+  * parser expands it), `IS [NOT] NULL`, and null-safe equality. Anything
+  * else — casts, functions, OR-of-unknowns — degrades to "may match".
+  */
+object Skipping {
+
+  val ManifestName = "_graft_skipping.json"
+  val FormatVersion = 1
+
+  /** Per-column, per-file statistics. `t` is the comparison domain:
+    * `"num"` (all integral/floating/decimal/timestamp values, compared as
+    * BigDecimal), `"date"` (ISO `yyyy-MM-dd`, compared as strings),
+    * `"string"` (UTF-8, compared as strings), `"part"` (a partition-dir
+    * value: exact, min==max, compared as string with a numeric retry).
+    * `lo`/`hi` absent means the bounds are unusable for this file (stats
+    * dropped, unconvertible type, or all-null chunks) — never prune on
+    * them; `nulls` absent means the null count is unknown.
+    */
+  final case class ColStats(t: String, lo: Option[String], hi: Option[String],
+                            nulls: Option[Long])
+  final case class FileStats(path: String, size: Long, rows: Long,
+                             cols: Map[String, ColStats])
+  final case class Manifest(formatVersion: Int, stamp: String,
+                            statsColumns: List[String], files: List[FileStats])
+
+  /** Result of a pruned read: `df` is ALWAYS correct (full predicate
+    * re-applied); `selected`/`total` are the files-touched measurement;
+    * `fallback` names why pruning was bypassed, if it was.
+    */
+  final case class Pruned(df: DataFrame, total: Int, selected: Int,
+                          fallback: Option[String])
+
+  // ---------------------------------------------------------------- write
+
+  /** Harvest parquet footer statistics for `statsColumns` (plus every
+    * partition-directory column, which is free) across all data files under
+    * `root`, and write the manifest. The footer reads run as a Spark job —
+    * the file list is the only thing the driver holds. Returns the number
+    * of files covered.
+    */
+  def writeManifest(spark: SparkSession, root: String,
+                    statsColumns: Seq[String]): Int = {
+    val rootPath = new HPath(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = listDataFiles(fs, rootPath)
+    val wanted = statsColumns.map(_.toLowerCase).toSet
+    val qualifiedRoot = fs.makeQualified(rootPath).toString
+    import spark.implicits._
+    val fileJsons: Seq[String] =
+      if (files.isEmpty) Seq.empty
+      else spark
+        .createDataset(files.map { case (rel, size) => (rel, size) })
+        .repartition(math.min(files.size, 32))
+        .mapPartitions { it =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.map { case (rel, size) =>
+            harvestFileJson(conf, qualifiedRoot, rel, size, wanted)
+          }
+        }
+        .collect()
+        .toSeq
+    val manifest = {
+      import org.json4s.JsonDSL._
+      import org.json4s.jackson.JsonMethods
+      val filesJ = org.json4s.JArray(
+        fileJsons.sorted.map(JsonMethods.parse(_)).toList)
+      val j = ("formatVersion" -> FormatVersion) ~
+        ("stamp" -> s"graft-${System.currentTimeMillis()}") ~
+        ("statsColumns" -> statsColumns.map(_.toLowerCase).toList) ~
+        ("files" -> filesJ)
+      JsonMethods.compact(JsonMethods.render(j))
+    }
+    val tmp = new HPath(rootPath, s".${ManifestName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(manifest.getBytes("UTF-8"))
+    finally out.close()
+    val dest = new HPath(rootPath, ManifestName)
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"could not move manifest into place at $dest")
+    files.size
+  }
+
+  /** All non-hidden files under `root`, as (relative path, size), sorted.
+    * Hidden = any path segment starting with `_` or `.` — the same
+    * convention Spark's file index uses, which is also why the manifest
+    * itself (underscore-named) is invisible to a plain full scan.
+    */
+  def listDataFiles(fs: FileSystem, root: HPath): Seq[(String, Long)] = {
+    val rootUri = fs.makeQualified(root).toUri
+    val it = fs.listFiles(root, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = rootUri.relativize(st.getPath.toUri).getPath
+      val hidden = rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
+      if (!hidden && st.isFile) buf += ((rel, st.getLen))
+    }
+    buf.sortBy(_._1).toSeq
+  }
+
+  /** Executor-side: read ONE file's footer, merge row-group stats per
+    * wanted column, attach partition-dir values, emit the [[FileStats]] as
+    * a JSON string. Must stay dependency-free beyond parquet-hadoop +
+    * json4s (both on Spark's classpath).
+    */
+  private def harvestFileJson(conf: org.apache.hadoop.conf.Configuration,
+                              qualifiedRoot: String, rel: String, size: Long,
+                              wanted: Set[String]): String = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val abs = new HPath(s"$qualifiedRoot/$rel")
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(abs, conf))
+    val (rows, cols) =
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        // per-column accumulators across row groups
+        final case class Acc(var t: String, var lo: String, var hi: String,
+                             var nulls: Long, var nullsKnown: Boolean,
+                             var boundsOk: Boolean)
+        val accs = scala.collection.mutable.LinkedHashMap.empty[String, Acc]
+        for (b <- blocks; c <- b.getColumns.asScala) {
+          val name = c.getPath.toDotString.toLowerCase
+          if (wanted(name)) {
+            val acc = accs.getOrElseUpdate(name, Acc(null, null, null, 0L, true, true))
+            val st = c.getStatistics
+            if (st == null || st.isEmpty) { acc.boundsOk = false; acc.nullsKnown = false }
+            else {
+              if (st.isNumNullsSet) acc.nulls += st.getNumNulls else acc.nullsKnown = false
+              if (st.hasNonNullValue) {
+                (convertStat(c.getPrimitiveType, st.genericGetMin),
+                  convertStat(c.getPrimitiveType, st.genericGetMax)) match {
+                  case (Some((t1, loV)), Some((t2, hiV))) if t1 == t2 =>
+                    if (acc.t == null) { acc.t = t1; acc.lo = loV; acc.hi = hiV }
+                    else if (acc.t != t1) acc.boundsOk = false
+                    else {
+                      if (compareSame(t1, loV, acc.lo) < 0) acc.lo = loV
+                      if (compareSame(t1, hiV, acc.hi) > 0) acc.hi = hiV
+                    }
+                  case _ => acc.boundsOk = false
+                }
+              } else {
+                // no non-null value recorded: fine iff the chunk is ALL
+                // null (then it constrains nothing); otherwise the stats
+                // were dropped and the bounds can't be trusted
+                val allNull = st.isNumNullsSet && st.getNumNulls == c.getValueCount
+                if (!allNull) acc.boundsOk = false
+              }
+            }
+          }
+        }
+        val statCols = accs.map { case (n, a) =>
+          val usable = a.boundsOk && a.t != null
+          n -> ColStats(if (usable) a.t else "?",
+            if (usable) Some(a.lo) else None,
+            if (usable) Some(a.hi) else None,
+            if (a.nullsKnown) Some(a.nulls) else None)
+        }.toMap
+        (rows, statCols ++ partitionCols(rel, rows))
+      } finally reader.close()
+    fileStatsJson(FileStats(rel, size, rows, cols))
+  }
+
+  /** Partition-directory `k=v` segments as exact stats (min==max==v,
+    * nulls==0 — the value holds for every row of the file). The Hive null
+    * sentinel becomes an all-null column (bounds unusable, nulls==rows).
+    */
+  private def partitionCols(rel: String, rows: Long): Map[String, ColStats] =
+    rel.split('/').dropRight(1).flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else {
+        val k = seg.substring(0, i).toLowerCase
+        val raw = seg.substring(i + 1)
+        val v = try java.net.URLDecoder.decode(raw, "UTF-8") catch { case _: Exception => raw }
+        if (v == "__HIVE_DEFAULT_PARTITION__")
+          Some(k -> ColStats("part", None, None, Some(rows)))
+        else Some(k -> ColStats("part", Some(v), Some(v), Some(0L)))
+      }
+    }.toMap
+
+  /** One parquet chunk statistic → (comparison domain, canonical string).
+    * None = unconvertible (booleans, int96, NaN/Inf floats, unknown
+    * logical types) — the column's bounds become unusable for the file.
+    */
+  private def convertStat(pt: org.apache.parquet.schema.PrimitiveType,
+                          v: Any): Option[(String, String)] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    def dec(unscaled: BigInt, ann: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =
+      Some(("num", BigDecimal(unscaled, ann.getScale).bigDecimal.toPlainString))
+    val ann = pt.getLogicalTypeAnnotation
+    pt.getPrimitiveTypeName match {
+      case INT32 => ann match {
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+          Some(("date", java.time.LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue()).toString))
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          dec(BigInt(v.asInstanceOf[Number].longValue()), d)
+        case _ => Some(("num", v.toString))
+      }
+      case INT64 => ann match {
+        case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          // normalize to MICROS: the unit Spark writes and the unit a
+          // TimestampType literal carries
+          val raw = v.asInstanceOf[Number].longValue()
+          val micros = ts.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
+            case LogicalTypeAnnotation.TimeUnit.MICROS => raw
+            case LogicalTypeAnnotation.TimeUnit.NANOS => raw / 1000L
+            case _ => return None
+          }
+          Some(("num", micros.toString))
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          dec(BigInt(v.asInstanceOf[Number].longValue()), d)
+        case _ => Some(("num", v.toString))
+      }
+      case FLOAT | DOUBLE =>
+        val d = v.asInstanceOf[Number].doubleValue()
+        if (d.isNaN || d.isInfinite) None
+        else Some(("num", BigDecimal(d).bigDecimal.toPlainString))
+      case BINARY => ann match {
+        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+          Some(("string", v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8))
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          dec(BigInt(v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes), d)
+        case _ => None
+      }
+      case FIXED_LEN_BYTE_ARRAY => ann match {
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          dec(BigInt(v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes), d)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  // ----------------------------------------------------------------- read
+
+  /** Convenience wrapper over [[readPrunedDetailed]]. */
+  def readPruned(spark: SparkSession, root: String, predicate: String): DataFrame =
+    readPrunedDetailed(spark, root, predicate).df
+
+  /** Prune files against `predicate` using the manifest, then read the
+    * survivors (partition columns recovered via `basePath`) and re-apply
+    * the FULL predicate. Missing or stale manifest → loud full-scan
+    * fallback; an unprunable predicate simply selects every file.
+    */
+  def readPrunedDetailed(spark: SparkSession, root: String,
+                         predicate: String): Pruned = {
+    val rootPath = new HPath(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val actual = listDataFiles(fs, rootPath)
+    def fullScan(reason: String): Pruned = {
+      System.err.println(s"[graft.Skipping] WARNING: full scan of $root — $reason")
+      Pruned(spark.read.parquet(root).filter(predicate),
+        actual.size, actual.size, Some(reason))
+    }
+    readManifest(fs, rootPath) match {
+      case None => fullScan(s"no $ManifestName manifest present")
+      case Some(m) if m.formatVersion != FormatVersion =>
+        fullScan(s"manifest format v${m.formatVersion} != expected v$FormatVersion")
+      case Some(m) =>
+        val recorded = m.files.map(f => (f.path, f.size)).toSet
+        if (recorded != actual.toSet)
+          fullScan(s"stale manifest (stamp ${m.stamp}): recorded ${recorded.size} " +
+            s"files, found ${actual.size}, or sizes drifted — rewrite the manifest")
+        else {
+          val expr = spark.sessionState.sqlParser.parseExpression(predicate)
+          val survivors = m.files.filter(f => mayMatch(expr, f))
+          val qualifiedRoot = fs.makeQualified(rootPath).toString
+          val df =
+            if (survivors.isEmpty)
+              // provably no file can match: keep the schema, let the
+              // optimizer collapse Filter(false) to an empty relation —
+              // zero files are actually read
+              spark.read.parquet(root).filter(predicate).filter(lit(false))
+            else spark.read
+              .option("basePath", qualifiedRoot)
+              .parquet(survivors.map(f => s"$qualifiedRoot/${f.path}"): _*)
+              .filter(predicate)
+          Pruned(df, m.files.size, survivors.size, None)
+        }
+    }
+  }
+
+  def readManifest(fs: FileSystem, root: HPath): Option[Manifest] = {
+    val p = new HPath(root, ManifestName)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](65536)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        bos.toString("UTF-8")
+      } finally in.close()
+      Some(parseManifest(txt))
+    }
+  }
+
+  // --------------------------------------------------------- skip decision
+
+  /** Can any row of `f` satisfy `e`? Conservative three-way logic collapsed
+    * to Boolean: every unknown answers TRUE (keep the file). AND may prune
+    * when either side is independently infeasible; OR only when both are.
+    */
+  def mayMatch(e: Expression, f: FileStats): Boolean = {
+    if (f.rows == 0L) return false // an empty file matches nothing
+    e match {
+      case And(a, b) => mayMatch(a, f) && mayMatch(b, f)
+      case Or(a, b) => mayMatch(a, f) || mayMatch(b, f)
+      case Not(IsNull(Attr(n))) => notNullFeasible(f, n)
+      case Not(IsNotNull(Attr(n))) => nullFeasible(f, n)
+      case IsNull(Attr(n)) => nullFeasible(f, n)
+      case IsNotNull(Attr(n)) => notNullFeasible(f, n)
+      case In(Attr(n), vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(v => cmpFeasible(f, n, "=", v.asInstanceOf[Literal]))
+      case Cmp(n, op, l) => cmpFeasible(f, n, op, l)
+      case l: Literal if l.dataType == BooleanType && l.value != null =>
+        l.value == true
+      // BETWEEN parses to the unresolved `between(c, lo, hi)` function in
+      // Spark 4 — expand it to the AND of comparisons it means
+      case fn: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if fn.nameParts.map(_.toLowerCase) == Seq("between") && fn.arguments.size == 3 =>
+        mayMatch(And(GreaterThanOrEqual(fn.arguments(0), fn.arguments(1)),
+          LessThanOrEqual(fn.arguments(0), fn.arguments(2))), f)
+      // other sugar may land as RuntimeReplaceable; its `replacement` is
+      // the canonical expansion
+      case rr: RuntimeReplaceable =>
+        try mayMatch(rr.replacement, f) catch { case _: Exception => true }
+      case _ => true // unsupported shape: never prune on it
+    }
+  }
+
+  private object Attr {
+    def unapply(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name.toLowerCase)
+      case a: AttributeReference => Some(a.name.toLowerCase)
+      case _ => None
+    }
+  }
+
+  /** Normalize `col op lit` / `lit op col` to (column, op, literal). */
+  private object Cmp {
+    def unapply(e: Expression): Option[(String, String, Literal)] = e match {
+      case EqualTo(Attr(n), l: Literal) => Some((n, "=", l))
+      case EqualTo(l: Literal, Attr(n)) => Some((n, "=", l))
+      case EqualNullSafe(Attr(n), l: Literal) => Some((n, "<=>", l))
+      case EqualNullSafe(l: Literal, Attr(n)) => Some((n, "<=>", l))
+      case LessThan(Attr(n), l: Literal) => Some((n, "<", l))
+      case LessThan(l: Literal, Attr(n)) => Some((n, ">", l))
+      case LessThanOrEqual(Attr(n), l: Literal) => Some((n, "<=", l))
+      case LessThanOrEqual(l: Literal, Attr(n)) => Some((n, ">=", l))
+      case GreaterThan(Attr(n), l: Literal) => Some((n, ">", l))
+      case GreaterThan(l: Literal, Attr(n)) => Some((n, "<", l))
+      case GreaterThanOrEqual(Attr(n), l: Literal) => Some((n, ">=", l))
+      case GreaterThanOrEqual(l: Literal, Attr(n)) => Some((n, "<=", l))
+      case _ => None
+    }
+  }
+
+  private def nullFeasible(f: FileStats, n: String): Boolean =
+    f.cols.get(n) match {
+      case Some(s) => s.nulls.forall(_ > 0L)
+      case None => true
+    }
+
+  private def notNullFeasible(f: FileStats, n: String): Boolean =
+    f.cols.get(n) match {
+      case Some(s) => !s.nulls.contains(f.rows)
+      case None => true
+    }
+
+  private def cmpFeasible(f: FileStats, n: String, op: String, l: Literal): Boolean = {
+    if (l.value == null)
+      // `c = NULL` / `c < NULL` match nothing; `c <=> NULL` is IS NULL
+      return if (op == "<=>") nullFeasible(f, n) else false
+    val s = f.cols.getOrElse(n, return true)
+    // every remaining op is null-rejecting on the column side (<=> with a
+    // non-null literal included): an all-null file can't match
+    if (s.nulls.contains(f.rows)) return false
+    val (lk, lv) = litKV(l).getOrElse(return true)
+    val lo = s.lo.getOrElse(return true)
+    val hi = s.hi.getOrElse(return true)
+    def cLo = compareVals(s.t, lk, lo, lv)
+    def cHi = compareVals(s.t, lk, hi, lv)
+    op match {
+      case "=" | "<=>" => cLo.forall(_ <= 0) && cHi.forall(_ >= 0)
+      case "<" => cLo.forall(_ < 0)
+      case "<=" => cLo.forall(_ <= 0)
+      case ">" => cHi.forall(_ > 0)
+      case ">=" => cHi.forall(_ >= 0)
+      case _ => true
+    }
+  }
+
+  /** Literal → (comparison kind, canonical string), mirroring
+    * [[convertStat]]'s domains. None = can't compare → never prune.
+    */
+  private def litKV(l: Literal): Option[(String, String)] = l.dataType match {
+    case StringType => Some(("string", l.value.toString))
+    case ByteType | ShortType | IntegerType | LongType => Some(("num", l.value.toString))
+    case FloatType | DoubleType =>
+      val d = l.value.asInstanceOf[Number].doubleValue()
+      if (d.isNaN || d.isInfinite) None
+      else Some(("num", BigDecimal(d).bigDecimal.toPlainString))
+    case _: DecimalType =>
+      Some(("num", l.value.asInstanceOf[org.apache.spark.sql.types.Decimal]
+        .toJavaBigDecimal.toPlainString))
+    case DateType =>
+      Some(("date", java.time.LocalDate.ofEpochDay(
+        l.value.asInstanceOf[Number].longValue()).toString))
+    case TimestampType => Some(("num", l.value.toString)) // micros since epoch
+    case _ => None
+  }
+
+  /** Compare a stored stat against a literal across their domains.
+    * None = domains incomparable → caller keeps the file.
+    */
+  private def compareVals(colT: String, litK: String,
+                          stat: String, litV: String): Option[Int] = {
+    def num(s: String): Option[BigDecimal] =
+      try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
+    (colT, litK) match {
+      case ("num", "num") => Some(BigDecimal(stat).compare(BigDecimal(litV)))
+      case ("num", "string") => num(litV).map(BigDecimal(stat).compare)
+      case ("date" | "string", "date" | "string") => Some(stat.compareTo(litV))
+      case ("part", "string" | "date") => Some(stat.compareTo(litV))
+      case ("part" | "string", "num") =>
+        num(stat).map(_.compare(BigDecimal(litV)))
+      case _ => None
+    }
+  }
+
+  private def compareSame(t: String, a: String, b: String): Int =
+    if (t == "num") BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
+
+  // ------------------------------------------------------------------ json
+
+  private def fileStatsJson(f: FileStats): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val cols = org.json4s.JObject(f.cols.toList.sortBy(_._1).map { case (n, c) =>
+      n -> (("t" -> c.t) ~ ("lo" -> c.lo) ~ ("hi" -> c.hi) ~ ("nulls" -> c.nulls))
+    })
+    JsonMethods.compact(JsonMethods.render(
+      ("path" -> f.path) ~ ("size" -> f.size) ~ ("rows" -> f.rows) ~ ("cols" -> cols)))
+  }
+
+  private def parseManifest(txt: String): Manifest = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val formats: Formats = DefaultFormats
+    val j = JsonMethods.parse(txt)
+    Manifest(
+      (j \ "formatVersion").extract[Int],
+      (j \ "stamp").extract[String],
+      (j \ "statsColumns").extract[List[String]],
+      (j \ "files").extract[List[JObject]].map { fj =>
+        FileStats(
+          (fj \ "path").extract[String],
+          (fj \ "size").extract[Long],
+          (fj \ "rows").extract[Long],
+          (fj \ "cols") match {
+            case JObject(fields) => fields.map { case (n, cj) =>
+              n -> ColStats(
+                (cj \ "t").extract[String],
+                (cj \ "lo").extractOpt[String],
+                (cj \ "hi").extractOpt[String],
+                (cj \ "nulls").extractOpt[Long])
+            }.toMap
+            case _ => Map.empty[String, ColStats]
+          })
+      })
+  }
+}

@@ -47,6 +47,23 @@ object Writer {
       .mode("overwrite")
       .parquet(path)
 
+  /** [[overwritePartitions]] + a file-level data-skipping manifest
+    * ([[Skipping.writeManifest]]) over `statsColumns`, rewritten to cover
+    * the WHOLE table after the partial overwrite (stats are per-file and
+    * harvested from footers, so the rewrite costs one footer sweep, no
+    * data re-scan). Readers go through [[Skipping.readPruned]]; a crash
+    * between the data write and the manifest write leaves a stale manifest
+    * that the reader REJECTS loudly (full scan + warning), never a wrong
+    * prune.
+    */
+  def overwritePartitionsWithStats(df: DataFrame, path: String,
+                                   partitionCols: Seq[String],
+                                   statsColumns: Seq[String]): Unit = {
+    overwritePartitions(df, path, partitionCols)
+    Skipping.writeManifest(df.sparkSession, path, statsColumns)
+    ()
+  }
+
   /** Bucketed catalog table: pre-shuffles rows into `numBuckets` files per
     * partition by hash of `bucketCol` and records the layout in the catalog.
     * Joins and aggregations on the bucket column between co-bucketed tables
@@ -243,6 +260,21 @@ object Writer {
     spark.read.parquet(versionDir(path, v).toString)
   }
 
+  /** [[readCurrent]] through the data-skipping manifest: resolve the
+    * committed version, then file-prune it against `predicate`
+    * ([[Skipping.readPrunedDetailed]]). Versions written with
+    * `statsColumns` carry their manifest from birth; versions written
+    * without one fall back to a full scan, loudly.
+    */
+  def readCurrentPruned(spark: SparkSession, path: String,
+                        predicate: String): Skipping.Pruned = {
+    val root = new HPath(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = readPointer(fs, root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    Skipping.readPrunedDetailed(spark, versionDir(path, v).toString, predicate)
+  }
+
   /** Object-store-safe replaceWhere: versioned-directory commit protocol
     * closing [[replaceWhere]]'s rename-swap atomicity gap (real Delta closes
     * it with a transaction log; this is the minimal manifest form of the same
@@ -298,7 +330,8 @@ object Writer {
       partitionCols: Seq[String],
       predicate: Column,
       maxAttempts: Int = 20,
-      claimRetryMs: Long = 200L
+      claimRetryMs: Long = 200L,
+      statsColumns: Seq[String] = Nil
   ): Unit = {
     val root = new HPath(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -328,6 +361,11 @@ object Writer {
         val w = merged.write.mode("overwrite")
         (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
           .parquet(target.toString)
+        // skipping manifest BEFORE the pointer flip: version dirs are
+        // immutable once committed, so a committed version always carries
+        // a manifest that exactly matches its files — no staleness window
+        if (statsColumns.nonEmpty)
+          Skipping.writeManifest(spark, target.toString, statsColumns)
         writePointer(fs, root, next) // ← the commit
         committed = true
         // GC: keep current + previous, drop anything older (best effort),
@@ -378,6 +416,17 @@ object Writer {
         true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        // A store with no AbstractFileSystem binding (FileContext is the
+        // NEWER Hadoop API; some FileSystem-only schemes never got one)
+        // throws UnsupportedFileSystemException from getFileContext. That
+        // is a capability gap, not a lost race — treating it as "claim
+        // lost" would spin all attempts and blame a phantom concurrent
+        // writer. Fall back to the FileSystem path: check-then-act
+        // create, the same (weaker) semantics raw-local/S3A already have
+        // through FileContext, so the documented guarantee is unchanged.
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          try { fs.rename(tmp, claim) && fs.exists(claim) }
+          catch { case _: java.io.IOException => false }
         case _: java.io.IOException => false
       }
     if (!won) { fs.delete(tmp, true); () }

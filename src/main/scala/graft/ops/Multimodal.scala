@@ -342,8 +342,14 @@ object Multimodal {
     }
     val comp = idat.toByteArray
     if (comp.isEmpty) return None
-    // inflate exactly h·(1+w) bytes: one filter byte + w gray bytes per row
-    val raw = new Array[Byte](h * (1 + w))
+    // inflate exactly h·(1+w) bytes: one filter byte + w gray bytes per row.
+    // Sized in Long first: maxPixels bounds w·h but NOT h·(1+w), so a
+    // caller-supplied bound near 2^31 could overflow the Int product into a
+    // negative array size — that's a corrupt-input-shaped failure, and the
+    // contract for those is None, not NegativeArraySizeException.
+    val rawLen = h.toLong * (1L + w)
+    if (rawLen > Int.MaxValue - 8) return None
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater() // zlib mode: Adler-32 verified at finish
     try {
       inf.setInput(comp)

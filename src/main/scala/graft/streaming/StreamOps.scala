@@ -237,7 +237,7 @@ object StreamOps {
         .start()
       try q.processAllAvailable()
       finally q.stop()
-      val n = q.recentProgress.count(_.numInputRows > 0).toLong
+      val n = countDataBatches(q)
       lastRunBatches = n
       n
     }
@@ -976,8 +976,31 @@ object StreamOps {
     val q = checkpoint.fold(w0)(c => w0.option("checkpointLocation", c)).start()
     try q.processAllAvailable()
     finally q.stop()
-    val dataBatches = q.recentProgress.count(_.numInputRows > 0).toLong
+    val dataBatches = countDataBatches(q)
     lastRunBatches = dataBatches
     (spark.table(name), dataBatches)
+  }
+
+  /** Data-microbatch count from `recentProgress`, guarded against the ring
+    * buffer it actually is: `recentProgress` keeps only the last
+    * `spark.sql.streaming.numRecentProgressUpdates` entries (default 100),
+    * so a feed with more microbatches than the cap would silently
+    * UNDERCOUNT — corrupting the `lastRunBatches` gate witness and the
+    * restart diagnostics built on it. The registry's feeds use n ≤ 16
+    * splits, far under any cap, so instead of a listener (whose event bus
+    * is asynchronous — no public drain point after `stop()`), assert the
+    * buffer did not wrap: strictly fewer retained entries than the cap
+    * proves nothing was evicted.
+    */
+  private def countDataBatches(q: org.apache.spark.sql.streaming.StreamingQuery): Long = {
+    val cap = SparkSession.active.conf
+      .get("spark.sql.streaming.numRecentProgressUpdates", "100").toInt
+    val prog = q.recentProgress
+    require(prog.length < cap,
+      s"recentProgress holds ${prog.length} entries with cap $cap — the ring " +
+        "buffer may have wrapped and the data-batch count would undercount; " +
+        "raise spark.sql.streaming.numRecentProgressUpdates above the feed's " +
+        "microbatch count")
+    prog.count(_.numInputRows > 0).toLong
   }
 }

@@ -52,15 +52,18 @@ class BenchGuardSpec extends AnyFunSuite {
     val prev = BenchCompare.parseQueries(prevLine)
     val slow = Map("q85_cascade" -> 12.3, "q01_agg" -> 0.6)
     var soloRuns = List.empty[String]
-    val json = BenchCompare.regressionJson(prev, slow, q => { soloRuns ::= q; 4.5 })
+    val json = BenchCompare.regressionJson(prev, slow, q => { soloRuns ::= q; Some(4.5) })
     // only the flagged query was re-measured, and both factors are in-file
     assert(soloRuns == List("q85_cascade"))
     assert(json ==
       """[{"query":"q85_cascade","prev":4.1,"cur":12.3,"factor":3.0,"solo":4.5,"solo_factor":1.098}]""")
+    // a solo re-run that CRASHES records the failure, not its time-to-fail
+    assert(BenchCompare.regressionJson(prev, slow, _ => None) ==
+      """[{"query":"q85_cascade","prev":4.1,"cur":12.3,"factor":3.0,"solo":null,"solo_factor":null,"solo_error":true}]""")
     // a clean run emits an empty array and never invokes the solo pass
     var ran = false
     assert(BenchCompare.regressionJson(prev, Map("q01_agg" -> 0.6),
-      _ => { ran = true; 0.0 }) == "[]")
+      _ => { ran = true; Some(0.0) }) == "[]")
     assert(!ran)
   }
 

@@ -1,0 +1,214 @@
+package graft
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Skipping, Writer}
+
+/** File-level data skipping: manifest write, predicate pruning, loud
+  * staleness fallback, and the files-touched measurements the round-9
+  * brief asks for (≤¼ of files on a selective predicate over BOTH the
+  * date-sorted and the Z-ordered layout).
+  */
+class SkippingSpec extends SparkTestBase {
+
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-skip-$tag").toFile
+    d.deleteOnExit()
+    d.toString
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def parse(p: String) =
+    spark.sessionState.sqlParser.parseExpression(p)
+
+  // ------------------------------------------------------------- layouts
+
+  test("date-sorted layout: pruned read == full read, touching <=1/4 of files") {
+    val root = Tables.skippingLayout(spark, sf(), "date")
+    val pred = "l_shipdate_d >= DATE '1995-06-01' AND l_shipdate_d < DATE '1995-09-01'"
+    val pr = Skipping.readPrunedDetailed(spark, root, pred)
+    assert(pr.fallback.isEmpty, s"manifest should engage: ${pr.fallback}")
+    assert(pr.total == 16, s"layout should have 16 files, found ${pr.total}")
+    assert(pr.selected >= 1, "the window overlaps data — something must survive")
+    assert(pr.selected * 4 <= pr.total,
+      s"a 3-month window over a 16-file date-sorted layout must touch <=1/4 " +
+        s"of files: ${pr.selected}/${pr.total}")
+    val full = spark.read.parquet(root).filter(pred)
+    assert(sortedRows(pr.df) == sortedRows(full))
+  }
+
+  test("z-ordered layout prunes conjunctive AND single-dimension range predicates") {
+    val root = Tables.skippingLayout(spark, sf(), "zorder")
+    val mm = spark.read.parquet(root).agg(max("l_partkey"), max("l_suppkey")).head()
+    val (pQ, sQ) = (mm.getLong(0) / 5, mm.getLong(1) / 5)
+    // both dims constrained to their lowest quarter: the 4x4 file grid
+    // should route this to ~1 file
+    val both = Skipping.readPrunedDetailed(spark, root,
+      s"l_partkey <= $pQ AND l_suppkey <= $sQ")
+    assert(both.fallback.isEmpty)
+    assert(both.selected * 4 <= both.total,
+      s"conjunctive quarter-range should touch <=1/4 of files: " +
+        s"${both.selected}/${both.total}")
+    // the z-order point: a range on the SECOND dim alone also prunes
+    // (a single-column sort could never prune this one)
+    val suppOnly = Skipping.readPrunedDetailed(spark, root, s"l_suppkey <= $sQ")
+    assert(suppOnly.selected * 2 <= suppOnly.total,
+      s"single-dim quarter-range should touch <=1/2 of files: " +
+        s"${suppOnly.selected}/${suppOnly.total}")
+    // correctness is independent of the prune on both shapes
+    val full = spark.read.parquet(root)
+    assert(sortedRows(both.df) ==
+      sortedRows(full.filter(s"l_partkey <= $pQ AND l_suppkey <= $sQ")))
+    assert(sortedRows(suppOnly.df) == sortedRows(full.filter(s"l_suppkey <= $sQ")))
+  }
+
+  test("provably-empty predicate selects zero files and returns zero rows, schema intact") {
+    val root = Tables.skippingLayout(spark, sf(), "date")
+    val pr = Skipping.readPrunedDetailed(spark, root, "l_shipdate_d > DATE '2999-01-01'")
+    assert(pr.fallback.isEmpty && pr.selected == 0)
+    assert(pr.df.count() == 0)
+    assert(pr.df.columns.contains("l_shipdate_d"))
+  }
+
+  // ---------------------------------------------- staleness / fallbacks
+
+  test("stale manifest (file added behind its back) is rejected loudly; result still correct") {
+    import spark.implicits._
+    val root = tmpDir("stale")
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(root)
+    Skipping.writeManifest(spark, root, Seq("k"))
+    val ok = Skipping.readPrunedDetailed(spark, root, "k <= 10")
+    assert(ok.fallback.isEmpty && ok.selected < ok.total)
+    // a file lands AFTER the manifest was written
+    Seq((1000L, "late")).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(root)
+    val stale = Skipping.readPrunedDetailed(spark, root, "k <= 10")
+    assert(stale.fallback.exists(_.contains("stale")),
+      s"expected loud stale fallback, got ${stale.fallback}")
+    assert(stale.selected == stale.total, "fallback must be a FULL scan")
+    assert(stale.df.count() == 10)
+  }
+
+  test("missing manifest falls back to a full scan with a reason") {
+    import spark.implicits._
+    val root = tmpDir("nomanifest")
+    (1 to 10).map(i => (i, i * 2)).toDF("a", "b").write.mode("overwrite").parquet(root)
+    val pr = Skipping.readPrunedDetailed(spark, root, "a <= 3")
+    assert(pr.fallback.exists(_.contains("manifest")))
+    assert(pr.df.count() == 3)
+  }
+
+  // ------------------------------------------------------ writer hooks
+
+  test("overwritePartitionsWithStats: partition values prune as exact stats") {
+    import spark.implicits._
+    val root = tmpDir("partcols")
+    val df = Seq(
+      ("AR", "2024-01-01", 1.0), ("AR", "2024-01-02", 2.0),
+      ("BR", "2024-01-01", 3.0), ("CL", "2024-01-03", 4.0)
+    ).toDF("country", "date", "amount")
+    Writer.overwritePartitionsWithStats(df, root, Seq("country"), Seq("amount", "date"))
+    val pr = Skipping.readPrunedDetailed(spark, root, "country = 'AR' AND amount >= 2.0")
+    assert(pr.fallback.isEmpty)
+    assert(pr.selected < pr.total,
+      s"partition-value stats must prune non-AR files: ${pr.selected}/${pr.total}")
+    assert(sortedRows(pr.df) ==
+      sortedRows(spark.read.parquet(root).filter("country = 'AR' AND amount >= 2.0")))
+  }
+
+  test("replaceWhereVersioned writes the manifest before the pointer flip; readCurrentPruned prunes") {
+    import spark.implicits._
+    val root = tmpDir("versioned")
+    val v0 = (1 to 40).map(i => (i.toLong, "AR", i * 1.0)).toDF("id", "country", "x")
+      .repartitionByRange(4, col("id"))
+    Writer.replaceWhereVersioned(spark, v0, root, Nil, lit(false),
+      statsColumns = Seq("id", "x"))
+    val pr = Writer.readCurrentPruned(spark, root, "id <= 5")
+    assert(pr.fallback.isEmpty, s"committed version must carry its manifest: ${pr.fallback}")
+    assert(pr.selected < pr.total)
+    assert(pr.df.count() == 5)
+  }
+
+  // -------------------------------------------------- evaluator semantics
+
+  private val fNum = Skipping.FileStats("f1", 1L, 100L,
+    Map("a" -> Skipping.ColStats("num", Some("10"), Some("20"), Some(0L)),
+      "s" -> Skipping.ColStats("string", Some("bb"), Some("dd"), Some(5L))))
+
+  test("mayMatch: interval logic on comparisons, IN, and boolean structure") {
+    def m(p: String, f: Skipping.FileStats = fNum) = Skipping.mayMatch(parse(p), f)
+    assert(m("a = 15") && !m("a = 9") && !m("a = 21"))
+    assert(m("a < 11") && !m("a < 10") && m("a <= 10"))
+    assert(m("a > 19") && !m("a > 20") && m("a >= 20") && !m("a >= 21"))
+    assert(m("15 <= a") && !m("a BETWEEN 1 AND 9") && m("a BETWEEN 1 AND 10"))
+    assert(m("a IN (1, 2, 15)") && !m("a IN (1, 2, 30)"))
+    assert(!m("a = 15 AND s = 'aa'"), "AND prunes when either side is infeasible")
+    assert(m("a = 9 OR s = 'cc'") && !m("a = 9 OR s = 'aa'"))
+    assert(m("s >= 'bb' AND s < 'cc'") && !m("s > 'dd'"))
+    // unsupported shapes never prune
+    assert(m("length(s) > 100") && m("a + 1 = 9"))
+    // literal-only predicates
+    assert(!m("false") && m("true"))
+  }
+
+  test("mayMatch: null semantics — all-null files, =NULL, null-safe equality") {
+    val allNull = Skipping.FileStats("f2", 1L, 50L,
+      Map("a" -> Skipping.ColStats("num", None, None, Some(50L))))
+    val noNulls = fNum
+    val unknownNulls = Skipping.FileStats("f3", 1L, 50L,
+      Map("a" -> Skipping.ColStats("num", Some("1"), Some("2"), None)))
+    def m(p: String, f: Skipping.FileStats) = Skipping.mayMatch(parse(p), f)
+    assert(!m("a = 1", allNull), "null-rejecting cmp can't match an all-null file")
+    assert(m("a IS NULL", allNull) && !m("a IS NOT NULL", allNull))
+    assert(!m("a IS NULL", noNulls) && m("a IS NOT NULL", noNulls))
+    assert(m("a IS NULL", unknownNulls) && m("a IS NOT NULL", unknownNulls))
+    assert(!m("a = NULL", noNulls), "= NULL matches nothing")
+    assert(!m("a <=> NULL", noNulls) && m("a <=> NULL", allNull))
+    assert(!m("NOT (a IS NOT NULL)", noNulls))
+    // empty file matches nothing, whatever the predicate
+    val empty = Skipping.FileStats("f4", 1L, 0L, Map.empty)
+    assert(!m("some_unknown_col = 1", empty))
+    // a column with no stats at all never prunes
+    assert(m("zz = 123", noNulls))
+  }
+
+  test("timestamp stats normalize to micros and prune against TIMESTAMP literals") {
+    import spark.implicits._
+    val root = tmpDir("ts")
+    val rows = (0 until 96).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-${i / 4 + 1}%02d 0${i % 4}:00:00"))
+    }
+    rows.toDF("id", "ts").repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(root)
+    Skipping.writeManifest(spark, root, Seq("ts", "id"))
+    val pr = Skipping.readPrunedDetailed(spark, root,
+      "ts >= TIMESTAMP '2024-01-20 00:00:00'")
+    assert(pr.fallback.isEmpty && pr.selected < pr.total,
+      s"timestamp range should prune: ${pr.selected}/${pr.total}")
+    assert(pr.df.count() ==
+      spark.read.parquet(root).filter("ts >= TIMESTAMP '2024-01-20 00:00:00'").count())
+  }
+
+  test("manifest round-trips through JSON including unusable bounds and unknown nulls") {
+    import spark.implicits._
+    val root = tmpDir("roundtrip")
+    Seq((1, Option("x")), (2, None), (3, Option("z")))
+      .toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(root)
+    Skipping.writeManifest(spark, root, Seq("k", "v", "ghost"))
+    val fs = new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = Skipping.readManifest(fs, new HPath(root)).get
+    assert(m.formatVersion == Skipping.FormatVersion)
+    assert(m.files.size == 1)
+    val f = m.files.head
+    assert(f.rows == 3)
+    assert(f.cols("k").lo.contains("1") && f.cols("k").hi.contains("3"))
+    assert(f.cols("v").nulls.contains(1L))
+    assert(!f.cols.contains("ghost"), "a column absent from the files records no stats")
+  }
+}
