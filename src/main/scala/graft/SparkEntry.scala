@@ -1299,6 +1299,79 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // ---- stream-stream join RESTART recovery (round-9): q273's interval
+    // join through the q353 two-runs-one-checkpoint flow. State lives on
+    // BOTH sides here (per-key view and purchase buffers), so the gate is
+    // stronger than q353's single MapState machine: the final match set
+    // can equal the batch join twin ONLY if run 2 restored both join state
+    // stores — a view that arrived pre-restart must still match a purchase
+    // that lands post-restart (the cross-restart evidence rows exist:
+    // time-split thirds guarantee view→purchase pairs straddling the cut,
+    // the same q273 feed property StreamingSpec asserts). Exactly-once
+    // across the restart rides the parquet sink's _spark_metadata commit
+    // log; the require pins that run 2 processed ONLY the newly-landed
+    // file (processed-file log restored, no reprocessing). ----
+    "q354_restart_join" -> ((s, dir) => {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val base = new java.io.File(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-q354-$key")
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+        f.delete(); ()
+      }
+      wipe(base); base.mkdirs()
+      val in = new java.io.File(base, "in"); in.mkdirs()
+      val out = s"$base/out"; val ck = s"$base/ckpt"
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      // exact time-split thirds (the batchedStream device): later files sit
+      // strictly above earlier watermarks, so nothing is ever late-dropped
+      val cuts = ev.withColumn("__tsd", col("ts").cast("double"))
+        .stat.approxQuantile("__tsd", Array(1.0 / 3, 2.0 / 3), 0.0)
+      def put(k: Int): Unit = {
+        val tsd = col("ts").cast("double")
+        val span = k match {
+          case 0 => tsd <= cuts(0)
+          case 1 => tsd > cuts(0) && tsd <= cuts(1)
+          case _ => tsd > cuts(1)
+        }
+        val tmpd = new java.io.File(base, s".tmp-$k")
+        ev.filter(span).coalesce(1).write.mode("overwrite").parquet(tmpd.toString)
+        val part = Option(tmpd.listFiles()).getOrElse(Array.empty)
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"q354: split $k produced no part file"))
+        val dst = new java.io.File(in, f"b$k%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1600000000000L + k * 600000L) // oldest-first order
+        tmpd.listFiles().foreach(_.delete()); tmpd.delete()
+        ()
+      }
+      put(0); put(1)
+      val schema = s.read.parquet(s"$in/b000.parquet").schema
+      def stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "b*.parquet").parquet(in.toString)
+      def joined = {
+        val views = stream.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+        val purchases = stream.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"), col("event_id").as("purchase_id"))
+        graft.streaming.StreamOps.streamStreamJoin(views, purchases,
+          key = "user_id", leftTs = "ts", rightTs = "pts", skew = "30 minutes")
+          .select(col("view_id"), col("purchase_id"))
+      }
+      graft.streaming.StreamOps.runToParquet(s, joined, out, ck)
+      put(2) // "lands" after the first query stopped
+      val n2 = graft.streaming.StreamOps.runToParquet(s, joined, out, ck)
+      require(n2 == 1,
+        s"post-restart run must process ONLY the new file, ran $n2 data batches")
+      s.read.parquet(out)
+        .select(col("view_id"), col("purchase_id"))
+        .orderBy(col("view_id"), col("purchase_id"))
+    }),
+
     // ---- file-level data skipping (round-9): per-file min/max stats
     // manifest + predicate-pruning reader, over a date-sorted 16-file
     // lineitem layout. The prune is an IMPLEMENTATION DETAIL under gate:
@@ -8958,6 +9031,12 @@ object SparkEntry {
     "q353_restart_recovery" ->
       """SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+    "q354_restart_join" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id
+        |FROM events v JOIN events p ON v.user_id = p.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts BETWEEN v.ts AND v.ts + INTERVAL 30 MINUTE
+        |ORDER BY view_id, purchase_id""".stripMargin,
     "q355_skipping_daterange" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

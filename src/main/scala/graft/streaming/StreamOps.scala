@@ -228,8 +228,22 @@ object StreamOps {
     */
   def typeCountsV2ToParquet(spark: SparkSession, events: DataFrame,
                             outDir: String, checkpoint: String): Long =
+    runToParquet(spark, typeCountsTransformed(spark, events), outDir, checkpoint)
+
+  /** Drive any streaming DataFrame through the RECOVERABLE sink shape:
+    * parquet output + a real checkpoint, RocksDB provider scoped. The
+    * restart contract is the sink's `_spark_metadata` commit log (batch
+    * reads of `outDir` see only committed files — exactly-once across a
+    * restart) plus the checkpoint (state snapshots, watermark,
+    * processed-file log). Returns the number of DATA microbatches THIS run
+    * executed — a restarted run that re-processed old input would show
+    * more than the newly-landed count, which is what the restart gates
+    * assert on.
+    */
+  def runToParquet(spark: SparkSession, stream: DataFrame,
+                   outDir: String, checkpoint: String): Long =
     withRocksDb(spark) {
-      val q = typeCountsTransformed(spark, events).writeStream
+      val q = stream.writeStream
         .outputMode(OutputMode.Append)
         .format("parquet")
         .option("path", outDir)
@@ -326,22 +340,32 @@ object StreamOps {
     * tail the gate's oracle filters identically.
     */
   def sessionsV2(spark: SparkSession, events: DataFrame, gapMinutes: Int = 30,
-                 watermark: String = "0 seconds"): DataFrame = {
+                 watermark: String = "0 seconds"): DataFrame =
+    withRocksDb(spark) {
+      runToMemory(spark, sessionsV2Stream(spark, events, gapMinutes, watermark),
+        "sessions_v2")
+    }
+
+  /** [[sessionsV2]]'s UNSTARTED streaming plan — for runners that need a
+    * different sink (the restart gates drive it through [[runToParquet]],
+    * whose checkpoint restores the parked open-session ValueState and its
+    * event-time timer across a query restart).
+    */
+  def sessionsV2Stream(spark: SparkSession, events: DataFrame,
+                       gapMinutes: Int = 30,
+                       watermark: String = "0 seconds"): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.TimeMode
     val gapMs = gapMinutes * 60000L
-    withRocksDb(spark) {
-      val out = events
-        .withWatermark("ts", watermark)
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-          round(col("value") * 100).cast("long").as("cents"))
-        .as[EventC]
-        .groupByKey(_.user_id)
-        .transformWithState(new TimerSessionProcessor(gapMs),
-          TimeMode.EventTime(), OutputMode.Append())
-        .toDF()
-      runToMemory(spark, out, "sessions_v2")
-    }
+    events
+      .withWatermark("ts", watermark)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[EventC]
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerSessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
   }
 
   final case class RankedEvent(user_id: Long, rank: Long, event_id: Long,

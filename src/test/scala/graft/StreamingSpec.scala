@@ -607,4 +607,117 @@ class StreamingSpec extends SparkTestBase {
       8L -> (("gone", 0L, 2L, "D")),
       9L -> (("only", 55L, 1L, "I"))), s"cdc state: $got")
   }
+
+  // ------------------------------------------------------------------
+  // round-9: RESTART recovery for the remaining stateful shapes. q353
+  // proved the single-MapState machine; these prove the two state-store
+  // layouts it does not cover — stream-stream join state (BOTH sides) and
+  // the session window's parked open-session state + event-time timer.
+
+  /** Stage `rows` (event_id, minuteOffset, user_id, event_type, value) as
+    * one parquet file per group with ascending mtimes, so the file source
+    * replays them as deterministic ordered microbatches.
+    */
+  private def stagedEventFiles(tag: String,
+                               files: Seq[Seq[(Long, Int, Long, String, Double)]]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-$tag").toFile
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    files.zipWithIndex.foreach { case (rows, k) =>
+      val tmp = new java.io.File(dir, s".tmp-$k")
+      rows.map { case (id, minute, uid, typ, v) =>
+        (id, java.sql.Timestamp.from(base.plusSeconds(minute * 60L)), uid, typ, v)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, f"b$k%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(1600000000000L + k * 600000L)
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+    dir.toString
+  }
+
+  private def fileStream(dir: String) = spark.readStream
+    .schema(StreamOps.eventSchema)
+    .option("maxFilesPerTrigger", "1")
+    .option("pathGlobFilter", "b*.parquet")
+    .parquet(dir)
+
+  test("stream-stream join state (BOTH sides) survives a query RESTART") {
+    // purchases for users 5..9 land ONLY after the restart; their views
+    // arrived ONLY before it. The pairs can appear in the final output
+    // only if run 2 restored the left join state from the checkpoint.
+    val views = (0L to 9L).map(u => (u, u.toInt, u, "view", 1.0))
+    val earlyPurch = (0L to 4L).map(u => (100L + u, u.toInt + 10, u, "purchase", 1.0))
+    val latePurch = (5L to 9L).map(u => (100L + u, u.toInt + 20, u, "purchase", 1.0))
+    val in = stagedEventFiles("ssj-restart", Seq(views, earlyPurch, latePurch))
+    val out = java.nio.file.Files.createTempDirectory("ssj-out").toString
+    val ck = java.nio.file.Files.createTempDirectory("ssj-ck").toString
+    def joined = {
+      val v = fileStream(in).filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      val p = fileStream(in).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("event_id").as("purchase_id"))
+      StreamOps.streamStreamJoin(v, p, key = "user_id",
+        leftTs = "ts", rightTs = "pts", skew = "30 minutes")
+        .select(col("view_id"), col("purchase_id"))
+    }
+    // run 1 sees files 0+1 (views + early purchases); file 2 is hidden
+    // behind a glob-invisible name until the "restart"
+    val late = new java.io.File(in, "b002.parquet")
+    val hidden = new java.io.File(in, "_late.parquet")
+    val mtime = late.lastModified()
+    assert(late.renameTo(hidden))
+    val b1 = StreamOps.runToParquet(spark, joined, out, ck)
+    assert(b1 >= 2, s"run 1 must process the two staged files, ran $b1")
+    assert(hidden.renameTo(late)); late.setLastModified(mtime)
+    val b2 = StreamOps.runToParquet(spark, joined, out, ck)
+    assert(b2 == 1, s"run 2 must process ONLY the late file, ran $b2")
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L to 9L).map(u => (u, 100L + u)).toSet
+    assert(got == expected, s"join results: $got")
+    // the cross-restart rows specifically (pre-restart view, post-restart
+    // purchase) — the both-sides state-restoration evidence
+    assert((5L to 9L).forall(u => got((u, 100L + u))),
+      "post-restart purchases must match pre-restart views")
+  }
+
+  test("session-window state (parked open session + event-time timer) survives a RESTART") {
+    // user 1's session is OPEN at the restart (events at minutes
+    // 0,5,10,15,20 across runs 1's two batches); post-restart minute 25
+    // extends it — only possible from restored ValueState — and the
+    // minute-200 row advances the watermark past end+gap so the restored
+    // TIMER fires and the session closes as ONE row spanning the restart.
+    val f0 = Seq((1L, 0, 1L, "view", 1.0), (2L, 5, 1L, "view", 1.0),
+      (3L, 10, 1L, "view", 1.0))
+    val f1 = Seq((4L, 15, 1L, "view", 1.0), (5L, 20, 1L, "view", 1.0),
+      (6L, 18, 2L, "view", 1.0))
+    val f2 = Seq((7L, 25, 1L, "view", 1.0), (8L, 200, 3L, "view", 1.0))
+    val in = stagedEventFiles("sess-restart", Seq(f0, f1, f2))
+    val out = java.nio.file.Files.createTempDirectory("sess-out").toString
+    val ck = java.nio.file.Files.createTempDirectory("sess-ck").toString
+    def sessions = StreamOps.sessionsV2Stream(spark, fileStream(in), gapMinutes = 30)
+    val late = new java.io.File(in, "b002.parquet")
+    val hidden = new java.io.File(in, "_late.parquet")
+    val mtime = late.lastModified()
+    assert(late.renameTo(hidden))
+    val b1 = StreamOps.runToParquet(spark, sessions, out, ck)
+    assert(b1 >= 2, s"run 1 must process the two staged files, ran $b1")
+    assert(hidden.renameTo(late)); late.setLastModified(mtime)
+    val b2 = StreamOps.runToParquet(spark, sessions, out, ck)
+    assert(b2 == 1, s"run 2 must process ONLY the late file, ran $b2")
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L
+    def us(minute: Int) = base + minute * 60000000L
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // user 3's minute-200 session is the held-back tail (nothing advanced
+    // the watermark past ITS end+gap) — deterministic, excluded
+    assert(got == Set(
+      (1L, us(0), us(25), 6L), // ONE session spanning the restart
+      (2L, us(18), us(18), 1L)), s"sessions: $got")
+  }
 }
