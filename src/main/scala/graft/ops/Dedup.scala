@@ -822,6 +822,7 @@ object Dedup {
           s"connectedComponents did not converge in $maxIters rounds — the " +
             "graph has a component with diameter > maxIters; raise maxIters " +
             "(or use a doubling scheme) rather than consuming a mid-chain labeling")
+      RoundTrace.record("cc", it)
       labels.select(col("id").as(idName), col("component"))
     } finally {
       sess.conf.set(shuffleKey, prevShuffle)

@@ -684,6 +684,7 @@ object Graph {
       }
       if (!converged)
         throw new IllegalStateException(s"kCore(k=$k) did not converge in $maxIters rounds")
+      RoundTrace.record("kcore", it)
       chain.keep()
       degrees(cur)
     }
@@ -922,6 +923,7 @@ object Graph {
         throw new IllegalStateException(
           s"shortestPathsInt did not reach its fixed point in $maxRounds rounds — " +
             "an unrolled-rounds oracle at this bound would disagree; raise maxRounds")
+      RoundTrace.record("sssp", round)
     }
     // the fixed point is a LogicalRDD — the adjacency list is no longer
     // referenced by anything downstream; free it now, keep only the result
