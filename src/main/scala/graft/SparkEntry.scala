@@ -1200,6 +1200,60 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // ---- INCREMENTAL IVF maintenance, DELETE path (round-9): q351's
+    // append gate pointed at tombstones. vec_id % 7 == 0 (14%) is removed;
+    // the search runs over the survivors WITHOUT retraining the quantizer
+    // (the FAISS remove_ids contract). Three invariants ride the output:
+    // recall vs the exact scan over the LIVE corpus at the measured minima
+    // (h20 min 5 at both gate SFs; gated >= 4 with the q351 margin), NO
+    // removed id ever appears as query or neighbor, and — cell-for-cell —
+    // no surviving vector moved cells (ivfRemoveAssign vs the pre-removal
+    // self-trained assignment; this is the check that fails loudly if the
+    // delete path ever starts retraining on the survivor set). Compaction
+    // triggers (ivfCellOccupancy) are spec-gated in OpsSpec. ----
+    "q357_ivf_remove" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val removed = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+      val live = emb.filter(col("vec_id") % 7 =!= 0)
+      val ann = Similarity.ivfRemoveTopK(emb, removed, "vec_id", "embedding",
+        k = 5, nlist = 32, nprobe = 8, iters = 1)
+      // tombstone leakage: zero removed ids on either side of any result
+      val viol = ann
+        .filter(col("query_id") % 7 === 0 || col("neighbor_id") % 7 === 0)
+        .agg(count(lit(1)).as("viol"))
+      // cell-for-cell: survivors keep their pre-removal cells exactly
+      val pre = Similarity.ivfAssign(emb, emb, "vec_id", "embedding",
+        nlist = 32, iters = 1).filter(col("id") % 7 =!= 0)
+      val post = Similarity.ivfRemoveAssign(emb, removed, "vec_id", "embedding",
+          nlist = 32, iters = 1)
+        .withColumnsRenamed(Map("id" -> "id2", "cell" -> "cell2"))
+      val moved = pre.join(post, col("id") === col("id2"), "full_outer")
+        .filter(col("id").isNull || col("id2").isNull || col("cell") =!= col("cell2"))
+        .agg(count(lit(1)).as("moved"))
+      // recall audit against the exact scan over the LIVE corpus
+      val exact = Similarity.bruteForceTopK(live,
+          live.filter(col("vec_id") < 500L), "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+        .localCheckpoint()
+      val hits = ann.filter(col("query_id") < 500)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("h20"))
+      exact.filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id").as("exact_best_id"),
+          col("cosine").as("exact_best_cosine"))
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("h20", coalesce(col("h20"), lit(0L)))
+        .crossJoin(broadcast(viol))
+        .crossJoin(broadcast(moved))
+        .select(col("query_id"), col("exact_best_id"), col("exact_best_cosine"),
+          (col("h20") >= 4).as("recall20_ok"),
+          (col("viol") === 0L).as("no_removed_ids"),
+          (col("moved") === 0L).as("cells_consistent"))
+        .orderBy(col("query_id"))
+    }),
+
     // ---- REAL PNG pixel decode (round-8): gray-8 PNGs are generated
     // ARITHMETICALLY in SQL expressions — stored-mode zlib (BTYPE=00) with
     // the Adler-32 computed in closed form (s1 = 1+Σd, s2 = n+Σdᵢ·(n−i),
@@ -9053,6 +9107,22 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_partkey <= 500 AND l_suppkey <= 25 AND l_quantity IS NOT NULL
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q357_ivf_remove" ->
+      """WITH n AS (
+        |  SELECT vec_id, iv, CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS nrm
+        |  FROM (SELECT vec_id,
+        |          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+        |        FROM embeddings WHERE vec_id % 7 <> 0) v),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> q.iv[i] * c.iv[i])) AS BIGINT)::DOUBLE
+        |      / (sqrt(q.nrm::DOUBLE) * sqrt(c.nrm::DOUBLE)) AS cosine
+        |  FROM n q JOIN n c ON q.vec_id < 500 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id AS exact_best_id, cosine AS exact_best_cosine,
+        |  TRUE AS recall20_ok, TRUE AS no_removed_ids, TRUE AS cells_consistent
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |      FROM s) r
+        |WHERE rank = 1 ORDER BY query_id""".stripMargin,
     "q351_ivf_append" ->
       """WITH n AS (
         |  SELECT vec_id, iv, CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS nrm

@@ -791,6 +791,95 @@ object Similarity {
     searchIvf(vOld.unionAll(vNew), cents, k, nprobe, probeFilter)
   }
 
+  /** INCREMENTAL IVF maintenance, delete path — the tombstone contract
+    * (FAISS `remove_ids`): removed vectors leave the posting lists (an
+    * anti-join before search) and stop being queries, but the coarse
+    * quantizer is NOT retrained — retraining on every delete would
+    * re-shuffle every cell and re-assign the corpus, and (the subtler bug)
+    * would silently MOVE surviving vectors between cells, invalidating any
+    * cached assignment. Because centroids come from the full pre-removal
+    * corpus and assignment is a pure row-local function, every surviving
+    * vector keeps exactly the cell it had before the delete — the
+    * invariant [[ivfRemoveAssign]] lets gates check cell-for-cell (q351's
+    * device, pointed at deletes). Physical cleanup is a separate,
+    * semantics-free step a pipeline schedules off [[ivfCellOccupancy]]'s
+    * compaction flags.
+    */
+  def ivfRemoveTopK(
+      df: DataFrame,
+      removedIds: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nlist: Int = 32,
+      nprobe: Int = 8,
+      iters: Int = 2,
+      probeFilter: Column = lit(true)
+  ): DataFrame = {
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val v = spread(withFixed(df, idCol, embCol), col("id")).localCheckpoint()
+    val cents = trainIvf(v, nlist, iters) // full-corpus quantizer: no retrain
+    searchIvf(liveRows(v, removedIds), cents, k, nprobe, probeFilter)
+  }
+
+  /** The assignments [[ivfRemoveTopK]] actually searches: LIVE rows under
+    * the FULL-corpus quantizer. A gate joins this against the pre-removal
+    * assignments ([[ivfAssign]] self-trained) and asserts zero moved cells
+    * — the check that fails loudly if the delete path ever starts
+    * retraining on the survivor set.
+    */
+  def ivfRemoveAssign(
+      df: DataFrame,
+      removedIds: DataFrame,
+      idCol: String,
+      embCol: String,
+      nlist: Int = 32,
+      iters: Int = 2
+  ): DataFrame = {
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val v = spread(withFixed(df, idCol, embCol), col("id")).localCheckpoint()
+    val cents = trainIvf(v, nlist, iters)
+    assignCells(liveRows(v, removedIds), cents).select(col("id"), col("cell"))
+  }
+
+  /** Per-cell occupancy accounting under tombstones: (cell, total, live,
+    * live_frac, compact) with `compact` = live fraction below
+    * `liveThreshold` — the trigger a production pipeline uses to schedule
+    * the physical posting-list rewrite (compaction rewrites bytes, never
+    * results: searches already exclude tombstones). Cells whose members
+    * were ALL removed still appear (live = 0) — those are the first to
+    * compact away.
+    */
+  def ivfCellOccupancy(
+      df: DataFrame,
+      removedIds: DataFrame,
+      idCol: String,
+      embCol: String,
+      nlist: Int = 32,
+      iters: Int = 2,
+      liveThreshold: Double = 0.5
+  ): DataFrame = {
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val v = spread(withFixed(df, idCol, embCol), col("id")).localCheckpoint()
+    val cents = trainIvf(v, nlist, iters)
+    val rem = removedIds.select(col(removedIds.columns.head).cast("long").as("rid"))
+    assignCells(v, cents)
+      .join(rem, col("id") === col("rid"), "left")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("total"),
+        count(when(col("rid").isNull, 1)).as("live"))
+      .withColumn("live_frac", col("live").cast("double") / col("total"))
+      .withColumn("compact", col("live_frac") < lit(liveThreshold))
+  }
+
+  private def liveRows(v: DataFrame, removedIds: DataFrame): DataFrame = {
+    val rem = removedIds.select(col(removedIds.columns.head).cast("long").as("id"))
+    v.join(rem, Seq("id"), "left_anti")
+  }
+
   /** Cell assignments of `assignDf` under a quantizer trained on `trainDf`
     * — (id, cell), the auditable surface of the IVF index. Lets a gate
     * state the append invariant as data: assignments of the old corpus are

@@ -207,6 +207,52 @@ class OpsSpec extends SparkTestBase {
     assert(ivf.exceptAll(again).count() == 0 && again.exceptAll(ivf).count() == 0)
   }
 
+  test("IVF remove: tombstones leave results, survivors keep cells, occupancy triggers compaction") {
+    import spark.implicits._
+    val emb = Tables(spark, sf(), "embeddings")
+    val removed = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    val ann = Similarity.ivfRemoveTopK(emb, removed, "vec_id", "embedding",
+      k = 5, nlist = 32, nprobe = 8, iters = 1)
+    // no removed id on either side of any result
+    assert(ann.filter(col("query_id") % 7 === 0 || col("neighbor_id") % 7 === 0)
+      .count() == 0)
+    // every surviving query still gets a full top-k
+    assert(ann.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
+    // cell-for-cell: survivors keep exactly their pre-removal assignment
+    // (the check that fails if the delete path ever retrains)
+    val pre = Similarity.ivfAssign(emb, emb, "vec_id", "embedding", nlist = 32, iters = 1)
+      .filter(col("id") % 7 =!= 0)
+    val post = Similarity.ivfRemoveAssign(emb, removed, "vec_id", "embedding",
+      nlist = 32, iters = 1)
+    assert(pre.exceptAll(post).count() == 0 && post.exceptAll(pre).count() == 0)
+    // occupancy accounting: per cell, live + removed == total, and the
+    // compaction flag is exactly the threshold predicate
+    val occ = Similarity.ivfCellOccupancy(emb, removed, "vec_id", "embedding",
+      nlist = 32, iters = 1, liveThreshold = 0.9)
+    val byCell = Similarity.ivfAssign(emb, emb, "vec_id", "embedding", nlist = 32, iters = 1)
+      .withColumn("rm", (col("id") % 7 === 0).cast("int"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("t2"), sum(col("rm")).as("r2"))
+    val joined = occ.join(byCell, Seq("cell"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("total") =!= col("t2") ||
+      col("live") =!= col("total") - col("r2")).count() == 0,
+      "occupancy must account every member as live xor removed, cell-for-cell")
+    assert(occ.filter(col("compact") =!=
+      (col("live_frac") < lit(0.9))).count() == 0)
+    // ~14% removed roughly uniformly: at a 0.9 live threshold SOME cells
+    // must flag for compaction, and at 0.05 none may
+    assert(occ.filter(col("compact")).count() > 0)
+    val none = Similarity.ivfCellOccupancy(emb, removed, "vec_id", "embedding",
+      nlist = 32, iters = 1, liveThreshold = 0.05)
+    assert(none.filter(col("compact")).count() == 0)
+    // removing EVERY member of some cells: those cells appear with live=0
+    val allGone = Similarity.ivfCellOccupancy(emb, emb.select(col("vec_id")),
+      "vec_id", "embedding", nlist = 32, iters = 1)
+    assert(allGone.filter(col("live") =!= 0).count() == 0)
+    assert(allGone.filter(col("compact") === false).count() == 0)
+  }
+
   test("Misra-Gries: heavy items survive eviction pressure on any partitioning") {
     import spark.implicits._
     // vocab (1 + 400) ≫ k = 8: the sketch MUST evict; the guarantee says any
