@@ -86,13 +86,19 @@ object Skipping {
     val wanted = statsColumns.map(_.toLowerCase).toSet
     val qualifiedRoot = fs.makeQualified(rootPath).toString
     import spark.implicits._
+    // ship the DRIVER's hadoop conf to the footer tasks (a fresh
+    // Configuration() on the executor would drop credentials/endpoints for
+    // non-local stores — harmless on file://, wrong on s3a://hdfs://)
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     val fileJsons: Seq[String] =
       if (files.isEmpty) Seq.empty
       else spark
         .createDataset(files.map { case (rel, size) => (rel, size) })
         .repartition(math.min(files.size, 32))
         .mapPartitions { it =>
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = confBc.value.value
           it.map { case (rel, size) =>
             harvestFileJson(conf, qualifiedRoot, rel, size, wanted)
           }

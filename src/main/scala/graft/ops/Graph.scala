@@ -496,11 +496,31 @@ object Graph {
             .join(h.select(col("u").as("u2"), col("v").as("v2")), Seq("u2", "v2"), "left_semi")
             .join(h.select(col("u").as("u3"), col("v").as("v3")), Seq("u3", "v3"), "left_semi")
         }
-      alive.select(explode(array(
+      val exploded = alive.select(explode(array(
           struct(col("u1").as("u"), col("v1").as("v")),
           struct(col("u2").as("u"), col("v2").as("v")),
           struct(col("u3").as("u"), col("v3").as("v")))).as("e"))
-        .groupBy(col("e.u"), col("e.v")).agg(count(lit(1)).as("support"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      // Round-9 measured (KTrussLab): the triangle list is UNPARTITIONED
+      // w.r.t. edge keys, so each partial-agg task's hash table is keyed by
+      // nearly the FULL surviving edge set — at the 100× rung that stage's
+      // CPU grew 26× for 3.33× data (bytes exactly linear): the per-task
+      // table (~24M keys × 32 tasks) left every probe missing LLC. Past a
+      // heap-derived key bound, pre-partition the exploded edges by key:
+      // the agg's exchange moves BELOW the partial aggregate (same exchange
+      // count — EnsureRequirements adds none above it), per-task key space
+      // shrinks by the partition count, and the trade is raw exploded rows
+      // on the wire instead of partially-combined ones (the combine ratio
+      // is ≤3 here — one row per triangle edge — so the byte cost is
+      // bounded ×3 while the CPU cliff is ~26×). `graft.ktruss.supportAgg`
+      // pins `plain`/`repart` for regime-pinned measurement.
+      val perTaskKeyBound = Runtime.getRuntime.maxMemory() / 8L /
+        (sess.conf.get("spark.sql.shuffle.partitions").toLong * 64L)
+      val form = sys.props.getOrElse("graft.ktruss.supportAgg",
+        if (rows > perTaskKeyBound) "repart" else "plain")
+      val grouped = if (form == "repart") exploded.repartition(col("u"), col("v"))
+        else exploded
+      grouped.groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
     }
     val supChain = new RoundChain(sess.sparkContext)
     withRoundConf(sess, nEdges) {
@@ -526,6 +546,7 @@ object Graph {
         throw new IllegalStateException(
           s"kTruss(k=$k) did not converge in $maxRounds rounds — a " +
             "rounds-unrolled oracle at this bound would disagree; raise maxRounds")
+      RoundTrace.record("ktruss", it)
       triChain.free()
       chain.keep()
       supChain.keep()

@@ -515,6 +515,28 @@ object StreamOps {
   }
 
   final case class BandDoc(band: Int, bhash: Long, id: Long, fsig: Long, sz: Int)
+
+  /** Probe-broadcast cell bound for [[expandBucketPairsRaw]], derived from
+    * the JVM heap instead of the r8 fixed 4M constant (round-9 task 3a —
+    * the documented knob, made self-tuning). A probe cell is a 5-field
+    * UnsafeRow (~48 B payload); the HashedRelation that holds it costs
+    * ~128 B/cell all-in (map + key overhead, a conservative ~2.7× of the
+    * payload). Budget: 1/8 of max heap — local mode holds ONE copy of the
+    * broadcast (driver = executor JVM), and 32 concurrent expansion tasks
+    * share it. Capped at 32M cells (≈4 GB relation) clear of Spark's 8 GB
+    * broadcast hard limit. On the 1g default test heap this derives ~1M
+    * (stricter than the old constant, same regime for every gated feed:
+    * sf0.1 is ≈0.08M cells); on the 64g ladder heap it derives the cap,
+    * keeping the 100× rung (≈8M cells, past the old constant) in the
+    * skew-immune broadcast form. `graft.expand.cellBound` (sys prop, for
+    * in-process specs) / `GRAFT_EXPAND_CELL_BOUND` (env, for the ladder)
+    * override for regime-pinned measurement — the ladder measures BOTH
+    * forms at 100×, and a spec pins the SMJ form's one-exchange property.
+    */
+  private[graft] def broadcastCellBound: Long =
+    sys.props.get("graft.expand.cellBound").orElse(
+      sys.env.get("GRAFT_EXPAND_CELL_BOUND")).map(_.toLong).getOrElse(
+      math.min(Runtime.getRuntime.maxMemory() / 8L / 128L, 32_000_000L))
   final case class BucketMember(id: Long, fsig: Long, sz: Int)
   final case class BucketRow(band: Int, bhash: Long,
                              members: Array[Long], fsigs: Array[Long],
@@ -614,15 +636,28 @@ object StreamOps {
     *    and a 2k-member clique is only 2k tiny input rows; the quadratic
     *    blowup is on the OUTPUT side the planner never sees. With a
     *    broadcast probe, expansion parallelism is the build side's
-    *    partition count, independent of key skew. Past the 4M-cell bound
-    *    the join falls back to shuffle form (the broadcast would not fit)
-    *    and relies on bucket-size capping upstream.
+    *    partition count, independent of key skew. The bound is DERIVED
+    *    from the JVM heap ([[broadcastCellBound]], round-9): the r8 4M
+    *    constant was calibrated on a small test heap and forced the 100×
+    *    ladder rung (≈8M cells on a 64g heap, a ~1 GB relation) into
+    *    sort-merge form a decade before memory actually ran out.
+    * 4. **Past the bound, the self-join adds NO exchange at all** (round-9):
+    *    the latest-emission collapse groupBy already hash-partitions on
+    *    (band, bhash) — the join keys — and explode + rename preserve that
+    *    partitioning on both sides, so ReuseExchange/AQE stage reuse
+    *    executes the one collapse shuffle a single time and the SMJ sorts
+    *    in place. The r8 ladder's 4.76×-shuffle-for-3.33×-data slope was
+    *    the broadcast-regime coalesce leaking into this regime, destroying
+    *    the partitioning and re-shuffling the exploded table on BOTH join
+    *    sides. A spec pins the no-new-exchange property.
     *
-    * The coalesce bounds CONCURRENT sorter-page pressure (32 tasks × 32 MB
-    * sort pages OOM'd a default 1g heap once under RocksDB's pinned JNI
-    * criticals). Both join sides descend from the same memory-table view,
-    * so qualified aliases stay ambiguous (identical attribute ids) — hence
-    * the toDF rename.
+    * In the broadcast regime a SMALL-HEAP-ONLY coalesce bounds concurrent
+    * sorter-page pressure (32 tasks × 32 MB sort pages OOM'd a default 1g
+    * heap once under RocksDB's pinned JNI criticals); on a ≥4 GiB heap it
+    * is skipped — Q309Lab measured the 8-task pinch costing 70 GB of
+    * distinct-sort spill at the 100× rung. Both join sides descend from
+    * the same memory-table view, so qualified aliases stay ambiguous
+    * (identical attribute ids) — hence the toDF rename.
     */
   def expandBucketPairs(index: DataFrame): DataFrame =
     expandBucketPairsRaw(index, sizeRatio = None).distinct()
@@ -650,19 +685,41 @@ object StreamOps {
       .select(col("band"), col("bhash"),
         col("x.members").as("members"), col("x.fsigs").as("fsigs"),
         col("x.szs").as("szs"))
-    val m = index
+    val mBase = index
       .select(col("band"), col("bhash"),
         explode(arrays_zip(col("members"), col("fsigs"), col("szs"))).as("mf"))
       .select(col("band"), col("bhash"), col("mf.members").as("id"),
         col("mf.fsigs").as("fsig"), col("mf.szs").as("sz"))
-      .coalesce(8)
-    val m2 = m.toDF("band2", "bhash2", "id2", "fsig2", "sz2")
     // coalesce: sum() over an EMPTY index is NULL, and an empty stream is a
     // legitimate input — getLong on the bare sum would NPE instead of
     // producing the empty pair set
     val cells = index
       .select(coalesce(sum(size(col("members"))), lit(0L))).first.getLong(0)
-    val probe = if (cells <= 4_000_000L) broadcast(m2) else m2
+    val broadcastRegime = cells <= broadcastCellBound
+    // Past the broadcast bound: ZERO new exchanges (doc device 4). The
+    // index-collapse groupBy above already hash-partitioned the data on
+    // (band, bhash) — exactly the join keys — and both Generate (explode)
+    // and the rename projection preserve that partitioning, so
+    // EnsureRequirements inserts no exchange at the join and exchange
+    // reuse executes the one collapse shuffle a single time for both
+    // sides. The r8 ladder's 4.76× shuffle slope was the coalesce below
+    // DESTROYING this partitioning, which re-shuffled the exploded table
+    // on both join sides; the coalesce (a broadcast-regime sorter-pressure
+    // bound) buys nothing here, where the join itself sorts by key.
+    // The broadcast-regime coalesce exists ONLY to bound concurrent
+    // sorter-page pressure on small heaps (32 tasks × 32 MB pages OOM'd a
+    // 1g heap under RocksDB's pinned JNI criticals) — so gate it on the
+    // heap instead of applying it always: at the 100× rung the 8-task
+    // pinch made each task distinct-sort ~700 MB of raw pairs and spill
+    // 70 GB (Q309Lab job table); on a ≥4 GiB heap the natural 32-way
+    // collapse partitioning spreads the same sort 4× wider, spill-free.
+    val m =
+      if (!broadcastRegime) mBase
+      else if (Runtime.getRuntime.maxMemory() < 4L * 1024 * 1024 * 1024)
+        mBase.coalesce(8)
+      else mBase
+    val m2 = m.toDF("band2", "bhash2", "id2", "fsig2", "sz2")
+    val probe = if (broadcastRegime) broadcast(m2) else m2
     val base = col("band") === col("band2") && col("bhash") === col("bhash2") &&
       col("id") < col("id2") &&
       (col("fsig") =!= col("fsig2") || col("band") === 0)

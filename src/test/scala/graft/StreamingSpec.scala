@@ -720,4 +720,63 @@ class StreamingSpec extends SparkTestBase {
       (1L, us(0), us(25), 6L), // ONE session spanning the restart
       (2L, us(18), us(18), 1L)), s"sessions: $got")
   }
+
+  test("SMJ-regime pair expansion adds NO exchange beyond the index collapse") {
+    // round-9 task 3b: past the broadcast cell bound, the expansion
+    // self-join must inherit the collapse groupBy's (band, bhash) hash
+    // partitioning through explode + rename on BOTH sides — exchange reuse
+    // then executes that one shuffle once, and EnsureRequirements adds
+    // nothing at the join. The r8 4.76× shuffle slope was a coalesce
+    // destroying this; pin the property so it can't silently return.
+    import spark.implicits._
+    val index = Seq(
+      // 4-clique bucket; distinct fsigs so all 6 pairs expand here
+      (0, 11L, Seq(1L, 2L, 3L, 4L), Seq(901L, 902L, 903L, 904L), Seq(5, 5, 5, 5)),
+      // non-zero band with an equal-fsig pair (5,6): suppressed by the
+      // band-0-only rule; (5,7) and (6,7) survive
+      (3, 22L, Seq(5L, 6L, 7L), Seq(902L, 902L, 907L), Seq(5, 6, 7)),
+      (0, 33L, Seq(8L, 9L), Seq(908L, 909L), Seq(4, 4))
+    ).toDF("band", "bhash", "members", "fsigs", "szs")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = pairs(StreamOps.expandBucketPairsRaw(index, None)) // broadcast regime
+    assert(expected.size == 9 && !expected.contains((5L, 6L)), s"ground truth: $expected")
+
+    val savedThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqeThresh = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    sys.props("graft.expand.cellBound") = "0"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = StreamOps.expandBucketPairsRaw(index, None) // runs the cells probe
+      val shuffleWrites = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          if (e.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten > 0) {
+            shuffleWrites.incrementAndGet(); ()
+          }
+      }
+      spark.sparkContext.addSparkListener(l)
+      val got = try {
+        val g = pairs(df)
+        org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+        g
+      } finally spark.sparkContext.removeSparkListener(l)
+      assert(got == expected, s"SMJ-regime pairs diverged: $got")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"regime pin failed — expected a sort-merge join:\n$plan")
+      assert(shuffleWrites.get == 1,
+        s"expansion must shuffle exactly ONCE (the index collapse); " +
+          s"saw ${shuffleWrites.get} shuffle-writing stages:\n$plan")
+    } finally {
+      sys.props.remove("graft.expand.cellBound")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThresh)
+      savedAqeThresh match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }
