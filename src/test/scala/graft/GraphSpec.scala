@@ -461,6 +461,28 @@ class GraphSpec extends SparkTestBase {
     assert(Graph.kTruss(two, k = 4).count() == 0)
   }
 
+  test("kTruss: repart support-agg form is output-identical to plain") {
+    // round-9: past a heap-derived key bound the support aggregation
+    // pre-partitions exploded triangle edges (the 26x-CPU fix, SURVEY
+    // 8.10#8). The bound never fires at test scale, so pin the alternate
+    // plan's correctness explicitly: same survivors, same supports, on a
+    // graph that takes a multi-round cascade to converge.
+    import spark.implicits._
+    val e = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)) ++ // K4
+      Seq((4L, 5L), (4L, 6L), (5L, 6L), (5L, 7L), (6L, 7L))                     // two tris
+      ).toDF("u", "v")
+    def run(form: String): Map[(Long, Long), Long] = {
+      sys.props("graft.ktruss.supportAgg") = form
+      try Graph.kTruss(e, k = 4)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      finally { sys.props.remove("graft.ktruss.supportAgg"); () }
+    }
+    val plain = run("plain")
+    val repart = run("repart")
+    assert(plain.nonEmpty && plain == repart,
+      s"support-agg forms diverged: plain=$plain repart=$repart")
+  }
+
   test("personalizedPageRankInt: exact integer trajectory on a path from one seed") {
     import spark.implicits._
     // path 1-2-3, seed {1}, 2 iterations, default scale/damping (17/20)
