@@ -1254,6 +1254,52 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // ---- BM25 keyword retrieval in exact scaled-integer arithmetic
+    // (round-9): the lexical arm of hybrid retrieval (the other arm is the
+    // ANN family; fusion is q135's RRF). BM25's tf-saturation and
+    // length-normalization core with k1=1.2, b=0.75, denominators cleared
+    // to exact integers: w = tf(k1+1)/(tf + k1(1-b+b*dl/avgdl)) becomes
+    // 22*tf*T / (10*T*tf + 3*T + 9*dl*N) with T = corpus tokens, N = docs
+    // — then floor-scaled by 1e6 (the pageRankInt DIV discipline). The
+    // idf is the log-free Robertson ODDS form (2(N-df)+1)/(2df+1), floor-
+    // scaled by 1e6: ln() is not correctly rounded and differs cross-
+    // engine in ULPs, while the odds ratio keeps the same df-monotone
+    // ordering and makes every intermediate an exact BIGINT — the per-doc
+    // score is an exact integer SUM (order-independent), so the top-20
+    // ranking is hash-deterministic. Score bound: 8 terms x idf<=(2N+1)e6
+    // x w<2.2e6 ~ 2e17 per doc, safely inside BIGINT. ----
+    "q358_bm25" -> ((s, dir) => {
+      val terms = Seq("hash", "merge", "window", "spark", "filter", "slow")
+      val toks = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val totals = toks.agg(count(lit(1)).as("t"))
+        .crossJoin(t(s, dir, "documents").agg(count(lit(1)).as("n")))
+      val tf = toks.filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(dl, "doc_id")
+        .join(broadcast(dfreq), "tok")
+        .crossJoin(broadcast(totals))
+        .withColumn("w_scaled",
+          expr("(22 * tf * t * 1000000) DIV (10 * t * tf + 3 * t + 9 * dl * n)"))
+        .withColumn("idf_scaled",
+          expr("((2 * (n - df) + 1) * 1000000) DIV (2 * df + 1)"))
+      // top-20 via orderBy+limit (TakeOrderedAndProject — distributed,
+      // no single-reducer window over the doc-count-scaling score table);
+      // the rank window then runs over exactly 20 rows
+      scored.groupBy(col("doc_id"))
+        .agg(sum(expr("idf_scaled * w_scaled")).as("score"),
+          count(lit(1)).as("n_hit"))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+        .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("n_hit"), col("score"), col("rank"))
+        .orderBy(col("rank"))
+    }),
+
     // ---- REAL PNG pixel decode (round-8): gray-8 PNGs are generated
     // ARITHMETICALLY in SQL expressions — stored-mode zlib (BTYPE=00) with
     // the Adler-32 computed in closed form (s1 = 1+Σd, s2 = n+Σdᵢ·(n−i),
@@ -9107,6 +9153,30 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_partkey <= 500 AND l_suppkey <= 25 AND l_quantity IS NOT NULL
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q358_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tok
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |totals AS (
+        |  SELECT (SELECT COUNT(*) FROM toks) AS t, (SELECT COUNT(*) FROM documents) AS n),
+        |tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        |  WHERE tok IN ('hash', 'merge', 'window', 'spark', 'filter', 'slow')
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    (22 * tf.tf * t.t * 1000000) // (10 * t.t * tf.tf + 3 * t.t + 9 * dl.dl * t.n) AS w_scaled,
+        |    ((2 * (t.n - d.df) + 1) * 1000000) // (2 * d.df + 1) AS idf_scaled
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfreq d USING (tok) CROSS JOIN totals t),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(idf_scaled * w_scaled) AS BIGINT) AS score,
+        |    COUNT(*) AS n_hit
+        |  FROM scored GROUP BY 1)
+        |SELECT doc_id, n_hit, score,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+        |FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q357_ivf_remove" ->
       """WITH n AS (
         |  SELECT vec_id, iv, CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS nrm

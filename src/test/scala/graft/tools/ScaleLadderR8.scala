@@ -26,6 +26,11 @@ object ScaleLadderR8 {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // the streaming MEMORY sink collects the bucket index to the driver
+      // (a gate-harness device — a production index lands in parquet via
+      // runToParquet); at the 300x rung the index crosses the 1 GiB
+      // default maxResultSize, so raise it for the measurement JVM
+      .config("spark.driver.maxResultSize", "8g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
