@@ -32,6 +32,29 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Deterministic PER-PROCESS work dir for the restart-flow queries
+    * (q353/q354), wiped at every call: the restart semantics need each
+    * invocation to start from a blank checkpoint, repeated bench/verify
+    * passes must not leak an events-sized copy each (the r8 ADVICE
+    * finding), and the PID in the key keeps two concurrent processes
+    * (e.g. a bench and a verify on the same sfDir) from wiping each
+    * other's live checkpoint mid-run — a dataset-only key did exactly
+    * that. One directory per (query, dataset, process) lifetime.
+    */
+  private def wipedWorkDir(tag: String, dir: String): java.io.File = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val base = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-$tag-$key-p${ProcessHandle.current().pid()}")
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      f.delete(); ()
+    }
+    wipe(base); base.mkdirs()
+    base
+  }
+
   /** Part co-occurrence graph: distinct part pairs sharing an urgent order —
     * the edge feed for the graph-analytics queries (q100/q103). The
     * self-join is keyed on the order, so fanout is C(parts-per-order, 2) —
@@ -1215,17 +1238,18 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val removed = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
       val live = emb.filter(col("vec_id") % 7 =!= 0)
-      val ann = Similarity.ivfRemoveTopK(emb, removed, "vec_id", "embedding",
-        k = 5, nlist = 32, nprobe = 8, iters = 1)
+      // ONE trained quantizer serves every audited surface (ivfRemoveAudit
+      // — the separate entry points each re-train the identical full-corpus
+      // k-means, the round-9 review finding)
+      val (ann, preAll, post0, _) = Similarity.ivfRemoveAudit(emb, removed,
+        "vec_id", "embedding", k = 5, nlist = 32, nprobe = 8, iters = 1)
       // tombstone leakage: zero removed ids on either side of any result
       val viol = ann
         .filter(col("query_id") % 7 === 0 || col("neighbor_id") % 7 === 0)
         .agg(count(lit(1)).as("viol"))
       // cell-for-cell: survivors keep their pre-removal cells exactly
-      val pre = Similarity.ivfAssign(emb, emb, "vec_id", "embedding",
-        nlist = 32, iters = 1).filter(col("id") % 7 =!= 0)
-      val post = Similarity.ivfRemoveAssign(emb, removed, "vec_id", "embedding",
-          nlist = 32, iters = 1)
+      val pre = preAll.filter(col("id") % 7 =!= 0)
+      val post = post0
         .withColumnsRenamed(Map("id" -> "id2", "cell" -> "cell2"))
       val moved = pre.join(post, col("id") === col("id2"), "full_outer")
         .filter(col("id").isNull || col("id2").isNull || col("cell") =!= col("cell2"))
@@ -1362,21 +1386,10 @@ object SparkEntry {
     // are per-invocation so every bench/verify run restarts from scratch;
     // output VALUES are deterministic (exact integer counts). ----
     "q353_restart_recovery" -> ((s, dir) => {
-      // Deterministic work dir, WIPED at invocation start: each run still
-      // restarts from a blank checkpoint (the semantics under test), but
-      // repeated bench/verify passes reuse one directory instead of
-      // leaking an events-sized copy into java.io.tmpdir per invocation.
+      // Per-process work dir wiped at invocation start ([[wipedWorkDir]]).
       // Wiping at START (not after) keeps the returned DataFrame lazy-safe
       // — it reads the out/ parquet when the caller finally acts on it.
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-      val base = new java.io.File(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-q353-$key")
-      def wipe(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
-        f.delete(); ()
-      }
-      wipe(base); base.mkdirs()
+      val base = wipedWorkDir("q353", dir)
       val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ckpt"
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"),
@@ -1412,15 +1425,7 @@ object SparkEntry {
     // log; the require pins that run 2 processed ONLY the newly-landed
     // file (processed-file log restored, no reprocessing). ----
     "q354_restart_join" -> ((s, dir) => {
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-      val base = new java.io.File(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-q354-$key")
-      def wipe(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
-        f.delete(); ()
-      }
-      wipe(base); base.mkdirs()
+      val base = wipedWorkDir("q354", dir)
       val in = new java.io.File(base, "in"); in.mkdirs()
       val out = s"$base/out"; val ck = s"$base/ckpt"
       val ev = t(s, dir, "events")

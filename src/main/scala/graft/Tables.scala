@@ -230,8 +230,13 @@ object Tables {
             // approxQuantile is distributed; the driver holds 63 doubles per
             // key; the per-row bucket is a depth-6 `when` binary search —
             // pure codegen, no join, no window.
+            // ONE multi-column quantile job — the per-column overload
+            // would scan lineitem once per key
+            val allCuts = li.stat.approxQuantile(
+              Array("l_partkey", "l_suppkey"),
+              (1 until 64).map(_ / 64.0).toArray, 0.001)
             def cuts(c: String): Array[Double] =
-              li.stat.approxQuantile(c, (1 until 64).map(_ / 64.0).toArray, 0.001)
+              if (c == "l_partkey") allCuts(0) else allCuts(1)
             def bucket(c: org.apache.spark.sql.Column, cs: Array[Double]) = {
               val v = c.cast("double")
               // #{i : cs(i) < value} via binary search over the when-tree

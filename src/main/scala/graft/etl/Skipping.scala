@@ -219,12 +219,44 @@ object Skipping {
       else {
         val k = seg.substring(0, i).toLowerCase
         val raw = seg.substring(i + 1)
-        val v = try java.net.URLDecoder.decode(raw, "UTF-8") catch { case _: Exception => raw }
+        // decode ONLY %XX escapes — Spark's unescapePathName semantics.
+        // URLDecoder would also turn '+' into a space, but Spark's
+        // escapePathName never escapes '+', so a partition value "a+b"
+        // must stay "a+b" (a space-corrupted stat prunes every file of
+        // the partition on an exact-match predicate).
+        val v = unescapePathSeg(raw)
         if (v == "__HIVE_DEFAULT_PARTITION__")
           Some(k -> ColStats("part", None, None, Some(rows)))
         else Some(k -> ColStats("part", Some(v), Some(v), Some(0L)))
       }
     }.toMap
+
+  /** %XX-only unescape (byte-wise, then UTF-8 decode) — mirrors Spark's
+    * `unescapePathName`; malformed escapes pass through literally.
+    */
+  private def unescapePathSeg(s: String): String = {
+    if (!s.contains('%')) return s
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length &&
+          isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else {
+        // copy the whole run up to the next '%' as substring bytes —
+        // char-at-a-time would split surrogate pairs into '?' bytes
+        val next = s.indexOf('%', i + 1)
+        val end = if (next < 0) s.length else next
+        out.write(s.substring(i, end)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        i = end
+      }
+    }
+    out.toString("UTF-8")
+  }
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
 
   /** One parquet chunk statistic → (comparison domain, canonical string).
     * None = unconvertible (booleans, int96, NaN/Inf floats, unknown
@@ -462,8 +494,50 @@ object Skipping {
     case _ => None
   }
 
+  /** UTF-8 byte order, unsigned — how Spark's UTF8String actually compares
+    * strings. Java's String.compareTo orders by UTF-16 code UNIT, which
+    * disagrees for supplementary characters (a surrogate 0xD800–0xDFFF
+    * sorts below 0xE000–0xFFFF in UTF-16 but its UTF-8 bytes 0xF0.. sort
+    * ABOVE 0xEE..) — comparing stats in the wrong order prunes files whose
+    * rows Spark would match.
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** A string literal compared against a DATE column: Spark CASTS the
+    * literal to date (so '1995-6-1' and '1995-06-01 00:00:00' both mean
+    * 1995-06-01) — normalize the same way before comparing, or answer
+    * None (keep the file) when the literal isn't date-shaped.
+    */
+  private val dateLitRe = """^\s*(\d{4})-(\d{1,2})-(\d{1,2})\s*([ T].*)?$""".r
+  private def normalizeDateLit(s: String): Option[String] = s match {
+    case dateLitRe(y, m, d, _) =>
+      try Some(java.time.LocalDate.of(y.toInt, m.toInt, d.toInt).toString)
+      catch { case _: java.time.DateTimeException => None }
+    case _ => None
+  }
+
   /** Compare a stored stat against a literal across their domains.
-    * None = domains incomparable → caller keeps the file.
+    * None = domains incomparable → caller keeps the file. Soundness rules
+    * (each wrong answer here silently LOSES rows, so every cross-domain
+    * arm must bound Spark's cast semantics, not just "look comparable"):
+    *  - date column vs string literal: only after normalizing the literal
+    *    through the same cast Spark applies (None if not date-shaped);
+    *  - string column vs date/number literal: NEVER prune — Spark casts
+    *    the COLUMN, and lexicographic min/max do not bound the cast values
+    *    (stats {"85","9"} have string-min "85", but numeric 9 < 85);
+    *  - `part` stats are exact (min == max == the one value), so a
+    *    numeric retry on them is sound where it never is for range stats.
     */
   private def compareVals(colT: String, litK: String,
                           stat: String, litV: String): Option[Int] = {
@@ -472,16 +546,18 @@ object Skipping {
     (colT, litK) match {
       case ("num", "num") => Some(BigDecimal(stat).compare(BigDecimal(litV)))
       case ("num", "string") => num(litV).map(BigDecimal(stat).compare)
-      case ("date" | "string", "date" | "string") => Some(stat.compareTo(litV))
-      case ("part", "string" | "date") => Some(stat.compareTo(litV))
-      case ("part" | "string", "num") =>
-        num(stat).map(_.compare(BigDecimal(litV)))
+      case ("date", "date") => Some(utf8Compare(stat, litV))
+      case ("date", "string") =>
+        normalizeDateLit(litV).map(utf8Compare(stat, _))
+      case ("string", "string") => Some(utf8Compare(stat, litV))
+      case ("part", "string" | "date") => Some(utf8Compare(stat, litV))
+      case ("part", "num") => num(stat).map(_.compare(BigDecimal(litV)))
       case _ => None
     }
   }
 
   private def compareSame(t: String, a: String, b: String): Int =
-    if (t == "num") BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
+    if (t == "num") BigDecimal(a).compare(BigDecimal(b)) else utf8Compare(a, b)
 
   // ------------------------------------------------------------------ json
 

@@ -865,7 +865,13 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val v = spread(withFixed(df, idCol, embCol), col("id")).localCheckpoint()
     val cents = trainIvf(v, nlist, iters)
+    // distinct: a tombstone FEED can log the same delete twice (re-deletes
+    // are legal — the search path's left_anti is dup-safe), but a dup here
+    // would multiply the joined row and overcount `total` while `live`
+    // counts only rid-null rows — live_frac goes wrong and a cell can
+    // cross the compaction threshold spuriously
     val rem = removedIds.select(col(removedIds.columns.head).cast("long").as("rid"))
+      .distinct()
     assignCells(v, cents)
       .join(rem, col("id") === col("rid"), "left")
       .groupBy(col("cell"))
@@ -878,6 +884,46 @@ object Similarity {
   private def liveRows(v: DataFrame, removedIds: DataFrame): DataFrame = {
     val rem = removedIds.select(col(removedIds.columns.head).cast("long").as("id"))
     v.join(rem, Seq("id"), "left_anti")
+  }
+
+  /** Every surface the tombstone-delete gate audits, from ONE trained
+    * quantizer: (top-k over the live corpus, pre-removal assignments of
+    * ALL rows, post-removal assignments of the survivors, per-cell
+    * occupancy). Semantically identical to calling [[ivfRemoveTopK]] +
+    * [[ivfAssign]] + [[ivfRemoveAssign]] + [[ivfCellOccupancy]] — those
+    * each train the SAME full-corpus quantizer (deterministic in
+    * (corpus, nlist, iters)), so a gate that wants several surfaces paid
+    * the identical k-means three or four times over (the round-9 review
+    * finding); here the spread + checkpoint + train happen once.
+    */
+  def ivfRemoveAudit(
+      df: DataFrame,
+      removedIds: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      nlist: Int = 32,
+      nprobe: Int = 8,
+      iters: Int = 2,
+      liveThreshold: Double = 0.5
+  ): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val v = spread(withFixed(df, idCol, embCol), col("id")).localCheckpoint()
+    val cents = trainIvf(v, nlist, iters) // full-corpus quantizer: no retrain
+    val live = liveRows(v, removedIds)
+    val pre = assignCells(v, cents).select(col("id"), col("cell"))
+    val post = assignCells(live, cents).select(col("id"), col("cell"))
+    val rem = removedIds.select(col(removedIds.columns.head).cast("long").as("rid"))
+      .distinct()
+    val occupancy = assignCells(v, cents)
+      .join(rem, col("id") === col("rid"), "left")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("total"),
+        count(when(col("rid").isNull, 1)).as("live"))
+      .withColumn("live_frac", col("live").cast("double") / col("total"))
+      .withColumn("compact", col("live_frac") < lit(liveThreshold))
+    (searchIvf(live, cents, k, nprobe, lit(true)), pre, post, occupancy)
   }
 
   /** Cell assignments of `assignDf` under a quantizer trained on `trainDf`

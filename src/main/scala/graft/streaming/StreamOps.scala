@@ -1074,7 +1074,10 @@ object StreamOps {
     * proves nothing was evicted.
     */
   private def countDataBatches(q: org.apache.spark.sql.streaming.StreamingQuery): Long = {
-    val cap = SparkSession.active.conf
+    // the cap of the session that RAN the query — SparkSession.active can
+    // be a different session in a multi-session JVM, and checking the
+    // wrong cap re-opens exactly the silent undercount this guard rejects
+    val cap = q.sparkSession.conf
       .get("spark.sql.streaming.numRecentProgressUpdates", "100").toInt
     val prog = q.recentProgress
     require(prog.length < cap,

@@ -178,6 +178,56 @@ class SkippingSpec extends SparkTestBase {
     assert(m("zz = 123", noNulls))
   }
 
+  test("mayMatch soundness: CAST semantics, not raw string comparison") {
+    // every wrong answer here is silent row loss (the pruned file is never
+    // read, so the re-applied filter cannot recover) — these are the four
+    // round-9 review scenarios, pinned
+    def fs(cols: (String, Skipping.ColStats)*) =
+      Skipping.FileStats("f", 1L, 10L, cols.toMap)
+    def m(p: String, f: Skipping.FileStats) = Skipping.mayMatch(parse(p), f)
+    // 1. DATE column vs string literal: Spark casts the LITERAL to date,
+    //    so '1995-6-1' and '1995-06-01 00:00:00' both mean 1995-06-01
+    val june = fs("d" -> Skipping.ColStats("date",
+      Some("1995-06-01"), Some("1995-06-30"), Some(0L)))
+    assert(m("d = '1995-6-1'", june), "non-ISO date literal must normalize")
+    assert(m("d >= '1995-06-01 00:00:00'", june), "time suffix truncates")
+    assert(!m("d = '1995-7-1'", june), "normalized literal out of range prunes")
+    assert(m("d = 'not-a-date'", june), "unparseable literal keeps the file")
+    // 2. STRING column vs numeric literal: Spark casts the COLUMN, and
+    //    lexicographic min/max do not bound the cast values — stats of
+    //    {"85","9"} are lo="85", hi="9", yet value "9" matches s = 9
+    val s99 = fs("s" -> Skipping.ColStats("string", Some("85"), Some("9"), Some(0L)))
+    assert(m("s = 9", s99), "numeric retry on string RANGE stats is unsound")
+    // 3. `part` stats are exact (min == max == the value): numeric retry
+    //    is sound there — "05" equals 5, not 6
+    val p05 = fs("k" -> Skipping.ColStats("part", Some("05"), Some("05"), Some(0L)))
+    assert(m("k = 5", p05) && !m("k = 6", p05))
+    // 4. UTF-8 byte order, not UTF-16 code units: U+1F600's UTF-8 bytes
+    //    (F0..) sort ABOVE U+E000's (EE..), while its UTF-16 surrogate
+    //    (D83D) sorts below — String.compareTo would wrongly prune
+    val emoji = fs("s" -> Skipping.ColStats("string",
+      Some("a"), Some("😀"), Some(0L)))
+    assert(m(s"s >= ''", emoji), "supplementary char must compare as UTF-8")
+  }
+
+  test("partition value with '+' survives the path decode and is not pruned") {
+    // Spark's escapePathName never escapes '+', and its unescape decodes
+    // only %XX — URLDecoder would turn "a+b" into "a b" and the exact
+    // partition stat would prune every file of the partition
+    import spark.implicits._
+    val root = tmpDir("plus")
+    Seq(("a+b", 1), ("a+b", 2), ("c%d e", 3))
+      .toDF("k", "x").write.partitionBy("k").mode("overwrite").parquet(root)
+    Skipping.writeManifest(spark, root, Seq("x"))
+    val pr = Skipping.readPrunedDetailed(spark, root, "k = 'a+b'")
+    assert(pr.fallback.isEmpty)
+    assert(pr.df.count() == 2, "the a+b partition's rows must survive")
+    assert(pr.selected < pr.total, "the other partition should be pruned")
+    val pr2 = Skipping.readPrunedDetailed(spark, root, "k = 'c%d e'")
+    assert(pr2.df.count() == 1 && pr2.selected < pr2.total,
+      "%XX-escaped partition value must decode and prune selectively")
+  }
+
   test("timestamp stats normalize to micros and prune against TIMESTAMP literals") {
     import spark.implicits._
     val root = tmpDir("ts")
