@@ -15,6 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Heap-derived broadcast bound for CC's measured label-frame hints —
+    * same formula and same `graft.graph.bcastRows` override as
+    * `Graph.BcastRows` (round-9: the fixed 4M constant pushed the 300×
+    * graph-ladder rung into per-round full shuffles a decade before
+    * memory ran out; see that doc for the derivation).
+    */
+  private def bcastLabelBound: Long =
+    sys.props.get("graft.graph.bcastRows").map(_.toLong).getOrElse(
+      math.min(Runtime.getRuntime.maxMemory() / 8L / 128L, 32_000_000L))
+
   /** Exact duplicate grouping on arbitrary key expressions: survivor =
     * min(idCol) per group (deterministic), plus group size.
     */
@@ -744,7 +754,7 @@ object Dedup {
             // (r7 re-ran labels.count() every round past 5); the final
             // table is bounded by this + nEdges since any later entrant is
             // a sym endpoint, so deciding once stays sound
-            bcastOk = lastLabelCount >= 0 && lastLabelCount + nEdges <= 4000000L
+            bcastOk = lastLabelCount >= 0 && lastLabelCount + nEdges <= bcastLabelBound
           }
           bcastOk
         })
@@ -772,7 +782,7 @@ object Dedup {
         // shortcut is then one BHJ inside the same job (near-free), and on
         // clique-tail graphs like q58's it converges one round sooner
         val halveNow =
-          it >= 3 || (it >= 2 && lastLabelCount >= 0 && lastLabelCount <= 4000000L)
+          it >= 3 || (it >= 2 && lastLabelCount >= 0 && lastLabelCount <= bcastLabelBound)
         val halved =
           if (halveNow) {
             // a LogicalRDD reports no stats (defaultSizeInBytes = huge), so
@@ -783,7 +793,7 @@ object Dedup {
             // shuffle join
             val parent =
               labels.select(col("id").as("pid"), col("component").as("pcomp"))
-            val p = if (lastLabelCount >= 0 && lastLabelCount <= 4000000L)
+            val p = if (lastLabelCount >= 0 && lastLabelCount <= bcastLabelBound)
               broadcast(parent) else parent
             agg.join(p, agg("component") === col("pid"), "left")
               .select(agg("id"),
