@@ -33,25 +33,39 @@ object SparkEntry {
     Tables(s, dir, name)
 
   /** Deterministic PER-PROCESS work dir for the restart-flow queries
-    * (q353/q354), wiped at every call: the restart semantics need each
-    * invocation to start from a blank checkpoint, repeated bench/verify
-    * passes must not leak an events-sized copy each (the r8 ADVICE
-    * finding), and the PID in the key keeps two concurrent processes
-    * (e.g. a bench and a verify on the same sfDir) from wiping each
-    * other's live checkpoint mid-run — a dataset-only key did exactly
-    * that. One directory per (query, dataset, process) lifetime.
+    * (q353/q354/q359), wiped at every call: the restart semantics need
+    * each invocation to start from a blank checkpoint, repeated
+    * bench/verify passes must not leak an events-sized copy each (the r8
+    * ADVICE finding), and the PID in the key keeps two concurrent
+    * processes (e.g. a bench and a verify on the same sfDir) from wiping
+    * each other's live checkpoint mid-run — a dataset-only key did
+    * exactly that. One directory per (query, dataset, process) lifetime,
+    * and a JVM shutdown hook wipes every dir this process created
+    * (round-10 — the PID key made the dirs process-private but nothing
+    * deleted them at exit, so each sbt-forked bench/verify run left an
+    * events-sized tree in tmpdir: the r9 ADVICE finding). Deletion at
+    * exit is always safe precisely because the PID makes the dir ours.
     */
+  private val workDirsCreated =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
+  private lazy val workDirHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      workDirsCreated.forEach(wipeTree(_))))
+    ()
+  }
+  private def wipeTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipeTree)
+    f.delete(); ()
+  }
   private def wipedWorkDir(tag: String, dir: String): java.io.File = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val base = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft-$tag-$key-p${ProcessHandle.current().pid()}")
-    def wipe(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
-      f.delete(); ()
-    }
-    wipe(base); base.mkdirs()
+    wipeTree(base); base.mkdirs()
+    workDirHook
+    workDirsCreated.add(base)
     base
   }
 
@@ -216,10 +230,23 @@ object SparkEntry {
         .orderBy(col("c_nationkey"))
     }),
 
-    // ---- selective scan: predicate pushed to parquet, 2-column read ----
+    // ---- selective scan: predicate pushed to parquet, 2-column read.
+    // Round-10: routed through the data-skipping reader over the date
+    // layout — the hash-invariance proof for the INTEGRATED pruned read
+    // path (Pipeline/Writer now consult manifests on their own tables):
+    // an existing gate whose oracle is unchanged must hash identically
+    // through readPruned. The require pins that the manifest ENGAGED (no
+    // silent full-scan fallback); this predicate itself prunes nothing on
+    // a date-sorted layout (quantity is uniform per file — selected ==
+    // total is expected), the row-level filter still reaches the parquet
+    // scan as PushedFilters, and the pruning WIN cases are q355/q356. ----
     "q06_revenue_slice" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .filter(col("l_quantity") < 24 && col("l_discount").between(0.02, 0.06))
+      val root = Tables.skippingLayout(s, dir, "date")
+      val pr = graft.etl.Skipping.readPrunedDetailed(s, root,
+        "l_quantity < 24 AND l_discount BETWEEN 0.02 AND 0.06")
+      require(pr.fallback.isEmpty,
+        s"skipping manifest did not engage: ${pr.fallback}")
+      pr.df
         .agg(
           sum(col("l_extendedprice").cast(d2) * col("l_discount").cast(d2))
             .cast("double").as("revenue"),

@@ -117,12 +117,26 @@ object Pipeline {
     Writer.replaceCountryRangePartitioned(
       bronze, paths.bronze,
       dateCol = "fecha_proceso", countryCol = "pais",
-      country = p.country, startDate = p.startDate, endDate = p.endDate
+      country = p.country, startDate = p.startDate, endDate = p.endDate,
+      // stamp a skipping manifest with each write (refreshed incrementally
+      // — only this slice's files get their footers read): measure stats
+      // on the two decimals, partition-dir stats (pais, fecha_proceso)
+      // ride along for free
+      statsColumns = Seq("precio", "cantidad")
     )
 
-    // EP2 — Silver: re-read Bronze (partition-pruned scan), rename, enrich.
-    val bronzeBack = Bronze.slice(
-      spark.read.parquet(paths.bronze), p.country, p.startDate, p.endDate)
+    // EP2 — Silver: re-read Bronze through the skipping manifest the EP1
+    // write just stamped — the country+date predicate prunes on the
+    // partition-dir stats BEFORE Spark ever lists/plans the scan, and the
+    // reader re-applies the full predicate so a conservative manifest can
+    // only cost performance, never rows. A missing/stale manifest (e.g. a
+    // pre-round-10 table) degrades to the old full scan, loudly.
+    val pruned = Skipping.readPrunedDetailed(
+      spark, paths.bronze,
+      s"pais = '${p.country.replace("'", "''")}' AND " +
+        s"fecha_proceso >= DATE '${p.startDate}' AND " +
+        s"fecha_proceso <= DATE '${p.endDate}'")
+    val bronzeBack = Bronze.slice(pruned.df, p.country, p.startDate, p.endDate)
     val enriched = Silver
       .enriched(Silver.renamed(bronzeBack), cfg, cfg.rawCsv, auditTs)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -131,7 +145,8 @@ object Pipeline {
       Writer.replaceCountryRangePartitioned(
         clean, paths.silverClean,
         dateCol = "fec_proceso", countryCol = "cod_pais",
-        country = p.country, startDate = p.startDate, endDate = p.endDate
+        country = p.country, startDate = p.startDate, endDate = p.endDate,
+        statsColumns = Seq("mto_venta", "cant_uni_medida")
       )
       // plain Delta-directory copy of depurado (`:647-652`) → parquet dir.
       Writer.replaceCountryRangePartitioned(

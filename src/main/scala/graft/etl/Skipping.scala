@@ -77,13 +77,78 @@ object Skipping {
     * `root`, and write the manifest. The footer reads run as a Spark job —
     * the file list is the only thing the driver holds. Returns the number
     * of files covered.
+    *
+    * CONCURRENT WRITERS — documented non-goal: two writers stamping the
+    * same root race last-write-wins on the final rename (no claim
+    * protocol, unlike [[Writer.replaceWhereVersioned]]). This is safe by
+    * construction, not by arbitration: a manifest is SELF-VALIDATING —
+    * [[readPrunedDetailed]] trusts it only if its recorded (path, size)
+    * set exactly matches the live listing, so the losing writer's
+    * manifest either matches the final file state (both writers saw the
+    * same files — identical stats, either winner is correct) or
+    * mismatches and triggers the loud full-scan fallback. Worst case is
+    * a performance regression with a warning, never a wrong prune. The
+    * raced-writer-SAFE route exists for tables that need it:
+    * [[Writer.replaceWhereVersioned]] stamps the manifest inside an
+    * immutable version directory before the pointer flip, under the
+    * version-claim protocol.
     */
   def writeManifest(spark: SparkSession, root: String,
                     statsColumns: Seq[String]): Int = {
     val rootPath = new HPath(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = listDataFiles(fs, rootPath)
-    val wanted = statsColumns.map(_.toLowerCase).toSet
+    val fileJsons = harvestJsons(spark, fs, rootPath, files,
+      statsColumns.map(_.toLowerCase).toSet)
+    commitManifest(fs, rootPath, statsColumns, fileJsons)
+    files.size
+  }
+
+  /** Incrementally refresh the manifest after an append / partial
+    * overwrite: harvest footers ONLY for files the current manifest does
+    * not cover, carry every still-live entry forward verbatim, and drop
+    * entries whose file is gone or resized. This is what keeps skipping
+    * usable on a 100 TB table with frequent appends — [[writeManifest]]
+    * re-harvests EVERY footer per call (O(all files)), which at that
+    * scale turns each small append into a full metadata sweep (Delta
+    * appends per-commit stats for the same reason; round-10 task 1).
+    *
+    * Falls back to a full [[writeManifest]] when there is no usable
+    * manifest to extend — absent, wrong format version, or a different
+    * stats-column set (old entries would lack the new columns' stats).
+    * Returns the number of files actually harvested, so a caller (and
+    * the spec) can prove the old footers were not re-read.
+    */
+  def updateManifest(spark: SparkSession, root: String,
+                     statsColumns: Seq[String]): Int = {
+    val rootPath = new HPath(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val wantedCols = statsColumns.map(_.toLowerCase).toList
+    readManifest(fs, rootPath) match {
+      case Some(m) if m.formatVersion == FormatVersion &&
+          m.statsColumns == wantedCols =>
+        val actual = listDataFiles(fs, rootPath)
+        val known = m.files.map(f => (f.path, f.size)).toSet
+        val actualSet = actual.toSet
+        val kept = m.files.filter(f => actualSet((f.path, f.size)))
+        val fresh = actual.filterNot(known)
+        val freshJsons = harvestJsons(spark, fs, rootPath, fresh, wantedCols.toSet)
+        commitManifest(fs, rootPath, statsColumns,
+          kept.map(fileStatsJson) ++ freshJsons)
+        fresh.size
+      case _ => writeManifest(spark, root, statsColumns)
+    }
+  }
+
+  /** The distributed footer sweep shared by [[writeManifest]] (all files)
+    * and [[updateManifest]] (only new files): one Spark job over the
+    * given file list — at 100k files of a 100 TB table the driver never
+    * reads a footer itself.
+    */
+  private def harvestJsons(spark: SparkSession, fs: FileSystem,
+                           rootPath: HPath, files: Seq[(String, Long)],
+                           wanted: Set[String]): Seq[String] = {
+    if (files.isEmpty) return Seq.empty
     val qualifiedRoot = fs.makeQualified(rootPath).toString
     import spark.implicits._
     // ship the DRIVER's hadoop conf to the footer tasks (a fresh
@@ -92,19 +157,22 @@ object Skipping {
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
-    val fileJsons: Seq[String] =
-      if (files.isEmpty) Seq.empty
-      else spark
-        .createDataset(files.map { case (rel, size) => (rel, size) })
-        .repartition(math.min(files.size, 32))
-        .mapPartitions { it =>
-          val conf = confBc.value.value
-          it.map { case (rel, size) =>
-            harvestFileJson(conf, qualifiedRoot, rel, size, wanted)
-          }
+    spark
+      .createDataset(files.map { case (rel, size) => (rel, size) })
+      .repartition(math.min(files.size, 32))
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.map { case (rel, size) =>
+          harvestFileJson(conf, qualifiedRoot, rel, size, wanted)
         }
-        .collect()
-        .toSeq
+      }
+      .collect()
+      .toSeq
+  }
+
+  private def commitManifest(fs: FileSystem, rootPath: HPath,
+                             statsColumns: Seq[String],
+                             fileJsons: Seq[String]): Unit = {
     val manifest = {
       import org.json4s.JsonDSL._
       import org.json4s.jackson.JsonMethods
@@ -124,7 +192,7 @@ object Skipping {
     fs.delete(dest, false)
     if (!fs.rename(tmp, dest))
       throw new java.io.IOException(s"could not move manifest into place at $dest")
-    files.size
+    ()
   }
 
   /** All non-hidden files under `root`, as (relative path, size), sorted.
@@ -550,7 +618,34 @@ object Skipping {
       case ("date", "string") =>
         normalizeDateLit(litV).map(utf8Compare(stat, _))
       case ("string", "string") => Some(utf8Compare(stat, litV))
-      case ("part", "string" | "date") => Some(utf8Compare(stat, litV))
+      // `part` stats hold the RAW directory value; the column's runtime
+      // type depends on partition-type inference, which this evaluator
+      // can't see — so date-shaped values get the same normalization
+      // discipline as regular date columns (round-10; the r9 fix covered
+      // only "date" stats, and a date-typed partition column filtered
+      // with d = '1995-6-1' hit the raw utf8 arm and silently pruned the
+      // whole partition — the same silent-row-loss class).
+      case ("part", "date") =>
+        // a DATE-typed literal means the column is date-valued to Spark
+        // (inferred DateType, or a string column cast by the comparison):
+        // compare the stat through the same normalization. A
+        // non-date-shaped value casts to NULL (no row could match), but
+        // stay conservative — keep the file.
+        normalizeDateLit(stat).map(utf8Compare(_, litV))
+      case ("part", "string") =>
+        // with inference ON a date-shaped dir value makes the column
+        // DateType and Spark casts the literal ('1995-6-1' ≡ 1995-06-01,
+        // where raw utf8 order is wrong); with inference OFF the column
+        // stays string and raw utf8 order is exact. When both sides are
+        // date-shaped, answer only when the two orders AGREE — a
+        // disagreement keeps the file, sound under either typing.
+        (normalizeDateLit(stat), normalizeDateLit(litV)) match {
+          case (Some(ns), Some(nl)) =>
+            val raw = Integer.signum(utf8Compare(stat, litV))
+            val norm = Integer.signum(utf8Compare(ns, nl))
+            if (raw == norm) Some(raw) else None
+          case _ => Some(utf8Compare(stat, litV))
+        }
       case ("part", "num") => num(stat).map(_.compare(BigDecimal(litV)))
       case _ => None
     }

@@ -95,7 +95,8 @@ object Writer {
       df: DataFrame,
       path: String,
       partitionCols: Seq[String],
-      predicate: Column
+      predicate: Column,
+      statsColumns: Seq[String] = Nil
   ): Unit = {
     val target = new HPath(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -106,6 +107,7 @@ object Writer {
     if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target)
     if (!fs.exists(target)) {
       overwritePartitions(df, path, partitionCols)
+      if (statsColumns.nonEmpty) Skipping.updateManifest(spark, path, statsColumns)
       return
     }
     val existing = spark.read.parquet(path)
@@ -124,6 +126,10 @@ object Writer {
     fs.rename(target, old)
     fs.rename(tmp, target)
     fs.delete(old, true)
+    // every data file is new after the swap, so the incremental update
+    // degenerates to a full harvest here — correct, just not cheaper
+    // (the general path already costs ∝ table size for the data itself)
+    if (statsColumns.nonEmpty) Skipping.updateManifest(spark, path, statsColumns)
     ()
   }
 
@@ -189,7 +195,8 @@ object Writer {
       countryCol: String,
       country: String,
       startDate: String,
-      endDate: String
+      endDate: String,
+      statsColumns: Seq[String] = Nil
   ): Unit = {
     // enforce the declared contract: rows outside (country ∧ range) must not
     // ride along — dynamic overwrite would replace THEIR partitions too, and
@@ -217,6 +224,13 @@ object Writer {
         .partitionBy(dateCol, countryCol).mode("overwrite").parquet(path)
       cleanupStale(bounded.sparkSession, path, dateCol, countryCol, country,
         startDate, endDate, newDates)
+      // skipping manifest, refreshed INCREMENTALLY: only the files this
+      // write produced get their footers harvested; every untouched
+      // partition's entries carry forward (cost ∝ slice, matching the
+      // write itself — a full per-write re-harvest would reintroduce the
+      // O(all files) sweep this fast path exists to avoid)
+      if (statsColumns.nonEmpty)
+        Skipping.updateManifest(bounded.sparkSession, path, statsColumns)
     } finally { bounded.unpersist(); () }
   }
 

@@ -16,14 +16,13 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Heap-derived broadcast bound for CC's measured label-frame hints —
-    * same formula and same `graft.graph.bcastRows` override as
-    * `Graph.BcastRows` (round-9: the fixed 4M constant pushed the 300×
-    * graph-ladder rung into per-round full shuffles a decade before
-    * memory ran out; see that doc for the derivation).
+    * same derivation and same `graft.graph.bcastRows` override as
+    * `Graph.BcastRows`; the formula lives once in
+    * [[graft.util.HeapBounds]] (round-10 — it had drifted into three
+    * copies).
     */
   private def bcastLabelBound: Long =
-    sys.props.get("graft.graph.bcastRows").map(_.toLong).getOrElse(
-      math.min(Runtime.getRuntime.maxMemory() / 8L / 128L, 32_000_000L))
+    graft.util.HeapBounds.broadcastRowBound("graft.graph.bcastRows")
 
   /** Exact duplicate grouping on arbitrary key expressions: survivor =
     * min(idCol) per group (deterministic), plus group size.

@@ -58,20 +58,16 @@ object Graph {
     * switches join strategy BETWEEN stages: the big side's shuffle files
     * are already written by the time it decides, while an explicit hint
     * never shuffles the edge table at all (and [[withRoundConf]] turns AQE
-    * off for small graphs anyway). The bound is HEAP-DERIVED (round-9 —
-    * the same fix as StreamOps.broadcastCellBound): the old fixed 4M
-    * constant pushed the 300× ladder rung (6M nodes on an 80 g heap) into
-    * per-round full shuffles a decade before memory ran out — LPA's
-    * shuffle jumped 32.7× for 3× data at that cliff. heap/8 ÷ 128 B/row
-    * (a node frame row is two longs ≈ 48 B payload; ~2.7× covers the
-    * HashedRelation), capped at 32M rows (≈4 GB relation) under the 8 GB
-    * broadcast hard limit; a billion-node graph still fails the bound and
-    * falls back to the plain shuffle join, which is the correct 100 TB
-    * plan. `graft.graph.bcastRows` pins it for regime-pinned measurement.
+    * off for small graphs anyway). The bound is HEAP-DERIVED — formula
+    * and derivation live once in [[graft.util.HeapBounds]] (round-9 found
+    * the fixed-constant cliff at the 300× rung; round-10 hoisted the
+    * three per-site copies). A billion-node graph still fails the bound
+    * and falls back to the plain shuffle join, which is the correct
+    * 100 TB plan. `graft.graph.bcastRows` pins it for regime-pinned
+    * measurement.
     */
   private def BcastRows: Long =
-    sys.props.get("graft.graph.bcastRows").map(_.toLong).getOrElse(
-      math.min(Runtime.getRuntime.maxMemory() / 8L / 128L, 32_000_000L))
+    graft.util.HeapBounds.broadcastRowBound("graft.graph.bcastRows")
   private def hinted(df: DataFrame, rows: Long): DataFrame =
     if (rows <= BcastRows) broadcast(df) else df
 

@@ -516,27 +516,22 @@ object StreamOps {
 
   final case class BandDoc(band: Int, bhash: Long, id: Long, fsig: Long, sz: Int)
 
-  /** Probe-broadcast cell bound for [[expandBucketPairsRaw]], derived from
-    * the JVM heap instead of the r8 fixed 4M constant (round-9 task 3a —
-    * the documented knob, made self-tuning). A probe cell is a 5-field
-    * UnsafeRow (~48 B payload); the HashedRelation that holds it costs
-    * ~128 B/cell all-in (map + key overhead, a conservative ~2.7× of the
-    * payload). Budget: 1/8 of max heap — local mode holds ONE copy of the
-    * broadcast (driver = executor JVM), and 32 concurrent expansion tasks
-    * share it. Capped at 32M cells (≈4 GB relation) clear of Spark's 8 GB
-    * broadcast hard limit. On the 1g default test heap this derives ~1M
-    * (stricter than the old constant, same regime for every gated feed:
-    * sf0.1 is ≈0.08M cells); on the 64g ladder heap it derives the cap,
-    * keeping the 100× rung (≈8M cells, past the old constant) in the
-    * skew-immune broadcast form. `graft.expand.cellBound` (sys prop, for
-    * in-process specs) / `GRAFT_EXPAND_CELL_BOUND` (env, for the ladder)
-    * override for regime-pinned measurement — the ladder measures BOTH
-    * forms at 100×, and a spec pins the SMJ form's one-exchange property.
+  /** Probe-broadcast cell bound for [[expandBucketPairsRaw]], derived
+    * from the JVM heap instead of the r8 fixed 4M constant (round-9 task
+    * 3a — the documented knob, made self-tuning; round-10 hoisted the
+    * formula and its derivation into [[graft.util.HeapBounds]]). On the
+    * 1g default test heap this derives ~1M cells (stricter than the old
+    * constant, same regime for every gated feed: sf0.1 is ≈0.08M); on
+    * the 64g ladder heap it derives the 32M cap, keeping the 100× rung
+    * (≈8M cells, past the old constant) in the skew-immune broadcast
+    * form. `graft.expand.cellBound` (sys prop, for in-process specs) /
+    * `GRAFT_EXPAND_CELL_BOUND` (env, for the ladder) override for
+    * regime-pinned measurement — the ladder measures BOTH forms at 100×,
+    * and a spec pins the SMJ form's one-exchange property.
     */
   private[graft] def broadcastCellBound: Long =
-    sys.props.get("graft.expand.cellBound").orElse(
-      sys.env.get("GRAFT_EXPAND_CELL_BOUND")).map(_.toLong).getOrElse(
-      math.min(Runtime.getRuntime.maxMemory() / 8L / 128L, 32_000_000L))
+    graft.util.HeapBounds.broadcastRowBound(
+      "graft.expand.cellBound", env = Some("GRAFT_EXPAND_CELL_BOUND"))
   final case class BucketMember(id: Long, fsig: Long, sz: Int)
   final case class BucketRow(band: Int, bhash: Long,
                              members: Array[Long], fsigs: Array[Long],

@@ -168,4 +168,36 @@ class PipelineSpec extends SparkTestBase {
     assert(spark.read.parquet(paths.silverQuarantine).schema.fields
       .forall(_.dataType == org.apache.spark.sql.types.StringType))
   }
+
+  test("EP2's Silver re-read engages the skipping manifest: files-touched < total, rows identical") {
+    // round-10 task 2: the pipeline's own tables now carry incrementally
+    // maintained manifests (EP1 stamps, EP2 reads through readPruned) —
+    // assert the integration on the exact predicate shape runCountry uses,
+    // after BOTH countries ran (so the manifest survived an incremental
+    // update and the country filter has something to prune).
+    val (dir, cfgPath) = fixture()
+    val fixedTs = to_timestamp(lit("2026-01-01 00:00:00"))
+    assert(Pipeline.run(spark, cfgPath, auditTs = fixedTs) == List("EC", "PE"))
+    val paths = Pipeline.Paths.under(s"$dir/out")
+
+    val pred = "pais = 'EC' AND fecha_proceso >= DATE '2025-01-01' AND " +
+      "fecha_proceso <= DATE '2025-06-30'"
+    val pr = graft.etl.Skipping.readPrunedDetailed(spark, paths.bronze, pred)
+    assert(pr.fallback.isEmpty,
+      s"the EP1-stamped manifest must engage on the EP2 read: ${pr.fallback}")
+    assert(pr.selected < pr.total,
+      s"PE's partition files must be pruned for the EC slice: ${pr.selected}/${pr.total}")
+    val plain = graft.etl.Bronze.slice(
+      spark.read.parquet(paths.bronze), "EC", "2025-01-01", "2025-06-30")
+    assert(pr.df.count() == plain.count() && plain.count() > 0)
+    assert(pr.df.collect().map(_.toString).sorted.toSeq ==
+      plain.collect().map(_.toString).sorted.toSeq)
+
+    // the Silver clean table is stamped too, with footer stats that prune
+    // on a measure predicate (not just partition dirs)
+    val sc = graft.etl.Skipping.readPrunedDetailed(
+      spark, paths.silverClean, "cod_pais = 'PE'")
+    assert(sc.fallback.isEmpty && sc.selected < sc.total)
+    assert(sc.df.count() == 1)
+  }
 }

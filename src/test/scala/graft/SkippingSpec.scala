@@ -122,6 +122,111 @@ class SkippingSpec extends SparkTestBase {
       sortedRows(spark.read.parquet(root).filter("country = 'AR' AND amount >= 2.0")))
   }
 
+  // ------------------------------------------- incremental maintenance
+
+  test("updateManifest after an append harvests ONLY the new file (round-10 task 1)") {
+    import spark.implicits._
+    val root = tmpDir("incr")
+    (1 to 160).map(i => (i.toLong, i * 2.0)).toDF("k", "x")
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(root)
+    assert(Skipping.writeManifest(spark, root, Seq("k", "x")) == 8)
+    val fsH = new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = Skipping.readManifest(fsH, new HPath(root)).get
+    // one file lands; pruning is now (loudly) disabled until maintenance
+    Seq((1000L, 0.0)).toDF("k", "x").coalesce(1).write.mode("append").parquet(root)
+    assert(Skipping.readPrunedDetailed(spark, root, "k <= 20")
+      .fallback.exists(_.contains("stale")))
+    // the incremental refresh: exactly ONE footer harvested, and the
+    // Spark work done is the one-file job, not an 9-file re-sweep —
+    // counted at the task grain (a full rewrite schedules >=10 tasks:
+    // 1 local-scan + 9 post-repartition harvest tasks)
+    val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val harvested =
+      try {
+        val h = Skipping.updateManifest(spark, root, Seq("k", "x"))
+        org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+        h
+      } finally spark.sparkContext.removeSparkListener(l)
+    assert(harvested == 1, s"must harvest only the appended file, got $harvested")
+    assert(tasks.get <= 4,
+      s"incremental update must not re-sweep old footers: ${tasks.get} tasks")
+    // old entries carried forward VERBATIM; the new file's entry is real
+    val after = Skipping.readManifest(fsH, new HPath(root)).get
+    assert(after.files.size == 9)
+    val beforeByPath = before.files.map(f => f.path -> f).toMap
+    val (kept, fresh) = after.files.partition(f => beforeByPath.contains(f.path))
+    assert(kept.size == 8 && kept.forall(f => beforeByPath(f.path) == f),
+      "surviving entries must be byte-identical carries, not re-harvests")
+    assert(fresh.size == 1 && fresh.head.cols("k").lo.contains("1000"))
+    // and pruning engages again, correctly
+    val pr = Skipping.readPrunedDetailed(spark, root, "k <= 20")
+    assert(pr.fallback.isEmpty && pr.selected < pr.total)
+    assert(pr.df.count() == 20)
+  }
+
+  test("updateManifest drops replaced files and falls back to a full build when columns change") {
+    import spark.implicits._
+    val root = tmpDir("incr2")
+    Seq(("AR", 1L), ("AR", 2L), ("BR", 3L)).toDF("c", "v")
+      .write.partitionBy("c").mode("overwrite").parquet(root)
+    Skipping.writeManifest(spark, root, Seq("v"))
+    val fsH = new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val arBefore = Skipping.readManifest(fsH, new HPath(root)).get
+      .files.filter(_.path.startsWith("c=AR"))
+    // dynamic overwrite replaces ONLY the BR partition's files
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try Seq(("BR", 30L), ("BR", 31L)).toDF("c", "v")
+      .write.partitionBy("c").mode("overwrite").parquet(root)
+    finally prev.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    Skipping.updateManifest(spark, root, Seq("v"))
+    val after = Skipping.readManifest(fsH, new HPath(root)).get
+    assert(after.files.filter(_.path.startsWith("c=AR")) == arBefore,
+      "untouched partition's entries carry forward")
+    assert(after.files.filter(_.path.startsWith("c=BR"))
+      .forall(_.cols("v").lo.exists(_.toLong >= 30L)),
+      "replaced partition's entries re-harvested from the new files")
+    val pr = Skipping.readPrunedDetailed(spark, root, "v >= 30")
+    assert(pr.fallback.isEmpty && pr.selected < pr.total && pr.df.count() == 2)
+    // a DIFFERENT stats-column set can't extend old entries → full rebuild
+    val n = Skipping.updateManifest(spark, root, Seq("v", "c"))
+    assert(n == after.files.size,
+      s"column-set change must re-harvest everything, got $n")
+    assert(Skipping.readPrunedDetailed(spark, root, "v >= 30").fallback.isEmpty)
+  }
+
+  test("part stats: date-shaped partition values normalize like date columns (no silent prune)") {
+    import spark.implicits._
+    val root = tmpDir("partdate")
+    // date-shaped partition dirs: Spark's partition-type inference makes
+    // `d` a DATE column on read, so literals are CAST — '1995-6-1' means
+    // 1995-06-01, where raw utf8 order over the dir strings is wrong
+    Seq(("1995-06-01", 1), ("1995-06-01", 2), ("1995-07-15", 3))
+      .toDF("d", "x").write.partitionBy("d").mode("overwrite").parquet(root)
+    Skipping.writeManifest(spark, root, Seq("x"))
+    def prune(p: String) = Skipping.readPrunedDetailed(spark, root, p)
+    // the r9 ADVICE scenario: non-canonical string literal on a date-typed
+    // partition column — must NOT prune the matching partition
+    val eq = prune("d = '1995-6-1'")
+    assert(eq.df.count() == 2, "non-ISO literal must match the June partition")
+    val range = prune("d >= '1995-7-1'")
+    assert(range.df.count() == 1 && range.selected < range.total,
+      s"range over normalized forms should both match and prune: " +
+        s"${range.selected}/${range.total}, rows=${range.df.count()}")
+    // DATE-typed literals normalize the same way
+    val dlit = prune("d = DATE '1995-07-15'")
+    assert(dlit.df.count() == 1 && dlit.selected < dlit.total)
+  }
+
   test("replaceWhereVersioned writes the manifest before the pointer flip; readCurrentPruned prunes") {
     import spark.implicits._
     val root = tmpDir("versioned")
