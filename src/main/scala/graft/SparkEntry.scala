@@ -69,6 +69,38 @@ object SparkEntry {
     base
   }
 
+  /** The restart-feed staging device shared by the restart gates
+    * (q354/q359): returns a `put(k)` that lands time-split third `k` of
+    * `ev` as the single file `b00k.parquet` under `in`. Thirds are EXACT
+    * time splits (approxQuantile at zero error) so later files sit
+    * strictly above earlier watermarks — nothing is ever late-dropped —
+    * and mtimes are pinned oldest-first for the file source's ordering.
+    */
+  private def stageTimeSplitThird(ev: DataFrame, base: java.io.File,
+                                  in: java.io.File): Int => Unit = {
+    val cuts = ev.withColumn("__tsd", col("ts").cast("double"))
+      .stat.approxQuantile("__tsd", Array(1.0 / 3, 2.0 / 3), 0.0)
+    (k: Int) => {
+      val tsd = col("ts").cast("double")
+      val span = k match {
+        case 0 => tsd <= cuts(0)
+        case 1 => tsd > cuts(0) && tsd <= cuts(1)
+        case _ => tsd > cuts(1)
+      }
+      val tmpd = new java.io.File(base, s".tmp-$k")
+      ev.filter(span).coalesce(1).write.mode("overwrite").parquet(tmpd.toString)
+      val part = Option(tmpd.listFiles()).getOrElse(Array.empty)
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"restart feed: split $k produced no part file"))
+      val dst = new java.io.File(in, f"b$k%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(1600000000000L + k * 600000L) // oldest-first order
+      tmpd.listFiles().foreach(_.delete()); tmpd.delete()
+      ()
+    }
+  }
+
   /** Part co-occurrence graph: distinct part pairs sharing an urgent order —
     * the edge feed for the graph-analytics queries (q100/q103). The
     * self-join is keyed on the order, so fanout is C(parts-per-order, 2) —
@@ -1457,29 +1489,7 @@ object SparkEntry {
       val out = s"$base/out"; val ck = s"$base/ckpt"
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-      // exact time-split thirds (the batchedStream device): later files sit
-      // strictly above earlier watermarks, so nothing is ever late-dropped
-      val cuts = ev.withColumn("__tsd", col("ts").cast("double"))
-        .stat.approxQuantile("__tsd", Array(1.0 / 3, 2.0 / 3), 0.0)
-      def put(k: Int): Unit = {
-        val tsd = col("ts").cast("double")
-        val span = k match {
-          case 0 => tsd <= cuts(0)
-          case 1 => tsd > cuts(0) && tsd <= cuts(1)
-          case _ => tsd > cuts(1)
-        }
-        val tmpd = new java.io.File(base, s".tmp-$k")
-        ev.filter(span).coalesce(1).write.mode("overwrite").parquet(tmpd.toString)
-        val part = Option(tmpd.listFiles()).getOrElse(Array.empty)
-          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"q354: split $k produced no part file"))
-        val dst = new java.io.File(in, f"b$k%03d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dst.setLastModified(1600000000000L + k * 600000L) // oldest-first order
-        tmpd.listFiles().foreach(_.delete()); tmpd.delete()
-        ()
-      }
+      val put = stageTimeSplitThird(ev, base, in)
       put(0); put(1)
       val schema = s.read.parquet(s"$in/b000.parquet").schema
       def stream = s.readStream.schema(schema)
@@ -1502,6 +1512,46 @@ object SparkEntry {
       s.read.parquet(out)
         .select(col("view_id"), col("purchase_id"))
         .orderBy(col("view_id"), col("purchase_id"))
+    }),
+
+    // ---- SESSION-WINDOW restart recovery, driver-gated (round-10: the
+    // shape StreamingSpec proves at spec grain, promoted to the q354
+    // evidence pattern): q304's gap sessions on transformWithState
+    // EVENT-TIME TIMERS, run as TWO queries over ONE checkpoint with the
+    // time-split-thirds feed. A session OPEN at the restart is parked in
+    // ValueState under a registered timer; post-restart events extend it
+    // (the min/max merge) and the RESTORED timer closes it — so the final
+    // emitted set can equal the batch lag/cumsum twin ONLY if the
+    // ValueState, the timer registry, the watermark, and the
+    // processed-file log all survived the restart. Exactly-once across
+    // the restart rides the parquet sink's _spark_metadata commit log;
+    // the require pins run 2 to exactly the newly-landed file. Held-back
+    // tail sessions (end+gap past the end-of-input watermark) are
+    // excluded identically by the oracle — the q304 deterministic-subset
+    // contract, unchanged across the restart. ----
+    "q359_restart_sessions" -> ((s, dir) => {
+      val base = wipedWorkDir("q359", dir)
+      val in = new java.io.File(base, "in"); in.mkdirs()
+      val out = s"$base/out"; val ck = s"$base/ckpt"
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val put = stageTimeSplitThird(ev, base, in)
+      put(0); put(1)
+      val schema = s.read.parquet(s"$in/b000.parquet").schema
+      def stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "b*.parquet").parquet(in.toString)
+      def sessions = graft.streaming.StreamOps
+        .sessionsV2Stream(s, stream, gapMinutes = 30, watermark = "0 seconds")
+      graft.streaming.StreamOps.runToParquet(s, sessions, out, ck)
+      put(2) // "lands" after the first query stopped
+      val n2 = graft.streaming.StreamOps.runToParquet(s, sessions, out, ck)
+      require(n2 == 1,
+        s"post-restart run must process ONLY the new file, ran $n2 data batches")
+      s.read.parquet(out)
+        .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+        .orderBy(col("user_id"), col("start_us"))
     }),
 
     // ---- file-level data skipping (round-9): per-file min/max stats
@@ -9169,6 +9219,25 @@ object SparkEntry {
         |  AND v.event_type = 'view' AND p.event_type = 'purchase'
         |  AND p.ts BETWEEN v.ts AND v.ts + INTERVAL 30 MINUTE
         |ORDER BY view_id, purchase_id""".stripMargin,
+    "q359_restart_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800 * 1000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+        |    COUNT(*) AS n_events
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id, start_us, end_us, n_events FROM sess
+        |WHERE end_us + 1800 * 1000000 <= (SELECT MAX(epoch_us(ts)) FROM events)
+        |ORDER BY user_id, start_us""".stripMargin,
     "q355_skipping_daterange" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
