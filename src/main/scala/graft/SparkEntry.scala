@@ -1343,14 +1343,20 @@ object SparkEntry {
     // length-normalization core with k1=1.2, b=0.75, denominators cleared
     // to exact integers: w = tf(k1+1)/(tf + k1(1-b+b*dl/avgdl)) becomes
     // 22*tf*T / (10*T*tf + 3*T + 9*dl*N) with T = corpus tokens, N = docs
-    // — then floor-scaled by 1e6 (the pageRankInt DIV discipline). The
+    // — then floor-scaled by 1e3 (the pageRankInt DIV discipline). The
     // idf is the log-free Robertson ODDS form (2(N-df)+1)/(2df+1), floor-
-    // scaled by 1e6: ln() is not correctly rounded and differs cross-
+    // scaled by 1e3: ln() is not correctly rounded and differs cross-
     // engine in ULPs, while the odds ratio keeps the same df-monotone
     // ordering and makes every intermediate an exact BIGINT — the per-doc
     // score is an exact integer SUM (order-independent), so the top-20
-    // ranking is hash-deterministic. Score bound: 8 terms x idf<=(2N+1)e6
-    // x w<2.2e6 ~ 2e17 per doc, safely inside BIGINT. ----
+    // ranking is hash-deterministic. Overflow headroom (round-10 — the
+    // 1e6 factors left ~1 order at N~6M docs; 1e3 resolution is plenty
+    // for rank stability): per-term idf_scaled*w_scaled < (2N/3)*1e3 *
+    // 2.2e3 ~ 1.5e6*N, so the 6-term doc score stays inside BIGINT for
+    // N < ~1e12 docs; the tightest intermediate is w_scaled's numerator
+    // 22*tf*t*1e3, valid while tf*t < 4.2e14 (e.g. a 1e12-token corpus
+    // with per-doc term frequency <= 420). Past either bound, swap the
+    // integer core to DECIMAL(38,0) — same ordering, wider headroom. ----
     "q358_bm25" -> ((s, dir) => {
       val terms = Seq("hash", "merge", "window", "spark", "filter", "slow")
       val toks = t(s, dir, "documents")
@@ -1367,9 +1373,9 @@ object SparkEntry {
         .join(broadcast(dfreq), "tok")
         .crossJoin(broadcast(totals))
         .withColumn("w_scaled",
-          expr("(22 * tf * t * 1000000) DIV (10 * t * tf + 3 * t + 9 * dl * n)"))
+          expr("(22 * tf * t * 1000) DIV (10 * t * tf + 3 * t + 9 * dl * n)"))
         .withColumn("idf_scaled",
-          expr("((2 * (n - df) + 1) * 1000000) DIV (2 * df + 1)"))
+          expr("((2 * (n - df) + 1) * 1000) DIV (2 * df + 1)"))
       // top-20 via orderBy+limit (TakeOrderedAndProject — distributed,
       // no single-reducer window over the doc-count-scaling score table);
       // the rank window then runs over exactly 20 rows
@@ -1381,6 +1387,20 @@ object SparkEntry {
           .orderBy(col("score").desc, col("doc_id").asc)))
         .select(col("doc_id"), col("n_hit"), col("score"), col("rank"))
         .orderBy(col("rank"))
+    }),
+
+    // ---- BM25 over the PERSISTED inverted index (round-10): q358's
+    // scorer re-pointed at a pre-built postings table (ops/Lexical) —
+    // term-hash-bucketed shard dirs pruned by Spark's partition pruning
+    // off a driver-side CRC (<=6/64 of the index even LISTED), tok-sorted
+    // files pruned at row-group grain, doc length denormalized into the
+    // postings so scoring joins nothing but a broadcast df/totals. The
+    // gate is the strongest one available: the index path must
+    // hash-match the corpus-scan form cell for cell (same oracle as
+    // q358) — a stale or lossy index cannot hide. ----
+    "q360_bm25_indexed" -> ((s, dir) => {
+      graft.ops.Lexical.scoreBM25(s, Tables.lexicalIndex(s, dir),
+        Seq("hash", "merge", "window", "spark", "filter", "slow"), k = 20)
     }),
 
     // ---- REAL PNG pixel decode (round-8): gray-8 PNGs are generated
@@ -9268,8 +9288,33 @@ object SparkEntry {
         |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
         |scored AS (
         |  SELECT tf.doc_id,
-        |    (22 * tf.tf * t.t * 1000000) // (10 * t.t * tf.tf + 3 * t.t + 9 * dl.dl * t.n) AS w_scaled,
-        |    ((2 * (t.n - d.df) + 1) * 1000000) // (2 * d.df + 1) AS idf_scaled
+        |    (22 * tf.tf * t.t * 1000) // (10 * t.t * tf.tf + 3 * t.t + 9 * dl.dl * t.n) AS w_scaled,
+        |    ((2 * (t.n - d.df) + 1) * 1000) // (2 * d.df + 1) AS idf_scaled
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfreq d USING (tok) CROSS JOIN totals t),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(idf_scaled * w_scaled) AS BIGINT) AS score,
+        |    COUNT(*) AS n_hit
+        |  FROM scored GROUP BY 1)
+        |SELECT doc_id, n_hit, score,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+        |FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // index path must equal the scan form cell-for-cell: same oracle
+    "q360_bm25_indexed" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tok
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |totals AS (
+        |  SELECT (SELECT COUNT(*) FROM toks) AS t, (SELECT COUNT(*) FROM documents) AS n),
+        |tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        |  WHERE tok IN ('hash', 'merge', 'window', 'spark', 'filter', 'slow')
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    (22 * tf.tf * t.t * 1000) // (10 * t.t * tf.tf + 3 * t.t + 9 * dl.dl * t.n) AS w_scaled,
+        |    ((2 * (t.n - d.df) + 1) * 1000) // (2 * d.df + 1) AS idf_scaled
         |  FROM tf JOIN dl USING (doc_id) JOIN dfreq d USING (tok) CROSS JOIN totals t),
         |agg AS (
         |  SELECT doc_id, CAST(SUM(idf_scaled * w_scaled) AS BIGINT) AS score,

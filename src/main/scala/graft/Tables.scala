@@ -265,4 +265,29 @@ object Tables {
     }
     dir.toString
   }
+
+  /** Persisted inverted index over `documents` ([[graft.ops.Lexical]]),
+    * built once per source identity (the [[srcStamp]] device) and reused
+    * across queries and passes — the amortization a real index exists
+    * for. Build = one tokenize + tf groupBy + bucket-partitioned write.
+    */
+  def lexicalIndex(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.col
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${srcStamp(sfDir, "documents")}|lexidx|v1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val dir = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-lexidx-$key")
+    val done = new java.io.File(dir, "_INDEX_DONE")
+    splitLock.synchronized {
+      if (!done.exists()) {
+        graft.ops.Lexical.buildIndex(
+          graft.ops.Par.spread(apply(spark, sfDir, "documents"), col("doc_id")),
+          "doc_id", "text", dir.toString)
+        done.createNewFile()
+        ()
+      }
+    }
+    dir.toString
+  }
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.ops.Lexical
+
+/** The persisted inverted index (round-10): the index-path scorer must
+  * equal the corpus-scan form cell for cell, the driver-side CRC must
+  * agree with Spark's `crc32` (a disagreement would silently read the
+  * WRONG shards — empty results, not an error), and shard pruning must
+  * actually engage at the file-listing grain.
+  */
+class LexicalSpec extends SparkTestBase {
+
+  private val terms = Seq("hash", "merge", "window", "spark", "filter", "slow")
+
+  test("driver-side bucketOf agrees with Spark's crc32 for every queried term") {
+    import spark.implicits._
+    val sparkSide = terms.toDF("tok")
+      .select(col("tok"), pmod(crc32(col("tok")), lit(64L)).cast("int").as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    terms.foreach { t =>
+      assert(Lexical.bucketOf(t, 64) == sparkSide(t),
+        s"CRC mismatch for '$t': driver ${Lexical.bucketOf(t, 64)} vs spark ${sparkSide(t)}")
+    }
+  }
+
+  test("index path hash-matches the corpus-scan form; shard pruning engages") {
+    val root = Tables.lexicalIndex(spark, sf())
+    val idx = Lexical.scoreBM25(spark, root, terms, k = 20)
+    val scan = SparkEntry.queries("q358_bm25")(spark, sf())
+    assert(idx.collect().map(_.toString).toSeq ==
+      scan.collect().map(_.toString).toSeq,
+      "index-path BM25 must equal the scan form cell for cell")
+
+    // partition pruning at the listing grain: the postings scan touches
+    // at most one file per queried shard, a strict subset of the index
+    // (build writes one file per bucket dir). AQE off for this probe so
+    // the FileSourceScanExec nodes sit in the plain executed plan — the
+    // property pinned (STATIC partition pruning off the driver-side CRC)
+    // is decided before AQE ever runs.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probe = Lexical.scoreBM25(spark, root, terms, k = 20)
+      probe.count()
+      val scans = probe.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec if f.toString.contains("postings") => f
+      }
+      assert(scans.nonEmpty, "expected a postings file scan in the executed plan")
+      val shardCount = terms.map(Lexical.bucketOf(_, Lexical.DefaultBuckets)).distinct.size
+      val numFiles = scans.map(_.metrics("numFiles").value).sum
+      val totalFiles = spark.read.parquet(s"$root/postings").inputFiles.length
+      assert(numFiles <= shardCount * scans.size,
+        s"each scan must touch <= $shardCount shard files, touched $numFiles over ${scans.size} scans")
+      assert(numFiles < totalFiles,
+        s"pruning must drop unqueried shards: $numFiles of $totalFiles")
+      val planStr = scans.head.toString
+      assert(planStr.contains("PartitionFilters") && planStr.contains("bucket"),
+        s"bucket filter must be a partition filter:\n$planStr")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("a term absent from the corpus scores nothing and reads at most its own shard") {
+    val root = Tables.lexicalIndex(spark, sf())
+    val idx = Lexical.scoreBM25(spark, root, Seq("zzz_not_a_token_zzz"), k = 5)
+    assert(idx.count() == 0)
+  }
+}
