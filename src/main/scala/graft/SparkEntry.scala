@@ -1403,6 +1403,23 @@ object SparkEntry {
         Seq("hash", "merge", "window", "spark", "filter", "slow"), k = 20)
     }),
 
+    // ---- HYBRID retrieval (round-10): two ranking models — BM25 and
+    // length-normalized TF-IDF, both served by the SAME persisted
+    // inverted index (one shard-pruned postings read each, no corpus
+    // scan anywhere) — fused by reciprocal-rank fusion in fixed-point
+    // integers (the q135 device). This is the production shape of a
+    // retrieval stack: independent scorers disagree on ordering, RRF
+    // reconciles them, and everything stays exact-integer so the gate
+    // hashes cell-for-cell against the oracle's replay of both arms. ----
+    "q363_hybrid_retrieval" -> ((s, dir) => {
+      val root = Tables.lexicalIndex(s, dir)
+      val terms = Seq("hash", "merge", "window", "spark", "filter", "slow")
+      val bm25 = graft.ops.Lexical.scoreBM25(s, root, terms, k = 20)
+      val vsm = graft.ops.Lexical.scoreTfIdfNorm(s, root, terms, k = 20)
+      Relational.rrfFuse(Seq(bm25, vsm), Seq("doc_id"), "rank")
+        .orderBy(col("rrf_fixed").desc, col("doc_id"))
+    }),
+
     // ---- REAL PNG pixel decode (round-8): gray-8 PNGs are generated
     // ARITHMETICALLY in SQL expressions — stored-mode zlib (BTYPE=00) with
     // the Adler-32 computed in closed form (s1 = 1+Σd, s2 = n+Σdᵢ·(n−i),
@@ -1612,6 +1629,64 @@ object SparkEntry {
         .agg(
           sum(col("l_quantity").cast(d2)).cast("double").as("sum_qty"),
           count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- BLOOM-FILTER data skipping (round-10): per-file Bloom filters
+    // on l_orderkey over the date-sorted layout, where the key is
+    // scattered across files so min/max stats keep EVERYTHING — the
+    // pruning shape stats fundamentally can't serve (point lookups on a
+    // secondary key; Delta's bloom index). Probe keys are derived
+    // deterministically (5 smallest distinct orderkeys ≡ 0 mod 7 — the
+    // oracle recomputes the same set in SQL). The requires prove the
+    // bloom stage ENGAGED and pruned BEYOND the stats stage; correctness
+    // is gate-checked against the plain-filter oracle as always (the
+    // reader re-applies the full predicate, so a bad bloom decision
+    // could only cost performance — except a false "absent", which the
+    // hash-canonicalization contract in BloomSkipping exists to prevent
+    // and BloomSkippingSpec pins). ----
+    "q361_skipping_bloom" -> ((s, dir) => {
+      val root = Tables.skippingLayout(s, dir, "date")
+      val keys = s.read.parquet(root)
+        .filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey")).distinct()
+        .orderBy(col("l_orderkey")).limit(5)
+        .collect().map(_.getLong(0))
+      require(keys.nonEmpty, "probe key derivation found no orderkeys")
+      val pr = graft.etl.Skipping.readPrunedDetailed(s, root,
+        s"l_orderkey IN (${keys.mkString(", ")})")
+      require(pr.fallback.isEmpty,
+        s"skipping manifest did not engage: ${pr.fallback}")
+      require(pr.statsSelected >= 0, "bloom index was not consulted")
+      require(pr.selected < pr.statsSelected,
+        s"bloom stage must prune beyond stats: ${pr.selected}/${pr.statsSelected}")
+      pr.df.groupBy(col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(d2)).cast("double").as("sum_qty"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // ---- small-file COMPACTION (round-10): a 48-tiny-file lineitem copy
+    // bin-packed to ~6 files by graft.etl.Compaction (the OPTIMIZE half
+    // of table maintenance a long-lived append table needs). The layout
+    // build REQUIRES the file count dropped; the gate proves the rewrite
+    // preserved every row and value (count + decimal-exact sum +
+    // count(distinct) per group vs the plain-lineitem oracle) and that
+    // the skipping manifest stayed fresh through the rewrite (fallback
+    // empty ⇒ the incremental post-compaction refresh engaged). ----
+    "q362_compaction" -> ((s, dir) => {
+      val root = Tables.compactedLayout(s, dir)
+      val pr = graft.etl.Skipping.readPrunedDetailed(s, root,
+        "l_quantity IS NOT NULL")
+      require(pr.fallback.isEmpty,
+        s"manifest must stay fresh after compaction: ${pr.fallback}")
+      pr.df.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          sum(col("l_quantity").cast(d2)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(d2)).cast("double").as("sum_price"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -9273,6 +9348,65 @@ object SparkEntry {
         |  COUNT(*) AS n_rows
         |FROM lineitem
         |WHERE l_partkey <= 500 AND l_suppkey <= 25 AND l_quantity IS NOT NULL
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q361_skipping_bloom" ->
+      """WITH keys AS (
+        |  SELECT DISTINCT l_orderkey FROM lineitem
+        |  WHERE l_orderkey % 7 = 0 ORDER BY l_orderkey LIMIT 5)
+        |SELECT l_orderkey, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT l_orderkey FROM keys)
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    // both arms replayed from the corpus, fused with the same fixed-point
+    // reciprocal-rank arithmetic as the Spark side
+    "q363_hybrid_retrieval" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tok
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |totals AS (
+        |  SELECT (SELECT COUNT(*) FROM toks) AS t, (SELECT COUNT(*) FROM documents) AS n),
+        |tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        |  WHERE tok IN ('hash', 'merge', 'window', 'spark', 'filter', 'slow')
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |bm_scored AS (
+        |  SELECT tf.doc_id,
+        |    (22 * tf.tf * t.t * 1000) // (10 * t.t * tf.tf + 3 * t.t + 9 * dl.dl * t.n) AS w_scaled,
+        |    ((2 * (t.n - d.df) + 1) * 1000) // (2 * d.df + 1) AS idf_scaled
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfreq d USING (tok) CROSS JOIN totals t),
+        |bm_agg AS (
+        |  SELECT doc_id, CAST(SUM(idf_scaled * w_scaled) AS BIGINT) AS score
+        |  FROM bm_scored GROUP BY 1),
+        |bm_rank AS (
+        |  SELECT doc_id, rank FROM (
+        |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        |    FROM bm_agg) WHERE rank <= 20),
+        |vs_scored AS (
+        |  SELECT tf.doc_id,
+        |    (tf.tf * ((t.n * 1000) // d.df) * 1000) // dl.dl AS w
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfreq d USING (tok) CROSS JOIN totals t),
+        |vs_agg AS (
+        |  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score FROM vs_scored GROUP BY 1),
+        |vs_rank AS (
+        |  SELECT doc_id, rank FROM (
+        |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        |    FROM vs_agg) WHERE rank <= 20),
+        |uni AS (
+        |  SELECT doc_id, 1000000000000 // (60 + rank) AS recip FROM bm_rank
+        |  UNION ALL
+        |  SELECT doc_id, 1000000000000 // (60 + rank) AS recip FROM vs_rank)
+        |SELECT doc_id, COUNT(*) AS n_lists, CAST(SUM(recip) AS BIGINT) AS rrf_fixed
+        |FROM uni GROUP BY doc_id ORDER BY rrf_fixed DESC, doc_id""".stripMargin,
+    "q362_compaction" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_quantity IS NOT NULL
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q358_bm25" ->
       """WITH toks AS (

@@ -203,7 +203,7 @@ object Tables {
     import org.apache.spark.sql.functions._
     require(layout == "date" || layout == "zorder", s"layout must be date|zorder: $layout")
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${srcStamp(sfDir, "lineitem")}|skip-$layout|v2".getBytes("UTF-8"))
+      .digest(s"${srcStamp(sfDir, "lineitem")}|skip-$layout|v3".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     val dir = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-skiplayout-$key")
@@ -259,6 +259,53 @@ object Tables {
         laid.write.mode("overwrite").parquet(dir.toString)
         graft.etl.Skipping.writeManifest(spark, dir.toString,
           Seq("l_shipdate_d", "l_partkey", "l_suppkey", "l_quantity", "l_returnflag"))
+        // the date layout additionally carries a Bloom index on the SECONDARY
+        // key (l_orderkey is scattered across the date-sorted files, so its
+        // per-file min/max span everything and only a bloom can prune an
+        // equality probe — the q361 gate)
+        if (layout == "date")
+          graft.etl.BloomSkipping.writeBloomIndex(spark, dir.toString, Seq("l_orderkey"))
+        done.createNewFile()
+        ()
+      }
+    }
+    dir.toString
+  }
+
+  /** Deliberately FRAGMENTED lineitem copy (48 tiny files) compacted by
+    * [[graft.etl.Compaction]] — the q362 gate artifact, built once per
+    * source identity. `targetBytes` is sized from the table itself
+    * (≈1/6 of total) so compaction engages at every scale factor; the
+    * build `require`s that it actually reduced the file count and left
+    * the skipping manifest + bloom index fresh, so a silently inert
+    * compactor can never pass the gate.
+    */
+  def compactedLayout(spark: SparkSession, sfDir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${srcStamp(sfDir, "lineitem")}|compact|v1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val dir = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-compactlayout-$key")
+    val done = new java.io.File(dir, "_LAYOUT_DONE")
+    splitLock.synchronized {
+      if (!done.exists()) {
+        apply(spark, sfDir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+            "l_returnflag")
+          .repartition(48)
+          .write.mode("overwrite").parquet(dir.toString)
+        graft.etl.Skipping.writeManifest(spark, dir.toString,
+          Seq("l_orderkey", "l_quantity", "l_returnflag"))
+        graft.etl.BloomSkipping.writeBloomIndex(spark, dir.toString, Seq("l_orderkey"))
+        val fs = new org.apache.hadoop.fs.Path(dir.toString)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val total = graft.etl.Skipping
+          .listDataFiles(fs, new org.apache.hadoop.fs.Path(dir.toString))
+          .map(_._2).sum
+        val rep = graft.etl.Compaction.compact(spark, dir.toString,
+          targetBytes = total / 6 + 1)
+        require(rep.filesAfter < rep.filesBefore,
+          s"compaction must engage: ${rep.filesBefore} -> ${rep.filesAfter}")
         done.createNewFile()
         ()
       }

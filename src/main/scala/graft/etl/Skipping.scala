@@ -66,9 +66,14 @@ object Skipping {
   /** Result of a pruned read: `df` is ALWAYS correct (full predicate
     * re-applied); `selected`/`total` are the files-touched measurement;
     * `fallback` names why pruning was bypassed, if it was.
+    * `statsSelected` separates the two pruning stages when a
+    * [[BloomSkipping]] index was consulted: the stats pass alone kept
+    * `statsSelected` files and the bloom pass narrowed them to
+    * `selected` (so `statsSelected > selected` PROVES the blooms
+    * engaged); -1 = no usable bloom index, `selected` is stats-only.
     */
   final case class Pruned(df: DataFrame, total: Int, selected: Int,
-                          fallback: Option[String])
+                          fallback: Option[String], statsSelected: Int = -1)
 
   // ---------------------------------------------------------------- write
 
@@ -413,7 +418,25 @@ object Skipping {
             s"files, found ${actual.size}, or sizes drifted — rewrite the manifest")
         else {
           val expr = spark.sessionState.sqlParser.parseExpression(predicate)
-          val survivors = m.files.filter(f => mayMatch(expr, f))
+          val statsSurvivors = m.files.filter(f => mayMatch(expr, f))
+          // second stage: a Bloom index (if present AND matching the same
+          // live listing) prunes equality/IN probes the min/max stats
+          // can't — a stale/undecodable index degrades to stats-only with
+          // a warning, never to a wrong prune
+          val (survivors, statsSel) =
+            (if (hasEqualityArm(expr)) BloomSkipping.readIndex(fs, rootPath)
+             else None) match { // range-only predicates skip the index parse
+              case None => (statsSurvivors, -1)
+              case Some(idx) =>
+                BloomSkipping.validated(idx, actual, root) match {
+                  case None => (statsSurvivors, -1)
+                  case Some(byPath) =>
+                    val prober = new BloomSkipping.Prober(idx)
+                    (statsSurvivors.filter(f => byPath.get(f.path)
+                      .forall(fb => mayMatchBloom(expr, fb, prober))),
+                      statsSurvivors.size)
+                }
+            }
           val qualifiedRoot = fs.makeQualified(rootPath).toString
           val df =
             if (survivors.isEmpty)
@@ -425,7 +448,7 @@ object Skipping {
               .option("basePath", qualifiedRoot)
               .parquet(survivors.map(f => s"$qualifiedRoot/${f.path}"): _*)
               .filter(predicate)
-          Pruned(df, m.files.size, survivors.size, None)
+          Pruned(df, m.files.size, survivors.size, None, statsSel)
         }
     }
   }
@@ -478,6 +501,37 @@ object Skipping {
         try mayMatch(rr.replacement, f) catch { case _: Exception => true }
       case _ => true // unsupported shape: never prune on it
     }
+  }
+
+  /** Does the predicate contain any shape a Bloom filter could rule on?
+    * Gates the (JSON-parse) cost of opening the bloom index: a range-only
+    * predicate can never bloom-prune, so the index is not even read.
+    */
+  private def hasEqualityArm(e: Expression): Boolean = e match {
+    case And(a, b) => hasEqualityArm(a) || hasEqualityArm(b)
+    case Or(a, b) => hasEqualityArm(a) || hasEqualityArm(b)
+    case EqualTo(_, _) | EqualNullSafe(_, _) | In(_, _) => true
+    case _ => false
+  }
+
+  /** Bloom-stage companion of [[mayMatch]]: only equality-shaped arms can
+    * answer (a Bloom filter knows nothing about ranges); everything else —
+    * including NOT, whose push-through would need three-valued care — is
+    * "may match". AND/OR compose the same conservative way as the stats
+    * walk. `col = NULL` / `col <=> NULL` never probe (a filter holds no
+    * null entry; the stats evaluator already rules on those).
+    */
+  private def mayMatchBloom(e: Expression, fb: BloomSkipping.FileBlooms,
+                            p: BloomSkipping.Prober): Boolean = e match {
+    case And(a, b) => mayMatchBloom(a, fb, p) && mayMatchBloom(b, fb, p)
+    case Or(a, b) => mayMatchBloom(a, fb, p) || mayMatchBloom(b, fb, p)
+    case EqualTo(Attr(n), l: Literal) => p.mayEqual(fb, n, l)
+    case EqualTo(l: Literal, Attr(n)) => p.mayEqual(fb, n, l)
+    case EqualNullSafe(Attr(n), l: Literal) if l.value != null => p.mayEqual(fb, n, l)
+    case EqualNullSafe(l: Literal, Attr(n)) if l.value != null => p.mayEqual(fb, n, l)
+    case In(Attr(n), vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists(v => p.mayEqual(fb, n, v.asInstanceOf[Literal]))
+    case _ => true
   }
 
   private object Attr {

@@ -61,7 +61,23 @@ object Writer {
                                    statsColumns: Seq[String]): Unit = {
     overwritePartitions(df, path, partitionCols)
     Skipping.writeManifest(df.sparkSession, path, statsColumns)
+    refreshBloomIfPresent(df.sparkSession, path)
     ()
+  }
+
+  /** Keep an opted-in [[BloomSkipping]] index from going stale across
+    * writes: if the root carries one, refresh it INCREMENTALLY over the
+    * same columns it was built for (only new files are scanned). Tables
+    * without an index pay nothing — blooms are an explicit opt-in via
+    * [[BloomSkipping.writeBloomIndex]]; this hook only maintains them.
+    */
+  private def refreshBloomIfPresent(spark: SparkSession, path: String): Unit = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    BloomSkipping.readIndex(fs, p).foreach { idx =>
+      BloomSkipping.updateBloomIndex(spark, path, idx.colTypes.keys.toSeq.sorted)
+      ()
+    }
   }
 
   /** Bucketed catalog table: pre-shuffles rows into `numBuckets` files per
@@ -108,8 +124,14 @@ object Writer {
     if (!fs.exists(target)) {
       overwritePartitions(df, path, partitionCols)
       if (statsColumns.nonEmpty) Skipping.updateManifest(spark, path, statsColumns)
+      refreshBloomIfPresent(spark, path)
       return
     }
+    // the swap below replaces the WHOLE directory, taking any bloom index
+    // with it — snapshot its column set now so it can be rebuilt after
+    // (all files are new post-swap, so a full rebuild is the honest cost)
+    val priorBloomCols = BloomSkipping.readIndex(fs, target)
+      .map(_.colTypes.keys.toSeq.sorted)
     val existing = spark.read.parquet(path)
     // NULL-safe keep: rows where the predicate is NULL are kept too (Delta
     // replaceWhere deletes only rows where the predicate evaluates to true).
@@ -130,6 +152,10 @@ object Writer {
     // degenerates to a full harvest here — correct, just not cheaper
     // (the general path already costs ∝ table size for the data itself)
     if (statsColumns.nonEmpty) Skipping.updateManifest(spark, path, statsColumns)
+    priorBloomCols.foreach { cols =>
+      BloomSkipping.updateBloomIndex(spark, path, cols)
+      ()
+    }
     ()
   }
 
@@ -231,6 +257,7 @@ object Writer {
       // O(all files) sweep this fast path exists to avoid)
       if (statsColumns.nonEmpty)
         Skipping.updateManifest(bounded.sparkSession, path, statsColumns)
+      refreshBloomIfPresent(bounded.sparkSession, path)
     } finally { bounded.unpersist(); () }
   }
 

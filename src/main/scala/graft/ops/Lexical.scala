@@ -109,4 +109,38 @@ object Lexical {
       .select(col("doc_id"), col("n_hit"), col("score"), col("rank"))
       .orderBy(col("rank"))
   }
+
+  /** Length-normalized TF-IDF (vector-space model) scoring over the SAME
+    * persisted index — the second arm of hybrid retrieval. One index
+    * serves both ranking models: postings already carry (tf, dl), df is
+    * the posting-list length, so the VSM arm costs the same shard-pruned
+    * read plus its own integer arithmetic. Unlike BM25 there is no tf
+    * saturation and idf is the plain log-free `N/df` ratio, so the two
+    * models genuinely disagree on ordering — which is what makes fusing
+    * them ([[graft.ops.Relational.rrfFuse]], the q363 gate) informative.
+    *
+    * All-integer: `idf_scaled = (n·1000) DIV df`,
+    * `w = (tf · idf_scaled · 1000) DIV dl`, score = Σw. Bounds: tf ≤ dl,
+    * idf_scaled ≤ n·1000, so each term ≤ tf·n·10⁶ — safe in BIGINT to
+    * n·tf ~ 10¹², far past any ladder rung.
+    */
+  def scoreTfIdfNorm(spark: SparkSession, root: String, terms: Seq[String],
+                     k: Int, buckets: Int = DefaultBuckets): DataFrame = {
+    val shardIds = terms.map(bucketOf(_, buckets)).distinct
+    val post = spark.read.parquet(s"$root/postings")
+      .filter(col("bucket").isin(shardIds: _*) && col("tok").isin(terms: _*))
+    val dfreq = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val totals = spark.read.parquet(s"$root/totals").select(col("n"))
+    post
+      .join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(totals))
+      .withColumn("w", expr("(tf * ((n * 1000) DIV df) * 1000) DIV dl"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("n_hit"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("n_hit"), col("score"), col("rank"))
+      .orderBy(col("rank"))
+  }
 }

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.etl.{BloomSkipping, Compaction, Skipping}
+
+/** Small-file compaction: bin-packing reduces the file count, preserves
+  * every row, never crosses a partition directory, never rewrites
+  * well-sized files, is idempotent, and leaves both side-indexes
+  * (stats manifest, bloom index) fresh and engaged.
+  */
+class CompactionSpec extends SparkTestBase {
+
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-compact-$tag").toFile
+    d.deleteOnExit()
+    d.toString
+  }
+
+  private def fs(root: String) =
+    new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def files(root: String): Seq[(String, Long)] =
+    Skipping.listDataFiles(fs(root), new HPath(root))
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def fragmented(tag: String, nFiles: Int = 24): String = {
+    val root = tmpDir(tag)
+    spark.range(0, 6000).toDF("id")
+      .withColumn("v", col("id") * 3 % 101)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(root)
+    root
+  }
+
+  test("compaction reduces file count, preserves every row and value") {
+    val root = fragmented("basic")
+    val before = files(root)
+    val rowsBefore = sortedRows(spark.read.parquet(root))
+    val total = before.map(_._2).sum
+    val rep = Compaction.compact(spark, root, targetBytes = total / 4 + 1)
+    assert(rep.binsCompacted >= 1)
+    assert(rep.filesAfter < rep.filesBefore,
+      s"must reduce files: ${rep.filesBefore} -> ${rep.filesAfter}")
+    assert(rep.filesAfter <= 6, s"24 tiny files at quarter-target should land <=6, got ${rep.filesAfter}")
+    assert(sortedRows(spark.read.parquet(root)) == rowsBefore)
+  }
+
+  test("well-sized files are not rewritten; compaction is idempotent") {
+    val root = fragmented("idem")
+    val total = files(root).map(_._2).sum
+    Compaction.compact(spark, root, targetBytes = total / 4 + 1)
+    val afterFirst = files(root)
+    val rep2 = Compaction.compact(spark, root, targetBytes = total / 4 + 1)
+    // second pass: the compacted files are near-target and a lone small
+    // remainder has no partner — nothing to do, nothing touched
+    assert(rep2.binsCompacted == 0 || rep2.bytesRewritten < total / 4,
+      "second compaction must not rewrite the table")
+    if (rep2.binsCompacted == 0)
+      assert(files(root) == afterFirst, "no-op must leave files untouched")
+  }
+
+  test("bins never cross a partition directory; partition values survive") {
+    val root = tmpDir("part")
+    spark.range(0, 4000).toDF("id")
+      .withColumn("k", (col("id") % 4).cast("string"))
+      .repartition(8)
+      .write.mode("overwrite").partitionBy("k").parquet(root)
+    val rowsBefore = sortedRows(spark.read.parquet(root))
+    val total = files(root).map(_._2).sum
+    val rep = Compaction.compact(spark, root, targetBytes = total + 1)
+    assert(rep.filesAfter < rep.filesBefore)
+    // one bin per partition dir at this target ⇒ exactly 4 files, one per k
+    assert(rep.filesAfter == 4, s"expected one file per partition, got ${rep.filesAfter}")
+    val byDir = files(root).map(_._1.split('/').head).distinct.sorted
+    assert(byDir == Seq("k=0", "k=1", "k=2", "k=3"))
+    assert(sortedRows(spark.read.parquet(root)) == rowsBefore,
+      "partition-derived values must survive compaction")
+  }
+
+  test("stats manifest and bloom index stay fresh and engaged after compaction") {
+    val root = fragmented("indexes")
+    Skipping.writeManifest(spark, root, Seq("id", "v"))
+    BloomSkipping.writeBloomIndex(spark, root, Seq("id"))
+    val total = files(root).map(_._2).sum
+    Compaction.compact(spark, root, targetBytes = total / 4 + 1)
+    val pr = Skipping.readPrunedDetailed(spark, root, "id = 599")
+    assert(pr.fallback.isEmpty, s"manifest must be fresh: ${pr.fallback}")
+    assert(pr.statsSelected >= 0, "bloom index must be fresh and consulted")
+    assert(pr.df.count() == 1)
+  }
+
+  test("a crashed run's staging leftovers are invisible and swept by the next run") {
+    val root = fragmented("crash")
+    val f = fs(root)
+    val staging = new HPath(new HPath(root), ".graft-compact-staging/bin-0")
+    f.mkdirs(staging)
+    val out = f.create(new HPath(staging, "part-junk.parquet"), true)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    // hidden: a plain read must not see it
+    val rowsBefore = sortedRows(spark.read.parquet(root))
+    val total = files(root).map(_._2).sum
+    val rep = Compaction.compact(spark, root, targetBytes = total / 4 + 1)
+    assert(rep.filesAfter < rep.filesBefore)
+    assert(!f.exists(new HPath(new HPath(root), ".graft-compact-staging")),
+      "staging must be swept")
+    assert(sortedRows(spark.read.parquet(root)) == rowsBefore)
+  }
+
+  test("q362 gate artifact compacts and matches the source at sf0.001") {
+    val df = SparkEntry.queries("q362_compaction")(spark, sf())
+    assert(df.count() > 0)
+  }
+}

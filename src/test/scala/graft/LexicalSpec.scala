@@ -67,4 +67,31 @@ class LexicalSpec extends SparkTestBase {
     val idx = Lexical.scoreBM25(spark, root, Seq("zzz_not_a_token_zzz"), k = 5)
     assert(idx.count() == 0)
   }
+
+  test("VSM arm ranks from the same index and genuinely disagrees with BM25") {
+    val root = Tables.lexicalIndex(spark, sf())
+    val vsm = Lexical.scoreTfIdfNorm(spark, root, terms, k = 20).collect()
+    assert(vsm.length > 0 && vsm.length <= 20)
+    // ranks are 1..k dense and deterministic
+    assert(vsm.map(_.getAs[Int]("rank")).toSeq == (1 to vsm.length))
+    // the two models must not be rank-identical (tf saturation + the
+    // different idf bend the ordering) — if they were, fusing them would
+    // be decorative
+    val bm = Lexical.scoreBM25(spark, root, terms, k = 20).collect()
+    assert(bm.map(_.getAs[Long]("doc_id")).toSeq !=
+      vsm.map(_.getAs[Long]("doc_id")).toSeq,
+      "BM25 and VSM orderings should differ on this corpus")
+  }
+
+  test("hybrid RRF fusion: every fused doc comes from an arm, two-arm docs outrank-able") {
+    val df = SparkEntry.queries("q363_hybrid_retrieval")(spark, sf())
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val nLists = rows.map(_.getAs[Long]("n_lists"))
+    assert(nLists.forall(n => n == 1L || n == 2L))
+    assert(nLists.contains(2L), "some doc should appear in both top-20 lists")
+    // rrf_fixed descending as ordered
+    val scores = rows.map(_.getAs[Long]("rrf_fixed")).toSeq
+    assert(scores == scores.sortBy(-_))
+  }
 }
