@@ -1690,6 +1690,46 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- ORC sink + source round-trip (round-10): lineitem slice written
+    // PARTITIONED through Spark's built-in ORC writer, read back through
+    // the ORC reader with a partition filter — the second columnar format
+    // a reference user would reach for, under the same oracle as the
+    // parquet paths. The filter prunes at the partition-dir grain (ORC v2
+    // partition pruning); decimal-exact sums prove value fidelity through
+    // the format round-trip. ----
+    "q364_orc_roundtrip" -> ((s, dir) => {
+      val root = Tables.orcLayout(s, dir)
+      s.read.orc(root)
+        .filter(col("l_returnflag") =!= "N")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(d2)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(d2)).cast("double").as("sum_price"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- JSONL sink + source round-trip (round-10): documents written as
+    // line-delimited JSON and read back with an EXPLICIT schema (inference
+    // off — the S1 discipline; a schema drift surfaces as nulls, which the
+    // count columns catch). The aggregate runs over the round-tripped text
+    // itself — length sums over every doc — so any escaping or unicode
+    // infidelity in writer or parser (newlines, quotes, non-BMP chars)
+    // breaks the hash, not just the row count. ----
+    "q365_jsonl_roundtrip" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      s.read.schema(schema).json(Tables.jsonlLayout(s, dir))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(col("text")).as("n_texts"),
+          sum(length(col("text"))).as("sum_len"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("sum_nchars"))
+        .orderBy(col("source"))
+    }),
+
     // ---- full outer join: daily order starts vs daily shipments (both
     // sides pre-aggregated, so the outer join is tiny-on-tiny) ----
     "q48_outer_join" -> ((s, dir) => {
@@ -9400,6 +9440,21 @@ object SparkEntry {
         |  SELECT doc_id, 1000000000000 // (60 + rank) AS recip FROM vs_rank)
         |SELECT doc_id, COUNT(*) AS n_lists, CAST(SUM(recip) AS BIGINT) AS rrf_fixed
         |FROM uni GROUP BY doc_id ORDER BY rrf_fixed DESC, doc_id""".stripMargin,
+    "q364_orc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_returnflag <> 'N'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q365_jsonl_roundtrip" ->
+      """SELECT source, COUNT(*) AS n_docs, COUNT(text) AS n_texts,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_nchars
+        |FROM documents
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q362_compaction" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,

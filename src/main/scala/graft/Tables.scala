@@ -313,6 +313,59 @@ object Tables {
     dir.toString
   }
 
+  /** ORC sink+source round-trip artifact (q364): a lineitem slice written
+    * as a PARTITIONED ORC table (Spark's built-in v2 ORC source — columnar,
+    * stats-bearing, predicate-pushdown-capable like parquet). Built once
+    * per source identity; the gate reads it back through the ORC reader
+    * with a partition filter, so both the writer and the
+    * partition-pruning read path are under oracle.
+    */
+  def orcLayout(spark: SparkSession, sfDir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${srcStamp(sfDir, "lineitem")}|orc|v1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val dir = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-orclayout-$key")
+    val done = new java.io.File(dir, "_LAYOUT_DONE")
+    splitLock.synchronized {
+      if (!done.exists()) {
+        apply(spark, sfDir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+            "l_returnflag", "l_linestatus")
+          .write.mode("overwrite").partitionBy("l_returnflag")
+          .orc(dir.toString)
+        done.createNewFile()
+        ()
+      }
+    }
+    dir.toString
+  }
+
+  /** JSONL sink+source round-trip artifact (q365): `documents` written as
+    * line-delimited JSON (the interchange format every LLM-corpus
+    * pipeline meets) and read back with an EXPLICIT schema, inference
+    * off — the S1 discipline. The gate aggregates over the round-tripped
+    * `text` itself (length sums), so any escaping/unicode infidelity in
+    * the writer or parser breaks the hash.
+    */
+  def jsonlLayout(spark: SparkSession, sfDir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${srcStamp(sfDir, "documents")}|jsonl|v1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val dir = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-jsonllayout-$key")
+    val done = new java.io.File(dir, "_LAYOUT_DONE")
+    splitLock.synchronized {
+      if (!done.exists()) {
+        apply(spark, sfDir, "documents")
+          .write.mode("overwrite").json(dir.toString)
+        done.createNewFile()
+        ()
+      }
+    }
+    dir.toString
+  }
+
   /** Persisted inverted index over `documents` ([[graft.ops.Lexical]]),
     * built once per source identity (the [[srcStamp]] device) and reused
     * across queries and passes — the amortization a real index exists
