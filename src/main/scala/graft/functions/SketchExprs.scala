@@ -21,17 +21,43 @@ import org.apache.spark.unsafe.types.UTF8String
   * Token hash is computed once per token, all lanes updated in one pass.
   * NULL array elements are skipped. Matches
   * [[graft.ops.Dedup.minHashSignature]] semantics.
+  *
+  * The (a_i, b_i) MUST be strong pseudo-random draws (SplitMix64 below),
+  * not a cheap sequence. Round-10 post-mortem: the original
+  * `a_i = 2(seed+i)+1` gave 96 lanes the CONSECUTIVE ODD multipliers
+  * 85..275 — so small that `a_i·x mod p` barely wraps for small token
+  * hashes and the lanes largely shared one argmin token, i.e. partially
+  * the very degeneracy the mod-p reduction exists to prevent. Every
+  * gate stayed green (the exact verify hides candidate-recall holes
+  * whenever recall HAPPENS to be 1.0 at the tested corpus), but the
+  * scale ladder's replica-proportionality invariant caught it: at 100×
+  * inflation, 25 true ≥0.95 pairs went un-candidated, ALL clustered in
+  * two replicas (correlated lanes miss together, per-corpus, not
+  * per-pair) — components/replica drifted 2822.00 → 2822.12 → 2822.47
+  * across 30×/100×/300×. With SplitMix64 coefficients the miss rate is
+  * the textbook (1−s^r)^b ≈ 6e-10 per pair at s = 0.95 and the drift is
+  * gone (re-measured at 100×: 204 900 = 2049×100 edges exactly).
   */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   private val P = 2147483647L // 2^31 - 1, prime
+  // SplitMix64 — the standard 64-bit finalizer-style PRNG; deterministic
+  // in (seed, lane), full-avalanche, so lane coefficients are independent
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
   // a_i ∈ [1, P-1]: a zero multiplier would make that lane a constant
   private lazy val as: Array[Long] =
-    Array.tabulate(numHashes)(i => java.lang.Math.floorMod(2L * (seed + i) + 1L, P - 1) + 1L)
+    Array.tabulate(numHashes)(i =>
+      java.lang.Math.floorMod(mix64(seed * 0x632BE59BD9B4E019L + 2L * i), P - 1) + 1L)
   private lazy val bs: Array[Long] =
-    Array.tabulate(numHashes)(i => java.lang.Math.floorMod(seed * 31L + i * 1000003L, P))
+    Array.tabulate(numHashes)(i =>
+      java.lang.Math.floorMod(mix64(seed * 0x632BE59BD9B4E019L + 2L * i + 1L), P))
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
