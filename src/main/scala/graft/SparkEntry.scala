@@ -1508,6 +1508,55 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // ---- Trigger.AvailableNow incremental ingest (round-10): the
+    // scheduler-invoked nightly batch at 100 TB — a streaming definition
+    // (file source + checkpointed progress + exactly-once parquet sink)
+    // run TO COMPLETION per invocation. Three invocations against one
+    // checkpoint: (1) drains the 2-file backlog in 2 microbatches
+    // (maxFilesPerTrigger=1 — AvailableNow chunks the backlog, unlike the
+    // legacy Trigger.Once), (2) after a third file lands, processes ONLY
+    // that file (the checkpointed file index is the high-water mark),
+    // (3) with nothing new, runs ZERO data batches — the idempotent
+    // no-op a cron retry depends on. Each require pins one of those;
+    // the oracle pins exactly-once end to end: any reprocessed file
+    // would double rows and break every hash cell. ----
+    "q368_available_now" -> ((s, dir) => {
+      val base = wipedWorkDir("q368", dir)
+      val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ckpt"
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_returnflag"))
+      def put(k: Int): Unit = {
+        li.filter(pmod(col("l_orderkey"), lit(3)) === k)
+          .coalesce(1).write.mode("append").parquet(in)
+        ()
+      }
+      put(0); put(1)
+      val schema = s.read.parquet(in).schema
+      // the incremental bronze->silver hop: typed projection + derived
+      // column, the E1-E8 shape running incrementally instead of full-scan
+      def silver = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .withColumn("is_heavy", (col("l_quantity") >= 25).cast("int"))
+      def run(): Long =
+        graft.streaming.StreamOps.availableNowToParquet(s, silver, out, ck)
+      val n1 = run()
+      require(n1 == 2, s"backlog drain must run 2 single-file batches, ran $n1")
+      put(2) // "lands" between scheduled invocations
+      val n2 = run()
+      require(n2 == 1, s"incremental run must process ONLY the new file, ran $n2")
+      val n3 = run()
+      require(n3 == 0, s"no-new-data run must be a zero-batch no-op, ran $n3")
+      s.read.parquet(out)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("is_heavy")).as("n_heavy"),
+          sum(col("l_quantity").cast(d2)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(d2)).cast("double").as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- stream-stream join RESTART recovery (round-9): q273's interval
     // join through the q353 two-runs-one-checkpoint flow. State lives on
     // BOTH sides here (per-key view and purchase buffers), so the gate is
@@ -1728,6 +1777,96 @@ object SparkEntry {
           countDistinct(col("lang")).as("n_langs"),
           sum(col("n_chars")).as("sum_nchars"))
         .orderBy(col("source"))
+    }),
+
+    // ---- XML sink + source round-trip (round-10): documents written as a
+    // PARTITIONED XML table through Spark 4's built-in XML source and read
+    // back with an EXPLICIT schema + rowTag (inference off — S1). XML is
+    // the format where escaping does real work (`<`, `&`, quotes must
+    // entity-encode), so fidelity is gated on the round-tripped text
+    // CONTENT: per-group md5 extremes + length sums — one mis-escaped
+    // character flips a hash cell, not just a count. The lang filter must
+    // prune at the partition-dir grain (FormatsSpec pins numFiles). ----
+    "q366_xml_roundtrip" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, source STRING, n_chars BIGINT, lang STRING")
+      s.read.schema(schema).option("rowTag", "doc")
+        .format("xml").load(Tables.xmlLayout(s, dir))
+        .filter(col("lang") =!= "zh")
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_len"),
+          min(md5(col("text").cast("binary"))).as("min_md5"),
+          max(md5(col("text").cast("binary"))).as("max_md5"),
+          sum(col("n_chars")).as("sum_nchars"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // ---- CSV sink + source round-trip (round-10): documents written
+    // through Spark's CSV writer and read back multiLine with an EXPLICIT
+    // schema — the reference's ingest format (S1) exercised in BOTH
+    // directions, quote/escape discipline under oracle. Same
+    // content-hash gate as q366: a quoting bug that splits or merges a
+    // field breaks md5/length cells. One documented divergence (CRLF
+    // inside quoted fields normalizes to LF in the multiLine parser) is
+    // pinned in FormatsSpec and excluded by a CR-free build require. ----
+    "q367_csv_roundtrip" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      s.read.schema(schema)
+        .option("multiLine", "true").option("header", "false")
+        .csv(Tables.csvLayout(s, dir))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("doc_id")).as("n_ids"),
+          sum(length(col("text"))).as("sum_len"),
+          min(md5(col("text").cast("binary"))).as("min_md5"),
+          max(md5(col("text").cast("binary"))).as("max_md5"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- co-bucketed exchange-free fact join (round-10): orders and
+    // lineitem both written bucketBy(8, o_orderkey) sorted-within-buckets
+    // (the CatalogSpec layout, now driver-gated). At 100 TB the fact-join
+    // shuffle is THE dominant cost; pre-bucketing pays it once at write
+    // and every subsequent join on the key reads co-located buckets with
+    // no exchange at all. The require pins it structurally: with
+    // broadcast off, the SortMergeJoin's SUBTREE contains zero shuffle
+    // exchanges — the join consumed the bucketed scans directly. (The
+    // tiny per-status rollup above the join legitimately shuffles its
+    // 3-row partials; the pin is scoped to the join, where the data is.) ----
+    "q369_bucketed_join" -> ((s, dir) => {
+      val (ot, lt) = Tables.bucketedPair(s, dir)
+      def joined = s.table(ot).join(s.table(lt), "o_orderkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(d2)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(d2)).cast("double").as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+      val prevB = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        val plan = joined.queryExecution.executedPlan
+        val smj = plan.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        }
+        require(smj.nonEmpty, s"bucketed join must sort-merge:\n$plan")
+        val shufflesUnderJoin = smj.head.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        require(shufflesUnderJoin.isEmpty,
+          s"bucket layout must remove the join shuffle:\n$plan")
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+        s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+      joined
     }),
 
     // ---- full outer join: daily order starts vs daily shipments (both
@@ -9348,6 +9487,13 @@ object SparkEntry {
     "q353_restart_recovery" ->
       """SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+    "q368_available_now" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q354_restart_join" ->
       """SELECT v.event_id AS view_id, p.event_id AS purchase_id
         |FROM events v JOIN events p ON v.user_id = p.user_id
@@ -9455,6 +9601,30 @@ object SparkEntry {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_nchars
         |FROM documents
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q366_xml_roundtrip" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+        |  MIN(md5(text)) AS min_md5,
+        |  MAX(md5(text)) AS max_md5,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_nchars
+        |FROM documents
+        |WHERE lang <> 'zh'
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q369_bucketed_join" ->
+      """SELECT o.o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
+    "q367_csv_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT doc_id) AS n_ids,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+        |  MIN(md5(text)) AS min_md5,
+        |  MAX(md5(text)) AS max_md5,
+        |  COUNT(DISTINCT source) AS n_sources
+        |FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q362_compaction" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         |  COUNT(DISTINCT l_orderkey) AS n_orders,

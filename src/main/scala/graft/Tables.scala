@@ -366,6 +366,111 @@ object Tables {
     dir.toString
   }
 
+  /** Co-bucketed table pair for q369 (orders + lineitem, both
+    * `bucketBy(8, o_orderkey)` sorted within buckets): the layout that
+    * makes the fact-to-fact join EXCHANGE-FREE — both sides arrive
+    * pre-clustered on the join key, so the 100 TB shuffle (the single
+    * biggest cost in a fact join) never happens, per-query, amortized
+    * over every query that joins on the key. Built once per source
+    * identity per JVM; table names carry the stamp so scale factors
+    * never cross-contaminate a shared warehouse.
+    */
+  def bucketedPair(spark: SparkSession, sfDir: String): (String, String) = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${srcStamp(sfDir, "orders")}|${srcStamp(sfDir, "lineitem")}|bkt|v1"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val (ot, lt) = (s"g369_orders_$key", s"g369_lineitem_$key")
+    splitLock.synchronized {
+      if (!(spark.catalog.tableExists(ot) && spark.catalog.tableExists(lt))) {
+        for (t <- Seq(ot, lt)) {
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          // a previously aborted run can leave a stale managed location
+          // saveAsTable refuses to reuse — clear it (the CatalogSpec lesson)
+          val loc = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir") + "/" + t.toLowerCase)
+          loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+        }
+        graft.etl.Writer.writeBucketed(
+          apply(spark, sfDir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+          ot, "o_orderkey", 8, sortCols = Seq("o_orderkey"))
+        graft.etl.Writer.writeBucketed(
+          apply(spark, sfDir, "lineitem")
+            .select(org.apache.spark.sql.functions.col("l_orderkey").as("o_orderkey"),
+              org.apache.spark.sql.functions.col("l_quantity"),
+              org.apache.spark.sql.functions.col("l_extendedprice")),
+          lt, "o_orderkey", 8, sortCols = Seq("o_orderkey"))
+      }
+    }
+    (ot, lt)
+  }
+
+  /** XML sink+source round-trip artifact (q366): `documents` written as a
+    * PARTITIONED XML table through Spark 4's built-in XML source (one
+    * `<doc>` element per row, `lang=` partition dirs) and read back with
+    * an EXPLICIT schema + rowTag — inference off, the S1 discipline. XML
+    * is the one interchange format where ESCAPING does real work on this
+    * corpus (`<`, `&`, quotes must entity-encode), so the gate aggregates
+    * over the round-tripped `text` itself: any writer/parser infidelity
+    * breaks the hash, not just the row count.
+    */
+  def xmlLayout(spark: SparkSession, sfDir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${srcStamp(sfDir, "documents")}|xml|v1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val dir = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-xmllayout-$key")
+    val done = new java.io.File(dir, "_LAYOUT_DONE")
+    splitLock.synchronized {
+      if (!done.exists()) {
+        apply(spark, sfDir, "documents")
+          .write.mode("overwrite").option("rowTag", "doc")
+          .partitionBy("lang")
+          .format("xml").save(dir.toString)
+        done.createNewFile()
+        ()
+      }
+    }
+    dir.toString
+  }
+
+  /** CSV sink+source round-trip artifact (q367): `documents` written
+    * through Spark's CSV writer (default quote/escape discipline) and
+    * read back `multiLine` with an EXPLICIT schema — the format the
+    * reference ingests on (S1) exercised in BOTH directions. Quoted
+    * embedded commas/quotes/newlines are the hostile surface;
+    * FormatsSpec pins them byte-exact (and pins the one documented
+    * divergence: the multiLine parser normalizes CRLF inside quoted
+    * fields to LF — this corpus is CR-free, checked at build).
+    */
+  def csvLayout(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.col
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${srcStamp(sfDir, "documents")}|csv|v1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val dir = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-csvlayout-$key")
+    val done = new java.io.File(dir, "_LAYOUT_DONE")
+    splitLock.synchronized {
+      if (!done.exists()) {
+        val docs = apply(spark, sfDir, "documents")
+        val crRows = docs
+          .filter(col("text").contains("\r") || col("text") === "")
+          .limit(1).count()
+        require(crRows == 0L,
+          "csvLayout: corpus has CR characters or empty strings; the " +
+            "multiLine parser normalizes quoted CRLF and the nullValue " +
+            "default swallows \"\" — the round-trip would drift (both " +
+            "divergences pinned in FormatsSpec)")
+        docs.write.mode("overwrite").option("header", "false").csv(dir.toString)
+        done.createNewFile()
+        ()
+      }
+    }
+    dir.toString
+  }
+
   /** Persisted inverted index over `documents` ([[graft.ops.Lexical]]),
     * built once per source identity (the [[srcStamp]] device) and reused
     * across queries and passes — the amortization a real index exists

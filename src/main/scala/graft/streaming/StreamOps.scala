@@ -256,6 +256,36 @@ object StreamOps {
       n
     }
 
+  /** Incremental batch ingest: drain everything available NOW through the
+    * checkpointed pipeline, then terminate — `Trigger.AvailableNow`, the
+    * API that turns a streaming definition into a rerunnable nightly
+    * batch job. Unlike [[runToParquet]] (processAllAvailable = test
+    * harness polling), AvailableNow snapshots the file listing at start
+    * and the query STOPS ITSELF when the snapshot is drained — the shape
+    * a scheduler invokes per ingest cycle at 100 TB: each invocation
+    * processes exactly the files that arrived since the last one (the
+    * checkpointed file index carries the high-water mark), appends
+    * exactly-once through the sink's `_spark_metadata` commit log, and
+    * respects `maxFilesPerTrigger` within the run so one giant backlog
+    * does not become one giant microbatch. Returns the number of DATA
+    * microbatches (0 = nothing new had arrived — the idempotent no-op).
+    */
+  def availableNowToParquet(spark: SparkSession, stream: DataFrame,
+                            outDir: String, checkpoint: String): Long = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() // AvailableNow self-terminates at the snapshot
+    finally q.stop()
+    val n = countDataBatches(q)
+    lastRunBatches = n
+    n
+  }
+
   final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
   final case class SessionRow(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
