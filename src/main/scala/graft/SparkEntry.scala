@@ -1420,6 +1420,34 @@ object SparkEntry {
         .orderBy(col("rrf_fixed").desc, col("doc_id"))
     }),
 
+    // ---- retrieve-then-rerank (round-10): the two-stage RAG pipeline —
+    // a CHEAP high-recall lexical stage cuts the corpus to a candidate
+    // set, an EXPENSIVE high-precision semantic stage reranks only the
+    // candidates. Stage 1: BM25 top-50 from the persisted inverted index
+    // (q360's shard-pruned read — at 100 TB this touches index shards,
+    // never the corpus). Stage 2: query-by-example — the lowest-id
+    // candidate that HAS an embedding becomes the query vector
+    // (deterministic in both engines) and the remaining embedded
+    // candidates rerank by exact integer-scaled cosine (the q27
+    // machinery, over ≤50 vectors instead of the corpus: rerank cost is
+    // O(candidates), independent of corpus size — the property that
+    // makes exact rerank affordable at any scale). ----
+    "q370_retrieve_rerank" -> ((s, dir) => {
+      val root = Tables.lexicalIndex(s, dir)
+      val terms = Seq("hash", "merge", "window", "spark", "filter", "slow")
+      val cand = graft.ops.Lexical.scoreBM25(s, root, terms, k = 50)
+        .select(col("doc_id"))
+      val emb = t(s, dir, "embeddings")
+      val candEmb = emb
+        .join(broadcast(cand), emb("vec_id") === cand("doc_id"), "left_semi")
+        .localCheckpoint() // stage-1 result feeds BOTH the query pick and the rerank scan
+      val qid = candEmb.agg(min(col("vec_id"))).head().getLong(0)
+      Similarity
+        .bruteForceTopK(candEmb, candEmb.filter(col("vec_id") === qid),
+          "vec_id", "embedding", k = 10)
+        .orderBy(col("rank"))
+    }),
+
     // ---- REAL PNG pixel decode (round-8): gray-8 PNGs are generated
     // ARITHMETICALLY in SQL expressions — stored-mode zlib (BTYPE=00) with
     // the Adler-32 computed in closed form (s1 = 1+Σd, s2 = n+Σdᵢ·(n−i),
@@ -9682,6 +9710,44 @@ object SparkEntry {
         |SELECT doc_id, n_hit, score,
         |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
         |FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q370_retrieve_rerank" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tok
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |totals AS (
+        |  SELECT (SELECT COUNT(*) FROM toks) AS t, (SELECT COUNT(*) FROM documents) AS n),
+        |tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        |  WHERE tok IN ('hash', 'merge', 'window', 'spark', 'filter', 'slow')
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    (22 * tf.tf * t.t * 1000) // (10 * t.t * tf.tf + 3 * t.t + 9 * dl.dl * t.n) AS w_scaled,
+        |    ((2 * (t.n - d.df) + 1) * 1000) // (2 * d.df + 1) AS idf_scaled
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfreq d USING (tok) CROSS JOIN totals t),
+        |cand AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, CAST(SUM(idf_scaled * w_scaled) AS BIGINT) AS score
+        |    FROM scored GROUP BY 1) a
+        |  ORDER BY score DESC, doc_id ASC LIMIT 50),
+        |n AS (
+        |  SELECT vec_id, iv, CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS nrm
+        |  FROM (SELECT vec_id,
+        |          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+        |        FROM embeddings WHERE vec_id IN (SELECT doc_id FROM cand)) v),
+        |qsel AS (SELECT MIN(vec_id) AS qid FROM n),
+        |rer AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> q.iv[i] * c.iv[i])) AS BIGINT) AS dot,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> q.iv[i] * c.iv[i])) AS BIGINT)::DOUBLE
+        |      / (sqrt(q.nrm::DOUBLE) * sqrt(c.nrm::DOUBLE)) AS cosine
+        |  FROM n q JOIN qsel ON q.vec_id = qsel.qid
+        |  JOIN n c ON c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, dot, cosine, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM rer) r
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "q357_ivf_remove" ->
       """WITH n AS (
         |  SELECT vec_id, iv, CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS nrm
