@@ -2217,6 +2217,98 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ---- AQE skew-join mitigation (round-10): the AUTOMATIC answer to
+    // the skew q64 handles by hand-salting. A 99.9%-hot join key gives
+    // one shuffle partition virtually all the bytes; without AQE one
+    // task drags the whole stage (at 100 TB: one straggler for hours).
+    // With skew-join on, AQE splits the hot partition at the advisory
+    // size and duplicates the matching build rows — same results, wall
+    // clock divided by the split count. The require pins ENGAGEMENT
+    // structurally ("skew=true" on the executed SortMergeJoin), so the
+    // gate fails if a conf default or plan change ever silently turns
+    // the mitigation off. Three conditions had to be engineered and are
+    // load-bearing: (1) the fact scan is SPREAD first — AQE splits a
+    // skewed reduce partition at MAP-OUTPUT boundaries, so a single-split
+    // scan (one map task = one block) is structurally unsplittable no
+    // matter how skewed; (2) rows carry an incompressible md5 tag —
+    // skew detection reads COMPRESSED map sizes, and a partition of
+    // identical key values lz4-compresses below any sane threshold;
+    // (3) the dim side is MATERIALIZED — the rule only matches
+    // Sort-over-ShuffleStage, and a distinct() leaves a HashAggregate
+    // between them. Each was found by measurement, not the docs. ----
+    "q371_aqe_skew_join" -> ((s, dir) => {
+      val kExpr = expr("CASE WHEN l_orderkey % 1000 < 999 THEN 0 " +
+        "ELSE l_orderkey % 1000 END")
+      val fact = graft.ops.Par.spread(t(s, dir, "lineitem"), col("l_orderkey"))
+        .select(kExpr.as("k"), col("l_quantity"),
+          md5(concat(col("l_orderkey").cast("string"), lit("#"),
+            col("l_linenumber").cast("string"))).as("tag"))
+      val dim = t(s, dir, "lineitem")
+        .select(kExpr.as("k")).distinct()
+        .withColumn("label",
+          when(col("k") === 0, lit("hot")).otherwise(concat(lit("cold_"), col("k"))))
+        .localCheckpoint()
+      def joined = fact.join(dim, "k")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(d2)).cast("double").as("sum_qty"),
+          min(col("tag")).as("min_tag"),
+          max(col("tag")).as("max_tag"))
+        .orderBy(col("label"))
+      val saved = Seq(
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.enabled"
+      ).map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384")
+        s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+        s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        val df = joined
+        df.collect() // materialize so AQE finalizes the physical plan
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("skew=true"),
+          s"AQE skew-join must engage on the hot key:\n$plan")
+        df
+      } finally saved.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _))
+      }
+    }),
+
+    // ---- dynamic partition pruning (round-10): the star-join runtime
+    // prune — the fact table is month-partitioned (Tables.dppLayout),
+    // the filter lives on the DIM side (quarter = 1), and the fact query
+    // never names a month. DPP turns the dim filter into a runtime
+    // subquery on the fact's partition column via broadcast reuse, so
+    // the scan touches only matching month dirs — at 100 TB the
+    // difference between reading 3 months and reading 7 years. The
+    // require pins the dynamicpruning expression in the executed scan;
+    // the oracle recomputes from raw lineitem by quarter. ----
+    "q372_dynamic_partition_pruning" -> ((s, dir) => {
+      val fact = s.read.parquet(Tables.dppLayout(s, dir))
+      val dim = fact.select(col("ship_month")).distinct()
+        .withColumn("q", substring(col("ship_month"), 6, 2).cast("int"))
+        .withColumn("quarter", ((col("q") - 1) / 3 + 1).cast("int"))
+        .drop("q")
+      def joined = fact.join(dim.filter(col("quarter") === 1), Seq("ship_month"))
+        .groupBy(col("ship_month"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(d2)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(d2)).cast("double").as("sum_price"))
+        .orderBy(col("ship_month"))
+      val df = joined
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("dynamicpruning"),
+        s"DPP must inject a runtime partition filter:\n$plan")
+      df
+    }),
+
     // ---- Bloom-filter pre-filtered semi join: fact rows drop map-side
     // before the shuffle; exactness guaranteed by the verifying semi join
     // (oracle = plain EXISTS — the pruning layer is gate-checked) ----
@@ -9710,6 +9802,26 @@ object SparkEntry {
         |SELECT doc_id, n_hit, score,
         |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
         |FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q371_aqe_skew_join" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN l_orderkey % 1000 < 999 THEN 0
+        |              ELSE l_orderkey % 1000 END AS k, l_quantity,
+        |    md5(CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)) AS tag
+        |  FROM lineitem)
+        |SELECT CASE WHEN k = 0 THEN 'hot'
+        |            ELSE 'cold_' || CAST(k AS VARCHAR) END AS label,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  MIN(tag) AS min_tag, MAX(tag) AS max_tag
+        |FROM f GROUP BY 1 ORDER BY label""".stripMargin,
+    "q372_dynamic_partition_pruning" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE EXTRACT(quarter FROM l_shipdate) = 1
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin,
     "q370_retrieve_rerank" ->
       """WITH toks AS (
         |  SELECT doc_id, UNNEST(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tok

@@ -366,6 +366,37 @@ object Tables {
     dir.toString
   }
 
+  /** Month-partitioned lineitem layout for q372 (dynamic partition
+    * pruning): the star-schema fact layout — partitioned by
+    * `ship_month`, the column the date dimension joins on. At 100 TB
+    * this is the layout where DPP earns its keep: a filter on the DIM
+    * side (quarter, holiday flag, fiscal period) prunes FACT partitions
+    * at runtime through the broadcast-reused subquery, without the fact
+    * query ever naming the months explicitly.
+    */
+  def dppLayout(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.{col, date_format}
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${srcStamp(sfDir, "lineitem")}|dpp|v1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val dir = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-dpplayout-$key")
+    val done = new java.io.File(dir, "_LAYOUT_DONE")
+    splitLock.synchronized {
+      if (!done.exists()) {
+        apply(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+            col("l_shipdate"),
+            date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+          .write.mode("overwrite").partitionBy("ship_month")
+          .parquet(dir.toString)
+        done.createNewFile()
+        ()
+      }
+    }
+    dir.toString
+  }
+
   /** Co-bucketed table pair for q369 (orders + lineitem, both
     * `bucketBy(8, o_orderkey)` sorted within buckets): the layout that
     * makes the fact-to-fact join EXCHANGE-FREE — both sides arrive
