@@ -31,14 +31,20 @@ import graft.ops.Dedup
   */
 object DedupLadder300 {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // GRAFT_NO_AUTOBROADCAST=1: pin the pure-shuffle regime at EVERY rung,
+    // for isolating AQE broadcast-vs-SMJ regime boundaries from true
+    // operator slope (the 100->300 attribution run)
+    val spark = (if (sys.env.get("GRAFT_NO_AUTOBROADCAST").contains("1"))
+      b0.config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    else b0).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val only = args.toSet
 
