@@ -1441,11 +1441,20 @@ object SparkEntry {
       val candEmb = emb
         .join(broadcast(cand), emb("vec_id") === cand("doc_id"), "left_semi")
         .localCheckpoint() // stage-1 result feeds BOTH the query pick and the rerank scan
-      val qid = candEmb.agg(min(col("vec_id"))).head().getLong(0)
-      Similarity
-        .bruteForceTopK(candEmb, candEmb.filter(col("vec_id") === qid),
-          "vec_id", "embedding", k = 10)
-        .orderBy(col("rank"))
+      // a corpus where no candidate has an embedding yields an EMPTY rerank
+      // (the oracle's empty result), not a driver NPE on the null min
+      Option(candEmb.agg(min(col("vec_id"))).head().get(0)) match {
+        case None =>
+          candEmb.select(
+            col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+            lit(0L).as("dot"), lit(0.0).as("cosine"), lit(1).as("rank"))
+            .limit(0)
+        case Some(qid) =>
+          Similarity
+            .bruteForceTopK(candEmb, candEmb.filter(col("vec_id") === qid),
+              "vec_id", "embedding", k = 10)
+            .orderBy(col("rank"))
+      }
     }),
 
     // ---- REAL PNG pixel decode (round-8): gray-8 PNGs are generated

@@ -510,7 +510,9 @@ object Tables {
   def lexicalIndex(spark: SparkSession, sfDir: String): String = {
     import org.apache.spark.sql.functions.col
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${srcStamp(sfDir, "documents")}|lexidx|v1".getBytes("UTF-8"))
+      // v2: bucket-led write sort (the round-10 review fix) — bump forces
+      // cached indexes to rebuild with the guaranteed within-shard tok order
+      .digest(s"${srcStamp(sfDir, "documents")}|lexidx|v2".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     val dir = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-lexidx-$key")

@@ -123,8 +123,21 @@ object BloomSkipping {
                        bloomColumns: Seq[String], bitsPerItem: Int = 10): Int = {
     val rootPath = new HPath(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    updateBloomIndex(spark, root, readIndex(fs, rootPath), bloomColumns, bitsPerItem)
+  }
+
+  /** Pre-parsed-prior overload: callers that already read the index to
+    * decide WHETHER to refresh (Writer's maintenance hook, Compaction)
+    * pass it through instead of paying a second full read + parse of the
+    * blob-heavy JSON on the driver.
+    */
+  def updateBloomIndex(spark: SparkSession, root: String,
+                       prior: Option[BloomIndex],
+                       bloomColumns: Seq[String], bitsPerItem: Int): Int = {
+    val rootPath = new HPath(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val wanted = bloomColumns.map(_.toLowerCase).sorted.toList
-    readIndex(fs, rootPath) match {
+    prior match {
       case Some(idx) if idx.formatVersion == FormatVersion &&
           idx.colTypes.keySet == wanted.toSet &&
           (idx.tz == sessionTz(spark) ||
@@ -140,8 +153,10 @@ object BloomSkipping {
         commitIndex(spark, fs, rootPath, bloomColumns, actual, kept ++ freshEntries)
         fresh.size
       case _ =>
+        // writeBloomIndex already returns the count of exactly the files
+        // it indexed; re-listing here could race a concurrent append and
+        // misreport the files-scanned figure the spec treats as proof
         writeBloomIndex(spark, root, bloomColumns, bitsPerItem)
-        Skipping.listDataFiles(fs, rootPath).size
     }
   }
 
@@ -202,14 +217,29 @@ object BloomSkipping {
     val enc = java.util.Base64.getEncoder
     rows.toSeq.map { r =>
       val raw = r.getAs[String]("__file")
+      // input_file_name() is the percent-ENCODED URI form; the listing's
+      // keys (listDataFiles) are DECODED paths. Decode on every arm —
+      // an encoded-vs-decoded mismatch records size=-1, which fails the
+      // live-listing validation forever and silently disables the index.
       val rel =
         try rootUri.relativize(new java.net.URI(raw)).getPath
-        catch { case _: Exception => raw.stripPrefix(qualifiedRoot).stripPrefix("/") }
+        catch {
+          case _: Exception =>
+            val stripped = raw.stripPrefix(qualifiedRoot).stripPrefix("/")
+            try new java.net.URI(stripped).getPath
+            catch { case _: Exception => stripped }
+        }
+      val size = sizeByPath.getOrElse(rel, -1L)
+      if (size < 0)
+        System.err.println(s"[bloom-skipping] WARN: harvested file '$raw' " +
+          s"(rel '$rel') not found in the listing keys — this entry will " +
+          "fail the live-listing validation and the index will degrade to " +
+          "stats-only until rebuilt")
       val cols = resolved.flatMap { f =>
         Option(r.getAs[Array[Byte]](s"__bf_${f.name.toLowerCase}"))
           .map(b => f.name.toLowerCase -> enc.encodeToString(b))
       }.toMap
-      FileBlooms(rel, sizeByPath.getOrElse(rel, -1L), cols)
+      FileBlooms(rel, size, cols)
     }
   }
 
@@ -304,7 +334,7 @@ object BloomSkipping {
     * deserialized filters across the files of one pruning pass (the
     * filters dominate — decode each at most once per query, not per file).
     */
-  final class Prober(idx: BloomIndex) {
+  final class Prober(idx: BloomIndex, sessionTz: String) {
     private val types: Map[String, Option[DataType]] =
       idx.colTypes.map { case (n, ddl) =>
         n -> (try Some(CatalystSqlParser.parseDataType(ddl))
@@ -334,6 +364,15 @@ object BloomSkipping {
       // the COLUMN ('05' = 5 is true); the bloom holds raw column strings,
       // so only string-literal probes are sound on string columns
       if (colType.isInstanceOf[StringType] && !lit.dataType.isInstanceOf[StringType])
+        return true
+      // timestamp probes are only sound in the BUILD session's timezone:
+      // the engine interprets a string literal under the CURRENT session
+      // tz while the bloom holds strings rendered under idx.tz — under a
+      // drifted zone the two name different instants and a confident miss
+      // would silently drop matching rows. Never prune across the drift
+      // (updateBloomIndex refuses to EXTEND across it for the same reason).
+      if (colType.isInstanceOf[org.apache.spark.sql.types.TimestampType] &&
+        sessionTz != idx.tz)
         return true
       val bf = filterFor(f, colName).getOrElse(return true)
       canonicalHash(lit, colType) match {

@@ -22,12 +22,17 @@ import org.apache.spark.sql.SparkSession
   *     (a lone small file gains nothing from a rewrite);
   *  2. each bin is read (raw files — the physical schema rides along
   *     unchanged) and written as ONE file into a hidden staging dir;
-  *  3. commit order is duplicate-safe: the compacted file becomes
-  *     visible FIRST, then the originals are deleted. A reader listing
-  *     mid-commit can see a row twice, never lose one; a crash leaves
-  *     either a hidden staging dir (invisible to readers, re-listed and
-  *     swept by the next compaction) or transient duplicates that the
-  *     re-run resolves. Single-writer, same stance as
+  *  3. commit order is duplicate-safe AND crash-recoverable: a commit
+  *     JOURNAL (dest + source list, hidden dir) is written first, then
+  *     the compacted file becomes visible, then the originals are
+  *     deleted, then the journal. A reader listing mid-commit can see a
+  *     row twice, never lose one; a crash leaves either a hidden staging
+  *     dir (invisible to readers, swept by the next run) or a journaled
+  *     half-commit the next run COMPLETES (dest visible ⇒ finish the
+  *     source deletes; dest absent ⇒ drop the journal, originals are
+  *     intact) — without the journal, a crash between rename and deletes
+  *     would leave both copies live and the duplicate rows would be
+  *     baked in forever by the next pack. Single-writer, same stance as
   *     [[Writer.replaceWhere]]'s documented swap window; tables needing
   *     atomic maintenance use the versioned protocol
   *     ([[Writer.replaceWhereVersioned]]) where a compacted version
@@ -52,6 +57,26 @@ object Compaction {
     val rootPath = new HPath(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val qualifiedRoot = fs.makeQualified(rootPath).toString
+
+    // recover any interrupted COMMIT before anything else — including the
+    // `before` listing, which must not see files recovery deletes: if a
+    // crash landed between the rename (compacted file visible) and the
+    // source deletes, both copies of those rows are live — finish the
+    // deletes now, or the next pack would bake the duplicates in
+    // permanently. A journal whose dest never appeared is a pre-rename
+    // crash: the originals are intact, so the journal is simply dropped
+    // (the orphaned staging output is swept below).
+    val commits = new HPath(rootPath, ".graft-compact-commits")
+    if (fs.exists(commits)) {
+      for (st <- fs.listStatus(commits) if st.isFile) {
+        val lines = readText(fs, st.getPath).split("\n").filter(_.nonEmpty)
+        if (lines.nonEmpty && fs.exists(new HPath(rootPath, lines.head)))
+          lines.tail.foreach(rel => fs.delete(new HPath(rootPath, rel), false))
+        fs.delete(st.getPath, false)
+        ()
+      }
+    }
+
     val before = Skipping.listDataFiles(fs, rootPath)
 
     // sweep any staging leftovers from a crashed run (hidden, so readers
@@ -92,15 +117,24 @@ object Compaction {
       require(produced.length == 1,
         s"coalesce(1) must produce one file, got ${produced.length}")
       val destDir = if (dir.isEmpty) rootPath else new HPath(rootPath, dir)
-      val dest = new HPath(destDir,
-        s"part-gcompact-${java.util.UUID.randomUUID().toString.take(8)}.parquet")
+      val destName =
+        s"part-gcompact-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+      val dest = new HPath(destDir, destName)
+      val destRel = if (dir.isEmpty) destName else s"$dir/$destName"
+      // journal BEFORE the rename: dest first line, sources after — the
+      // recovery sweep above replays exactly this intent after a crash
+      val journal = new HPath(commits, s"commit-$binIdx.txt")
+      writeText(fs, journal,
+        (destRel +: files.map(_._1)).mkString("", "\n", "\n"))
       // visible-first, delete-after: duplicates possible mid-commit, loss never
       if (!fs.rename(produced(0).getPath, dest))
         throw new java.io.IOException(s"could not commit compacted file at $dest")
       files.foreach { case (rel, _) => fs.delete(new HPath(rootPath, rel), false) }
+      fs.delete(journal, false)
       rewritten += files.map(_._2).sum
     }
     fs.delete(staging, true)
+    fs.delete(commits, true)
 
     // keep pruning engaged: refresh whichever side-indexes the root carries,
     // incrementally (only the compacted outputs are harvested / scanned)
@@ -109,10 +143,27 @@ object Compaction {
       ()
     }
     BloomSkipping.readIndex(fs, rootPath).foreach { idx =>
-      BloomSkipping.updateBloomIndex(spark, root, idx.colTypes.keys.toSeq.sorted)
+      BloomSkipping.updateBloomIndex(spark, root, Some(idx),
+        idx.colTypes.keys.toSeq.sorted, bitsPerItem = 10)
       ()
     }
     val after = Skipping.listDataFiles(fs, rootPath)
     Report(before.size, after.size, bins.size, rewritten)
+  }
+
+  private def readText(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toString("UTF-8")
+    } finally in.close()
+  }
+
+  private def writeText(fs: FileSystem, p: HPath, txt: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(txt.getBytes("UTF-8")) finally out.close()
   }
 }

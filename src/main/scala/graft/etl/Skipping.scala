@@ -431,7 +431,8 @@ object Skipping {
                 BloomSkipping.validated(idx, actual, root) match {
                   case None => (statsSurvivors, -1)
                   case Some(byPath) =>
-                    val prober = new BloomSkipping.Prober(idx)
+                    val prober = new BloomSkipping.Prober(idx,
+                      spark.sessionState.conf.sessionLocalTimeZone)
                     (statsSurvivors.filter(f => byPath.get(f.path)
                       .forall(fb => mayMatchBloom(expr, fb, prober))),
                       statsSurvivors.size)

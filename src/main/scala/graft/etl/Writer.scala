@@ -75,7 +75,8 @@ object Writer {
     val p = new HPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     BloomSkipping.readIndex(fs, p).foreach { idx =>
-      BloomSkipping.updateBloomIndex(spark, path, idx.colTypes.keys.toSeq.sorted)
+      BloomSkipping.updateBloomIndex(spark, path, Some(idx),
+        idx.colTypes.keys.toSeq.sorted, bitsPerItem = 10)
       ()
     }
   }

@@ -60,7 +60,12 @@ object Lexical {
       .withColumn("bucket", pmod(crc32(col("tok")), lit(buckets.toLong)).cast("int"))
     postings
       .repartition(col("bucket"))
-      .sortWithinPartitions(col("tok"), col("doc_id"))
+      // bucket LEADS the sort: partitionBy requires ordering on the
+      // partition column, and a (tok, doc_id)-only sort would make the
+      // writer insert its OWN sort on bucket — a second full sort whose
+      // stability the within-shard tok order (the row-group pruning
+      // property) would silently depend on
+      .sortWithinPartitions(col("bucket"), col("tok"), col("doc_id"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$root/postings")
     toks.agg(count(lit(1)).as("t"))
       .crossJoin(docs.agg(count(lit(1)).as("n")))

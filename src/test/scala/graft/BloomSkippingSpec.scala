@@ -127,6 +127,29 @@ class BloomSkippingSpec extends SparkTestBase {
     assert(ts.df.count() > 0, "timestamp literal must not lose rows")
   }
 
+  test("timestamp probes NEVER prune across a session-timezone drift") {
+    // the engine interprets a string literal under the CURRENT session tz
+    // while the bloom holds strings rendered under the BUILD tz — under a
+    // drifted zone the two name different instants, so a confident miss
+    // would silently drop matching rows. The guard answers may-match.
+    val root = scatteredLayout("tzdrift") // built under the session default (UTC)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      // rows matching under LA tz exist (instant 1995-01-03T08:00Z renders
+      // as 1995-01-03 00:00:00 LA); the UTC-built bloom has no such string
+      val pr = pruned(root, "ts = '1995-01-02 16:00:00'")
+      assert(pr.fallback.isEmpty, s"manifest should engage: ${pr.fallback}")
+      assert(sortedRows(pr.df) ==
+        sortedRows(spark.read.parquet(root).filter("ts = '1995-01-02 16:00:00'")),
+        "tz-drifted timestamp probe must not lose rows")
+      assert(pr.df.count() > 0, "the drifted probe matches real rows")
+      // date probes stay prunable across the drift (dates are tz-free)
+      val d = assertCorrect(root, "d = '1995-01-03'")
+      assert(d.df.count() > 0)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("null literals never probe; null-safe equality keeps files") {
     val root = scatteredLayout("nulls")
     val eq = assertCorrect(root, "id = NULL") // matches nothing, stats rule

@@ -111,6 +111,42 @@ class CompactionSpec extends SparkTestBase {
     assert(sortedRows(spark.read.parquet(root)) == rowsBefore)
   }
 
+  test("a crash between commit rename and source deletes is RECOVERED, not baked in") {
+    // simulate the half-commit the journal exists for: the compacted file
+    // is already visible AND its sources are still live (duplicates), and
+    // the journal records the intent. The next compact() must finish the
+    // deletes BEFORE re-packing — without recovery the duplicate rows
+    // would survive every subsequent pack, permanently inflating counts.
+    val root = fragmented("halfcommit", nFiles = 8)
+    val f = fs(root)
+    val rowsWant = sortedRows(spark.read.parquet(root))
+    val before = files(root)
+    // build a real compacted twin of two source files, made visible
+    val victims = before.take(2)
+    val dupDir = tmpDir("halfcommit-dup")
+    spark.read.parquet(victims.map { case (rel, _) => s"$root/$rel" }: _*)
+      .coalesce(1).write.mode("overwrite").parquet(dupDir)
+    val produced = f.listStatus(new HPath(dupDir))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_")).head
+    val destRel = "part-gcompact-testdup.parquet"
+    f.rename(produced.getPath, new HPath(new HPath(root), destRel))
+    // duplicates are now live: the table double-counts the victims' rows
+    val victimRows =
+      spark.read.parquet(victims.map { case (rel, _) => s"$root/$rel" }: _*).count()
+    assert(spark.read.parquet(root).count() == rowsWant.size + victimRows)
+    // the journal that a crashed run would have left behind
+    val commits = new HPath(new HPath(root), ".graft-compact-commits")
+    f.mkdirs(commits)
+    val out = f.create(new HPath(commits, "commit-0.txt"), true)
+    out.write((destRel +: victims.map(_._1)).mkString("", "\n", "\n").getBytes("UTF-8"))
+    out.close()
+    val total = files(root).map(_._2).sum
+    Compaction.compact(spark, root, targetBytes = total / 4 + 1)
+    assert(!f.exists(commits), "journals must be consumed")
+    assert(sortedRows(spark.read.parquet(root)) == rowsWant,
+      "recovery must delete the journaled sources — duplicates never bake in")
+  }
+
   test("q362 gate artifact compacts and matches the source at sf0.001") {
     val df = SparkEntry.queries("q362_compaction")(spark, sf())
     assert(df.count() > 0)

@@ -36,12 +36,7 @@ object Q309Lab {
     println(s"base docs=${baseDocs.count()}")
     val keepIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
 
-    def docsAt(f: Int): DataFrame =
-      baseDocs.crossJoin(spark.range(f.toLong).toDF("i"))
-        .select((col("doc_id") * f + col("i")).as("doc_id"),
-          array_join(transform(
-            filter(split(trim(col("text")), "\\s+"), x => x =!= ""),
-            x => concat(x, lit("_"), col("i"))), " ").as("text"))
+    def docsAt(f: Int): DataFrame = ReplicaInflation.docsAt(baseDocs, f)
 
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(30, 100)
     for (f <- scales) {

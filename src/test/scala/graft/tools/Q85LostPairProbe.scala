@@ -44,12 +44,7 @@ object Q85LostPairProbe {
     val baseEdges = edges(reps(baseDocs).localCheckpoint(true)).localCheckpoint(true)
     println(s"base edges: ${baseEdges.count()}")
 
-    val docs = baseDocs.crossJoin(spark.range(f.toLong).toDF("i"))
-      .select((col("doc_id") * f + col("i")).as("doc_id"),
-        array_join(transform(
-          filter(split(trim(col("text")), "\\s+"), x => x =!= ""),
-          x => concat(x, lit("_"), col("i"))), " ").as("text"))
-      .localCheckpoint()
+    val docs = ReplicaInflation.docsAt(baseDocs, f).localCheckpoint()
     val bigReps = reps(docs).localCheckpoint(true)
     val bigEdges = edges(bigReps).localCheckpoint(true)
     println(s"f=$f edges: ${bigEdges.count()}")

@@ -26,12 +26,7 @@ object Q85ReplicaProbe {
     val baseDocs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select(col("doc_id"), col("text")).localCheckpoint()
 
-    def docsAt(f: Int): DataFrame =
-      baseDocs.crossJoin(spark.range(f.toLong).toDF("i"))
-        .select((col("doc_id") * f + col("i")).as("doc_id"),
-          array_join(transform(
-            filter(split(trim(col("text")), "\\s+"), x => x =!= ""),
-            x => concat(x, lit("_"), col("i"))), " ").as("text"))
+    def docsAt(f: Int): DataFrame = ReplicaInflation.docsAt(baseDocs, f)
 
     for (f <- sys.env.get("GRAFT_PROBE_SCALES")
         .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 3, 10, 30))) {

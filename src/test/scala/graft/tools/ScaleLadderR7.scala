@@ -118,12 +118,7 @@ object ScaleLadderR7 {
         .select((col("u") + col("rep") * Off).as("u"),
           (col("v") + col("rep") * Off).as("v"), col("w"))
     def docsAt(f: Int): DataFrame =
-      if (f == 1) baseDocs
-      else baseDocs.crossJoin(spark.range(f.toLong).toDF("i"))
-        .select((col("doc_id") * f + col("i")).as("doc_id"),
-          array_join(transform(
-            filter(split(trim(col("text")), "\\s+"), x => x =!= ""),
-            x => concat(x, lit("_"), col("i"))), " ").as("text"))
+      if (f == 1) baseDocs else ReplicaInflation.docsAt(baseDocs, f)
     def pointsAt(f: Int): DataFrame =
       if (f == 1) basePoints
       else basePoints.crossJoin(spark.range(f.toLong).toDF("rep"))

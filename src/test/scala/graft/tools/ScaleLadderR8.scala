@@ -116,12 +116,7 @@ object ScaleLadderR8 {
       baseEdges.crossJoin(spark.range(f.toLong).toDF("rep"))
         .select((col("u") + col("rep") * Off).as("u"),
           (col("v") + col("rep") * Off).as("v"), col("w"))
-    def docsAt(f: Int): DataFrame =
-      baseDocs.crossJoin(spark.range(f.toLong).toDF("i"))
-        .select((col("doc_id") * f + col("i")).as("doc_id"),
-          array_join(transform(
-            filter(split(trim(col("text")), "\\s+"), x => x =!= ""),
-            x => concat(x, lit("_"), col("i"))), " ").as("text"))
+    def docsAt(f: Int): DataFrame = ReplicaInflation.docsAt(baseDocs, f)
 
     val scales = sys.env.get("GRAFT_LADDER_SCALES")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(30, 100))
