@@ -2318,6 +2318,40 @@ object SparkEntry {
       df
     }),
 
+    // ---- metadata-only aggregation (round-10): COUNT(*), non-null
+    // counts, and exact MIN/MAX answered from the stats MANIFEST alone —
+    // zero data files opened (the Iceberg/Delta "metadata query" path;
+    // at 100 TB, a footer-ledger lookup instead of an hours-long scan
+    // for the row-count/freshness/range queries every catalog UI runs).
+    // Strict by construction: Skipping.metadataSummary returns None —
+    // never a wrong number — unless the manifest is current against the
+    // live listing and every file carries the stat; string columns are
+    // excluded from bounds (parquet may truncate binary min/max). The
+    // result is a driver-built LocalRelation — the plan cannot contain a
+    // scan; the oracle proves the metadata math equals the full scan. ----
+    "q373_metadata_agg" -> ((s, dir) => {
+      val root = Tables.skippingLayout(s, dir, "date")
+      val (rows, cols) = graft.etl.Skipping.metadataSummary(s, root)
+        .getOrElse(throw new IllegalStateException(
+          "manifest must be present and current for the metadata query"))
+      def c(name: String) = cols.getOrElse(name, throw new IllegalStateException(
+        s"column $name must carry complete stats"))
+      def lo(name: String) = c(name).lo.get
+      def hi(name: String) = c(name).hi.get
+      import s.implicits._
+      Seq((rows, c("l_quantity").nonNull,
+        lo("l_quantity").toDouble, hi("l_quantity").toDouble,
+        lo("l_shipdate_d"), hi("l_shipdate_d"),
+        lo("l_partkey").toLong, hi("l_partkey").toLong,
+        c("l_returnflag").nonNull))
+        .toDF("n_rows", "qty_non_null", "qty_min", "qty_max",
+          "date_min_s", "date_max_s", "pk_min", "pk_max", "flag_non_null")
+        .select(col("n_rows"), col("qty_non_null"), col("qty_min"), col("qty_max"),
+          to_date(col("date_min_s")).as("date_min"),
+          to_date(col("date_max_s")).as("date_max"),
+          col("pk_min"), col("pk_max"), col("flag_non_null"))
+    }),
+
     // ---- Bloom-filter pre-filtered semi join: fact rows drop map-side
     // before the shuffle; exactness guaranteed by the verifying semi join
     // (oracle = plain EXISTS — the pruning layer is gate-checked) ----
@@ -9811,6 +9845,15 @@ object SparkEntry {
         |SELECT doc_id, n_hit, score,
         |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
         |FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q373_metadata_agg" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(l_quantity) AS qty_non_null,
+        |  MIN(l_quantity) AS qty_min, MAX(l_quantity) AS qty_max,
+        |  MIN(CAST(l_shipdate AS DATE)) AS date_min,
+        |  MAX(CAST(l_shipdate AS DATE)) AS date_max,
+        |  MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+        |  COUNT(l_returnflag) AS flag_non_null
+        |FROM lineitem""".stripMargin,
     "q371_aqe_skew_join" ->
       """WITH f AS (
         |  SELECT CASE WHEN l_orderkey % 1000 < 999 THEN 0

@@ -454,6 +454,76 @@ object Skipping {
     }
   }
 
+  /** One stats column summarized ACROSS the manifest's files: non-null
+    * count, and — for `num`/`date` typed stats only — the exact global
+    * lo/hi in canonical string form. Strings are excluded from bounds by
+    * design: parquet writers may TRUNCATE binary min/max, so a string
+    * bound is a pruning aid, not an exact answer.
+    */
+  final case class ColSummary(typ: String, nonNull: Long,
+                              lo: Option[String], hi: Option[String])
+
+  /** Metadata-only aggregation — the Iceberg/Delta "metadata query"
+    * path: COUNT(*), per-column non-null counts, and exact MIN/MAX for
+    * numeric/date stats columns answered from the MANIFEST ALONE, zero
+    * data files opened. At 100 TB this is the difference between a
+    * footer-ledger lookup and an hours-long scan for the queries every
+    * catalog UI runs (row counts, freshness watermarks, value ranges).
+    *
+    * STRICT by contract: returns None — never a wrong number — unless
+    * the manifest is present, current against the live listing (same
+    * self-validation as [[readPrunedDetailed]]), and every file carries
+    * the needed stat. A file with absent bounds contributes to lo/hi
+    * only if its null count PROVES it is all-null for that column;
+    * otherwise the column's bounds are unknown and reported None.
+    */
+  def metadataSummary(spark: SparkSession, root: String)
+      : Option[(Long, Map[String, ColSummary])] = {
+    val rootPath = new HPath(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val actual = listDataFiles(fs, rootPath)
+    readManifest(fs, rootPath) match {
+      case Some(m) if m.formatVersion == FormatVersion &&
+          m.files.map(f => (f.path, f.size)).toSet == actual.toSet =>
+        val totalRows = m.files.map(_.rows).sum
+        val cols = m.statsColumns.map { c =>
+          val per = m.files.map(f => (f.rows, f.cols.get(c)))
+          if (per.exists(_._2.isEmpty)) c -> None
+          else {
+            val stats = per.map { case (r, s) => (r, s.get) }
+            val nonNull =
+              if (stats.exists(_._2.nulls.isEmpty)) None
+              else Some(totalRows - stats.map(_._2.nulls.get).sum)
+            val typ = stats.head._2.t
+            // a file may contribute no bounds ONLY if provably all-null
+            def bound(pick: Seq[String] => String): Option[String] = {
+              if (typ != "num" && typ != "date") return None
+              val vals = stats.flatMap { case (r, s) =>
+                (s.lo, s.hi) match {
+                  case (Some(l), Some(h)) => Some((l, h))
+                  case _ if s.nulls.contains(r) => None // all-null: no values
+                  case _ => return None // bounds genuinely unknown
+                }
+              }
+              if (vals.isEmpty) None
+              else Some(pick(vals.map(_._1) ++ vals.map(_._2)))
+            }
+            def cmp(a: String, b: String): Int =
+              if (typ == "num") BigDecimal(a).compare(BigDecimal(b))
+              else a.compareTo(b) // ISO dates: lexicographic = chronological
+            val lo = bound(vs => vs.reduce((a, b) => if (cmp(a, b) <= 0) a else b))
+            val hi = bound(vs => vs.reduce((a, b) => if (cmp(a, b) >= 0) a else b))
+            nonNull match {
+              case Some(nn) => c -> Some(ColSummary(typ, nn, lo, hi))
+              case None => c -> None
+            }
+          }
+        }.collect { case (c, Some(s)) => c -> s }.toMap
+        Some((totalRows, cols))
+      case _ => None
+    }
+  }
+
   def readManifest(fs: FileSystem, root: HPath): Option[Manifest] = {
     val p = new HPath(root, ManifestName)
     if (!fs.exists(p)) None

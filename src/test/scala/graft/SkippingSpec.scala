@@ -95,6 +95,34 @@ class SkippingSpec extends SparkTestBase {
     assert(stale.df.count() == 10)
   }
 
+  test("metadataSummary answers from footers alone, and refuses when stale") {
+    import spark.implicits._
+    val root = tmpDir("metaagg")
+    (1 to 100).map(i => (i.toLong, if (i % 10 == 0) null else s"v$i"))
+      .toDF("k", "v")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(root)
+    Skipping.writeManifest(spark, root, Seq("k", "v"))
+    val (rows, cols) = Skipping.metadataSummary(spark, root)
+      .getOrElse(fail("summary must be available on a current manifest"))
+    assert(rows == 100)
+    assert(cols("k").nonNull == 100)
+    assert(cols("k").lo.contains("1") && cols("k").hi.contains("100"))
+    assert(cols("v").nonNull == 90) // nulls subtracted exactly
+    // strings are EXCLUDED from bounds (parquet may truncate binary stats)
+    assert(cols("v").lo.isEmpty && cols("v").hi.isEmpty)
+    // drift: a file lands behind the manifest's back -> None, never a
+    // wrong count
+    Seq((1000L, "late")).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(root)
+    assert(Skipping.metadataSummary(spark, root).isEmpty,
+      "a stale manifest must refuse, not undercount")
+    // incremental refresh re-engages with the new file included
+    Skipping.updateManifest(spark, root, Seq("k", "v"))
+    val (rows2, cols2) = Skipping.metadataSummary(spark, root).get
+    assert(rows2 == 101 && cols2("k").hi.contains("1000"))
+  }
+
   test("missing manifest falls back to a full scan with a reason") {
     import spark.implicits._
     val root = tmpDir("nomanifest")
