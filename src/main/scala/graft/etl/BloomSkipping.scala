@@ -50,11 +50,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (TRY mode: uncastable ⇒ keep) → STRING → XxHash64. Casting the
   * literal THROUGH the column type first mirrors Spark's comparison
   * coercion for every numeric/date/decimal column (`intCol = '05'`
-  * matches rows with value 5; the probe hashes "5", not "05"). The one
-  * direction that cannot be mirrored is a STRING column compared to a
-  * non-string literal — Spark casts the COLUMN, and "05" = 5 is true
-  * while the bloom only holds "05" — so that shape never prunes, the
-  * same rule [[Skipping]]'s stats evaluator applies to its string arm.
+  * matches rows with value 5; the probe hashes "5", not "05"). TWO
+  * directions cannot be mirrored, and both answer "may match" instead
+  * of ever pruning: (a) a STRING column compared to a non-string
+  * literal — Spark casts the COLUMN, and "05" = 5 is true while the
+  * bloom only holds "05" (the same rule [[Skipping]]'s stats evaluator
+  * applies to its string arm); (b) an INTEGRAL or DECIMAL column
+  * compared to a FRACTIONAL (float/double) literal — Spark coerces
+  * BOTH sides to DOUBLE, which is lossy on the column side (distinct
+  * longs past 2^53, or high-scale decimals, collapse onto one double),
+  * so several distinct column values satisfy the predicate while the
+  * probe could only hash the single `try_cast(lit AS colType)` value.
+  * (String literals are safe: measured on Spark 4 with ANSI both off
+  * and on, a string literal casts to the COLUMN's type — exactly the
+  * canonicalization pipeline — not double-promoted.)
   * Timestamp canonicalization is session-timezone-dependent; the index
   * records the build session's zone and the probe casts with it, and
   * [[updateBloomIndex]] refuses to extend across a zone change when a
@@ -71,7 +80,11 @@ object BloomSkipping {
   final case class FileBlooms(path: String, size: Long, b64: Map[String, String])
   final case class BloomIndex(formatVersion: Int, stamp: String, tz: String,
                               colTypes: Map[String, String], // lowercase name -> DDL
-                              files: List[FileBlooms])
+                              files: List[FileBlooms],
+                              // build-time sizing, recorded so incremental
+                              // refresh keeps the owner's FPP target instead
+                              // of silently resizing new files' filters
+                              bitsPerItem: Int = 10)
 
   /** ~10 bits/item ≈ 1% FPP, floored at 64 Kbit and capped at 8 Mbit
     * (1 MB serialized) per column per file — past the cap the filter
@@ -101,13 +114,16 @@ object BloomSkipping {
     */
   def writeBloomIndex(spark: SparkSession, root: String,
                       bloomColumns: Seq[String], bitsPerItem: Int = 10): Int = {
+    require(bloomColumns.nonEmpty,
+      s"writeBloomIndex($root): bloomColumns must be non-empty — an index " +
+        "over zero columns can never prune anything")
     val rootPath = new HPath(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = Skipping.listDataFiles(fs, rootPath)
     val entries =
       if (files.isEmpty) Seq.empty
       else harvestBlooms(spark, fs, rootPath, files, bloomColumns, bitsPerItem)
-    commitIndex(spark, fs, rootPath, bloomColumns, files, entries)
+    commitIndex(spark, fs, rootPath, bloomColumns, files, entries, bitsPerItem)
     files.size
   }
 
@@ -134,6 +150,9 @@ object BloomSkipping {
   def updateBloomIndex(spark: SparkSession, root: String,
                        prior: Option[BloomIndex],
                        bloomColumns: Seq[String], bitsPerItem: Int): Int = {
+    require(bloomColumns.nonEmpty,
+      s"updateBloomIndex($root): bloomColumns must be non-empty — an index " +
+        "over zero columns can never prune anything")
     val rootPath = new HPath(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val wanted = bloomColumns.map(_.toLowerCase).sorted.toList
@@ -147,10 +166,16 @@ object BloomSkipping {
         val kept = idx.files.filter(f => actualSet((f.path, f.size)))
         val known = kept.map(f => (f.path, f.size)).toSet
         val fresh = actual.filterNot(known)
+        // extend with the index's RECORDED sizing, not the caller's: a
+        // maintenance hook that hardcoded a default would otherwise
+        // silently drift the FPP of new files away from the build target.
+        // Resizing an index is a full writeBloomIndex rebuild by design.
         val freshEntries =
           if (fresh.isEmpty) Seq.empty
-          else harvestBlooms(spark, fs, rootPath, fresh, bloomColumns, bitsPerItem)
-        commitIndex(spark, fs, rootPath, bloomColumns, actual, kept ++ freshEntries)
+          else harvestBlooms(spark, fs, rootPath, fresh, bloomColumns,
+            idx.bitsPerItem)
+        commitIndex(spark, fs, rootPath, bloomColumns, actual,
+          kept ++ freshEntries, idx.bitsPerItem)
         fresh.size
       case _ =>
         // writeBloomIndex already returns the count of exactly the files
@@ -245,7 +270,7 @@ object BloomSkipping {
 
   private def commitIndex(spark: SparkSession, fs: FileSystem, rootPath: HPath,
                           bloomColumns: Seq[String], allFiles: Seq[(String, Long)],
-                          entries: Seq[FileBlooms]): Unit = {
+                          entries: Seq[FileBlooms], bitsPerItem: Int): Unit = {
     // record the GLOBAL column types (probe-side canonicalization input);
     // resolved against the root's schema so partition columns type
     // consistently with what a reader of this root sees
@@ -278,6 +303,7 @@ object BloomSkipping {
       val j = ("formatVersion" -> FormatVersion) ~
         ("stamp" -> s"graft-${System.currentTimeMillis()}") ~
         ("tz" -> sessionTz(spark)) ~
+        ("bitsPerItem" -> bitsPerItem) ~
         ("colTypes" -> org.json4s.JObject(
           colTypes.toList.sortBy(_._1).map { case (n, t) => n -> org.json4s.JString(t) })) ~
         ("files" -> filesJ)
@@ -365,6 +391,22 @@ object BloomSkipping {
       // so only string-literal probes are sound on string columns
       if (colType.isInstanceOf[StringType] && !lit.dataType.isInstanceOf[StringType])
         return true
+      // an integral/decimal column vs a FRACTIONAL literal coerces BOTH
+      // sides to DOUBLE — lossy on the column side, so distinct column
+      // values (longs past 2^53; high-scale decimals) can collapse onto
+      // the literal's double while the probe hashes only the single
+      // try_cast(lit AS colType) value. A confident miss here would
+      // silently drop matching rows; never prune this shape.
+      import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType}
+      val litFractional = lit.dataType == FloatType || lit.dataType == DoubleType
+      val colLossyUnderDouble = colType == ByteType || colType == ShortType ||
+        colType == IntegerType || colType == LongType ||
+        colType.isInstanceOf[DecimalType]
+      if (litFractional && colLossyUnderDouble)
+        return true
+      // (string literals are SAFE here: measured on Spark 4 with ANSI
+      // both off and on, a string literal is cast to the COLUMN's type —
+      // exactly the canonicalHash pipeline below — not double-promoted)
       // timestamp probes are only sound in the BUILD session's timezone:
       // the engine interprets a string literal under the CURRENT session
       // tz while the bloom holds strings rendered under idx.tz — under a
@@ -421,6 +463,12 @@ object BloomSkipping {
               fields.map { case (n, v) => n -> v.extract[String] }.toMap
             case _ => Map.empty
           })
+      },
+      // indexes written before sizing was recorded default to the build
+      // default they were actually built with
+      (j \ "bitsPerItem") match {
+        case JInt(n) => n.toInt
+        case _ => 10
       })
   }
 }

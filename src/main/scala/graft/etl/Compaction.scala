@@ -108,7 +108,13 @@ object Compaction {
     for ((dir, files) <- bins) {
       val binStage = new HPath(staging, s"bin-$binIdx")
       binIdx += 1
-      spark.read.parquet(files.map { case (rel, _) => s"$qualifiedRoot/$rel" }: _*)
+      // mergeSchema: files in a bin can carry evolved schemas (a column
+      // added after some were written); without the union schema the
+      // sampled file's schema wins and absent columns are silently
+      // DROPPED from the compacted output — permanent loss once the
+      // originals are deleted below
+      spark.read.option("mergeSchema", "true")
+        .parquet(files.map { case (rel, _) => s"$qualifiedRoot/$rel" }: _*)
         .coalesce(1)
         .write.mode("overwrite").parquet(binStage.toString)
       val produced = fs.listStatus(binStage)
@@ -144,7 +150,7 @@ object Compaction {
     }
     BloomSkipping.readIndex(fs, rootPath).foreach { idx =>
       BloomSkipping.updateBloomIndex(spark, root, Some(idx),
-        idx.colTypes.keys.toSeq.sorted, bitsPerItem = 10)
+        idx.colTypes.keys.toSeq.sorted, bitsPerItem = idx.bitsPerItem)
       ()
     }
     val after = Skipping.listDataFiles(fs, rootPath)

@@ -674,9 +674,13 @@ object Skipping {
     case StringType => Some(("string", l.value.toString))
     case ByteType | ShortType | IntegerType | LongType => Some(("num", l.value.toString))
     case FloatType | DoubleType =>
+      // distinct kind: a FRACTIONAL literal forces Spark to coerce BOTH
+      // comparison sides to DOUBLE regardless of the column's numeric
+      // type, so the evaluator must compare in double space (exact
+      // BigDecimal order disagrees past 2^53 and would lose rows)
       val d = l.value.asInstanceOf[Number].doubleValue()
       if (d.isNaN || d.isInfinite) None
-      else Some(("num", BigDecimal(d).bigDecimal.toPlainString))
+      else Some(("fnum", BigDecimal(d).bigDecimal.toPlainString))
     case _: DecimalType =>
       Some(("num", l.value.asInstanceOf[org.apache.spark.sql.types.Decimal]
         .toJavaBigDecimal.toPlainString))
@@ -736,9 +740,41 @@ object Skipping {
                           stat: String, litV: String): Option[Int] = {
     def num(s: String): Option[BigDecimal] =
       try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
+    // double-space comparison mirrors Spark's lossy-but-MONOTONE cast of
+    // each side to double (nearest-even), so min/max bounds survive it;
+    // column values never overflow double (long ≤ 9.2e18, decimal ≤ 1e38)
+    def dblCmp(a: String, b: String): Int =
+      java.lang.Double.compare(BigDecimal(a).toDouble, BigDecimal(b).toDouble)
     (colT, litK) match {
-      case ("num", "num") => Some(BigDecimal(stat).compare(BigDecimal(litV)))
-      case ("num", "string") => num(litV).map(BigDecimal(stat).compare)
+      case ("num", "num") =>
+        // the column's runtime type is invisible here: integral/decimal
+        // columns compare EXACTLY against an integral/decimal literal,
+        // but a float/double column drags the comparison into DOUBLE
+        // space, where distinct exact values past 2^53 collapse (a
+        // double column holding 2^53 DOES match the bigint literal
+        // 2^53+1, which exact order calls unequal → silent row loss).
+        // Answer only when the two orders agree; a disagreement keeps
+        // the file — sound under either typing, the same discipline as
+        // the ("part","string") arm below.
+        val exact = Integer.signum(BigDecimal(stat).compare(BigDecimal(litV)))
+        if (exact == Integer.signum(dblCmp(stat, litV))) Some(exact) else None
+      case ("num", "fnum") =>
+        // fractional literal: BOTH sides are coerced to double no matter
+        // the column's numeric type — double space is the exact mirror
+        Some(dblCmp(stat, litV))
+      case ("num", "string") =>
+        // measured (Spark 4, ANSI off AND on): a string literal is cast
+        // to the COLUMN's type — exact order mirrors integral/decimal
+        // columns, but a float/double column compares in double space,
+        // where a long-form literal ('0.3000...125') matches the stored
+        // double whose exact rendering differs. Column type unknown here
+        // → agree-or-keep, as above.
+        num(litV).flatMap { lv =>
+          val exact = Integer.signum(BigDecimal(stat).compare(lv))
+          val dbl = Integer.signum(
+            java.lang.Double.compare(BigDecimal(stat).toDouble, lv.toDouble))
+          if (exact == dbl) Some(exact) else None
+        }
       case ("date", "date") => Some(utf8Compare(stat, litV))
       case ("date", "string") =>
         normalizeDateLit(litV).map(utf8Compare(stat, _))
@@ -771,7 +807,17 @@ object Skipping {
             if (raw == norm) Some(raw) else None
           case _ => Some(utf8Compare(stat, litV))
         }
-      case ("part", "num") => num(stat).map(_.compare(BigDecimal(litV)))
+      case ("part", "num") =>
+        // same unknown-typing hazard as ("num","num"): an inferred DOUBLE
+        // partition column compares in double space — agree-or-keep
+        num(stat).flatMap { s =>
+          val exact = Integer.signum(s.compare(BigDecimal(litV)))
+          val dbl = Integer.signum(
+            java.lang.Double.compare(s.toDouble, BigDecimal(litV).toDouble))
+          if (exact == dbl) Some(exact) else None
+        }
+      case ("part", "fnum") => num(stat).map(s =>
+        java.lang.Double.compare(s.toDouble, BigDecimal(litV).toDouble))
       case _ => None
     }
   }

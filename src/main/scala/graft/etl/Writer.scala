@@ -76,7 +76,7 @@ object Writer {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     BloomSkipping.readIndex(fs, p).foreach { idx =>
       BloomSkipping.updateBloomIndex(spark, path, Some(idx),
-        idx.colTypes.keys.toSeq.sorted, bitsPerItem = 10)
+        idx.colTypes.keys.toSeq.sorted, bitsPerItem = idx.bitsPerItem)
       ()
     }
   }

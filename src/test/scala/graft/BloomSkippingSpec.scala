@@ -232,4 +232,71 @@ class BloomSkippingSpec extends SparkTestBase {
     val df = SparkEntry.queries("q361_skipping_bloom")(spark, sf())
     assert(df.count() > 0)
   }
+
+  // ------------------------------ double-space coercion collapse (round 11)
+
+  test("double-space coercion collapse never loses rows (stats AND blooms)") {
+    import spark.implicits._
+    val root = tmpDir("lossy")
+    val big = 1L << 53 // 9007199254740992: smallest long with a collapse twin
+    // round-robin into 4 files: each value's min==max IS the value, so an
+    // exact-order evaluator confidently (and wrongly) prunes its twin's file
+    Seq((big, 0.5), (big + 1, 1.5), (100L, 9007199254740992.0), (200L, 2.5))
+      .toDF("big", "dcol")
+      .repartition(4).write.mode("overwrite").parquet(root)
+    Skipping.writeManifest(spark, root, Seq("big", "dcol"))
+    BloomSkipping.writeBloomIndex(spark, root, Seq("big", "dcol"))
+    // fractional literal vs bigint column: Spark coerces BOTH sides to
+    // double, so 2^53 and 2^53+1 BOTH match — neither file may prune
+    val eq = assertCorrect(root, "big = 9007199254740993.0D")
+    assert(eq.df.count() == 2, "both 2^53-collapsed longs must survive '='")
+    // a STRING literal casts to the COLUMN type (measured, ANSI on and
+    // off) — exact semantics, so the twin does NOT match and the probe
+    // may (and should) still prune its file
+    val s = assertCorrect(root, "big = '9007199254740992'")
+    assert(s.df.count() == 1, "string literal is cast to bigint: exact match only")
+    assert(s.selected == 1, "canonicalized string probe must still prune")
+    // non-strict range with a fractional literal: (double)(2^53+1) <= 2^53
+    val le = assertCorrect(root, "big <= 9007199254740992.0D")
+    assert(le.df.count() == 4, "<= must keep the row exact order calls greater")
+    // bigint literal vs DOUBLE column: the literal rounds onto the stored double
+    val dc = assertCorrect(root, "dcol = 9007199254740993")
+    assert(dc.df.count() == 1, "double column must match the rounding literal")
+    // soundness costs no pruning where double space is exact
+    val keep = assertCorrect(root, "big = 100")
+    assert(keep.df.count() == 1)
+    assert(keep.selected == 1, "in-range equality must still prune to one file")
+  }
+
+  // ----------------------------------- index sizing + contract (round 11)
+
+  test("incremental refresh reuses the recorded bitsPerItem, not a default") {
+    import spark.implicits._
+    val root = tmpDir("bits")
+    spark.range(0, 1000).toDF("id")
+      .repartition(2).write.mode("overwrite").parquet(root)
+    BloomSkipping.writeBloomIndex(spark, root, Seq("id"), bitsPerItem = 20)
+    val fs = new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(BloomSkipping.readIndex(fs, new HPath(root)).get.bitsPerItem == 20)
+    // append, then refresh through the maintenance entry point with the
+    // DEFAULT argument — the recorded sizing must survive the round trip
+    spark.range(1000, 1500).toDF("id")
+      .repartition(1).write.mode("append").parquet(root)
+    BloomSkipping.updateBloomIndex(spark, root, Seq("id"))
+    assert(BloomSkipping.readIndex(fs, new HPath(root)).get.bitsPerItem == 20,
+      "refresh must carry the build-time sizing forward")
+  }
+
+  test("empty bloomColumns is a loud contract error, not a NoSuchElement") {
+    val root = tmpDir("nocols")
+    spark.range(0, 10).toDF("id").write.mode("overwrite").parquet(root)
+    val e = intercept[IllegalArgumentException] {
+      BloomSkipping.writeBloomIndex(spark, root, Seq.empty)
+    }
+    assert(e.getMessage.contains("non-empty"))
+    val e2 = intercept[IllegalArgumentException] {
+      BloomSkipping.updateBloomIndex(spark, root, Seq.empty)
+    }
+    assert(e2.getMessage.contains("non-empty"))
+  }
 }

@@ -151,4 +151,25 @@ class CompactionSpec extends SparkTestBase {
     val df = SparkEntry.queries("q362_compaction")(spark, sf())
     assert(df.count() > 0)
   }
+
+  test("evolved schemas in one bin survive compaction (no silent column drop)") {
+    val root = tmpDir("evolve")
+    // two generations of tiny files: the older lacks column `extra` — a
+    // bin read without mergeSchema samples ONE file's schema and would
+    // permanently drop whichever column set the sample misses
+    spark.range(0, 100).toDF("id")
+      .repartition(3).write.mode("overwrite").parquet(root)
+    spark.range(100, 200).toDF("id").withColumn("extra", col("id") * 7)
+      .repartition(3).write.mode("append").parquet(root)
+    val want = sortedRows(
+      spark.read.option("mergeSchema", "true").parquet(root).select("id", "extra"))
+    val total = files(root).map(_._2).sum
+    val rep = Compaction.compact(spark, root, targetBytes = total + 1)
+    assert(rep.binsCompacted >= 1, "the six tiny files must form a bin")
+    val after = spark.read.option("mergeSchema", "true").parquet(root)
+    assert(after.columns.toSet == Set("id", "extra"),
+      s"compacted output lost a column: ${after.columns.mkString(",")}")
+    assert(sortedRows(after.select("id", "extra")) == want,
+      "every (id, extra) value must survive compaction across evolved schemas")
+  }
 }
