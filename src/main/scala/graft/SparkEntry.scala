@@ -2331,9 +2331,7 @@ object SparkEntry {
     // scan; the oracle proves the metadata math equals the full scan. ----
     "q373_metadata_agg" -> ((s, dir) => {
       val root = Tables.skippingLayout(s, dir, "date")
-      val (rows, cols) = graft.etl.Skipping.metadataSummary(s, root)
-        .getOrElse(throw new IllegalStateException(
-          "manifest must be present and current for the metadata query"))
+      val (rows, cols) = graft.etl.Skipping.metadataSummaryOrFail(s, root)
       def c(name: String) = cols.getOrElse(name, throw new IllegalStateException(
         s"column $name must carry complete stats"))
       def lo(name: String) = c(name).lo.get

@@ -524,6 +524,19 @@ object Skipping {
     }
   }
 
+  /** [[metadataSummary]] for callers whose answer is WRONG if stale (the
+    * metadata-only aggregation query shape): absent/stale manifests are a
+    * loud IllegalStateException, never a silently partial count. A file
+    * appended behind the manifest's back (no [[updateManifest]]) flips
+    * every query built on this to the failure path — spec-pinned.
+    */
+  def metadataSummaryOrFail(spark: SparkSession, root: String)
+      : (Long, Map[String, ColSummary]) =
+    metadataSummary(spark, root).getOrElse(throw new IllegalStateException(
+      s"metadata-only aggregation over $root requires a manifest that is " +
+        "present and current against the live file listing; it is not — " +
+        "run Skipping.updateManifest (or writeManifest) and retry"))
+
   def readManifest(fs: FileSystem, root: HPath): Option[Manifest] = {
     val p = new HPath(root, ManifestName)
     if (!fs.exists(p)) None

@@ -200,4 +200,66 @@ class PipelineSpec extends SparkTestBase {
     assert(sc.fallback.isEmpty && sc.selected < sc.total)
     assert(sc.df.count() == 1)
   }
+
+  // ------------------------------------ concurrent orchestration (round 11)
+
+  private def allTables(root: String): Map[String, Seq[String]] = {
+    val paths = Pipeline.Paths.under(s"$root/out")
+    Seq("bronze" -> paths.bronze, "clean" -> paths.silverClean,
+      "obs" -> paths.silverQuarantine, "processed" -> paths.processedDir)
+      .map { case (name, p) =>
+        val df = spark.read.parquet(p)
+        // des_fuente embeds the fixture's temp path: normalize it so two
+        // fixture instances compare on VALUES, not on tmp-dir names
+        name -> (df.schema.toDDL +:
+          df.collect().map(_.toString.replace(root, "<ROOT>")).sorted.toSeq)
+      }.toMap
+  }
+
+  test("concurrent run (maxParallel=2) is value-identical to the sequential run") {
+    val fixedTs = to_timestamp(lit("2026-01-01 00:00:00"))
+    val (seqDir, seqCfg) = fixture()
+    val (conDir, conCfg) = fixture()
+    val seqDone = Pipeline.run(spark, seqCfg, auditTs = fixedTs)
+    val conDone = Pipeline.runConcurrent(spark, conCfg, maxParallel = 2,
+      auditTs = fixedTs)
+    assert(seqDone == conDone, "processed list must match in CONFIG order")
+    assert(allTables(seqDir.toString) == allTables(conDir.toString),
+      "all four tables must be value-identical (schema + every row)")
+    // run state written back for both countries despite racing write-backs
+    val after = EtlConfig.load(conCfg).toOption.get
+    assert(after.params.forall(_.process))
+    // side-indexes stayed fresh under concurrency: the EP2-shaped pruned
+    // read engages (no stale-manifest fallback) on the concurrent output
+    val paths = Pipeline.Paths.under(s"$conDir/out")
+    val pr = graft.etl.Skipping.readPrunedDetailed(
+      spark, paths.bronze, "pais = 'EC'")
+    assert(pr.fallback.isEmpty, s"manifest must be fresh: ${pr.fallback}")
+  }
+
+  test("concurrent run isolates an injected mid-run failure; retry converges") {
+    val fixedTs = to_timestamp(lit("2026-01-01 00:00:00"))
+    val (seqDir, seqCfg) = fixture()
+    Pipeline.run(spark, seqCfg, auditTs = fixedTs) // the oracle outcome
+    val (conDir, conCfg) = fixture()
+    // inject: PE's worker dies while EC's worker is (possibly) mid-write —
+    // the failure must not mark PE processed nor disturb EC's tables
+    val done1 = Pipeline.runConcurrent(spark, conCfg, maxParallel = 2,
+      auditTs = fixedTs,
+      beforeCountry = p =>
+        if (p.country == "PE") throw new RuntimeException("injected PE failure"))
+    assert(done1 == List("EC"), s"only EC may report success, got $done1")
+    val midState = EtlConfig.load(conCfg).toOption.get
+    assert(midState.params.find(_.country == "EC").get.process,
+      "EC must be marked processed")
+    assert(!midState.params.find(_.country == "PE").get.process,
+      "failed PE must NOT be marked processed (reference bug stays fixed)")
+    // retry: only PE runs (EC skips on run state); outcome converges to
+    // the sequential oracle exactly
+    val done2 = Pipeline.runConcurrent(spark, conCfg, maxParallel = 2,
+      auditTs = fixedTs)
+    assert(done2 == List("PE"))
+    assert(allTables(seqDir.toString) == allTables(conDir.toString),
+      "after retry, every table must equal the sequential run's")
+  }
 }

@@ -123,6 +123,30 @@ class SkippingSpec extends SparkTestBase {
     assert(rows2 == 101 && cols2("k").hi.contains("1000"))
   }
 
+  test("metadata-agg QUERY path fails loudly on an out-of-band append (round 11)") {
+    import spark.implicits._
+    val root = tmpDir("metaloud")
+    (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartition(2).write.mode("overwrite").parquet(root)
+    Skipping.writeManifest(spark, root, Seq("k"))
+    val (rows, _) = Skipping.metadataSummaryOrFail(spark, root)
+    assert(rows == 50)
+    // a writer that bypasses updateManifest lands a file behind the
+    // manifest's back: the query contract is a LOUD failure, because the
+    // write-time nonNull/min/max no longer describe the table — a silent
+    // 50 here would be a wrong answer, not a slow one
+    Seq((999L, "late")).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(root)
+    val e = intercept[IllegalStateException] {
+      Skipping.metadataSummaryOrFail(spark, root)
+    }
+    assert(e.getMessage.contains("current"),
+      s"failure must explain the staleness contract: ${e.getMessage}")
+    // and the documented remedy restores service with the true count
+    Skipping.updateManifest(spark, root, Seq("k"))
+    assert(Skipping.metadataSummaryOrFail(spark, root)._1 == 51)
+  }
+
   test("missing manifest falls back to a full scan with a reason") {
     import spark.implicits._
     val root = tmpDir("nomanifest")
