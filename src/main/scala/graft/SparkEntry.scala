@@ -2350,6 +2350,32 @@ object SparkEntry {
           col("pk_min"), col("pk_max"), col("flag_non_null"))
     }),
 
+    // ---- BPE ENCODE on unseen tokens (round 11): train merges on the
+    // ENGLISH slice only, then tokenize the FULL corpus with them — the
+    // non-English dictionary contains tokens training never saw, which
+    // q251's training-state join cannot answer for. The encode fold runs
+    // once per DISTINCT token (vocabulary-bounded, Heaps' law), then a
+    // plain dictionary equi-join back to the stream — the same scale
+    // shape as training, no per-occurrence rewriting. ----
+    "q374_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .transform(graft.ops.Par.spread(_, col("doc_id")))
+      val corpusTok = docs
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .localCheckpoint() // consumed by the dictionary AND the final join
+      val vocab = docs.filter(col("lang") === "en")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .select(graft.ops.Bpe.charSeq(col("token")).as("seq"), col("cnt"))
+      val merges = graft.ops.Bpe.collectMerges(
+        graft.ops.Bpe.trainMerges(vocab, "seq", "cnt", rounds = 4))
+      graft.ops.Bpe.encode(corpusTok, "token", merges)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("n_sym")).as("total_symbols"))
+        .orderBy(col("source"))
+    }),
+
     // ---- Bloom-filter pre-filtered semi join: fact rows drop map-side
     // before the shuffle; exactness guaranteed by the verifying semi join
     // (oracle = plain EXISTS — the pruning layer is gate-checked) ----
@@ -9346,14 +9372,47 @@ object SparkEntry {
        |FROM pl ORDER BY lang""".stripMargin
   }
 
-  private def bpeCtes(rounds: Int): String = {
+  /** q374's oracle: train on the ENGLISH slice only, then apply the
+    * learned merges round-by-round (unrolled e1..eN CTEs, each the same
+    * list_reduce rewrite the training chain uses) to the FULL corpus's
+    * distinct-token dictionary — tokens unseen at training time included,
+    * which the final training state w<rounds> cannot answer for.
+    */
+  private def bpeEncodeUnseenOracleSql(rounds: Int): String = {
+    val chain = (1 to rounds).map { r =>
+      s"""e$r AS MATERIALIZED (
+         |  SELECT token, list_reduce(string_split(seq, ' '), (acc, x) ->
+         |    CASE WHEN (acc = ba OR ends_with(acc, ' ' || ba)) AND x = bb
+         |      THEN acc || bb ELSE acc || ' ' || x END) AS seq
+         |  FROM e${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n")
+    s"""${bpeCtes(rounds, " AND lang = 'en'")},
+       |ctok AS MATERIALIZED (
+       |  SELECT source, unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+       |    t -> t <> '')) AS token
+       |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT token,
+       |    trim(regexp_replace(token, '(.)', '\\1 ', 'g')) AS seq
+       |  FROM ctok),
+       |$chain,
+       |enc AS MATERIALIZED (
+       |  SELECT token, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sym
+       |  FROM e$rounds)
+       |SELECT source, COUNT(*) AS n_tokens,
+       |  CAST(SUM(n_sym) AS BIGINT) AS total_symbols
+       |FROM ctok JOIN enc USING (token)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  private def bpeCtes(rounds: Int, trainWhere: String = ""): String = {
     val head =
-      """WITH tok AS MATERIALIZED (
-        |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+      s"""WITH tok AS MATERIALIZED (
+        |  SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
         |    t -> t <> '')) AS token
-        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0$trainWhere),
         |w0 AS MATERIALIZED (
-        |  SELECT trim(regexp_replace(token, '(.)', '\1 ', 'g')) AS seq,
+        |  SELECT trim(regexp_replace(token, '(.)', '\\1 ', 'g')) AS seq,
         |    CAST(COUNT(*) AS BIGINT) AS cnt
         |  FROM tok GROUP BY 1)""".stripMargin
     val rounds_ = (1 to rounds).map { r =>
@@ -9852,6 +9911,7 @@ object SparkEntry {
         |  MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
         |  COUNT(l_returnflag) AS flag_non_null
         |FROM lineitem""".stripMargin,
+    "q374_bpe_encode" -> bpeEncodeUnseenOracleSql(4),
     "q371_aqe_skew_join" ->
       """WITH f AS (
         |  SELECT CASE WHEN l_orderkey % 1000 < 999 THEN 0

@@ -98,4 +98,58 @@ object Bpe {
     }
     (merges.reduce(_ unionByName _), w)
   }
+
+  // ------------------------------------------------------------- encode
+
+  /** ENCODE half of the tokenizer loop: apply trained merges, in round
+    * order, to an ARBITRARY token — including tokens never seen during
+    * training, which the final training state cannot answer for. One
+    * row-local expression: an outer fold over the (constant-sized) merge
+    * list whose step is the training rewrite's inner fold over the
+    * current symbol sequence — identical greedy non-overlapping
+    * left-to-right semantics, so encoding the training corpus reproduces
+    * the training state exactly (spec-pinned differential).
+    */
+  def applyMerges(token: Column, merges: Seq[(String, String)]): Column = {
+    if (merges.isEmpty) return charSeq(token)
+    val arr = array(merges.map { case (a, b) =>
+      struct(lit(a).as("ba"), lit(b).as("bb"))
+    }: _*)
+    aggregate(arr, charSeq(token), (acc, m) => {
+      val syms = split(acc, " ")
+      val ba = m.getField("ba")
+      val bb = m.getField("bb")
+      aggregate(
+        slice(syms, lit(2), size(syms)),
+        element_at(syms, 1),
+        (a2, x) =>
+          when((a2 === ba || a2.endsWith(concat(lit(" "), ba))) && x === bb,
+            concat(a2, bb))
+            .otherwise(concat(a2, lit(" "), x)))
+    })
+  }
+
+  /** Trained-merge rows → driver-side (left, right) list in round order.
+    * Bounded by the training round count (a constant), never by data.
+    */
+  def collectMerges(merges: DataFrame): Seq[(String, String)] =
+    merges.select(col("round"), col("left_sym"), col("right_sym"))
+      .orderBy(col("round")).collect()
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+      .toSeq
+
+  /** Encode a token stream under trained merges: build the DISTINCT token
+    * dictionary (vocabulary-bounded by Heaps' law — the same scale shape
+    * as training), apply the merges once per dictionary entry, and join
+    * the (seq, n_sym) encoding back onto the stream. The expensive fold
+    * runs |vocabulary| times, not |corpus| times; the join is a plain
+    * equi-join Catalyst/AQE is free to broadcast when the dictionary fits.
+    */
+  def encode(tokens: DataFrame, tokenCol: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    val dict = tokens.select(col(tokenCol).as("__tok")).distinct()
+      .select(col("__tok"), applyMerges(col("__tok"), merges).as("seq"))
+      .withColumn("n_sym", size(split(col("seq"), " ")).cast("long"))
+    tokens.join(dict, col(tokenCol) === col("__tok")).drop("__tok")
+  }
 }

@@ -45,4 +45,53 @@ class BpeSpec extends SparkTestBase {
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
     assert(got.toSeq == Seq((1, "a", "b")), got.toSeq)
   }
+
+  // ------------------------------------------------------ encode (round 11)
+
+  test("encode: hand-checked merges on seen AND unseen tokens") {
+    import spark.implicits._
+    // merges learned elsewhere: (e,s) then (es,t) then (l,o)
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"))
+    val toks = Seq("newest", "lowest", "lotto", "x", "es")
+      .toDF("token")
+    val got = Bpe.encode(toks, "token", merges)
+      .select(col("token"), col("seq"), col("n_sym"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got("newest") == (("n e w est", 4L)), got("newest"))
+    // 'lowest' was never a training word; the merges still apply
+    assert(got("lowest") == (("lo w est", 3L)), got("lowest"))
+    // greedy L2R: 'lotto' -> lo t t o (the second 'o' has no 'l' before it)
+    assert(got("lotto") == (("lo t t o", 4L)), got("lotto"))
+    assert(got("x") == (("x", 1L)), "single char is its own symbol")
+    assert(got("es") == (("es", 1L)), "exact pair merges to one symbol")
+  }
+
+  test("encode with zero merges degrades to the character-level start state") {
+    import spark.implicits._
+    val got = Bpe.encode(Seq("abc").toDF("token"), "token", Seq.empty)
+      .select(col("seq"), col("n_sym")).collect().head
+    assert(got.getString(0) == "a b c" && got.getLong(1) == 3L)
+  }
+
+  test("encode of the training corpus reproduces the training state exactly") {
+    import spark.implicits._
+    // differential: applying collectMerges' round-ordered list to the raw
+    // tokens must land on trainMergesWithState's final word state — the
+    // two folds implement the same greedy semantics by construction, and
+    // this pins it (a wrong merge ORDER breaks 'est' vs 'e st')
+    val raw = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L),
+      ("aaaaa", 4L), ("tesst", 1L))
+    val words = raw.toDF("token", "cnt")
+      .select(Bpe.charSeq(col("token")).as("seq"), col("cnt"))
+    val (mergesDf, state) = Bpe.trainMergesWithState(words, "seq", "cnt", rounds = 5)
+    val merges = Bpe.collectMerges(mergesDf)
+    assert(merges.size == 5)
+    val viaState = state
+      .select(regexp_replace(col("seq"), " ", "").as("token"), col("seq"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val viaEncode = Bpe.encode(raw.map(_._1).toDF("token"), "token", merges)
+      .collect().map(r => (r.getAs[String]("token"), r.getAs[String]("seq"))).toMap
+    assert(viaEncode == viaState,
+      s"encode and training state disagree:\n$viaEncode\nvs\n$viaState")
+  }
 }
