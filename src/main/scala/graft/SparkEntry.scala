@@ -1403,6 +1403,18 @@ object SparkEntry {
         Seq("hash", "merge", "window", "spark", "filter", "slow"), k = 20)
     }),
 
+    // ---- incremental index maintenance (round 11): the index is built
+    // over two-thirds of the corpus, the remaining third arrives via
+    // Lexical.appendToIndex — which writes ONLY the bucket shards the
+    // new terms hash into (one extra tok-sorted file each; untouched
+    // shards never listed, read, or written) and advances totals by the
+    // delta. The gate shares q358/q360's FULL-corpus oracle: a lost or
+    // doubled posting, or a stale totals row, hash-mismatches. ----
+    "q375_bm25_index_append" -> ((s, dir) => {
+      graft.ops.Lexical.scoreBM25(s, Tables.lexicalIndexIncremental(s, dir),
+        Seq("hash", "merge", "window", "spark", "filter", "slow"), k = 20)
+    }),
+
     // ---- HYBRID retrieval (round-10): two ranking models — BM25 and
     // length-normalized TF-IDF, both served by the SAME persisted
     // inverted index (one shard-pruned postings read each, no corpus
@@ -9372,6 +9384,35 @@ object SparkEntry {
        |FROM pl ORDER BY lang""".stripMargin
   }
 
+  /** The exact scaled-integer BM25 replay shared by q358 (corpus scan),
+    * q360 (one-shot persisted index) and q375 (incrementally appended
+    * index): all three paths must hash-match it cell for cell.
+    */
+  private val bm25OracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tok
+      |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+      |totals AS (
+      |  SELECT (SELECT COUNT(*) FROM toks) AS t, (SELECT COUNT(*) FROM documents) AS n),
+      |tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      |  WHERE tok IN ('hash', 'merge', 'window', 'spark', 'filter', 'slow')
+      |  GROUP BY 1, 2),
+      |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    (22 * tf.tf * t.t * 1000) // (10 * t.t * tf.tf + 3 * t.t + 9 * dl.dl * t.n) AS w_scaled,
+      |    ((2 * (t.n - d.df) + 1) * 1000) // (2 * d.df + 1) AS idf_scaled
+      |  FROM tf JOIN dl USING (doc_id) JOIN dfreq d USING (tok) CROSS JOIN totals t),
+      |agg AS (
+      |  SELECT doc_id, CAST(SUM(idf_scaled * w_scaled) AS BIGINT) AS score,
+      |    COUNT(*) AS n_hit
+      |  FROM scored GROUP BY 1)
+      |SELECT doc_id, n_hit, score,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+      |FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+
   /** q374's oracle: train on the ENGLISH slice only, then apply the
     * learned merges round-by-round (unrolled e1..eN CTEs, each the same
     * list_reduce rewrite the training chain uses) to the FULL corpus's
@@ -9853,55 +9894,9 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_quantity IS NOT NULL
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "q358_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, UNNEST(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tok
-        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
-        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
-        |totals AS (
-        |  SELECT (SELECT COUNT(*) FROM toks) AS t, (SELECT COUNT(*) FROM documents) AS n),
-        |tf AS (
-        |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
-        |  WHERE tok IN ('hash', 'merge', 'window', 'spark', 'filter', 'slow')
-        |  GROUP BY 1, 2),
-        |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
-        |scored AS (
-        |  SELECT tf.doc_id,
-        |    (22 * tf.tf * t.t * 1000) // (10 * t.t * tf.tf + 3 * t.t + 9 * dl.dl * t.n) AS w_scaled,
-        |    ((2 * (t.n - d.df) + 1) * 1000) // (2 * d.df + 1) AS idf_scaled
-        |  FROM tf JOIN dl USING (doc_id) JOIN dfreq d USING (tok) CROSS JOIN totals t),
-        |agg AS (
-        |  SELECT doc_id, CAST(SUM(idf_scaled * w_scaled) AS BIGINT) AS score,
-        |    COUNT(*) AS n_hit
-        |  FROM scored GROUP BY 1)
-        |SELECT doc_id, n_hit, score,
-        |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
-        |FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q358_bm25" -> bm25OracleSql,
     // index path must equal the scan form cell-for-cell: same oracle
-    "q360_bm25_indexed" ->
-      """WITH toks AS (
-        |  SELECT doc_id, UNNEST(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tok
-        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
-        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
-        |totals AS (
-        |  SELECT (SELECT COUNT(*) FROM toks) AS t, (SELECT COUNT(*) FROM documents) AS n),
-        |tf AS (
-        |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
-        |  WHERE tok IN ('hash', 'merge', 'window', 'spark', 'filter', 'slow')
-        |  GROUP BY 1, 2),
-        |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
-        |scored AS (
-        |  SELECT tf.doc_id,
-        |    (22 * tf.tf * t.t * 1000) // (10 * t.t * tf.tf + 3 * t.t + 9 * dl.dl * t.n) AS w_scaled,
-        |    ((2 * (t.n - d.df) + 1) * 1000) // (2 * d.df + 1) AS idf_scaled
-        |  FROM tf JOIN dl USING (doc_id) JOIN dfreq d USING (tok) CROSS JOIN totals t),
-        |agg AS (
-        |  SELECT doc_id, CAST(SUM(idf_scaled * w_scaled) AS BIGINT) AS score,
-        |    COUNT(*) AS n_hit
-        |  FROM scored GROUP BY 1)
-        |SELECT doc_id, n_hit, score,
-        |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
-        |FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q360_bm25_indexed" -> bm25OracleSql,
     "q373_metadata_agg" ->
       """SELECT COUNT(*) AS n_rows,
         |  COUNT(l_quantity) AS qty_non_null,
@@ -9912,6 +9907,8 @@ object SparkEntry {
         |  COUNT(l_returnflag) AS flag_non_null
         |FROM lineitem""".stripMargin,
     "q374_bpe_encode" -> bpeEncodeUnseenOracleSql(4),
+    // appended index must equal the scan form cell-for-cell: same oracle
+    "q375_bm25_index_append" -> bm25OracleSql,
     "q371_aqe_skew_join" ->
       """WITH f AS (
         |  SELECT CASE WHEN l_orderkey % 1000 < 999 THEN 0

@@ -528,4 +528,33 @@ object Tables {
     }
     dir.toString
   }
+
+  /** The INCREMENTALLY-maintained twin of [[lexicalIndex]]: built over
+    * two-thirds of the corpus, then [[graft.ops.Lexical.appendToIndex]]
+    * folds the remaining third in. Queries over it must be
+    * indistinguishable from queries over a full one-shot build — q375's
+    * gate shares q358/q360's full-corpus oracle, so a lost posting, a
+    * doubled posting, or a stale `totals` row all hash-mismatch.
+    */
+  def lexicalIndexIncremental(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.col
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${srcStamp(sfDir, "documents")}|lexidxinc|v1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val dir = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-lexidxinc-$key")
+    val done = new java.io.File(dir, "_INDEX_DONE")
+    splitLock.synchronized {
+      if (!done.exists()) {
+        val docs = graft.ops.Par.spread(apply(spark, sfDir, "documents"), col("doc_id"))
+        graft.ops.Lexical.buildIndex(
+          docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", dir.toString)
+        graft.ops.Lexical.appendToIndex(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", dir.toString)
+        done.createNewFile()
+        ()
+      }
+    }
+    dir.toString
+  }
 }

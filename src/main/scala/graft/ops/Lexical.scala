@@ -33,9 +33,11 @@ import org.apache.spark.sql.functions._
   * themselves (a posting list IS the term's document set), not a stored
   * side table that could drift from it.
   *
-  * Maintenance at scale: buckets are independent — an append only
-  * rewrites the buckets its new terms hash into, and the
-  * [[graft.etl.Skipping.updateManifest]] pattern applies per-bucket.
+  * Maintenance at scale: buckets are independent — [[appendToIndex]]
+  * writes only the buckets the new terms hash into (the
+  * [[graft.etl.Skipping.updateManifest]] discipline applied per-bucket)
+  * and advances `totals` by the delta; gated by q375 (appended index
+  * hash-matches a full rebuild) and the LexicalSpec touched-bucket count.
   * Index build is one tokenize + one groupBy + one bucket-partitioned
   * write: cost ∝ corpus, paid once, amortized over every query.
   */
@@ -71,6 +73,61 @@ object Lexical {
       .crossJoin(docs.agg(count(lit(1)).as("n")))
       .coalesce(1).write.mode("overwrite").parquet(s"$root/totals")
     ()
+  }
+
+  /** Incremental postings maintenance (round 11, the
+    * [[graft.etl.Skipping.updateManifest]] discipline applied per
+    * bucket): append NEW documents to an existing index, touching ONLY
+    * the bucket directories their terms hash into. New postings land as
+    * one additional tok-sorted file per touched bucket (cheaper even
+    * than a rewrite — buckets are term-disjoint shards, so correctness
+    * needs no merge with the resident file; per-file row-group pruning
+    * still holds because every file is individually tok-sorted), and
+    * `totals` is advanced by the delta. Untouched shards are never
+    * listed, read, or written — cost ∝ the appended slice, the property
+    * the spec proves by diffing bucket-directory file lists.
+    *
+    * Contract (same as the IVF index's append): `docs` carries FRESH
+    * doc_ids — re-appending an indexed document would double its
+    * postings, because a posting list is the term's document set.
+    * Crash window, documented not hidden: postings commit before the
+    * totals rewrite, so a crash between them leaves scores computed
+    * against slightly-stale corpus totals until the append is re-run on
+    * a fresh id range or the index rebuilt; it never loses or
+    * duplicates postings that both steps committed.
+    *
+    * Returns the number of bucket directories written (< `buckets` for
+    * any small append — the spec's proof of sub-linear maintenance).
+    */
+  def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
+                    root: String, buckets: Int = DefaultBuckets): Int = {
+    val spark = docs.sparkSession
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val postings = toks
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+      .withColumn("bucket", pmod(crc32(col("tok")), lit(buckets.toLong)).cast("int"))
+      .localCheckpoint() // three consumers: write, touched set, token delta
+    val touched = postings.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by `buckets`, never by data
+    if (touched.nonEmpty) {
+      postings
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("tok"), col("doc_id"))
+        .write.partitionBy("bucket").mode("append").parquet(s"$root/postings")
+    }
+    // advance totals by the delta: token count from the appended postings
+    // (Σ tf ≡ the slice's token count), doc count over ALL appended docs —
+    // token-less documents still count toward n, as in buildIndex
+    val deltaT = postings.agg(coalesce(sum(col("tf")), lit(0L))).head.getLong(0)
+    val deltaN = docs.count()
+    val old = spark.read.parquet(s"$root/totals").select(col("t"), col("n")).head
+    import spark.implicits._
+    Seq((old.getLong(0) + deltaT, old.getLong(1) + deltaN)).toDF("t", "n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/totals")
+    touched.size
   }
 
   /** The driver-side twin of the build's `crc32(tok) % buckets` —

@@ -94,4 +94,65 @@ class LexicalSpec extends SparkTestBase {
     val scores = rows.map(_.getAs[Long]("rrf_fixed")).toSeq
     assert(scores == scores.sortBy(-_))
   }
+
+  // ----------------------------- incremental maintenance (round 11)
+
+  test("appendToIndex touches only the new terms' buckets; queries match a rebuild") {
+    import spark.implicits._
+    def bucketFiles(root: String): Map[String, Set[String]] = {
+      val base = new java.io.File(s"$root/postings")
+      base.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          d.listFiles().filter(f => f.isFile && !f.getName.startsWith("_")
+            && !f.getName.startsWith("."))
+            .map(f => s"${f.getName}:${f.length()}:${f.lastModified()}").toSet)
+        .toMap
+    }
+    val docs = (1L to 200L).map(i =>
+      (i, s"alpha bravo tok$i common${i % 7} filler")).toDF("doc_id", "text")
+    val extra = Seq((201L, "alpha zulu zulu"), (202L, "yankee")).toDF("doc_id", "text")
+
+    val incRoot = java.nio.file.Files.createTempDirectory("graft-lexinc").toString
+    Lexical.buildIndex(docs, "doc_id", "text", incRoot)
+    val before = bucketFiles(incRoot)
+    val expectedTouched = Seq("alpha", "zulu", "yankee")
+      .map(Lexical.bucketOf(_, Lexical.DefaultBuckets)).distinct.size
+    val touched = Lexical.appendToIndex(extra, "doc_id", "text", incRoot)
+    assert(touched == expectedTouched,
+      s"append must report the new terms' shard count: $touched vs $expectedTouched")
+    assert(touched < Lexical.DefaultBuckets, "a small append must be sub-linear")
+    val after = bucketFiles(incRoot)
+    // untouched shard directories are byte-immutable (name+size+mtime)
+    val changed = after.keySet.filter(k => before.get(k) != after.get(k)) ++
+      (before.keySet -- after.keySet)
+    assert(changed.size == touched,
+      s"exactly the touched shards may change: $changed (reported $touched)")
+
+    // the appended index answers every scoring query like a full rebuild
+    val fullRoot = java.nio.file.Files.createTempDirectory("graft-lexfull").toString
+    Lexical.buildIndex(docs.unionByName(extra), "doc_id", "text", fullRoot)
+    for (q <- Seq(Seq("alpha", "zulu"), Seq("yankee"), Seq("common3", "filler"))) {
+      val inc = Lexical.scoreBM25(spark, incRoot, q, k = 10)
+        .collect().map(_.toString).toSeq
+      val full = Lexical.scoreBM25(spark, fullRoot, q, k = 10)
+        .collect().map(_.toString).toSeq
+      assert(inc == full, s"append vs rebuild diverged on $q:\n$inc\nvs\n$full")
+      val incV = Lexical.scoreTfIdfNorm(spark, incRoot, q, k = 10)
+        .collect().map(_.toString).toSeq
+      val fullV = Lexical.scoreTfIdfNorm(spark, fullRoot, q, k = 10)
+        .collect().map(_.toString).toSeq
+      assert(incV == fullV, s"VSM append vs rebuild diverged on $q")
+    }
+    // totals advanced by the delta (token + doc counts)
+    val tot = spark.read.parquet(s"$incRoot/totals").head
+    val fullTot = spark.read.parquet(s"$fullRoot/totals").head
+    assert(tot == fullTot, s"totals must match the rebuild: $tot vs $fullTot")
+  }
+
+  test("q375 gate: incrementally appended index matches the corpus-scan form") {
+    val idx = SparkEntry.queries("q375_bm25_index_append")(spark, sf())
+    val scan = SparkEntry.queries("q358_bm25")(spark, sf())
+    assert(idx.collect().map(_.toString).toSeq ==
+      scan.collect().map(_.toString).toSeq)
+  }
 }
