@@ -1415,6 +1415,35 @@ object SparkEntry {
         Seq("hash", "merge", "window", "spark", "filter", "slow"), k = 20)
     }),
 
+    // ---- multi-channel PCM block stats (round 11): q312's audio device
+    // extended to STEREO — a canonical 16-bit PCM WAV with 64 interleaved
+    // L/R frames per doc is built byte-for-byte in SQL, chunk-walked and
+    // DEINTERLEAVED by Multimodal.pcmBlockStats, and each (16-frame
+    // block, channel) reports exact integer energy / peak plus the
+    // fixed-point RMS (isqrt with a mirrored ±1 correction, so both
+    // engines land on the identical integer). The oracle regenerates
+    // the per-channel samples arithmetically: formula → LE bytes →
+    // parse → deinterleave → stats is the round trip under test. ----
+    "q376_audio_blocks" -> ((s, dir) => {
+      val header = "52494646" + "24010000" + "57415645" + "666d7420" +
+        "10000000" + "0100" + "0200" + "401f0000" + "007d0000" + "0400" +
+        "1000" + "64617461" + "00010000"
+      val frameHex = array_join(
+        transform(sequence(lit(0), lit(63)), i => {
+          val l = pmod(col("doc_id") * 31 + i * i * 7 + i * 17, lit(4096)) - lit(2048)
+          val r = pmod(col("doc_id") * 13 + i * i * 5 + i * 29, lit(4096)) - lit(2048)
+          format_string("%02x%02x%02x%02x",
+            l.bitwiseAND(lit(255)), shiftright(l, 8).bitwiseAND(lit(255)),
+            r.bitwiseAND(lit(255)), shiftright(r, 8).bitwiseAND(lit(255)))
+        }), "")
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), unhex(concat(lit(header), frameHex)).as("payload"))
+      Multimodal.pcmBlockStats(withBin, "payload", blockFrames = 16)
+        .select(col("doc_id"), col("block_idx"), col("channel"), col("n_frames"),
+          col("energy"), col("peak"), col("rms_milli"))
+        .orderBy(col("doc_id"), col("block_idx"), col("channel"))
+    }),
+
     // ---- HYBRID retrieval (round-10): two ranking models — BM25 and
     // length-normalized TF-IDF, both served by the SAME persisted
     // inverted index (one shard-pruned postings read each, no corpus
@@ -9909,6 +9938,30 @@ object SparkEntry {
     "q374_bpe_encode" -> bpeEncodeUnseenOracleSql(4),
     // appended index must equal the scan form cell-for-cell: same oracle
     "q375_bm25_index_append" -> bm25OracleSql,
+    "q376_audio_blocks" ->
+      """WITH s AS (
+        |  SELECT d.doc_id, t.i, c.channel,
+        |    CAST(CASE WHEN c.channel = 0
+        |      THEN (d.doc_id * 31 + t.i * t.i * 7 + t.i * 17) % 4096 - 2048
+        |      ELSE (d.doc_id * 13 + t.i * t.i * 5 + t.i * 29) % 4096 - 2048
+        |      END AS BIGINT) AS v
+        |  FROM documents d, generate_series(0, 63) t(i), (VALUES (0), (1)) c(channel)),
+        |g AS (
+        |  SELECT doc_id, CAST(i // 16 AS INT) AS block_idx, channel,
+        |    CAST(COUNT(*) AS INT) AS n_frames,
+        |    CAST(SUM(v * v) AS BIGINT) AS energy,
+        |    CAST(MAX(ABS(v)) AS INT) AS peak
+        |  FROM s GROUP BY doc_id, i // 16, channel),
+        |r AS (
+        |  SELECT *, energy * 1000000 // n_frames AS x,
+        |    CAST(floor(sqrt(CAST(energy * 1000000 // n_frames AS DOUBLE))) AS BIGINT) AS k0
+        |  FROM g)
+        |SELECT doc_id, block_idx, CAST(channel AS INT) AS channel, n_frames,
+        |  energy, peak,
+        |  CASE WHEN k0 * k0 > x THEN k0 - 1
+        |       WHEN (k0 + 1) * (k0 + 1) <= x THEN k0 + 1
+        |       ELSE k0 END AS rms_milli
+        |FROM r ORDER BY doc_id, block_idx, channel""".stripMargin,
     "q371_aqe_skew_join" ->
       """WITH f AS (
         |  SELECT CASE WHEN l_orderkey % 1000 < 999 THEN 0

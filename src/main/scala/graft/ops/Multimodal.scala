@@ -534,6 +534,99 @@ object Multimodal {
     }(enc)
   }
 
+  /** Exact integer square root with a ±1 correction around the double
+    * seed — deterministic for any non-negative long, and mirrored
+    * step-for-step by the oracle SQL (floor(sqrt(x)) then the same
+    * CASE correction), so fixed-point RMS values hash-match exactly.
+    */
+  private[graft] def isqrt(v: Long): Long = {
+    if (v <= 0L) return 0L
+    var k = math.sqrt(v.toDouble).toLong
+    while (k > 0 && k * k > v) k -= 1
+    while ((k + 1) * (k + 1) <= v) k += 1
+    k
+  }
+
+  /** MULTI-CHANNEL PCM block statistics — [[pcmFrames]] generalized from
+    * mono framing to the per-channel block RMS/peak a loudness/silence
+    * gate runs on. Same RIFF chunk walk; `fmt ` must declare
+    * uncompressed 16-bit PCM but ANY channel count ≥ 1 — samples are
+    * interleaved per frame, deinterleaved here. Per block of
+    * `blockFrames` frames and per channel: `n_frames`, exact
+    * `energy = Σs²` (long), `peak = max|s|`, and fixed-point
+    * `rms_milli = isqrt(energy·10⁶ / n_frames)` (RMS scaled ×1000,
+    * exact integer — see [[isqrt]]). Malformed/non-PCM payloads yield
+    * no rows (corrupt blobs are data, not errors).
+    *
+    * Scale shape: row-local map, ≤ channels·(frames/blockFrames + 1)
+    * output rows per input row, no shuffle — aggregation downstream
+    * happens on block stats, never raw samples.
+    */
+  def pcmBlockStats(df: DataFrame, binCol: String,
+                    blockFrames: Int = 16): DataFrame = {
+    require(blockFrames > 0, s"blockFrames must be positive, got $blockFrames")
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("block_idx", IntegerType),
+      StructField("channel", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("energy", LongType),
+      StructField("peak", IntegerType),
+      StructField("rms_milli", LongType)))
+    val binIdx = inSchema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val b = r.getAs[Array[Byte]](binIdx)
+        val blocks: Seq[Seq[Any]] =
+          if (b == null || b.length < 12 ||
+            !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
+            !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) Nil
+          else {
+            var off = 12
+            var channels = 0
+            var dataOff = -1
+            var dataLen = 0
+            while (off + 8 <= b.length) {
+              val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+              val size = le32(b, off + 4)
+              if (size < 0 || off + 8 + size > b.length) { off = b.length }
+              else {
+                if (id == "fmt " && size >= 16) {
+                  val ch = le16(b, off + 10)
+                  if (le16(b, off + 8) == 1 && le16(b, off + 22) == 16 && ch >= 1)
+                    channels = ch
+                } else if (id == "data") { dataOff = off + 8; dataLen = size }
+                off += 8 + size + (size & 1)
+              }
+            }
+            if (channels < 1 || dataOff < 0) Nil
+            else {
+              val nFrames = dataLen / (2 * channels)
+              (0 until nFrames by blockFrames).flatMap { start =>
+                val end = math.min(start + blockFrames, nFrames)
+                (0 until channels).map { c =>
+                  var energy = 0L; var peak = 0
+                  var f = start
+                  while (f < end) {
+                    val o = dataOff + 2 * (f * channels + c)
+                    val v = (((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)).toShort.toInt
+                    energy += v.toLong * v
+                    if (math.abs(v) > peak) peak = math.abs(v)
+                    f += 1
+                  }
+                  val n = end - start
+                  Seq[Any](start / blockFrames, c, n, energy, peak,
+                    isqrt(energy * 1000000L / n))
+                }
+              }
+            }
+          }
+        blocks.map(f => Row.fromSeq(r.toSeq ++ f))
+      }
+    }(enc)
+  }
+
   /** REAL MP4/ISO-BMFF box walk — the video third of the decode story
     * (image = [[aHash]], audio = [[pcmFrames]]). ISO boxes are
     * [size:BE32][type:4][payload], NESTED (moov contains mvhd) and

@@ -839,6 +839,75 @@ class OpsSpec extends SparkTestBase {
       (1L, 2, 1, 0L, 0, 0)), s"$got")
   }
 
+  test("pcmBlockStats: differential vs javax.sound on generated multi-channel WAVs") {
+    import spark.implicits._
+    def wavBytes(channels: Int, samples: Array[Array[Short]]): Array[Byte] = {
+      val nFrames = samples(0).length
+      val dataLen = nFrames * channels * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(channels.toShort)
+      bb.putInt(8000); bb.putInt(8000 * channels * 2)
+      bb.putShort((channels * 2).toShort); bb.putShort(16)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+      for (f <- 0 until nFrames; c <- 0 until channels) bb.putShort(samples(c)(f))
+      bb.array()
+    }
+    val rnd = new scala.util.Random(42)
+    // (channels, frames): 37 and 50 exercise the partial last block
+    for ((nc, nf) <- Seq((1, 37), (2, 64), (3, 50))) {
+      val samples = Array.fill(nc, nf)((rnd.nextInt(65536) - 32768).toShort)
+      val bytes = wavBytes(nc, samples)
+      // REFERENCE decode through the JDK's own WAV parser: javax.sound
+      // must agree with our chunk walk on format AND on every sample
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      assert(fmt.getChannels == nc && fmt.getSampleSizeInBits == 16 &&
+        !fmt.isBigEndian && fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        s"javax.sound disagrees on the header: $fmt")
+      val raw = ais.readAllBytes()
+      assert(raw.length == nf * nc * 2, "javax.sound frame count")
+      def js(c: Int, f: Int): Int = {
+        val o = 2 * (f * nc + c)
+        (((raw(o + 1) & 0xff) << 8) | (raw(o) & 0xff)).toShort.toInt
+      }
+      // expected per-(block, channel) stats computed FROM the javax.sound
+      // samples, with the same fixed-point RMS
+      val expected = (for {
+        start <- 0 until nf by 16
+        c <- 0 until nc
+      } yield {
+        val end = math.min(start + 16, nf)
+        val vs = (start until end).map(js(c, _))
+        val energy = vs.map(v => v.toLong * v).sum
+        ((start / 16, c), (end - start, energy, vs.map(math.abs).max,
+          Multimodal.isqrt(energy * 1000000L / (end - start))))
+      }).toMap
+      val got = Multimodal.pcmBlockStats(
+        Seq(Tuple1(bytes)).toDF("payload"), "payload", blockFrames = 16)
+        .select(col("block_idx"), col("channel"), col("n_frames"),
+          col("energy"), col("peak"), col("rms_milli"))
+        .as[(Int, Int, Int, Long, Int, Long)].collect()
+        .map(r => ((r._1, r._2), (r._3, r._4, r._5, r._6))).toMap
+      assert(got == expected, s"channels=$nc frames=$nf:\n$got\nvs\n$expected")
+      // the fixed-point RMS tracks the real RMS to within one milli-unit
+      got.foreach { case ((_, _), (n, energy, _, rmsMilli)) =>
+        val real = math.sqrt(energy.toDouble / n) * 1000.0
+        assert(math.abs(rmsMilli - real) <= 1.0 + 1e-6,
+          s"rms_milli $rmsMilli vs real $real")
+      }
+    }
+    // malformed / non-PCM payloads yield no rows, nulls survive
+    val bad = Seq((1L, Array[Byte](1, 2, 3)),
+      (2L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    assert(Multimodal.pcmBlockStats(bad, "payload").count() == 0)
+  }
+
   test("matrixProfileDaily: finds the repeated weekly pattern, excludes trivial matches") {
     import spark.implicits._
     import java.sql.Timestamp
