@@ -1759,6 +1759,87 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- PLANNER-INTEGRATED skipping (round 11): q355/q356/q361's three
+    // pruning shapes re-gated through the graft-parquet DataSource V2
+    // TableProvider — a plain spark.read.format("graft-parquet") with an
+    // ordinary .filter, no opt-in helper anywhere. GraftFileIndex applies
+    // manifest + bloom pruning inside listFiles, so pruned files never
+    // become InputPartitions (SourceV2Spec pins that at the FilePartition
+    // grain); each gate requires its pruning stage to have engaged via
+    // the per-root prune record, then hash-matches the SAME oracle as
+    // its opt-in twin — the V2 path must be indistinguishable. ----
+    "q377_v2_daterange" -> ((s, dir) => {
+      val root = Tables.skippingLayout(s, dir, "date")
+      val df = graft.sources.GraftParquetSource.read(s, root)
+        .filter("l_shipdate_d >= DATE '1995-06-01' AND l_shipdate_d < DATE '1995-09-01'")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast(d2)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(d2)).cast("double").as("sum_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+      val out = df.localCheckpoint() // materialize: the prune record is written at scan-planning time
+      val (total, _, kept) = graft.sources.GraftFileIndex.pruneFor(root)
+      // scale-independent engagement proof: the V2 listing must keep
+      // EXACTLY the files the gated opt-in helper keeps for this predicate
+      val pr = graft.etl.Skipping.readPrunedDetailed(s, root,
+        "l_shipdate_d >= DATE '1995-06-01' AND l_shipdate_d < DATE '1995-09-01'")
+      require(pr.fallback.isEmpty && kept == pr.selected,
+        s"V2 pruning must equal the helper's: $kept/$total vs ${pr.selected}/${pr.total}")
+      out
+    }),
+    // ---- V2 z-order twin: the multi-column interleaved layout's range
+    // predicate pruned by the SAME planner-integrated listing; required
+    // to keep exactly the files the gated helper keeps (scale-independent
+    // — at tiny SFs the predicate is legitimately unselective) ----
+    "q378_v2_zorder" -> ((s, dir) => {
+      val root = Tables.skippingLayout(s, dir, "zorder")
+      val df = graft.sources.GraftParquetSource.read(s, root)
+        .filter("l_partkey <= 500 AND l_suppkey <= 25 AND l_quantity IS NOT NULL")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast(d2)).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+      val out = df.localCheckpoint()
+      val (total, _, kept) = graft.sources.GraftFileIndex.pruneFor(root)
+      val pr = graft.etl.Skipping.readPrunedDetailed(s, root,
+        "l_partkey <= 500 AND l_suppkey <= 25 AND l_quantity IS NOT NULL")
+      require(pr.fallback.isEmpty && kept == pr.selected,
+        s"V2 pruning must equal the helper's: $kept/$total vs ${pr.selected}/${pr.total}")
+      out
+    }),
+    // ---- V2 bloom twin: an IN-probe on the scattered high-cardinality
+    // key where min/max stats keep everything — the planner-path bloom
+    // stage must prune beyond stats AND match the helper's file set ----
+    "q379_v2_bloom_point" -> ((s, dir) => {
+      val root = Tables.skippingLayout(s, dir, "date")
+      val keys = s.read.parquet(root)
+        .filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey")).distinct()
+        .orderBy(col("l_orderkey")).limit(5)
+        .collect().map(_.getLong(0))
+      require(keys.nonEmpty, "probe key derivation found no orderkeys")
+      val df = graft.sources.GraftParquetSource.read(s, root)
+        .filter(s"l_orderkey IN (${keys.mkString(", ")})")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(d2)).cast("double").as("sum_qty"))
+        .orderBy(col("l_orderkey"))
+      val out = df.localCheckpoint()
+      val (_, statsKept, kept) = graft.sources.GraftFileIndex.pruneFor(root)
+      require(kept < statsKept,
+        s"V2 bloom stage must prune beyond stats: $kept/$statsKept")
+      val pr = graft.etl.Skipping.readPrunedDetailed(s, root,
+        s"l_orderkey IN (${keys.mkString(", ")})")
+      require(pr.fallback.isEmpty && kept == pr.selected &&
+        statsKept == pr.statsSelected,
+        s"V2 pruning must equal the helper's: $kept/$statsKept vs " +
+          s"${pr.selected}/${pr.statsSelected}")
+      out
+    }),
+
     // ---- BLOOM-FILTER data skipping (round-10): per-file Bloom filters
     // on l_orderkey over the date-sorted layout, where the key is
     // scattered across files so min/max stats keep EVERYTHING — the
@@ -9413,6 +9494,36 @@ object SparkEntry {
        |FROM pl ORDER BY lang""".stripMargin
   }
 
+  /** The three skipping-gate oracles, shared verbatim by the opt-in
+    * reader gates (q355/q356/q361) and their planner-integrated V2 twins
+    * (q377/q378/q379) — the two paths must hash identically.
+    */
+  private val skipDaterangeOracleSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) >= DATE '1995-06-01'
+      |  AND CAST(l_shipdate AS DATE) < DATE '1995-09-01'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  private val skipZorderOracleSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_partkey <= 500 AND l_suppkey <= 25 AND l_quantity IS NOT NULL
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  private val skipBloomOracleSql: String =
+    """WITH keys AS (
+      |  SELECT DISTINCT l_orderkey FROM lineitem
+      |  WHERE l_orderkey % 7 = 0 ORDER BY l_orderkey LIMIT 5)
+      |SELECT l_orderkey, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT l_orderkey FROM keys)
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
   /** The exact scaled-integer BM25 replay shared by q358 (corpus scan),
     * q360 (one-shot persisted index) and q375 (incrementally appended
     * index): all three paths must hash-match it cell for cell.
@@ -9809,31 +9920,14 @@ object SparkEntry {
         |SELECT user_id, start_us, end_us, n_events FROM sess
         |WHERE end_us + 1800 * 1000000 <= (SELECT MAX(epoch_us(ts)) FROM events)
         |ORDER BY user_id, start_us""".stripMargin,
-    "q355_skipping_daterange" ->
-      """SELECT l_returnflag,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-        |  COUNT(*) AS n_rows
-        |FROM lineitem
-        |WHERE CAST(l_shipdate AS DATE) >= DATE '1995-06-01'
-        |  AND CAST(l_shipdate AS DATE) < DATE '1995-09-01'
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "q356_skipping_zorder" ->
-      """SELECT l_returnflag,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  COUNT(*) AS n_rows
-        |FROM lineitem
-        |WHERE l_partkey <= 500 AND l_suppkey <= 25 AND l_quantity IS NOT NULL
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "q361_skipping_bloom" ->
-      """WITH keys AS (
-        |  SELECT DISTINCT l_orderkey FROM lineitem
-        |  WHERE l_orderkey % 7 = 0 ORDER BY l_orderkey LIMIT 5)
-        |SELECT l_orderkey, COUNT(*) AS n_rows,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem
-        |WHERE l_orderkey IN (SELECT l_orderkey FROM keys)
-        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q355_skipping_daterange" -> skipDaterangeOracleSql,
+    "q356_skipping_zorder" -> skipZorderOracleSql,
+    "q361_skipping_bloom" -> skipBloomOracleSql,
+    // the V2 planner-integrated path must be indistinguishable from the
+    // opt-in helpers: identical oracles, unchanged hashes
+    "q377_v2_daterange" -> skipDaterangeOracleSql,
+    "q378_v2_zorder" -> skipZorderOracleSql,
+    "q379_v2_bloom_point" -> skipBloomOracleSql,
     // both arms replayed from the corpus, fused with the same fixed-point
     // reciprocal-rank arithmetic as the Spark side
     "q363_hybrid_retrieval" ->

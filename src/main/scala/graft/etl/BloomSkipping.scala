@@ -341,7 +341,7 @@ object BloomSkipping {
   /** Validate `idx` against the live listing; Some(per-file probe map)
     * when trustworthy, None (with a stderr warning) otherwise.
     */
-  private[etl] def validated(idx: BloomIndex, actual: Seq[(String, Long)],
+  private[graft] def validated(idx: BloomIndex, actual: Seq[(String, Long)],
                              root: String): Option[Map[String, FileBlooms]] = {
     if (idx.formatVersion != FormatVersion) {
       System.err.println(s"[graft.BloomSkipping] WARNING: ignoring bloom index at " +

@@ -153,18 +153,20 @@ object Pipeline {
         statsColumns = Seq("precio", "cantidad")
       )
 
-      // EP2 — Silver: re-read Bronze through the skipping manifest the EP1
-      // write just stamped — the country+date predicate prunes on the
-      // partition-dir stats BEFORE Spark ever lists/plans the scan, and the
-      // reader re-applies the full predicate so a conservative manifest can
-      // only cost performance, never rows. A missing/stale manifest (e.g. a
-      // pre-round-10 table) degrades to the old full scan, loudly.
-      val pruned = Skipping.readPrunedDetailed(
-        spark, paths.bronze,
-        s"pais = '${p.country.replace("'", "''")}' AND " +
-          s"fecha_proceso >= DATE '${p.startDate}' AND " +
-          s"fecha_proceso <= DATE '${p.endDate}'")
-      val bronzeBack = Bronze.slice(pruned.df, p.country, p.startDate, p.endDate)
+      // EP2 — Silver: re-read Bronze through the PLANNER-INTEGRATED V2
+      // source (round 11; previously the opt-in readPrunedDetailed
+      // helper): an ordinary .filter on the graft-parquet relation gets
+      // partition-dir pruning natively from the file index and
+      // manifest/bloom data skipping inside listFiles — pruned files
+      // never become InputPartitions, and Spark re-applies the full
+      // predicate to surviving rows. A missing/stale manifest degrades
+      // to a plain parquet scan with a warning, never wrong rows.
+      val prunedDf = graft.sources.GraftParquetSource.read(spark, paths.bronze)
+        .filter(
+          s"pais = '${p.country.replace("'", "''")}' AND " +
+            s"fecha_proceso >= DATE '${p.startDate}' AND " +
+            s"fecha_proceso <= DATE '${p.endDate}'")
+      val bronzeBack = Bronze.slice(prunedDf, p.country, p.startDate, p.endDate)
       val e = Silver
         .enriched(Silver.renamed(bronzeBack), cfg, cfg.rawCsv, auditTs)
         .persist(StorageLevel.MEMORY_AND_DISK)

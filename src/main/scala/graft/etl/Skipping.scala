@@ -591,7 +591,7 @@ object Skipping {
     * Gates the (JSON-parse) cost of opening the bloom index: a range-only
     * predicate can never bloom-prune, so the index is not even read.
     */
-  private def hasEqualityArm(e: Expression): Boolean = e match {
+  private[graft] def hasEqualityArm(e: Expression): Boolean = e match {
     case And(a, b) => hasEqualityArm(a) || hasEqualityArm(b)
     case Or(a, b) => hasEqualityArm(a) || hasEqualityArm(b)
     case EqualTo(_, _) | EqualNullSafe(_, _) | In(_, _) => true
@@ -605,7 +605,7 @@ object Skipping {
     * walk. `col = NULL` / `col <=> NULL` never probe (a filter holds no
     * null entry; the stats evaluator already rules on those).
     */
-  private def mayMatchBloom(e: Expression, fb: BloomSkipping.FileBlooms,
+  private[graft] def mayMatchBloom(e: Expression, fb: BloomSkipping.FileBlooms,
                             p: BloomSkipping.Prober): Boolean = e match {
     case And(a, b) => mayMatchBloom(a, fb, p) && mayMatchBloom(b, fb, p)
     case Or(a, b) => mayMatchBloom(a, fb, p) || mayMatchBloom(b, fb, p)
