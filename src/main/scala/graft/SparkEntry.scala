@@ -71,15 +71,23 @@ object SparkEntry {
 
   /** The restart-feed staging device shared by the restart gates
     * (q354/q359): returns a `put(k)` that lands time-split third `k` of
-    * `ev` as the single file `b00k.parquet` under `in`. Thirds are EXACT
-    * time splits (approxQuantile at zero error) so later files sit
-    * strictly above earlier watermarks — nothing is ever late-dropped —
-    * and mtimes are pinned oldest-first for the file source's ordering.
+    * `ev` as the single file `b00k.parquet` under `in`. The splits are
+    * CONTIGUOUS time ranges (file k's rows all precede file k+1's), so
+    * later files sit strictly above earlier watermarks and nothing is
+    * ever late-dropped; mtimes are pinned oldest-first for the file
+    * source's ordering. The cut points need NOT be exact thirds for any
+    * of that — any monotone cut preserves contiguity, and the final
+    * output is batch-assignment-independent given no late drops — so
+    * approxQuantile runs at a small eps, not zero: the round-11
+    * streaming ladder measured relativeError=0 degenerating into a
+    * 454 s CPU-bound sketch job at 10M rows (79% of the q354 100× rung
+    * wall), the Greenwald–Khanna eps=0 pathology, while the split it
+    * bought was interchangeable with this one.
     */
   private def stageTimeSplitThird(ev: DataFrame, base: java.io.File,
                                   in: java.io.File): Int => Unit = {
     val cuts = ev.withColumn("__tsd", col("ts").cast("double"))
-      .stat.approxQuantile("__tsd", Array(1.0 / 3, 2.0 / 3), 0.0)
+      .stat.approxQuantile("__tsd", Array(1.0 / 3, 2.0 / 3), 0.001)
     (k: Int) => {
       val tsd = col("ts").cast("double")
       val span = k match {
