@@ -24,6 +24,10 @@ object Q309Lab {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // the streaming MEMORY sink collects the bucket index to the driver
+      // (gate-harness device; production uses runToParquet) — past the
+      // 1 GiB default at the 300× rung, same as ScaleLadderR8
+      .config("spark.driver.maxResultSize", "8g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
