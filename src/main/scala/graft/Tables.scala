@@ -203,7 +203,7 @@ object Tables {
     import org.apache.spark.sql.functions._
     require(layout == "date" || layout == "zorder", s"layout must be date|zorder: $layout")
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${srcStamp(sfDir, "lineitem")}|skip-$layout|v3".getBytes("UTF-8"))
+      .digest(s"${srcStamp(sfDir, "lineitem")}|skip-$layout|v4".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     val dir = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-skiplayout-$key")
@@ -282,7 +282,7 @@ object Tables {
     */
   def compactedLayout(spark: SparkSession, sfDir: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${srcStamp(sfDir, "lineitem")}|compact|v1".getBytes("UTF-8"))
+      .digest(s"${srcStamp(sfDir, "lineitem")}|compact|v2".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
     val dir = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-compactlayout-$key")

@@ -170,7 +170,14 @@ object Pipeline {
       val e = Silver
         .enriched(Silver.renamed(bronzeBack), cfg, cfg.rawCsv, auditTs)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      if (eager) { e.count(); () } // cache filled before the lock drops
+      // cache filled before the lock drops; on failure the registered
+      // blocks must not leak — the try/finally below never owns `e` if
+      // this throws, and a concurrent run would carry the dead cache for
+      // the rest of the session (round-11 review)
+      if (eager) {
+        try { e.count(); () }
+        catch { case t: Throwable => e.unpersist(); throw t }
+      }
       e
     }
     try {

@@ -45,11 +45,20 @@ import scala.jdk.CollectionConverters._
 object Skipping {
 
   val ManifestName = "_graft_skipping.json"
-  val FormatVersion = 1
+  // v2 (round 11): FLOAT columns moved from the "num" domain to "f32" so
+  // the evaluator compares them in FLOAT space (Spark's actual coercion
+  // for integral/string literals — exact order silently lost rows past
+  // 2^24). The bump deliberately invalidates v1 manifests: a carried-
+  // forward v1 entry would keep the unsound arm alive for old files, so
+  // they degrade loudly to a full scan and rebuild on the next write.
+  val FormatVersion = 2
 
   /** Per-column, per-file statistics. `t` is the comparison domain:
-    * `"num"` (all integral/floating/decimal/timestamp values, compared as
-    * BigDecimal), `"date"` (ISO `yyyy-MM-dd`, compared as strings),
+    * `"num"` (integral/double/decimal/timestamp values, compared as
+    * BigDecimal with double-order agreement), `"f32"` (FLOAT columns,
+    * compared in float space — their exact double widening is stored,
+    * so `toFloat` recovers the original), `"date"` (ISO `yyyy-MM-dd`,
+    * compared as strings),
     * `"string"` (UTF-8, compared as strings), `"part"` (a partition-dir
     * value: exact, min==max, compared as string with a numeric retry).
     * `lo`/`hi` absent means the bounds are unusable for this file (stats
@@ -366,7 +375,18 @@ object Skipping {
           dec(BigInt(v.asInstanceOf[Number].longValue()), d)
         case _ => Some(("num", v.toString))
       }
-      case FLOAT | DOUBLE =>
+      case FLOAT =>
+        // FLOAT columns get their OWN domain (round-11 review): Spark
+        // compares a float column to an integral or string literal in
+        // FLOAT space (numeric precedence promotes even LONG to float),
+        // where neighbors past 2^24 collapse — exact or double order can
+        // confidently (and wrongly) prune a matching row. The stat string
+        // is the float's exact double widening, so `toFloat` recovers the
+        // original float and the evaluator can compare in the right space.
+        val d = v.asInstanceOf[Number].doubleValue()
+        if (d.isNaN || d.isInfinite) None
+        else Some(("f32", BigDecimal(d).bigDecimal.toPlainString))
+      case DOUBLE =>
         val d = v.asInstanceOf[Number].doubleValue()
         if (d.isNaN || d.isInfinite) None
         else Some(("num", BigDecimal(d).bigDecimal.toPlainString))
@@ -409,14 +429,10 @@ object Skipping {
     }
     readManifest(fs, rootPath) match {
       case None => fullScan(s"no $ManifestName manifest present")
-      case Some(m) if m.formatVersion != FormatVersion =>
-        fullScan(s"manifest format v${m.formatVersion} != expected v$FormatVersion")
       case Some(m) =>
-        val recorded = m.files.map(f => (f.path, f.size)).toSet
-        if (recorded != actual.toSet)
-          fullScan(s"stale manifest (stamp ${m.stamp}): recorded ${recorded.size} " +
-            s"files, found ${actual.size}, or sizes drifted — rewrite the manifest")
-        else {
+        validatedManifest(m, actual) match {
+          case scala.util.Left(reason) => fullScan(reason)
+          case scala.util.Right(_) =>
           val expr = spark.sessionState.sqlParser.parseExpression(predicate)
           val statsSurvivors = m.files.filter(f => mayMatch(expr, f))
           // second stage: a Bloom index (if present AND matching the same
@@ -453,6 +469,21 @@ object Skipping {
         }
     }
   }
+
+  /** The manifest trust gate, ONE place (round-11 review — it previously
+    * lived both here and in the V2 source's file index, a drift risk):
+    * format version must match and the recorded (relative path, size)
+    * set must equal the live listing. Left(reason) = do not trust a
+    * single stat; Right = per-relative-path stats.
+    */
+  private[graft] def validatedManifest(m: Manifest, actual: Seq[(String, Long)])
+      : Either[String, Map[String, FileStats]] =
+    if (m.formatVersion != FormatVersion)
+      scala.util.Left(s"manifest format v${m.formatVersion} != expected v$FormatVersion")
+    else if (m.files.map(f => (f.path, f.size)).toSet != actual.toSet)
+      scala.util.Left(s"stale manifest (stamp ${m.stamp}): recorded ${m.files.size} " +
+        s"files, found ${actual.size}, or sizes drifted — rewrite the manifest")
+    else scala.util.Right(m.files.map(f => f.path -> f).toMap)
 
   /** One stats column summarized ACROSS the manifest's files: non-null
     * count, and — for `num`/`date` typed stats only — the exact global
@@ -497,7 +528,7 @@ object Skipping {
             val typ = stats.head._2.t
             // a file may contribute no bounds ONLY if provably all-null
             def bound(pick: Seq[String] => String): Option[String] = {
-              if (typ != "num" && typ != "date") return None
+              if (typ != "num" && typ != "f32" && typ != "date") return None
               val vals = stats.flatMap { case (r, s) =>
                 (s.lo, s.hi) match {
                   case (Some(l), Some(h)) => Some((l, h))
@@ -509,7 +540,7 @@ object Skipping {
               else Some(pick(vals.map(_._1) ++ vals.map(_._2)))
             }
             def cmp(a: String, b: String): Int =
-              if (typ == "num") BigDecimal(a).compare(BigDecimal(b))
+              if (typ == "num" || typ == "f32") BigDecimal(a).compare(BigDecimal(b))
               else a.compareTo(b) // ISO dates: lexicographic = chronological
             val lo = bound(vs => vs.reduce((a, b) => if (cmp(a, b) <= 0) a else b))
             val hi = bound(vs => vs.reduce((a, b) => if (cmp(a, b) >= 0) a else b))
@@ -775,6 +806,20 @@ object Skipping {
         // fractional literal: BOTH sides are coerced to double no matter
         // the column's numeric type — double space is the exact mirror
         Some(dblCmp(stat, litV))
+      // ---- FLOAT columns (round-11 review): the comparison space is
+      // FLOAT for integral and string literals (numeric precedence
+      // promotes long to float; a string literal casts to the column
+      // type) and DOUBLE for fractional literals (float < double). The
+      // stat string is the float's exact double widening, so toFloat
+      // recovers the original float and toDouble its exact widening —
+      // each arm below is the EXACT mirror of Spark's coercion, tight
+      // where blanket agreement rules would have lost all pruning past
+      // float's 2^24 integer range.
+      case ("f32", "num") => Some(java.lang.Float.compare(
+        BigDecimal(stat).toFloat, BigDecimal(litV).toFloat))
+      case ("f32", "fnum") => Some(dblCmp(stat, litV))
+      case ("f32", "string") => num(litV).map(lv =>
+        java.lang.Float.compare(BigDecimal(stat).toFloat, lv.toFloat))
       case ("num", "string") =>
         // measured (Spark 4, ANSI off AND on): a string literal is cast
         // to the COLUMN's type — exact order mirrors integral/decimal
@@ -836,7 +881,8 @@ object Skipping {
   }
 
   private def compareSame(t: String, a: String, b: String): Int =
-    if (t == "num") BigDecimal(a).compare(BigDecimal(b)) else utf8Compare(a, b)
+    if (t == "num" || t == "f32") BigDecimal(a).compare(BigDecimal(b))
+    else utf8Compare(a, b)
 
   // ------------------------------------------------------------------ json
 

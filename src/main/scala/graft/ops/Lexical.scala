@@ -44,6 +44,50 @@ import org.apache.spark.sql.functions._
 object Lexical {
 
   val DefaultBuckets = 64
+  private val MetaName = "_graft_lexmeta.json"
+
+  /** The index records its OWN bucket count (round-11 review): an append
+    * or query run with a mismatched `buckets` argument would hash terms
+    * into shards the other side never reads — silently wrong scores, no
+    * error anywhere (the same caller-drift class BloomIndex.bitsPerItem
+    * closed). Writers stamp it; appenders and scorers prefer it over
+    * their argument. Pre-meta indexes fall back to the caller's value.
+    */
+  private def hfs(spark: SparkSession, root: String) = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def writeMeta(spark: SparkSession, root: String, buckets: Int): Unit = {
+    val (fs, p) = hfs(spark, root)
+    fs.mkdirs(p)
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, MetaName), true)
+    try out.write(s"""{"buckets":$buckets}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[graft] def readMeta(spark: SparkSession, root: String): Option[Int] = {
+    val (fs, p) = hfs(spark, root)
+    val mp = new org.apache.hadoop.fs.Path(p, MetaName)
+    if (!fs.exists(mp)) None
+    else {
+      val in = fs.open(mp)
+      val txt = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        bos.toString("UTF-8")
+      } finally in.close()
+      "\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+    }
+  }
+
+  /** The bucket count THIS index was built with; the caller's argument
+    * only applies to pre-meta indexes.
+    */
+  private def effectiveBuckets(spark: SparkSession, root: String, arg: Int): Int =
+    readMeta(spark, root).getOrElse(arg)
 
   /** Tokenize `docs` and write the postings + totals tables under
     * `root`. One shuffle for the (doc, term) tf aggregation, one for the
@@ -72,6 +116,7 @@ object Lexical {
     toks.agg(count(lit(1)).as("t"))
       .crossJoin(docs.agg(count(lit(1)).as("n")))
       .coalesce(1).write.mode("overwrite").parquet(s"$root/totals")
+    writeMeta(docs.sparkSession, root, buckets)
     ()
   }
 
@@ -102,13 +147,17 @@ object Lexical {
   def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
                     root: String, buckets: Int = DefaultBuckets): Int = {
     val spark = docs.sparkSession
+    // the INDEX's recorded layout wins over the argument: appending under
+    // a different modulus would strand postings in shards queries never
+    // read (silently wrong scores, the caller-drift class)
+    val b = effectiveBuckets(spark, root, buckets)
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val postings = toks
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       .join(dl, "doc_id")
-      .withColumn("bucket", pmod(crc32(col("tok")), lit(buckets.toLong)).cast("int"))
+      .withColumn("bucket", pmod(crc32(col("tok")), lit(b.toLong)).cast("int"))
       .localCheckpoint() // three consumers: write, touched set, token delta
     val touched = postings.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq // bounded by `buckets`, never by data
@@ -150,7 +199,7 @@ object Lexical {
     */
   def scoreBM25(spark: SparkSession, root: String, terms: Seq[String],
                 k: Int, buckets: Int = DefaultBuckets): DataFrame = {
-    val shardIds = terms.map(bucketOf(_, buckets)).distinct
+    val shardIds = terms.map(bucketOf(_, effectiveBuckets(spark, root, buckets))).distinct
     val post = spark.read.parquet(s"$root/postings")
       .filter(col("bucket").isin(shardIds: _*) && col("tok").isin(terms: _*))
     val dfreq = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -188,7 +237,7 @@ object Lexical {
     */
   def scoreTfIdfNorm(spark: SparkSession, root: String, terms: Seq[String],
                      k: Int, buckets: Int = DefaultBuckets): DataFrame = {
-    val shardIds = terms.map(bucketOf(_, buckets)).distinct
+    val shardIds = terms.map(bucketOf(_, effectiveBuckets(spark, root, buckets))).distinct
     val post = spark.read.parquet(s"$root/postings")
       .filter(col("bucket").isin(shardIds: _*) && col("tok").isin(terms: _*))
     val dfreq = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))

@@ -534,18 +534,27 @@ object Multimodal {
     }(enc)
   }
 
-  /** Exact integer square root with a ±1 correction around the double
-    * seed — deterministic for any non-negative long, and mirrored
-    * step-for-step by the oracle SQL (floor(sqrt(x)) then the same
-    * CASE correction), so fixed-point RMS values hash-match exactly.
+  /** Exact floor integer square root for any non-negative long —
+    * delegated to BigInteger.sqrt (round-11 review: the previous
+    * double-seed ±1 correction loop overflowed `(k+1)²` within ~6e9 of
+    * Long.MaxValue and spun ~1e9 iterations to a wrong root). The
+    * oracle SQL's floor(sqrt(double)) + ±1 CASE correction computes the
+    * same floor root, so fixed-point RMS values still hash-match.
     */
-  private[graft] def isqrt(v: Long): Long = {
-    if (v <= 0L) return 0L
-    var k = math.sqrt(v.toDouble).toLong
-    while (k > 0 && k * k > v) k -= 1
-    while ((k + 1) * (k + 1) <= v) k += 1
-    k
-  }
+  private[graft] def isqrt(v: Long): Long =
+    if (v <= 0L) 0L else java.math.BigInteger.valueOf(v).sqrt().longValue()
+
+  /** Overflow-safe `isqrt(energy·10⁶ / n)`: the long product wraps for
+    * blocks past ~8 590 full-scale 16-bit frames (review finding —
+    * isqrt of the wrapped negative silently reported digital silence
+    * for the loudest possible block). The result always fits a long
+    * (RMS of int16 ≤ 32 768 000 milli-units).
+    */
+  private def rmsMilli(energy: Long, n: Int): Long =
+    java.math.BigInteger.valueOf(energy)
+      .multiply(java.math.BigInteger.valueOf(1000000L))
+      .divide(java.math.BigInteger.valueOf(n.toLong))
+      .sqrt().longValueExact()
 
   /** MULTI-CHANNEL PCM block statistics — [[pcmFrames]] generalized from
     * mono framing to the per-channel block RMS/peak a loudness/silence
@@ -617,7 +626,7 @@ object Multimodal {
                   }
                   val n = end - start
                   Seq[Any](start / blockFrames, c, n, energy, peak,
-                    isqrt(energy * 1000000L / n))
+                    rmsMilli(energy, n))
                 }
               }
             }

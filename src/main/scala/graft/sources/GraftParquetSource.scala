@@ -62,10 +62,26 @@ final class GraftParquetSource extends TableProvider with DataSourceRegister {
     p
   }
 
+  // one table per provider instance (Spark calls inferSchema then
+  // getTable on the SAME instance per read): without the cache, each
+  // read pays TWO full recursive listings plus two side-index
+  // parse-and-validate passes — at 100k files on an object store that
+  // is tens of thousands of duplicate LIST calls (round-11 review)
+  private var cachedPath: String = _
+  private var cachedTable: GraftParquetTable = _
+
   private def table(options: CaseInsensitiveStringMap,
                     schema: Option[StructType]): GraftParquetTable =
-    new GraftParquetTable("graft-parquet", SparkSession.active, options,
-      Seq(rootOf(options)), schema)
+    this.synchronized {
+      val path = rootOf(options)
+      if (cachedTable == null || cachedPath != path ||
+          !schema.forall(_ == cachedTable.schema)) {
+        cachedTable = new GraftParquetTable("graft-parquet",
+          SparkSession.active, options, Seq(path), schema)
+        cachedPath = path
+      }
+      cachedTable
+    }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     table(options, None).schema
@@ -131,16 +147,17 @@ final class GraftFileIndex(
     allFiles().map(f => (rel(f.getPath), f.getLen))
 
   private lazy val statsByRel: Option[Map[String, Skipping.FileStats]] =
-    Skipping.readManifest(fs, rootPath) match {
-      case Some(m) if m.formatVersion == Skipping.FormatVersion &&
-          m.files.map(f => (f.path, f.size)).toSet == liveFiles.toSet =>
-        Some(m.files.map(f => f.path -> f).toMap)
-      case Some(m) =>
-        System.err.println(s"[graft.GraftFileIndex] WARNING: ignoring " +
-          s"manifest at $rootString (stamp ${m.stamp}) — stale or " +
-          "format-drifted; reads fall back to a plain parquet scan")
-        None
-      case None => None
+    Skipping.readManifest(fs, rootPath).flatMap { m =>
+      // ONE trust gate, shared with readPrunedDetailed — the two paths
+      // must never drift on what they trust (q377–q379 assert equality)
+      Skipping.validatedManifest(m, liveFiles) match {
+        case scala.util.Right(byRel) => Some(byRel)
+        case scala.util.Left(reason) =>
+          System.err.println(s"[graft.GraftFileIndex] WARNING: ignoring " +
+            s"manifest at $rootString — $reason; reads fall back to a " +
+            "plain parquet scan")
+          None
+      }
     }
 
   private lazy val bloomState
@@ -193,14 +210,22 @@ object GraftFileIndex {
 
   /** The prune record for `root`, tolerant of scheme qualification (the
     * map is keyed by the qualified URI, e.g. `file:/tmp/x` for `/tmp/x`).
+    * Matching is by URI PATH equality, not suffix — with two roots where
+    * one path is a suffix of the other, an endsWith fallback could
+    * return the wrong table's record and validate pruning that never
+    * ran (round-11 review).
     */
   def pruneFor(root: String): (Int, Int, Int) = {
     val direct = lastPrune.get(root)
     if (direct != null) return direct
+    def pathOf(s: String): String =
+      try Option(new java.net.URI(s).getPath).getOrElse(s)
+      catch { case _: Exception => s }
+    val want = pathOf(root)
     val it = lastPrune.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getKey.endsWith(root)) return e.getValue
+      if (pathOf(e.getKey) == want) return e.getValue
     }
     throw new IllegalStateException(
       s"no graft-parquet prune record for $root — was the root read through " +

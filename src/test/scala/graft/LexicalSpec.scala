@@ -149,6 +149,28 @@ class LexicalSpec extends SparkTestBase {
     assert(tot == fullTot, s"totals must match the rebuild: $tot vs $fullTot")
   }
 
+  test("bucket-count drift cannot strand postings: the recorded layout wins") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i => (i, s"alpha tok$i")).toDF("doc_id", "text")
+    val extra = Seq((61L, "alpha zulu")).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-lexdrift").toString
+    // built with a NON-default bucket count; append and score with the
+    // DEFAULT argument — the recorded layout must win on both paths, or
+    // the appended doc's postings land in shards queries never read
+    Lexical.buildIndex(docs, "doc_id", "text", root, buckets = 8)
+    assert(Lexical.readMeta(spark, root).contains(8))
+    Lexical.appendToIndex(extra, "doc_id", "text", root) // default 64 arg
+    val fullRoot = java.nio.file.Files.createTempDirectory("graft-lexdrift2").toString
+    Lexical.buildIndex(docs.unionByName(extra), "doc_id", "text", fullRoot, buckets = 8)
+    for (q <- Seq(Seq("alpha"), Seq("zulu"))) {
+      val inc = Lexical.scoreBM25(spark, root, q, k = 70) // default 64 arg
+        .collect().map(_.toString).toSeq
+      val full = Lexical.scoreBM25(spark, fullRoot, q, k = 70, buckets = 8)
+        .collect().map(_.toString).toSeq
+      assert(inc == full, s"drifted-bucket scoring diverged on $q:\n$inc\nvs\n$full")
+    }
+  }
+
   test("q375 gate: incrementally appended index matches the corpus-scan form") {
     val idx = SparkEntry.queries("q375_bm25_index_append")(spark, sf())
     val scan = SparkEntry.queries("q358_bm25")(spark, sf())

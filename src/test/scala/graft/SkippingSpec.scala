@@ -123,6 +123,49 @@ class SkippingSpec extends SparkTestBase {
     assert(rows2 == 101 && cols2("k").hi.contains("1000"))
   }
 
+  test("FLOAT columns prune in float space: 2^24 collapse never loses rows (round 11)") {
+    import spark.implicits._
+    val root = tmpDir("f32")
+    // one value per file, staged deterministically (round-robin start
+    // indices are random, so repartition(4) can co-locate values and make
+    // per-file min/max assumptions flaky); 16777216f is the smallest
+    // float with an integer collapse twin (16777217 rounds onto it)
+    Seq(16777216.0f).toDF("fcol").coalesce(1).write.mode("overwrite").parquet(root)
+    for (v <- Seq(100.0f, 255.5f, 1048576.0f))
+      Seq(v).toDF("fcol").coalesce(1).write.mode("append").parquet(root)
+    Skipping.writeManifest(spark, root, Seq("fcol"))
+    def check(pred: String): Skipping.Pruned = {
+      val pr = Skipping.readPrunedDetailed(spark, root, pred)
+      assert(pr.fallback.isEmpty, s"manifest must engage: ${pr.fallback}")
+      assert(pr.df.collect().map(_.toString).sorted.toSeq ==
+        spark.read.parquet(root).filter(pred).collect().map(_.toString).sorted.toSeq,
+        s"pruned result must equal full scan for: $pred")
+      pr
+    }
+    // integral literal: Spark promotes LONG to FLOAT, so 16777217 MATCHES
+    // the 16777216f row — exact order would confidently prune it
+    val eq = check("fcol = 16777217")
+    assert(eq.df.count() == 1, "the float-collapapsed twin must survive")
+    assert(eq.selected == 1, "float-space order still prunes the other files")
+    // string literal casts to the column type: same collapse
+    val s = check("fcol = '16777217'")
+    assert(s.df.count() == 1 && s.selected == 1)
+    // fractional LITERAL (not a CAST node — the evaluator only rules on
+    // literals): comparison is double-space (float < double)
+    val d = check("fcol = 16777216.0D")
+    assert(d.df.count() == 1 && d.selected == 1)
+    // non-strict range at the collapse boundary
+    val le = check("fcol >= 16777217")
+    assert(le.df.count() == 1, ">= must keep the row float order calls equal")
+    // tightness retained where float space is exact
+    val far = check("fcol = 100")
+    assert(far.df.count() == 1 && far.selected == 1)
+    // metadata summary serves f32 bounds
+    val (_, cols) = Skipping.metadataSummaryOrFail(spark, root)
+    assert(cols("fcol").lo.isDefined && cols("fcol").hi.isDefined,
+      "f32 columns must report min/max in the metadata summary")
+  }
+
   test("metadata-agg QUERY path fails loudly on an out-of-band append (round 11)") {
     import spark.implicits._
     val root = tmpDir("metaloud")
