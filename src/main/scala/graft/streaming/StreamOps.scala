@@ -230,6 +230,47 @@ object StreamOps {
                             outDir: String, checkpoint: String): Long =
     runToParquet(spark, typeCountsTransformed(spark, events), outDir, checkpoint)
 
+  /** Scale-adaptive STATE-partition scope for a streaming run (round-11).
+    * `spark.sql.shuffle.partitions` fixes the number of state-store
+    * partitions — and so RocksDB instances opened/committed per microbatch —
+    * at the first batch of a fresh checkpoint; the session-wide value is
+    * sized for batch shuffles, not for state-store count. For operators
+    * that hold SEVERAL stores per partition (a stream-stream join keeps 4:
+    * keyToNumValues/keyWithIndexToValue × both sides), per-store fixed cost
+    * (JNI open, snapshot upload, commit) dominates KB-sized batches:
+    * QueryLedger measured ~0.5 s of executor time per state task over ~2 MB
+    * of total input, and an 8→2 A/B cut the three stream-join gates 3.6→3.0 s
+    * and the two restart gates by ~0.4 s each, while single-store
+    * transformWithState gates were flat-to-worse (left alone) and q309's
+    * CPU-bound LSH index build regressed (left alone).
+    *
+    * The partition count derives from the INPUT's byte size — floor 2
+    * (a single partition serializes the join's stores: measured worse),
+    * ceiling the session's `spark.sql.shuffle.partitions` — so on a real
+    * cluster against a real stream the clamp leaves the cluster-sized
+    * session value in charge; only provably tiny inputs narrow. Knob:
+    * `spark.graft.stream.bytesPerStatePartition` (default 4 MB). Restart
+    * safety: Spark recovers the shuffle-partition count from the
+    * checkpoint's offset metadata, and both runs of a restart gate compute
+    * the same value from the same source file anyway. Results are
+    * partition-count-independent (set-semantics outputs, final orderBy).
+    */
+  def withStateParts[T](spark: SparkSession, inputBytes: Long)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val session = spark.sessionState.conf.numShufflePartitions
+    val per = math.max(1L,
+      spark.conf.get("spark.graft.stream.bytesPerStatePartition",
+        (4L << 20).toString).toLong)
+    val n = math.max(math.min(2L, session.toLong),
+      math.min(session.toLong, inputBytes / per + 1L)).toInt
+    if (n >= session) body
+    else {
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, n.toString)
+      try body finally spark.conf.set(key, prev)
+    }
+  }
+
   /** Drive any streaming DataFrame through the RECOVERABLE sink shape:
     * parquet output + a real checkpoint, RocksDB provider scoped. The
     * restart contract is the sink's `_spark_metadata` commit log (batch
