@@ -31,4 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JIT code-cache headroom: the 379-query sweep JIT-compiles tens of
+  // thousands of generated-class methods (more now that the enlarged
+  // spark.sql.codegen.cache keeps them alive); the JDK 17 default 240 MB
+  // CodeCache silently disables the JIT when full, which turns later
+  // queries interpreted. Reserved (virtual) memory only — committed pages
+  // grow on demand.
+  "-XX:ReservedCodeCacheSize=512m",
 )

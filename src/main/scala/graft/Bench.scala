@@ -19,8 +19,24 @@ object Bench {
     // override this via Par.spread's explicit counts where per-row cost —
     // not bytes — is the bottleneck.
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
+    // Generated-class cache sized to the WORKLOAD, not the 100-entry
+    // default (round-11, guide §1.2/§4): one registered query compiles
+    // ~10-40 whole-stage/expression fragments, so a 379-query sweep holds
+    // thousands of distinct fragments while the default static cache keeps
+    // 100 — by the time a pass returns to a query, its fragments are long
+    // evicted and EVERY timed execution re-runs Janino over the whole plan.
+    // Measured (tools/MiniSweep, 8 heavy queries interleaved, gc mode,
+    // min-of-two): 43.06 -> 31.44 s total, all 8 queries faster; the
+    // sweep-vs-solo gap this explains was ~2x on plan-heavy queries
+    // (q333 5.05 s in the 379-query bench vs 2.25 s solo steady state).
+    // Not a local[32] artifact: any long-lived session serving many
+    // distinct queries (the 100 TB service shape) pays the same recompile
+    // tax; results are unchanged — this caches COMPILED CLASSES, never
+    // data. Static conf, so it must sit on the first session's builder.
+    val codegenCacheEntries = sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000")
     val builder = SparkSession.builder()
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.codegen.cache.maxEntries", codegenCacheEntries)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.ansi.enabled", "false")

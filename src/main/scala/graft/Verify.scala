@@ -15,6 +15,11 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
+      // same workload-sized generated-class cache as Bench (static conf;
+      // see Bench.scala) — the dump sweeps the same 379 plans and pays the
+      // same per-query Janino recompile tax under the 100-entry default
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .config("spark.sql.session.timeZone", "UTC")
       // INT96 here, DELIBERATELY diverging from the library default
       // (Schemas.session writes INT64 micros — the statistics-bearing form

@@ -19,6 +19,7 @@ object MiniSweep {
     val names = args.drop(1).toSeq
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.codegen.cache.maxEntries", "10000") // match Bench (round-11)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.ansi.enabled", "false")

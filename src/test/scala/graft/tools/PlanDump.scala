@@ -21,6 +21,7 @@ object PlanDump {
     val names = args.drop(1).toSeq
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.codegen.cache.maxEntries", "10000") // match Bench (round-11)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")

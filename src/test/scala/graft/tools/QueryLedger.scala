@@ -15,6 +15,7 @@ object QueryLedger {
     val names = if (args.nonEmpty) args.toSeq else Seq("q307_coreness")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.codegen.cache.maxEntries", "10000") // match Bench (round-11)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
